@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark's vectorized
+  * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it via
+  * `spark.sql.legacy.parquet.nanosAsLong` as an epoch-nanos long (`ts_ns`) and
+  * derive a microsecond-precision `ts` timestamp column. DuckDB-oracle queries
+  * use `epoch_ns(ts)` for the identical integer value.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session defaults shared by Verify/Bench/tests. Call once per session. */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events" =>
+        // ts_ns: exact epoch nanos (matches DuckDB epoch_ns(ts));
+        // ts: µs-truncated timestamp for window()/watermark use.
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => df
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

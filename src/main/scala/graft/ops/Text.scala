@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs): per-row narrow transforms that scale linearly with input
+  * and keep whole-stage codegen intact. The word-count/tokenize shape mirrors
+  * the reference's flagship topology
+  * (reference `KafkaWordCount.java:56-67`: lower → split `\W+` → filter
+  * non-empty → groupBy word → count).
+  */
+object Text {
+
+  /** Portable 32-bit hash: first 8 hex digits of md5 as a long in [0, 2^32).
+    * Deterministic and engine-portable (DuckDB: `('0x'||substr(md5(s),1,8))::BIGINT`),
+    * which lets the driver's oracle reproduce minhash/simhash exactly.
+    */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: family of independent portable hashes. */
+  def h32(c: Column, seed: Int): Column =
+    conv(substring(md5(concat_ws("", lit(seed.toString), c)), 1, 8), 16, 10).cast("long")
+
+  /** Tokenize to lowercase words, dropping empties (reference
+    * `KafkaWordCount.java:61-62` semantics: `lower(s).split("\\W+")`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+
+  /** Word frequency over a corpus — the reference's flagship query
+    * (`KafkaWordCount.java:56-67`) re-expressed declaratively: explode is a
+    * narrow op; the single shuffle is the groupBy(word), with map-side
+    * partial aggregation supplied by Catalyst.
+    */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Whitespace token count + a BPE-ish subword count (letter runs, digit
+    * runs, single punctuation marks — the GPT-2 pre-tokenizer shape).
+    */
+  def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(filter(split(t, "\\s+"), x => length(x) > 0)).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length(t).cast("long").as("n_chars_obs"))
+  }
+
+  /** Stopword sets used by the n-gram language-ID heuristic. Tiny,
+    * broadcast-inlined as literals (no shuffle, no side tables).
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "des", "est"))
+
+  /** Marker-word score for one language over a token array column. */
+  private def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => langMarkers(lang).map(m => t === lit(m)).reduce(_ || _)))
+
+  /** Heuristic language ID: count language-marker stopwords, pick the argmax
+    * (ties broken by fixed language order en>es>de>fr, then "und" if no
+    * marker hits at all). Pure per-row expression — scales embarrassingly.
+    */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(col(idCol), toks.as("toks"))
+      .select(col(idCol) +: langMarkers.keys.toSeq.sorted.map(l => langScore(col("toks"), l).as(s"s_$l")): _*)
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.foldLeft((lit("und"), lit(0)): (Column, Column)) {
+      case ((bl, bs), l) =>
+        val s = col(s"s_$l")
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    scored.select(col(idCol), best._1.as("lang_pred"), best._2.cast("long").as("lang_score"))
+  }
+
+  /** Quality scoring: document length, punctuation ratio, stopword ratio,
+    * mean word length — the standard cheap pre-filters for web-scale corpus
+    * cleaning. All per-row arithmetic; fractions rounded to 6 dp so the
+    * DuckDB oracle hash-matches despite double formatting.
+    */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, x =>
+      langMarkers.values.flatten.toSeq.distinct.map(m => x === lit(m)).reduce(_ || _))).cast("double")
+    val nPunct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val nChars = length(t).cast("double")
+    val sumTokLen = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x).cast("double")
+    df.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars_obs"),
+      nTok.cast("long").as("n_tokens"),
+      round(when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)), 6).as("punct_ratio"),
+      round(when(nTok > 0, nStop / nTok).otherwise(lit(0.0)), 6).as("stop_ratio"),
+      round(when(nTok > 0, sumTokLen / nTok).otherwise(lit(0.0)), 6).as("mean_word_len"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text, plus a
+    * 32-bit rolling-hash-style bucket. Groupable for exact near-identity
+    * dedup; the hex digest is engine-portable.
+    */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    df.select(
+      col(idCol),
+      md5(norm).as("fp_md5"),
+      h32(norm).as("fp_h32"))
+  }
+}
