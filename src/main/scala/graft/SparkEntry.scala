@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has an entry in `queries`
+  * (name → (spark, sfDir) => DataFrame) and, where ANSI-SQL-expressible, a
+  * DuckDB oracle in `oracleSql` with IDENTICAL output column names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Word count is the reference's flagship topology
+    * (reference `KafkaWordCount.java:56-67`).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Text.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+
+  private val modules: Seq[QueryModule] = Seq(
+    TextQueries, RelationalQueries, JoinQueries, WindowQueries,
+    DedupQueries, SimilarityQueries)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_.queries).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = modules.map(_.oracle).reduce(_ ++ _)
+
+  /** Headline subset benchmarked per-round at sf0.1 (Bench.scala). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "text_wordcount", "text_quality_score",
+    "j5_multiway_revenue", "j1_window_inner_join", "w1_tumbling_agg",
+    "dedup_minhash_pairs", "ann_topk_cosine")
 }

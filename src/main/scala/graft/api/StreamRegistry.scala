@@ -1,0 +1,80 @@
+package graft.api
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered stream/table: the KSQL metastore entry analogue.
+  *
+  * @param df      the (batch or streaming) DataFrame, WITH pseudo-columns
+  * @param keyCol  source column the ROWKEY pseudo-column was derived from
+  * @param timeCol source column the ROWTIME pseudo-column was derived from
+  */
+case class StreamDef(df: DataFrame, keyCol: Option[String], timeCol: Option[String])
+
+/** Stream registry + CSAS surface — the Spark-first re-expression of KSQL's
+  * metastore and `CREATE STREAM ... AS SELECT` (reference entry point:
+  * `KsqlContext.sql`, exercised at
+  * `StreamsSelectAndProjectIntTest.java:174-344`).
+  *
+  * Design: a registered stream is a temp view whose schema always carries the
+  * KSQL pseudo-columns `ROWKEY` (record key) and `ROWTIME` (event time as
+  * epoch millis, reference `ConnectSourceConsumer.java:270-276`), so SQL over
+  * the view can select/alias/filter them like any column (P6-P9). Works
+  * identically for batch and streaming DataFrames — Catalyst plans are
+  * mode-agnostic, which is what lets the driver's DuckDB oracle check the
+  * same pipelines in batch.
+  *
+  * Scale note: pseudo-columns are pure per-row projections (no shuffle); a
+  * CSAS is `spark.sql` over the views, so Catalyst pushdown/pruning applies
+  * through the registry unchanged.
+  */
+class StreamRegistry(spark: SparkSession) {
+  private val defs = mutable.Map[String, StreamDef]()
+
+  /** Register a stream with explicit key/time columns; projects ROWKEY and
+    * ROWTIME pseudo-columns (epoch-ms long, KSQL's ROWTIME type).
+    */
+  def createStream(
+      name: String,
+      df: DataFrame,
+      keyCol: Option[String] = None,
+      timeCol: Option[String] = None,
+      timeIsEpochMs: Boolean = false): DataFrame = {
+    val rowkey: Column = keyCol.map(col).getOrElse(lit(null))
+    val rowtime: Column = timeCol match {
+      case Some(t) if timeIsEpochMs => col(t).cast("long")
+      // parquet ms-timestamps read as TIMESTAMP_NTZ; session TZ is UTC so
+      // the cast to TIMESTAMP is value-preserving and unix_millis applies
+      case Some(t)                  => unix_millis(col(t).cast("timestamp"))
+      case None                     => lit(null).cast("long")
+    }
+    val out = df
+      .withColumn("ROWKEY", rowkey)
+      .withColumn("ROWTIME", rowtime)
+    out.createOrReplaceTempView(name)
+    defs(name) = StreamDef(out, keyCol, timeCol)
+    out
+  }
+
+  /** CSAS: `CREATE STREAM name AS <sql>` with optional timestamp
+    * reassignment (`WITH (timestamp='col')`, P12 — reference
+    * `StreamsSelectAndProjectIntTest.java:174-209`): the derived stream's
+    * ROWTIME is re-derived from `timestampCol` (an epoch-ms bigint column of
+    * the result, as in KSQL), replacing the inherited one.
+    */
+  def createStreamAs(name: String, sql: String, timestampCol: Option[String] = None): DataFrame = {
+    val result = spark.sql(sql)
+    val out = timestampCol match {
+      case Some(tc) => result.withColumn("ROWTIME", col(tc).cast("long"))
+      case None     => result
+    }
+    out.createOrReplaceTempView(name)
+    val key = if (out.columns.contains("ROWKEY")) Some("ROWKEY") else None
+    defs(name) = StreamDef(out, key, timestampCol)
+    out
+  }
+
+  def stream(name: String): StreamDef = defs(name)
+  def names: Seq[String] = defs.keys.toSeq.sorted
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Text.floor6
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force cosine top-k — broadcast the (small) query
+  *    set, one narrow scan over the corpus, per-query top-k. The correctness
+  *    baseline.
+  *  - [[lshBuckets]] + [[bucketedTopK]]: sign-random-projection LSH — the
+  *    100 TB path. Bucketing is a pure per-row projection; the candidate
+  *    join is an equi-join on the bucket id, never a cross join.
+  *
+  * Hyperplanes are derived deterministically from md5 (same construction as
+  * [[Text.h32]]) so the DuckDB oracle can embed the identical literals and
+  * reproduce every bucket bit.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random double in [-1, 1): first 8 md5 hex digits
+    * of "hp_<plane>_<i>" scaled by 2^31. Engine-portable by construction.
+    */
+  def hyperplane(plane: Int, dim: Int): Seq[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val hex = md.digest(s"hp_${plane}_$i".getBytes(StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+  }
+
+  /** Sequential-fold dot product of two array<double> columns (zip_with +
+    * aggregate keeps the exact left-to-right IEEE order the oracle uses).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (ties broken by id). Queries are broadcast; corpus is
+    * scanned once. The per-query ranking shuffles only (queries × corpus)
+    * candidate rows — at true scale, swap the window for a per-partition
+    * top-k combine, or use [[bucketedTopK]].
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def norm(v: Column): Column = sqrt(dot(v, v))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val cos = when(col("qn") * col("cn") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), floor6(col("cos")).as("sim"))
+  }
+
+  /** Sign-random-projection LSH bucket id: bit p = (v · hyperplane_p >= 0).
+    * 2^planes buckets; a pure per-row projection (no shuffle).
+    */
+  def lshBucket(vecCol: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val hp = array(hyperplane(p, dim).map(lit): _*)
+      when(dot(asDouble(vecCol), hp) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int = 8): DataFrame =
+    df.select(col(idCol), lshBucket(col(vecCol), dim, planes).as("bucket"))
+
+  /** Scale path: top-k within the LSH bucket only — candidate generation is
+    * an equi-join on bucket id. Recall < 1 by design; raise `planes` tables
+    * or probe neighboring buckets for higher recall.
+    */
+  def bucketedTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int = 8, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def norm(v: Column): Column = sqrt(dot(v, v))
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      .withColumn("n", norm(col("v")))
+    val a = base.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"), col("bucket"))
+    val b = base.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
+      col("bucket").as("bucket2"))
+    val cos = when(col("qn") * col("cn") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"),
+        floor6(col("cos")).as("sim"))
+  }
+}

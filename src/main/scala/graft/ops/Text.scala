@@ -20,12 +20,17 @@ object Text {
     */
   def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Seeded variant: family of independent portable hashes. */
+  /** Seeded variant: family of independent portable hashes. Null-propagating
+    * (concat, not concat_ws): h32(null, seed) is null, matching the unseeded
+    * form — otherwise all-null docs would share one minhash signature.
+    */
   def h32(c: Column, seed: Int): Column =
-    conv(substring(md5(concat_ws("", lit(seed.toString), c)), 1, 8), 16, 10).cast("long")
+    conv(substring(md5(concat(lit(seed.toString), c)), 1, 8), 16, 10).cast("long")
 
-  /** Tokenize to lowercase words, dropping empties (reference
-    * `KafkaWordCount.java:61-62` semantics: `lower(s).split("\\W+")`).
+  /** Tokenize to lowercase words, dropping empties. Close to the reference's
+    * `KafkaWordCount.java:61-62` (`lower(s).split("\\W+")`), but intentionally
+    * diverges on leading non-word chars: Java's split yields a leading ""
+    * token that the reference counts; we drop all empties (better behavior).
     */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => length(t) > 0)
@@ -73,7 +78,9 @@ object Text {
     val toks = tokens(col(textCol))
     val scored = df.select(col(idCol), toks.as("toks"))
       .select(col(idCol) +: langMarkers.keys.toSeq.sorted.map(l => langScore(col("toks"), l).as(s"s_$l")): _*)
-    val langs = langMarkers.keys.toSeq.sorted
+    // Fold in priority order: with strict `>`, the FIRST language reaching
+    // the max score wins, so ties break en>es>de>fr as documented.
+    val langs = Seq("en", "es", "de", "fr")
     val best = langs.foldLeft((lit("und"), lit(0)): (Column, Column)) {
       case ((bl, bs), l) =>
         val s = col(s"s_$l")
@@ -82,9 +89,15 @@ object Text {
     scored.select(col(idCol), best._1.as("lang_pred"), best._2.cast("long").as("lang_score"))
   }
 
+  /** Stabilize a non-negative fraction to 6 dp via floor(x*1e6)/1e6: both
+    * engines run the identical IEEE double sequence, so results are bit-equal
+    * (round()'s half-up tie handling is engine-specific; floor is not).
+    */
+  def floor6(c: Column): Column = floor(c * lit(1000000)) / lit(1000000.0)
+
   /** Quality scoring: document length, punctuation ratio, stopword ratio,
     * mean word length — the standard cheap pre-filters for web-scale corpus
-    * cleaning. All per-row arithmetic; fractions rounded to 6 dp so the
+    * cleaning. All per-row arithmetic; fractions stabilized to 6 dp so the
     * DuckDB oracle hash-matches despite double formatting.
     */
   def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -100,9 +113,9 @@ object Text {
       col(idCol),
       nChars.cast("long").as("n_chars_obs"),
       nTok.cast("long").as("n_tokens"),
-      round(when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)), 6).as("punct_ratio"),
-      round(when(nTok > 0, nStop / nTok).otherwise(lit(0.0)), 6).as("stop_ratio"),
-      round(when(nTok > 0, sumTokLen / nTok).otherwise(lit(0.0)), 6).as("mean_word_len"))
+      floor6(when(nChars > 0, nPunct / nChars).otherwise(lit(0.0))).as("punct_ratio"),
+      floor6(when(nTok > 0, nStop / nTok).otherwise(lit(0.0))).as("stop_ratio"),
+      floor6(when(nTok > 0, sumTokLen / nTok).otherwise(lit(0.0))).as("mean_word_len"))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text, plus a

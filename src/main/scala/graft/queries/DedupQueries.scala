@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.ops.Dedup
+
+/** Dedup query surface over `documents` (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), each with a DuckDB oracle that reproduces the identical
+  * md5-based hashes — every signature bit is checkable.
+  */
+object DedupQueries extends QueryModule {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_groups" -> ((s, d) => Dedup.exactDupGroups(docs(s, d), "text", "doc_id")),
+    "dedup_minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(docs(s, d), "text", "doc_id", k = 8)),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(docs(s, d), "text", "doc_id", k = 8, bands = 2)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash16(docs(s, d), "text", "doc_id")),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id")))
+
+  // ---- shared oracle fragments ----
+
+  private val toksCte =
+    """SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0) AS toks
+      |FROM documents""".stripMargin
+
+  /** Word-3-gram shingles, whole-doc fallback under 3 tokens (mirrors
+    * [[graft.ops.Dedup.shingles]]).
+    */
+  private val shingleCte =
+    s"""WITH t AS ($toksCte),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_transform(range(len(toks) - 2),
+       |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |       ELSE [array_to_string(toks, ' ')] END AS sh
+       |FROM t)""".stripMargin
+
+  private def h32sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  private def sigExpr(seed: Int): String =
+    s"list_min(list_transform(sh, x -> ${h32sql(s"'$seed' || x")})) AS sig_$seed"
+
+  private val sigsSql =
+    s"""$shingleCte
+       |SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")}
+       |FROM sh""".stripMargin
+
+  private def bandKey(b: Int): String =
+    "md5(" + (b * 4 until b * 4 + 4).map(i => s"sig_$i::VARCHAR").mkString(" || '_' || ") + ")"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+        |  min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_sigs" -> sigsSql,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH t AS ($toksCte),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |       THEN list_transform(range(len(toks) - 2),
+         |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |       ELSE [array_to_string(toks, ' ')] END AS sh
+         |FROM t),
+         |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bitVotes = (0 until 16).map { b =>
+        s"(CASE WHEN coalesce(list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH t AS ($toksCte),
+         |h AS (SELECT doc_id, list_transform(toks, x -> ${h32sql("x")}) AS hs FROM t)
+         |SELECT doc_id, ($bitVotes)::BIGINT AS simhash
+         |FROM h""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""$shingleCte,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS shs FROM sh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  floor((CASE WHEN len(list_distinct(list_concat(a.shs, b.shs))) > 0
+         |              THEN len(list_intersect(a.shs, b.shs))::DOUBLE
+         |                   / len(list_distinct(list_concat(a.shs, b.shs)))::DOUBLE
+         |              ELSE 0 END) * 1000000) / 1000000.0 AS jaccard
+         |FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1""".stripMargin)
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.StreamRegistry
+import graft.ops.Text.floor6
+
+/** Projection / filter / per-record transform / aggregation surface (SURVEY
+  * §2.2, §2.3, §2.7) as batch twins over the driver's tables, each with a
+  * DuckDB oracle. The P5-P13 queries run through [[StreamRegistry]] SQL —
+  * the same path a streaming CSAS takes — so the KSQL pseudo-column and
+  * CSAS semantics (reference `StreamsSelectAndProjectIntTest.java`) are what
+  * is actually under test, while Catalyst still sees plain declarative plans
+  * (pushdown + pruning reach the parquet scan).
+  */
+object RelationalQueries extends QueryModule {
+
+  /** `orders` registered as a KSQL-style stream: key = o_orderkey, event
+    * time = o_orderdate (reference orders fixture keys on ORDERTIME,
+    * `OrderDataProvider.java:51-115`; ours keys on the primary key).
+    */
+  private def ordersStream(s: SparkSession, d: String): StreamRegistry = {
+    val reg = new StreamRegistry(s)
+    reg.createStream("orders_s", Tables.orders(s, d),
+      keyCol = Some("o_orderkey"), timeCol = Some("o_orderdate"))
+    reg
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1: map = 1→1 rekey + revalue (reference `DatabaseWordCount.java:126-133`)
+    "p1_map_rekey" -> ((s, d) =>
+      Tables.events(s, d).select(
+        concat(lit("u"), col("user_id")).as("new_key"),
+        (col("value") * 2).as("doubled"),
+        col("event_id"))),
+
+    // P3: flatMap 1→N records (reference `StreamStreamJoinIntegrationTest.java:110`)
+    "p3_flatmap_records" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        explode(array(
+          struct(lit("type").as("tag"), col("event_type").as("v")),
+          struct(lit("user").as("tag"), col("user_id").cast("string").as("v")))).as("kv"))
+        .select(col("event_id"), col("kv.tag").as("tag"), col("kv.v").as("v"))),
+
+    // P5: KSQL projection SELECT a,b,c (reference `StreamsSelectAndProjectIntTest.java:247-248`)
+    "p5_projection" -> ((s, d) => {
+      val reg = ordersStream(s, d)
+      reg.createStreamAs("p5", "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders_s")
+    }),
+
+    // P6+P9: SELECT * including ROWKEY/ROWTIME pseudo-columns (`:293`)
+    "p6_select_star" -> ((s, d) => {
+      val reg = ordersStream(s, d)
+      reg.createStreamAs("p6", "SELECT * FROM orders_s")
+    }),
+
+    // P7+P8+P10: alias + arithmetic + WHERE conjunction (`:175-178`)
+    "p7_alias_arith_filter" -> ((s, d) => {
+      val reg = ordersStream(s, d)
+      reg.createStreamAs("p7",
+        """SELECT ROWKEY AS RKEY, ROWTIME + 10000 AS RTIME, o_orderpriority
+          |FROM orders_s
+          |WHERE o_totalprice > 150000 AND o_orderstatus = 'F'""".stripMargin)
+    }),
+
+    // P10: SELECT * WHERE (select-star + filter, `:312`)
+    "p10_filter" -> ((s, d) => {
+      val reg = ordersStream(s, d)
+      reg.createStreamAs("p10", "SELECT * FROM orders_s WHERE o_totalprice > 100000")
+    }),
+
+    // P12: timestamp reassignment WITH (timestamp='RTIME') (`:174-209`):
+    // the derived stream's ROWTIME must equal the computed RTIME column.
+    "p12_timestamp_reassign" -> ((s, d) => {
+      val reg = ordersStream(s, d)
+      reg.createStreamAs("p12",
+        "SELECT ROWKEY, ROWTIME + 10000 AS RTIME FROM orders_s",
+        timestampCol = Some("RTIME"))
+      reg.stream("p12").df.select(col("ROWKEY"), col("RTIME"), col("ROWTIME"))
+    }),
+
+    // P13: bad-record tolerance (`shouldSkipBadData`, `:151-166`): a corrupt
+    // JSON record unioned into the feed is skipped, query still answers.
+    "p13_bad_records" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("props"))
+      val corrupt = s.range(1).select(
+        lit(-1L).as("event_id"), lit("something that is not json").as("props"))
+      ev.unionByName(corrupt)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .filter(col("k").isNotNull)
+    }),
+
+    // F4-F9 scalar-function suite: concat joiner (reference valueJoiner
+    // `AbstractJoinIntegrationTest.java:118-123`), arithmetic, comparisons,
+    // struct construction + field access, cast coercion.
+    "f_scalar_suite" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_status"),
+        floor6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+        (col("l_quantity") > 25 && col("l_returnflag") === "R").as("big_return"),
+        struct(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .getField("p").as("part_from_struct"),
+        col("l_quantity").cast("long").as("qty_long"),
+        col("l_orderkey").cast("string").as("key_str"))),
+
+    // A1+A2: group by derived key + count (reference `KafkaWordCount.java:63-64`)
+    "a2_count_by_key" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), count_distinct(col("user_id")).as("users"))),
+
+    // Headline: TPC-H Q1-shaped pricing summary. Money sums go through
+    // DECIMAL(18,2) so the result is order-of-summation independent (exact
+    // decimal arithmetic) — the double sum would be nondeterministic across
+    // partition orders and engines.
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))))
+
+  val oracle: Map[String, String] = Map(
+    "p1_map_rekey" ->
+      """SELECT 'u' || user_id AS new_key, "value" * 2 AS doubled, event_id FROM events""",
+
+    "p3_flatmap_records" ->
+      """SELECT event_id, 'type' AS tag, event_type AS v FROM events
+        |UNION ALL
+        |SELECT event_id, 'user' AS tag, user_id::VARCHAR AS v FROM events""".stripMargin,
+
+    "p5_projection" ->
+      "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
+
+    "p6_select_star" ->
+      """SELECT *, o_orderkey AS ROWKEY, epoch_ms(o_orderdate) AS ROWTIME FROM orders""",
+
+    "p7_alias_arith_filter" ->
+      """SELECT o_orderkey AS RKEY, epoch_ms(o_orderdate) + 10000 AS RTIME, o_orderpriority
+        |FROM orders WHERE o_totalprice > 150000 AND o_orderstatus = 'F'""".stripMargin,
+
+    "p10_filter" ->
+      """SELECT *, o_orderkey AS ROWKEY, epoch_ms(o_orderdate) AS ROWTIME
+        |FROM orders WHERE o_totalprice > 100000""".stripMargin,
+
+    "p12_timestamp_reassign" ->
+      """SELECT o_orderkey AS ROWKEY, epoch_ms(o_orderdate) + 10000 AS RTIME,
+        |       epoch_ms(o_orderdate) + 10000 AS ROWTIME
+        |FROM orders""".stripMargin,
+
+    "p13_bad_records" ->
+      """SELECT event_id, json_extract(props, 'k')::INT AS k FROM events
+        |WHERE json_valid(props) AND json_extract(props, 'k') IS NOT NULL""".stripMargin,
+
+    "f_scalar_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_returnflag || '-' || l_linestatus AS flag_status,
+        |  floor((l_extendedprice * (1 - l_discount)) * 1000000) / 1000000.0 AS disc_price,
+        |  (l_quantity > 25 AND l_returnflag = 'R') AS big_return,
+        |  l_partkey AS part_from_struct,
+        |  l_quantity::BIGINT AS qty_long,
+        |  l_orderkey::VARCHAR AS key_str
+        |FROM lineitem""".stripMargin,
+
+    "a2_count_by_key" ->
+      """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity)::DOUBLE AS sum_qty,
+        |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+}

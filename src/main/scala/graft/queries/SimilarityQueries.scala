@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity-search query surface over `embeddings` (64-dim float vectors):
+  * brute-force cosine top-k (correctness baseline) and sign-random-projection
+  * LSH (the scale path). The oracle embeds the IDENTICAL hyperplane literals
+  * the Scala side derives from md5, so buckets reproduce exactly.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val Dim = 64
+  private val Planes = 8
+
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_cosine" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    "ann_lsh_buckets" -> ((s, d) =>
+      Similarity.lshBuckets(emb(s, d), "vec_id", "embedding", Dim, Planes)),
+    "ann_bucket_topk" -> ((s, d) =>
+      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)))
+
+  /** DuckDB literal for hyperplane p (exact same doubles as the Scala side:
+    * Double.toString round-trips bit-exactly through DuckDB's parser).
+    */
+  private def hpLit(p: Int): String =
+    Similarity.hyperplane(p, Dim).mkString("[", ", ", "]::DOUBLE[]")
+
+  private val bucketExpr: String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${hpLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" +\n    ")
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk_cosine" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CASE WHEN q.nrm * c.nrm > 0
+        |              THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+        |              ELSE 0 END AS cos
+        |  FROM n q, n c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "ann_lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id, ($bucketExpr)::BIGINT AS bucket
+         |FROM e""".stripMargin,
+
+    "ann_bucket_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         |         CASE WHEN a.nrm * b.nrm > 0
+         |              THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, bucket, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, bucket, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+         |FROM r WHERE rnk <= 3""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.ops.Text
+
+/** Text-analysis query surface over the `documents` table, with DuckDB oracle
+  * SQL for the driver's correctness gate.
+  *
+  * Oracle-portability notes:
+  *  - Spark `split`/`regexp_replace` use Java regex, DuckDB uses RE2; the
+  *    classes used here (`\W \s` + ASCII ranges) agree on ASCII input.
+  *  - Fractions are stabilized via floor(x*1e6)/1e6 in BOTH engines: the
+  *    double ops are identical IEEE sequences, so results are bit-equal,
+  *    unlike round() whose half-up tie handling differs between engines.
+  */
+object TextQueries extends QueryModule {
+
+  /** All distinct language-marker stopwords, order-stable. */
+  private val stopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "is", "el", "la", "de", "que", "los",
+    "der", "die", "und", "das", "ist", "le", "les", "des", "est")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_wordcount" -> ((s, d) => Text.wordCount(docs(s, d), "text")),
+    "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
+    "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
+    "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
+    "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")))
+
+  private val toks =
+    """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "text_wordcount" ->
+      s"""SELECT w AS word, count(*) AS cnt
+         |FROM (SELECT unnest($toks) AS w FROM documents)
+         |GROUP BY w""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens,
+        |  length(text)::BIGINT AS n_chars_obs
+        |FROM documents""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
+         |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         |  len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS s_fr
+         |FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |       ELSE 'und' END AS lang_pred,
+         |  greatest(s_en, s_es, s_de, s_fr)::BIGINT AS lang_score
+         |FROM s""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  length(text)::DOUBLE AS n_chars,
+         |  len(toks)::DOUBLE AS n_tok,
+         |  len(list_filter(toks, x -> x IN ${inList(stopwords)}))::DOUBLE AS n_stop,
+         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct,
+         |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE AS sum_len
+         |FROM t)
+         |SELECT doc_id,
+         |  n_chars::BIGINT AS n_chars_obs,
+         |  n_tok::BIGINT AS n_tokens,
+         |  floor((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 1000000) / 1000000.0 AS punct_ratio,
+         |  floor((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS stop_ratio,
+         |  floor((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS mean_word_len
+         |FROM s""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+        |  ('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8))::BIGINT AS fp_h32
+        |FROM documents""".stripMargin)
+}
