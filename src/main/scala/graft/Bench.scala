@@ -20,7 +20,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
 
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // session warmup (JVM + codegen + parquet reader init) so the first
+    // measured query isn't charged one-time startup cost
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    try Tables.documents(spark, sfDir).limit(10).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(SparkEntry.benchQueries)
+      .filter(SparkEntry.queries.contains)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

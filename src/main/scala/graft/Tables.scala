@@ -16,10 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session defaults shared by Verify/Bench/tests. Call once per session. */
+  /** Session defaults shared by Verify/Bench/tests. Call once per session.
+    * maxPartitionBytes is lowered so the small single-file test tables still
+    * scan in parallel on local[32]; at production scale the many input
+    * splits provide parallelism naturally and this only caps partition RAM.
+    */
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -19,16 +19,25 @@ import graft.ops.Text.{floor6, h32, tokens}
   */
 object Dedup {
 
-  /** Word n-gram shingles of the lowercased token stream; documents shorter
-    * than n tokens collapse to a single whole-doc shingle.
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array column;
+    * documents shorter than n tokens collapse to a single whole-doc shingle.
+    *
+    * The token array MUST come from a separate projection (see callers): if
+    * `toks` were the raw tokens(text) expression tree, Catalyst would inline
+    * the full split+filter into every `element_at`, re-tokenizing the whole
+    * document once per shingle position — quadratic per row (measured 10×
+    * slowdown at sf0.1).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
       .otherwise(array(array_join(toks, " ")))
-  }
+
+  /** (idCol, shingle) exploded rows: tokens materialized first, then shingled. */
+  private def explodedShingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(shinglesOfTokens(col("toks"), n)).as("shingle"))
 
   /** Exact-duplicate groups over the normalized-text fingerprint: one row per
     * distinct content, with the keeper (min id) and the duplicate count.
@@ -39,12 +48,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
   /** MinHash signatures: per seed s, min over shingles of h32(shingle, s).
-    * k independent portable hash families; one narrow projection, no shuffle.
+    *
+    * Shape: explode shingles → groupBy(doc) with k partial-aggregated mins.
+    * The flat explode+agg beats the tempting all-in-one nested
+    * `array_min(transform(...))` projection two ways: (1) Catalyst inlines
+    * the nested variant into every downstream band key, duplicating the
+    * whole tree k×bands times until janino compilation dominates runtime;
+    * (2) at 100 TB the explode distributes shingle hashing across the
+    * cluster and map-side combine reduces the shuffle to k longs per doc.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
-    val sh = shingles(col(textCol))
-    val sigs = (0 until k).map(s => array_min(transform(sh, x => h32(x, s))).as(s"sig_$s"))
-    df.select(col(idCol) +: sigs: _*)
+    val exploded = explodedShingles(df, textCol, idCol)
+    val aggs = (0 until k).map(s => min(h32(col("shingle"), s)).as(s"sig_$s"))
+    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the k-sig MinHash into `bands` bands of `k/bands`
@@ -69,27 +85,36 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 2): DataFrame = {
+    // group-by-bucket instead of self-join: the signature pipeline runs
+    // ONCE (a self-join would recompute the md5 work on both sides), and
+    // pair fan-out stays bounded by bucket size. collect_list per bucket is
+    // safe for the same reason the join would be — a degenerate hot bucket
+    // is a data-quality signal to pre-filter, not a reason to all-pairs.
     val b = lshBands(df, textCol, idCol, k, bands)
-    val a = b.select(col(idCol).as("doc_a"), col("band"), col("band_key"))
-    val c = b.select(col(idCol).as("doc_b"), col("band").as("band2"), col("band_key").as("band_key2"))
-    a.join(c, col("band") === col("band2") && col("band_key") === col("band_key2") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    b.groupBy("band", "band_key").agg(collect_list(col(idCol)).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
   }
 
   /** 16-bit SimHash over the token multiset: bit b is the sign of the sum of
-    * ±1 votes from each token's h32 bit b. Hash each token once, then 16
-    * per-bit array folds — still one narrow projection.
+    * ±1 votes from each token's h32 bit b. Same explode+agg shape as
+    * [[minhashSignatures]] (hash each token once on the map side, 16
+    * partial-aggregated vote sums); tokenless docs keep simhash 0 via the
+    * left join back to the id set.
     */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hs = transform(tokens(col(textCol)), x => h32(x))
-    val withHs = df.select(col(idCol), hs.as("hs"))
-    val bits = (0 until 16).map { b =>
-      val vote = aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), h32(col("t")).as("h"))
+    val voteAggs = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
     }
-    withHs.select(col(idCol), bits.reduce(_ + _).cast("long").as("simhash"))
+    val votes = tok.groupBy(idCol).agg(voteAggs.head, voteAggs.tail: _*)
+    val bits = (0 until 16).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    df.select(col(idCol)).join(votes, Seq(idCol), "left")
+      .select(col(idCol), coalesce(bits.reduce(_ + _), lit(0L)).cast("long").as("simhash"))
   }
 
   /** n-gram Jaccard similarity on candidate pairs (here: consecutive doc ids,
@@ -97,7 +122,8 @@ object Dedup {
     * [[minhashCandidatePairs]]). Set semantics via distinct shingles.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sh = df.select(col(idCol), array_distinct(shingles(col(textCol))).as("shs"))
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
     val a = sh.select(col(idCol).as("doc_a"), col("shs").as("sh_a"))
     val b = sh.select((col(idCol) - 1).as("join_id"), col(idCol).as("doc_b"), col("shs").as("sh_b"))
     a.join(b, col("doc_a") === col("join_id"))

@@ -41,7 +41,10 @@ object Text {
     * partial aggregation supplied by Catalyst.
     */
   def wordCount(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("word"))
+    // explode-then-filter (not the tokens() array HOF): Filter+Explode stay
+    // inside whole-stage codegen; an array filter lambda is interpreted
+    df.select(explode(split(lower(col(textCol)), "\\W+")).as("word"))
+      .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
