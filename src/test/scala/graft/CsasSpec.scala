@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.StreamRegistry
+
+/** KSQL select/project/filter semantics on the reference's orders fixture
+  * (FIXTURES.md F2; reference `OrderDataProvider.java:51-115` — 8 rows, keys
+  * "1".."8", ORDERUNITS = i*10.0), asserted against the golden expectations
+  * of `StreamsSelectAndProjectIntTest.java`.
+  */
+class CsasSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The 8-row orders fixture. ROWTIME source: ORDERTIME as epoch-ms. */
+  private def ordersFixture: DataFrame =
+    (1 to 8).map { i =>
+      (i.toLong, if (i >= 7) "ORDER_6" else s"ORDER_$i", s"ITEM_$i", i * 10.0,
+        Seq(i * 1.0, i * 2.0, i * 3.0), Map("key1" -> 1.0, "key2" -> 2.0, "key3" -> 3.0))
+    }.toDF("ORDERTIME", "ORDERID", "ITEMID", "ORDERUNITS", "PRICEARRAY", "KEYVALUEMAP")
+
+  private def reg: StreamRegistry = {
+    val r = new StreamRegistry(spark)
+    r.createStream("orders_fx", ordersFixture,
+      keyCol = Some("ORDERTIME"), timeCol = Some("ORDERTIME"), timeIsEpochMs = true)
+    r
+  }
+
+  test("SELECT * returns all 8 rows with pseudo-columns (P6/P9, ref :293-306)") {
+    val out = reg.createStreamAs("s_star", "SELECT * FROM orders_fx")
+    assert(out.count() === 8)
+    assert(out.columns.contains("ROWKEY") && out.columns.contains("ROWTIME"))
+    assert(out.select("ROWKEY").as[Long].collect().sorted === (1L to 8L).toArray)
+  }
+
+  test("projection SELECT ITEMID, ORDERUNITS, PRICEARRAY (P5, ref :247-263)") {
+    val out = reg.createStreamAs("s_proj", "SELECT ITEMID, ORDERUNITS, PRICEARRAY FROM orders_fx")
+    assert(out.columns.toSeq === Seq("ITEMID", "ORDERUNITS", "PRICEARRAY"))
+    val row8 = out.filter($"ITEMID" === "ITEM_8").collect().head
+    assert(row8.getDouble(1) === 80.0)
+    assert(row8.getSeq[Double](2) === Seq(8.0, 16.0, 24.0))
+  }
+
+  test("SELECT * WHERE ORDERUNITS > 40 keeps exactly 4 rows (P10, ref :312-324)") {
+    val out = reg.createStreamAs("s_filter", "SELECT * FROM orders_fx WHERE ORDERUNITS > 40")
+    assert(out.count() === 4)
+    assert(out.select("ITEMID").as[String].collect().toSet ===
+      Set("ITEM_5", "ITEM_6", "ITEM_7", "ITEM_8"))
+  }
+
+  test("alias + conjunction filter hits the single key-8 row (P7/P10, ref :217-239)") {
+    val out = reg.createStreamAs("s_alias",
+      """SELECT ROWKEY AS RKEY, ROWTIME AS RTIME, ITEMID FROM orders_fx
+        |WHERE ORDERUNITS > 20 AND ITEMID = 'ITEM_8'""".stripMargin)
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("RKEY") === 8L)
+    assert(rows.head.getAs[String]("ITEMID") === "ITEM_8")
+  }
+
+  test("timestamp reassignment WITH (timestamp='RTIME') rebases ROWTIME (P12, ref :174-209)") {
+    val r = reg
+    r.createStreamAs("s_ts",
+      "SELECT ROWKEY, ROWTIME + 10000 AS RTIME, ROWTIME + 100 AS RT100 FROM orders_fx",
+      timestampCol = Some("RTIME"))
+    val out = r.stream("s_ts").df
+    // derived stream's event time = RTIME = original ROWTIME + 10000
+    assert(out.filter($"ROWKEY" === 3L).select("ROWTIME").as[Long].head() === 3L + 10000L)
+    assert(out.filter($"ROWKEY" === 3L).select("RT100").as[Long].head() === 3L + 100L)
+    assert(r.stream("s_ts").timeCol.contains("RTIME"))
+  }
+
+  test("bad records are skipped, query still answers (P13, ref :151-166)") {
+    val jsonRows = ordersFixture
+      .select(to_json(struct($"ORDERTIME", $"ITEMID", $"ORDERUNITS")).as("payload"))
+      .unionByName(Seq("something that is not json").toDF("payload"))
+    val parsed = jsonRows.select(
+      from_json($"payload",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ORDERTIME BIGINT, ITEMID STRING, ORDERUNITS DOUBLE")).as("r"))
+      .filter($"r".isNotNull)
+      .select("r.*")
+      .filter($"ORDERUNITS" > 40)
+    assert(parsed.count() === 4)
+  }
+}

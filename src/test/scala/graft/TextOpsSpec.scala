@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Text}
+
+/** Unit-level behavior of the text/dedup operators (tie-breaks, null
+  * semantics, hash portability) — the cases the oracle can't isolate.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases, splits on \\W+ and drops empties") {
+    val out = Seq("To be, or NOT to be!").toDF("t")
+      .select(Text.tokens($"t").as("toks")).as[Seq[String]].head()
+    assert(out === Seq("to", "be", "or", "not", "to", "be"))
+  }
+
+  test("langId breaks score ties in en>es>de>fr priority order") {
+    // "la" (es) vs "la" (fr): identical single marker → es wins over fr
+    val df = Seq((1L, "la cosa"), (2L, "der the")).toDF("id", "text")
+    // doc 1: s_es = 1 (la), s_fr = 1 (la) → es by priority
+    assert(Text.langId(df, "text", "id").filter($"id" === 1).select("lang_pred").as[String].head() === "es")
+    // doc 2: s_de = 1 (der), s_en = 1 (the) → en by priority
+    assert(Text.langId(df, "text", "id").filter($"id" === 2).select("lang_pred").as[String].head() === "en")
+  }
+
+  test("langId yields 'und' when no marker hits") {
+    val df = Seq((1L, "xyzzy plugh")).toDF("id", "text")
+    val row = Text.langId(df, "text", "id").collect().head
+    assert(row.getString(1) === "und" && row.getLong(2) === 0L)
+  }
+
+  test("seeded h32 propagates nulls (no shared signature for null docs)") {
+    val df = Seq(Tuple1[String](null)).toDF("t")
+    assert(df.select(Text.h32($"t", 3)).collect().head.isNullAt(0))
+    // and equals the md5-prefix construction for non-null input
+    val v = Seq("abc").toDF("t").select(Text.h32($"t", 0)).as[Long].head()
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("0abc".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    assert(v === expected)
+  }
+
+  test("shinglesOfTokens emits n-grams, whole-doc fallback for short docs") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shinglesOfTokens(Text.tokens($"t")).as("sh"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq("a b"))
+  }
+
+  test("exact-dup groups collapse identical normalized text") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val groups = Dedup.exactDupGroups(df, "text", "id")
+    assert(groups.count() === 2)
+    val dup = groups.filter($"n_docs" === 2).collect().head
+    assert(dup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("minhash candidate pairs surface planted near-duplicates, not random docs") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val far = "completely unrelated text about spark catalyst optimizer internals"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "text", "id", k = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
+    val j = Dedup.ngramJaccardPairs(df, "text", "id")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((2L, 3L)) === 0.0)
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely different words everywhere nothing shared")).toDF("id", "text")
+    val h = Dedup.simhash16(df, "text", "id").as[(Long, Long)].collect().toMap
+    def bits(x: Long): Int = java.lang.Long.bitCount(x)
+    assert(bits(h(1L) ^ h(2L)) <= bits(h(1L) ^ h(3L)))
+  }
+
+  test("cosine topK ranks an identical vector first") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = ops.Similarity.cosineTopK(df, df.filter($"vec_id" === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rnk").as[(Long, Long, Int, Double)].collect()
+    assert(top.head._2 === 1L)   // identical vector is rank 1
+    assert(top.head._4 === 1.0)
+    assert(top(1)._2 === 3L)
+  }
+}
