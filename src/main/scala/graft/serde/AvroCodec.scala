@@ -1,0 +1,101 @@
+package graft.serde
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Avro binary codec for flat record schemas (SURVEY serde matrix — the
+  * reference's Avro converter path, `IntegrationTestHarness.java:335-349`,
+  * `MockAvroConverter.java:24-39`; schema-registry framing is out of scope,
+  * raw Avro binary bodies only).
+  *
+  * Built on avro-core (shipped with Spark) via `mapPartitions`: writer/
+  * reader instances are created once per partition and reused per record —
+  * the per-record cost is one datum write/read, no reflection. Supports the
+  * flat primitive types the reference exercises (int/long/float/double/
+  * boolean/string/bytes), nullable as unions with null.
+  */
+object AvroCodec {
+
+  /** Avro record schema for a flat Spark StructType. */
+  def avroSchema(st: StructType, recordName: String = "record"): Schema = {
+    val fields = SchemaBuilder.record(recordName).namespace("graft").fields()
+    st.fields.foldLeft(fields) { (b, f) =>
+      val base = f.dataType match {
+        case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case other => throw new UnsupportedOperationException(s"avro codec: $other")
+      }
+      if (f.nullable)
+        b.name(f.name).`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
+          .withDefault(null)
+      else b.name(f.name).`type`(base).noDefault()
+    }.endRecord()
+  }
+
+  /** Encode the given columns of `df` into a single binary Avro column
+    * named `value`.
+    */
+  def encode(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val projected = df.selectExpr(cols: _*)
+    val st = projected.schema
+    val schemaJson = avroSchema(st).toString
+    projected.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val out = new ByteArrayOutputStream()
+      rows.map { row =>
+        out.reset()
+        val enc = EncoderFactory.get().binaryEncoder(out, null)
+        val rec = new GenericData.Record(schema)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          val v: AnyRef =
+            if (row.isNullAt(i)) null
+            else f.dataType match {
+              case StringType => row.getString(i)
+              case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+              case _ => row.get(i).asInstanceOf[AnyRef]
+            }
+          rec.put(f.name, v)
+        }
+        writer.write(rec, enc)
+        enc.flush()
+        out.toByteArray
+      }
+    }(Encoders.BINARY).toDF("value")
+  }
+
+  /** Decode a binary Avro column back into the declared flat schema. */
+  def decode(df: DataFrame, valueCol: String, st: StructType): DataFrame = {
+    val schemaJson = avroSchema(st).toString
+    val bytes = df.selectExpr(s"$valueCol AS value")
+    val out = bytes.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      rows.map { row =>
+        val dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](0), null)
+        val rec = reader.read(null, dec)
+        Row.fromSeq(st.fields.map { f =>
+          val v = rec.get(f.name)
+          (f.dataType, v) match {
+            case (_, null) => null
+            case (StringType, s) => s.toString
+            case (BinaryType, b: java.nio.ByteBuffer) =>
+              val arr = new Array[Byte](b.remaining()); b.get(arr); arr
+            case (_, x) => x
+          }
+        }.toSeq)
+      }
+    }(Encoders.row(st))
+    out
+  }
+}

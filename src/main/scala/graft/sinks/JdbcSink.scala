@@ -1,0 +1,83 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Streaming JDBC sink via `foreachBatch` with **idempotent upsert** —
+  * strictly stronger than the reference's sink path
+  * (`ConnectSinkProducer.java:175-190,263-279`: fire-and-forget `send` with
+  * a TODO for callbacks, transactions stubbed to no-ops → at-most/at-least
+  * once). Here each micro-batch runs delete+insert per key inside one
+  * transaction per partition, so replayed batches (at-least-once upstream)
+  * converge to exactly-once results in the table.
+  *
+  * Scale: the upsert runs per PARTITION on the executors (no driver
+  * collect); batch statements amortize round-trips. Key skew only matters
+  * if the upstream agg is skewed — salt there, not here.
+  */
+object JdbcSink {
+
+  /** Upsert `df` into `table` keyed on `keyCols` (delete-then-insert per
+    * key, single transaction per partition).
+    */
+  def upsertBatch(df: DataFrame, url: String, table: String, keyCols: Seq[String]): Unit = {
+    val schema = df.schema
+    val cols = schema.fields.map(_.name)
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql = s"DELETE FROM $table WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
+    val keyIdx = keyCols.map(k => schema.fieldIndex(k))
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          rows.foreach { row =>
+            keyIdx.zipWithIndex.foreach { case (ki, pi) => bind(del, pi + 1, schema(ki).dataType, row, ki) }
+            del.addBatch()
+            cols.indices.foreach(i => bind(ins, i + 1, schema(i).dataType, row, i))
+            ins.addBatch()
+          }
+          del.executeBatch()
+          ins.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def bind(ps: PreparedStatement, pos: Int, dt: DataType, row: Row, idx: Int): Unit =
+    if (row.isNullAt(idx)) ps.setObject(pos, null)
+    else dt match {
+      case IntegerType => ps.setInt(pos, row.getInt(idx))
+      case LongType => ps.setLong(pos, row.getLong(idx))
+      case DoubleType => ps.setDouble(pos, row.getDouble(idx))
+      case FloatType => ps.setFloat(pos, row.getFloat(idx))
+      case BooleanType => ps.setBoolean(pos, row.getBoolean(idx))
+      case StringType => ps.setString(pos, row.getString(idx))
+      case TimestampType => ps.setTimestamp(pos, row.getTimestamp(idx))
+      case _: DecimalType => ps.setBigDecimal(pos, row.getDecimal(idx))
+      case other => throw new UnsupportedOperationException(s"jdbc sink: $other")
+    }
+
+  /** Attach the upsert sink to a streaming DataFrame (update-mode friendly:
+    * each batch's changed keys overwrite their previous rows).
+    */
+  def writeStream(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      checkpointLocation: String): StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, url, table, keyCols)
+      }
+      .start()
+}

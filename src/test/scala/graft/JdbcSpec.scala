@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+import graft.sinks.JdbcSink
+
+/** DB-to-DB word count (SURVEY §2.1 S3+S8, reference
+  * `DatabaseWordCountTest.java` with embedded Derby): JDBC incrementing
+  * source → word count → idempotent JDBC upsert sink, asserting the golden
+  * counts of `DatabaseWordCountTest.java:118-126`, plus incremental-read and
+  * upsert-idempotence probes.
+  */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def exec(sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try { c.createStatement().execute(sql) } finally c.close()
+  }
+  private def query[A](sql: String)(f: java.sql.ResultSet => A): Vector[A] = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      val b = Vector.newBuilder[A]
+      while (rs.next()) b += f(rs)
+      b.result()
+    } finally c.close()
+  }
+
+  // DB fixture lines (FIXTURES.md F1, DB variant drops the apostrophe)
+  private val lines = Seq(
+    "To be, or not to be,--that is the question:--",
+    "Whether tis nobler in the mind to suffer",
+    "The slings and arrows of outrageous fortune",
+    "Or to take arms against a sea of troubles,")
+
+  test("DB-to-DB word count reproduces the reference goldens (S3/S8/J7 shape)") {
+    exec("""CREATE TABLE WC_INPUT (
+           |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
+           |  lines VARCHAR(256))""".stripMargin)
+    exec("CREATE TABLE WC_OUTPUT (word VARCHAR(256) NOT NULL PRIMARY KEY, cnt BIGINT)")
+    lines.take(2).foreach(l => exec(s"INSERT INTO WC_INPUT (lines) VALUES ('$l')"))
+
+    val src = spark.readStream
+      .format("graft.sources.JdbcIncrementingSource")
+      .schema("id INT, lines STRING")
+      .option("url", url)
+      .option("table", "WC_INPUT")
+      .option("incrementingColumn", "id")
+      .load()
+    val counts = Text.wordCount(src.select(col("lines").as("text")), "text")
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt_").toString
+    val q = JdbcSink.writeStream(counts, url, "WC_OUTPUT", Seq("word"), ckpt)
+    try {
+      q.processAllAvailable()
+      val mid = query("SELECT word, cnt FROM WC_OUTPUT")(rs => rs.getString(1) -> rs.getLong(2)).toMap
+      assert(mid("to") === 3L)   // first two lines only
+
+      // rows inserted AFTER the first poll are picked up incrementally
+      lines.drop(2).foreach(l => exec(s"INSERT INTO WC_INPUT (lines) VALUES ('$l')"))
+      q.processAllAvailable()
+      val fin = query("SELECT word, cnt FROM WC_OUTPUT")(rs => rs.getString(1) -> rs.getLong(2)).toMap
+      // golden counts from DatabaseWordCountTest.java:118-126
+      assert(fin("to") === 4L); assert(fin("be") === 2L); assert(fin("or") === 2L)
+      assert(fin("the") === 3L); assert(fin("not") === 1L); assert(fin("that") === 1L)
+      assert(fin("is") === 1L); assert(fin("question") === 1L); assert(fin("whether") === 1L)
+
+      // incremental read: the second batch saw only the 2 new rows
+      val progressRows = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(progressRows.forall(_ <= 2L), s"batches read ${progressRows.mkString(",")} rows")
+    } finally q.stop()
+  }
+
+  test("upsert sink is idempotent under batch replay (at-least-once -> exact table)") {
+    exec("CREATE TABLE UP_OUT (k VARCHAR(64) NOT NULL PRIMARY KEY, v BIGINT)")
+    import spark.implicits._
+    val batch = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    JdbcSink.upsertBatch(batch, url, "UP_OUT", Seq("k"))
+    JdbcSink.upsertBatch(batch, url, "UP_OUT", Seq("k"))   // replay
+    val rows = query("SELECT k, v FROM UP_OUT ORDER BY k")(rs => (rs.getString(1), rs.getLong(2)))
+    assert(rows === Vector(("a", 1L), ("b", 2L)))
+    // and an update wins over the stale row
+    JdbcSink.upsertBatch(Seq(("a", 10L)).toDF("k", "v"), url, "UP_OUT", Seq("k"))
+    assert(query("SELECT v FROM UP_OUT WHERE k = 'a'")(_.getLong(1)) === Vector(10L))
+  }
+
+  test("source restarts from checkpointed offset (no re-read of old rows)") {
+    exec("""CREATE TABLE CK_INPUT (
+           |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
+           |  lines VARCHAR(256))""".stripMargin)
+    exec("CREATE TABLE CK_OUTPUT (word VARCHAR(256) NOT NULL PRIMARY KEY, cnt BIGINT)")
+    exec("INSERT INTO CK_INPUT (lines) VALUES ('alpha beta')")
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt2_").toString
+
+    def start() = JdbcSink.writeStream(
+      Text.wordCount(
+        spark.readStream.format("graft.sources.JdbcIncrementingSource")
+          .schema("id INT, lines STRING")
+          .option("url", url).option("table", "CK_INPUT")
+          .option("incrementingColumn", "id").load()
+          .select(col("lines").as("text")), "text"),
+      url, "CK_OUTPUT", Seq("word"), ckpt)
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    exec("INSERT INTO CK_INPUT (lines) VALUES ('alpha gamma')")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val fin = query("SELECT word, cnt FROM CK_OUTPUT")(rs => rs.getString(1) -> rs.getLong(2)).toMap
+      assert(fin("alpha") === 2L && fin("beta") === 1L && fin("gamma") === 1L)
+      // restarted query's batches never exceeded the new rows
+      assert(q2.recentProgress.map(_.numInputRows).filter(_ > 0).forall(_ <= 1L))
+    } finally q2.stop()
+  }
+}

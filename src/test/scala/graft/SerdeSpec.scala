@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Multimodal
+import graft.serde.{AvroCodec, Serdes}
+
+/** Serde matrix round-trips (M0, FIXTURES.md F4) + multimodal plumbing. */
+class SerdeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordSchema = StructType(Seq(
+    StructField("word", StringType), StructField("count", LongType)))
+
+  test("JSON envelope round-trip (schemas.enable=true, ref JsonSerde.java:8-39)") {
+    val df = Seq(("to", 4L), ("be", 2L)).toDF("word", "count")
+    val enveloped = df.select(
+      Serdes.toJsonEnvelope(struct($"word", $"count"), wordSchema).as("env"))
+    val sample = enveloped.as[String].head()
+    assert(sample.startsWith("""{"schema":{"type":"struct","fields":["""))
+    assert(sample.contains(""""payload":{"word":"to","count":4}"""))
+    val back = enveloped.select(Serdes.fromJsonEnvelope($"env", wordSchema).as("r"))
+      .select("r.*").as[(String, Long)].collect().toSet
+    assert(back === Set(("to", 4L), ("be", 2L)))
+  }
+
+  test("plain JSON round-trip (schemas.enable=false) and bad-record null") {
+    val df = Seq(("to", 4L)).toDF("word", "count")
+    val j = df.select(Serdes.toJsonPlain(struct($"word", $"count")).as("j"))
+    val back = j.select(Serdes.fromJsonPlain($"j", wordSchema).as("r")).select("r.*")
+    assert(back.as[(String, Long)].head() === (("to", 4L)))
+    // PERMISSIVE mode parses corrupt input to an all-null-fields struct
+    val bad = Seq("not json at all").toDF("j")
+      .select(Serdes.fromJsonPlain($"j", wordSchema).as("r"))
+    assert(bad.filter($"r.word".isNotNull || $"r.count".isNotNull).count() === 0)
+  }
+
+  test("delimited round-trip with typed decode (ref IntegrationTestHarness delimited serde)") {
+    val df = Seq((1L, "ORDER_1", 10.5), (2L, "ORDER_2", 20.0)).toDF("id", "name", "units")
+    val line = df.select(Serdes.toDelimited(",", $"id", $"name", $"units").as("line"))
+    assert(line.as[String].collect().toSet === Set("1,ORDER_1,10.5", "2,ORDER_2,20.0"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("units", DoubleType)))
+    val back = Serdes.fromDelimited(line, "line", ",", schema)
+    assert(back.as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "ORDER_1", 10.5), (2L, "ORDER_2", 20.0)))
+  }
+
+  test("Avro binary round-trip incl. nulls (ref Avro converter path)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, "alpha", 0.5),
+        org.apache.spark.sql.Row(2L, null, null)),
+      schema)
+    val encoded = AvroCodec.encode(df, Seq("id", "name", "score"))
+    assert(encoded.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("value", BinaryType)))
+    val back = AvroCodec.decode(encoded, "value", schema)
+    assert(back.collect().toSet === df.collect().toSet)
+  }
+
+  test("format conversion: Avro in, JSON out (P11, ref :267-287)") {
+    // decode uses the WRITER schema (Avro binary is not self-describing):
+    // toDF gives word nullable, count non-nullable
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = true),
+      StructField("count", LongType, nullable = false)))
+    val df = Seq(("to", 4L)).toDF("word", "count")
+    val avro = AvroCodec.encode(df, Seq("word", "count"))
+    val json = AvroCodec.decode(avro, "value", schema)
+      .select(Serdes.toJsonPlain(struct($"word", $"count")).as("j"))
+    assert(json.as[String].head() === """{"word":"to","count":4}""")
+  }
+
+  test("multimodal: media struct + stub feature extraction is deterministic and batched") {
+    val df = Seq((1L, "imagebytes-aaaa"), (2L, "imagebytes-bbbb")).toDF("id", "raw")
+      .select($"id", Multimodal.asMedia(encode($"raw", "UTF-8"), "image/png").as("media"))
+    assert(df.schema("media").dataType.asInstanceOf[StructType].fieldNames.toSeq ===
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    val f1 = Multimodal.extractFeatures(df, "id", "media", dims = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(df, "id", "media", dims = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 === f2)                       // deterministic
+    assert(f1(1L).length === 8)
+    assert(f1(1L) !== f1(2L))               // payload-sensitive
+  }
+
+  test("multimodal: frame sampling fans out 1->N with full payload coverage") {
+    val payload = "0123456789abcdef"
+    val df = Seq((7L, payload)).toDF("id", "raw")
+      .select($"id", Multimodal.asMedia(encode($"raw", "UTF-8"), "video/mp4").as("media"))
+    val frames = Multimodal.sampleFrames(df, "id", "media", frames = 4).collect()
+    assert(frames.length === 4)
+    val joined = frames.sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2)).toSeq
+    assert(new String(joined.toArray, "UTF-8") === payload)
+  }
+
+  test("multimodal: resize updates metadata, payload untouched") {
+    val df = Seq((1L, "xx")).toDF("id", "raw")
+      .select($"id", Multimodal.asMedia(encode($"raw", "UTF-8"), "image/png").as("media"))
+    val out = Multimodal.resize(df, "media", 224, 224).select("media.*").collect().head
+    assert(out.getAs[Int]("width") === 224 && out.getAs[Int]("height") === 224)
+    assert(new String(out.getAs[Array[Byte]]("payload"), "UTF-8") === "xx")
+  }
+}
