@@ -20,7 +20,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     TextQueries, RelationalQueries, JoinQueries, WindowQueries,
-    DedupQueries, SimilarityQueries)
+    DedupQueries, SimilarityQueries, ExtrasQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

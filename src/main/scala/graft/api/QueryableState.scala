@@ -1,0 +1,37 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Queryable state over an update-mode streaming aggregate — the analogue
+  * of Kafka Streams' interactive queries
+  * (`streams.store(name, QueryableStoreTypes.keyValueStore())` +
+  * `store.all()`, reference `AbstractJoinIntegrationTest.java:268-281`).
+  *
+  * Each micro-batch's updates upsert into a driver-local map, so `get`/
+  * `all` observe the latest value per key — exactly what KS's local store
+  * exposes per instance. This is a SERVING surface, deliberately
+  * driver-local like KS's per-instance RocksDB; the at-scale serving path
+  * is the same update stream upserted into an external store
+  * ([[graft.sinks.JdbcSink]]) or a lakehouse table.
+  */
+class QueryableState(keyCols: Seq[String]) {
+  private val store = TrieMap[Seq[Any], Row]()
+
+  /** Start consuming an update-mode aggregate into this store. */
+  def serve(df: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w0 = df.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keyIdx = keyCols.map(batch.schema.fieldIndex)
+        batch.collect().foreach(r => store.put(keyIdx.map(r.get), r))
+        ()
+      }
+    checkpointLocation.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+  }
+
+  def get(key: Any*): Option[Row] = store.get(key.toSeq)
+  def all(): Map[Seq[Any], Row] = store.toMap
+  def size: Int = store.size
+}

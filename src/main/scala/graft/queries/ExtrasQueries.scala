@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Udfs
+import graft.ops.Text
+
+/** Coverage extras: UDF/UDAF/UDTF surface (U1-U3), remaining per-record
+  * transforms (P2 flatMapValues, P4 selectKey), full-outer windowed join
+  * batch twin (J3), and the multimodal binary-column query — each with a
+  * DuckDB oracle.
+  */
+object ExtrasQueries extends QueryModule {
+
+  private val windowUs: Long = 2L * 3600 * 1000000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // U1: scalar UDF applied through the SQL surface
+    "u1_scalar_udf" -> ((s, d) => {
+      Udfs.register(s)
+      Tables.events(s, d).createOrReplaceTempView("events_u1")
+      s.sql("SELECT event_id, title_case(event_type) AS evt FROM events_u1")
+    }),
+
+    // U2: typed Aggregator UDAF (sum of squares; integral doubles → exact)
+    "u2_udaf_sumsq" -> ((s, d) => {
+      Udfs.register(s)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_u2")
+      s.sql("""SELECT l_returnflag, sumsq(l_quantity) AS sq, count(*) AS cnt
+              |FROM lineitem_u2 GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // U3: UDTF surface = generator (posexplode) over an array expression
+    "u3_udtf_posexplode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))),
+
+    // P2: flatMapValues — 1→N values, key KEPT (ref KafkaWordCount.java:61-62)
+    "p2_flatmap_values" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(col("toks")).as("word"))),
+
+    // P4: selectKey — rekey only (ref StreamStreamJoinIntegrationTest.java:111)
+    "p4_select_key" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_type").as("ROWKEY"), col("event_id"), col("value"))),
+
+    // J3: full-outer windowed join batch twin
+    "j3_window_outer_join" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts_us").as("cts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts_us").as("pts"))
+      c.join(p, col("c_user") === col("p_user") &&
+          col("pts") >= col("cts") - windowUs && col("pts") <= col("cts") + windowUs, "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("click_id"), col("purchase_id"))
+    }),
+
+    // Multimodal: opaque binary payload + metadata (byte length, sha256)
+    "mm_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))))
+
+  private val toks =
+    """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
+
+  val oracle: Map[String, String] = Map(
+    "u1_scalar_udf" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type IS NULL OR event_type = '' THEN event_type
+        |       ELSE upper(substr(event_type, 1, 1)) || substr(event_type, 2) END AS evt
+        |FROM events""".stripMargin,
+
+    "u2_udaf_sumsq" ->
+      """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sq, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "u3_udtf_posexplode" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id, u.pos AS pos, u.tok AS token
+         |FROM (SELECT doc_id,
+         |        unnest(list_transform(range(len(toks)), i -> {'pos': i, 'tok': toks[i+1]})) AS u
+         |      FROM t)""".stripMargin,
+
+    "p2_flatmap_values" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id, unnest(toks) AS word FROM t""".stripMargin,
+
+    "p4_select_key" ->
+      """SELECT event_type AS ROWKEY, event_id, "value" FROM events""",
+
+    "j3_window_outer_join" ->
+      s"""SELECT coalesce(c.user_id, p.user_id) AS user_id,
+         |       c.event_id AS click_id, p.event_id AS purchase_id
+         |FROM (SELECT * FROM events WHERE event_type = 'click') c
+         |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         |  ON c.user_id = p.user_id
+         | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - $windowUs AND epoch_us(c.ts) + $windowUs""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha
+        |FROM documents""".stripMargin)
+}
