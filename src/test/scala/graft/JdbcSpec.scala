@@ -75,6 +75,16 @@ class JdbcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bulk source re-scans the whole table, partitioned scan splits ranges (S2)") {
+    exec("CREATE TABLE BULK_T (id INT NOT NULL, v VARCHAR(32))")
+    (1 to 10).foreach(i => exec(s"INSERT INTO BULK_T VALUES ($i, 'v$i')"))
+    val df = graft.sources.JdbcBulk.read(spark, url, "BULK_T")
+    assert(df.count() === 10)
+    val pdf = graft.sources.JdbcBulk.readPartitioned(spark, url, "BULK_T", "id", 1, 10, 3)
+    assert(pdf.rdd.getNumPartitions === 3)
+    assert(pdf.count() === 10)
+  }
+
   test("upsert sink is idempotent under batch replay (at-least-once -> exact table)") {
     exec("CREATE TABLE UP_OUT (k VARCHAR(64) NOT NULL PRIMARY KEY, v BIGINT)")
     import spark.implicits._
