@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.DotProduct
+
+/** Public facade over the engine's native Catalyst expressions (which live
+  * in the `org.apache.spark.sql.graft` bridge package — see
+  * [[org.apache.spark.sql.graft.DotProduct]] for why).
+  */
+object Native {
+  /** Codegen'd sequential dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
+
+  /** Register the SQL surface (`graft_dot(...)`) on a session. */
+  def register(spark: SparkSession): Unit = DotProduct.register(spark)
+}

@@ -35,11 +35,11 @@ object Similarity {
     }
   }
 
-  /** Sequential-fold dot product of two array<double> columns (zip_with +
-    * aggregate keeps the exact left-to-right IEEE order the oracle uses).
+  /** Sequential-fold dot product — native codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]); identical left-to-right IEEE order
+    * to the DuckDB oracle's list_dot_product.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.Native.dot(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

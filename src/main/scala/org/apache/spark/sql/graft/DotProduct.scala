@@ -1,0 +1,101 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: sequential-fold dot product of two
+  * `array<double>` columns with whole-stage codegen.
+  *
+  * Lives in the `org.apache.spark.sql` namespace because the expression
+  * developer surface (`AbstractDataType`, `ExpressionUtils.column`,
+  * `sessionState`) is `private[sql]` — the standard packaging technique for
+  * Spark-native extension libraries. The public facade is
+  * [[graft.functions.Native]].
+  *
+  * Why a custom Expression (SURVEY §7.3 preference order: builtin >
+  * Expression > UDF): the builtin composition
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` materializes a products array
+  * per row and dispatches the lambda per element; this compiles to a tight
+  * primitive loop inside the surrounding codegen stage — no allocation, no
+  * virtual calls — the difference that matters when scoring 64-dim
+  * embeddings across 100 TB.
+  *
+  * Semantics match the builtin composition exactly: ascending-index
+  * left-to-right summation (bit-equal with the DuckDB oracle's sequential
+  * list_dot_product), null if either array or any element is null, shorter
+  * length bounds the loop.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-API entry point. */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+
+  /** Runtime registration on an existing session (SQL surface:
+    * `SELECT graft_dot(a, b)`).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      functionDescriptor._1, functionDescriptor._2, functionDescriptor._3)
+}
+
+/** `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  * registers the native functions at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(DotProduct.functionDescriptor)
+}

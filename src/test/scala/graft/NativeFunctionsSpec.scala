@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Native
+
+/** Native Catalyst expression surface: Column API, SQL registration, null
+  * semantics, and parity with the builtin zip_with+aggregate composition.
+  */
+class NativeFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pairs = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (Seq(0.1, -0.2), Seq(0.3, 0.4)),
+    (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+
+  test("graft_dot equals the builtin fold composition bit-for-bit") {
+    val both = pairs.select(
+      Native.dot($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("builtin"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot null semantics: null array or null element -> null") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(2.0), Some(3.0)))),
+      (None, Some(Seq(Some(1.0))))).toDF("a", "b")
+    val out = df.select(Native.dot($"a".cast("array<double>"), $"b".cast("array<double>")))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("SQL surface via registration: SELECT graft_dot(...)") {
+    Native.register(spark)
+    pairs.createOrReplaceTempView("dot_pairs")
+    val v = spark.sql("SELECT graft_dot(a, b) AS d FROM dot_pairs ORDER BY d DESC")
+      .as[Double].collect()
+    assert(v(0) === 32.0)   // 1*4 + 2*5 + 3*6
+    assert(v(1) === 0.0)    // empty arrays
+    assert(math.abs(v(2) - (0.1 * 0.3 + -0.2 * 0.4)) < 1e-15)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // range-backed frame so the plan isn't folded into a LocalTableScan
+    val df = spark.range(4).select(
+      Native.dot(
+        array(col("id").cast("double"), lit(2.0)),
+        array(lit(3.0), col("id").cast("double"))).as("d"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+    assert(df.as[Double].collect().toSeq === Seq(0.0, 5.0, 10.0, 15.0))
+  }
+}
