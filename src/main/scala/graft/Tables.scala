@@ -28,17 +28,31 @@ object Tables {
     spark.conf.set("spark.sql.files.openCostInBytes", "65536")
   }
 
+  /** ts_ns: exact epoch nanos (matches DuckDB epoch_ns(ts));
+    * ts: µs-truncated timestamp for window()/watermark use.
+    */
+  private def transformEvents(df: DataFrame): DataFrame =
+    df.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {
-      case "events" =>
-        // ts_ns: exact epoch nanos (matches DuckDB epoch_ns(ts));
-        // ts: µs-truncated timestamp for window()/watermark use.
-        df.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case "events" => transformEvents(df)
       case _ => df
     }
+  }
+
+  /** `events` as a file-source STREAM (same derived columns as the batch
+    * loader; streaming reads need the raw schema declared up front).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    configure(spark)
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source wants a directory; glob-filter to the one table
+    transformEvents(spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

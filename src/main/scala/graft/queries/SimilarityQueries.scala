@@ -25,7 +25,14 @@ object SimilarityQueries extends QueryModule {
     "ann_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(emb(s, d), "vec_id", "embedding", Dim, Planes)),
     "ann_bucket_topk" -> ((s, d) =>
-      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)))
+      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)),
+    // embedding-cosine near-dup pairs, candidates bounded by LSH bucket
+    // (threshold tuned to the synthetic corpus where max pair cosine ~0.51)
+    "dedup_embedding_neardup" -> ((s, d) =>
+      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 50)
+        .filter(col("sim") >= 0.4)
+        .filter(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("sim"))))
 
   /** DuckDB literal for hyperplane p (exact same doubles as the Scala side:
     * Double.toString round-trips bit-exactly through DuckDB's parser).
@@ -62,6 +69,28 @@ object SimilarityQueries extends QueryModule {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT vec_id, ($bucketExpr)::BIGINT AS bucket
          |FROM e""".stripMargin,
+
+    "dedup_embedding_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         |         CASE WHEN a.nrm * b.nrm > 0
+         |              THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT query_id AS vec_a, neighbor_id AS vec_b,
+         |       floor(cos * 1000000) / 1000000.0 AS sim
+         |FROM r
+         |WHERE rnk <= 50 AND floor(cos * 1000000) / 1000000.0 >= 0.4
+         |  AND query_id < neighbor_id""".stripMargin,
 
     "ann_bucket_topk" ->
       s"""WITH e AS (
