@@ -113,6 +113,24 @@ object RelationalQueries extends QueryModule {
       Tables.events(s, d).groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), count_distinct(col("user_id")).as("users"))),
 
+    // §2.6 batch-mode sort/limit (beyond reference, free in Spark): top-10
+    // orders by exact decimal revenue, deterministic tie-break on key.
+    "q3_top_orders" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    // Grouping sets / rollup (beyond reference, free in Spark): counts at
+    // (flag, status), (flag), and grand-total levels.
+    "g_rollup_counts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("sum_qty"))),
+
     // Headline: TPC-H Q1-shaped pricing summary. Money sums go through
     // DECIMAL(18,2) so the result is order-of-summation independent (exact
     // decimal arithmetic) — the double sum would be nondeterministic across
@@ -173,6 +191,16 @@ object RelationalQueries extends QueryModule {
     "a2_count_by_key" ->
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "g_rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity)::DOUBLE AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

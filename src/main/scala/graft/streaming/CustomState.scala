@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming operators via `KeyValueGroupedDataset`
+  * state APIs — for semantics the built-in aggregates can't express
+  * (SURVEY §2.9: arbitrary stateful lambdas are the reference's extension
+  * point; Spark's analogue is [flat]mapGroupsWithState).
+  */
+object CustomState {
+
+  /** Streaming EXACT dedup by key columns — built-in path
+    * (`dropDuplicatesWithinWatermark`): state is evicted once the
+    * watermark passes, so memory is bounded at 100 TB/day ingest. Use this
+    * before custom state whenever it expresses the semantics (SURVEY §7.3
+    * preference order).
+    */
+  def streamingDedup(df: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Emit-on-change changelog: per key, emit a record only when the
+    * observed value DIFFERS from the previous one — the KTable-changelog
+    * coalescing the reference toggles with
+    * CACHE_MAX_BYTES_BUFFERING_CONFIG (`KafkaWordCount.java:50`), which no
+    * built-in aggregate expresses (an update-mode agg re-emits on every
+    * batch it participates in). State per key = last seen value.
+    *
+    * Optional `ttlMs` evicts abandoned keys via processing-time timeouts.
+    * CAUTION: with a TTL, Spark schedules continuous timeout-check batches,
+    * so `processAllAvailable()` no longer converges — fine for production
+    * triggers, unsuitable for drain-style tests (hence the None default).
+    */
+  def emitOnChange(ds: Dataset[(String, String)],
+      ttlMs: Option[Long] = None): Dataset[(String, String)] = {
+    implicit val tupleEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stringEnc: Encoder[String] = Encoders.STRING
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (String, String)](OutputMode.Update(), timeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[String]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            ttlMs.foreach(state.setTimeoutDuration)
+            var prev = state.getOption
+            val out = rows.flatMap { case (_, v) =>
+              if (!prev.contains(v)) { prev = Some(v); Some(key -> v) } else None
+            }.toVector
+            prev.foreach(state.update)
+            out.iterator
+          }
+      }
+  }
+}
