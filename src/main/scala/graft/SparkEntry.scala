@@ -33,7 +33,8 @@ object SparkEntry {
 
   /** Headline subset benchmarked per-round at sf0.1 (Bench.scala). */
   def benchQueries: Seq[String] = Seq(
-    "q1_pricing_summary", "text_wordcount", "text_quality_score",
+    "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
+    "q6_forecast_revenue", "text_wordcount", "text_quality_score",
     "j5_multiway_revenue", "j1_window_inner_join", "w1_tumbling_agg",
     "dedup_minhash_pairs", "ann_topk_cosine")
 }

@@ -66,6 +66,39 @@ object JoinQueries extends QueryModule {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q5-shaped join chain: region → nation → supplier dims broadcast,
+    // customer⋈orders⋈lineitem facts shuffle — revenue per nation in ASIA.
+    "q5_local_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q6-shaped forecast revenue: pure scan + pushed filters + agg —
+    // the pushdown shape (date range, discount band, qty cap reach the scan).
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
     // Beyond reference (free in Spark, declared as engine surface): semi/anti.
     "j_semi_anti" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -101,6 +134,28 @@ object JoinQueries extends QueryModule {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "j_semi_anti" ->
       """SELECT c_custkey, TRUE AS has_orders FROM customer
