@@ -121,6 +121,33 @@ object Text {
       floor6(when(nTok > 0, sumTokLen / nTok).otherwise(lit(0.0))).as("mean_word_len"))
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash every k-gram of
+    * the normalized text, then keep the minimum hash of each w-wide window —
+    * guarantees any shared substring ≥ k+w-1 chars yields a shared
+    * fingerprint. Output: one (id, fp) row per distinct selected hash.
+    *
+    * Built as three separate projections (norm → k-gram hashes → winnowed
+    * mins) so Catalyst binds each stage's result instead of inlining the
+    * whole subtree per array element (see Dedup.shinglesOfTokens note).
+    * Per-row narrow transform; fingerprints are h32-portable so the DuckDB
+    * oracle reproduces them exactly.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\W+", "")
+    val normed = df.select(col(idCol), norm.as("norm"))
+    val hs = when(length(col("norm")) >= k,
+      transform(sequence(lit(1), length(col("norm")) - k + 1),
+        i => h32(col("norm").substr(i, lit(k)))))
+      .otherwise(array(h32(col("norm"))))
+    val hashed = normed.select(col(idCol), hs.as("hs"))
+    val fps = when(size(col("hs")) >= w,
+      array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+        i => array_min(slice(col("hs"), i + 1, lit(w))))))
+      .otherwise(array(array_min(col("hs"))))
+    hashed.select(col(idCol), explode(fps).as("fp"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text, plus a
     * 32-bit rolling-hash-style bucket. Groupable for exact near-identity
     * dedup; the hex digest is engine-portable.

@@ -28,7 +28,8 @@ object TextQueries extends QueryModule {
     "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
     "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
     "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
-    "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")))
+    "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")),
+    "text_winnow_fp" -> ((s, d) => Text.winnowFingerprints(docs(s, d), "text", "doc_id")))
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
@@ -81,6 +82,21 @@ object TextQueries extends QueryModule {
          |  floor((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS stop_ratio,
          |  floor((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS mean_word_len
          |FROM s""".stripMargin,
+
+    // winnowing (k=8, w=4): min-hash of each 4-window over 8-gram hashes
+    "text_winnow_fp" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\W+', '', 'g') AS norm FROM documents),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN length(norm) >= 8
+        |       THEN list_transform(range(length(norm) - 7), i -> ('0x' || substr(md5(substr(norm, i+1, 8)), 1, 8))::BIGINT)
+        |       ELSE [('0x' || substr(md5(norm), 1, 8))::BIGINT] END AS hs
+        |FROM t),
+        |w AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 4
+        |       THEN list_distinct(list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])))
+        |       ELSE [list_min(hs)] END AS fps
+        |FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

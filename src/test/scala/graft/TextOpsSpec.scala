@@ -86,6 +86,18 @@ class TextOpsSpec extends SparkSpec {
     assert(bits(h(1L) ^ h(2L)) <= bits(h(1L) ^ h(3L)))
   }
 
+  test("winnowing: shared long substring yields shared fingerprints, disjoint text doesn't") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (1L, s"PREFIX ONE $shared SUFFIX ONE"),
+      (2L, s"totally different opening $shared and another ending"),
+      (3L, "no overlap here at all just unrelated words everywhere")).toDF("id", "text")
+    val fps = graft.ops.Text.winnowFingerprints(df, "text", "id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)   // winnowing guarantee
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("cosine topK ranks an identical vector first") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
