@@ -77,4 +77,23 @@ class StreamRegistry(spark: SparkSession) {
 
   def stream(name: String): StreamDef = defs(name)
   def names: Seq[String] = defs.keys.toSeq.sorted
+
+  private val CsasPattern =
+    """(?is)\s*CREATE\s+STREAM\s+(\w+)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*?)\s*;?\s*""".r
+  private val TimestampOpt = """(?i)timestamp\s*=\s*'([^']+)'""".r
+
+  /** Textual entry point — the KSQL statement surface
+    * (`ksqlContext.sql(...)`, reference
+    * `StreamsSelectAndProjectIntTest.java:174-344`):
+    * `CREATE STREAM name [WITH (timestamp='col', ...)] AS SELECT ...;`
+    * Other WITH options (kafka_topic, value_format) belong to the
+    * source/sink adapters and are accepted-and-ignored here. Non-CSAS
+    * statements pass through to `spark.sql`.
+    */
+  def sql(statement: String): DataFrame = statement match {
+    case CsasPattern(name, opts, select) =>
+      val ts = Option(opts).flatMap(o => TimestampOpt.findFirstMatchIn(o).map(_.group(1)))
+      createStreamAs(name, select, ts)
+    case other => spark.sql(other)
+  }
 }

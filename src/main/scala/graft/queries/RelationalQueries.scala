@@ -65,10 +65,11 @@ object RelationalQueries extends QueryModule {
           |WHERE o_totalprice > 150000 AND o_orderstatus = 'F'""".stripMargin)
     }),
 
-    // P10: SELECT * WHERE (select-star + filter, `:312`)
+    // P10: SELECT * WHERE via the textual CSAS statement surface (the
+    // reference's literal shape, `:312`: CREATE STREAM BIGORDERS AS ...)
     "p10_filter" -> ((s, d) => {
       val reg = ordersStream(s, d)
-      reg.createStreamAs("p10", "SELECT * FROM orders_s WHERE o_totalprice > 100000")
+      reg.sql("CREATE STREAM p10 AS SELECT * FROM orders_s WHERE o_totalprice > 100000;")
     }),
 
     // P12: timestamp reassignment WITH (timestamp='RTIME') (`:174-209`):

@@ -70,6 +70,22 @@ class CsasSpec extends SparkSpec {
     assert(r.stream("s_ts").timeCol.contains("RTIME"))
   }
 
+  test("textual CSAS statement: CREATE STREAM ... WITH (timestamp=...) AS SELECT (ref :312)") {
+    val r = reg
+    // the reference's literal statement shape, our fixture
+    val out = r.sql("CREATE STREAM BIGORDERS AS SELECT * FROM orders_fx WHERE ORDERUNITS > 40;")
+    assert(out.count() === 4)
+    assert(r.names.contains("BIGORDERS"))
+    // WITH (timestamp=...) reassigns the derived stream's event time
+    r.sql("""CREATE STREAM TS_S WITH (timestamp='RTIME', value_format='JSON') AS
+            |SELECT ROWKEY, ROWTIME + 10000 AS RTIME FROM orders_fx""".stripMargin)
+    assert(r.stream("TS_S").timeCol.contains("RTIME"))
+    assert(r.stream("TS_S").df.filter($"ROWKEY" === 2L)
+      .select("ROWTIME").as[Long].head() === 2L + 10000L)
+    // non-CSAS passes through to spark.sql
+    assert(r.sql("SELECT count(*) AS c FROM orders_fx").as[Long].head() === 8L)
+  }
+
   test("bad records are skipped, query still answers (P13, ref :151-166)") {
     val jsonRows = ordersFixture
       .select(to_json(struct($"ORDERTIME", $"ITEMID", $"ORDERUNITS")).as("payload"))
