@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Text.floor6
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the coarse-quantizer alternative to [[Similarity]]'s LSH path:
+  * k-means partitions the corpus into `nlist` lists; a query scans only its
+  * `nprobe` closest lists.
+  *
+  * Scale shape: training samples the corpus (k-means on a bounded sample is
+  * standard IVF practice); assignment is one broadcast-centroid projection
+  * per row; the probe search is an equi-join on list id, so scanned
+  * candidates ≈ corpus × nprobe / nlist. All per-row math uses the native
+  * codegen'd [[graft.functions.Native.dot]].
+  */
+object Ivf {
+
+  case class IvfIndex(centroids: Seq[Seq[Double]], assignments: DataFrame)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private def centroidDist(v: Column, c: Seq[Double]): Column = {
+    // squared L2 to the centroid literal (argmin is the k-means assignment)
+    val lit_c = array(c.map(lit): _*)
+    Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, lit_c) + lit(c.map(x => x * x).sum)
+  }
+
+  /** Train the coarse quantizer and assign every vector to its list.
+    * `trainFraction` bounds the k-means input at scale.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      seed: Long = 42L, trainFraction: Double = 1.0): IvfIndex = {
+    val feat = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val sample = if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(sample)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val assigned = model.transform(feat)
+      .select(col(idCol), col("v"), col("prediction").as("list_id"))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Top-k cosine neighbors per query, scanning only the `nprobe` lists
+    * whose centroids are closest to the query vector.
+    */
+  def search(index: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // rank lists per query by centroid distance, keep nprobe
+    val listDists = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("list_id"), centroidDist(col("qv"), c).as("dist"))
+    }
+    val probed = q.select(col("query_id"), col("qv"),
+      explode(slice(array_sort(array(listDists: _*), (a, b) =>
+        when(a.getField("dist") < b.getField("dist"), -1)
+          .when(a.getField("dist") > b.getField("dist"), 1).otherwise(0)),
+        1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.list_id").as("list_id"))
+    // candidate generation = equi-join on list id (never full corpus)
+    val cand = probed.join(index.assignments.withColumnRenamed("list_id", "c_list"),
+        col("list_id") === col("c_list") && col("query_id") =!= col(idCol))
+    def norm(v: Column): Column = sqrt(Similarity.dot(v, v))
+    val cos = when(norm(col("qv")) * norm(col("v")) > 0,
+      Similarity.dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+      .otherwise(lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col(idCol).as("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), floor6(col("cos")).as("sim"))
+  }
+}
