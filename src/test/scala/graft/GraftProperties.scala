@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Text}
+import graft.streaming.StreamJoins
+
+/** ScalaCheck properties (SURVEY §5 — the property tests the reference
+  * lacks). Iteration counts are small because every trial runs Spark jobs.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "to", "be", "or")
+  private val line = Gen.listOfN(6, word).map(_.mkString(" "))
+
+  /** A4/associativity: word counts are invariant to how the corpus is
+    * batched — count(a ++ b) == merge(count(a), count(b)).
+    */
+  property("wordcount.batching-invariant") =
+    Prop.forAll(Gen.listOfN(4, line), Gen.listOfN(4, line)) { (a, b) =>
+      def counts(ls: Seq[String]): Map[String, Long] =
+        if (ls.isEmpty) Map.empty
+        else Text.wordCount(ls.toDF("text"), "text").as[(String, Long)].collect().toMap
+      val whole = counts(a ++ b)
+      val merged = (counts(a).toSeq ++ counts(b).toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      whole == merged
+    }
+
+  /** J4: a no-op rekey upstream of the windowed join leaves results
+    * invariant (batch twin of testInnerRepartitioned).
+    */
+  property("join.rekey-invariant") = {
+    val rec = for {
+      k <- Gen.choose(0L, 2L); v <- word; t <- Gen.choose(0L, 20000L)
+    } yield (k, v, new Timestamp(1700000000000L + t))
+    Prop.forAll(Gen.listOfN(6, rec), Gen.listOfN(6, rec)) { (ls, rs) =>
+      val l = ls.toDF("key", "value", "ts")
+      val r = rs.toDF("key", "value", "ts")
+      def results(left: org.apache.spark.sql.DataFrame): Set[String] =
+        StreamJoins.windowed(left, r, "key", "ts", 10000, "inner")
+          .select(StreamJoins.dashJoin(col("l_value"), col("r_value")))
+          .as[String].collect().toSet
+      results(l) == results(l.select((col("key") + 0).as("key"), col("value"), col("ts")))
+    }
+  }
+
+  /** MinHash estimates Jaccard: per-seed signature collision probability is
+    * the shingle-set Jaccard, so with k=16 the match fraction should land
+    * within a generous tolerance of the true value.
+    */
+  property("minhash.estimates-jaccard") = {
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    Prop.forAll(doc, doc) { (d1, d2) =>
+      val df = Seq((1L, d1), (2L, d2)).toDF("id", "text")
+      val k = 16
+      val sigs = Dedup.minhashSignatures(df, "text", "id", k)
+        .collect().map(r => r.getLong(0) -> (1 until k + 1).map(r.getLong)).toMap
+      val matches = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / k
+      val sh = df.select(col("id"), array_distinct(
+        Dedup.shinglesOfTokens(Text.tokens(col("text")))).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val union = (sh(1L) union sh(2L)).size
+      val jaccard = if (union == 0) 1.0 else (sh(1L) intersect sh(2L)).size.toDouble / union
+      math.abs(matches - jaccard) <= 0.45
+    }
+  }
+
+  /** h32 stays within [0, 2^32) and is deterministic. */
+  property("h32.range-and-determinism") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      val v = Seq(s, s).toDF("t").select(Text.h32(col("t"))).as[Long].collect()
+      v(0) == v(1) && v(0) >= 0L && v(0) < (1L << 32)
+    }
+}
