@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.api.StreamRegistry
+import graft.serde.Serdes
+
+/** Full query lifecycle (SURVEY §3.1) without Kafka: a stream of
+  * JSON-with-embedded-schema envelope records (the Connect wire format) is
+  * decoded, registered as a stream with ROWKEY/ROWTIME, transformed through
+  * the SQL surface, aggregated in update mode, and served — source →
+  * convert → CSAS → agg → sink as one pipeline.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payloadSchema =
+    StructType.fromDDL("user STRING, action STRING, at BIGINT")
+
+  test("envelope stream -> decode -> CSAS filter -> update-mode agg") {
+    implicit val ctx = spark.sqlContext
+    val wire = MemoryStream[String]
+
+    // S5: decode the envelope; corrupt records drop out (P13)
+    val decoded = wire.toDF().toDF("env")
+      .select(Serdes.fromJsonEnvelope($"env", payloadSchema).as("r"))
+      .filter($"r.user".isNotNull)
+      .select("r.*")
+
+    // register with pseudo-columns and filter through the SQL surface
+    val reg = new StreamRegistry(spark)
+    reg.createStream("actions", decoded, keyCol = Some("user"), timeCol = Some("at"),
+      timeIsEpochMs = true)
+    val clicks = reg.sql(
+      "CREATE STREAM clicks AS SELECT ROWKEY, ROWTIME, action FROM actions WHERE action = 'click';")
+
+    val q = clicks.groupBy("ROWKEY").agg(count(lit(1)).as("clicks"))
+      .writeStream.format("memory").queryName("pipe_sink").outputMode("update").start()
+    try {
+      def env(user: String, action: String, at: Long): String =
+        Seq((user, action, at)).toDF("user", "action", "at")
+          .select(Serdes.toJsonEnvelope(struct($"user", $"action", $"at"), payloadSchema))
+          .as[String].head()
+      wire.addData(
+        env("u1", "click", 1000L), env("u1", "view", 2000L),
+        env("u2", "click", 3000L), env("u1", "click", 4000L),
+        "corrupt garbage that is not an envelope")
+      q.processAllAvailable()
+      val counts = spark.table("pipe_sink").groupBy("ROWKEY").agg(max("clicks"))
+        .as[(String, Long)].collect().toMap
+      assert(counts === Map("u1" -> 2L, "u2" -> 1L))
+    } finally q.stop()
+  }
+}
