@@ -68,6 +68,34 @@ object JdbcSink {
       case other => throw new UnsupportedOperationException(s"jdbc sink: $other")
     }
 
+  /** Append-only batch insert (for 1→N record streams like flatMap output
+    * where rows have no natural key — reference `DatabaseFlatMap` sink).
+    * Single transaction per partition.
+    */
+  def appendBatch(df: DataFrame, url: String, table: String): Unit = {
+    val schema = df.schema
+    val cols = schema.fields.map(_.name)
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ins = conn.prepareStatement(insertSql)
+          rows.foreach { row =>
+            cols.indices.foreach(i => bind(ins, i + 1, schema(i).dataType, row, i))
+            ins.addBatch()
+          }
+          ins.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
   /** Attach the upsert sink to a streaming DataFrame (update-mode friendly:
     * each batch's changed keys overwrite their previous rows).
     */

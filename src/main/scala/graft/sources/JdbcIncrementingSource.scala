@@ -92,23 +92,32 @@ private[sources] class JdbcIncMicroBatchStream(
 
   override def initialOffset(): Offset = MaxIdOffset(startingOffset)
 
+  /** Monotonic high-water mark of offsets this stream has HANDED OUT (not
+    * merely committed) — latestOffset must advance past the previous
+    * latestOffset even before the engine commits, or a rate-capped stream
+    * stalls after its first batch. Bumped by every offset-bearing callback
+    * so checkpoint recovery (deserializeOffset/commit) fast-forwards it.
+    */
+  @volatile private var highWater: Long = startingOffset
+  private def bump(v: Long): Unit = synchronized { if (v > highWater) highWater = v }
+
   override def latestOffset(): Offset = withConn { c =>
-    // cap the advance at maxRowsPerTrigger rows past the committed mark
-    val prev = committed
+    val prev = highWater
     val rs = c.createStatement().executeQuery(
       s"SELECT MAX($incCol) FROM $table" +
         (if (maxRowsPerTrigger == Long.MaxValue) ""
          else s" WHERE $incCol <= ${prev + maxRowsPerTrigger}"))
     rs.next()
     val m = rs.getLong(1)
-    MaxIdOffset(if (rs.wasNull()) prev else math.max(prev, m))
+    val end = if (rs.wasNull()) prev else math.max(prev, m)
+    bump(end)
+    MaxIdOffset(end)
   }
-
-  @volatile private var committed: Long = startingOffset
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[MaxIdOffset].max
     val hi = end.asInstanceOf[MaxIdOffset].max
+    bump(hi)
     if (hi <= lo) Array.empty
     else {
       // split (lo, hi] into up to numPartitions contiguous id ranges
@@ -128,10 +137,12 @@ private[sources] class JdbcIncMicroBatchStream(
   override def deserializeOffset(json: String): Offset = {
     val m = """"max"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalArgumentException(s"bad offset json: $json"))
-    MaxIdOffset(m.group(1).toLong)
+    val v = m.group(1).toLong
+    bump(v)
+    MaxIdOffset(v)
   }
 
-  override def commit(end: Offset): Unit = { committed = end.asInstanceOf[MaxIdOffset].max }
+  override def commit(end: Offset): Unit = bump(end.asInstanceOf[MaxIdOffset].max)
   override def stop(): Unit = ()
 }
 

@@ -98,6 +98,61 @@ class JdbcSpec extends SparkSpec {
     assert(query("SELECT v FROM UP_OUT WHERE k = 'a'")(_.getLong(1)) === Vector(10L))
   }
 
+  test("DB-to-DB flatMap: 1->N token rows appended (DatabaseFlatMapTest shape)") {
+    exec("""CREATE TABLE FM_INPUT (
+           |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
+           |  lines VARCHAR(256))""".stripMargin)
+    exec("""CREATE TABLE FM_OUTPUT (
+           |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
+           |  word VARCHAR(256))""".stripMargin)
+    lines.foreach(l => exec(s"INSERT INTO FM_INPUT (lines) VALUES ('$l')"))
+    val src = spark.readStream.format("graft.sources.JdbcIncrementingSource")
+      .schema("id INT, lines STRING")
+      .option("url", url).option("table", "FM_INPUT")
+      .option("incrementingColumn", "id").load()
+    val toks = src.select(explode(graft.ops.Text.tokens(col("lines"))).as("word"))
+    val q = toks.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_fm_ckpt_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        JdbcSink.appendBatch(b, url, "FM_OUTPUT")
+      }.start()
+    try {
+      q.processAllAvailable()
+      // 4 fixture lines tokenize to 34 words (reference waits for >= 26)
+      assert(query("SELECT count(*) FROM FM_OUTPUT")(_.getLong(1)) === Vector(34L))
+      assert(query("SELECT count(*) FROM FM_OUTPUT WHERE word = 'to'")(_.getLong(1)) === Vector(4L))
+    } finally q.stop()
+  }
+
+  test("maxRowsPerTrigger bounds each micro-batch (S4 admission control)") {
+    exec("""CREATE TABLE ADM_INPUT (
+           |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
+           |  lines VARCHAR(256))""".stripMargin)
+    (1 to 10).foreach(i => exec(s"INSERT INTO ADM_INPUT (lines) VALUES ('row $i')"))
+    val src = spark.readStream.format("graft.sources.JdbcIncrementingSource")
+      .schema("id INT, lines STRING")
+      .option("url", url).option("table", "ADM_INPUT")
+      .option("incrementingColumn", "id")
+      .option("maxRowsPerTrigger", "3").load()
+    val q = src.writeStream.format("memory").queryName("adm_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("adm_sink").count() === 10)
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.nonEmpty && sizes.forall(_ <= 3L), sizes.mkString(","))
+    } finally q.stop()
+  }
+
+  test("missing schema fails fast with a clear message") {
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.JdbcIncrementingSource")
+        .option("url", url).option("table", "WC_INPUT")
+        .option("incrementingColumn", "id").load()
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
   test("source restarts from checkpointed offset (no re-read of old rows)") {
     exec("""CREATE TABLE CK_INPUT (
            |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
