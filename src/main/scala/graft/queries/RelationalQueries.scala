@@ -132,6 +132,33 @@ object RelationalQueries extends QueryModule {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("sum_qty"))),
 
+    // Analytic window functions (beyond reference): top-2 orders per
+    // customer by price, deterministic tie-break.
+    "q_top2_per_customer" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+    }),
+
+    // Event funnel: first click per user, then first purchase at-or-after it
+    "a_funnel_conversion" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts_us")).as("first_click_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("pts"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") && col("pts") >= col("first_click_us"), "left")
+        .groupBy("user_id", "first_click_us")
+        .agg(min(col("pts")).as("first_purchase_us"))
+        .select(col("user_id"), col("first_click_us"), col("first_purchase_us"),
+          col("first_purchase_us").isNotNull.as("converted"))
+    }),
+
     // Headline: TPC-H Q1-shaped pricing summary. Money sums go through
     // DECIMAL(18,2) so the result is order-of-summation independent (exact
     // decimal arithmetic) — the double sum would be nondeterministic across
@@ -192,6 +219,28 @@ object RelationalQueries extends QueryModule {
     "a2_count_by_key" ->
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_top2_per_customer" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 2""".stripMargin,
+
+    "a_funnel_conversion" ->
+      """WITH c AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_click_us
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |j AS (
+        |  SELECT c.user_id, c.first_click_us, min(epoch_us(p.ts)) AS first_purchase_us
+        |  FROM c LEFT JOIN events p
+        |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |   AND epoch_us(p.ts) >= c.first_click_us
+        |  GROUP BY c.user_id, c.first_click_us)
+        |SELECT user_id, first_click_us, first_purchase_us,
+        |       (first_purchase_us IS NOT NULL) AS converted
+        |FROM j""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT l_orderkey,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Text
 
@@ -29,12 +30,67 @@ object TextQueries extends QueryModule {
     "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
     "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
     "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")),
-    "text_winnow_fp" -> ((s, d) => Text.winnowFingerprints(docs(s, d), "text", "doc_id")))
+    "text_winnow_fp" -> ((s, d) => Text.winnowFingerprints(docs(s, d), "text", "doc_id")),
+
+    // composite quality filter: the keep/drop decision a corpus-cleaning
+    // pipeline applies before training
+    "text_quality_filter" -> ((s, d) =>
+      Text.qualityScore(docs(s, d), "text", "doc_id")
+        .select(col("doc_id"),
+          (col("n_tokens") >= 10 && col("stop_ratio") >= 0.01 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 12.0).as("keep"))),
+
+    // composed pipeline: language ID ⋈ quality → per-language corpus stats
+    // (exact long sums only, so the rollup is order-independent)
+    "text_corpus_stats" -> ((s, d) => {
+      val lang = Text.langId(docs(s, d), "text", "doc_id").select("doc_id", "lang_pred")
+      val qual = Text.qualityScore(docs(s, d), "text", "doc_id")
+        .select("doc_id", "n_tokens", "n_chars_obs")
+      lang.join(qual, "doc_id")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("n_chars_obs").as("sum_chars"))
+    }))
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val langSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+       |  len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
+       |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+       |  len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS s_fr
+       |FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+       |       ELSE 'und' END AS lang_pred,
+       |  greatest(s_en, s_es, s_de, s_fr)::BIGINT AS lang_score
+       |FROM s""".stripMargin
+
+  private val qualitySql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  length(text)::DOUBLE AS n_chars,
+       |  len(toks)::DOUBLE AS n_tok,
+       |  len(list_filter(toks, x -> x IN ${inList(stopwords)}))::DOUBLE AS n_stop,
+       |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct,
+       |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE AS sum_len
+       |FROM t)
+       |SELECT doc_id,
+       |  n_chars::BIGINT AS n_chars_obs,
+       |  n_tok::BIGINT AS n_tokens,
+       |  floor((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 1000000) / 1000000.0 AS punct_ratio,
+       |  floor((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS stop_ratio,
+       |  floor((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS mean_word_len
+       |FROM s""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_wordcount" ->
@@ -49,39 +105,20 @@ object TextQueries extends QueryModule {
         |  length(text)::BIGINT AS n_chars_obs
         |FROM documents""".stripMargin,
 
-    "text_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-         |  len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
-         |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
-         |  len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS s_fr
-         |FROM t)
-         |SELECT doc_id,
-         |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |       WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |       WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-         |       ELSE 'und' END AS lang_pred,
-         |  greatest(s_en, s_es, s_de, s_fr)::BIGINT AS lang_score
-         |FROM s""".stripMargin,
+    "text_lang_id" -> langSql,
+    "text_quality_score" -> qualitySql,
 
-    "text_quality_score" ->
-      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  length(text)::DOUBLE AS n_chars,
-         |  len(toks)::DOUBLE AS n_tok,
-         |  len(list_filter(toks, x -> x IN ${inList(stopwords)}))::DOUBLE AS n_stop,
-         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct,
-         |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE AS sum_len
-         |FROM t)
-         |SELECT doc_id,
-         |  n_chars::BIGINT AS n_chars_obs,
-         |  n_tok::BIGINT AS n_tokens,
-         |  floor((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 1000000) / 1000000.0 AS punct_ratio,
-         |  floor((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS stop_ratio,
-         |  floor((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS mean_word_len
-         |FROM s""".stripMargin,
+    "text_quality_filter" ->
+      s"""SELECT doc_id,
+         |  (n_tokens >= 10 AND stop_ratio >= 0.01
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 12.0) AS keep
+         |FROM ($qualitySql) q""".stripMargin,
+
+    "text_corpus_stats" ->
+      s"""SELECT lang_pred, count(*) AS n_docs,
+         |  sum(n_tokens) AS sum_tokens, sum(n_chars_obs) AS sum_chars
+         |FROM ($langSql) l JOIN ($qualitySql) q USING (doc_id)
+         |GROUP BY lang_pred""".stripMargin,
 
     // winnowing (k=8, w=4): min-hash of each 4-window over 8-gram hashes
     "text_winnow_fp" ->
