@@ -18,6 +18,24 @@ class PipelineSpec extends SparkSpec {
   private val payloadSchema =
     StructType.fromDDL("user STRING, action STRING, at BIGINT")
 
+  test("avro-encoded batch -> decode -> CSAS filter (the suite's Avro dimension)") {
+    // the reference runs its select/project suite in JSON and Avro
+    // (IntegrationTestHarness.getSerializer): same pipeline, Avro codec
+    import graft.serde.AvroCodec
+    val src = (1 to 8).map(i => (i.toLong, s"ITEM_$i", i * 10.0))
+      .toDF("ORDERTIME", "ITEMID", "ORDERUNITS")
+    val wire = AvroCodec.encode(src, Seq("ORDERTIME", "ITEMID", "ORDERUNITS"))
+    // Avro binary is not self-describing: decode with the writer schema
+    val decoded = AvroCodec.decode(wire, "value", src.schema)
+    val reg = new StreamRegistry(spark)
+    reg.createStream("orders_avro", decoded, keyCol = Some("ORDERTIME"),
+      timeCol = Some("ORDERTIME"), timeIsEpochMs = true)
+    val out = reg.sql("CREATE STREAM big_avro AS SELECT * FROM orders_avro WHERE ORDERUNITS > 40;")
+    assert(out.count() === 4)
+    assert(out.select("ITEMID").as[String].collect().toSet ===
+      Set("ITEM_5", "ITEM_6", "ITEM_7", "ITEM_8"))
+  }
+
   test("envelope stream -> decode -> CSAS filter -> update-mode agg") {
     implicit val ctx = spark.sqlContext
     val wire = MemoryStream[String]
