@@ -47,19 +47,64 @@ object Dedup {
       .groupBy("fp_md5")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signatures: per seed s, min over shingles of h32(shingle, s).
+  private val Mask = 4294967295L // 2^32 - 1
+
+  /** Per-seed universal-hash constants: small odd multipliers (so a*base
+    * stays < 2^52, no 64-bit overflow in either engine) + 32-bit offsets.
+    */
+  private[graft] val seedConsts: Seq[(Long, Long)] = Seq(
+    (1000003L, 0x9E3779B9L & Mask), (999983L, 0x85EBCA6BL & Mask),
+    (999979L, 0xC2B2AE35L & Mask), (754331L, 0x27D4EB2FL & Mask),
+    (611953L, 0x165667B1L & Mask), (499979L, 0xD3A2646CL & Mask),
+    (399989L, 0xFD7046C5L & Mask), (299993L, 0xB55A4F09L & Mask),
+    (200003L, 0x8F462907L & Mask), (100003L, 0x2AB57B67L & Mask),
+    (99991L, 0x5F24C34DL & Mask), (88799L, 0x71C7AC11L & Mask),
+    (77773L, 0x3C6EF373L & Mask), (66601L, 0xA54FF53BL & Mask),
+    (55661L, 0x510E527FL & Mask), (44533L, 0x9B05688CL & Mask))
+
+  /** 32-bit combine of three adjacent token hashes into a shingle hash:
+    * pure integer arithmetic (bit-identical in DuckDB), no per-shingle md5
+    * or string building.
+    */
+  private def combine3(h1: Column, h2: Column, h3: Column): Column =
+    ((h1 * lit(1000003L) + h2).bitwiseAND(lit(Mask)) * lit(1000003L) + h3)
+      .bitwiseAND(lit(Mask))
+
+  /** (idCol, base) exploded 3-gram shingle hashes: ONE md5 per token
+    * (portable h32), then arithmetic combines — md5 work is O(tokens), not
+    * O(shingles × seeds). Docs under 3 tokens fall back to one whole-doc
+    * hash.
+    */
+  private def explodedShingleHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toksed = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val hashed = toksed.select(col(idCol), col("toks"),
+      transform(col("toks"), t => h32(t)).as("hs"))
+    val bases = when(size(col("hs")) >= 3,
+      transform(sequence(lit(0), size(col("hs")) - 3),
+        i => combine3(element_at(col("hs"), i + 1), element_at(col("hs"), i + 2),
+          element_at(col("hs"), i + 3))))
+      .otherwise(array(h32(array_join(col("toks"), " "))))
+    hashed.select(col(idCol), explode(bases).as("base"))
+  }
+
+  /** MinHash signatures: per seed s, min over shingle hashes of the
+    * universal hash (a_s·base + b_s) mod 2^32.
     *
-    * Shape: explode shingles → groupBy(doc) with k partial-aggregated mins.
-    * The flat explode+agg beats the tempting all-in-one nested
+    * Shape: explode shingle hashes → groupBy(doc) with k partial-aggregated
+    * mins. The flat explode+agg beats the tempting all-in-one nested
     * `array_min(transform(...))` projection two ways: (1) Catalyst inlines
     * the nested variant into every downstream band key, duplicating the
     * whole tree k×bands times until janino compilation dominates runtime;
-    * (2) at 100 TB the explode distributes shingle hashing across the
-    * cluster and map-side combine reduces the shuffle to k longs per doc.
+    * (2) at 100 TB the explode distributes hashing across the cluster and
+    * map-side combine reduces the shuffle to k longs per doc.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
-    val exploded = explodedShingles(df, textCol, idCol)
-    val aggs = (0 until k).map(s => min(h32(col("shingle"), s)).as(s"sig_$s"))
+    require(k <= seedConsts.size, s"k <= ${seedConsts.size}")
+    val exploded = explodedShingleHashes(df, textCol, idCol)
+    val aggs = (0 until k).map { s =>
+      val (a, b) = seedConsts(s)
+      min((col("base") * lit(a) + lit(b)).bitwiseAND(lit(Mask))).as(s"sig_$s")
+    }
     exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -39,13 +39,29 @@ object DedupQueries extends QueryModule {
 
   private def h32sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
-  private def sigExpr(seed: Int): String =
-    s"list_min(list_transform(sh, x -> ${h32sql(s"'$seed' || x")})) AS sig_$seed"
+  /** Shingle-hash bases mirroring [[graft.ops.Dedup]]: one md5 per token,
+    * arithmetic 3-gram combine, whole-doc fallback — all 32-bit masked
+    * integer math, bit-identical across engines.
+    */
+  private val basesCte =
+    s"""WITH t AS ($toksCte),
+       |hsh AS (SELECT doc_id, toks, list_transform(toks, x -> ${h32sql("x")}) AS hs FROM t),
+       |b AS (SELECT doc_id,
+       |  CASE WHEN len(hs) >= 3
+       |       THEN list_transform(range(len(hs) - 2),
+       |              i -> ((((hs[i+1] * 1000003 + hs[i+2]) & 4294967295) * 1000003 + hs[i+3]) & 4294967295))
+       |       ELSE [${h32sql("array_to_string(toks, ' ')")}] END AS bases
+       |FROM hsh)""".stripMargin
+
+  private def sigExpr(seed: Int): String = {
+    val (a, bOff) = graft.ops.Dedup.seedConsts(seed)
+    s"list_min(list_transform(bases, x -> ((x * $a + $bOff) & 4294967295))) AS sig_$seed"
+  }
 
   private val sigsSql =
-    s"""$shingleCte
+    s"""$basesCte
        |SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")}
-       |FROM sh""".stripMargin
+       |FROM b""".stripMargin
 
   private def bandKey(b: Int): String =
     "md5(" + (b * 4 until b * 4 + 4).map(i => s"sig_$i::VARCHAR").mkString(" || '_' || ") + ")"
@@ -59,14 +75,8 @@ object DedupQueries extends QueryModule {
     "dedup_minhash_sigs" -> sigsSql,
 
     "dedup_minhash_pairs" ->
-      s"""WITH t AS ($toksCte),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 3
-         |       THEN list_transform(range(len(toks) - 2),
-         |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-         |       ELSE [array_to_string(toks, ' ')] END AS sh
-         |FROM t),
-         |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM sh),
+      s"""$basesCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
          |bands AS (
          |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
          |  UNION ALL
