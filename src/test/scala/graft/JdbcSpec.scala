@@ -153,6 +153,37 @@ class JdbcSpec extends SparkSpec {
     assert(e.getMessage.contains("schema"))
   }
 
+  test("DB select/project: textual CSAS over the JDBC stream (DatabaseSelectAndProjectIntTest shape)") {
+    exec("""CREATE TABLE ORDERS_DB (
+           |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
+           |  ordertime BIGINT, orderid VARCHAR(64), itemid VARCHAR(64), orderunits DOUBLE)""".stripMargin)
+    // the 8-row SimpleOrderDataProvider fixture (ORDERUNITS = i*10)
+    (1 to 8).foreach(i =>
+      exec(s"INSERT INTO ORDERS_DB (ordertime, orderid, itemid, orderunits) " +
+        s"VALUES ($i, 'ORDER_$i', 'ITEM_$i', ${i * 10}.0)"))
+    val src = spark.readStream.format("graft.sources.JdbcIncrementingSource")
+      .schema("id INT, ordertime BIGINT, orderid STRING, itemid STRING, orderunits DOUBLE")
+      .option("url", url).option("table", "ORDERS_DB")
+      .option("incrementingColumn", "id").load()
+    val reg = new graft.api.StreamRegistry(spark)
+    reg.createStream("orders_db", src, keyCol = Some("ordertime"),
+      timeCol = Some("ordertime"), timeIsEpochMs = true)
+    val filtered = reg.sql(
+      "CREATE STREAM big_db AS SELECT ROWKEY, itemid, orderunits FROM orders_db WHERE orderunits > 40;")
+    val got = scala.collection.concurrent.TrieMap[Long, String]()
+    val q = filtered.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getAs[Long]("ROWKEY"), r.getAs[String]("itemid")))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.size === 4)
+      assert(got.keySet === Set(5L, 6L, 7L, 8L))
+      assert(got(8L) === "ITEM_8")
+    } finally q.stop()
+  }
+
   test("source restarts from checkpointed offset (no re-read of old rows)") {
     exec("""CREATE TABLE CK_INPUT (
            |  id INT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 1, INCREMENT BY 1),
