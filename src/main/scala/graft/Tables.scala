@@ -30,6 +30,10 @@ object Tables {
 
   /** ts_ns: exact epoch nanos (matches DuckDB epoch_ns(ts));
     * ts: µs-truncated timestamp for window()/watermark use.
+    * `div` truncates toward zero, which equals floor division only for
+    * post-epoch data — the driver's testdata starts in 1995, and DuckDB's
+    * ns→µs read-time truncation behaves identically there, so the two
+    * engines agree. Pre-1970 nanos would need floor() in both.
     */
   private def transformEvents(df: DataFrame): DataFrame =
     df.withColumnRenamed("ts", "ts_ns")
