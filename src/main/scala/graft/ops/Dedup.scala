@@ -144,6 +144,32 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-duplicate removal — the operator a pipeline actually
+    * calls: LSH candidate pairs → exact Jaccard verification on candidates
+    * only → drop policy "a doc is dropped iff a lower-id doc is its
+    * near-duplicate" (one-pass keeper rule; cheap, deterministic, no
+    * iterative connected components) → anti-join. Returns the KEPT rows.
+    *
+    * Scale: Jaccard runs only on bucket-bounded candidate pairs, the drop
+    * set is (dup pairs) small, and the final anti-join broadcasts it.
+    */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2): DataFrame = {
+    val pairs = minhashCandidatePairs(df, textCol, idCol, k, bands)
+    val shs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
+    val verified = pairs
+      .join(shs.select(col(idCol).as("doc_a"), col("shs").as("sh_a")), "doc_a")
+      .join(shs.select(col(idCol).as("doc_b"), col("shs").as("sh_b")), "doc_b")
+      .filter(
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .otherwise(lit(0.0)) >= minJaccard)
+    val dropped = verified.select(col("doc_b").as(idCol)).distinct()
+    df.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash over the token multiset: bit b is the sign of the sum of
     * ±1 votes from each token's h32 bit b. Same explode+agg shape as
     * [[minhashSignatures]] (hash each token once on the map side, 16

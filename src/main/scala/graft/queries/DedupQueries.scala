@@ -17,6 +17,9 @@ object DedupQueries extends QueryModule {
     "dedup_minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(docs(s, d), "text", "doc_id", k = 8)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(docs(s, d), "text", "doc_id", k = 8, bands = 2)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash16(docs(s, d), "text", "doc_id")),
+    "dedup_near_kept" -> ((s, d) =>
+      Dedup.dropNearDuplicates(docs(s, d), "text", "doc_id", minJaccard = 0.8)
+        .select("doc_id")),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id")))
 
   // ---- shared oracle fragments ----
@@ -84,6 +87,33 @@ object DedupQueries extends QueryModule {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_near_kept" ->
+      s"""$basesCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         |ss AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |       THEN list_transform(range(len(toks) - 2),
+         |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+         |dropped AS (
+         |  SELECT DISTINCT c.doc_b FROM cand c
+         |  JOIN ss sa ON sa.doc_id = c.doc_a
+         |  JOIN ss sb ON sb.doc_id = c.doc_b
+         |  WHERE (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
+         |              THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
+         |                   / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
+         |              ELSE 0 END) >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin,
 
     "dedup_simhash" -> {
       val bitVotes = (0 until 16).map { b =>

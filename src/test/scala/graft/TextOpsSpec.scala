@@ -68,6 +68,16 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dropNearDuplicates removes the planted near-dup, keeps distinct docs") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again today extra"
+    val far = "completely unrelated text about spark catalyst optimizer internals"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("id", "text")
+    val kept = graft.ops.Dedup.dropNearDuplicates(df, "text", "id", minJaccard = 0.5, bands = 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))  // keeper = lower id; distinct doc survives
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
     val j = Dedup.ngramJaccardPairs(df, "text", "id")
