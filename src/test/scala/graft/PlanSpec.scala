@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties SCALE.md claims
+  * must stay true as queries evolve — filters reach the parquet scan,
+  * small dims broadcast, and nothing ever degenerates into a cartesian
+  * product.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("no headline query plans a cartesian product") {
+    SparkEntry.benchQueries.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("q6 filters are pushed into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date range not pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity cap not pushed")
+  }
+
+  test("q6 scan is column-pruned to the referenced columns") {
+    val p = plan("q6_forecast_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("j5 joins broadcast a small side (no shuffle for the dims)") {
+    assert(plan("j5_multiway_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("windowed join is an equi-join with a range residual, not nested-loop") {
+    val p = plan("j1_window_inner_join")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
+  test("aggregations partial-aggregate map-side before the exchange") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(400))
+  }
+}
