@@ -121,6 +121,20 @@ object Text {
       floor6(when(nTok > 0, sumTokLen / nTok).otherwise(lit(0.0))).as("mean_word_len"))
   }
 
+  /** Corpus cleansing: strip HTML tags, redact URLs and e-mail addresses,
+    * collapse whitespace, trim. Pure chained regexp_replace (codegen'd,
+    * per-row narrow); patterns are ASCII-safe in both Java and RE2 regex
+    * dialects so the DuckDB oracle reproduces the output byte-for-byte.
+    */
+  def cleanse(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val noHtml = regexp_replace(col(textCol), "<[^>]*>", " ")
+    val noUrl = regexp_replace(noHtml, "https?://[^\\s]+", "<URL>")
+    val noMail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val squashed = trim(regexp_replace(noMail, "\\s+", " "))
+    df.select(col(idCol), squashed.as("clean_text"),
+      (length(squashed) > 0).as("non_empty"))
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme): hash every k-gram of
     * the normalized text, then keep the minimum hash of each w-wide window —
     * guarantees any shared substring ≥ k+w-1 chars yields a shared

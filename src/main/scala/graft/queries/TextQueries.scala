@@ -32,6 +32,8 @@ object TextQueries extends QueryModule {
     "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")),
     "text_winnow_fp" -> ((s, d) => Text.winnowFingerprints(docs(s, d), "text", "doc_id")),
 
+    "text_cleanse" -> ((s, d) => Text.cleanse(docs(s, d), "text", "doc_id")),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -104,6 +106,19 @@ object TextQueries extends QueryModule {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens,
         |  length(text)::BIGINT AS n_chars_obs
         |FROM documents""".stripMargin,
+
+    "text_cleanse" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |          'https?://[^\s]+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text, (length(clean_text) > 0) AS non_empty FROM c""".stripMargin,
 
     "text_lang_id" -> langSql,
     "text_quality_score" -> qualitySql,

@@ -96,6 +96,18 @@ class TextOpsSpec extends SparkSpec {
     assert(bits(h(1L) ^ h(2L)) <= bits(h(1L) ^ h(3L)))
   }
 
+  test("cleanse strips html, redacts urls/emails, collapses whitespace") {
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p>  visit https://example.com/x?q=1 now"),
+      (2L, "contact alice.smith+test@example.co.uk   for  details"),
+      (3L, "   ")).toDF("id", "text")
+    val out = graft.ops.Text.cleanse(df, "text", "id")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === "Hello world visit <URL> now")
+    assert(out(2L)._1 === "contact <EMAIL> for details")
+    assert(out(3L) === (("", false)))
+  }
+
   test("winnowing: shared long substring yields shared fingerprints, disjoint text doesn't") {
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
     val df = Seq(
