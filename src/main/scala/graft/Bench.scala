@@ -26,10 +26,12 @@ object Bench {
     try Tables.documents(spark, sfDir).limit(10).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+    val requested = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(SparkEntry.benchQueries)
-      .filter(SparkEntry.queries.contains)
+    // unknown names are reported, not silently dropped — a typo must not
+    // produce a clean-looking result that measured nothing
+    val (names, unknown) = requested.partition(SparkEntry.queries.contains)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -46,7 +48,8 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = (results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" } ++
+      unknown.map(k => s"${jstr(k)}:${jstr("unknown query name")}"))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")

@@ -89,6 +89,11 @@ class StreamRegistry(spark: SparkSession) {
     * Other WITH options (kafka_topic, value_format) belong to the
     * source/sink adapters and are accepted-and-ignored here. Non-CSAS
     * statements pass through to `spark.sql`.
+    *
+    * Known parser limits: option VALUES may not contain ')' or the literal
+    * text `timestamp=` (the options blob is matched with a regex, not a
+    * grammar); such statements fall through to spark.sql or mis-pick the
+    * timestamp column. Use `createStreamAs` directly for exotic options.
     */
   def sql(statement: String): DataFrame = statement match {
     case CsasPattern(name, opts, select) =>

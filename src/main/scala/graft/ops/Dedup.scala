@@ -34,11 +34,6 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
       .otherwise(array(array_join(toks, " ")))
 
-  /** (idCol, shingle) exploded rows: tokens materialized first, then shingled. */
-  private def explodedShingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(shinglesOfTokens(col("toks"), n)).as("shingle"))
-
   /** Exact-duplicate groups over the normalized-text fingerprint: one row per
     * distinct content, with the keeper (min id) and the duplicate count.
     */

@@ -23,10 +23,15 @@ object Ivf {
   case class IvfIndex(centroids: Seq[Seq[Double]], assignments: DataFrame)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Centroid-ranking score: squared L2 minus the per-query constant
+    * |v|² (constant across centroids, so it cancels out of the argmin —
+    * computing dot(v,v) once per centroid would be pure wasted work on
+    * the probe-ranking hot path).
+    */
   private def centroidDist(v: Column, c: Seq[Double]): Column = {
-    // squared L2 to the centroid literal (argmin is the k-means assignment)
     val lit_c = array(c.map(lit): _*)
-    Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, lit_c) + lit(c.map(x => x * x).sum)
+    lit(c.map(x => x * x).sum) - lit(2.0) * Similarity.dot(v, lit_c)
   }
 
   /** Train the coarse quantizer and assign every vector to its list.

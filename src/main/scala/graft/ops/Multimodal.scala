@@ -70,8 +70,11 @@ object Multimodal {
       // per-partition decoder init happens HERE in a real codec
       rows.map { row =>
         val media = row.getStruct(mIdx)
-        val payload = media.getAs[Array[Byte]]("payload")
-        Row(row.get(idIdx), stubFeatures(payload, dims).toSeq, payload.length.toLong)
+        val payload = if (media == null) null else media.getAs[Array[Byte]]("payload")
+        // null payload (upstream decode failure) → null features, 0 bytes —
+        // a bad record must not kill the job (P13 tolerance)
+        if (payload == null) Row(row.get(idIdx), null, 0L)
+        else Row(row.get(idIdx), stubFeatures(payload, dims).toSeq, payload.length.toLong)
       }
     }(Encoders.row(outSchema))
   }
@@ -88,14 +91,20 @@ object Multimodal {
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame", BinaryType)))
     df.flatMap { row =>
-      val payload = row.getStruct(mIdx).getAs[Array[Byte]]("payload")
-      val n = math.max(1, math.min(frames, payload.length))
-      (0 until n).map { i =>
-        val from = payload.length * i / n
-        val until = payload.length * (i + 1) / n
-        Row(row.get(idIdx), i, java.util.Arrays.copyOfRange(payload, from, until))
-      }
+      val media = row.getStruct(mIdx)
+      val payload = if (media == null) null else media.getAs[Array[Byte]]("payload")
+      if (payload == null) Seq.empty[Row]
+      else sampleRows(row.get(idIdx), payload, frames)
     }(Encoders.row(outSchema))
+  }
+
+  private def sampleRows(id: Any, payload: Array[Byte], frames: Int): Seq[Row] = {
+    val n = math.max(1, math.min(frames, payload.length))
+    (0 until n).map { i =>
+      val from = payload.length * i / n
+      val until = payload.length * (i + 1) / n
+      Row(id, i, java.util.Arrays.copyOfRange(payload, from, until))
+    }
   }
 
   /** Metadata-only resize: records the target dims in the media struct

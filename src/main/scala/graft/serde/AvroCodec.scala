@@ -63,6 +63,9 @@ object AvroCodec {
             else f.dataType match {
               case StringType => row.getString(i)
               case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+              // Avro INT wants Integer; boxed Short/Byte would CCE in the writer
+              case ShortType => Int.box(row.getShort(i).toInt)
+              case ByteType => Int.box(row.getByte(i).toInt)
               case _ => row.get(i).asInstanceOf[AnyRef]
             }
           rec.put(f.name, v)
@@ -91,6 +94,8 @@ object AvroCodec {
             case (StringType, s) => s.toString
             case (BinaryType, b: java.nio.ByteBuffer) =>
               val arr = new Array[Byte](b.remaining()); b.get(arr); arr
+            case (ShortType, x: Integer) => x.shortValue()
+            case (ByteType, x: Integer) => x.byteValue()
             case (_, x) => x
           }
         }.toSeq)

@@ -24,6 +24,15 @@ object JdbcSink {
     * key, single transaction per partition).
     */
   def upsertBatch(df: DataFrame, url: String, table: String, keyCols: Seq[String]): Unit = {
+    // one row per key per batch: duplicate keys in a single batch would
+    // insert twice after the batched deletes (PK violation), and the same
+    // key on two partitions would race delete-vs-insert across concurrent
+    // transactions. dropDuplicates both dedups and co-locates each key.
+    val deduped = df.dropDuplicates(keyCols)
+    upsertDistinct(deduped, url, table, keyCols)
+  }
+
+  private def upsertDistinct(df: DataFrame, url: String, table: String, keyCols: Seq[String]): Unit = {
     val schema = df.schema
     val cols = schema.fields.map(_.name)
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +

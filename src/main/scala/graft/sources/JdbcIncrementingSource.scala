@@ -103,15 +103,31 @@ private[sources] class JdbcIncMicroBatchStream(
 
   override def latestOffset(): Offset = withConn { c =>
     val prev = highWater
-    val rs = c.createStatement().executeQuery(
-      s"SELECT MAX($incCol) FROM $table" +
-        (if (maxRowsPerTrigger == Long.MaxValue) ""
-         else s" WHERE $incCol <= ${prev + maxRowsPerTrigger}"))
-    rs.next()
-    val m = rs.getLong(1)
-    val end = if (rs.wasNull()) prev else math.max(prev, m)
+    def maxWhere(cond: String): Option[Long] = {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT MAX($incCol) FROM $table WHERE $cond")
+      rs.next()
+      val m = rs.getLong(1)
+      if (rs.wasNull()) None else Some(m)
+    }
+    val end =
+      if (maxRowsPerTrigger == Long.MaxValue)
+        maxWhere(s"$incCol > $prev").getOrElse(prev)
+      else maxWhere(s"$incCol > $prev AND $incCol <= ${prev + maxRowsPerTrigger}")
+        .orElse {
+          // id GAP wider than the cap (identity rollbacks, high starting
+          // ids): jump the window to the next existing id, else the
+          // capped query returns NULL forever and the stream stalls
+          val rs = c.createStatement().executeQuery(
+            s"SELECT MIN($incCol) FROM $table WHERE $incCol > $prev")
+          rs.next()
+          val mn = rs.getLong(1)
+          if (rs.wasNull()) None
+          else maxWhere(s"$incCol >= $mn AND $incCol < $mn + $maxRowsPerTrigger")
+        }
+        .getOrElse(prev)
     bump(end)
-    MaxIdOffset(end)
+    MaxIdOffset(math.max(prev, end))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -144,6 +144,32 @@ class JdbcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-capped source advances across id gaps wider than the cap") {
+    exec("CREATE TABLE GAP_INPUT (id INT NOT NULL, lines VARCHAR(64))")
+    // ids start far beyond startingOffset + cap
+    exec("INSERT INTO GAP_INPUT VALUES (5000, 'alpha'), (5001, 'beta')")
+    val src = spark.readStream.format("graft.sources.JdbcIncrementingSource")
+      .schema("id INT, lines STRING")
+      .option("url", url).option("table", "GAP_INPUT")
+      .option("incrementingColumn", "id")
+      .option("maxRowsPerTrigger", "100").load()
+    val q = src.writeStream.format("memory").queryName("gap_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gap_sink").count() === 2)
+    } finally q.stop()
+  }
+
+  test("upsert tolerates duplicate keys within one batch (last-writer dedup)") {
+    exec("CREATE TABLE DUP_OUT (k VARCHAR(64) NOT NULL PRIMARY KEY, v BIGINT)")
+    import spark.implicits._
+    val batch = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    JdbcSink.upsertBatch(batch, url, "DUP_OUT", Seq("k"))   // must not PK-violate
+    val rows = query("SELECT k FROM DUP_OUT ORDER BY k")(_.getString(1))
+    assert(rows === Vector("a", "b"))
+  }
+
   test("missing schema fails fast with a clear message") {
     val e = intercept[Exception] {
       spark.readStream.format("graft.sources.JdbcIncrementingSource")

@@ -46,17 +46,19 @@ class SerdeSpec extends SparkSpec {
       Set((1L, "ORDER_1", 10.5), (2L, "ORDER_2", 20.0)))
   }
 
-  test("Avro binary round-trip incl. nulls (ref Avro converter path)") {
+  test("Avro binary round-trip incl. nulls and narrow ints (ref Avro converter path)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("name", StringType, nullable = true),
-      StructField("score", DoubleType, nullable = true)))
+      StructField("score", DoubleType, nullable = true),
+      StructField("small", ShortType, nullable = true),
+      StructField("tiny", ByteType, nullable = false)))
     val df = spark.createDataFrame(
       java.util.List.of(
-        org.apache.spark.sql.Row(1L, "alpha", 0.5),
-        org.apache.spark.sql.Row(2L, null, null)),
+        org.apache.spark.sql.Row(1L, "alpha", 0.5, 7.toShort, 3.toByte),
+        org.apache.spark.sql.Row(2L, null, null, null, 9.toByte)),
       schema)
-    val encoded = AvroCodec.encode(df, Seq("id", "name", "score"))
+    val encoded = AvroCodec.encode(df, Seq("id", "name", "score", "small", "tiny"))
     assert(encoded.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
       Seq(("value", BinaryType)))
     val back = AvroCodec.decode(encoded, "value", schema)
@@ -88,6 +90,16 @@ class SerdeSpec extends SparkSpec {
     assert(f1 === f2)                       // deterministic
     assert(f1(1L).length === 8)
     assert(f1(1L) !== f1(2L))               // payload-sensitive
+  }
+
+  test("multimodal: null payload yields null features / zero frames, not an NPE") {
+    val df = Seq((1L, Some("ok")), (2L, None)).toDF("id", "raw")
+      .select($"id", Multimodal.asMedia(encode($"raw", "UTF-8"), "image/png").as("media"))
+    val feats = Multimodal.extractFeatures(df, "id", "media", dims = 4).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(feats(1L) === false && feats(2L) === true)
+    val frames = Multimodal.sampleFrames(df, "id", "media", frames = 2).collect()
+    assert(frames.forall(_.getLong(0) == 1L))
   }
 
   test("multimodal: frame sampling fans out 1->N with full payload coverage") {
