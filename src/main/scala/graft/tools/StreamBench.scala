@@ -18,21 +18,38 @@ object StreamBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val lines = spark.readStream.format("rate")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "wordcount")
+    val src = spark.readStream.format("rate")
       .option("rowsPerSecond", rate).option("numPartitions", 8).load()
-      .select(concat(
-        lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
-        (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
-        (col("value") % 7919).cast("string")).as("text"))
-    val q = Text.wordCount(lines, "text")
-      .writeStream.format("noop").outputMode("update").start()
+    val q = mode match {
+      case "join" =>
+        // windowed self-join throughput: evens vs odds on a shared key
+        val l = src.filter(col("value") % 2 === 0)
+          .select((col("value") % 1000).as("key"), col("timestamp").as("ts"), col("value").as("lv"))
+          .withWatermark("ts", "5 seconds")
+        val r = src.filter(col("value") % 2 === 1)
+          .select((col("value") % 1000).as("rkey"), col("timestamp").as("rts"), col("value").as("rv"))
+          .withWatermark("rts", "5 seconds")
+        l.join(r, col("key") === col("rkey") &&
+            col("rts") >= col("ts") - expr("INTERVAL 2 SECONDS") &&
+            col("rts") <= col("ts") + expr("INTERVAL 2 SECONDS"))
+          .select(col("key"), col("lv"), col("rv"))
+          .writeStream.format("noop").outputMode("append").start()
+      case _ =>
+        val lines = src.select(concat(
+          lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
+          (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
+          (col("value") % 7919).cast("string")).as("text"))
+        Text.wordCount(lines, "text")
+          .writeStream.format("noop").outputMode("update").start()
+    }
     Thread.sleep(seconds * 1000L)
     val progress = q.recentProgress.filter(_.numInputRows > 0)
     q.stop()
     val rows = progress.map(_.numInputRows).sum
     val procRate = progress.map(_.processedRowsPerSecond).filter(!_.isNaN)
     val avg = if (procRate.nonEmpty) procRate.sum / procRate.length else 0.0
-    println(f"""{"metric":"stream_wordcount_rows_per_sec","value":$avg%.0f,"rows":$rows,"batches":${progress.length},"offered_rate":$rate}""")
+    println(f"""{"metric":"stream_$mode%s_rows_per_sec","value":$avg%.0f,"rows":$rows,"batches":${progress.length},"offered_rate":$rate}""")
     spark.stop()
   }
 }
