@@ -34,6 +34,12 @@ object TextQueries extends QueryModule {
 
     "text_cleanse" -> ((s, d) => Text.cleanse(docs(s, d), "text", "doc_id")),
 
+    // deterministic training-mix sampling: 20% overall, en boosted to 50%
+    "sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedHashSample(docs(s, d), "lang", "doc_id",
+        Map("en" -> 0.5), default = 0.2, salt = "mix1")
+        .select("doc_id", "lang")),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -106,6 +112,11 @@ object TextQueries extends QueryModule {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens,
         |  length(text)::BIGINT AS n_chars_obs
         |FROM documents""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(doc_id::VARCHAR || '_mix1'), 1, 8))::BIGINT % 10000)
+        |      < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)""".stripMargin,
 
     "text_cleanse" ->
       """WITH c AS (

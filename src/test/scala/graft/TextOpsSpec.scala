@@ -96,6 +96,23 @@ class TextOpsSpec extends SparkSpec {
     assert(bits(h(1L) ^ h(2L)) <= bits(h(1L) ^ h(3L)))
   }
 
+  test("hash sampling is deterministic, layout-independent, and ~proportional") {
+    val df = (1L to 2000L).map(i => (i, if (i % 4 == 0) "en" else "other")).toDF("id", "lang")
+    val s1 = graft.ops.Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet
+    val s2 = graft.ops.Sampling.hashSample(df.repartition(7), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(s1 === s2)                                      // layout-independent
+    assert(math.abs(s1.size - 600) < 80, s1.size.toString) // ~30%
+    val s3 = graft.ops.Sampling.hashSample(df, "id", 0.3, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(s3 !== s1)                                      // independent draw per salt
+    val strat = graft.ops.Sampling.stratifiedHashSample(df, "lang", "id",
+      Map("en" -> 0.8), default = 0.1).as[(Long, String)].collect()
+    val en = strat.count(_._2 == "en"); val other = strat.length - en
+    assert(math.abs(en - 400) < 80, en.toString)           // 80% of 500
+    assert(math.abs(other - 150) < 60, other.toString)     // 10% of 1500
+  }
+
   test("cleanse strips html, redacts urls/emails, collapses whitespace") {
     val df = Seq(
       (1L, "<p>Hello <b>world</b></p>  visit https://example.com/x?q=1 now"),
