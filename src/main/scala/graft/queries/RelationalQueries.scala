@@ -132,6 +132,22 @@ object RelationalQueries extends QueryModule {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("sum_qty"))),
 
+    // Exact percentiles (sorted + linear interpolation — same formula both
+    // engines; floor6 absorbs last-bit interpolation differences)
+    "stats_percentiles" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(
+          floor6(expr("percentile(value, 0.5)")).as("p50"),
+          floor6(expr("percentile(value, 0.95)")).as("p95"),
+          floor6(min(col("value"))).as("vmin"),
+          floor6(max(col("value"))).as("vmax"))),
+
+    // Value histogram: fixed-width buckets, exact counts
+    "stats_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), (floor(col("value") / 25) * 25).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // Analytic window functions (beyond reference): top-2 orders per
     // customer by price, deterministic tie-break.
     "q_top2_per_customer" -> ((s, d) => {
@@ -219,6 +235,18 @@ object RelationalQueries extends QueryModule {
     "a2_count_by_key" ->
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "stats_percentiles" ->
+      """SELECT event_type,
+        |  floor(quantile_cont("value", 0.5) * 1000000) / 1000000.0 AS p50,
+        |  floor(quantile_cont("value", 0.95) * 1000000) / 1000000.0 AS p95,
+        |  floor(min("value") * 1000000) / 1000000.0 AS vmin,
+        |  floor(max("value") * 1000000) / 1000000.0 AS vmax
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "stats_histogram" ->
+      """SELECT event_type, (floor("value" / 25) * 25)::BIGINT AS bucket, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_top2_per_customer" ->
       """SELECT * FROM (
