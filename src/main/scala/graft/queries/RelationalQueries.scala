@@ -132,6 +132,21 @@ object RelationalQueries extends QueryModule {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("sum_qty"))),
 
+    // KTable materialization (A3 batch twin): the latest record per key —
+    // the table snapshot a changelog compacts to.
+    "a3_latest_per_key" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // order and emit at µs precision: DuckDB truncates the nanos
+      // timestamp to µs on read, so ns-precision ordering would diverge
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("ts_us").as("last_ts_us"))
+    }),
+
     // Exact percentiles (sorted + linear interpolation — same formula both
     // engines; floor6 absorbs last-bit interpolation differences)
     "stats_percentiles" -> ((s, d) =>
@@ -235,6 +250,14 @@ object RelationalQueries extends QueryModule {
     "a2_count_by_key" ->
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "a3_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       epoch_us(ts) AS last_ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     "stats_percentiles" ->
       """SELECT event_type,
