@@ -14,8 +14,9 @@ import graft.ops.Text.{floor6, h32, tokens}
   *  - signatures/fingerprints are pure per-row expressions (narrow, codegen)
   *    built on the portable md5-based [[Text.h32]] so the DuckDB oracle can
   *    reproduce every hash bit-for-bit.
-  *  - skew: a degenerate band key (e.g. empty docs) would hot-spot one
-  *    reducer; callers can pre-filter empties or salt by length bucket.
+  *  - skew: a degenerate band key (e.g. empty docs sharing the whole-doc
+  *    fallback signature) would hot-spot one reducer; buckets over
+  *    `maxBucket` are skipped and surfaced via [[candidateBucketStats]].
   */
 object Dedup {
 
@@ -124,20 +125,43 @@ object Dedup {
     * bounded per bucket, never corpus-quadratic.
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, bands: Int = 2): DataFrame = {
+      k: Int = 8, bands: Int = 2, maxBucket: Int = 1000): DataFrame = {
     // group-by-bucket instead of self-join: the signature pipeline runs
     // ONCE (a self-join would recompute the md5 work on both sides), and
-    // pair fan-out stays bounded by bucket size. collect_list per bucket is
-    // safe for the same reason the join would be — a degenerate hot bucket
-    // is a data-quality signal to pre-filter, not a reason to all-pairs.
-    val b = lshBands(df, textCol, idCol, k, bands)
-    b.groupBy("band", "band_key").agg(collect_list(col(idCol)).as("docs"))
-      .filter(size(col("docs")) > 1)
+    // pair fan-out stays bounded by bucket size. Buckets larger than
+    // maxBucket are dropped (quadratic pair fan-out — one poison bucket,
+    // e.g. thousands of near-empty docs sharing the whole-doc-fallback
+    // signature, would pin a reducer for hours at corpus scale); use
+    // candidateBucketStats to audit what was skipped.
+    bucketedDocLists(df, textCol, idCol, k, bands)
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
+
+  private def bucketedDocLists(df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int): DataFrame =
+    lshBands(df, textCol, idCol, k, bands)
+      .groupBy("band", "band_key").agg(collect_list(col(idCol)).as("docs"))
+
+  /** Audit companion to [[minhashCandidatePairs]]: per-band counts of usable
+    * vs over-cap buckets and the docs affected, so capped buckets are
+    * surfaced rather than silently truncated. Run it (or sink it) alongside
+    * the pair job; a nonzero `skipped_buckets` means the cap was hit.
+    */
+  def candidateBucketStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 2, maxBucket: Int = 1000): DataFrame =
+    bucketedDocLists(df, textCol, idCol, k, bands)
+      .groupBy("band")
+      .agg(
+        sum(when(size(col("docs")) > 1 && size(col("docs")) <= maxBucket, 1L)
+          .otherwise(0L)).as("usable_buckets"),
+        sum(when(size(col("docs")) > maxBucket, 1L).otherwise(0L)).as("skipped_buckets"),
+        sum(when(size(col("docs")) > maxBucket, size(col("docs")).cast("long"))
+          .otherwise(0L)).as("skipped_docs"),
+        max(size(col("docs"))).cast("long").as("max_bucket"))
 
   /** End-to-end near-duplicate removal — the operator a pipeline actually
     * calls: LSH candidate pairs → exact Jaccard verification on candidates
@@ -145,12 +169,16 @@ object Dedup {
     * near-duplicate" (one-pass keeper rule; cheap, deterministic, no
     * iterative connected components) → anti-join. Returns the KEPT rows.
     *
-    * Scale: Jaccard runs only on bucket-bounded candidate pairs, the drop
-    * set is (dup pairs) small, and the final anti-join broadcasts it.
+    * Scale: Jaccard runs only on bucket-bounded candidate pairs. The final
+    * anti-join carries NO broadcast hint on purpose: at web-scale dup rates
+    * (30-50% of a crawl) the drop set is O(corpus), so the strategy is left
+    * to AQE/autoBroadcastJoinThreshold, which still broadcasts when the set
+    * is actually small.
     */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2): DataFrame = {
-    val pairs = minhashCandidatePairs(df, textCol, idCol, k, bands)
+      minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashCandidatePairs(df, textCol, idCol, k, bands, maxBucket)
     val shs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
     val verified = pairs
@@ -162,7 +190,7 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
           .otherwise(lit(0.0)) >= minJaccard)
     val dropped = verified.select(col("doc_b").as(idCol)).distinct()
-    df.join(broadcast(dropped), Seq(idCol), "left_anti")
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** 16-bit SimHash over the token multiset: bit b is the sign of the sum of

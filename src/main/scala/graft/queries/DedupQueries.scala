@@ -77,16 +77,20 @@ object DedupQueries extends QueryModule {
 
     "dedup_minhash_sigs" -> sigsSql,
 
+    // `ok` mirrors the Spark-side maxBucket=1000 hot-bucket cap
     "dedup_minhash_pairs" ->
       s"""$basesCte,
          |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
          |bands AS (
          |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
          |  UNION ALL
-         |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig)
+         |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+         |ok AS (SELECT band, band_key FROM bands
+         |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key""".stripMargin,
 
     "dedup_near_kept" ->
       s"""$basesCte,
@@ -95,10 +99,13 @@ object DedupQueries extends QueryModule {
          |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
          |  UNION ALL
          |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+         |ok AS (SELECT band, band_key FROM bands
+         |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM bands a JOIN bands b2
-         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+         |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
          |ss AS (SELECT doc_id, list_distinct(
          |  CASE WHEN len(toks) >= 3
          |       THEN list_transform(range(len(toks) - 2),

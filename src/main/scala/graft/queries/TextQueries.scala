@@ -140,9 +140,11 @@ object TextQueries extends QueryModule {
          |   AND mean_word_len >= 3.0 AND mean_word_len <= 12.0) AS keep
          |FROM ($qualitySql) q""".stripMargin,
 
+    // sums cast ::BIGINT: DuckDB sum(BIGINT) yields HUGEINT (int128) while
+    // Spark emits LongType — the driver's hash compare is type-sensitive
     "text_corpus_stats" ->
       s"""SELECT lang_pred, count(*) AS n_docs,
-         |  sum(n_tokens) AS sum_tokens, sum(n_chars_obs) AS sum_chars
+         |  sum(n_tokens)::BIGINT AS sum_tokens, sum(n_chars_obs)::BIGINT AS sum_chars
          |FROM ($langSql) l JOIN ($qualitySql) q USING (doc_id)
          |GROUP BY lang_pred""".stripMargin,
 

@@ -78,6 +78,43 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))  // keeper = lower id; distinct doc survives
   }
 
+  test("dropNearDuplicates at a 33% dup rate: correct keepers, no broadcast hint") {
+    // 100 base docs, 50 planted near-dups (id+1000 = base text + one token):
+    // a web-crawl-like dup rate where a forced broadcast of the drop set
+    // would be O(corpus). The anti-join must leave strategy choice to AQE.
+    val base = (1L to 100L).map(i =>
+      (i, s"doc$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i"))
+    val dups = (1L to 50L).map(i =>
+      (i + 1000L, s"doc$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i extra"))
+    val df = (base ++ dups).toDF("id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "text", "id", minJaccard = 0.5, bands = 4)
+    assert(kept.queryExecution.optimizedPlan.toString.toLowerCase.indexOf("hint") === -1,
+      "drop-set anti-join must not carry a broadcast hint")
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert((1L to 100L).forall(ids.contains), "all lower-id keepers survive")
+    assert((1L to 50L).forall(i => !ids.contains(i + 1000L)), "all planted dups dropped")
+  }
+
+  test("LSH hot-bucket cap bounds poison-bucket fan-out and is surfaced in stats") {
+    // 500 empty docs share the whole-doc-fallback signature → one 500-doc
+    // bucket per band. Uncapped that is ~125k quadratic pairs; with the cap
+    // the bucket is skipped (reported, not silent) and real dups still pair.
+    val empties = (1L to 500L).map(i => (i, ""))
+    val real = Seq(
+      (9001L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (9002L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+    val df = (empties ++ real).toDF("id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "text", "id", k = 8, bands = 4, maxBucket = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9001L, 9002L)), "real near-dups still surfaced")
+    assert(!pairs.exists(p => p._1 <= 500L || p._2 <= 500L), "poison bucket contributes no pairs")
+    val stats = Dedup.candidateBucketStats(df, "text", "id", k = 8, bands = 4, maxBucket = 50)
+      .agg(sum("skipped_buckets"), sum("skipped_docs"), max("max_bucket"))
+      .as[(Long, Long, Long)].head()
+    assert(stats._1 >= 4L, "one over-cap bucket per band reported")
+    assert(stats._2 >= 2000L && stats._3 === 500L)
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
     val j = Dedup.ngramJaccardPairs(df, "text", "id")

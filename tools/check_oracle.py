@@ -43,7 +43,15 @@ for name, sql in sorted(oracle.items()):
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     try:
         import pandas as pd
-        pd.testing.assert_frame_equal(o, s, check_dtype=False, check_exact=True)
+        # The driver hashes python values, so integer WIDTH is invisible to it
+        # (int32 row_number == int64 rank) but KIND is not: DuckDB's HUGEINT
+        # (sum of BIGINTs) lands as float64/object and diverges from int64.
+        # Mirror that: widen all int dtypes to int64, then compare dtypes.
+        for df in (o, s):
+            for c in df.columns:
+                if df[c].dtype.kind in "iu":
+                    df[c] = df[c].astype("int64")
+        pd.testing.assert_frame_equal(o, s, check_dtype=True, check_exact=True)
         passes.append(name)
     except AssertionError as e:
         fails.append((name, str(e).split("\n")[0] + " | " + "\n".join(str(e).split("\n")[1:4])))
