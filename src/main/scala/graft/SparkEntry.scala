@@ -31,10 +31,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = modules.map(_.oracle).reduce(_ ++ _)
 
-  /** Headline subset benchmarked per-round at sf0.1 (Bench.scala). */
+  /** Headline subset benchmarked per-round at sf0.1 (Bench.scala) — one
+    * per operator family so a regression anywhere shows in the round delta.
+    */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "q6_forecast_revenue", "text_wordcount", "text_quality_score",
     "j5_multiway_revenue", "j1_window_inner_join", "w1_tumbling_agg",
-    "dedup_minhash_pairs", "ann_topk_cosine")
+    "dedup_minhash_pairs", "ann_topk_cosine",
+    "j3_window_outer_join", "w3_session_agg", "dedup_near_kept",
+    "text_cleanse", "sample_stratified")
 }

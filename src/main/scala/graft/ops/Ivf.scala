@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Text.floor6
 
@@ -72,10 +71,14 @@ object Ivf {
     val cos = when(norm(col("qv")) * norm(col("v")) > 0,
       Similarity.dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
       .otherwise(lit(0.0))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col(idCol).as("neighbor_id"), cos.as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), floor6(col("cos")).as("sim"))
+    // bounded top-k aggregation (map-side partial) instead of a global
+    // per-query window — see graft.functions.TopK for the scale rationale
+    val grouped = cand.select(col("query_id"), col(idCol).as("neighbor_id"), cos.as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk"))
+    grouped
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"), floor6(col("item._1")).as("sim"))
   }
 }

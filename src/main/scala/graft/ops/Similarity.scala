@@ -43,15 +43,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Explode a top-k array-of-(score,id) struct column back to ranked rows:
+    * (group columns..., neighbor_id, rnk, sim).
+    */
+  private[ops] def explodeTopK(grouped: DataFrame, groupCols: Seq[String]): DataFrame =
+    grouped
+      .select(groupCols.map(col) :+ posexplode(col("topk")).as(Seq("pos", "item")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("item._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        floor6(col("item._1")).as("sim")): _*)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (ties broken by id). Queries are broadcast; corpus is
-    * scanned once. The per-query ranking shuffles only (queries × corpus)
-    * candidate rows — at true scale, swap the window for a per-partition
-    * top-k combine, or use [[bucketedTopK]].
+    * scanned once. Ranking is a bounded [[graft.functions.TopK]] aggregation
+    * — partial top-k per partition, merged on the reducer — so the shuffle
+    * carries ≤ k pairs per query per partition instead of the full
+    * per-query candidate list (no one-reducer-per-query ceiling).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def norm(v: Column): Column = sqrt(dot(v, v))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -61,10 +72,10 @@ object Similarity {
       dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), floor6(col("cos")).as("sim"))
+    val grouped = scored.groupBy("query_id")
+      .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk"))
+    explodeTopK(grouped, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
   /** Sign-random-projection LSH bucket id: bit p = (v · hyperplane_p >= 0).
@@ -86,7 +97,6 @@ object Similarity {
     */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       planes: Int = 8, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def norm(v: Column): Column = sqrt(dot(v, v))
     val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
@@ -96,12 +106,14 @@ object Similarity {
       col("bucket").as("bucket2"))
     val cos = when(col("qn") * col("cn") > 0,
       dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    a.join(b, col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
+    // bucket is functionally dependent on query_id; grouping by both keeps
+    // it in the output without a second join
+    val grouped = a
+      .join(b, col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("bucket"), cos.as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"),
-        floor6(col("cos")).as("sim"))
+      .groupBy("query_id", "bucket")
+      .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk"))
+    explodeTopK(grouped, Seq("query_id", "bucket"))
+      .select("query_id", "neighbor_id", "bucket", "rnk", "sim")
   }
 }

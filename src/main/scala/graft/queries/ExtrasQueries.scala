@@ -66,7 +66,48 @@ object ExtrasQueries extends QueryModule {
       Tables.documents(s, d).select(
         col("doc_id"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
-        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))))
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))),
+
+    // P11: format-conversion round-trip — Avro-encode the rows to binary,
+    // decode back; identity result proves the codec loses nothing
+    // (ref StreamsSelectAndProjectIntTest.java:267-287, Avro↔JSON CSAS)
+    "p11_format_roundtrip" -> ((s, d) => {
+      val src = Tables.documents(s, d).select("doc_id", "text")
+      graft.serde.AvroCodec.decode(
+        graft.serde.AvroCodec.encode(src, Seq("doc_id", "text")), "value", src.schema)
+    }),
+
+    // J4: rekey-before-join invariance — both sides rekeyed through a
+    // derived string key (selectKey analogue) must produce exactly the
+    // unrekeyed J1 result; the oracle IS the plain-key join
+    // (ref StreamStreamJoinIntegrationTest.java:88-115 testInnerRepartitioned)
+    "j4_rekeyed_join" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val c = e.filter(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("k"),
+          col("user_id"), col("event_id").as("click_id"), col("ts_us").as("cts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(concat(lit("u"), col("user_id")).as("k2"),
+          col("event_id").as("purchase_id"), col("ts_us").as("pts"))
+      c.join(p, col("k") === col("k2") &&
+          col("pts") >= col("cts") - windowUs && col("pts") <= col("cts") + windowUs)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("pts") - col("cts")).as("lag_us"))
+    }),
+
+    // A4: emission-granularity equivalence batch twin — word counts built
+    // from per-batch partial counts re-aggregated (caching/coalesced
+    // emission) must equal the single-pass count (per-record emission)
+    // (ref KafkaWordCount.java:50 CACHE_MAX_BYTES_BUFFERING_CONFIG=0,
+    // AbstractJoinIntegrationTest.java:73-79 parameterized cache on/off)
+    "a4_incremental_equiv" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batches = (0 to 1).map { b =>
+        Text.wordCount(docs.filter(pmod(col("doc_id"), lit(2)) === b), "text")
+      }
+      batches.reduce(_ unionByName _)
+        .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+    }))
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
@@ -106,5 +147,23 @@ object ExtrasQueries extends QueryModule {
 
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // identity: the round-trip must reproduce the source exactly
+    "p11_format_roundtrip" -> "SELECT doc_id, text FROM documents",
+
+    // the REKEYED join's oracle is the PLAIN-key join — that equality is J4
+    "j4_rekeyed_join" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+         |FROM events c JOIN events p
+         |  ON c.user_id = p.user_id
+         | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - $windowUs AND epoch_us(c.ts) + $windowUs
+         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+
+    // the PARTIAL-then-merge count's oracle is the single-pass count — A4
+    "a4_incremental_equiv" ->
+      s"""SELECT w AS word, count(*) AS cnt
+         |FROM (SELECT unnest($toks) AS w FROM documents)
+         |GROUP BY w""".stripMargin)
 }

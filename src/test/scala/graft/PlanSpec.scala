@@ -45,4 +45,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(400))
   }
+
+  test("ANN top-k is a bounded partial aggregation, not a per-query window") {
+    // the window form shuffles each query's FULL candidate list to one
+    // reducer; the TopK aggregator caps shuffle input at k per partition
+    Seq("ann_topk_cosine", "ann_bucket_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still plans a window: ${p.take(300)}")
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkbyscore"),
+        s"$q lacks a partial top-k aggregate")
+    }
+  }
 }
