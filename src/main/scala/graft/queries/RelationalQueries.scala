@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.StreamRegistry
@@ -147,15 +147,25 @@ object RelationalQueries extends QueryModule {
           col("event_type").as("last_type"), col("ts_us").as("last_ts_us"))
     }),
 
-    // Exact percentiles (sorted + linear interpolation — same formula both
-    // engines; floor6 absorbs last-bit interpolation differences)
-    "stats_percentiles" -> ((s, d) =>
+    // Exact percentiles via an EXPLICIT interpolation both engines compute
+    // with the same IEEE op sequence (lo + frac*(hi-lo) over the sorted
+    // list) — relying on percentile()/quantile_cont() being bit-identical
+    // would make floor6 a data-dependent flake at x*1e6 integer boundaries
+    "stats_percentiles" -> ((s, d) => {
+      def pct(p: Double): Column = {
+        val idx = (size(col("arr")).cast("double") - 1.0) * lit(p)
+        val loV = element_at(col("arr"), floor(idx).cast("int") + 1)
+        val hiV = element_at(col("arr"), ceil(idx).cast("int") + 1)
+        loV + (idx - floor(idx)) * (hiV - loV)
+      }
       Tables.events(s, d).groupBy("event_type")
-        .agg(
-          floor6(expr("percentile(value, 0.5)")).as("p50"),
-          floor6(expr("percentile(value, 0.95)")).as("p95"),
+        .agg(sort_array(collect_list(col("value"))).as("arr"),
           floor6(min(col("value"))).as("vmin"),
-          floor6(max(col("value"))).as("vmax"))),
+          floor6(max(col("value"))).as("vmax"))
+        .select(col("event_type"),
+          floor6(pct(0.5)).as("p50"), floor6(pct(0.95)).as("p95"),
+          col("vmin"), col("vmax"))
+    }),
 
     // Value histogram: fixed-width buckets, exact counts
     "stats_histogram" -> ((s, d) =>
@@ -259,13 +269,28 @@ object RelationalQueries extends QueryModule {
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
 
+    // identical explicit interpolation as the Spark side: idx=(n-1)*p,
+    // lo + (idx-floor(idx))*(hi-lo) over the sorted list
     "stats_percentiles" ->
-      """SELECT event_type,
-        |  floor(quantile_cont("value", 0.5) * 1000000) / 1000000.0 AS p50,
-        |  floor(quantile_cont("value", 0.95) * 1000000) / 1000000.0 AS p95,
-        |  floor(min("value") * 1000000) / 1000000.0 AS vmin,
-        |  floor(max("value") * 1000000) / 1000000.0 AS vmax
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH g AS (
+        |  SELECT event_type, list_sort(list("value")) AS arr,
+        |         min("value") AS mn, max("value") AS mx
+        |  FROM events GROUP BY event_type),
+        |p AS (
+        |  SELECT event_type, arr, mn, mx,
+        |         (len(arr) - 1)::DOUBLE * 0.5::DOUBLE AS i50,
+        |         (len(arr) - 1)::DOUBLE * 0.95::DOUBLE AS i95
+        |  FROM g)
+        |SELECT event_type,
+        |  floor((arr[floor(i50)::BIGINT + 1]
+        |         + (i50 - floor(i50)) * (arr[ceil(i50)::BIGINT + 1] - arr[floor(i50)::BIGINT + 1]))
+        |        * 1000000) / 1000000.0 AS p50,
+        |  floor((arr[floor(i95)::BIGINT + 1]
+        |         + (i95 - floor(i95)) * (arr[ceil(i95)::BIGINT + 1] - arr[floor(i95)::BIGINT + 1]))
+        |        * 1000000) / 1000000.0 AS p95,
+        |  floor(mn * 1000000) / 1000000.0 AS vmin,
+        |  floor(mx * 1000000) / 1000000.0 AS vmax
+        |FROM p""".stripMargin,
 
     "stats_histogram" ->
       """SELECT event_type, (floor("value" / 25) * 25)::BIGINT AS bucket, count(*) AS cnt

@@ -22,19 +22,34 @@ object JdbcSink {
 
   /** Upsert `df` into `table` keyed on `keyCols` (delete-then-insert per
     * key, single transaction per partition).
+    *
+    * One row per key per batch: duplicate keys in a single batch would
+    * insert twice after the batched deletes (PK violation), and the same
+    * key on two partitions would race delete-vs-insert across concurrent
+    * transactions. With `versionCol` set the survivor is the row with the
+    * MAX version (deterministic across retries/replays); without it the
+    * survivor is arbitrary-winner — fine for the primary use (update-mode
+    * aggregates emit one row per key per batch), documented for the rest.
     */
-  def upsertBatch(df: DataFrame, url: String, table: String, keyCols: Seq[String]): Unit = {
-    // one row per key per batch: duplicate keys in a single batch would
-    // insert twice after the batched deletes (PK violation), and the same
-    // key on two partitions would race delete-vs-insert across concurrent
-    // transactions. dropDuplicates both dedups and co-locates each key.
-    val deduped = df.dropDuplicates(keyCols)
+  def upsertBatch(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      versionCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val deduped = versionCol match {
+      case Some(v) =>
+        df.groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(df.columns.map(col): _*), col(v)).as("_row"))
+          .select("_row.*")
+      case None => df.dropDuplicates(keyCols)
+    }
     upsertDistinct(deduped, url, table, keyCols)
   }
 
   private def upsertDistinct(df: DataFrame, url: String, table: String, keyCols: Seq[String]): Unit = {
+    graft.SqlIdent.table(table)
+    keyCols.foreach(graft.SqlIdent.column)
     val schema = df.schema
     val cols = schema.fields.map(_.name)
+    cols.foreach(graft.SqlIdent.column)
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val deleteSql = s"DELETE FROM $table WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
@@ -82,8 +97,10 @@ object JdbcSink {
     * Single transaction per partition.
     */
   def appendBatch(df: DataFrame, url: String, table: String): Unit = {
+    graft.SqlIdent.table(table)
     val schema = df.schema
     val cols = schema.fields.map(_.name)
+    cols.foreach(graft.SqlIdent.column)
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     df.foreachPartition { (rows: Iterator[Row]) =>
@@ -109,12 +126,12 @@ object JdbcSink {
     * each batch's changed keys overwrite their previous rows).
     */
   def writeStream(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      checkpointLocation: String): StreamingQuery =
+      checkpointLocation: String, versionCol: Option[String] = None): StreamingQuery =
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, url, table, keyCols)
+        upsertBatch(batch, url, table, keyCols, versionCol)
       }
       .start()
 }

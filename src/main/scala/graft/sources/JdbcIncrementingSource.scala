@@ -79,8 +79,9 @@ private[sources] class JdbcIncMicroBatchStream(
     schema: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream {
 
   private val url = options.get("url")
-  private val table = options.get("table")
-  private val incCol = options.get("incrementingColumn")
+  // validated once here; the reader factory receives these same values
+  private val table = graft.SqlIdent.table(options.get("table"))
+  private val incCol = graft.SqlIdent.column(options.get("incrementingColumn"))
   private val numPartitions = math.max(1, options.getInt("numPartitions", 1))
   private val maxRowsPerTrigger = options.getLong("maxRowsPerTrigger", Long.MaxValue)
   private val startingOffset = options.getLong("startingOffset", 0L)
@@ -173,7 +174,8 @@ private[sources] class JdbcIncReaderFactory(
     val p = partition.asInstanceOf[JdbcIncPartition]
     new PartitionReader[InternalRow] {
       private val conn = DriverManager.getConnection(url)
-      private val cols = schema.fields.map(_.name).mkString(", ")
+      // user-declared schema names are interpolated too — validate them
+      private val cols = schema.fields.map(f => graft.SqlIdent.column(f.name)).mkString(", ")
       // incremental predicate pushed into the database scan
       private val rs: ResultSet = conn.createStatement().executeQuery(
         s"SELECT $cols FROM $table WHERE $incCol > ${p.startExclusive} " +
