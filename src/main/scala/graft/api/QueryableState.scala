@@ -13,10 +13,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Each micro-batch's updates upsert into a driver-local map, so `get`/
   * `all` observe the latest value per key — exactly what KS's local store
   * exposes per instance. This is a SERVING surface, deliberately
-  * driver-local like KS's per-instance RocksDB; the at-scale serving path
-  * is the same update stream upserted into an external store
+  * driver-local like KS's per-instance RocksDB; the at-scale paths are
+  * [[QueryableState.fromCheckpoint]] (distributed read of the operator's
+  * StateStore files) and the update stream upserted into an external store
   * ([[graft.sinks.JdbcSink]]) or a lakehouse table.
   */
+object QueryableState {
+
+  /** Production-grade state read — Spark's state data source over a
+    * stateful query's checkpoint: every (key, value) pair of the operator's
+    * StateStore as a distributed DataFrame, no driver materialization and
+    * no running query required. This is the at-scale analogue of KS's
+    * `store.all()`: state files are read where they sit (HDFS/S3), so a
+    * 1000-executor job can scan TB-scale state in parallel.
+    *
+    * Returns columns `key` (struct of the grouping columns), `value`
+    * (struct of the aggregate buffer), `partition_id`.
+    */
+  def fromCheckpoint(spark: org.apache.spark.sql.SparkSession, checkpointDir: String,
+      operatorId: Int = 0, storeName: String = "default"): DataFrame =
+    spark.read.format("statestore")
+      .option("operatorId", operatorId.toString)
+      .option("storeName", storeName)
+      .load(checkpointDir)
+}
+
 class QueryableState(keyCols: Seq[String]) {
   private val store = TrieMap[Seq[Any], Row]()
 

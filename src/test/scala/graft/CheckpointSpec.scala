@@ -66,5 +66,18 @@ class CheckpointSpec extends SparkSpec {
     // restart processed ONLY the new files: words exclusive to part1 are
     // absent from run2's update stream
     assert(!afterRun2.contains("question"))
+
+    // production queryable-state path: read the aggregation's StateStore
+    // straight from the checkpoint (distributed, no running query) — the
+    // at-scale KS store.all() analogue
+    val state = graft.api.QueryableState.fromCheckpoint(spark, ckpt)
+      .selectExpr("key.word AS word", "value.`count` AS cnt")
+      .as[(String, Long)].collect().toMap
+    val golden = Map("to" -> 4L, "be" -> 2L, "or" -> 2L, "the" -> 3L, "not" -> 1L,
+      "that" -> 1L, "is" -> 1L, "question" -> 1L, "whether" -> 1L)
+    golden.foreach { case (w, c) => assert(state.get(w).contains(c), s"state[$w]") }
+    // full final state, including part1-only words the update stream no
+    // longer carries
+    assert(state.contains("question"))
   }
 }
