@@ -173,4 +173,66 @@ object Text {
       md5(norm).as("fp_md5"),
       h32(norm).as("fp_h32"))
   }
+
+  /** Repetition quality signals (the Gopher-rules family): fraction of the
+    * document occupied by its most frequent word, fraction of duplicate
+    * words, fraction of duplicate 2-grams. High values flag boilerplate /
+    * SEO spam / degenerate generations for corpus filtering.
+    *
+    * Shape: word stats via explode → two keyed aggregations (codegen,
+    * map-side combine); the 2-gram stat is per-row array arithmetic
+    * (narrow). Everything keyed by doc id — no corpus-wide shuffle skew.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val tw = tok.groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(max("c").as("top_cnt"), sum("c").as("n_tok"), count(lit(1)).as("n_distinct"))
+    val grams = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("gs"))
+    val gstats = grams.select(col(idCol),
+      floor6(when(size(col("gs")) > 0,
+        lit(1.0) - size(array_distinct(col("gs"))).cast("double") / size(col("gs")).cast("double"))
+        .otherwise(lit(0.0))).as("dup_2gram_frac"))
+    df.select(col(idCol))
+      .join(tw, Seq(idCol), "left")
+      .join(gstats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"),
+        coalesce(floor6(col("top_cnt").cast("double") / col("n_tok").cast("double")),
+          lit(0.0)).as("top_word_frac"),
+        coalesce(floor6(lit(1.0) - col("n_distinct").cast("double") / col("n_tok").cast("double")),
+          lit(0.0)).as("dup_word_frac"),
+        col("dup_2gram_frac"))
+  }
+
+  /** Benchmark-contamination check: count shared winnowing fingerprints
+    * between each corpus document and a benchmark/eval set — the standard
+    * decontamination pass before training. Shared-substring guarantee comes
+    * from winnowing (any common run ≥ k+w-1 chars shares a fingerprint).
+    *
+    * Scale: benchmark sets are small by definition, so their fingerprint
+    * set is broadcast (bounded by the benchmark, unlike a dedup drop set);
+    * the corpus side stays a per-row fingerprint projection + one keyed
+    * count. Returns every corpus doc with its shared-fp count and the
+    * `contaminated` verdict.
+    */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, k: Int = 8, w: Int = 4, minShared: Int = 3): DataFrame = {
+    val cfp = winnowFingerprints(corpus, textCol, idCol, k, w)
+    val bfp = winnowFingerprints(benchmark, textCol, idCol, k, w)
+      .select(col("fp")).distinct()
+    val shared = cfp.join(broadcast(bfp), Seq("fp"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
 }

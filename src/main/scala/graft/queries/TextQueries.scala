@@ -48,6 +48,20 @@ object TextQueries extends QueryModule {
           (col("n_tokens") >= 10 && col("stop_ratio") >= 0.01 &&
             col("mean_word_len") >= 3.0 && col("mean_word_len") <= 12.0).as("keep"))),
 
+    // Gopher-style repetition signals: top-word / dup-word / dup-2gram
+    // fractions for boilerplate & degenerate-generation filtering
+    "text_repetition" -> ((s, d) => Text.repetitionStats(docs(s, d), "text", "doc_id")),
+
+    // decontamination: corpus docs sharing winnowing fingerprints with a
+    // benchmark set (here: every 50th doc plays the benchmark)
+    "text_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      Text.contaminationCheck(
+        all.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id")
+    }),
+
     // composed pipeline: language ID ⋈ quality → per-language corpus stats
     // (exact long sums only, so the rollup is order-independent)
     "text_corpus_stats" -> ((s, d) => {
@@ -63,6 +77,24 @@ object TextQueries extends QueryModule {
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
+
+  /** Winnowing-fingerprint SQL (k=8, w=4) over `documents WHERE <cond>` —
+    * shared by text_winnow_fp and the contamination oracle.
+    */
+  private def winnowFpsSql(cond: String): String =
+    s"""WITH t_win AS (SELECT doc_id, regexp_replace(lower(text), '\\W+', '', 'g') AS norm
+       |              FROM documents WHERE $cond),
+       |h_win AS (SELECT doc_id,
+       |  CASE WHEN length(norm) >= 8
+       |       THEN list_transform(range(length(norm) - 7), i -> ('0x' || substr(md5(substr(norm, i+1, 8)), 1, 8))::BIGINT)
+       |       ELSE [('0x' || substr(md5(norm), 1, 8))::BIGINT] END AS hs
+       |FROM t_win),
+       |w_win AS (SELECT doc_id,
+       |  CASE WHEN len(hs) >= 4
+       |       THEN list_distinct(list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])))
+       |       ELSE [list_min(hs)] END AS fps
+       |FROM h_win)
+       |SELECT doc_id, unnest(fps) AS fp FROM w_win""".stripMargin
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -149,19 +181,45 @@ object TextQueries extends QueryModule {
          |GROUP BY lang_pred""".stripMargin,
 
     // winnowing (k=8, w=4): min-hash of each 4-window over 8-gram hashes
-    "text_winnow_fp" ->
-      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\W+', '', 'g') AS norm FROM documents),
-        |h AS (SELECT doc_id,
-        |  CASE WHEN length(norm) >= 8
-        |       THEN list_transform(range(length(norm) - 7), i -> ('0x' || substr(md5(substr(norm, i+1, 8)), 1, 8))::BIGINT)
-        |       ELSE [('0x' || substr(md5(norm), 1, 8))::BIGINT] END AS hs
-        |FROM t),
-        |w AS (SELECT doc_id,
-        |  CASE WHEN len(hs) >= 4
-        |       THEN list_distinct(list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])))
-        |       ELSE [list_min(hs)] END AS fps
-        |FROM h)
-        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "text_winnow_fp" -> winnowFpsSql("TRUE"),
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
+         |tw AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_tok,
+         |              count(*) AS n_distinct FROM wc GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2
+         |       THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+         |       ELSE [] END AS gs
+         |FROM t),
+         |gstats AS (SELECT doc_id,
+         |  CASE WHEN len(gs) > 0
+         |       THEN floor((1 - len(list_distinct(gs))::DOUBLE / len(gs)::DOUBLE) * 1000000) / 1000000.0
+         |       ELSE 0::DOUBLE END AS dup_2gram_frac
+         |FROM g)
+         |SELECT d.doc_id,
+         |  coalesce(tw.n_tok, 0)::BIGINT AS n_tokens,
+         |  coalesce(floor((tw.top_cnt::DOUBLE / tw.n_tok::DOUBLE) * 1000000) / 1000000.0,
+         |           0::DOUBLE) AS top_word_frac,
+         |  coalesce(floor((1 - tw.n_distinct::DOUBLE / tw.n_tok::DOUBLE) * 1000000) / 1000000.0,
+         |           0::DOUBLE) AS dup_word_frac,
+         |  gstats.dup_2gram_frac
+         |FROM documents d
+         |LEFT JOIN tw ON tw.doc_id = d.doc_id
+         |LEFT JOIN gstats ON gstats.doc_id = d.doc_id""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH cfp AS (${winnowFpsSql("doc_id % 50 <> 0")}),
+         |bfp AS (SELECT DISTINCT fp FROM (${winnowFpsSql("doc_id % 50 = 0")})),
+         |sh AS (SELECT doc_id, count(*) AS n_shared
+         |       FROM cfp JOIN bfp USING (fp) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+         |  coalesce(sh.n_shared, 0) >= 3 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN sh ON sh.doc_id = d.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
