@@ -95,6 +95,56 @@ object ExtrasQueries extends QueryModule {
           (col("pts") - col("cts")).as("lag_us"))
     }),
 
+    // S5/S9: JSON-with-embedded-schema (Connect JsonConverter
+    // schemas.enable=true) encode→decode identity
+    "s5_json_envelope_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val payloadSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType)))
+      Tables.documents(s, d)
+        .select(graft.serde.Serdes.toJsonEnvelope(
+          struct(col("doc_id"), col("lang")), payloadSchema).as("env"))
+        .select(graft.serde.Serdes.fromJsonEnvelope(col("env"), payloadSchema).as("p"))
+        .select(col("p.doc_id").as("doc_id"), col("p.lang").as("lang"))
+    }),
+
+    // S9: delimited codec encode→decode identity (KSQL DELIMITED format)
+    "s9_delimited_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      val encoded = Tables.events(s, d).select(graft.serde.Serdes.toDelimited(
+        "|", col("event_id"), col("user_id"), col("event_type")).as("line"))
+      graft.serde.Serdes.fromDelimited(encoded, "line", "|", schema)
+    }),
+
+    // S10: per-topic routing / merged consumption — two differently-shaped
+    // "topics" unioned by name, missing columns null-filled
+    // (ref WrappedConsumer.poll:103-115 merges Kafka + Connect sources)
+    "s10_union_routing" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value").as("click_val"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value").as("purch_val"))
+      graft.api.Topology.unionSources(Seq(clicks, purchases))
+    }),
+
+    // S11: SMT chain — mask key, derive a column, drop records; the chain
+    // is function composition Catalyst fuses into one stage
+    // (ref ConnectSourceConsumer.java:259-264, null result drops the record)
+    "s11_smt_chain" -> ((s, d) => {
+      import graft.api.Topology
+      val maskKey: Topology.Transform =
+        df => df.withColumn("user_mask", Text.h32(col("user_id").cast("string")))
+          .drop("user_id")
+      val deriveBucket: Topology.Transform =
+        df => df.withColumn("value_bucket", (floor(col("value") / 50) * 50).cast("long"))
+      val dropViews: Topology.Transform = df => df.filter(col("event_type") =!= "view")
+      Topology.smtChain(maskKey, deriveBucket, dropViews)(Tables.events(s, d))
+        .select("event_id", "event_type", "user_mask", "value_bucket")
+    }),
+
     // A4: emission-granularity equivalence batch twin — word counts built
     // from per-batch partial counts re-aggregated (caching/coalesced
     // emission) must equal the single-pass count (per-record emission)
@@ -160,6 +210,24 @@ object ExtrasQueries extends QueryModule {
          |  ON c.user_id = p.user_id
          | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - $windowUs AND epoch_us(c.ts) + $windowUs
          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+
+    "s5_json_envelope_roundtrip" -> "SELECT doc_id, lang FROM documents",
+
+    "s9_delimited_roundtrip" ->
+      "SELECT event_id, user_id, event_type FROM events",
+
+    "s10_union_routing" ->
+      """SELECT event_id, user_id, "value" AS click_val, NULL::DOUBLE AS purch_val
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, NULL::DOUBLE AS click_val, "value" AS purch_val
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "s11_smt_chain" ->
+      """SELECT event_id, event_type,
+        |  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS user_mask,
+        |  (floor("value" / 50) * 50)::BIGINT AS value_bucket
+        |FROM events WHERE event_type <> 'view'""".stripMargin,
 
     // the PARTIAL-then-merge count's oracle is the single-pass count — A4
     "a4_incremental_equiv" ->

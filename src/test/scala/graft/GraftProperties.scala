@@ -74,6 +74,29 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** TopK aggregator: partition/merge-order invariant and equal to the
+    * brute-force top-k of distinct ids. Scores are a function of id (the
+    * equal-score-duplicates contract candidate generation guarantees).
+    * Pure buffer logic — no Spark jobs, so iterations are cheap.
+    */
+  property("topk.partition-and-order-invariant") = {
+    def scoreOf(id: Long): Double = ((id * 7) % 13).toDouble / 4.0
+    val ids = Gen.listOf(Gen.choose(0L, 30L))
+    Prop.forAll(ids, Gen.choose(1, 6), Gen.choose(1, 5), Gen.choose(0, 100)) {
+      (xs, k, nparts, shuffleSeed) =>
+        val agg = new graft.functions.TopK.TopKByScore(k)
+        val pairs = xs.map(id => (scoreOf(id), id))
+        val parts = pairs.grouped(math.max(1, (pairs.size + nparts - 1) / nparts)).toList
+        val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        val mergeOrder = new scala.util.Random(shuffleSeed).shuffle(bufs)
+        val got = agg.finish(mergeOrder.foldLeft(agg.zero)(agg.merge))
+        val want = pairs.distinct
+          .sorted(Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+          .take(k)
+        got == want
+    }
+  }
+
   /** h32 stays within [0, 2^32) and is deterministic. */
   property("h32.range-and-determinism") =
     Prop.forAll(Gen.alphaNumStr) { s =>
