@@ -145,6 +145,15 @@ object ExtrasQueries extends QueryModule {
         .select("event_id", "event_type", "user_mask", "value_bucket")
     }),
 
+    // Skew: two-phase salted aggregation — a hot group key spread over 8
+    // reducers, re-merged; oracle is the PLAIN group-by (the rewrite must
+    // be semantics-preserving). Decimal sums keep both phases exact.
+    "skew_salted_agg" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("v", col("value").cast("decimal(18,2)"))
+      graft.ops.Skew.saltedAgg(e, "event_type", "event_id", salts = 8, ("v", "v"))
+        .select(col("event_type"), col("cnt"), col("v").cast("double").as("v"))
+    }),
+
     // A4: emission-granularity equivalence batch twin — word counts built
     // from per-batch partial counts re-aggregated (caching/coalesced
     // emission) must equal the single-pass count (per-record emission)
@@ -228,6 +237,11 @@ object ExtrasQueries extends QueryModule {
         |  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS user_mask,
         |  (floor("value" / 50) * 50)::BIGINT AS value_bucket
         |FROM events WHERE event_type <> 'view'""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  sum("value"::DECIMAL(18,2))::DOUBLE AS v
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the PARTIAL-then-merge count's oracle is the single-pass count — A4
     "a4_incremental_equiv" ->
