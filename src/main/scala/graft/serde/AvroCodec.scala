@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
 
 /** Avro binary codec for flat record schemas (SURVEY serde matrix — the
   * reference's Avro converter path, `IntegrationTestHarness.java:335-349`,
-  * `MockAvroConverter.java:24-39`; schema-registry framing is out of scope,
-  * raw Avro binary bodies only).
+  * `MockAvroConverter.java:24-39`). Raw binary bodies plus the
+  * registry WIRE FORMAT (magic byte 0x00 + big-endian 4-byte schema id +
+  * body) via [[frame]]/[[unframe]] — the registry CLIENT (schema fetch/
+  * negotiation) is infra outside query semantics, but framed topics decode
+  * once the reader schema is declared, which is what a migrating user hits.
   *
   * Built on avro-core (shipped with Spark) via `mapPartitions`: writer/
   * reader instances are created once per partition and reused per record —
@@ -75,6 +78,31 @@ object AvroCodec {
         out.toByteArray
       }
     }(Encoders.BINARY).toDF("value")
+  }
+
+  /** Wrap raw Avro bodies in the registry wire format: 0x00 magic +
+    * big-endian int32 schema id + body.
+    */
+  def frame(df: DataFrame, valueCol: String, schemaId: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val header = Array[Byte](0,
+      (schemaId >> 24).toByte, (schemaId >> 16).toByte,
+      (schemaId >> 8).toByte, schemaId.toByte)
+    df.withColumn(valueCol, concat(lit(header), col(valueCol)))
+  }
+
+  /** Strip the 5-byte registry header, keeping the declared-schema body.
+    * Records without the magic byte pass through unchanged (mixed-topic
+    * tolerance); the extracted schema id is surfaced as `schema_id` for
+    * routing/auditing (null when unframed).
+    */
+  def unframe(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = col(valueCol)
+    val framed = length(v) >= 5 && substring(v, 1, 1) === lit(Array[Byte](0))
+    df.withColumn("schema_id",
+        when(framed, conv(hex(substring(v, 2, 4)), 16, 10).cast("int")))
+      .withColumn(valueCol, when(framed, v.substr(lit(6), length(v) - 5)).otherwise(v))
   }
 
   /** Decode a binary Avro column back into the declared flat schema. */

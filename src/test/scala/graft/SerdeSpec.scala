@@ -119,4 +119,22 @@ class SerdeSpec extends SparkSpec {
     assert(out.getAs[Int]("width") === 224 && out.getAs[Int]("height") === 224)
     assert(new String(out.getAs[Array[Byte]]("payload"), "UTF-8") === "xx")
   }
+
+  test("registry wire format: frame adds 0x00+id header, unframe recovers body+id") {
+    val src = Seq(("be", 2L), ("to", 4L)).toDF("w", "n")
+    val st = src.schema
+    val framed = AvroCodec.frame(AvroCodec.encode(src, Seq("w", "n")), "value", 42)
+    val raw = framed.select("value").as[Array[Byte]].head()
+    assert(raw(0) === 0.toByte && raw(4) === 42.toByte, "magic + big-endian id")
+    val unframed = AvroCodec.unframe(framed, "value")
+    assert(unframed.select("schema_id").as[Option[Int]].collect().forall(_.contains(42)))
+    val back = AvroCodec.decode(unframed, "value", st)
+      .as[(String, Long)].collect().toSet
+    assert(back === Set(("be", 2L), ("to", 4L)))
+    // unframed (raw) records pass through unchanged, schema_id null
+    val passthrough = AvroCodec.unframe(AvroCodec.encode(src, Seq("w", "n")), "value")
+    assert(passthrough.select("schema_id").collect().forall(_.isNullAt(0)))
+    assert(AvroCodec.decode(passthrough, "value", st).as[(String, Long)].collect().toSet
+      === Set(("be", 2L), ("to", 4L)))
+  }
 }
