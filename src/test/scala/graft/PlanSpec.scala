@@ -46,6 +46,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(400))
   }
 
+  test("documents scans are column-pruned to the referenced columns") {
+    // a 100 TB text corpus must never read unused columns (source, lang...)
+    Seq("text_quality_score", "dedup_minhash_pairs", "text_winnow_fp").foreach { q =>
+      val p = plan(q)
+      val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(!readSchemas.contains("source"), s"$q reads unused 'source': $readSchemas")
+      assert(!readSchemas.contains("n_chars"), s"$q reads unused 'n_chars': $readSchemas")
+    }
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition
