@@ -48,6 +48,25 @@ object Ivf {
     IvfIndex(centroids, assigned)
   }
 
+  /** Persist the index: assignments as parquet (distributed, partitioned by
+    * nothing — readers equi-join on list_id), centroids as a tiny parquet
+    * side table. Build once, search many — the production ANN lifecycle.
+    */
+  def save(index: IvfIndex, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    index.assignments.write.mode("overwrite").parquet(s"$path/assignments")
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list_id", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).map(_._2.toSeq).toSeq
+    IvfIndex(centroids, spark.read.parquet(s"$path/assignments"))
+  }
+
   /** Top-k cosine neighbors per query, scanning only the `nprobe` lists
     * whose centroids are closest to the query vector.
     */

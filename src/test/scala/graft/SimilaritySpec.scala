@@ -44,6 +44,19 @@ class SimilaritySpec extends SparkSpec {
     assert(probedLists === 8)
   }
 
+  test("IVF index save/load round-trips and searches identically") {
+    val e = Tables.embeddings(spark, dir)
+    val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Ivf.save(idx, spark, path)
+    val loaded = Ivf.load(spark, path)
+    assert(loaded.centroids === idx.centroids)
+    def res(i: Ivf.IvfIndex) =
+      Ivf.search(i, e.limit(50), "vec_id", "embedding", k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(res(loaded) === res(idx))
+  }
+
   test("LSH bucketed top-k agrees with brute force for bucket-mates") {
     val e = Tables.embeddings(spark, dir)
     val bucketed = Similarity.bucketedTopK(e, "vec_id", "embedding", dim = 64, planes = 4, k = 5)
