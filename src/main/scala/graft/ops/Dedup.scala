@@ -175,20 +175,33 @@ object Dedup {
     * to AQE/autoBroadcastJoinThreshold, which still broadcasts when the set
     * is actually small.
     */
-  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+  /** Production near-dup PAIR output: LSH candidates verified by exact
+    * shingle Jaccard, with the similarity attached — the pair-level feed
+    * for audit sampling, dup clustering, or threshold tuning. (This is the
+    * at-scale form of [[ngramJaccardPairs]]: same measure, candidates from
+    * banding instead of a demo pairing.)
+    */
+  def verifiedNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
     val pairs = minhashCandidatePairs(df, textCol, idCol, k, bands, maxBucket)
     val shs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
-    val verified = pairs
+    val jac = when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .otherwise(lit(0.0))
+    pairs
       .join(shs.select(col(idCol).as("doc_a"), col("shs").as("sh_a")), "doc_a")
       .join(shs.select(col(idCol).as("doc_b"), col("shs").as("sh_b")), "doc_b")
-      .filter(
-        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .otherwise(lit(0.0)) >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val verified = verifiedNearDupPairs(df, textCol, idCol, minJaccard, k, bands, maxBucket)
     val dropped = verified.select(col("doc_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.Tables
 import graft.ops.Dedup
 
@@ -20,7 +21,13 @@ object DedupQueries extends QueryModule {
     "dedup_near_kept" -> ((s, d) =>
       Dedup.dropNearDuplicates(docs(s, d), "text", "doc_id", minJaccard = 0.8)
         .select("doc_id")),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id")))
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id")),
+    // pair-level near-dup feed: LSH candidates + exact Jaccard ≥ 0.5
+    // (lower threshold than the drop policy so the row has content to check)
+    "dedup_verified_pairs" -> ((s, d) =>
+      Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          graft.ops.Text.floor6(col("jaccard")).as("jaccard"))))
 
   // ---- shared oracle fragments ----
 
@@ -121,6 +128,37 @@ object DedupQueries extends QueryModule {
          |              ELSE 0 END) >= 0.8)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin,
+
+    "dedup_verified_pairs" ->
+      s"""$basesCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+         |ok AS (SELECT band, band_key FROM bands
+         |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+         |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
+         |ss AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |       THEN list_transform(range(len(toks) - 2),
+         |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+         |jc AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
+         |          THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
+         |               / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
+         |          ELSE 0 END) AS j
+         |  FROM cand c
+         |  JOIN ss sa ON sa.doc_id = c.doc_a
+         |  JOIN ss sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, floor(j * 1000000) / 1000000.0 AS jaccard
+         |FROM jc WHERE j >= 0.5""".stripMargin,
 
     "dedup_simhash" -> {
       val bitVotes = (0 until 16).map { b =>
