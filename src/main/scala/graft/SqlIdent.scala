@@ -12,24 +12,34 @@ package graft
   */
 object SqlIdent {
 
-  private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
-  private val Qualified = s"$Ident(\\.$Ident)*".r
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*".r
+  private val QualifiedRe = s"$IdentRe(\\.$IdentRe)*".r
 
   /** Validate a column name (plain identifier). */
   def column(name: String): String = {
-    require(name != null && Qualified.matches(name) && !name.contains("."),
+    require(name != null && IdentRe.matches(name),
       s"not a valid SQL column identifier: '$name'")
     name
   }
 
-  /** Validate a table name: schema-qualified identifier, or a
-    * parenthesized-subquery alias (the DSv2 source documents that form;
+  /** Validate a WRITE-target table name: plain schema-qualified identifier
+    * only — the INSERT/DELETE targets in the sink can never legally be a
+    * subquery, so nothing paren-wrapped gets through.
+    */
+  def table(name: String): String = {
+    require(name != null && QualifiedRe.matches(name),
+      s"not a valid SQL table identifier: '$name'")
+    name
+  }
+
+  /** Validate a READ-side table reference: schema-qualified identifier, or
+    * a parenthesized-subquery alias (the DSv2 source documents that form;
     * subqueries remain trusted config, like the reference connector's
     * `query` option).
     */
-  def table(name: String): String = {
+  def tableOrSubquery(name: String): String = {
     require(name != null &&
-      (Qualified.matches(name) || (name.startsWith("(") && name.endsWith(")"))),
+      (QualifiedRe.matches(name) || (name.startsWith("(") && name.endsWith(")"))),
       s"not a valid SQL table identifier or (subquery): '$name'")
     name
   }

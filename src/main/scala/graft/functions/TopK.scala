@@ -33,6 +33,7 @@ object TopK {
     */
   class TopKByScore(k: Int)
       extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, s"topK needs k > 0, got $k")
     private def insert(buf: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
       buf.find(_._2 == a._2) match {
         case Some(e) if ord.lteq(e, a) => buf
@@ -56,6 +57,11 @@ object TopK {
   /** Untyped column form: `topK(5)(col("cos"), col("neighbor_id"))` returns
     * an array of (score, id) structs, best first. Explode with `posexplode`
     * to recover the 1-based rank.
+    *
+    * Typing contract: the score column must cast to DOUBLE and the id
+    * column to LONG (the input encoder is (Double, Long)) — string/UUID
+    * ids need a surrogate long key first. All in-repo ANN callers use
+    * long ids.
     */
   def topK(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKByScore(k), ExpressionEncoder[(Double, Long)]())

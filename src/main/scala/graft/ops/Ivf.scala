@@ -4,7 +4,6 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.Text.floor6
 
 /** IVF (inverted-file) approximate nearest neighbor over an embedding
   * column — the coarse-quantizer alternative to [[Similarity]]'s LSH path:
@@ -95,9 +94,7 @@ object Ivf {
     val grouped = cand.select(col("query_id"), col(idCol).as("neighbor_id"), cos.as("cos"))
       .groupBy("query_id")
       .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk"))
-    grouped
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "item")))
-      .select(col("query_id"), col("item._2").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rnk"), floor6(col("item._1")).as("sim"))
+    Similarity.explodeTopK(grouped, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim")
   }
 }

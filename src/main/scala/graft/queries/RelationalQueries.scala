@@ -158,7 +158,11 @@ object RelationalQueries extends QueryModule {
         val hiV = element_at(col("arr"), ceil(idx).cast("int") + 1)
         loV + (idx - floor(idx)) * (hiV - loV)
       }
-      Tables.events(s, d).groupBy("event_type")
+      // NULL values filtered explicitly: Spark's collect_list drops them
+      // while DuckDB's list() keeps them — without the filter the arrays
+      // diverge the moment the data has a null
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("event_type")
         .agg(sort_array(collect_list(col("value"))).as("arr"),
           floor6(min(col("value"))).as("vmin"),
           floor6(max(col("value"))).as("vmax"))
@@ -275,7 +279,7 @@ object RelationalQueries extends QueryModule {
       """WITH g AS (
         |  SELECT event_type, list_sort(list("value")) AS arr,
         |         min("value") AS mn, max("value") AS mx
-        |  FROM events GROUP BY event_type),
+        |  FROM events WHERE "value" IS NOT NULL GROUP BY event_type),
         |p AS (
         |  SELECT event_type, arr, mn, mx,
         |         (len(arr) - 1)::DOUBLE * 0.5::DOUBLE AS i50,

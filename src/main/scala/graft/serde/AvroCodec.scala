@@ -91,15 +91,24 @@ object AvroCodec {
     df.withColumn(valueCol, concat(lit(header), col(valueCol)))
   }
 
-  /** Strip the 5-byte registry header, keeping the declared-schema body.
-    * Records without the magic byte pass through unchanged (mixed-topic
-    * tolerance); the extracted schema id is surfaced as `schema_id` for
-    * routing/auditing (null when unframed).
+  /** Strip the 5-byte registry header, keeping the declared-schema body;
+    * the extracted schema id is surfaced as `schema_id` for routing.
+    *
+    * `strict = true` (default, the Confluent-consumer contract): every
+    * record is assumed framed — registry topics are uniformly framed, and
+    * sniffing is UNSOUND because a raw Avro body can legitimately begin
+    * with 0x00 (a null first union branch, or a zero int/long zigzag).
+    * `strict = false` applies the magic-byte heuristic for mixed topics,
+    * accepting that 0x00-leading raw bodies will be misread — only safe
+    * when the payload schema's first field can't encode to a 0x00 lead
+    * byte (e.g. a non-null, non-empty leading string field).
     */
-  def unframe(df: DataFrame, valueCol: String): DataFrame = {
+  def unframe(df: DataFrame, valueCol: String, strict: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     val v = col(valueCol)
-    val framed = length(v) >= 5 && substring(v, 1, 1) === lit(Array[Byte](0))
+    val framed =
+      if (strict) lit(true)
+      else length(v) >= 5 && substring(v, 1, 1) === lit(Array[Byte](0))
     df.withColumn("schema_id",
         when(framed, conv(hex(substring(v, 2, 4)), 16, 10).cast("int")))
       .withColumn(valueCol, when(framed, v.substr(lit(6), length(v) - 5)).otherwise(v))

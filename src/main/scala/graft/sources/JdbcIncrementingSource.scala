@@ -80,7 +80,7 @@ private[sources] class JdbcIncMicroBatchStream(
 
   private val url = options.get("url")
   // validated once here; the reader factory receives these same values
-  private val table = graft.SqlIdent.table(options.get("table"))
+  private val table = graft.SqlIdent.tableOrSubquery(options.get("table"))
   private val incCol = graft.SqlIdent.column(options.get("incrementingColumn"))
   private val numPartitions = math.max(1, options.getInt("numPartitions", 1))
   private val maxRowsPerTrigger = options.getLong("maxRowsPerTrigger", Long.MaxValue)

@@ -100,8 +100,9 @@ object Kafka {
       array(struct(lit(key).as("key"), value.cast("string").cast("binary").as("value"))))
 
   /** S9: encode columns back to a Kafka-writable frame; pass `headers` to
-    * carry a headers column through to the sink (the producer writes it
-    * when `includeHeaders` is on).
+    * carry a headers column through to the sink (the producer writes
+    * headers whenever the frame HAS a `headers` column — no option
+    * involved; `includeHeaders` exists only on the read side).
     */
   def encodeJsonValue(keyCol: Column, payload: Column,
       headers: Option[Column] = None): DataFrame => DataFrame =
@@ -118,7 +119,6 @@ object Kafka {
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
-      .option("includeHeaders", "true")
       .option("checkpointLocation", checkpointLocation)
       .start()
 }

@@ -13,7 +13,8 @@ class SqlIdentSpec extends AnyFunSuite {
     assert(SqlIdent.column("_cnt2") === "_cnt2")
     assert(SqlIdent.table("WORDCOUNT_OUTPUT") === "WORDCOUNT_OUTPUT")
     assert(SqlIdent.table("app.wordcount") === "app.wordcount")
-    assert(SqlIdent.table("(SELECT * FROM t)") === "(SELECT * FROM t)")
+    // subquery form is READ-side only (DSv2 source FROM clause)
+    assert(SqlIdent.tableOrSubquery("(SELECT * FROM t)") === "(SELECT * FROM t)")
   }
 
   test("injection-shaped and reserved-unsafe names are rejected") {
@@ -21,8 +22,13 @@ class SqlIdentSpec extends AnyFunSuite {
     bad.foreach { n =>
       intercept[IllegalArgumentException](SqlIdent.column(n))
       intercept[IllegalArgumentException](SqlIdent.table(n))
+      intercept[IllegalArgumentException](SqlIdent.tableOrSubquery(n))
     }
     // dots are table-qualification, not column syntax
     intercept[IllegalArgumentException](SqlIdent.column("a.b"))
+    // the WRITE-target validator must not accept paren-wrapped payloads —
+    // "(t); DROP TABLE x; --()" is exactly the bypass shape
+    intercept[IllegalArgumentException](SqlIdent.table("(t); DROP TABLE x; --()"))
+    intercept[IllegalArgumentException](SqlIdent.table("(SELECT * FROM t)"))
   }
 }
