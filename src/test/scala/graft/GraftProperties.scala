@@ -97,6 +97,42 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** Winnowing guarantee: two docs sharing a substring of length ≥ k+w-1
+    * (post-normalization) share at least one fingerprint.
+    */
+  property("winnow.shared-substring-guarantee") = {
+    val chunk = Gen.listOfN(4, word).map(_.mkString(" "))
+    // shared run ≥ 11 normalized chars (k=8, w=4 ⇒ guarantee at 11)
+    val shared = Gen.listOfN(5, word).map(_.mkString(" "))
+    Prop.forAll(chunk, chunk, shared) { (pre, post, sh) =>
+      val df = Seq((1L, s"$pre $sh"), (2L, s"$sh $post")).toDF("id", "text")
+      val fps = Text.winnowFingerprints(df, "text", "id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      (fps(1L) intersect fps(2L)).nonEmpty
+    }
+  }
+
+  /** Salted two-phase aggregation must equal the plain groupBy — for any
+    * data, any salt count.
+    */
+  property("skew.salted-agg-equivalence") = {
+    val row = for {
+      k <- Gen.oneOf("a", "b", "hot"); id <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(0, 500)
+    } yield (k, id, BigDecimal(v) / 100)
+    Prop.forAll(Gen.nonEmptyListOf(row), Gen.choose(1, 16)) { (rows, salts) =>
+      val df = rows.toDF("k", "id", "v")
+        .select($"k", $"id", $"v".cast("decimal(18,2)").as("v"))
+      val salted = graft.ops.Skew.saltedAgg(df, "k", "id", salts, ("v", "v"))
+        .select($"k", $"cnt", $"v".cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      val plain = df.groupBy("k")
+        .agg(count(lit(1)).as("cnt"), sum("v").cast("double").as("v"))
+        .as[(String, Long, Double)].collect().toSet
+      salted == plain
+    }
+  }
+
   /** h32 stays within [0, 2^32) and is deterministic. */
   property("h32.range-and-determinism") =
     Prop.forAll(Gen.alphaNumStr) { s =>
