@@ -99,6 +99,24 @@ object JoinQueries extends QueryModule {
           col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q14-shaped promo revenue: conditional aggregation (CASE inside
+    // the sum) over a broadcast dimension join — the part dim broadcasts,
+    // only lineitem shuffles into the single global agg.
+    "q14_promo_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+      val p = Tables.part(s, d)
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double").as("promo_revenue"),
+          sum(disc).cast("double").as("total_revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Beyond reference (free in Spark, declared as engine surface): semi/anti.
     "j_semi_anti" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -156,6 +174,17 @@ object JoinQueries extends QueryModule {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |           THEN l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |           ELSE 0::DECIMAL(18,2) END)::DOUBLE AS promo_revenue,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS total_revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     "j_semi_anti" ->
       """SELECT c_custkey, TRUE AS has_orders FROM customer
