@@ -116,4 +116,34 @@ object Similarity {
     explodeTopK(grouped, Seq("query_id", "bucket"))
       .select("query_id", "neighbor_id", "bucket", "rnk", "sim")
   }
+
+  /** Multi-probe variant: each query also probes the `planes` buckets at
+    * Hamming distance 1 (one sign bit flipped) — the standard recall
+    * booster at a fixed plane count, scanning (planes+1)/2^planes of the
+    * corpus instead of 1/2^planes. Candidate generation stays an equi-join
+    * on bucket id (the probe list is a per-row explode, never a cross
+    * join); duplicate candidates are impossible since each corpus vector
+    * lives in exactly one bucket.
+    */
+  def bucketedTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int = 8, k: Int = 3): DataFrame = {
+    def norm(v: Column): Column = sqrt(dot(v, v))
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      .withColumn("n", norm(col("v")))
+    val probes = array(lit(0L) +: (0 until planes).map(p => lit(1L << p)): _*)
+    val a = base.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("probe"))
+    val b = base.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
+      col("bucket").as("bucket2"))
+    val cos = when(col("qn") * col("cn") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
+    val grouped = a
+      .join(b, col("probe") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk"))
+    explodeTopK(grouped, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
 }

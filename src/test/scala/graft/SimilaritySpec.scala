@@ -70,5 +70,16 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH(4 planes): $hits/${gt.size} queries recover a true top-5 neighbor")
     // 16 buckets over ~500 random vectors: measured 249/500; bound loosely
     assert(hits >= gt.size * 2 / 5)
+
+    // multi-probe (Hamming-1 buckets) must strictly widen the candidate
+    // set, so per-query hits can only improve
+    val multi = Similarity.bucketedTopKMultiProbe(e, "vec_id", "embedding",
+        dim = 64, planes = 4, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val multiHits = gt.keys.toSeq.count(q =>
+      (gt(q) intersect multi.getOrElse(q, Set.empty)).nonEmpty)
+    info(s"LSH(4 planes, multi-probe): $multiHits/${gt.size} queries recover a true top-5 neighbor")
+    assert(multiHits >= hits, "multi-probe cannot lose recall")
   }
 }
