@@ -26,6 +26,8 @@ object SimilarityQueries extends QueryModule {
       Similarity.lshBuckets(emb(s, d), "vec_id", "embedding", Dim, Planes)),
     "ann_bucket_topk" -> ((s, d) =>
       Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)),
+    "ann_multiprobe_topk" -> ((s, d) =>
+      Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)),
     // embedding-cosine near-dup pairs, candidates bounded by LSH bucket
     // (threshold tuned to the synthetic corpus where max pair cosine ~0.51)
     "dedup_embedding_neardup" -> ((s, d) =>
@@ -91,6 +93,30 @@ object SimilarityQueries extends QueryModule {
          |FROM r
          |WHERE rnk <= 50 AND floor(cos * 1000000) / 1000000.0 >= 0.4
          |  AND query_id < neighbor_id""".stripMargin,
+
+    "ann_multiprobe_topk" -> {
+      val masks = (Seq(0L) ++ (0 until Planes).map(p => 1L << p)).mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |q AS (
+         |  SELECT e.vec_id, e.v, e.nrm, xor(e.bucket, m.m) AS probe
+         |  FROM e, (SELECT unnest($masks) AS m) m),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm * b.nrm > 0
+         |              THEN list_dot_product(q.v, b.v) / (q.nrm * b.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM q JOIN e b ON q.probe = b.bucket AND q.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+         |FROM r WHERE rnk <= 3""".stripMargin
+    },
 
     "ann_bucket_topk" ->
       s"""WITH e AS (
