@@ -37,4 +37,23 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), salt) < threshold)
   }
+
+  /** Hard per-class cap: keep AT MOST `n` rows per class, chosen
+    * deterministically by id-hash order (the "no more than N docs per
+    * language/domain" mix rule, where a fraction can't bound the absolute
+    * count). Selection runs through the bounded [[graft.functions.TopK]]
+    * aggregator — each partition contributes ≤ n candidates per class to
+    * the shuffle, so a 10-billion-row class costs the same shuffle as a
+    * 10-thousand-row one (no per-class global sort).
+    */
+  def cappedPerClass(df: DataFrame, classCol: String, idCol: String, n: Int,
+      salt: String = "s0"): DataFrame = {
+    // TopK keeps the LARGEST scores; negate the hash to keep the smallest
+    val score = -h32(concat(col(idCol).cast("string"), lit("_" + salt))).cast("double")
+    val grouped = df.select(col(classCol), col(idCol).cast("long").as("__id"), score.as("__s"))
+      .groupBy(classCol)
+      .agg(graft.functions.TopK.topK(n)(col("__s"), col("__id")).as("topk"))
+    grouped.select(col(classCol), explode(col("topk")).as("item"))
+      .select(col(classCol), col("item._2").as(idCol))
+  }
 }

@@ -40,6 +40,10 @@ object TextQueries extends QueryModule {
         Map("en" -> 0.5), default = 0.2, salt = "mix1")
         .select("doc_id", "lang")),
 
+    // hard per-class cap: at most 30 docs per language, hash-deterministic
+    "sample_capped" -> ((s, d) =>
+      graft.ops.Sampling.cappedPerClass(docs(s, d), "lang", "doc_id", n = 30, salt = "cap1")),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -149,6 +153,15 @@ object TextQueries extends QueryModule {
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR || '_mix1'), 1, 8))::BIGINT % 10000)
         |      < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)""".stripMargin,
+
+    // TopK keeps (score desc, id asc) with score = -hash ⇒ hash asc, id asc
+    "sample_capped" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '_cap1'), 1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30""".stripMargin,
 
     "text_cleanse" ->
       """WITH c AS (
