@@ -40,5 +40,7 @@ object SparkEntry {
     "j5_multiway_revenue", "j1_window_inner_join", "w1_tumbling_agg",
     "dedup_minhash_pairs", "ann_topk_cosine",
     "j3_window_outer_join", "w3_session_agg", "dedup_near_kept",
-    "text_cleanse", "sample_stratified")
+    "text_cleanse", "sample_stratified",
+    "q14_promo_revenue", "text_repetition", "text_contamination",
+    "ann_multiprobe_topk")
 }
