@@ -163,23 +163,12 @@ object Dedup {
           .otherwise(0L)).as("skipped_docs"),
         max(size(col("docs"))).cast("long").as("max_bucket"))
 
-  /** End-to-end near-duplicate removal — the operator a pipeline actually
-    * calls: LSH candidate pairs → exact Jaccard verification on candidates
-    * only → drop policy "a doc is dropped iff a lower-id doc is its
-    * near-duplicate" (one-pass keeper rule; cheap, deterministic, no
-    * iterative connected components) → anti-join. Returns the KEPT rows.
-    *
-    * Scale: Jaccard runs only on bucket-bounded candidate pairs. The final
-    * anti-join carries NO broadcast hint on purpose: at web-scale dup rates
-    * (30-50% of a crawl) the drop set is O(corpus), so the strategy is left
-    * to AQE/autoBroadcastJoinThreshold, which still broadcasts when the set
-    * is actually small.
-    */
   /** Production near-dup PAIR output: LSH candidates verified by exact
     * shingle Jaccard, with the similarity attached — the pair-level feed
     * for audit sampling, dup clustering, or threshold tuning. (This is the
     * at-scale form of [[ngramJaccardPairs]]: same measure, candidates from
-    * banding instead of a demo pairing.)
+    * banding instead of a demo pairing.) Jaccard runs only on
+    * bucket-bounded candidate pairs, never all-pairs.
     */
   def verifiedNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
@@ -198,6 +187,17 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** End-to-end near-duplicate removal — the operator a pipeline actually
+    * calls: [[verifiedNearDupPairs]] → drop policy "a doc is dropped iff a
+    * lower-id doc is its near-duplicate" (one-pass keeper rule; cheap,
+    * deterministic, no iterative connected components) → anti-join.
+    * Returns the KEPT rows.
+    *
+    * Scale: the final anti-join carries NO broadcast hint on purpose — at
+    * web-scale dup rates (30-50% of a crawl) the drop set is O(corpus), so
+    * the strategy is left to AQE/autoBroadcastJoinThreshold, which still
+    * broadcasts when the set is actually small.
+    */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
       maxBucket: Int = 1000): DataFrame = {

@@ -95,25 +95,38 @@ object Similarity {
     * an equi-join on bucket id. Recall < 1 by design; raise `planes` tables
     * or probe neighboring buckets for higher recall.
     */
+  /** (id, v, n, bucket) projection shared by the bucketed searches. */
+  private def bucketedBase(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+
+  /** Cosine over the (qv, qn)/(cv, cn) candidate-pair columns. */
+  private val candCos: Column = when(col("qn") * col("cn") > 0,
+    dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
+
+  private def neighborSide(base: DataFrame, idCol: String): DataFrame =
+    base.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
+      col("bucket").as("bucket2"))
+
+  private def rankTopK(cands: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    explodeTopK(
+      cands.groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk")),
+      groupCols)
+
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       planes: Int = 8, k: Int = 3): DataFrame = {
-    def norm(v: Column): Column = sqrt(dot(v, v))
-    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"))
-      .withColumn("n", norm(col("v")))
+    val base = bucketedBase(df, idCol, vecCol, dim, planes)
     val a = base.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"), col("bucket"))
-    val b = base.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
-      col("bucket").as("bucket2"))
-    val cos = when(col("qn") * col("cn") > 0,
-      dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
     // bucket is functionally dependent on query_id; grouping by both keeps
     // it in the output without a second join
-    val grouped = a
-      .join(b, col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), cos.as("cos"))
-      .groupBy("query_id", "bucket")
-      .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk"))
-    explodeTopK(grouped, Seq("query_id", "bucket"))
+    val cands = a
+      .join(neighborSide(base, idCol),
+        col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), candCos.as("cos"))
+    rankTopK(cands, Seq("query_id", "bucket"), k)
       .select("query_id", "neighbor_id", "bucket", "rnk", "sim")
   }
 
@@ -127,23 +140,15 @@ object Similarity {
     */
   def bucketedTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       planes: Int = 8, k: Int = 3): DataFrame = {
-    def norm(v: Column): Column = sqrt(dot(v, v))
-    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"))
-      .withColumn("n", norm(col("v")))
+    val base = bucketedBase(df, idCol, vecCol, dim, planes)
     val probes = array(lit(0L) +: (0 until planes).map(p => lit(1L << p)): _*)
     val a = base.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"),
-        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("probe"))
-    val b = base.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
-      col("bucket").as("bucket2"))
-    val cos = when(col("qn") * col("cn") > 0,
-      dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
-    val grouped = a
-      .join(b, col("probe") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
-      .groupBy("query_id")
-      .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk"))
-    explodeTopK(grouped, Seq("query_id"))
+      explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("probe"))
+    val cands = a
+      .join(neighborSide(base, idCol),
+        col("probe") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), candCos.as("cos"))
+    rankTopK(cands, Seq("query_id"), k)
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
 }

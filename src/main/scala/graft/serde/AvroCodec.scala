@@ -106,8 +106,11 @@ object AvroCodec {
   def unframe(df: DataFrame, valueCol: String, strict: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     val v = col(valueCol)
+    // even strict mode must not fabricate a schema_id/empty body from a
+    // record shorter than the 5-byte header — such records keep their
+    // value and get a null schema_id (filter on it to quarantine them)
     val framed =
-      if (strict) lit(true)
+      if (strict) length(v) >= 5
       else length(v) >= 5 && substring(v, 1, 1) === lit(Array[Byte](0))
     df.withColumn("schema_id",
         when(framed, conv(hex(substring(v, 2, 4)), 16, 10).cast("int")))

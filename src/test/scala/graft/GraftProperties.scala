@@ -102,8 +102,11 @@ object GraftProperties extends Properties("graft") {
     */
   property("winnow.shared-substring-guarantee") = {
     val chunk = Gen.listOfN(4, word).map(_.mkString(" "))
-    // shared run ≥ 11 normalized chars (k=8, w=4 ⇒ guarantee at 11)
-    val shared = Gen.listOfN(5, word).map(_.mkString(" "))
+    // shared run must normalize to ≥ k+w-1 = 11 chars for the guarantee to
+    // apply; the general word pool has 2-char words ("to","be","or") that
+    // could normalize to only 10, so draw from ≥4-char words (min 20)
+    val longWord = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val shared = Gen.listOfN(5, longWord).map(_.mkString(" "))
     Prop.forAll(chunk, chunk, shared) { (pre, post, sh) =>
       val df = Seq((1L, s"$pre $sh"), (2L, s"$sh $post")).toDF("id", "text")
       val fps = Text.winnowFingerprints(df, "text", "id")
