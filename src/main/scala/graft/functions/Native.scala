@@ -11,6 +11,12 @@ object Native {
   /** Codegen'd sequential dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
 
+  /** Codegen'd winnowing fingerprints over a normalized ASCII string
+    * (length ≥ k; caller guards shorter docs).
+    */
+  def winnow(norm: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.WinnowFps.winnow(norm, k, w)
+
   /** Register the SQL surface (`graft_dot(...)`) on a session. */
   def register(spark: SparkSession): Unit = DotProduct.register(spark)
 }

@@ -135,31 +135,39 @@ object Text {
       (length(squashed) > 0).as("non_empty"))
   }
 
+  private val HashMask = 4294967295L // 2^32 - 1
+  private val HashBase = 1000003L
+
+  /** B^j mod 2^32 for j = 0..k-1 — inlined as literals on BOTH engines. */
+  private[graft] def polyPows(k: Int): Seq[Long] =
+    Iterator.iterate(1L)(p => (p * HashBase) & HashMask).take(k).toSeq
+
   /** Winnowing document fingerprints (the MOSS scheme): hash every k-gram of
     * the normalized text, then keep the minimum hash of each w-wide window —
     * guarantees any shared substring ≥ k+w-1 chars yields a shared
     * fingerprint. Output: one (id, fp) row per distinct selected hash.
     *
-    * Built as three separate projections (norm → k-gram hashes → winnowed
-    * mins) so Catalyst binds each stage's result instead of inlining the
-    * whole subtree per array element (see Dedup.shinglesOfTokens note).
-    * Per-row narrow transform; fingerprints are h32-portable so the DuckDB
-    * oracle reproduces them exactly.
+    * The k-gram hash is a polynomial over per-char codes
+    * (Σ c_{i+j}·B^(k-1-j) mod 2^32), computed by the native codegen'd
+    * [[org.apache.spark.sql.graft.WinnowFps]] expression. Normalized text
+    * is word-chars only, so codes are ASCII and every intermediate fits a
+    * long exactly in both engines — DuckDB reproduces each fingerprint
+    * with the identical sum over `ord` (see TextQueries.winnowFpsSql).
+    * Docs shorter than k fall back to one md5-based whole-doc hash (rare
+    * path, already portable).
     */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     val norm = regexp_replace(lower(col(textCol)), "\\W+", "")
     val normed = df.select(col(idCol), norm.as("norm"))
-    val hs = when(length(col("norm")) >= k,
-      transform(sequence(lit(1), length(col("norm")) - k + 1),
-        i => h32(col("norm").substr(i, lit(k)))))
+    // hot path is the native codegen'd expression (two primitive loops in
+    // whole-stage codegen — the interpreted transform/slice HOF pipeline
+    // was the measured cost, not the hash); short docs take the portable
+    // md5 fallback
+    val fps = when(length(col("norm")) >= k,
+      graft.functions.Native.winnow(col("norm"), k, w))
       .otherwise(array(h32(col("norm"))))
-    val hashed = normed.select(col(idCol), hs.as("hs"))
-    val fps = when(size(col("hs")) >= w,
-      array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
-        i => array_min(slice(col("hs"), i + 1, lit(w))))))
-      .otherwise(array(array_min(col("hs"))))
-    hashed.select(col(idCol), explode(fps).as("fp"))
+    normed.select(col(idCol), explode(fps).as("fp"))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text, plus a

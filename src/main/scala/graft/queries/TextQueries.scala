@@ -83,22 +83,33 @@ object TextQueries extends QueryModule {
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
   /** Winnowing-fingerprint SQL (k=8, w=4) over `documents WHERE <cond>` —
-    * shared by text_winnow_fp and the contamination oracle.
+    * shared by text_winnow_fp and the contamination oracle. The k-gram
+    * hash mirrors [[graft.ops.Text.winnowFingerprints]] exactly: the
+    * polynomial Σ ord(c_{i+j})·B^(7-j) mod 2^32 with identical
+    * B^j-mod-2^32 literals.
     */
-  private def winnowFpsSql(cond: String): String =
+  private def winnowFpsSql(cond: String): String = {
+    val pows = graft.ops.Text.polyPows(8)
+    val poly = (0 until 8)
+      .map(j => s"cs[i+${j + 1}] * ${pows(7 - j)}")
+      .mkString("(", " + ", ") & 4294967295")
     s"""WITH t_win AS (SELECT doc_id, regexp_replace(lower(text), '\\W+', '', 'g') AS norm
        |              FROM documents WHERE $cond),
+       |c_win AS (SELECT doc_id, norm,
+       |  list_transform(range(length(norm)), i -> ord(substr(norm, i+1, 1))::BIGINT) AS cs
+       |FROM t_win),
        |h_win AS (SELECT doc_id,
        |  CASE WHEN length(norm) >= 8
-       |       THEN list_transform(range(length(norm) - 7), i -> ('0x' || substr(md5(substr(norm, i+1, 8)), 1, 8))::BIGINT)
+       |       THEN list_transform(range(length(norm) - 7), i -> $poly)
        |       ELSE [('0x' || substr(md5(norm), 1, 8))::BIGINT] END AS hs
-       |FROM t_win),
+       |FROM c_win),
        |w_win AS (SELECT doc_id,
        |  CASE WHEN len(hs) >= 4
        |       THEN list_distinct(list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])))
        |       ELSE [list_min(hs)] END AS fps
        |FROM h_win)
        |SELECT doc_id, unnest(fps) AS fp FROM w_win""".stripMargin
+  }
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 

@@ -56,6 +56,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnowing runs through the native codegen expression, not array HOFs") {
+    assert(plan("text_winnow_fp").contains("graft_winnow_fps"),
+      "winnow lost its native expression")
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition
