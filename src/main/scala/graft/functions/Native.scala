@@ -17,6 +17,9 @@ object Native {
   def winnow(norm: Column, k: Int = 8, w: Int = 4): Column =
     org.apache.spark.sql.graft.WinnowFps.winnow(norm, k, w)
 
-  /** Register the SQL surface (`graft_dot(...)`) on a session. */
-  def register(spark: SparkSession): Unit = DotProduct.register(spark)
+  /** Register the SQL surface (`graft_dot`, `graft_winnow_fps`). */
+  def register(spark: SparkSession): Unit = {
+    DotProduct.register(spark)
+    org.apache.spark.sql.graft.WinnowFps.register(spark)
+  }
 }

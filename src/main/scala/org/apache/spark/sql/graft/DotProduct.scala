@@ -96,6 +96,8 @@ object DotProduct {
   * registers the native functions at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotProduct.functionDescriptor)
+    ext.injectFunction(WinnowFps.functionDescriptor)
+  }
 }

@@ -111,4 +111,25 @@ object WinnowFps {
 
   def winnow(norm: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFps(ExpressionUtils.expression(norm), k, w))
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_winnow_fps: $what must be an integer literal, got $other")
+  }
+
+  /** SQL surface: `graft_winnow_fps(norm, k, w)` (k, w integer literals). */
+  val functionDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow_fps"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowFps].getName, "graft_winnow_fps"),
+      (children: Seq[Expression]) =>
+        WinnowFps(children.head, litInt(children(1), "k"), litInt(children(2), "w")))
+
+  /** Runtime registration on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      functionDescriptor._1, functionDescriptor._2, functionDescriptor._3)
 }

@@ -54,4 +54,25 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
     assert(df.as[Double].collect().toSeq === Seq(0.0, 5.0, 10.0, 15.0))
   }
+
+  test("graft_winnow_fps: codegen matches interpreted eval and the SQL surface works") {
+    import org.apache.spark.sql.graft.WinnowFps
+    val norm = "thequickbrownfoxjumpsoverthelazydog"
+    // interpreted reference straight from the shared kernel
+    val expected = WinnowFps.fps(norm.getBytes("UTF-8"), 8, 4, WinnowFps.polyPows(8)).toSeq
+    val viaColumn = spark.range(1).select(Native.winnow(lit(norm), 8, 4).as("fps"))
+      .as[Seq[Long]].head()
+    assert(viaColumn === expected)
+    // every fp is a 32-bit value
+    assert(expected.forall(f => f >= 0 && f <= 4294967295L))
+    Native.register(spark)
+    val viaSql = spark.sql(s"SELECT graft_winnow_fps('$norm', 8, 4) AS fps")
+      .as[Seq[Long]].head()
+    assert(viaSql === expected)
+    // winnowing guarantee on the native path: shared 11+ char run
+    val df = Seq((1L, s"AAA${norm}BBB"), (2L, s"CCC${norm}DDD")).toDF("id", "text")
+    val fps = graft.ops.Text.winnowFingerprints(df, "text", "id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
 }
