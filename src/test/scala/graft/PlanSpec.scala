@@ -36,6 +36,10 @@ class PlanSpec extends SparkSpec {
     assert(plan("j5_multiway_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("q14 broadcasts the part dimension") {
+    assert(plan("q14_promo_revenue").contains("BroadcastHashJoin"))
+  }
+
   test("windowed join is an equi-join with a range residual, not nested-loop") {
     val p = plan("j1_window_inner_join")
     assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
