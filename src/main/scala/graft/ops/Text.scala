@@ -135,13 +135,6 @@ object Text {
       (length(squashed) > 0).as("non_empty"))
   }
 
-  private val HashMask = 4294967295L // 2^32 - 1
-  private val HashBase = 1000003L
-
-  /** B^j mod 2^32 for j = 0..k-1 — inlined as literals on BOTH engines. */
-  private[graft] def polyPows(k: Int): Seq[Long] =
-    Iterator.iterate(1L)(p => (p * HashBase) & HashMask).take(k).toSeq
-
   /** Winnowing document fingerprints (the MOSS scheme): hash every k-gram of
     * the normalized text, then keep the minimum hash of each w-wide window —
     * guarantees any shared substring ≥ k+w-1 chars yields a shared

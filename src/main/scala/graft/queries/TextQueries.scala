@@ -89,7 +89,8 @@ object TextQueries extends QueryModule {
     * B^j-mod-2^32 literals.
     */
   private def winnowFpsSql(cond: String): String = {
-    val pows = graft.ops.Text.polyPows(8)
+    // literals derive from the SAME power table the engine hashes with
+    val pows = org.apache.spark.sql.graft.WinnowFps.polyPows(8)
     val poly = (0 until 8)
       .map(j => s"cs[i+${j + 1}] * ${pows(7 - j)}")
       .mkString("(", " + ", ") & 4294967295")

@@ -1,9 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,7 +37,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    new GenericArrayData(WinnowFps.fps(bytes, k, w, pows))
+    UnsafeArrayData.fromPrimitiveArray(WinnowFps.fps(bytes, k, w, pows))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -49,7 +48,8 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
       s"""
          |byte[] $bytes = $s.getBytes();
          |long[] $out = org.apache.spark.sql.graft.WinnowFps.fps($bytes, $k, $w, $powsRef);
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
   }
@@ -67,10 +67,14 @@ object WinnowFps {
 
   /** Shared by interpreted eval and generated code: k-gram polynomial
     * hashes → w-window minima → sorted distinct. Single allocation-light
-    * pass; assumes bytes.length >= k (caller guards).
+    * pass. Inputs shorter than k have no k-gram, so they yield an empty
+    * array (the engine's [[graft.ops.Text.winnowFingerprints]] routes them
+    * to its portable md5 fallback before reaching here; raw SQL callers
+    * get no fingerprints rather than an executor crash).
     */
   def fps(bytes: Array[Byte], k: Int, w: Int, pows: Array[Long]): Array[Long] = {
     val n = bytes.length
+    if (n < k) return new Array[Long](0)
     val m = n - k + 1
     val hs = new Array[Long](m)
     var i = 0
@@ -125,8 +129,11 @@ object WinnowFps {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow_fps"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WinnowFps].getName, "graft_winnow_fps"),
-      (children: Seq[Expression]) =>
-        WinnowFps(children.head, litInt(children(1), "k"), litInt(children(2), "w")))
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_winnow_fps(norm, k, w) takes exactly 3 arguments, got ${children.length}")
+        WinnowFps(children.head, litInt(children(1), "k"), litInt(children(2), "w"))
+      })
 
   /** Runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -75,4 +75,25 @@ class NativeFunctionsSpec extends SparkSpec {
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert((fps(1L) intersect fps(2L)).nonEmpty)
   }
+
+  test("graft_winnow_fps GENERATED code produces kernel values (non-foldable input)") {
+    import org.apache.spark.sql.graft.WinnowFps
+    // range-backed frame: the literal-free child defeats ConstantFolding,
+    // so doGenCode's emitted Java actually runs and is value-checked
+    val df = spark.range(3).select(col("id"),
+      Native.winnow(concat(lit("abcdefghij"), col("id").cast("string")), 8, 4).as("fps"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("graft_winnow_fps"), plan)
+    val got = df.as[(Long, Seq[Long])].collect().toMap
+    (0L until 3L).foreach { i =>
+      val expect = WinnowFps.fps(s"abcdefghij$i".getBytes("UTF-8"), 8, 4,
+        WinnowFps.polyPows(8)).toSeq
+      assert(got(i) === expect, s"row $i")
+    }
+    // short input on the raw surface: empty array, not an executor crash
+    val short = spark.range(1)
+      .select(Native.winnow(concat(lit("abc"), col("id").cast("string")), 8, 4).as("fps"))
+      .as[Seq[Long]].head()
+    assert(short === Seq.empty)
+  }
 }
