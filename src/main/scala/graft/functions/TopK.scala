@@ -60,11 +60,24 @@ object TopK {
     *
     * Typing contract: the score column must cast to DOUBLE and the id
     * column to LONG (the input encoder is (Double, Long)) — string/UUID
-    * ids need a surrogate long key first. All in-repo ANN callers use
-    * long ids.
+    * ids need a surrogate long key first (see `graft.ops.Keys
+    * .withSurrogateId`). Callers guard with [[requireIntegralId]].
     */
   def topK(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKByScore(k), ExpressionEncoder[(Double, Long)]())
     (score, id) => fn(score, id)
+  }
+
+  /** Fail fast when an id column can't ride the (Double, Long) encoder: a
+    * string/UUID id would cast to null and silently collapse all groups.
+    */
+  def requireIntegralId(schema: org.apache.spark.sql.types.StructType,
+      idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$op needs an integral id column (TopK ranks (Double, Long) pairs), " +
+        s"got $idCol: $idType. Map string/UUID ids through " +
+        "graft.ops.Keys.withSurrogateId first.")
   }
 }

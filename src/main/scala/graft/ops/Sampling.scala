@@ -50,10 +50,7 @@ object Sampling {
       salt: String = "s0"): DataFrame = {
     // the TopK encoder is (Double, Long): unlike the fraction samplers the
     // id must be integral — a string id would cast to null and collapse
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idType = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"cappedPerClass needs an integral id column, got $idCol: $idType")
+    graft.functions.TopK.requireIntegralId(df.schema, idCol, "cappedPerClass")
     // TopK keeps the LARGEST scores; negate the hash to keep the smallest
     val score = -h32(concat(col(idCol).cast("string"), lit("_" + salt))).cast("double")
     val grouped = df.select(col(classCol), col(idCol).cast("long").as("__id"), score.as("__s"))

@@ -63,6 +63,7 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 5): DataFrame = {
+    graft.functions.TopK.requireIntegralId(corpus.schema, idCol, "cosineTopK")
     def norm(v: Column): Column = sqrt(dot(v, v))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -116,14 +117,64 @@ object Similarity {
         .agg(graft.functions.TopK.topK(k)(col("cos"), col("neighbor_id")).as("topk")),
       groupCols)
 
+  /** Hot-bucket guard for the bucketed searches: the candidate join's
+    * fan-out is Σ|bucket|², and real (clustered) embeddings pile into few
+    * buckets — one degenerate bucket pins a reducer at corpus scale (the
+    * same failure mode [[Dedup.minhashCandidatePairs]] caps). Rows of the
+    * NEIGHBOR side whose bucket exceeds `maxBucket` are thinned
+    * deterministically by id hash (keep iff h32(id·salt) lands on the
+    * ceil(size/maxBucket) stride), bounding expected fan-out to
+    * ≤ |corpus| × maxBucket while every query still gets answered from
+    * ~maxBucket sampled bucket-mates.
+    *
+    * Why thin instead of splitting hot buckets with extra hyperplanes: a
+    * hot bucket usually IS a tight cluster, and a tight cluster projects
+    * the same sign on the extra planes too — splitting fails exactly when
+    * it's needed. Hash thinning bounds cost unconditionally; recall within
+    * a hot bucket degrades gracefully (uniform candidate sample). Audit
+    * what was thinned with [[bucketOccupancyStats]].
+    *
+    * The bucket-size table has ≤ 2^planes rows, so the size lookup is a
+    * broadcast join, never a shuffle.
+    */
+  private[graft] def thinHotBuckets(base: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) base
+    else {
+      require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+      val sizes = base.groupBy("bucket").agg(count(lit(1)).as("__bsize"))
+      val stride = ceil(col("__bsize").cast("double") / maxBucket).cast("long")
+      base.join(broadcast(sizes), "bucket")
+        .filter(col("__bsize") <= maxBucket ||
+          pmod(Text.h32(concat(col(idCol).cast("string"), lit("_annthin"))), stride) === 0)
+        .drop("__bsize")
+    }
+
+  /** Occupancy audit companion to [[bucketedTopK]]/[[bucketedTopKMultiProbe]]
+    * (mirrors [[Dedup.candidateBucketStats]]): bucket counts split at the
+    * `maxBucket` cap, the docs in over-cap buckets, and the worst bucket.
+    * A nonzero `hot_buckets` means the guard thinned candidates — raise
+    * `planes` or accept the sampled recall.
+    */
+  def bucketOccupancyStats(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 8, maxBucket: Int = 1000): DataFrame =
+    lshBuckets(df, idCol, vecCol, dim, planes)
+      .groupBy("bucket").agg(count(lit(1)).as("sz"))
+      .agg(
+        sum(when(col("sz") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
+        sum(when(col("sz") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
+        sum(when(col("sz") > maxBucket, col("sz")).otherwise(0L)).as("hot_docs"),
+        max(col("sz")).as("max_bucket"))
+
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      planes: Int = 8, k: Int = 3): DataFrame = {
+      planes: Int = 8, k: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    graft.functions.TopK.requireIntegralId(df.schema, idCol, "bucketedTopK")
     val base = bucketedBase(df, idCol, vecCol, dim, planes)
     val a = base.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"), col("bucket"))
     // bucket is functionally dependent on query_id; grouping by both keeps
     // it in the output without a second join
     val cands = a
-      .join(neighborSide(base, idCol),
+      .join(neighborSide(thinHotBuckets(base, idCol, maxBucket), idCol),
         col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("bucket"), candCos.as("cos"))
     rankTopK(cands, Seq("query_id", "bucket"), k)
@@ -139,13 +190,14 @@ object Similarity {
     * lives in exactly one bucket.
     */
   def bucketedTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      planes: Int = 8, k: Int = 3): DataFrame = {
+      planes: Int = 8, k: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    graft.functions.TopK.requireIntegralId(df.schema, idCol, "bucketedTopKMultiProbe")
     val base = bucketedBase(df, idCol, vecCol, dim, planes)
     val probes = array(lit(0L) +: (0 until planes).map(p => lit(1L << p)): _*)
     val a = base.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"),
       explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("probe"))
     val cands = a
-      .join(neighborSide(base, idCol),
+      .join(neighborSide(thinHotBuckets(base, idCol, maxBucket), idCol),
         col("probe") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), candCos.as("cos"))
     rankTopK(cands, Seq("query_id"), k)

@@ -82,4 +82,76 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH(4 planes, multi-probe): $multiHits/${gt.size} queries recover a true top-5 neighbor")
     assert(multiHits >= hits, "multi-probe cannot lose recall")
   }
+
+  /** Clustered fixture: 80% of vectors sit in a tight ball around one
+    * centroid, so they all share one LSH bucket — the degenerate shape that
+    * uniform-random embeddings (and the sf tables) never produce. Without
+    * the guard, the candidate join fans out |hot|² from that bucket.
+    */
+  private def clusteredFixture(n: Int = 400, dim: Int = 8) = {
+    def prng(i: Int, j: Int): Float = { // deterministic in [-1, 1)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cl_${i}_$j".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16).toDouble / 2147483648.0 - 1.0).toFloat
+    }
+    val centroid = Array.tabulate(dim)(j => prng(-1, j))
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i < (n * 0.8).toInt) centroid.zipWithIndex.map { case (c, j) => c + 1e-4f * prng(i, j) }
+        else Array.tabulate(dim)(j => prng(i, j))
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("hot-bucket guard thins oversized ANN buckets and surfaces them") {
+    val df = clusteredFixture()
+    val cap = 50
+    val stats = Similarity.bucketOccupancyStats(df, "vec_id", "embedding",
+      dim = 8, planes = 4, maxBucket = cap).collect().head
+    info(s"occupancy: ok=${stats.getAs[Long]("ok_buckets")} hot=${stats.getAs[Long]("hot_buckets")} " +
+      s"hotDocs=${stats.getAs[Long]("hot_docs")} max=${stats.getAs[Long]("max_bucket")}")
+    assert(stats.getAs[Long]("hot_buckets") >= 1, "fixture must produce a hot bucket")
+    assert(stats.getAs[Long]("max_bucket") >= 320, "80% of vectors share one bucket")
+
+    // the thinned neighbor side is bounded per bucket (expected ≈ cap; the
+    // hash stride has variance, so assert the safe 2× envelope)
+    val base = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      Similarity.lshBucket(col("embedding"), dim = 8, planes = 4).as("bucket"))
+    val thinned = Similarity.thinHotBuckets(base, "vec_id", cap)
+      .groupBy("bucket").count().collect()
+    assert(thinned.forall(_.getAs[Long]("count") <= 2L * cap),
+      s"every thinned bucket ≤ 2×cap, got ${thinned.map(_.getAs[Long]("count")).max}")
+
+    // the guard loses no QUERIES: every query the unguarded search answers
+    // (some singleton buckets have no mates at all) stays answered
+    val unguarded = Similarity.bucketedTopK(df, "vec_id", "embedding",
+      dim = 8, planes = 4, k = 3)
+    val guarded = Similarity.bucketedTopK(df, "vec_id", "embedding",
+      dim = 8, planes = 4, k = 3, maxBucket = cap)
+    val answered = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("query_id").distinct().as[Long].collect().toSet
+    assert(answered(guarded) === answered(unguarded), "no query loses all answers")
+    val rows1 = guarded.collect().toSet
+    val rows2 = Similarity.bucketedTopK(df, "vec_id", "embedding",
+      dim = 8, planes = 4, k = 3, maxBucket = cap).collect().toSet
+    assert(rows1 === rows2, "thinning is deterministic")
+
+    val multi = Similarity.bucketedTopKMultiProbe(df, "vec_id", "embedding",
+      dim = 8, planes = 4, k = 3, maxBucket = cap)
+    assert(multi.select("query_id").distinct().count() === 400)
+
+    // default maxBucket leaves results (and the plan) untouched
+    assert(!unguarded.queryExecution.executedPlan.toString.contains("__bsize"),
+      "no size join in the default path")
+  }
+
+  test("integral-id guard rejects string ids with a clear message") {
+    val bad = Seq(("a", Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bucketedTopK(bad, "vec_id", "embedding", dim = 2)
+    }
+    assert(e.getMessage.contains("withSurrogateId"))
+  }
 }
