@@ -171,6 +171,16 @@ object RelationalQueries extends QueryModule {
           col("vmin"), col("vmax"))
     }),
 
+    // The SCALE path for percentiles (see ops.Stats): fixed-B histogram +
+    // within-bucket interpolation — every agg partial/mergeable, reducer
+    // state ≤ B longs, no collect_list (PlanSpec-guarded). The estimator is
+    // deterministic arithmetic over (min, width, counts), so DuckDB
+    // reproduces it bit-for-bit.
+    "stats_percentiles_hist" -> ((s, d) =>
+      graft.ops.Stats.histogramPercentiles(
+        Tables.events(s, d), "event_type", "value",
+        Seq(("50", 0.5), ("95", 0.95)), buckets = 256)),
+
     // Value histogram: fixed-width buckets, exact counts
     "stats_histogram" -> ((s, d) =>
       Tables.events(s, d)
@@ -295,6 +305,43 @@ object RelationalQueries extends QueryModule {
         |  floor(mn * 1000000) / 1000000.0 AS vmin,
         |  floor(mx * 1000000) / 1000000.0 AS vmax
         |FROM p""".stripMargin,
+
+    // identical estimator arithmetic as ops.Stats.histogramPercentiles:
+    // w=(mx-mn)/256, b=least(floor((v-mn)/w),255), t=p*n,
+    // est = mn + w*(b + (t-below)/cnt) in the first bucket with cum >= t
+    "stats_percentiles_hist" ->
+      """WITH r AS (SELECT event_type, "value" AS v FROM events WHERE "value" IS NOT NULL),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
+        |             (max(v) - min(v)) / 256.0 AS w
+        |      FROM r GROUP BY event_type),
+        |h AS (SELECT r.event_type,
+        |             CASE WHEN s.w = 0 THEN 0
+        |                  ELSE least(floor((r.v - s.mn) / s.w)::BIGINT, 255) END AS b,
+        |             count(*)::BIGINT AS cnt
+        |      FROM r JOIN s USING (event_type) GROUP BY 1, 2),
+        |c AS (SELECT h.*, sum(h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.b
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |      FROM h),
+        |sel50 AS (
+        |  SELECT c.event_type,
+        |         floor((CASE WHEN s.w = 0 THEN s.mn
+        |                ELSE s.mn + s.w * (c.b::DOUBLE +
+        |                     (0.5 * s.n::DOUBLE - (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE)
+        |                END) * 1000000) / 1000000.0 AS p_50
+        |  FROM c JOIN s USING (event_type)
+        |  WHERE c.cum::DOUBLE >= 0.5 * s.n::DOUBLE
+        |  QUALIFY row_number() OVER (PARTITION BY c.event_type ORDER BY c.b) = 1),
+        |sel95 AS (
+        |  SELECT c.event_type,
+        |         floor((CASE WHEN s.w = 0 THEN s.mn
+        |                ELSE s.mn + s.w * (c.b::DOUBLE +
+        |                     (0.95 * s.n::DOUBLE - (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE)
+        |                END) * 1000000) / 1000000.0 AS p_95
+        |  FROM c JOIN s USING (event_type)
+        |  WHERE c.cum::DOUBLE >= 0.95 * s.n::DOUBLE
+        |  QUALIFY row_number() OVER (PARTITION BY c.event_type ORDER BY c.b) = 1)
+        |SELECT sel50.event_type, sel50.p_50, sel95.p_95
+        |FROM sel50 JOIN sel95 USING (event_type)""".stripMargin,
 
     "stats_histogram" ->
       """SELECT event_type, (floor("value" / 25) * 25)::BIGINT AS bucket, count(*) AS cnt

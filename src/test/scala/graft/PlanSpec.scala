@@ -65,6 +65,16 @@ class PlanSpec extends SparkSpec {
       "winnow lost its native expression")
   }
 
+  test("scale-path percentiles never materialize a group's value list") {
+    // the oracle-exact stats_percentiles demo may collect_list (documented
+    // trap); the engine's scale surface must not — its only Window runs
+    // over the fixed-B histogram (≤ B rows per partition), and the group
+    // stats side of both joins is broadcast
+    val p = plan("stats_percentiles_hist")
+    assert(!p.contains("collect_list"), "scale path materializes value lists")
+    assert(p.contains("BroadcastHashJoin"), "group-stats join should broadcast")
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition

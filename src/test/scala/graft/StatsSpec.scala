@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Stats
+
+/** The histogram percentile estimator: within-bucket-width of the exact
+  * percentile on real data, exact on degenerate groups, and bounded-state
+  * by construction (plan guard lives in PlanSpec).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram estimate is within one bucket width of the rank-⌈p·n⌉ order statistic") {
+    val e = Tables.events(spark, sf()).filter(col("value").isNotNull)
+    val est = Stats.histogramPercentiles(e, "event_type", "value",
+      Seq(("50", 0.5), ("95", 0.95)), buckets = 256)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val grouped = e.select(col("event_type"), col("value")).as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    grouped.foreach { case (g, vs) =>
+      val width = (vs.last - vs.head) / 256.0
+      // the estimator's documented guarantee: same bucket as the order
+      // statistic at rank ceil(p*n) (1-based)
+      def orderStat(p: Double): Double = vs(math.ceil(p * vs.length).toInt - 1)
+      val (p50, p95) = est(g)
+      assert(math.abs(p50 - orderStat(0.5)) <= width + 1e-6,
+        s"$g p50: $p50 vs order stat ${orderStat(0.5)} (width $width)")
+      assert(math.abs(p95 - orderStat(0.95)) <= width + 1e-6,
+        s"$g p95: $p95 vs order stat ${orderStat(0.95)} (width $width)")
+    }
+  }
+
+  test("degenerate (constant) groups return the constant; singletons too") {
+    val df = Seq(("a", 7.5), ("a", 7.5), ("a", 7.5), ("b", 42.0))
+      .toDF("g", "v")
+    val got = Stats.histogramPercentiles(df, "g", "v", Seq(("50", 0.5)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 7.5)
+    assert(got("b") === 42.0)
+  }
+
+  test("approx sketch percentiles land within the estimator's ballpark") {
+    val e = Tables.events(spark, sf()).filter(col("value").isNotNull)
+    val sk = Stats.approxPercentiles(e, "event_type", "value", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val est = Stats.histogramPercentiles(e, "event_type", "value",
+      Seq(("50", 0.5), ("95", 0.95))).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    est.foreach { case (g, (p50, p95)) =>
+      assert(math.abs(sk(g)(0) - p50) < 5.0, s"$g p50 sketch ${sk(g)(0)} vs $p50")
+      assert(math.abs(sk(g)(1) - p95) < 5.0, s"$g p95 sketch ${sk(g)(1)} vs $p95")
+    }
+  }
+}
