@@ -68,6 +68,25 @@ object ExtrasQueries extends QueryModule {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         sha2(encode(col("text"), "UTF-8"), 256).as("sha"))),
 
+    // Multimodal REAL header decode: synthesize valid BMP/PNG/WAV headers
+    // per doc (dims/rate are closed-form in doc_id), parse them back with
+    // graft.ops.Multimodal.headerMeta; the oracle states the closed form —
+    // any mis-parsed offset/endianness breaks the hash
+    "mm_header_meta" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val w = (col("doc_id") % 1024 + 1).cast("long")
+      val h = (col("doc_id") % 768 + 1).cast("long")
+      val sr = (lit(8000L) + (col("doc_id") % 5) * 8000L).cast("long")
+      val payload = when(col("doc_id") % 3 === 0, Multimodal.bmpPayload(w, h))
+        .when(col("doc_id") % 3 === 1, Multimodal.pngPayload(w, h))
+        .otherwise(Multimodal.wavPayload(sr, lit(2L), lit(16L)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.headerMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.fmt").as("fmt"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"), col("m.duration_ms").as("duration_ms"))
+    }),
+
     // P11: format-conversion round-trip — Avro-encode the rows to binary,
     // decode back; identity result proves the codec loses nothing
     // (ref StreamsSelectAndProjectIntTest.java:267-287, Avro↔JSON CSAS)
@@ -206,6 +225,17 @@ object ExtrasQueries extends QueryModule {
 
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha
+        |FROM documents""".stripMargin,
+
+    // closed form of the synthesized headers mm_header_meta parses back
+    "mm_header_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+        |  (CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id % 1024 + 1 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id % 768 + 1 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 8000 END)::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 2 END)::BIGINT AS channels,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 0 END)::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     // identity: the round-trip must reproduce the source exactly

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Real header decode: parse BMP/WAV/PNG headers hand-built with ByteBuffer
+  * (independent of the column-expression synthesizers, so offsets and
+  * endianness are cross-checked), tolerate garbage, and round-trip the
+  * synthesizers.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bmp(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.array()
+  }
+
+  private def wav(rate: Int, channels: Short, bits: Short, dataSize: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels)
+    b.putInt(rate).putInt(rate * channels * bits / 8)
+    b.putShort((channels * bits / 8).toShort).putShort(bits)
+    b.put("data".getBytes).putInt(dataSize)
+    b.array()
+  }
+
+  private def png(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes).putInt(width).putInt(height)
+    b.put(Array[Byte](8, 2, 0, 0, 0)).putInt(0)
+    b.array()
+  }
+
+  private def parse(payloads: (Long, Array[Byte])*) =
+    payloads.toSeq.toDF("id", "p")
+      .select(col("id"), Multimodal.headerMeta(col("p")).as("m"))
+      .select("id", "m.*").collect().map(r => r.getLong(0) -> r).toMap
+
+  test("fixed-offset header fields parse from independently crafted bytes") {
+    val got = parse(
+      1L -> bmp(640, 480), 2L -> bmp(33000, -480) /* top-down, >int16 */,
+      3L -> wav(44100, 2, 16, 88200), 4L -> png(800, 600))
+    assert(got(1L).getAs[String]("fmt") === "bmp")
+    assert(got(1L).getAs[Long]("width") === 640L)
+    assert(got(1L).getAs[Long]("height") === 480L)
+    assert(got(2L).getAs[Long]("width") === 33000L)
+    assert(got(2L).getAs[Long]("height") === -480L, "signed int32 height")
+    assert(got(3L).getAs[String]("fmt") === "wav")
+    assert(got(3L).getAs[Long]("sample_rate") === 44100L)
+    assert(got(3L).getAs[Long]("channels") === 2L)
+    assert(got(3L).getAs[Long]("bits_per_sample") === 16L)
+    assert(got(3L).getAs[Long]("duration_ms") === 500L, "88200B at 176400B/s")
+    assert(got(4L).getAs[String]("fmt") === "png")
+    assert(got(4L).getAs[Long]("width") === 800L)
+    assert(got(4L).getAs[Long]("height") === 600L)
+  }
+
+  test("garbage, truncated, and null payloads give all-null metadata, no error") {
+    val got = parse(
+      1L -> "not a media file at all, just text".getBytes,
+      2L -> bmp(640, 480).take(10), 3L -> Array.empty[Byte], 4L -> null)
+    got.values.foreach { r =>
+      assert(r.getAs[String]("fmt") == null, r.toString)
+      assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+  }
+
+  test("synthesizers round-trip through the parser") {
+    val df = Seq((7L, 123L, 45L, 22050L)).toDF("id", "w", "h", "sr")
+      .select(col("id"),
+        Multimodal.headerMeta(Multimodal.bmpPayload(col("w"), col("h"))).as("b"),
+        Multimodal.headerMeta(Multimodal.pngPayload(col("w"), col("h"))).as("p"),
+        Multimodal.headerMeta(Multimodal.wavPayload(col("sr"), lit(1L), lit(8L))).as("a"))
+      .collect().head
+    val (b, p, a) = (df.getStruct(1), df.getStruct(2), df.getStruct(3))
+    assert(b.getAs[String]("fmt") === "bmp" && b.getAs[Long]("width") === 123L
+      && b.getAs[Long]("height") === 45L)
+    assert(p.getAs[String]("fmt") === "png" && p.getAs[Long]("width") === 123L
+      && p.getAs[Long]("height") === 45L)
+    assert(a.getAs[String]("fmt") === "wav" && a.getAs[Long]("sample_rate") === 22050L
+      && a.getAs[Long]("channels") === 1L && a.getAs[Long]("duration_ms") === 0L)
+  }
+
+  test("withHeaderMeta fills the media struct from the real parse") {
+    val df = Seq((1L, bmp(320, 200))).toDF("id", "payload")
+      .select(col("id"), Multimodal.asMedia(col("payload"), "image/bmp").as("media"))
+    val out = Multimodal.withHeaderMeta(df, "media").select("media.*").collect().head
+    assert(out.getAs[Int]("width") === 320 && out.getAs[Int]("height") === 200)
+    assert(out.getAs[String]("mime") === "image/bmp")
+  }
+}
