@@ -52,7 +52,13 @@ object Bench {
       unknown.map(k => s"${jstr(k)}:${jstr("unknown query name")}"))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // also land the metrics in a file: stdout is interleaved with Spark/sbt
+    // noise, so downstream parsers get a clean copy at a stable path
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
