@@ -44,6 +44,14 @@ object TextQueries extends QueryModule {
     "sample_capped" -> ((s, d) =>
       graft.ops.Sampling.cappedPerClass(docs(s, d), "lang", "doc_id", n = 30, salt = "cap1")),
 
+    // same cap over a STRING key: routed through the portable 60-bit
+    // surrogate (Keys.cappedPerClassByKey) — proves TopK-bounded ops work
+    // for non-integral ids, oracle reproduces the surrogate bit-for-bit
+    "sample_capped_str" -> ((s, d) =>
+      graft.ops.Keys.cappedPerClassByKey(
+        docs(s, d).select(col("lang"), concat(lit("d"), col("doc_id")).as("doc_key")),
+        "lang", "doc_key", n = 30, salt = "cap1")),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -173,6 +181,18 @@ object TextQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '_cap1'), 1, 8))::BIGINT, doc_id) AS rn
         |  FROM documents)
+        |WHERE rn <= 30""".stripMargin,
+
+    // surrogate sid = first 15 md5 hex digits of the key; selection then
+    // identical to sample_capped but scored/tie-broken on the sid
+    "sample_capped_str" ->
+      """SELECT lang, doc_key FROM (
+        |  SELECT lang, doc_key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(sid::VARCHAR || '_cap1'), 1, 8))::BIGINT, sid) AS rn
+        |  FROM (SELECT lang, 'd' || doc_id::VARCHAR AS doc_key,
+        |               ('0x' || substr(md5('d' || doc_id::VARCHAR), 1, 15))::BIGINT AS sid
+        |        FROM documents))
         |WHERE rn <= 30""".stripMargin,
 
     "text_cleanse" ->
