@@ -54,8 +54,12 @@ object Ivf {
   def save(index: IvfIndex, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     index.assignments.write.mode("overwrite").parquet(s"$path/assignments")
     import spark.implicits._
-    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("list_id", "centroid")
+    // c2 = Σcᵢ² precomputed driver-side: probe ranking needs it per
+    // (query, centroid), and persisting the exact double lets external
+    // readers (the DuckDB oracle) rank probes bit-identically instead of
+    // re-summing in their own order
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c, c.map(x => x * x).sum) }
+      .toDF("list_id", "centroid", "c2")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 

@@ -34,7 +34,26 @@ object SimilarityQueries extends QueryModule {
       Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 50)
         .filter(col("sim") >= 0.4)
         .filter(col("query_id") < col("neighbor_id"))
-        .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("sim"))))
+        .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("sim"))),
+
+    // IVF lifecycle end-to-end: build → persist → reload → probed search.
+    // The oracle replays the search (probe ranking + ranked cosine) from
+    // the SAME persisted index parquet, so list assignment, probe order,
+    // and ranking are all pinned — k-means itself isn't SQL-expressible,
+    // but the index it produces is data the oracle can verify against.
+    "ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = graft.ops.Ivf.build(e, "vec_id", "embedding", nlist = 8)
+      graft.ops.Ivf.save(idx, s, IvfFixture)
+      val loaded = graft.ops.Ivf.load(s, IvfFixture)
+      graft.ops.Ivf.search(loaded, e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    }))
+
+  /** Fixed fixture path shared with the static oracle SQL (the query
+    * rewrites it on every run before the oracle reads it).
+    */
+  private val IvfFixture = "/tmp/graft_ivf_fixture"
 
   /** DuckDB literal for hyperplane p (exact same doubles as the Scala side:
     * Double.toString round-trips bit-exactly through DuckDB's parser).
@@ -117,6 +136,36 @@ object SimilarityQueries extends QueryModule {
          |SELECT query_id, neighbor_id, rnk, floor(cos * 1000000) / 1000000.0 AS sim
          |FROM r WHERE rnk <= 3""".stripMargin
     },
+
+    // replay of Ivf.search over the persisted index: probe ranking uses the
+    // persisted c2 (exact Scala-summed Σc², no re-summation order risk),
+    // ties by list_id (Spark's array_sort is stable over the ascending
+    // list_id construction order); cosine/top-k identical to the LSH oracles
+    "ivf_topk" ->
+      s"""WITH a AS (SELECT vec_id, v, list_id
+         |           FROM read_parquet('$IvfFixture/assignments/*.parquet')),
+         |c AS (SELECT list_id, centroid, c2
+         |      FROM read_parquet('$IvfFixture/centroids/*.parquet')),
+         |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |      FROM a WHERE vec_id % 10 = 0),
+         |pr AS (SELECT q.query_id, q.qv, q.qn, c.list_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY c.c2 - 2.0 * list_dot_product(q.qv, c.centroid),
+         |                         c.list_id) AS lr
+         |       FROM q, c),
+         |p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |             CASE WHEN pr.qn * sqrt(list_dot_product(a.v, a.v)) > 0
+         |                  THEN list_dot_product(pr.qv, a.v)
+         |                       / (pr.qn * sqrt(list_dot_product(a.v, a.v)))
+         |                  ELSE 0 END AS cos
+         |      FROM pr JOIN a ON pr.list_id = a.list_id AND pr.query_id <> a.vec_id
+         |      WHERE pr.lr <= 2),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM p)
+         |SELECT query_id, neighbor_id, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
     "ann_bucket_topk" ->
       s"""WITH e AS (
