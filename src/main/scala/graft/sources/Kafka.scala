@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * NOTE: `.load()`/`.start()` themselves require `spark-sql-kafka-0-10` on
   * the runtime classpath. That artifact is not present in this build
   * environment (no egress; verified absent from /opt/spark/jars and the
-  * coursier cache), so the provider lookup itself is the one untestable
-  * seam — see COVERAGE.md S1/S7.
+  * coursier cache). The provider-lookup seam is exercised instead by the
+  * [[FileTopicSource]] ("file-topic") DSv2 source/sink, which serves this
+  * exact envelope schema from append-only segment files through the same
+  * `DataSourceRegister` registry — see COVERAGE.md S1/S7.
   */
 object Kafka {
 
