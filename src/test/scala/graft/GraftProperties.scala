@@ -136,6 +136,30 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** Salted fact-dim join must equal the unsalted join — for any key
+    * distribution (duplicate fact keys, dim keys with no match, fact keys
+    * absent from the dim), any salt count.
+    */
+  property("skew.salted-join-equivalence") = {
+    val factRow = for {
+      k <- Gen.oneOf("a", "b", "hot", "orphan"); id <- Gen.choose(0L, 1000L)
+    } yield (k, id)
+    val dimRow = for {
+      k <- Gen.oneOf("a", "b", "hot", "unused"); label <- word
+    } yield (k, label)
+    Prop.forAll(Gen.nonEmptyListOf(factRow), Gen.nonEmptyListOf(dimRow),
+      Gen.choose(1, 16)) { (fs, ds, salts) =>
+      val fact = fs.toDF("k", "id")
+      // dim keys unique (the dimension contract saltedJoin replicates)
+      val dim = ds.distinct.groupBy(_._1).map(_._2.head).toSeq.toDF("k", "label")
+      val salted = graft.ops.Skew.saltedJoin(fact, dim, "k", "id", salts)
+        .select($"k", $"id", $"label").as[(String, Long, String)].collect()
+      val plain = fact.join(dim, "k")
+        .select($"k", $"id", $"label").as[(String, Long, String)].collect()
+      salted.sorted.toSeq == plain.sorted.toSeq
+    }
+  }
+
   /** h32 stays within [0, 2^32) and is deterministic. */
   property("h32.range-and-determinism") =
     Prop.forAll(Gen.alphaNumStr) { s =>
