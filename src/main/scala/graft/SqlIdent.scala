@@ -33,14 +33,37 @@ object SqlIdent {
   }
 
   /** Validate a READ-side table reference: schema-qualified identifier, or
-    * a parenthesized-subquery alias (the DSv2 source documents that form;
-    * subqueries remain trusted config, like the reference connector's
-    * `query` option).
+    * a parenthesized subquery `(SELECT ...)` with an optional trailing
+    * alias (`(SELECT ...) t` — the form PostgreSQL requires; Derby accepts
+    * the bare form). The subquery TEXT stays trusted config, like the
+    * reference connector's `query` option — the check here guarantees only
+    * the SHAPE: parens balance (ignoring anything single-quoted), the
+    * leading paren closes at the end of the subquery, and whatever follows
+    * is a plain alias. It is a foot-gun guard, not a SQL parser.
     */
   def tableOrSubquery(name: String): String = {
-    require(name != null &&
-      (QualifiedRe.matches(name) || (name.startsWith("(") && name.endsWith(")"))),
-      s"not a valid SQL table identifier or (subquery): '$name'")
+    require(name != null, "null table reference")
+    val t = name.trim
+    if (QualifiedRe.matches(t)) return name
+    require(t.startsWith("("), s"not a valid SQL table identifier or (subquery): '$name'")
+    var depth = 0
+    var inQuote = false
+    var close = -1
+    t.indices.foreach { i =>
+      t.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote =>
+          depth -= 1
+          require(depth >= 0, s"unbalanced parens in subquery: '$name'")
+          if (depth == 0 && close < 0) close = i
+        case _ => ()
+      }
+    }
+    require(depth == 0 && !inQuote, s"unbalanced parens/quotes in subquery: '$name'")
+    val rest = t.substring(close + 1).trim
+    require(rest.isEmpty || IdentRe.matches(rest),
+      s"text after subquery must be a plain alias, got: '$rest'")
     name
   }
 }

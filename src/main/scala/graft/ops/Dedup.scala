@@ -20,6 +20,10 @@ import graft.ops.Text.{floor6, h32, tokens}
   */
 object Dedup {
 
+  // observation names must be unique per query; a plan reusing the pair
+  // job twice would otherwise collide on the CollectMetrics name
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token array column;
     * documents shorter than n tokens collapse to a single whole-doc shingle.
     *
@@ -131,9 +135,19 @@ object Dedup {
     // pair fan-out stays bounded by bucket size. Buckets larger than
     // maxBucket are dropped (quadratic pair fan-out — one poison bucket,
     // e.g. thousands of near-empty docs sharing the whole-doc-fallback
-    // signature, would pin a reducer for hours at corpus scale); use
-    // candidateBucketStats to audit what was skipped.
+    // signature, would pin a reducer for hours at corpus scale). The skip
+    // count is observed IN the pair job (named metrics below, readable via
+    // QueryExecutionListener / StreamingQueryProgress) — no separate audit
+    // pass needed to notice the cap fired; candidateBucketStats remains the
+    // detailed per-band breakdown. Caveat: if the WHOLE pair output is
+    // empty, AQE folds the subtree to EmptyRelation and the metrics are
+    // not reported (Spark quirk, verified on 4.1.2) — the all-skipped
+    // degenerate corpus still needs the stats pass.
     bucketedDocLists(df, textCol, idCol, k, bands)
+      .observe(s"graft_minhash_buckets_${obsId.incrementAndGet()}",
+        sum(when(size(col("docs")) > maxBucket, 1L).otherwise(0L)).as("skipped_buckets"),
+        sum(when(size(col("docs")) > maxBucket, size(col("docs")).cast("long"))
+          .otherwise(0L)).as("skipped_docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))

@@ -112,8 +112,13 @@ object AvroCodec {
     val framed =
       if (strict) length(v) >= 5
       else length(v) >= 5 && substring(v, 1, 1) === lit(Array[Byte](0))
-    df.withColumn("schema_id",
-        when(framed, conv(hex(substring(v, 2, 4)), 16, 10).cast("int")))
+    // the wire id is a SIGNED big-endian int32: reinterpret the unsigned
+    // conv() value explicitly — a bare cast("int") would null out ids with
+    // the high bit set instead of recovering the negative value
+    val unsignedId = conv(hex(substring(v, 2, 4)), 16, 10).cast("long")
+    val signedId = when(unsignedId >= 2147483648L, unsignedId - 4294967296L)
+      .otherwise(unsignedId).cast("int")
+    df.withColumn("schema_id", when(framed, signedId))
       .withColumn(valueCol, when(framed, v.substr(lit(6), length(v) - 5)).otherwise(v))
   }
 

@@ -26,19 +26,26 @@ object JdbcSink {
     * One row per key per batch: duplicate keys in a single batch would
     * insert twice after the batched deletes (PK violation), and the same
     * key on two partitions would race delete-vs-insert across concurrent
-    * transactions. With `versionCol` set the survivor is the row with the
-    * MAX version (deterministic across retries/replays); without it the
-    * survivor is arbitrary-winner — fine for the primary use (update-mode
-    * aggregates emit one row per key per batch), documented for the rest.
+    * transactions. With `versionCol` set the survivor is the MAX-version
+    * row, version ties broken by the ordering of the remaining columns —
+    * fully deterministic across retries/replays even when two rows share
+    * key AND version (sink columns are all scalar orderable types; `bind`
+    * rejects anything else up front). Without it the survivor is
+    * arbitrary-winner — fine for the primary use (update-mode aggregates
+    * emit one row per key per batch), documented for the rest.
     */
   def upsertBatch(df: DataFrame, url: String, table: String, keyCols: Seq[String],
       versionCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{col, max_by, struct}
     val deduped = versionCol match {
       case Some(v) =>
+        val rowAlias = "__graft_upsert_row"
+        require(!df.columns.contains(rowAlias),
+          s"column name '$rowAlias' is reserved by JdbcSink.upsertBatch")
+        val tieBreak = struct((col(v) +: df.columns.filterNot(_ == v).map(col)): _*)
         df.groupBy(keyCols.map(col): _*)
-          .agg(max_by(struct(df.columns.map(col): _*), col(v)).as("_row"))
-          .select("_row.*")
+          .agg(max_by(struct(df.columns.map(col): _*), tieBreak).as(rowAlias))
+          .select(rowAlias + ".*")
       case None => df.dropDuplicates(keyCols)
     }
     upsertDistinct(deduped, url, table, keyCols)

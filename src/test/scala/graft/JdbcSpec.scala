@@ -170,6 +170,23 @@ class JdbcSpec extends SparkSpec {
     assert(rows === Vector("a", "b"))
   }
 
+  test("versionCol survivor: max version wins, version TIES break deterministically") {
+    exec("CREATE TABLE VER_OUT (k VARCHAR(64) NOT NULL PRIMARY KEY, ver BIGINT, v VARCHAR(64))")
+    import spark.implicits._
+    // two rows share key 'a' AND version 2 — the survivor must be the one
+    // whose remaining columns order highest ('zz'), not an arbitrary winner
+    val batch = Seq(("a", 2L, "aa"), ("a", 2L, "zz"), ("a", 1L, "old"), ("b", 1L, "b1"))
+      .toDF("k", "ver", "v")
+    JdbcSink.upsertBatch(batch, url, "VER_OUT", Seq("k"), versionCol = Some("ver"))
+    val rows = query("SELECT k, v FROM VER_OUT ORDER BY k")(rs => (rs.getString(1), rs.getString(2)))
+    assert(rows === Vector(("a", "zz"), ("b", "b1")))
+    // the internal struct alias is reserved, not silently shadowed
+    intercept[IllegalArgumentException] {
+      JdbcSink.upsertBatch(batch.withColumnRenamed("v", "__graft_upsert_row"),
+        url, "VER_OUT", Seq("k"), versionCol = Some("ver"))
+    }
+  }
+
   test("missing schema fails fast with a clear message") {
     val e = intercept[Exception] {
       spark.readStream.format("graft.sources.JdbcIncrementingSource")

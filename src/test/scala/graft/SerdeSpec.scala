@@ -140,4 +140,12 @@ class SerdeSpec extends SparkSpec {
     assert(AvroCodec.decode(passthrough, "value", st).as[(String, Long)].collect().toSet
       === Set(("be", 2L), ("to", 4L)))
   }
+
+  test("registry wire format: high-bit schema ids decode as signed int32, not null") {
+    val src = Seq(("x", 1L)).toDF("w", "n")
+    val id = Int.MinValue + 7 // 0x80000007 — overflows an unsigned cast("int")
+    val framed = AvroCodec.frame(AvroCodec.encode(src, Seq("w", "n")), "value", id)
+    assert(AvroCodec.unframe(framed, "value")
+      .select("schema_id").as[Option[Int]].head() === Some(id))
+  }
 }

@@ -31,4 +31,22 @@ class SqlIdentSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SqlIdent.table("(t); DROP TABLE x; --()"))
     intercept[IllegalArgumentException](SqlIdent.table("(SELECT * FROM t)"))
   }
+
+  test("subquery shape: balance + optional alias enforced, paren payloads rejected") {
+    // the PostgreSQL-required aliased form passes
+    assert(SqlIdent.tableOrSubquery("(SELECT * FROM t) t1") === "(SELECT * FROM t) t1")
+    // nested parens balance
+    assert(SqlIdent.tableOrSubquery("(SELECT a FROM (SELECT 1 a) s)")
+      === "(SELECT a FROM (SELECT 1 a) s)")
+    // parens inside a quoted literal don't count toward balance
+    assert(SqlIdent.tableOrSubquery("(SELECT ')(' FROM t) q") === "(SELECT ')(' FROM t) q")
+    // statement smuggled AFTER the closing paren — the old endsWith(")")
+    // check waved this through
+    intercept[IllegalArgumentException](
+      SqlIdent.tableOrSubquery("(SELECT 1); DROP TABLE x; --()"))
+    // unbalanced parens / quotes, multi-token trailer
+    intercept[IllegalArgumentException](SqlIdent.tableOrSubquery("(SELECT 1"))
+    intercept[IllegalArgumentException](SqlIdent.tableOrSubquery("(SELECT 1) x y"))
+    intercept[IllegalArgumentException](SqlIdent.tableOrSubquery("(SELECT ''') t"))
+  }
 }

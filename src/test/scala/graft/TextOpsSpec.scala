@@ -115,6 +115,38 @@ class TextOpsSpec extends SparkSpec {
     assert(stats._2 >= 2000L && stats._3 === 500L)
   }
 
+  test("hot-bucket skips are observed inside the pair job (no separate audit pass)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_minhash_buckets")) metrics.add(row)
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 100 empty docs share the fallback signature: one 100-doc bucket per
+      // band, all over the cap — the pair job itself must report the skips.
+      // Two real near-dups keep the output non-empty: AQE folds an
+      // all-empty result to EmptyRelation, which discards CollectMetrics
+      // (documented Spark quirk, see minhashCandidatePairs scaladoc).
+      val real = Seq(
+        (9001L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (9002L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+      val df = ((1L to 100L).map(i => (i, "")) ++ real).toDF("id", "text")
+      Dedup.minhashCandidatePairs(df, "text", "id", k = 8, bands = 4, maxBucket = 10).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!metrics.isEmpty, "observed metrics were delivered to the listener")
+      val row = metrics.peek()
+      assert(row.getAs[Long]("skipped_buckets") === 4L)
+      assert(row.getAs[Long]("skipped_docs") === 400L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
     val j = Dedup.ngramJaccardPairs(df, "text", "id")
