@@ -78,10 +78,6 @@ class StreamRegistry(spark: SparkSession) {
   def stream(name: String): StreamDef = defs(name)
   def names: Seq[String] = defs.keys.toSeq.sorted
 
-  private val CsasPattern =
-    """(?is)\s*CREATE\s+STREAM\s+(\w+)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*?)\s*;?\s*""".r
-  private val TimestampOpt = """(?i)timestamp\s*=\s*'([^']+)'""".r
-
   /** Textual entry point — the KSQL statement surface
     * (`ksqlContext.sql(...)`, reference
     * `StreamsSelectAndProjectIntTest.java:174-344`):
@@ -90,15 +86,13 @@ class StreamRegistry(spark: SparkSession) {
     * source/sink adapters and are accepted-and-ignored here. Non-CSAS
     * statements pass through to `spark.sql`.
     *
-    * Known parser limits: option VALUES may not contain ')' or the literal
-    * text `timestamp=` (the options blob is matched with a regex, not a
-    * grammar); such statements fall through to spark.sql or mis-pick the
-    * timestamp column. Use `createStreamAs` directly for exotic options.
+    * Statements are tokenized by [[CsasParser]] (quoted literals, `''`
+    * escapes, per-pair options — not a regex), so option values may contain
+    * `)`/commas/`timestamp=` text freely; a malformed CREATE STREAM fails
+    * here with the offending position instead of confusing Spark's parser.
     */
-  def sql(statement: String): DataFrame = statement match {
-    case CsasPattern(name, opts, select) =>
-      val ts = Option(opts).flatMap(o => TimestampOpt.findFirstMatchIn(o).map(_.group(1)))
-      createStreamAs(name, select, ts)
-    case other => spark.sql(other)
+  def sql(statement: String): DataFrame = CsasParser.parse(statement) match {
+    case Some(c) => createStreamAs(c.name, c.select, c.options.get("timestamp"))
+    case None => spark.sql(statement)
   }
 }

@@ -86,6 +86,31 @@ class CsasSpec extends SparkSpec {
     assert(r.sql("SELECT count(*) AS c FROM orders_fx").as[Long].head() === 8L)
   }
 
+  test("CSAS tokenizer handles option values the old regex could not") {
+    val r = reg
+    // ')' and ',' and the literal text "timestamp=" inside OTHER option
+    // values — the regex matcher's documented limits, now parsed per-pair
+    val out = r.sql(
+      """CREATE STREAM TRICKY WITH (kafka_topic='a)b,c', note='not timestamp=X',
+        |  quote='it''s', timestamp='RTIME') AS
+        |SELECT ROWKEY, ROWTIME + 10000 AS RTIME FROM orders_fx;""".stripMargin)
+    assert(out.count() === 8)
+    assert(r.stream("TRICKY").timeCol.contains("RTIME"))
+    assert(r.stream("TRICKY").df.filter($"ROWKEY" === 5L)
+      .select("ROWTIME").as[Long].head() === 5L + 10000L)
+    // empty options list, no-options form, and lowercase keywords all parse
+    assert(r.sql("create stream LC with () as select ITEMID from orders_fx").count() === 8)
+    // malformed CREATE STREAM fails fast with a position, not a Spark parse error
+    val e = intercept[IllegalArgumentException](
+      r.sql("CREATE STREAM BROKEN WITH (timestamp='X' AS SELECT 1"))
+    assert(e.getMessage.contains("position"))
+    intercept[IllegalArgumentException](
+      r.sql("CREATE STREAM NOBODY AS INSERT INTO x VALUES (1)"))
+    // CREATE <not-stream> still passes through to spark.sql untouched
+    r.sql("CREATE TEMPORARY VIEW pass_v AS SELECT 42 AS a")
+    assert(spark.table("pass_v").as[Int].head() === 42)
+  }
+
   test("bad records are skipped, query still answers (P13, ref :151-166)") {
     val jsonRows = ordersFixture
       .select(to_json(struct($"ORDERTIME", $"ITEMID", $"ORDERUNITS")).as("payload"))
