@@ -38,6 +38,45 @@ object Sampling {
     df.filter(bucket(col(idCol), salt) < threshold)
   }
 
+  /** Temperature-weighted mixture sampling (the multilingual/domain
+    * rebalancing rule from the mT5/data-mixture literature): class c with
+    * share p_c is sampled so the RESULTING mix follows p_c^(1/T)
+    * (normalized), with expected total = `targetFraction` of the corpus.
+    * T=1 reproduces the natural distribution; T→∞ approaches uniform;
+    * rates are capped at 1 (a tiny class can't be oversampled without
+    * replacement).
+    *
+    * Deterministic end to end: per-class weights are floored to integer
+    * micro-units before normalization (the sum over classes is exact long
+    * addition — a double sum would depend on aggregation order), and row
+    * selection is the same hash predicate as [[hashSample]]. The per-class
+    * rate table is tiny and broadcast; the corpus sees one scan + one
+    * broadcast join.
+    */
+  def temperatureMixture(df: DataFrame, classCol: String, idCol: String,
+      targetFraction: Double, temperature: Double, salt: String = "s0"): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val cls = df.groupBy(classCol).agg(count(lit(1)).as("n_c"))
+    val tot = cls.agg(sum("n_c").as("n_total"))
+    val withW = cls.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        floor(pow(col("n_c").cast("double") / col("n_total").cast("double"),
+          lit(1.0 / temperature)) * lit(1000000.0)).cast("long"))
+    val sumW = withW.agg(sum("w_micro").as("sum_w_micro"))
+    val rates = withW.crossJoin(broadcast(sumW))
+      .select(col(classCol),
+        least(lit(1000000L),
+          floor(lit(targetFraction) * col("n_total").cast("double")
+            * col("w_micro").cast("double") / col("sum_w_micro").cast("double")
+            / col("n_c").cast("double") * lit(1000000.0)).cast("long")).as("rate_micro"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000000))
+        < col("rate_micro"))
+      .select(col(idCol), col(classCol), col("rate_micro"))
+  }
+
   /** Hard per-class cap: keep AT MOST `n` rows per class, chosen
     * deterministically by id-hash order (the "no more than N docs per
     * language/domain" mix rule, where a fraction can't bound the absolute

@@ -212,6 +212,87 @@ object Text {
         col("dup_2gram_frac"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set — the
+    * lexical retrieval complement to the embedding ANN operators (used for
+    * targeted corpus slicing: "all docs relevant to X").
+    *
+    * Scale shape: tf and dl are both keyed by doc id (one co-partitioned
+    * join); the per-term document frequencies and the corpus stats are
+    * query-term-sized / single-row and broadcast. One corpus scan feeds
+    * both aggregates.
+    *
+    * Portability: per-(doc,term) contributions are floored to integer
+    * MICRO-units before the per-doc sum, so the sum is exact long
+    * addition — partition-order-independent and engine-identical (a raw
+    * double sum would drift with aggregation order; cf. the DECIMAL rule
+    * for money sums). The one transcendental (ln in the idf) is computed
+    * on only |queryTerms| distinct values.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val tf = tok.filter(col("t").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("df_t"))
+    val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df_t").cast("double") + lit(0.5)) /
+        (col("df_t").cast("double") + lit(0.5)))
+    val tfPart = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val contrib = tf.join(dl, Seq(idCol))
+      .join(broadcast(dft), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), floor(idf * tfPart * lit(1000000.0)).cast("long").as("c_micro"))
+    val scored = contrib.groupBy(idCol)
+      .agg(sum("c_micro").as("sum_micro"), count(lit(1)).as("n_hit"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("sum_micro"), lit(0L)).cast("double") / lit(1000000.0)).as("bm25"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit_terms"))
+  }
+
+  /** Cross-document boilerplate removal (the RefinedWeb/CCNet line-dedup
+    * family, at sentence granularity): a normalized sentence appearing in
+    * `minDocs` or more DISTINCT documents is boilerplate (headers, cookie
+    * banners, nav text) and is dropped from every document; remaining
+    * sentences are rejoined in original order.
+    *
+    * Scale shape: sentence frequencies are one explode + keyed count; the
+    * removal is a left-anti equi-join on the sentence key with NO broadcast
+    * hint (boilerplate volume is corpus-dependent — AQE broadcasts when it
+    * is actually small, same reasoning as Dedup.dropNearDuplicates).
+    * Reassembly groups by doc id, so state is bounded per document.
+    */
+  def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int = 3): DataFrame = {
+    val sents = df.select(col(idCol),
+        posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "s")))
+      .withColumn("key", lower(trim(col("s"))))
+      .filter(length(col("key")) > 0)
+    val boiler = sents.select(col(idCol), col("key")).distinct()
+      .groupBy("key").agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= minDocs)
+      .select("key")
+    val kept = sents.join(boiler, Seq("key"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")), ". ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val nSent = sents.groupBy(idCol).agg(count(lit(1)).as("n_sent"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(nSent, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("n_sent"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Benchmark-contamination check: count shared winnowing fingerprints
     * between each corpus document and a benchmark/eval set — the standard
     * decontamination pass before training. Shared-substring guarantee comes

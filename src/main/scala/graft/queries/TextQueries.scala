@@ -24,6 +24,9 @@ object TextQueries extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** Fixed retrieval query for text_bm25 (mid-frequency corpus terms). */
+  private val bm25Terms = Seq("spark", "vector", "slow")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordcount" -> ((s, d) => Text.wordCount(docs(s, d), "text")),
     "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
@@ -73,6 +76,32 @@ object TextQueries extends QueryModule {
         all.filter(pmod(col("doc_id"), lit(50)) === 0),
         "text", "doc_id")
     }),
+
+    // BM25 lexical retrieval against a fixed query-term set (the targeted
+    // corpus-slicing complement to the ANN operators)
+    "text_bm25" -> ((s, d) =>
+      Text.bm25(docs(s, d), "text", "doc_id", bm25Terms)),
+
+    // cross-doc boilerplate sentence removal. The synthetic docs carry no
+    // sentence breaks, so the QUERY injects deterministic boilerplate
+    // (both engines apply the same injection): every 3rd doc gets a common
+    // header (df >> minDocs → removed), doc 250·k a rare one (df < minDocs
+    // → kept) — exercising both sides of the threshold through the oracle.
+    "text_boilerplate" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("spark engine rocks. "), col("text")))
+          .when(pmod(col("doc_id"), lit(250)) === 0,
+            concat(lit("rare header line. "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Text.removeBoilerplate(injected, "text", "doc_id", minDocs = 3)
+    }),
+
+    // temperature-flattened language mix: T=2 (exponent 0.5 = sqrt, exact
+    // in both engines), expected 30% of the corpus
+    "sample_temperature" -> ((s, d) =>
+      graft.ops.Sampling.temperatureMixture(docs(s, d), "lang", "doc_id",
+        targetFraction = 0.3, temperature = 2.0, salt = "temp1")),
 
     // composed pipeline: language ID ⋈ quality → per-language corpus stats
     // (exact long sums only, so the rollup is order-independent)
@@ -265,6 +294,68 @@ object TextQueries extends QueryModule {
          |  coalesce(sh.n_shared, 0) >= 3 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
          |LEFT JOIN sh ON sh.doc_id = d.doc_id""".stripMargin,
+
+    // mirrors Text.bm25 EXPRESSION BY EXPRESSION: contributions floored to
+    // micro-units pre-sum (exact long adds, order-independent); literal
+    // 2.2 / 1.2 / 0.25 / 0.75 are the same nearest-doubles in both engines
+    "text_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+         |       WHERE t IN ('spark', 'vector', 'slow') GROUP BY doc_id, t),
+         |dft AS (SELECT t, count(*) AS df_t FROM tf GROUP BY t),
+         |stats AS (SELECT sum(dl)::DOUBLE AS sum_dl, count(*)::DOUBLE AS n_docs FROM dl),
+         |c AS (SELECT tf.doc_id,
+         |  floor(ln(1.0 + (stats.n_docs - dft.df_t::DOUBLE + 0.5) / (dft.df_t::DOUBLE + 0.5))
+         |    * (tf.tf::DOUBLE * 2.2 / (tf.tf::DOUBLE
+         |        + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE / (stats.sum_dl / stats.n_docs))))
+         |    * 1000000.0)::BIGINT AS c_micro
+         |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN stats),
+         |sc AS (SELECT doc_id, sum(c_micro)::BIGINT AS sum_micro, count(*) AS n_hit FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(sc.sum_micro, 0)::DOUBLE / 1000000.0 AS bm25,
+         |  coalesce(sc.n_hit, 0)::BIGINT AS n_hit_terms
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'spark engine rocks. ' || text
+        |       WHEN doc_id % 250 = 0 THEN 'rare header line. ' || text
+        |       ELSE text END AS text FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, '. ') AS ss FROM src),
+        |s AS (SELECT doc_id, u['pos'] AS pos, u['s'] AS s, lower(trim(u['s'])) AS key
+        |      FROM (SELECT doc_id,
+        |              unnest(list_transform(range(len(ss)), i -> {'pos': i, 's': ss[i+1]})) AS u
+        |            FROM sp)
+        |      WHERE length(lower(trim(u['s']))) > 0),
+        |bo AS (SELECT key FROM (
+        |         SELECT key, count(*) AS c FROM (SELECT DISTINCT doc_id, key FROM s)
+        |         GROUP BY key) WHERE c >= 3),
+        |kept AS (SELECT doc_id, pos, s FROM s ANTI JOIN bo USING (key)),
+        |r AS (SELECT doc_id, string_agg(s, '. ' ORDER BY pos) AS clean_text,
+        |             count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, count(*) AS n_sent FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  (coalesce(n.n_sent, 0) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+        |FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN n USING (doc_id)""".stripMargin,
+
+    // w_micro floored pre-sum so the class normalizer is exact long adds;
+    // pow(x, 0.5) on identical double ratios in both engines
+    "sample_temperature" ->
+      """WITH cls AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_c)::BIGINT AS n_total FROM cls),
+        |w AS (SELECT lang, n_c, n_total,
+        |        floor(pow(n_c::DOUBLE / n_total::DOUBLE, 0.5) * 1000000.0)::BIGINT AS w_micro
+        |      FROM cls CROSS JOIN tot),
+        |sw AS (SELECT sum(w_micro)::BIGINT AS sum_w_micro FROM w),
+        |rates AS (SELECT lang,
+        |    least(1000000, floor(0.3 * n_total::DOUBLE * w_micro::DOUBLE / sum_w_micro::DOUBLE
+        |      / n_c::DOUBLE * 1000000.0)::BIGINT) AS rate_micro
+        |  FROM w CROSS JOIN sw)
+        |SELECT d.doc_id, d.lang, r.rate_micro
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || '_temp1'), 1, 8))::BIGINT % 1000000)
+        |      < r.rate_micro""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -75,6 +75,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "group-stats join should broadcast")
   }
 
+  test("bm25 broadcasts the term/corpus stats, never the doc-keyed sides") {
+    val p = plan("text_bm25")
+    // df_t (|query terms| rows) and the 1-row corpus stats must broadcast;
+    // a shuffle there would serialize the whole corpus scan behind them
+    assert(p.contains("BroadcastHashJoin"), "term-frequency join should broadcast")
+    assert(!p.contains("CartesianProduct"), "corpus stats must broadcast, not cartesian")
+  }
+
+  test("boilerplate removal carries no broadcast hint on the sentence anti-join") {
+    // boilerplate volume is corpus-dependent (same reasoning as the dedup
+    // drop set): strategy belongs to AQE, not a compile-time hint
+    val p = SparkEntry.queries("text_boilerplate")(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("hint"), "anti-join must not carry a broadcast hint")
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition

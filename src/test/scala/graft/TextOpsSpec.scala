@@ -147,6 +147,64 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("bm25: more query-term mass ranks higher, termless docs score zero") {
+    val df = Seq(
+      (1L, "spark spark spark fast engine"),
+      (2L, "spark is one word here with lots of other filler text padding"),
+      (3L, "completely unrelated words only")).toDF("id", "text")
+    val scored = graft.ops.Text.bm25(df, "text", "id", Seq("spark", "engine"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(scored(3L) === ((0.0, 0L)))
+    assert(scored(1L)._2 === 2L && scored(2L)._2 === 1L)
+    assert(scored(1L)._1 > scored(2L)._1, "tf-heavy short doc outranks one-hit long doc")
+    assert(scored(2L)._1 > 0.0)
+  }
+
+  test("boilerplate removal: shared sentences dropped, order kept, all-boiler docs empty") {
+    val df = Seq(
+      (1L, "Cookie banner here. Real content one. All rights reserved"),
+      (2L, "Cookie banner here. Unique thoughts two. All rights reserved"),
+      (3L, "Cookie banner here. Third body text. All rights reserved"),
+      (4L, "Cookie banner here. All rights reserved"),
+      (5L, "Fully original document with nothing shared")).toDF("id", "text")
+    val out = graft.ops.Text.removeBoilerplate(df, "text", "id", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("Real content one", 2L)))
+    assert(out(2L) === (("Unique thoughts two", 2L)))
+    assert(out(3L) === (("Third body text", 2L)))
+    assert(out(4L) === (("", 2L)), "all-boilerplate doc comes back empty, not missing")
+    assert(out(5L) === (("Fully original document with nothing shared", 0L)))
+  }
+
+  test("boilerplate removal preserves multi-sentence order") {
+    val shared = "nav menu"
+    val df = (1L to 3L).map(i => (i, s"$shared. alpha $i. $shared. omega $i"))
+      .toDF("id", "text")
+    val out = graft.ops.Text.removeBoilerplate(df, "text", "id", minDocs = 3)
+      .filter($"id" === 2L).collect().head
+    assert(out.getString(1) === "alpha 2. omega 2")
+    assert(out.getLong(2) === 2L)
+  }
+
+  test("temperature mixture: T=1 reproduces flat target, higher T boosts small classes") {
+    val rows = (1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small"))
+    val df = rows.toDF("id", "cls")
+    val t1 = graft.ops.Sampling.temperatureMixture(df, "cls", "id", 0.2, temperature = 1.0)
+      .select("cls", "rate_micro").distinct().as[(String, Long)].collect().toMap
+    // T=1: every class keeps ~ the target fraction (micro-floor rounding only)
+    assert(math.abs(t1("big") - 200000L) <= 5L && math.abs(t1("small") - 200000L) <= 5L)
+    val t4 = graft.ops.Sampling.temperatureMixture(df, "cls", "id", 0.2, temperature = 4.0)
+      .select("cls", "rate_micro").distinct().as[(String, Long)].collect().toMap
+    assert(t4("small") > t4("big"), "flattening oversamples the minority class")
+    assert(t4("small") > t1("small") && t4("big") < t1("big"))
+    // a tiny class with an aggressive target caps at rate 1
+    val tiny = ((1L to 995L).map(i => (i, "big")) ++ (996L to 1000L).map(i => (i, "rare")))
+      .toDF("id", "cls")
+    val capped = graft.ops.Sampling.temperatureMixture(tiny, "cls", "id", 0.9, temperature = 8.0)
+      .select("cls", "rate_micro").distinct().as[(String, Long)].collect().toMap
+    assert(capped("rare") === 1000000L)
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
     val j = Dedup.ngramJaccardPairs(df, "text", "id")
