@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Text.h32
+
+/** Deterministic sequence packing: assign each document to a fixed
+  * token-budget training bin (the "pack short docs into 8k-token training
+  * sequences" step of an LLM data pipeline), reproducibly across runs and
+  * cluster shapes.
+  *
+  * Exact packing needs a TOTAL ORDER and a running token total — the naive
+  * form (one window over the whole corpus) serializes 100 TB through a
+  * single reducer. This is the scalable two-level prefix sum instead:
+  *
+  *  1. each doc gets a deterministic position (hash bucket, then hash
+  *     within bucket) — no data-dependent sampling, so the order is stable
+  *     across partitioning/cluster shape, unlike a rangepartitioned sort;
+  *  2. cumulative sums run per-bucket in parallel (window partitioned by
+  *     bucket — reducer state is corpus/`buckets`, sized by the `buckets`
+  *     knob like shuffle partitions);
+  *  3. bucket totals (a `buckets`-row side table) get prefix offsets in a
+  *     single tiny window and broadcast back; global position = bucket
+  *     offset + within-bucket cumsum.
+  *
+  * Bin = floor(tokens-before-this-doc / budget): contiguous chunking, so a
+  * bin can overshoot the budget by at most one document — the standard
+  * greedy approximation, but deterministic and one-pass.
+  */
+object Packing {
+
+  def assignBins(df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+      buckets: Int = 1024, salt: String = "pack"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = df.select(
+      col(idCol),
+      col(tokenCol).cast("long").as("toks"),
+      h32(concat(col(idCol).cast("string"), lit("_" + salt))).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets)))
+    // ROWS frame pinned explicitly: the (h, id) order key is unique, but
+    // RANGE (the default) would group peers if it ever weren't
+    val perBucket = Window.partitionBy("bucket")
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = base.withColumn("cum_in", sum("toks").over(perBucket))
+    // bucket offsets: `buckets` rows through one single-partition window —
+    // bounded by the knob, not the corpus (same shape as the histogram
+    // percentile side table)
+    val prefix = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(sum("toks").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(prefix), lit(0L)))
+      .select("bucket", "boff")
+    withCum.join(broadcast(offsets), Seq("bucket"))
+      .select(col(idCol), col("bucket"), col("toks"),
+        floor((col("boff") + col("cum_in") - col("toks")).cast("double")
+          / lit(budget.toDouble)).cast("long").as("bin"))
+  }
+}

@@ -103,6 +103,13 @@ object TextQueries extends QueryModule {
       graft.ops.Sampling.temperatureMixture(docs(s, d), "lang", "doc_id",
         targetFraction = 0.3, temperature = 2.0, salt = "temp1")),
 
+    // deterministic sequence packing into 4096-char training bins via the
+    // two-level distributed prefix sum (64 buckets at this SF so buckets
+    // actually carry multiple docs)
+    "seq_pack" -> ((s, d) =>
+      graft.ops.Packing.assignBins(docs(s, d), "doc_id", "n_chars",
+        budget = 4096, buckets = 64, salt = "pack")),
+
     // composed pipeline: language ID ⋈ quality → per-language corpus stats
     // (exact long sums only, so the rollup is order-independent)
     "text_corpus_stats" -> ((s, d) => {
@@ -338,6 +345,20 @@ object TextQueries extends QueryModule {
         |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
         |  (coalesce(n.n_sent, 0) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
         |FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN n USING (doc_id)""".stripMargin,
+
+    // the oracle's single global cumsum over (bucket, h, doc_id) IS the
+    // engine's bucket-offset + within-bucket cumsum — the equivalence the
+    // two-level prefix sum is built on
+    "seq_pack" ->
+      """WITH base AS (SELECT doc_id, n_chars::BIGINT AS toks,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_pack'), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, toks, h, h % 64 AS bucket FROM base),
+        |c AS (SELECT doc_id, bucket, toks,
+        |    sum(toks) OVER (ORDER BY bucket, h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b2)
+        |SELECT doc_id, bucket, toks,
+        |  floor((cum - toks)::DOUBLE / 4096.0)::BIGINT AS bin FROM c""".stripMargin,
 
     // w_micro floored pre-sum so the class normalizer is exact long adds;
     // pow(x, 0.5) on identical double ratios in both engines

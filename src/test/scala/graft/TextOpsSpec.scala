@@ -205,6 +205,28 @@ class TextOpsSpec extends SparkSpec {
     assert(capped("rare") === 1000000L)
   }
 
+  test("sequence packing: bins respect budget+straddle, ids cover, layout-independent") {
+    val df = (1L to 400L).map(i => (i, 50L + (i % 7) * 30L)).toDF("id", "n_toks")
+    val packed = graft.ops.Packing.assignBins(df, "id", "n_toks", budget = 1000, buckets = 8)
+    val rows = packed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 400, "every doc assigned exactly once")
+    // bins are contiguous from 0
+    val bins = rows.map(_._4).distinct.sorted
+    assert(bins.head === 0L && bins === (bins.head to bins.last).toArray.toSeq)
+    // each bin's total ≤ budget + one straddling doc (contiguous chunking)
+    val maxDoc = rows.map(_._3).max
+    rows.groupBy(_._4).foreach { case (bin, rs) =>
+      val tot = rs.map(_._3).sum
+      assert(tot <= 1000L + maxDoc, s"bin $bin holds $tot tokens")
+    }
+    // deterministic across physical layout
+    val reshuffled = graft.ops.Packing.assignBins(
+      df.repartition(13), "id", "n_toks", budget = 1000, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rows.forall(r => reshuffled(r._1) === r._4))
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
     val j = Dedup.ngramJaccardPairs(df, "text", "id")
