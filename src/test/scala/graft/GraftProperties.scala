@@ -160,6 +160,72 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** Sequence packing: every doc assigned exactly once, every bin's total
+    * bounded by budget + one straddling doc, bins non-negative — for any
+    * doc-size distribution, budget, and bucket count.
+    */
+  property("packing.coverage-and-budget") = {
+    val doc = for { id <- Gen.choose(1L, 10000L); t <- Gen.choose(1L, 400L) } yield (id, t)
+    Prop.forAll(Gen.nonEmptyListOf(doc), Gen.choose(100L, 1200L), Gen.choose(1, 12)) {
+      (docsIn, budget, buckets) =>
+        val docs = docsIn.distinctBy(_._1)
+        val out = graft.ops.Packing.assignBins(
+          docs.toDF("id", "n_toks"), "id", "n_toks", budget, buckets)
+          .select($"id", $"toks", $"bin").as[(Long, Long, Long)].collect()
+        val coverage = out.map(_._1).sorted.toSeq == docs.map(_._1).sorted
+        val maxDoc = docs.map(_._2).max
+        val bounded = out.groupBy(_._3).forall { case (_, rs) =>
+          rs.map(_._2).sum <= budget + maxDoc
+        }
+        coverage && bounded && out.forall(_._3 >= 0L)
+    }
+  }
+
+  /** Temperature mixture rates: always within [0, 1e6] micro-units, equal
+    * classes get equal rates, and (for T ≥ 1) a smaller class never gets a
+    * lower rate than a bigger one — modulo 1 micro-unit of floor slop.
+    */
+  property("mixture.rate-laws") = {
+    val sizes = Gen.listOfN(4, Gen.choose(1, 300))
+    Prop.forAll(sizes, Gen.choose(0.05, 1.0), Gen.choose(1.0, 8.0)) { (ns, target, t) =>
+      val rows = ns.zipWithIndex.flatMap { case (n, c) =>
+        (1 to n).map(i => (c.toLong * 100000L + i, s"c$c"))
+      }
+      val rates = graft.ops.Sampling
+        .temperatureMixture(rows.toDF("id", "cls"), "cls", "id", target, t)
+        .select($"cls", $"rate_micro").distinct().as[(String, Long)].collect().toMap
+      val byClass = ns.zipWithIndex.map { case (n, c) => n -> rates.getOrElse(s"c$c", 0L) }
+      val inRange = byClass.forall { case (_, r) => r >= 0L && r <= 1000000L }
+      val monotone = byClass.combinations(2).forall {
+        case Seq((n1, r1), (n2, r2)) =>
+          if (n1 == n2) r1 == r2
+          else if (n1 < n2) r1 + 1 >= r2
+          else r2 + 1 >= r1
+        case _ => true
+      }
+      inRange && monotone
+    }
+  }
+
+  /** Boilerplate removal is idempotent: what one pass keeps, a second pass
+    * keeps verbatim (a kept sentence's doc-frequency is unchanged by the
+    * removal of OTHER sentences, so it stays under threshold).
+    */
+  property("boilerplate.idempotent") = {
+    val sentence = Gen.listOfN(3, word).map(_.mkString(" "))
+    val doc = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, sentence).map(_.mkString(". ")))
+    Prop.forAll(Gen.nonEmptyListOf(doc), Gen.choose(2, 4)) { (texts, minDocs) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = graft.ops.Text.removeBoilerplate(df, "text", "id", minDocs)
+        .select($"id", $"clean_text")
+      val twice = graft.ops.Text.removeBoilerplate(
+        once.withColumnRenamed("clean_text", "text"), "text", "id", minDocs)
+        .select($"id", $"clean_text")
+      once.as[(Long, String)].collect().sorted.toSeq ==
+        twice.as[(Long, String)].collect().sorted.toSeq
+    }
+  }
+
   /** h32 stays within [0, 2^32) and is deterministic. */
   property("h32.range-and-determinism") =
     Prop.forAll(Gen.alphaNumStr) { s =>
