@@ -58,4 +58,28 @@ object Packing {
         floor((col("boff") + col("cum_in") - col("toks")).cast("double")
           / lit(budget.toDouble)).cast("long").as("bin"))
   }
+
+  /** Materialize the packed training sequences: [[assignBins]] + ordered
+    * concatenation per bin (docs in their global packing order, `sep`
+    * between them). The per-bin collect is bounded by the BUDGET — a bin
+    * never holds more than budget + one straddling doc of tokens — so
+    * unlike a per-group collect over raw data this cannot OOM a reducer at
+    * any corpus size.
+    */
+  def packTexts(df: DataFrame, idCol: String, textCol: String, tokenCol: String,
+      budget: Long, buckets: Int = 1024, salt: String = "pack",
+      sep: String = " <|doc|> "): DataFrame = {
+    val bins = assignBins(df, idCol, tokenCol, budget, buckets, salt)
+      // re-derive the in-bin order key (same hash assignBins positioned by)
+      .withColumn("h", h32(concat(col(idCol).cast("string"), lit("_" + salt))))
+    bins.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy("bin")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("bucket"), col("h"), col(idCol), col(textCol)))),
+            x => x.getField(textCol)), sep).as("packed_text"),
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("total_toks"))
+  }
 }

@@ -27,6 +27,19 @@ object TextQueries extends QueryModule {
   /** Fixed retrieval query for text_bm25 (mid-frequency corpus terms). */
   private val bm25Terms = Seq("spark", "vector", "slow")
 
+  /** Shared packing CTE (budget 4096 chars, 64 buckets, salt "pack"):
+    * positions every doc in the deterministic global packing order and
+    * carries its running total.
+    */
+  private val packCte =
+    """WITH base_pack AS (SELECT doc_id, n_chars::BIGINT AS toks,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || '_pack'), 1, 8))::BIGINT AS h
+      |  FROM documents),
+      |b_pack AS (SELECT doc_id, toks, h, h % 64 AS bucket FROM base_pack),
+      |c_pack AS (SELECT doc_id, bucket, h, toks,
+      |    sum(toks) OVER (ORDER BY bucket, h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM b_pack)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordcount" -> ((s, d) => Text.wordCount(docs(s, d), "text")),
     "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
@@ -108,6 +121,12 @@ object TextQueries extends QueryModule {
     // actually carry multiple docs)
     "seq_pack" -> ((s, d) =>
       graft.ops.Packing.assignBins(docs(s, d), "doc_id", "n_chars",
+        budget = 4096, buckets = 64, salt = "pack")),
+
+    // the materialized sequences: per-bin ordered concat (state bounded by
+    // the budget, not the corpus)
+    "seq_pack_concat" -> ((s, d) =>
+      graft.ops.Packing.packTexts(docs(s, d), "doc_id", "text", "n_chars",
         budget = 4096, buckets = 64, salt = "pack")),
 
     // composed pipeline: language ID ⋈ quality → per-language corpus stats
@@ -350,15 +369,20 @@ object TextQueries extends QueryModule {
     // engine's bucket-offset + within-bucket cumsum — the equivalence the
     // two-level prefix sum is built on
     "seq_pack" ->
-      """WITH base AS (SELECT doc_id, n_chars::BIGINT AS toks,
-        |    ('0x' || substr(md5(doc_id::VARCHAR || '_pack'), 1, 8))::BIGINT AS h
-        |  FROM documents),
-        |b2 AS (SELECT doc_id, toks, h, h % 64 AS bucket FROM base),
-        |c AS (SELECT doc_id, bucket, toks,
-        |    sum(toks) OVER (ORDER BY bucket, h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM b2)
-        |SELECT doc_id, bucket, toks,
-        |  floor((cum - toks)::DOUBLE / 4096.0)::BIGINT AS bin FROM c""".stripMargin,
+      s"""$packCte
+         |SELECT doc_id, bucket, toks,
+         |  floor((cum - toks)::DOUBLE / 4096.0)::BIGINT AS bin FROM c_pack""".stripMargin,
+
+    "seq_pack_concat" ->
+      s"""$packCte,
+         |assigned AS (SELECT doc_id, bucket, h, toks,
+         |    floor((cum - toks)::DOUBLE / 4096.0)::BIGINT AS bin FROM c_pack)
+         |SELECT bin,
+         |  string_agg(d.text, ' <|doc|> ' ORDER BY a.bucket, a.h, a.doc_id) AS packed_text,
+         |  count(*) AS n_docs,
+         |  sum(a.toks)::BIGINT AS total_toks
+         |FROM assigned a JOIN documents d USING (doc_id)
+         |GROUP BY bin""".stripMargin,
 
     // w_micro floored pre-sum so the class normalizer is exact long adds;
     // pow(x, 0.5) on identical double ratios in both engines

@@ -227,6 +227,23 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(r => reshuffled(r._1) === r._4))
   }
 
+  test("packed sequences concatenate docs in packing order with exact totals") {
+    val df = (1L to 60L).map(i => (i, s"doc$i", 40L)).toDF("id", "text", "n_toks")
+    val packed = graft.ops.Packing.packTexts(df, "id", "text", "n_toks",
+      budget = 200, buckets = 4, sep = "|")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(packed.map(_._3).sum === 60L, "every doc lands in exactly one sequence")
+    assert(packed.map(_._4).sum === 60L * 40L)
+    // each bin's text is its docs joined in the assignBins global order
+    val order = graft.ops.Packing.assignBins(df, "id", "n_toks", 200, 4)
+      .withColumn("h", graft.ops.Text.h32(concat($"id".cast("string"), lit("_pack"))))
+      .orderBy("bucket", "h", "id")
+      .select("id", "bin").as[(Long, Long)].collect()
+    val expected = order.groupBy(_._2).view
+      .mapValues(_.map(p => s"doc${p._1}").mkString("|")).toMap
+    packed.foreach { case (bin, text, _, _) => assert(text === expected(bin), s"bin $bin") }
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
     val j = Dedup.ngramJaccardPairs(df, "text", "id")
