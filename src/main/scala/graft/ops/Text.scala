@@ -293,6 +293,29 @@ object Text {
         (coalesce(col("n_sent"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** PII detection stats: counts of email / URL / phone / SSN-shaped spans
+    * per document, plus the `has_pii` verdict — the filter gate a corpus
+    * runs before training (detection complement to [[cleanse]]'s
+    * redaction). Pure per-row regex counting, codegen'd, ASCII-safe in
+    * both Java and RE2 dialects (`\b` is the ASCII word boundary in both).
+    */
+  def piiStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val emails = size(regexp_extract_all(t,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+    val urls = size(regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0)))
+    val phones = size(regexp_extract_all(t,
+      lit("\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"), lit(0)))
+    val ssns = size(regexp_extract_all(t,
+      lit("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"), lit(0)))
+    df.select(col(idCol),
+      emails.cast("long").as("n_emails"),
+      urls.cast("long").as("n_urls"),
+      phones.cast("long").as("n_phones"),
+      ssns.cast("long").as("n_ssn"),
+      (emails + urls + phones + ssns > 0).as("has_pii"))
+  }
+
   /** Benchmark-contamination check: count shared winnowing fingerprints
     * between each corpus document and a benchmark/eval set — the standard
     * decontamination pass before training. Shared-substring guarantee comes

@@ -129,6 +129,19 @@ object TextQueries extends QueryModule {
       graft.ops.Packing.packTexts(docs(s, d), "doc_id", "text", "n_chars",
         budget = 4096, buckets = 64, salt = "pack")),
 
+    // PII detection gate. The synthetic docs carry no PII, so the QUERY
+    // appends deterministic spans (both engines): email on doc_id%7,
+    // phone on doc_id%11 — composable suffixes so %77 docs carry both
+    "text_pii" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" contact me at user7@example.com")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" call 555-123-4567")).otherwise(lit(""))).as("text"))
+      Text.piiStats(injected, "text", "doc_id")
+    }),
+
     // composed pipeline: language ID ⋈ quality → per-language corpus stats
     // (exact long sums only, so the rollup is order-independent)
     "text_corpus_stats" -> ((s, d) => {
@@ -383,6 +396,21 @@ object TextQueries extends QueryModule {
          |  sum(a.toks)::BIGINT AS total_toks
          |FROM assigned a JOIN documents d USING (doc_id)
          |GROUP BY bin""".stripMargin,
+
+    "text_pii" ->
+      """WITH src AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0 THEN ' contact me at user7@example.com' ELSE '' END
+        |       || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn
+        |  FROM src)
+        |SELECT doc_id, n_emails, n_urls, n_phones, n_ssn,
+        |  (n_emails + n_urls + n_phones + n_ssn) > 0 AS has_pii
+        |FROM c""".stripMargin,
 
     // w_micro floored pre-sum so the class normalizer is exact long adds;
     // pow(x, 0.5) on identical double ratios in both engines

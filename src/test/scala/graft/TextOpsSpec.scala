@@ -244,6 +244,21 @@ class TextOpsSpec extends SparkSpec {
     packed.foreach { case (bin, text, _, _) => assert(text === expected(bin), s"bin $bin") }
   }
 
+  test("pii stats count each span type, word-boundaries reject embedded fakes") {
+    val df = Seq(
+      (1L, "mail a_b@x.co and c@d.org plus https://x.y/z"),
+      (2L, "call 555-123-4567 but not 12345-678-90123"),
+      (3L, "ssn 123-45-6789 here"),
+      (4L, "perfectly clean text")).toDF("id", "text")
+    val out = graft.ops.Text.piiStats(df, "text", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L) === ((2L, 1L, 0L, 0L, true)))
+    assert(out(2L) === ((0L, 0L, 1L, 0L, true)), "embedded long-digit fake not counted")
+    assert(out(3L) === ((0L, 0L, 0L, 1L, true)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L, false)))
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("id", "text")
     val j = Dedup.ngramJaccardPairs(df, "text", "id")
