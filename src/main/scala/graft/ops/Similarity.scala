@@ -79,6 +79,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/shuffle lever
+    * for 100 TB ANN (4× smaller than float32 on disk and on the candidate
+    * shuffle). `scale = maxabs/127`; codes = round-half-up(v·127/maxabs),
+    * clamped to ±127. Round-half-up is spelled floor(x+0.5): engines
+    * disagree on round()'s tie handling, never on floor. The scale is
+    * 6dp-floored so downstream consumers and the oracle share one value.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // __maxabs in its own projection: referenced 4× downstream (incl.
+    // inside the transform lambda), so a single-select form would inline
+    // the array_max into the per-element body — O(d²)/row. As a separate
+    // non-cheap multi-referenced alias, CollapseProject keeps it
+    // materialized once per row (SimilaritySpec pins this).
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), col("__v"),
+        array_max(transform(col("__v"), x => abs(x))).as("__maxabs"))
+    val m = col("__maxabs")
+    base.select(col(idCol),
+      when(m > 0, transform(col("__v"), x => greatest(lit(-127L), least(lit(127L),
+        floor(x * lit(127.0) / m + lit(0.5)).cast("long")))))
+        .otherwise(transform(col("__v"), _ => lit(0L))).as("qvec"),
+      floor6(when(m > 0, m / lit(127.0)).otherwise(lit(0.0))).as("scale"))
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors. Per-vector
+    * scales cancel in the cosine (cos(s_a·qa, s_b·qb) = cos(qa, qb)), so
+    * the score is integer dot products only — exact in both engines at any
+    * summation order (values < 2^53), hence oracle-stable by construction.
+    * Recall loss vs [[cosineTopK]] is the quantization error; the
+    * SimilaritySpec pins it on the synthetic corpus.
+    */
+  def quantizedCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    def q(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol), col("qvec").cast("array<double>").as(vecCol))
+    cosineTopK(q(corpus), q(queries), idCol, vecCol, k)
+  }
+
   /** Sign-random-projection LSH bucket id: bit p = (v · hyperplane_p >= 0).
     * 2^planes buckets; a pure per-row projection (no shuffle).
     */

@@ -22,6 +22,13 @@ object SimilarityQueries extends QueryModule {
       val e = emb(s, d)
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    // int8-quantized brute force: scales cancel in the cosine, so scores
+    // are exact integer dot products — oracle-stable at any summation order
+    "ann_quantized_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.quantizedCosineTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
     "ann_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(emb(s, d), "vec_id", "embedding", Dim, Planes)),
     "ann_bucket_topk" -> ((s, d) =>
@@ -72,6 +79,35 @@ object SimilarityQueries extends QueryModule {
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CASE WHEN q.nrm * c.nrm > 0
+        |              THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+        |              ELSE 0 END AS cos
+        |  FROM n q, n c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // quantization mirrored expression-by-expression (floor(x+0.5) round,
+    // ±127 clamp), then the standard cosine/rank block over integer codes
+    "ann_quantized_topk" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs > 0
+        |         THEN list_transform(v, x -> greatest(-127, least(127,
+        |                floor(x * 127.0 / maxabs + 0.5)::BIGINT)))
+        |         ELSE list_transform(v, x -> 0::BIGINT) END AS q
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))),
+        |n AS (
+        |  SELECT vec_id, q::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) AS nrm
+        |  FROM qz),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         CASE WHEN q.nrm * c.nrm > 0

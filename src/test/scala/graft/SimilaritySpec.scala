@@ -57,6 +57,44 @@ class SimilaritySpec extends SparkSpec {
     assert(res(loaded) === res(idx))
   }
 
+  test("int8 quantization: codes bounded, reconstruction error within half a step") {
+    val e = Tables.embeddings(spark, dir)
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      .join(e, "vec_id")
+      .select($"vec_id", $"qvec", $"scale", $"embedding".cast("array<double>").as("v"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      val scale = r.getDouble(2)
+      val v = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127L && c <= 127L))
+      // reconstruction error ≤ half a quantization step (+ the 6dp scale floor)
+      codes.zip(v).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale * 0.51 + 1e-4, s"vec ${r.getLong(0)}")
+      }
+    }
+    // the maxabs subexpression stays materialized ONCE per row — a
+    // single-select form would inline it into the per-element lambda (d²)
+    val plan = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      .queryExecution.optimizedPlan.toString
+    assert("array_max".r.findAllIn(plan).size === 1, "maxabs re-inlined into the lambda")
+  }
+
+  test("quantized cosine top-k keeps most exact top-1 neighbors in its top-5") {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter($"vec_id" < 50)
+    val exactTop1 = Similarity.cosineTopK(e, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val quant = Similarity.quantizedCosineTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val kept = exactTop1.count { case (q, n1) => quant.getOrElse(q, Set.empty).contains(n1) }
+    info(s"quantized top-5 retains exact top-1 for $kept/${exactTop1.size} queries")
+    assert(kept.toDouble / exactTop1.size >= 0.9,
+      "int8 quantization should barely perturb 64-dim cosine ranking")
+  }
+
   test("LSH bucketed top-k agrees with brute force for bucket-mates") {
     val e = Tables.embeddings(spark, dir)
     val bucketed = Similarity.bucketedTopK(e, "vec_id", "embedding", dim = 64, planes = 4, k = 5)
