@@ -42,5 +42,10 @@ object SparkEntry {
     "j3_window_outer_join", "w3_session_agg", "dedup_near_kept",
     "text_cleanse", "sample_stratified",
     "q14_promo_revenue", "text_repetition", "text_contamination",
-    "ann_multiprobe_topk")
+    "ann_multiprobe_topk",
+    // round-4 additions (kept AFTER the stable 20 so cross-round common-set
+    // comparisons stay clean): retrieval, boilerplate, packing, quantized
+    // ANN, as-of join, temperature mix
+    "text_bm25", "text_boilerplate", "seq_pack_concat",
+    "ann_quantized_topk", "j_asof", "sample_temperature")
 }
