@@ -91,10 +91,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("hint"), "anti-join must not carry a broadcast hint")
   }
 
+  test("as-of join reduces via map-side partial max_by") {
+    val p = plan("j_asof")
+    assert(p.contains("partial_max_by"),
+      "version selection must partial-aggregate before the exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("packing cumsum is partitioned by bucket; only the offsets window is global") {
+    val p = plan("seq_pack")
+    // the corpus-sized window MUST carry the bucket partition key — an
+    // unpartitioned one would serialize the corpus through one reducer
+    assert(p.contains("windowspecdefinition(bucket"),
+      "per-bucket cumsum lost its partition key")
+    assert(p.contains("BroadcastHashJoin"), "bucket-offsets join should broadcast")
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition
-    Seq("ann_topk_cosine", "ann_bucket_topk").foreach { q =>
+    Seq("ann_topk_cosine", "ann_bucket_topk", "ann_quantized_topk").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q still plans a window: ${p.take(300)}")
       assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkbyscore"),
