@@ -76,10 +76,17 @@ private[api] object CsasParser {
       if (keyword("WITH")) {
         expect('(')
         val m = mutable.LinkedHashMap[String, String]()
+        // option keys may be dotted (kafka-config style: cleanup.policy) —
+        // the old regex accepted-and-ignored those; the tokenizer must too
+        def optionKey(): String = {
+          val sb = new StringBuilder(ident())
+          while (peek('.')) { i += 1; sb += '.'; sb ++= ident() }
+          sb.toString
+        }
         if (!peek(')')) {
           var more = true
           while (more) {
-            val k = ident().toLowerCase
+            val k = optionKey().toLowerCase
             expect('=')
             m(k) = stringLit()
             more = peek(',')

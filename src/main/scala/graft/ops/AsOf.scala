@@ -34,6 +34,10 @@ object AsOf {
       s"left/right may share only the key '$keyCol', shared: ${overlap.mkString(", ")}")
     require(left.columns.contains(leftTs) && right.columns.contains(rightTs),
       s"timestamp columns '$leftTs'/'$rightTs' must exist on their sides")
+    Seq("__asof_key", "__asof_row").foreach { n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"column name '$n' is reserved by AsOf.asOfJoin")
+    }
     val rkey = "__asof_key"
     val r = right.withColumnRenamed(keyCol, rkey)
     val joined = left.join(r,

@@ -56,11 +56,10 @@ object Multimodal {
   private def beUint(bin: Column, offset: Int, len: Int): Column =
     conv(hex(substring(bin, offset + 1, len)), 16, 10).cast("long")
 
-  /** Reinterpret a [0, 2^32) value as signed int32 (BMP dims are signed;
-    * a negative height means a top-down bitmap).
+  /** BMP dims are signed int32 (a negative height means a top-down
+    * bitmap); shared two's-complement reinterpretation.
     */
-  private def signed32(c: Column): Column =
-    when(c >= 2147483648L, c - 4294967296L).otherwise(c)
+  private def signed32(c: Column): Column = graft.functions.Bits.signed32(c)
 
   private def magic(bin: Column, offset: Int, hexDigits: String): Column =
     hex(substring(bin, offset + 1, hexDigits.length / 2)) === hexDigits
@@ -75,15 +74,23 @@ object Multimodal {
     * duration_ms); unrecognized or truncated payloads give fmt = null and
     * all-null fields (bad-record tolerance — never an exception).
     *
-    * WAV duration assumes the canonical 44-byte layout (fmt chunk first,
-    * then data) — payloads with extra chunks get a null duration, not a
-    * wrong one (the data-chunk tag is verified before trusting its size).
+    * Every fixed-offset field is gated on the chunk that owns it actually
+    * being there: WAV audio params require the canonical `fmt ` chunk at
+    * offset 12 (a valid WAV leading with JUNK/LIST would otherwise parse
+    * chunk bytes as channel counts), BMP dims require BITMAPINFOHEADER
+    * (biSize 40 — a BITMAPCOREHEADER stores 16-bit dims at other offsets),
+    * and WAV duration additionally requires the canonical `data` chunk.
+    * Non-canonical layouts keep fmt and get null fields, never wrong ones.
     */
   def headerMeta(payload: Column): Column = {
     val isBmp = length(payload) >= 26 && magic(payload, 0, BmpMagic)
     val isWav = length(payload) >= 36 && magic(payload, 0, RiffMagic) &&
       magic(payload, 8, WaveMagic)
     val isPng = length(payload) >= 24 && magic(payload, 0, PngSig)
+    // field gates: the owning chunk/header variant must be present
+    val bmpInfoDims = isBmp && leUint(payload, 14, 4) === 40
+    val wavFmt = isWav && magic(payload, 12, "666D7420") && // "fmt "
+      leUint(payload, 16, 4) >= 16 // PCM fmt body covers offsets 22..35
     val nullL = lit(null).cast("long")
     val wavDuration = when(length(payload) >= 44 && magic(payload, 36, "64617461") &&
         leUint(payload, 28, 4) > 0, // "data" chunk where canonical + byte rate sane
@@ -91,14 +98,14 @@ object Multimodal {
         leUint(payload, 28, 4).cast("double")).cast("long"))
     struct(
       when(isBmp, "bmp").when(isWav, "wav").when(isPng, "png").as("fmt"),
-      when(isBmp, signed32(leUint(payload, 18, 4)))
+      when(bmpInfoDims, signed32(leUint(payload, 18, 4)))
         .when(isPng, beUint(payload, 16, 4)).otherwise(nullL).as("width"),
-      when(isBmp, signed32(leUint(payload, 22, 4)))
+      when(bmpInfoDims, signed32(leUint(payload, 22, 4)))
         .when(isPng, beUint(payload, 20, 4)).otherwise(nullL).as("height"),
-      when(isWav, leUint(payload, 24, 4)).otherwise(nullL).as("sample_rate"),
-      when(isWav, leUint(payload, 22, 2)).otherwise(nullL).as("channels"),
-      when(isWav, leUint(payload, 34, 2)).otherwise(nullL).as("bits_per_sample"),
-      when(isWav, wavDuration).otherwise(nullL).as("duration_ms"))
+      when(wavFmt, leUint(payload, 24, 4)).otherwise(nullL).as("sample_rate"),
+      when(wavFmt, leUint(payload, 22, 2)).otherwise(nullL).as("channels"),
+      when(wavFmt, leUint(payload, 34, 2)).otherwise(nullL).as("bits_per_sample"),
+      when(wavFmt, wavDuration).otherwise(nullL).as("duration_ms"))
   }
 
   /** Fill the media struct's metadata fields from the REAL header parse

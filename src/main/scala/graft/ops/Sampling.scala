@@ -52,6 +52,11 @@ object Sampling {
     * selection is the same hash predicate as [[hashSample]]. The per-class
     * rate table is tiny and broadcast; the corpus sees one scan + one
     * broadcast join.
+    *
+    * Weights are relative to the LARGEST class (not the corpus total), and
+    * floor UP to 1 micro-unit: a web-scale corpus's rarest language —
+    * share below 1e-6 — must round to a tiny rate, never silently to an
+    * all-zero rate that drops the class from the mix entirely.
     */
   def temperatureMixture(df: DataFrame, classCol: String, idCol: String,
       targetFraction: Double, temperature: Double, salt: String = "s0"): DataFrame = {
@@ -59,11 +64,12 @@ object Sampling {
       s"targetFraction must be in (0,1], got $targetFraction")
     require(temperature > 0, s"temperature must be positive, got $temperature")
     val cls = df.groupBy(classCol).agg(count(lit(1)).as("n_c"))
-    val tot = cls.agg(sum("n_c").as("n_total"))
+    val tot = cls.agg(sum("n_c").as("n_total"), max("n_c").as("n_max"))
     val withW = cls.crossJoin(broadcast(tot))
       .withColumn("w_micro",
-        floor(pow(col("n_c").cast("double") / col("n_total").cast("double"),
-          lit(1.0 / temperature)) * lit(1000000.0)).cast("long"))
+        greatest(lit(1L),
+          floor(pow(col("n_c").cast("double") / col("n_max").cast("double"),
+            lit(1.0 / temperature)) * lit(1000000.0)).cast("long")))
     val sumW = withW.agg(sum("w_micro").as("sum_w_micro"))
     val rates = withW.crossJoin(broadcast(sumW))
       .select(col(classCol),

@@ -416,9 +416,9 @@ object TextQueries extends QueryModule {
     // pow(x, 0.5) on identical double ratios in both engines
     "sample_temperature" ->
       """WITH cls AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
-        |tot AS (SELECT sum(n_c)::BIGINT AS n_total FROM cls),
+        |tot AS (SELECT sum(n_c)::BIGINT AS n_total, max(n_c)::BIGINT AS n_max FROM cls),
         |w AS (SELECT lang, n_c, n_total,
-        |        floor(pow(n_c::DOUBLE / n_total::DOUBLE, 0.5) * 1000000.0)::BIGINT AS w_micro
+        |        greatest(1, floor(pow(n_c::DOUBLE / n_max::DOUBLE, 0.5) * 1000000.0)::BIGINT) AS w_micro
         |      FROM cls CROSS JOIN tot),
         |sw AS (SELECT sum(w_micro)::BIGINT AS sum_w_micro FROM w),
         |rates AS (SELECT lang,

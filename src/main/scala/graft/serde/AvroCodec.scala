@@ -116,8 +116,7 @@ object AvroCodec {
     // conv() value explicitly — a bare cast("int") would null out ids with
     // the high bit set instead of recovering the negative value
     val unsignedId = conv(hex(substring(v, 2, 4)), 16, 10).cast("long")
-    val signedId = when(unsignedId >= 2147483648L, unsignedId - 4294967296L)
-      .otherwise(unsignedId).cast("int")
+    val signedId = graft.functions.Bits.signed32(unsignedId).cast("int")
     df.withColumn("schema_id", when(framed, signedId))
       .withColumn(valueCol, when(framed, v.substr(lit(6), length(v) - 5)).otherwise(v))
   }

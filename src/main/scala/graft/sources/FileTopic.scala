@@ -36,9 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * each line is one record `{"key": s|null, "value": s, "timestamp": ms,
   * "headers": [{"key": k, "value": v}]}` (text payloads; binary columns are
   * the UTF-8 bytes). Files are append-only logs: the stream offset is the
-  * per-file line count, so appended lines become the next micro-batch —
-  * exactly Kafka's per-partition offset bookkeeping, replayable from the
-  * checkpoint like any DSv2 offset.
+  * per-file line count, so appended lines become the next micro-batch,
+  * replayable from the checkpoint like any DSv2 offset. Emitted record
+  * offsets are `segment_index << 32 | line`, unique and monotone per
+  * (topic, partition) across segment files — Kafka's per-partition offset
+  * contract — provided segment names sort in append order (the epoch-named
+  * sink guarantees this; hand-written fixtures should too).
   *
   * Options: `path` (required), `maxOffsetsPerTrigger` (admission control,
   * name-compatible with the Kafka source), write side also `topic` and
@@ -72,9 +75,15 @@ private[sources] object FileTopic {
 
   def segments(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".jsonl"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      // Files.list holds an open DirectoryStream until closed — exhausting
+      // the iterator does NOT release it, and this runs on every trigger
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".jsonl"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
 }
 
 private[sources] class FileTopicTable(props: util.Map[String, String])
@@ -158,12 +167,23 @@ private[sources] class FileTopicStream(dir: Path, maxOffsetsPerTrigger: Long)
     val s = start.asInstanceOf[FileLinesOffset].lines
     val e = end.asInstanceOf[FileLinesOffset]
     bump(e)
+    // record offsets must be unique+monotone per (topic, partition) ACROSS
+    // segment files (Kafka's contract) — base = segment index << 32, so a
+    // second epoch's file continues the sequence instead of restarting at 0.
+    // Segment names must sort in append order (the epoch-named sink
+    // guarantees it); indices derive from the offset's own file set, so a
+    // checkpoint replay reproduces identical offsets.
+    val segIndex: Map[String, Long] = e.lines.keys.toSeq.sorted
+      .groupBy(f => FileTopic.topicPartition(f))
+      .values.flatMap(_.zipWithIndex.map { case (f, i) => f -> i.toLong })
+      .toMap
     e.lines.toSeq.sortBy(_._1).flatMap { case (f, hi) =>
       val lo = s.getOrElse(f, 0L)
       if (hi <= lo) None
       else {
         val (topic, part) = FileTopic.topicPartition(f)
-        Some(FileTopicPartition(dir.resolve(f).toString, topic, part, lo, hi): InputPartition)
+        Some(FileTopicPartition(dir.resolve(f).toString, topic, part, lo, hi,
+          segIndex(f) << 32): InputPartition)
       }
     }.toArray
   }
@@ -179,7 +199,8 @@ private[sources] class FileTopicStream(dir: Path, maxOffsetsPerTrigger: Long)
 }
 
 private[sources] case class FileTopicPartition(file: String, topic: String,
-    partition: Int, startLine: Long, endLine: Long) extends InputPartition
+    partition: Int, startLine: Long, endLine: Long,
+    baseOffset: Long) extends InputPartition
 
 private[sources] class FileTopicReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -218,7 +239,7 @@ private[sources] class FileTopicReaderFactory extends PartitionReaderFactory {
         val tsMs = if (node.has("timestamp")) node.get("timestamp").asLong() else 0L
         val row = new GenericInternalRow(Array[Any](
           bytes("key"), bytes("value"),
-          UTF8String.fromString(p.topic), p.partition, lineNo,
+          UTF8String.fromString(p.topic), p.partition, p.baseOffset + lineNo,
           tsMs * 1000L, 0, headers))
         lineNo += 1
         row

@@ -100,6 +100,11 @@ class CsasSpec extends SparkSpec {
       .select("ROWTIME").as[Long].head() === 5L + 10000L)
     // empty options list, no-options form, and lowercase keywords all parse
     assert(r.sql("create stream LC with () as select ITEMID from orders_fx").count() === 8)
+    // dotted option keys (kafka-config style) are accepted-and-ignored,
+    // as the old regex surface did
+    assert(r.sql(
+      "CREATE STREAM DOTTED WITH (cleanup.policy='compact') AS SELECT ITEMID FROM orders_fx"
+    ).count() === 8)
     // malformed CREATE STREAM fails fast with a position, not a Spark parse error
     val e = intercept[IllegalArgumentException](
       r.sql("CREATE STREAM BROKEN WITH (timestamp='X' AS SELECT 1"))

@@ -67,6 +67,22 @@ class FileTopicSpec extends SparkSpec {
     assert(byOffset((0, 0L)).getAs[Long]("ts_us") === 1700000000000000L)
   }
 
+  test("offsets stay unique and monotone across multiple segments of one partition") {
+    // two epoch-named segment files for the SAME (topic, partition) — the
+    // sink's normal output shape; per-file numbering would duplicate
+    // (partition, offset) pairs across them
+    val dir = tmpDir("ft_")
+    append(dir.resolve("t-0.e0t0.jsonl"), jl("a", "one", 1L), jl("b", "two", 2L))
+    append(dir.resolve("t-0.e1t0.jsonl"), jl("c", "three", 3L))
+    val src = spark.readStream.format("file-topic").option("path", dir.toString).load()
+    val rows = drain(src.select(col("offset"), col("value").cast("string")), dir)(())
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._1).distinct.size === 3, "no duplicate offsets across segments")
+    assert(rows.sortBy(_._1).map(_._2) === Seq("one", "two", "three"),
+      "offset order follows segment append order")
+    assert(rows.toMap.apply(1L << 32) === "three", "second segment continues, not restarts")
+  }
+
   test("appended lines arrive as the next micro-batch with advancing offsets") {
     val dir = tmpDir("ft_")
     val seg = dir.resolve("t-0.jsonl")

@@ -62,6 +62,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L).getAs[Long]("height") === 600L)
   }
 
+  test("non-canonical layouts keep fmt but null the fields the chunk gate rejects") {
+    // a valid WAV whose FIRST chunk is JUNK: audio params at the canonical
+    // offsets would be chunk bytes — the fmt-gate must null them instead
+    val junkWav = {
+      val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      b.put("JUNK".getBytes).putInt(16).put(new Array[Byte](16))
+      b.put("NOPE".getBytes).putInt(0)
+      b.array()
+    }
+    // a BITMAPCOREHEADER bmp (biSize 12, 16-bit dims at other offsets)
+    val coreBmp = {
+      val b = ByteBuffer.allocate(26).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+      b.putInt(12).putShort(640).putShort(480).putShort(1).putShort(24)
+      b.array()
+    }
+    val out = Seq((1L, junkWav), (2L, coreBmp)).toDF("id", "p")
+      .select($"id", Multimodal.headerMeta($"p").as("m")).select("id", "m.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "wav")
+    assert(out(1L).isNullAt(4) && out(1L).isNullAt(5) && out(1L).isNullAt(6),
+      "JUNK-chunk WAV must not parse chunk bytes as audio params")
+    assert(out(2L).getString(1) === "bmp")
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(3),
+      "BITMAPCOREHEADER dims must not be read at INFOHEADER offsets")
+  }
+
   test("garbage, truncated, and null payloads give all-null metadata, no error") {
     val got = parse(
       1L -> "not a media file at all, just text".getBytes,
