@@ -36,6 +36,35 @@ class PipelineSpec extends SparkSpec {
       Set("ITEM_5", "ITEM_6", "ITEM_7", "ITEM_8"))
   }
 
+  test("corpus-cleaning pipeline runs unchanged under structured streaming") {
+    // the batch text surface (cleanse → quality score → PII gate → keep
+    // decision) is stateless per-row, so the SAME operator calls compose
+    // over a stream — the property that makes the cleaning stages usable
+    // in both the backfill and the live-ingest halves of a pipeline
+    implicit val ctx = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val df = docs.toDF().toDF("doc_id", "text")
+    val cleaned = graft.ops.Text.cleanse(df, "text", "doc_id")
+      .withColumnRenamed("clean_text", "text")
+    val quality = graft.ops.Text.qualityScore(cleaned, "text", "doc_id")
+      .select("doc_id", "n_tokens")
+    val pii = graft.ops.Text.piiStats(cleaned, "text", "doc_id")
+      .select("doc_id", "has_pii")
+    val keep = quality.join(pii, "doc_id")
+      .select($"doc_id", ($"n_tokens" >= 3 && !$"has_pii").as("keep"))
+    val q = keep.writeStream.format("memory").queryName("clean_sink")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "the quick <b>brown</b> fox jumps clean and long enough"),
+        (2L, "call me at 555-123-4567 about the thing we discussed ok"),
+        (3L, "too short"))
+      q.processAllAvailable()
+      val got = spark.table("clean_sink").as[(Long, Boolean)].collect().toMap
+      assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
   test("envelope stream -> decode -> CSAS filter -> update-mode agg") {
     implicit val ctx = spark.sqlContext
     val wire = MemoryStream[String]
