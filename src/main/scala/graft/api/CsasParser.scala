@@ -16,16 +16,18 @@ import scala.collection.mutable
   */
 private[api] object CsasParser {
 
-  /** Parsed `CREATE STREAM` statement: stream name, lower-cased WITH
-    * options, and the SELECT text.
+  /** Parsed `CREATE STREAM|TABLE` statement: object name, lower-cased WITH
+    * options, the SELECT text, and whether it declares a TABLE.
     */
-  case class Csas(name: String, options: Map[String, String], select: String)
+  case class Csas(name: String, options: Map[String, String], select: String,
+      table: Boolean = false)
 
-  /** `Some(csas)` for a CREATE STREAM statement, `None` for anything else
-    * (pass those through to `spark.sql`). A statement that starts with
-    * `CREATE STREAM` but is malformed throws `IllegalArgumentException`
-    * with the offending position — it would previously have fallen through
-    * to Spark's parser and failed there with a confusing error.
+  /** `Some(csas)` for a CREATE STREAM/TABLE statement, `None` for anything
+    * else (pass those through to `spark.sql` — `CREATE TEMPORARY VIEW`
+    * etc. are untouched because their next keyword is neither STREAM nor
+    * TABLE-followed-by-AS-SELECT shape we own; see below). A statement that
+    * starts with `CREATE STREAM`/`CREATE TABLE` but is malformed throws
+    * `IllegalArgumentException` with the offending position.
     */
   def parse(statement: String): Option[Csas] = {
     require(statement != null, "null statement")
@@ -70,7 +72,11 @@ private[api] object CsasParser {
       sb.toString // unreachable
     }
 
-    if (!keyword("CREATE") || !keyword("STREAM")) return None
+    if (!keyword("CREATE")) return None
+    val isTable =
+      if (keyword("STREAM")) false
+      else if (keyword("TABLE")) true
+      else return None
     val name = ident()
     val options: Map[String, String] =
       if (keyword("WITH")) {
@@ -96,7 +102,12 @@ private[api] object CsasParser {
         expect(')')
         m.toMap
       } else Map.empty
-    require(keyword("AS"), s"expected AS at position $i in: $s")
+    if (!keyword("AS")) {
+      // CREATE TABLE without AS is Spark DDL (`CREATE TABLE t (...) USING
+      // parquet`, `... USING x AS SELECT`) — not ours, pass it through
+      if (isTable) return None
+      throw new IllegalArgumentException(s"expected AS at position $i in: $s")
+    }
     ws()
     var end = s.length
     while (end > i && s.charAt(end - 1).isWhitespace) end -= 1
@@ -107,6 +118,6 @@ private[api] object CsasParser {
     val select = s.substring(i, end)
     require(select.regionMatches(true, 0, "SELECT", 0, 6),
       s"CSAS body must be a SELECT, got: '$select'")
-    Some(Csas(name, options, select))
+    Some(Csas(name, options, select, isTable))
   }
 }

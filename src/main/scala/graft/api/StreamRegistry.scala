@@ -75,6 +75,35 @@ class StreamRegistry(spark: SparkSession) {
     out
   }
 
+  /** CTAS: `CREATE TABLE name AS <sql>` — the KSQL table analogue. An
+    * aggregated SELECT is already a changelog table (one row per grouping
+    * key) and registers as-is; a stream-shaped result (carries ROWKEY +
+    * ROWTIME) materializes as latest-row-per-key by ROWTIME — the KTable
+    * compaction contract (same semantics as the a3_latest_per_key op),
+    * ROWTIME ties broken by full-row ordering. The same max_by aggregation
+    * runs in update mode over a streaming frame.
+    */
+  def createTableAs(name: String, sql: String, timestampCol: Option[String] = None): DataFrame = {
+    val result = spark.sql(sql)
+    val withTs = timestampCol match {
+      case Some(tc) => result.withColumn("ROWTIME", col(tc).cast("long"))
+      case None     => result
+    }
+    val cols = withTs.columns
+    val out =
+      if (cols.contains("ROWKEY") && cols.contains("ROWTIME")) {
+        val rest = cols.filterNot(_ == "ROWKEY").toSeq
+        val ord = struct((col("ROWTIME") +: rest.filterNot(_ == "ROWTIME").map(col)): _*)
+        withTs.groupBy("ROWKEY")
+          .agg(max_by(struct(rest.map(col): _*), ord).as("__t"))
+          .select(col("ROWKEY") +: rest.map(c => col(s"__t.$c").as(c)): _*)
+      } else withTs
+    out.createOrReplaceTempView(name)
+    defs(name) = StreamDef(out,
+      if (out.columns.contains("ROWKEY")) Some("ROWKEY") else None, timestampCol)
+    out
+  }
+
   def stream(name: String): StreamDef = defs(name)
   def names: Seq[String] = defs.keys.toSeq.sorted
 
@@ -92,6 +121,7 @@ class StreamRegistry(spark: SparkSession) {
     * here with the offending position instead of confusing Spark's parser.
     */
   def sql(statement: String): DataFrame = CsasParser.parse(statement) match {
+    case Some(c) if c.table => createTableAs(c.name, c.select, c.options.get("timestamp"))
     case Some(c) => createStreamAs(c.name, c.select, c.options.get("timestamp"))
     case None => spark.sql(statement)
   }

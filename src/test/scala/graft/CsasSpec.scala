@@ -116,6 +116,27 @@ class CsasSpec extends SparkSpec {
     assert(spark.table("pass_v").as[Int].head() === 42)
   }
 
+  test("CTAS: CREATE TABLE compacts a stream to latest-per-key; Spark DDL passes through") {
+    // key by ORDERID: rows 6,7,8 share "ORDER_6" — the table keeps the
+    // latest (ORDERTIME 8, ORDERUNITS 80) per the KTable compaction contract
+    val r = new StreamRegistry(spark)
+    r.createStream("orders_ctas", ordersFixture,
+      keyCol = Some("ORDERID"), timeCol = Some("ORDERTIME"), timeIsEpochMs = true)
+    val t = r.sql("CREATE TABLE LATEST_ORDERS AS SELECT ROWKEY, ROWTIME, ORDERUNITS FROM orders_ctas;")
+    assert(t.count() === 6, "8 rows compact to 6 distinct keys")
+    assert(t.filter($"ROWKEY" === "ORDER_6").select("ORDERUNITS").as[Double].head() === 80.0)
+    assert(r.names.contains("LATEST_ORDERS"))
+    // an aggregated SELECT is already a table: registers as-is
+    val agg = r.sql(
+      "CREATE TABLE UNITS_BY_ITEM AS SELECT ITEMID, sum(ORDERUNITS) AS total FROM orders_ctas GROUP BY ITEMID;")
+    assert(agg.count() === 8)
+    // Spark's own CREATE TABLE DDL shapes are NOT intercepted
+    spark.sql("DROP TABLE IF EXISTS ctas_passthrough")
+    r.sql("CREATE TABLE ctas_passthrough USING parquet AS SELECT 7 AS x")
+    assert(spark.table("ctas_passthrough").as[Int].head() === 7)
+    spark.sql("DROP TABLE ctas_passthrough")
+  }
+
   test("bad records are skipped, query still answers (P13, ref :151-166)") {
     val jsonRows = ordersFixture
       .select(to_json(struct($"ORDERTIME", $"ITEMID", $"ORDERUNITS")).as("payload"))
