@@ -17,7 +17,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bounded side-table windows (histogram
+    // percentiles, packing bucket offsets) trip WindowExec's
+    // single-partition warning on every task, drowning the metrics line
+    spark.sparkContext.setLogLevel("ERROR")
     Tables.configure(spark)
 
     // session warmup (JVM + codegen + parquet reader init) so the first
