@@ -47,5 +47,8 @@ object SparkEntry {
     // comparisons stay clean): retrieval, boilerplate, packing, quantized
     // ANN, as-of join, temperature mix
     "text_bm25", "text_boilerplate", "seq_pack_concat",
-    "ann_quantized_topk", "j_asof", "sample_temperature")
+    "ann_quantized_topk", "j_asof", "sample_temperature",
+    // round-6 additions: transitive CC dedup (iterative propagation),
+    // dup-shingle fraction, corpus-unigram LM scoring
+    "dedup_cc_kept", "dedup_shingle_dupfrac", "text_unigram_logprob")
 }

@@ -220,6 +220,58 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-duplicate clusters: [[verifiedNearDupPairs]] →
+    * [[Graph.connectedComponents]]. One row per doc that has at least one
+    * verified near-dup: (idCol, cluster_id = min doc id of its component).
+    * This is the policy [[dropNearDuplicates]]'s one-pass keeper rule
+    * approximates — here A~B, B~C places A,B,C in ONE cluster even when
+    * A!~C directly.
+    */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame =
+    Graph.connectedComponents(
+      verifiedNearDupPairs(df, textCol, idCol, minJaccard, k, bands, maxBucket),
+      "doc_a", "doc_b")
+      .select(col("id").as(idCol), col("comp").as("cluster_id"))
+
+  /** Cluster-transitive near-duplicate removal: keep exactly one doc (the
+    * min id) per connected component of the verified-pair graph, plus every
+    * doc with no verified near-dup. Unlike [[dropNearDuplicates]], a doc is
+    * never dropped on the say-so of a doc that was itself dropped —
+    * chain-shaped dup families keep one representative, not zero.
+    */
+  def dropNearDuplicatesCC(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val dropped = nearDupClusters(df, textCol, idCol, minJaccard, k, bands, maxBucket)
+      .filter(col("cluster_id") =!= col(idCol))
+      .select(col(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Per-doc duplicated-shingle fraction (the "how much of this document's
+    * text also appears elsewhere" signal of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): of a doc's DISTINCT
+    * 3-gram shingle hashes, the fraction that occur in at least one other
+    * doc. Shape: explode shingle hashes (one md5 per token, O(tokens)) →
+    * distinct (doc, hash) → per-hash doc counts (map-side combine) → join
+    * back → per-doc fraction. Two key-shuffles, no pair enumeration —
+    * corpus-linear at any scale.
+    */
+  def duplicateShingleFraction(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val docShingle = explodedShingleHashes(df, textCol, idCol).distinct()
+    val perHash = docShingle.groupBy("base").agg(count(lit(1)).as("n_docs"))
+    docShingle.join(perHash, "base")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        Text.floor6(col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_fraction"))
+  }
+
   /** 16-bit SimHash over the token multiset: bit b is the sign of the sum of
     * ±1 votes from each token's h32 bit b. Same explode+agg shape as
     * [[minhashSignatures]] (hash each token once on the map side, 16

@@ -340,4 +340,37 @@ object Text {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
+
+  /** Corpus-unigram language-model scoring: train a unigram LM on the corpus
+    * itself (token frequencies), then score every doc by its mean token
+    * log-probability — the cheap perplexity proxy used to rank documents
+    * for quality-based selection (high avg log-prob = ordinary text, very
+    * low = gibberish/OCR noise).
+    *
+    * Two corpus passes, both canonical at scale: (1) vocab = explode →
+    * groupBy(token) count with map-side combine — the word-count shuffle;
+    * (2) score = exploded tokens ⋈ vocab on the token key (plain shuffle
+    * hash join; Catalyst/AQE broadcasts instead when the vocab is small) →
+    * groupBy(doc) mean. No driver-side vocab, no collect.
+    *
+    * Probabilities are unsmoothed corpus MLE (every scored token is in the
+    * vocab by construction — the LM is trained on the same corpus). Tokenless
+    * docs score NULL, surfaced rather than defaulted. Output stabilized to
+    * 6 dp ([[floor6]]) for cross-engine comparability of log/division.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val scored = tok.join(vocab, "t")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        avg(log(col("cnt").cast("double") / col("total").cast("double")))
+          .as("raw_lp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        floor6(col("raw_lp")).as("avg_logprob"))
+  }
 }

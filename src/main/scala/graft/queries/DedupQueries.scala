@@ -27,7 +27,16 @@ object DedupQueries extends QueryModule {
     "dedup_verified_pairs" -> ((s, d) =>
       Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"),
-          graft.ops.Text.floor6(col("jaccard")).as("jaccard"))))
+          graft.ops.Text.floor6(col("jaccard")).as("jaccard"))),
+    // transitive clustering of the verified-pair graph (distributed
+    // min-label propagation); 0.5 threshold so the graph has chains to close
+    "dedup_cc_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(docs(s, d), "text", "doc_id", minJaccard = 0.5)),
+    "dedup_cc_kept" -> ((s, d) =>
+      Dedup.dropNearDuplicatesCC(docs(s, d), "text", "doc_id", minJaccard = 0.5)
+        .select("doc_id")),
+    "dedup_shingle_dupfrac" -> ((s, d) =>
+      Dedup.duplicateShingleFraction(docs(s, d), "text", "doc_id")))
 
   // ---- shared oracle fragments ----
 
@@ -75,6 +84,54 @@ object DedupQueries extends QueryModule {
 
   private def bandKey(b: Int): String =
     "md5(" + (b * 4 until b * 4 + 4).map(i => s"sig_$i::VARCHAR").mkString(" || '_' || ") + ")"
+
+  /** Full candidate→Jaccard chain (mirrors [[graft.ops.Dedup.verifiedNearDupPairs]]
+    * before its threshold filter): `jc(doc_a, doc_b, j)` over the capped LSH
+    * buckets. Thresholds are applied at the point of use.
+    */
+  private val jcCte =
+    s"""$basesCte,
+       |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+       |ok AS (SELECT band, band_key FROM bands
+       |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
+       |ss AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_transform(range(len(toks) - 2),
+       |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+       |jc AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
+       |          THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
+       |               / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
+       |          ELSE 0 END) AS j
+       |  FROM cand c
+       |  JOIN ss sa ON sa.doc_id = c.doc_a
+       |  JOIN ss sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** Transitive closure over the verified pairs at threshold 0.5: recursive
+    * reachability (`reach(nid, lbl)` = lbl reachable from nid), so
+    * min(lbl) per nid is exactly the connected-component min-id label the
+    * Spark-side propagation converges to.
+    */
+  private val reachCte =
+    s"""WITH RECURSIVE ${jcCte.stripPrefix("WITH ")},
+       |pr AS (SELECT doc_a, doc_b FROM jc WHERE j >= 0.5),
+       |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pr
+       |          UNION SELECT doc_b, doc_a FROM pr),
+       |reach AS (
+       |  SELECT DISTINCT ea AS nid, ea AS lbl FROM edges
+       |  UNION
+       |  SELECT r.nid, e.eb FROM reach r JOIN edges e ON e.ea = r.lbl)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -130,35 +187,33 @@ object DedupQueries extends QueryModule {
          |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin,
 
     "dedup_verified_pairs" ->
-      s"""$basesCte,
-         |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
-         |ok AS (SELECT band, band_key FROM bands
-         |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM bands a JOIN bands b2
-         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
-         |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
-         |ss AS (SELECT doc_id, list_distinct(
-         |  CASE WHEN len(toks) >= 3
-         |       THEN list_transform(range(len(toks) - 2),
-         |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-         |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
-         |jc AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
-         |          THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
-         |               / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
-         |          ELSE 0 END) AS j
-         |  FROM cand c
-         |  JOIN ss sa ON sa.doc_id = c.doc_a
-         |  JOIN ss sb ON sb.doc_id = c.doc_b)
+      s"""$jcCte
          |SELECT doc_a, doc_b, floor(j * 1000000) / 1000000.0 AS jaccard
          |FROM jc WHERE j >= 0.5""".stripMargin,
+
+    "dedup_cc_clusters" ->
+      s"""$reachCte
+         |SELECT nid AS doc_id, min(lbl)::BIGINT AS cluster_id
+         |FROM reach GROUP BY nid""".stripMargin,
+
+    "dedup_cc_kept" ->
+      s"""$reachCte,
+         |dropped AS (SELECT nid FROM reach GROUP BY nid HAVING min(lbl) <> nid)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT nid FROM dropped)""".stripMargin,
+
+    "dedup_shingle_dupfrac" ->
+      s"""$basesCte,
+         |db AS (SELECT DISTINCT doc_id, base
+         |       FROM (SELECT doc_id, unnest(bases) AS base FROM b)),
+         |ph AS (SELECT base, count(*)::BIGINT AS n_docs FROM db GROUP BY base),
+         |ag AS (SELECT db.doc_id, count(*)::BIGINT AS n_shingles,
+         |         sum(CASE WHEN ph.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+         |       FROM db JOIN ph USING (base) GROUP BY db.doc_id)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  floor((n_shared::DOUBLE / n_shingles::DOUBLE) * 1000000) / 1000000.0
+         |    AS dup_fraction
+         |FROM ag""".stripMargin,
 
     "dedup_simhash" -> {
       val bitVotes = (0 until 16).map { b =>

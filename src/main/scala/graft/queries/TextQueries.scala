@@ -42,6 +42,7 @@ object TextQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordcount" -> ((s, d) => Text.wordCount(docs(s, d), "text")),
+    "text_unigram_logprob" -> ((s, d) => Text.unigramLogProb(docs(s, d), "text", "doc_id")),
     "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
     "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
     "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
@@ -229,6 +230,17 @@ object TextQueries extends QueryModule {
       s"""SELECT w AS word, count(*) AS cnt
          |FROM (SELECT unnest($toks) AS w FROM documents)
          |GROUP BY w""".stripMargin,
+
+    "text_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |vocab AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+         |sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |         avg(ln(cnt::DOUBLE / total::DOUBLE)) AS raw
+         |       FROM tok JOIN vocab USING (t) CROSS JOIN tot GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+         |  floor(raw * 1000000) / 1000000.0 AS avg_logprob
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

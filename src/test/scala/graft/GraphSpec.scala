@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions.col
+
+/** Connected-components semantics on hand graphs: transitive chains close,
+  * disjoint components stay apart, self-loops/duplicate/reversed edges are
+  * harmless, and the non-convergence guard actually fires.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain collapses transitively to its min id") {
+    // 1-2, 2-3, 3-4: no direct 1-4 edge, yet one component
+    assert(components(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep distinct min-id labels") {
+    val out = components(Seq((5L, 6L), (10L, 11L), (11L, 12L), (20L, 21L)))
+    assert(out === Map(5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge direction, duplicates, and self-loops do not matter") {
+    // min id appears only as a dst; dup + reversed + self edges thrown in
+    val out = components(Seq((9L, 2L), (9L, 2L), (2L, 9L), (7L, 7L), (9L, 4L)))
+    assert(out === Map(2L -> 2L, 9L -> 2L, 4L -> 2L))
+  }
+
+  test("a long path needs diameter rounds; too-low maxIter throws, enough converges") {
+    // path 100-99-...-1 propagated from one end: diameter 99
+    val path = (1L until 100L).map(i => (i, i + 1))
+    intercept[IllegalStateException] { components(path, maxIter = 5) }
+    val out = components(path, maxIter = 120)
+    assert(out.size === 100 && out.values.forall(_ == 1L))
+  }
+
+  test("componentStats sizes the clusters") {
+    val comps = Graph.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
+    val sizes = Graph.componentStats(comps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(1L -> 3L, 10L -> 2L))
+  }
+
+  test("clusters and CC-kept agree: kept = one representative per cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (4L, "completely unrelated text about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val clusters = graft.ops.Dedup.nearDupClusters(docs, "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val kept = graft.ops.Dedup.dropNearDuplicatesCC(docs, "text", "doc_id", minJaccard = 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+}
