@@ -50,5 +50,6 @@ object SparkEntry {
     "ann_quantized_topk", "j_asof", "sample_temperature",
     // round-6 additions: transitive CC dedup (iterative propagation),
     // dup-shingle fraction, corpus-unigram LM scoring
-    "dedup_cc_kept", "dedup_shingle_dupfrac", "text_unigram_logprob")
+    "dedup_cc_kept", "dedup_shingle_dupfrac", "text_unigram_logprob",
+    "emb_kmeans_assign", "text_zipf_rank")
 }

@@ -47,7 +47,7 @@ object Dedup {
       .groupBy("fp_md5")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
-  private val Mask = 4294967295L // 2^32 - 1
+  private[graft] val Mask = 4294967295L // 2^32 - 1
 
   /** Per-seed universal-hash constants: small odd multipliers (so a*base
     * stays < 2^52, no 64-bit overflow in either engine) + 32-bit offsets.
@@ -66,7 +66,7 @@ object Dedup {
     * pure integer arithmetic (bit-identical in DuckDB), no per-shingle md5
     * or string building.
     */
-  private def combine3(h1: Column, h2: Column, h3: Column): Column =
+  private[graft] def combine3(h1: Column, h2: Column, h3: Column): Column =
     ((h1 * lit(1000003L) + h2).bitwiseAND(lit(Mask)) * lit(1000003L) + h3)
       .bitwiseAND(lit(Mask))
 

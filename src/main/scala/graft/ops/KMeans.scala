@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means (Lloyd's algorithm) over an embedding
+  * column — the clustering step of corpus curation (topic balancing,
+  * cluster-based dedup/filtering à la SemDeDup, IVF list building).
+  *
+  * Everything runs in QUANTIZED INTEGER space: coordinates are floored to
+  * `scale` micro-units (millis by default), distances are exact integer
+  * sums of squares, and updated centroids are floored integer divisions of
+  * exact integer sums. There is no floating-point accumulation anywhere, so
+  * results do not depend on partitioning or aggregation order — the same
+  * property that makes the DuckDB oracle able to reproduce every assignment
+  * bit-for-bit (cross-engine double summation of float coords would
+  * tie-break argmins differently once in a blue moon; integer math never
+  * does).
+  *
+  * Scale shape per round:
+  *  - assignment: centroids (k rows, bounded) are collapsed to ONE row and
+  *    broadcast; each vector computes its argmin in a per-row array
+  *    expression — no shuffle at all.
+  *  - update: assigned vectors posexplode to (cluster, dim, val) and
+  *    groupBy(cluster, dim) sums with map-side combine — one shuffle of
+  *    k·d longs per partition, independent of corpus size.
+  *  - empty clusters keep their previous centroid (left join + coalesce),
+  *    so k never silently shrinks.
+  *
+  * Overflow headroom: |q| ≤ scale·max|x|; with unit-ish embeddings and
+  * scale=1000, per-dim diff² ≤ ~2^24 and the d-dim sum ≤ ~2^31 — long
+  * arithmetic has ~32 bits to spare. Sums for centroid updates hold to
+  * ~2^52 rows per cluster.
+  */
+object KMeans {
+
+  /** (idCol, q: array<long>) — coordinates floored to integer micro-units.
+    * Cast to double BEFORE scaling: float→double promotion is exact, so
+    * both engines floor the same double product.
+    */
+  def quantize(df: DataFrame, vecCol: String, idCol: String, scale: Int = 1000): DataFrame =
+    df.select(col(idCol),
+      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("q"))
+
+  /** Integer squared L2 distance between two equal-length long arrays. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Initial centroids: the quantized vectors of the k smallest ids,
+    * cluster index = id rank. The k-row sort/window is bounded by k, not
+    * the corpus (limit pushes down to a TakeOrdered).
+    */
+  private def initCentroids(q: DataFrame, idCol: String, k: Int): DataFrame =
+    q.orderBy(col(idCol)).limit(k)
+      .withColumn("c", row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
+      .select(col("c"), col("q").as("cent"))
+
+  /** Centroids (c, cent) → one broadcastable row: array of (c, cent)
+    * structs sorted by c (array_sort on struct = lexicographic, and c is
+    * unique). Bounded by k.
+    */
+  private def centroidsRow(cents: DataFrame): DataFrame =
+    cents.groupBy().agg(
+      array_sort(collect_list(struct(col("c"), col("cent")))).as("cs"))
+
+  /** Assign each vector to the nearest centroid, ties to the smallest
+    * cluster id: array_min over (dist², c) structs — lexicographic struct
+    * ordering IS the argmin-with-tiebreak. Pure per-row work against the
+    * broadcast centroid row.
+    */
+  private def assign(q: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val best = array_min(transform(col("cs"),
+      c => struct(dist2(col("q"), c.getField("cent")).as("d2"),
+        c.getField("c").as("c"))))
+    q.crossJoin(broadcast(centroidsRow(cents)))
+      .select(col(idCol), col("q"), best.getField("c").as("cluster"),
+        best.getField("d2").as("d2"))
+  }
+
+  /** One Lloyd update: per-(cluster, dim) integer sums → floored integer
+    * division → re-assembled centroid arrays; empty clusters inherit the
+    * previous centroid.
+    */
+  private def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"),  col("dim"),
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("cv"))
+    val rebuilt = sums.groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cent"))
+      .withColumnRenamed("cluster", "c")
+    prev.select(col("c"), col("cent").as("prev_cent"))
+      .join(rebuilt, Seq("c"), "left")
+      .select(col("c"), coalesce(col("cent"), col("prev_cent")).as("cent"))
+  }
+
+  /** `rounds` Lloyd iterations from the deterministic init, then a final
+    * assignment: (idCol, cluster, d2) with d2 the exact integer squared
+    * distance in micro-units².
+    */
+  def fitAssign(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
+      rounds: Int = 2, scale: Int = 1000): DataFrame = {
+    require(k > 0 && rounds >= 0 && scale > 0, s"bad k=$k rounds=$rounds scale=$scale")
+    val q = quantize(df, vecCol, idCol, scale)
+    var cents = initCentroids(q, idCol, k)
+    for (_ <- 0 until rounds)
+      cents = update(assign(q, cents, idCol), cents)
+    assign(q, cents, idCol).select(col(idCol), col("cluster"), col("d2"))
+  }
+
+  /** The trained centroids themselves (c, cent in micro-units) after
+    * `rounds` iterations — for handoff to IVF list building or audit.
+    */
+  def fitCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
+      rounds: Int = 2, scale: Int = 1000): DataFrame = {
+    val q = quantize(df, vecCol, idCol, scale)
+    var cents = initCentroids(q, idCol, k)
+    for (_ <- 0 until rounds)
+      cents = update(assign(q, cents, idCol), cents)
+    cents
+  }
+}

@@ -43,6 +43,13 @@ object SimilarityQueries extends QueryModule {
         .filter(col("query_id") < col("neighbor_id"))
         .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("sim"))),
 
+    // exact quantized k-means: every assignment reproducible bit-for-bit
+    // (integer distances, floored integer centroid updates — no float
+    // accumulation anywhere, so no cross-engine tie-break drift)
+    "emb_kmeans_assign" -> ((s, d) =>
+      graft.ops.KMeans.fitAssign(emb(s, d), "embedding", "vec_id",
+        k = 8, rounds = 2, scale = 1000)),
+
     // IVF lifecycle end-to-end: build → persist → reload → probed search.
     // The oracle replays the search (probe ranking + ranked cosine) from
     // the SAME persisted index parquet, so list assignment, probe order,
@@ -73,7 +80,54 @@ object SimilarityQueries extends QueryModule {
       s"(CASE WHEN list_dot_product(v, ${hpLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" +\n    ")
 
+  /** Unrolled-Lloyd k-means oracle mirroring [[graft.ops.KMeans.fitAssign]]
+    * CTE-block by CTE-block: quantize → init (k smallest ids) → per round
+    * (argmin assign with (d2, c) tie-break, per-(cluster,dim) integer sums,
+    * floored-division centroid rebuild, empty-cluster fallback) → final
+    * assign. All-integer, so equality is exact, not approximate.
+    */
+  private def kmeansSql(k: Int, rounds: Int, scale: Int): String = {
+    def assignCte(name: String, centsRel: String): String =
+      s"""d_$name AS (
+         |  SELECT q.vec_id, i.c,
+         |    list_sum(list_transform(range($Dim),
+         |      j -> (q.qv[j+1] - i.cent[j+1]) * (q.qv[j+1] - i.cent[j+1])))::BIGINT AS d2
+         |  FROM qz q CROSS JOIN $centsRel i),
+         |$name AS (
+         |  SELECT vec_id, c, d2 FROM (
+         |    SELECT vec_id, c, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |    FROM d_$name) WHERE rn = 1)""".stripMargin
+    def updateCte(r: Int, assignRel: String, prevRel: String): String =
+      s"""s_$r AS (
+         |  SELECT a.c, d.j AS dim, sum(q.qv[d.j+1])::BIGINT AS sv, count(*)::BIGINT AS n
+         |  FROM $assignRel a JOIN qz q USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range($Dim)) AS j) d
+         |  GROUP BY a.c, d.j),
+         |u_$r AS (
+         |  SELECT c, list(floor(sv::DOUBLE / n::DOUBLE)::BIGINT ORDER BY dim) AS cent
+         |  FROM s_$r GROUP BY c),
+         |cents_$r AS (
+         |  SELECT i.c, coalesce(u.cent, i.cent) AS cent
+         |  FROM $prevRel i LEFT JOIN u_$r u ON u.c = i.c)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      assignCte(s"a_$r", s"cents_${r - 1}") + ",\n" + updateCte(r, s"a_$r", s"cents_${r - 1}")
+    }.mkString(",\n")
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> floor(x::DOUBLE * $scale)::BIGINT) AS qv
+       |  FROM embeddings),
+       |i0 AS (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT $k),
+       |cents_0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cent FROM i0),
+       |$roundCtes,
+       |${assignCte("a_final", s"cents_$rounds")}
+       |SELECT vec_id, c AS cluster, d2 FROM a_final""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "emb_kmeans_assign" -> kmeansSql(k = 8, rounds = 2, scale = 1000),
+
     "ann_topk_cosine" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -43,6 +43,19 @@ object TextQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordcount" -> ((s, d) => Text.wordCount(docs(s, d), "text")),
     "text_unigram_logprob" -> ((s, d) => Text.unigramLogProb(docs(s, d), "text", "doc_id")),
+    // Zipf curve / vocabulary coverage: global frequency rank + cumulative
+    // token fraction, via the range-partitioned two-level prefix sum (the
+    // single-reducer global window is exactly what Ordered avoids)
+    "text_zipf_rank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, sum}
+      val v = Text.wordCount(docs(s, d), "text")
+      val total = v.agg(sum("cnt").as("total"))
+      graft.ops.Ordered.rankedPrefixSum(v, Seq(col("cnt").desc, col("word")), col("cnt"))
+        .crossJoin(broadcast(total))
+        .select(col("word"), col("cnt"), col("rank"),
+          Text.floor6(col("cum").cast("double") / col("total").cast("double"))
+            .as("cum_frac"))
+    }),
     "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
     "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
     "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
@@ -241,6 +254,19 @@ object TextQueries extends QueryModule {
          |SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
          |  floor(raw * 1000000) / 1000000.0 AS avg_logprob
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    "text_zipf_rank" ->
+      s"""WITH v AS (SELECT w AS word, count(*)::BIGINT AS cnt
+         |           FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+         |tt AS (SELECT sum(cnt)::BIGINT AS total FROM v),
+         |r AS (SELECT word, cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, word)::BIGINT AS rank,
+         |        sum(cnt) OVER (ORDER BY cnt DESC, word
+         |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |      FROM v)
+         |SELECT word, cnt, rank,
+         |  floor(cum::DOUBLE / tt.total::DOUBLE * 1000000) / 1000000.0 AS cum_frac
+         |FROM r CROSS JOIN tt""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

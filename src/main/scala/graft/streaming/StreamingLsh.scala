@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.{Dedup, Text}
+
+/** Streaming near-duplicate detection: MinHash+LSH banding over a document
+  * STREAM, with bucket-keyed state — the incremental twin of the batch
+  * [[graft.ops.Dedup.minhashCandidatePairs]] pipeline.
+  *
+  * Shape: per-row inline signatures (a stream row is one complete document,
+  * so the batch path's explode→groupBy signature aggregation — which would
+  * be a second stateful operator here — is unnecessary) → explode band keys
+  * → `flatMapGroupsWithState` keyed by (band, band_key). State per bucket is
+  * ONE long: the smallest doc id the bucket has ever seen.
+  *
+  * Output: (doc_id, band, bucket_rep) per (doc × band). A doc is a near-dup
+  * CANDIDATE iff any of its rows has bucket_rep < doc_id — the streaming
+  * form of the batch keeper rule (lower-id bucket-mate exists). The per-doc
+  * verdict composes downstream (foreachBatch / sink-side), keeping this a
+  * single stateful operator.
+  *
+  * Determinism: the representative is the MIN id over everything seen so
+  * far (not arrival order within a micro-batch), so results don't depend on
+  * partition iteration order. Scale: state is one long per OCCUPIED bucket;
+  * eviction policy (e.g. timeout for buckets idle past the dedup horizon)
+  * can be added via GroupStateTimeout without changing the shape.
+  */
+object StreamingLsh {
+
+  /** Per-row MinHash band keys, staged through real projections (toks →
+    * token hashes → shingle bases) so Catalyst reuses each stage instead of
+    * inlining the tokenizer into every shingle position (the measured-10×
+    * trap documented in Dedup.scala).
+    */
+  private[graft] def withBandKeys(df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0 && k <= Dedup.seedConsts.size, "k must split into equal bands")
+    val r = k / bands
+    val staged = df
+      .select(col(idCol).cast("long").as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("hs", transform(col("toks"), t => Text.h32(t)))
+      .withColumn("bases",
+        when(size(col("hs")) >= 3,
+          transform(sequence(lit(0), size(col("hs")) - 3),
+            i => Dedup.combine3(element_at(col("hs"), i + 1),
+              element_at(col("hs"), i + 2), element_at(col("hs"), i + 3))))
+          .otherwise(array(Text.h32(array_join(col("toks"), " ")))))
+    val sigCols: Seq[Column] = (0 until k).map { s =>
+      val (a, b) = Dedup.seedConsts(s)
+      array_min(transform(col("bases"),
+        x => (x * lit(a) + lit(b)).bitwiseAND(lit(Dedup.Mask)))).as(s"sig_$s")
+    }
+    val sigs = staged.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
+          .as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** (doc_id, band, bucket_rep) stream — see object doc. `df` must be a
+    * streaming DataFrame with `idCol` castable to long.
+    */
+  def bucketFirstSeen(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 2): Dataset[(Long, Int, Long)] = {
+    val banded = withBandKeys(df, textCol, idCol, k, bands)
+    import banded.sparkSession.implicits._
+    banded.as[(Long, Int, String)]
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState[Long, (Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)], state: GroupState[Long]) =>
+          val docs = rows.map(_._1).toVector
+          val rep = math.min(state.getOption.getOrElse(Long.MaxValue), docs.min)
+          state.update(rep)
+          docs.iterator.map(d => (d, key._1, rep))
+      }
+  }
+}

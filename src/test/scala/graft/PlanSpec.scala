@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "bucket-offsets join should broadcast")
   }
 
+  test("zipf rank rides an order-preserving range exchange, windows partitioned by pid") {
+    val p = plan("text_zipf_rank")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      "global order must come from range partitioning, not a single-reducer sort")
+    // the corpus-sized rank/cumsum window must be keyed by the partition id
+    assert(p.contains("windowspecdefinition(__pid"),
+      "per-partition window lost its __pid partition key")
+  }
+
+  test("kmeans assignment broadcasts the one-row centroid table, never shuffles vectors") {
+    val p = plan("emb_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids should reach vectors via a broadcast cross join")
+    assert(!p.contains("CartesianProduct"), "kmeans plans a cartesian product")
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingLsh
+
+/** Streaming LSH near-dup detection: a later near-identical doc is flagged
+  * against the earlier one ACROSS micro-batches (bucket state persists),
+  * same-batch duplicates resolve to the min id, unrelated docs stay clean,
+  * and the bucket keys agree with the batch lshBands pipeline.
+  */
+class StreamingLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  /** All (doc, band, rep) rows the memory sink accumulated. */
+  private def rows(sink: String): Seq[(Long, Int, Long)] =
+    spark.table(sink).as[(Long, Int, Long)].collect().toSeq
+
+  test("near-dups are flagged across and within micro-batches; clean docs are not") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingLsh.bucketFirstSeen(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("lsh_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, base), (300L, base + " extra"), (301L, base + " extra"))
+      q.processAllAvailable()
+      input.addData((200L, base), (999L, "completely different content about query engines and shuffles"))
+      q.processAllAvailable()
+
+      val r = rows("lsh_stream")
+      // batch 1: 100 is first in its buckets; 301 hits 300's buckets
+      assert(r.filter(_._1 == 100L).forall(_._3 == 100L))
+      assert(r.filter(_._1 == 301L).exists(_._3 < 301L), "same-batch dup must see a lower rep")
+      // batch 2: 200 (same text as 100) must hit 100's bucket state
+      assert(r.filter(_._1 == 200L).exists(_._3 == 100L), "cross-batch dup must see earlier rep")
+      // the unrelated doc is its own representative everywhere
+      assert(r.filter(_._1 == 999L).forall(_._3 == 999L))
+    } finally q.stop()
+  }
+
+  test("inline per-row band keys equal the batch explode+agg lshBands keys exactly") {
+    // the two signature paths (per-row array_min vs explode→groupBy min)
+    // must produce identical buckets, or streaming and batch dedup would
+    // silently disagree on who is whose near-dup
+    val docs = Seq((1L, base), (2L, "another body of text entirely, with different words"),
+      (3L, "x"), (4L, "")).toDF("doc_id", "text") // incl. <3-token fallback docs
+    val batch = graft.ops.Dedup.lshBands(docs, "text", "doc_id")
+      .as[(Long, Int, String)].collect().toSet
+    val inline = StreamingLsh.withBandKeys(docs, "text", "doc_id", 8, 2)
+      .as[(Long, Int, String)].collect().toSet
+    assert(inline === batch)
+  }
+}
