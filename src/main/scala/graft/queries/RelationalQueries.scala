@@ -132,6 +132,47 @@ object RelationalQueries extends QueryModule {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("sum_qty"))),
 
+    // CUBE: all four grouping levels in one pass (adds the (status)-only
+    // level ROLLUP can't express). Quantities are integer-valued doubles,
+    // so the sums are exact at any aggregation order.
+    "g_cube_counts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("sum_qty"))),
+
+    // Pivot (wide reshaping): revenue by line status × return flag, the
+    // flag domain pinned explicitly so the output schema is static (an
+    // inferred pivot would scan once just to discover columns)
+    "g_pivot_revenue" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus").pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(rev).cast("double"))
+        .select(col("l_linestatus"), col("A").as("rev_a"),
+          col("N").as("rev_n"), col("R").as("rev_r"))
+    }),
+
+    // Second-moment statistics per group: sample stddev/variance and the
+    // value↔time correlation/covariance (mergeable partial aggs — the
+    // engine shape for drift monitoring on arbitrarily large groups)
+    "stats_moments" -> ((s, d) =>
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          floor6(stddev_samp(col("value"))).as("sd"),
+          floor6(var_samp(col("value"))).as("vr"),
+          floor6(corr(col("value"), col("ts_us").cast("double"))).as("corr_vt"),
+          floor6(covar_samp(col("value"), col("value") * lit(2.0))).as("cov_vv2"))),
+
+    // Time-series resample + forward fill: daily buckets per user between
+    // that user's first and last event, gaps carrying the last observation
+    "ts_resample_fill" -> ((s, d) =>
+      graft.ops.TimeSeries.resampleFill(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", "value", stepUs = 86400000000L)),
+
     // KTable materialization (A3 batch twin): the latest record per key —
     // the table snapshot a changelog compacts to.
     "a3_latest_per_key" -> ((s, d) => {
@@ -275,6 +316,25 @@ object RelationalQueries extends QueryModule {
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "ts_resample_fill" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+        |                  epoch_us(ts) AS tus, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |lastv AS (SELECT user_id, bucket, value AS obs_v FROM (
+        |            SELECT user_id, bucket, value,
+        |                   row_number() OVER (PARTITION BY user_id, bucket
+        |                                      ORDER BY tus DESC, event_id DESC) AS rn
+        |            FROM o) WHERE rn = 1),
+        |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        |      FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |            FROM o GROUP BY user_id))
+        |SELECT g.user_id, g.bucket,
+        |       last_value(lv.obs_v IGNORE NULLS)
+        |         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |               ROWS UNBOUNDED PRECEDING) AS filled,
+        |       lv.obs_v IS NOT NULL AS observed
+        |FROM g LEFT JOIN lastv lv ON lv.user_id = g.user_id AND lv.bucket = g.bucket""".stripMargin,
+
     "a3_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
         |       epoch_us(ts) AS last_ts_us
@@ -378,6 +438,29 @@ object RelationalQueries extends QueryModule {
     "g_rollup_counts" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity)::DOUBLE AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "g_cube_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity)::DOUBLE AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "g_pivot_revenue" -> {
+      def rev(flag: String): String =
+        s"""sum(CASE WHEN l_returnflag = '$flag'
+           |    THEN l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+           |    END)::DOUBLE""".stripMargin
+      s"""SELECT l_linestatus, ${rev("A")} AS rev_a, ${rev("N")} AS rev_n,
+         |  ${rev("R")} AS rev_r
+         |FROM lineitem GROUP BY l_linestatus""".stripMargin
+    },
+
+    "stats_moments" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(stddev_samp(value) * 1000000) / 1000000.0 AS sd,
+        |  floor(var_samp(value) * 1000000) / 1000000.0 AS vr,
+        |  floor(corr(value, epoch_us(ts)::DOUBLE) * 1000000) / 1000000.0 AS corr_vt,
+        |  floor(covar_samp(value, value * 2.0) * 1000000) / 1000000.0 AS cov_vv2
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
