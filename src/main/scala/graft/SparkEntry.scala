@@ -51,5 +51,5 @@ object SparkEntry {
     // round-6 additions: transitive CC dedup (iterative propagation),
     // dup-shingle fraction, corpus-unigram LM scoring
     "dedup_cc_kept", "dedup_shingle_dupfrac", "text_unigram_logprob",
-    "emb_kmeans_assign", "text_zipf_rank", "ts_resample_fill")
+    "emb_kmeans_assign", "text_zipf_rank", "ts_resample_fill", "text_chunks")
 }

@@ -272,6 +272,27 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Leakage-safe train/eval split: assign each doc to a split by hashing
+    * its near-dup CLUSTER id (singletons hash their own id), so a document
+    * and its near-duplicates always land on the same side — the split-time
+    * contamination guard (a near-copy of an eval doc in train defeats the
+    * eval). `trainPct` of the hash space goes to "train", the rest "eval";
+    * deterministic under any partitioning via the portable h32.
+    */
+  def clusterSafeSplit(df: DataFrame, textCol: String, idCol: String,
+      trainPct: Int = 90, salt: String = "split1", minJaccard: Double = 0.8,
+      k: Int = 8, bands: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100), got $trainPct")
+    val clusters = nearDupClusters(df, textCol, idCol, minJaccard, k, bands, maxBucket)
+    df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("split",
+        when(pmod(Text.h32(concat(col("cluster_id").cast("string"), lit("_" + salt))),
+          lit(100)) < trainPct, lit("train")).otherwise(lit("eval")))
+  }
+
   /** 16-bit SimHash over the token multiset: bit b is the sign of the sum of
     * ±1 votes from each token's h32 bit b. Same explode+agg shape as
     * [[minhashSignatures]] (hash each token once on the map side, 16

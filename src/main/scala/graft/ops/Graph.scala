@@ -83,4 +83,82 @@ object Graph {
     */
   def componentStats(components: DataFrame): DataFrame =
     components.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * O(log n) rounds regardless of graph DIAMETER, unlike
+    * [[connectedComponents]]'s O(diameter) label propagation. Same output
+    * contract: (id, comp = component min id), one row per node that
+    * appears in the edge list.
+    *
+    * Each half-round is one shuffle: groupBy(node) min over the current
+    * neighborhood, joined back to re-point edges at the local minimum —
+    * large-star re-points STRICTLY LARGER neighbors, small-star re-points
+    * the rest (and the center). The edge set only ever shrinks toward the
+    * star form (v → component-min); convergence = a fixed point of both
+    * half-rounds, detected by an edge-set-unchanged probe.
+    *
+    * Use this over [[connectedComponents]] when components can be long
+    * chains (similarity graphs at permissive thresholds, link graphs);
+    * for near-dup clusters (near-cliques) propagation converges just as
+    * fast with less per-round work.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 40): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    var cur = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // fixed point: the (symmetric) edge multiset stopped changing
+      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at the fixed point every edge is (node, component-min); roots appear
+    // only on the min side
+    val members = cur.filter(col("u") > col("v"))
+      .select(col("u").as("id"), col("v").as("comp"))
+    val roots = members.select(col("comp").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    members.union(roots).distinct()
+  }
+
+  /** One large-star half-round over a SYMMETRIC edge list: every node u
+    * re-points its strictly-larger neighbors at m = min(N(u) ∪ {u}).
+    * Output is re-symmetrized for the next half-round.
+    */
+  private def largeStar(sym: DataFrame): DataFrame = {
+    val mins = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+    val repointed = sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+    symmetrize(repointed)
+  }
+
+  /** One small-star half-round: every node u re-points its ≤ neighbors
+    * (and itself) at m = min(N(u) ∪ {u}).
+    */
+  private def smallStar(sym: DataFrame): DataFrame = {
+    val mins = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+    val smaller = sym.join(mins, "u")
+      .filter(col("v") <= col("u") && col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+    val self = mins.filter(col("u") =!= col("m"))
+      .select(col("u").as("a"), col("m").as("b"))
+    symmetrize(smaller.union(self).filter(col("a") =!= col("b")))
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v").distinct()
 }

@@ -341,6 +341,31 @@ object Text {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Overlapping token-window chunking — the "split long documents into
+    * embedding/context-window sized pieces" step of retrieval and training
+    * pipelines. Chunk starts advance by `chunk - overlap`; the final chunk
+    * may be shorter. Tokenless docs produce no chunks.
+    *
+    * Pure per-row explode (narrow, corpus-linear); the token array is
+    * staged through a real projection so the tokenizer isn't re-inlined
+    * per chunk (the Dedup.scala trap).
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunk: Int, overlap: Int): DataFrame = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
+    val step = chunk - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(step))).as("start"))
+      .select(col(idCol),
+        (col("start") / step).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(chunk))).cast("long").as("n_toks"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunk)), " ").as("chunk_text"))
+  }
+
   /** Corpus-unigram language-model scoring: train a unigram LM on the corpus
     * itself (token frequencies), then score every doc by its mean token
     * log-probability — the cheap perplexity proxy used to rank documents

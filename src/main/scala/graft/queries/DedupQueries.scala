@@ -36,7 +36,11 @@ object DedupQueries extends QueryModule {
       Dedup.dropNearDuplicatesCC(docs(s, d), "text", "doc_id", minJaccard = 0.5)
         .select("doc_id")),
     "dedup_shingle_dupfrac" -> ((s, d) =>
-      Dedup.duplicateShingleFraction(docs(s, d), "text", "doc_id")))
+      Dedup.duplicateShingleFraction(docs(s, d), "text", "doc_id")),
+    // leakage-safe split: near-dup clusters never straddle train/eval
+    "split_cluster_safe" -> ((s, d) =>
+      Dedup.clusterSafeSplit(docs(s, d), "text", "doc_id",
+        trainPct = 90, salt = "split1", minJaccard = 0.5)))
 
   // ---- shared oracle fragments ----
 
@@ -201,6 +205,17 @@ object DedupQueries extends QueryModule {
          |dropped AS (SELECT nid FROM reach GROUP BY nid HAVING min(lbl) <> nid)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT nid FROM dropped)""".stripMargin,
+
+    "split_cluster_safe" ->
+      s"""$reachCte,
+         |cl AS (SELECT nid AS doc_id, min(lbl)::BIGINT AS cluster_id
+         |       FROM reach GROUP BY nid),
+         |wc AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${h32sql("cluster_id::VARCHAR || '_split1'")} % 100 < 90
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM wc""".stripMargin,
 
     "dedup_shingle_dupfrac" ->
       s"""$basesCte,

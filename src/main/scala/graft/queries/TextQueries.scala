@@ -57,6 +57,9 @@ object TextQueries extends QueryModule {
             .as("cum_frac"))
     }),
     "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
+    // overlapping 50-token chunks, stride 40 (RAG/embedding prep)
+    "text_chunks" -> ((s, d) => Text.chunkDocs(docs(s, d), "text", "doc_id",
+      chunk = 50, overlap = 10)),
     "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
     "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
     "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")),
@@ -267,6 +270,15 @@ object TextQueries extends QueryModule {
          |SELECT word, cnt, rank,
          |  floor(cum::DOUBLE / tt.total::DOUBLE * 1000000) / 1000000.0 AS cum_frac
          |FROM r CROSS JOIN tt""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, start // 40 AS chunk_id,
+         |  len(toks[start+1 : start+50])::BIGINT AS n_toks,
+         |  array_to_string(toks[start+1 : start+50], ' ') AS chunk_text
+         |FROM s""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

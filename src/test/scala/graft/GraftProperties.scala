@@ -232,4 +232,61 @@ object GraftProperties extends Properties("graft") {
       val v = Seq(s, s).toDF("t").select(Text.h32(col("t"))).as[Long].collect()
       v(0) == v(1) && v(0) >= 0L && v(0) < (1L << 32)
     }
+
+  /** Global rank/prefix sum equals the sequential definition for any data
+    * and any partition count.
+    */
+  property("ordered.matches-sequential") = {
+    val row = for { k <- Gen.choose(0L, 50L); v <- Gen.choose(0L, 9L) } yield (k, v)
+    Prop.forAll(Gen.nonEmptyListOf(row).map(_.distinctBy(_._1)),
+      Gen.choose(1, 9)) { (rows, parts) =>
+      val out = graft.ops.Ordered.rankedPrefixSum(
+        rows.toDF("k", "v"), Seq(col("v").desc, col("k")), col("v"), parts)
+        .select("k", "rank", "cum").as[(Long, Long, Long)].collect()
+        .sortBy(_._2).toSeq
+      val sorted = rows.sortBy { case (k, v) => (-v, k) }
+      val expected = sorted.zipWithIndex.map { case ((k, _), i) =>
+        (k, i + 1L, sorted.take(i + 1).map(_._2).sum)
+      }
+      out == expected
+    }
+  }
+
+  /** The two CC algorithms (min-label propagation, large-star/small-star)
+    * compute identical components on random graphs.
+    */
+  property("graph.cc-algorithms-agree") = {
+    val edge = for { a <- Gen.choose(0L, 20L); b <- Gen.choose(0L, 20L) } yield (a, b)
+    Prop.forAll(Gen.nonEmptyListOf(edge)) { es =>
+      val df = es.toDF("a", "b")
+      def toMap(out: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        out.as[(Long, Long)].collect().toMap
+      val hasRealEdge = es.exists { case (a, b) => a != b }
+      !hasRealEdge || {
+        toMap(graft.ops.Graph.connectedComponents(df, "a", "b", maxIter = 60)) ==
+          toMap(graft.ops.Graph.connectedComponentsStar(df, "a", "b"))
+      }
+    }
+  }
+
+  /** k-means assignment (rounds=0) is the brute-force integer argmin over
+    * the init centroids, ties to the lowest cluster id.
+    */
+  property("kmeans.assignment-is-argmin") = {
+    val vec = Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 500.0f))
+    Prop.forAll(Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, vec))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val k = 2
+      val out = graft.ops.KMeans.fitAssign(df, "embedding", "vec_id", k, rounds = 0)
+        .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+      val q = vecs.map(_.map(x => math.floor(x.toDouble * 1000).toLong))
+      val cents = q.take(k)
+      val expected = q.zipWithIndex.map { case (v, i) =>
+        val d = cents.map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+        i.toLong -> d.zipWithIndex.minBy { case (dist, c) => (dist, c) }._2.toLong
+      }.toMap
+      out == expected
+    }
+  }
 }

@@ -40,6 +40,28 @@ class GraphSpec extends SparkSpec {
     assert(out.size === 100 && out.values.forall(_ == 1L))
   }
 
+  private def componentsStar(edges: Seq[(Long, Long)], maxIter: Int = 40): Map[Long, Long] =
+    Graph.connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("large-star/small-star agrees with propagation on chains and forests") {
+    val cases = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+      Seq((5L, 6L), (10L, 11L), (11L, 12L), (20L, 21L)),
+      Seq((9L, 2L), (9L, 2L), (2L, 9L), (7L, 7L), (9L, 4L)))
+    cases.foreach { es =>
+      assert(componentsStar(es) === components(es), s"disagree on $es")
+    }
+  }
+
+  test("a long path converges in O(log n) star rounds, far under its diameter") {
+    // diameter 99: propagation needs ~100 rounds (tested above); the
+    // alternating algorithm must land well inside 20
+    val path = (1L until 100L).map(i => (i, i + 1))
+    val out = componentsStar(path, maxIter = 20)
+    assert(out.size === 100 && out.values.forall(_ == 1L))
+  }
+
   test("componentStats sizes the clusters") {
     val comps = Graph.connectedComponents(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
