@@ -173,6 +173,19 @@ object RelationalQueries extends QueryModule {
         Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
         "user_id", "ts_us", "event_id", "value", stepUs = 86400000000L)),
 
+    // Per-group z-score outliers: group stats via one mergeable agg,
+    // broadcast back (tiny side table keyed by the group), per-row score —
+    // no window over raw events
+    "stats_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val stats = ev.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_type"), col("event_id"), floor6(col("z")).as("z"))
+    }),
+
     // KTable materialization (A3 batch twin): the latest record per key —
     // the table snapshot a changelog compacts to.
     "a3_latest_per_key" -> ((s, d) => {
@@ -334,6 +347,14 @@ object RelationalQueries extends QueryModule {
         |               ROWS UNBOUNDED PRECEDING) AS filled,
         |       lv.obs_v IS NOT NULL AS observed
         |FROM g LEFT JOIN lastv lv ON lv.user_id = g.user_id AND lv.bucket = g.bucket""".stripMargin,
+
+    "stats_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |            FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_type, e.event_id,
+        |       floor(((e.value - st.mu) / st.sd) * 1000000) / 1000000.0 AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE e.value IS NOT NULL AND abs((e.value - st.mu) / st.sd) > 2.5""".stripMargin,
 
     "a3_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,

@@ -306,6 +306,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === (("", false)))
   }
 
+  test("chunking: stride boundaries, short tail, sub-chunk docs, empty docs") {
+    val eleven = (1 to 11).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, eleven),          // chunk=5, overlap=2 → starts 0,3,6,9: lens 5,5,5,2
+      (2L, "a b"),           // shorter than one chunk → one 2-token chunk
+      (3L, "")               // tokenless → no chunks
+    ).toDF("id", "text")
+    val out = graft.ops.Text.chunkDocs(df, "text", "id", chunk = 5, overlap = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    assert(out(1L).map(_._1) === Seq(5L, 5L, 5L, 2L))
+    assert(out(1L).head._2 === "w1 w2 w3 w4 w5")
+    assert(out(1L)(1)._2 === "w4 w5 w6 w7 w8", "overlap of 2 tokens carries over")
+    assert(out(1L).last._2 === "w10 w11")
+    assert(out(2L) === Seq((2L, "a b")))
+    assert(!out.contains(3L))
+  }
+
   test("winnowing: shared long substring yields shared fingerprints, disjoint text doesn't") {
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
     val df = Seq(
