@@ -52,4 +52,36 @@ object TimeSeries {
         last(col("obs_v"), ignoreNulls = true).over(w).as("filled"),
         col("obs_v").isNotNull.as("observed"))
   }
+
+  /** Trailing moving average over an already-regular series (e.g.
+    * [[resampleFill]] output): mean of the last `width` buckets including
+    * the current one (fewer at the head). Window partitioned by key —
+    * parallel across keys, frame state bounded by `width`.
+    */
+  def movingAvg(df: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, width: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(-(width - 1), Window.currentRow)
+    df.select(col(keyCol), col(bucketCol), col(valCol))
+      .withColumn("ma", avg(col(valCol)).over(w))
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * key's previous event exceeds `gapUs`. Returns every event with its
+    * 0-based per-key `session_id` (cumulative sum of session-break flags —
+    * one lag + one running sum, both in a key-partitioned window).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val runningSum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(order))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(runningSum) - 1)
+      .drop("__prev", "__brk")
+  }
 }

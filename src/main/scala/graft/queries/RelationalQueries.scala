@@ -186,6 +186,22 @@ object RelationalQueries extends QueryModule {
         .select(col("event_type"), col("event_id"), floor6(col("z")).as("z"))
     }),
 
+    // 7-day trailing moving average over the resampled/forward-filled grid
+    "ts_moving_avg" -> ((s, d) => {
+      val filled = graft.ops.TimeSeries.resampleFill(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", "value", stepUs = 86400000000L)
+      graft.ops.TimeSeries.movingAvg(filled, "user_id", "bucket", "filled", width = 7)
+        .select(col("user_id"), col("bucket"), floor6(col("ma")).as("ma"))
+    }),
+
+    // gap-based sessionization: >2h of silence starts a new session
+    "ts_sessionize" -> ((s, d) =>
+      graft.ops.TimeSeries.sessionize(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", gapUs = 7200000000L)
+        .select(col("user_id"), col("event_id"), col("session_id"))),
+
     // KTable materialization (A3 batch twin): the latest record per key —
     // the table snapshot a changelog compacts to.
     "a3_latest_per_key" -> ((s, d) => {
@@ -355,6 +371,40 @@ object RelationalQueries extends QueryModule {
         |       floor(((e.value - st.mu) / st.sd) * 1000000) / 1000000.0 AS z
         |FROM events e JOIN st USING (event_type)
         |WHERE e.value IS NOT NULL AND abs((e.value - st.mu) / st.sd) > 2.5""".stripMargin,
+
+    "ts_moving_avg" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+        |                  epoch_us(ts) AS tus, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |lastv AS (SELECT user_id, bucket, value AS obs_v FROM (
+        |            SELECT user_id, bucket, value,
+        |                   row_number() OVER (PARTITION BY user_id, bucket
+        |                                      ORDER BY tus DESC, event_id DESC) AS rn
+        |            FROM o) WHERE rn = 1),
+        |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        |      FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |            FROM o GROUP BY user_id)),
+        |f AS (SELECT g.user_id, g.bucket,
+        |             last_value(lv.obs_v IGNORE NULLS)
+        |               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |                     ROWS UNBOUNDED PRECEDING) AS filled
+        |      FROM g LEFT JOIN lastv lv ON lv.user_id = g.user_id AND lv.bucket = g.bucket)
+        |SELECT user_id, bucket,
+        |       floor(avg(filled) OVER (PARTITION BY user_id ORDER BY bucket
+        |                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |             * 1000000) / 1000000.0 AS ma
+        |FROM f""".stripMargin,
+
+    "ts_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |b AS (SELECT user_id, event_id, tus,
+        |             CASE WHEN lag(tus) OVER w IS NULL
+        |                    OR tus - lag(tus) OVER w > 7200000000 THEN 1 ELSE 0 END AS brk
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, event_id,
+        |       (sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                       ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+        |FROM b""".stripMargin,
 
     "a3_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,

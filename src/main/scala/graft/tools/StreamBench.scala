@@ -35,6 +35,17 @@ object StreamBench {
             col("rts") <= col("ts") + expr("INTERVAL 2 SECONDS"))
           .select(col("key"), col("lv"), col("rv"))
           .writeStream.format("noop").outputMode("append").start()
+      case "lshdedup" =>
+        // streaming near-dup detection: ~16-token docs, heavy duplication
+        // (doc content repeats every 500 ids) so bucket state gets real hits
+        val docs = src.select(col("value").as("doc_id"),
+          concat(lit("the quick brown fox jumps over the lazy dog token "),
+            (col("value") % 500).cast("string"),
+            lit(" more words follow here for shingle count "),
+            (col("value") % 37).cast("string")).as("text"))
+        graft.streaming.StreamingLsh.bucketFirstSeen(docs, "text", "doc_id")
+          .toDF("doc_id", "band", "rep")
+          .writeStream.format("noop").outputMode("append").start()
       case _ =>
         val lines = src.select(concat(
           lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
