@@ -123,6 +123,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "kmeans plans a cartesian product")
   }
 
+  test("time-series windows are all key-partitioned and share one exchange") {
+    val p = plan("ts_moving_avg")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.contains("user_id")),
+      s"unpartitioned window in ts_moving_avg:\n${specs.mkString("\n")}")
+    // fill + moving-avg windows and the grid join all key by user_id; the
+    // partitioning must be established once, not re-shuffled per stage
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges <= 2, s"$exchanges user_id exchanges — expected reuse")
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition
