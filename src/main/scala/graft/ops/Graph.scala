@@ -84,6 +84,35 @@ object Graph {
   def componentStats(components: DataFrame): DataFrame =
     components.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
 
+  /** Per-node degree over the undirected graph: (id, degree). One
+    * symmetrize + one map-side-combined count.
+    */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
+  /** Triangle enumeration: one row (a, b, c) with a < b < c per triangle.
+    * Two equi-joins over the CANONICALIZED (lo, hi) edge list — candidate
+    * fan-out is Σ degree², the standard shape; at corpus scale feed it a
+    * bucket-bounded pair list (e.g. LSH candidates), never a dense graph.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = e.select(col("lo").as("b"), col("hi").as("c"))
+    val ac = e.select(col("lo").as("a"), col("hi").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
   /** Connected components via alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * O(log n) rounds regardless of graph DIAMETER, unlike

@@ -40,7 +40,17 @@ object DedupQueries extends QueryModule {
     // leakage-safe split: near-dup clusters never straddle train/eval
     "split_cluster_safe" -> ((s, d) =>
       Dedup.clusterSafeSplit(docs(s, d), "text", "doc_id",
-        trainPct = 90, salt = "split1", minJaccard = 0.5)))
+        trainPct = 90, salt = "split1", minJaccard = 0.5)),
+    // dup-graph analytics over the verified pairs (0.5): node degrees and
+    // triangle enumeration (how clique-ish are the dup families?)
+    "graph_degrees" -> ((s, d) =>
+      graft.ops.Graph.degrees(
+        Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5),
+        "doc_a", "doc_b")),
+    "graph_triangles" -> ((s, d) =>
+      graft.ops.Graph.triangles(
+        Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5),
+        "doc_a", "doc_b")))
 
   // ---- shared oracle fragments ----
 
@@ -216,6 +226,22 @@ object DedupQueries extends QueryModule {
          |  CASE WHEN ${h32sql("cluster_id::VARCHAR || '_split1'")} % 100 < 90
          |       THEN 'train' ELSE 'eval' END AS split
          |FROM wc""".stripMargin,
+
+    "graph_degrees" ->
+      s"""$jcCte,
+         |pr AS (SELECT doc_a, doc_b FROM jc WHERE j >= 0.5),
+         |sym AS (SELECT doc_a AS id, doc_b AS nb FROM pr
+         |        UNION SELECT doc_b, doc_a FROM pr)
+         |SELECT id, count(*) AS degree FROM sym GROUP BY id""".stripMargin,
+
+    "graph_triangles" ->
+      s"""$jcCte,
+         |pr AS (SELECT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+         |       FROM jc WHERE j >= 0.5)
+         |SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+         |FROM pr ab
+         |JOIN pr bc ON bc.lo = ab.hi
+         |JOIN pr ac ON ac.lo = ab.lo AND ac.hi = bc.hi""".stripMargin,
 
     "dedup_shingle_dupfrac" ->
       s"""$basesCte,

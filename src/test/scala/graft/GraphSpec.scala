@@ -62,6 +62,18 @@ class GraphSpec extends SparkSpec {
     assert(out.size === 100 && out.values.forall(_ == 1L))
   }
 
+  test("degrees and triangles on a known graph") {
+    // K4 on {1,2,3,4} plus a pendant 5-1: four triangles in K4
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 :+ (5L, 1L)).toDF("a", "b")
+    val deg = Graph.degrees(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    val tri = Graph.triangles(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
   test("componentStats sizes the clusters") {
     val comps = Graph.connectedComponents(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
