@@ -51,5 +51,8 @@ object SparkEntry {
     // round-6 additions: transitive CC dedup (iterative propagation),
     // dup-shingle fraction, corpus-unigram LM scoring
     "dedup_cc_kept", "dedup_shingle_dupfrac", "text_unigram_logprob",
-    "emb_kmeans_assign", "text_zipf_rank", "ts_resample_fill", "text_chunks")
+    "emb_kmeans_assign", "text_zipf_rank", "ts_resample_fill", "text_chunks",
+    // round-6 additions: bucketed range join, skew-salted join, SCD2
+    // changelog materialization, Misra-Gries heavy hitters
+    "j_range_bucketed", "skew_salted_join", "cdc_scd2", "freq_heavy_hitters")
 }

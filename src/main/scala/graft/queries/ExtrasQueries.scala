@@ -173,6 +173,16 @@ object ExtrasQueries extends QueryModule {
         .select(col("event_type"), col("cnt"), col("v").cast("double").as("v"))
     }),
 
+    // Misra-Gries heavy hitters: mergeable k-bounded frequent-items sketch
+    // (shuffle = k counters per partition, never one row per distinct
+    // item). event_type has 5 distinct values < k=64, so no decrement ever
+    // fires and the sketch is EXACT → the oracle is the plain group-by
+    // count; the eviction-mode error bounds are FreqItemsSpec properties.
+    "freq_heavy_hitters" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(graft.functions.FreqItems.heavyHitters(64)(col("event_type")).as("hh"))
+        .select(explode(col("hh")).as(Seq("item", "cnt")))),
+
     // A4: emission-granularity equivalence batch twin — word counts built
     // from per-batch partial counts re-aggregated (caching/coalesced
     // emission) must equal the single-pass count (per-record emission)
@@ -191,6 +201,10 @@ object ExtrasQueries extends QueryModule {
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
   val oracle: Map[String, String] = Map(
+    "freq_heavy_hitters" ->
+      """SELECT event_type AS item, count(*)::BIGINT AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "u1_scalar_udf" ->
       """SELECT event_id,
         |  CASE WHEN event_type IS NULL OR event_type = '' THEN event_type

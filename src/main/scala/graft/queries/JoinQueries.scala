@@ -130,6 +130,39 @@ object JoinQueries extends QueryModule {
           count(lit(1)).as("n"))
     }),
 
+    // Pure range join (NO equi key): clicks attributed to 30-min windows
+    // after high-value purchases. Naively this is a BroadcastNestedLoop/
+    // cartesian plan; Intervals.bucketedIntervalJoin manufactures a bucket
+    // equi key (1h buckets) so it shuffles like any hash join
+    // (PlanSpec-guarded: no BNLJ/cartesian in the plan).
+    "j_range_bucketed" -> ((s, d) => {
+      val e = ev(s, d).withColumn("ts_ms", expr("ts_ns div 1000000"))
+      val iv = e.filter(col("event_type") === "purchase" && col("value") > 20)
+        .select(col("event_id").as("iv_id"), col("ts_ms").as("start_ms"),
+          (col("ts_ms") + 1800000L).as("end_ms"))
+      val pts = e.filter(col("event_type") === "click")
+        .select(col("ts_ms"), col("value"))
+      graft.ops.Intervals.bucketedIntervalJoin(pts, "ts_ms", iv,
+          "start_ms", "end_ms", bucketWidth = 3600000L)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(floor(col("value") * 1e6)).as("click_value_mu"))
+    }),
+
+    // Skew-proof salted join (oracle = the PLAIN join): lineitem fact side
+    // salted deterministically, orders dim side replicated salts×, join on
+    // (key, salt) — a hot orderkey's rows spread over 8 reducers. Covers
+    // what AQE can't: streaming stateful joins pin partitioning by key.
+    "skew_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(li, o, "l_orderkey", "l_partkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Beyond reference (free in Spark, declared as engine surface): semi/anti.
     "j_semi_anti" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -206,6 +239,24 @@ object JoinQueries extends QueryModule {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "j_range_bucketed" ->
+      """WITH iv AS (SELECT event_id AS iv_id, epoch_ms(ts) AS start_ms,
+        |                   epoch_ms(ts) + 1800000 AS end_ms
+        |            FROM events WHERE event_type = 'purchase' AND "value" > 20),
+        |pts AS (SELECT epoch_ms(ts) AS ts_ms, "value" FROM events
+        |        WHERE event_type = 'click')
+        |SELECT iv_id, count(*) AS n_clicks,
+        |       sum(CAST(floor("value" * 1e6) AS BIGINT))::BIGINT AS click_value_mu
+        |FROM pts JOIN iv ON pts.ts_ms >= iv.start_ms AND pts.ts_ms < iv.end_ms
+        |GROUP BY iv_id""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT o_orderpriority,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "j_semi_anti" ->
       """SELECT c_custkey, TRUE AS has_orders FROM customer

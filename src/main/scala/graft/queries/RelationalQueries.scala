@@ -217,6 +217,17 @@ object RelationalQueries extends QueryModule {
           col("event_type").as("last_type"), col("ts_us").as("last_ts_us"))
     }),
 
+    // SCD type-2 materialization (A3's history-keeping sibling): the per-
+    // key changelog becomes validity intervals [valid_from, valid_to) with
+    // an is_current flag — one key-partitioned window, no global order.
+    "cdc_scd2" -> ((s, d) =>
+      graft.ops.Cdc.scd2(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us")),
+        "user_id", "ts_us", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
     // Exact percentiles via an EXPLICIT interpolation both engines compute
     // with the same IEEE op sequence (lo + frac*(hi-lo) over the sorted
     // list) — relying on percentile()/quantile_cont() being bit-identical
@@ -413,6 +424,15 @@ object RelationalQueries extends QueryModule {
         |                                   ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "cdc_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |       epoch_us(ts) AS valid_from,
+        |       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts), event_id) AS valid_to,
+        |       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
 
     // identical explicit interpolation as the Spark side: idx=(n-1)*p,
     // lo + (idx-floor(idx))*(hi-lo) over the sorted list

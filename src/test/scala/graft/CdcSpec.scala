@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Cdc
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val changes = Seq(
+    // (key, ts, tie, payload)
+    ("k1", 100L, 1L, "a"),
+    ("k1", 200L, 2L, "b"),
+    ("k1", 200L, 3L, "c"), // same-ts change: tie column orders it after 2
+    ("k2", 50L, 4L, "x"))
+    .toDF("k", "ts", "off", "v")
+
+  test("validity intervals chain per key; last version is current") {
+    val out = Cdc.scd2(changes, "k", "ts", "off")
+      .select("k", "off", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(out === Set(
+      ("k1", 1L, 100L, Some(200L), false),
+      ("k1", 2L, 200L, Some(200L), false), // zero-length: superseded same-ts
+      ("k1", 3L, 200L, None, true),
+      ("k2", 4L, 50L, None, true)))
+  }
+
+  test("exactly one current row per key, intervals never overlap") {
+    val rnd = new scala.util.Random(3)
+    val big = Seq.tabulate(500) { i =>
+      (s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong, i.toLong, s"v$i")
+    }.toDF("k", "ts", "off", "v")
+    val out = Cdc.scd2(big, "k", "ts", "off")
+    assert(out.filter(col("is_current")).groupBy("k").count()
+      .filter(col("count") =!= 1).count() === 0)
+    // within a key, sorted by (ts, off), each valid_to equals the next valid_from
+    val byKey = out.select("k", "ts", "off", "valid_to")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .groupBy(_._1).values
+    byKey.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._2), s"gap: $a -> $b")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
+  test("key-partitioned window: no single-partition global sort in the plan") {
+    val p = Cdc.scd2(changes, "k", "ts", "off").queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(k"), p.take(500))
+  }
+}

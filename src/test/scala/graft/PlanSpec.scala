@@ -45,6 +45,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("range join buckets into an equi-join, never a nested loop") {
+    val p = plan("j_range_bucketed")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("aggregations partial-aggregate map-side before the exchange") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(400))
