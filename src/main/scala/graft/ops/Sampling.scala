@@ -91,6 +91,38 @@ object Sampling {
     * the shuffle, so a 10-billion-row class costs the same shuffle as a
     * 10-thousand-row one (no per-class global sort).
     */
+  /** Weighted sampling WITHOUT replacement, k per class, deterministic —
+    * Efraimidis–Spirakis A-ES: item i draws u_i ∈ (0,1) and gets priority
+    * u_i^(1/w_i); the k largest priorities per class are exactly a weighted
+    * sample without replacement. Here u_i is hash-derived (same portable
+    * md5 scheme as [[hashSample]]) so the draw is reproducible across runs,
+    * engines, and cluster layouts.
+    *
+    * Priorities are floored to 1e-6 units before ranking (ties → id asc),
+    * so a libm ulp difference between engines can only matter if it crosses
+    * a micro boundary (~1e-10/row) — the same guard `temperatureMixture`
+    * uses for its pow.
+    *
+    * Scale: per-row priority + the bounded [[graft.functions.TopK]]
+    * aggregator — each partition ships ≤ k candidates per class, never the
+    * class's full population. Rows with non-positive weight are excluded
+    * (A-ES is undefined there), matching the oracle's WHERE.
+    */
+  def weightedPerClass(df: DataFrame, classCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = "s0"): DataFrame = {
+    graft.functions.TopK.requireIntegralId(df.schema, idCol, "weightedPerClass")
+    val u = (pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000000))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val prio = floor(pow(u, lit(1.0) / col(weightCol).cast("double")) * lit(1000000.0))
+    val grouped = df.filter(col(weightCol) > 0)
+      .select(col(classCol), col(idCol).cast("long").as("__id"), prio.cast("double").as("__p"))
+      .groupBy(classCol)
+      .agg(graft.functions.TopK.topK(k)(col("__p"), col("__id")).as("topk"))
+    grouped.select(col(classCol), explode(col("topk")).as("item"))
+      .select(col(classCol), col("item._2").as(idCol),
+        col("item._1").cast("long").as("prio_micro"))
+  }
+
   def cappedPerClass(df: DataFrame, classCol: String, idCol: String, n: Int,
       salt: String = "s0"): DataFrame = {
     // the TopK encoder is (Double, Long): unlike the fraction samplers the

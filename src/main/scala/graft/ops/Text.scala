@@ -47,6 +47,75 @@ object Text {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Corpus-wide adjacent-token-pair (bigram) counts, top `topN` by count —
+    * the inner statistic of BPE/WordPiece vocabulary induction (each BPE
+    * round merges the argmax pair) and of collocation mining.
+    *
+    * Shape: per-row pair construction (`transform` over the token array —
+    * no self-join on position), one explode, one groupBy(pair) with
+    * map-side combine, then `orderBy(cnt desc, pair).limit(topN)` which
+    * Spark plans as TakeOrderedAndProject: each partition ships only its
+    * own top-N, so the coordinator sees ≤ N × partitions rows regardless of
+    * vocabulary size. Ties at the cut are total-ordered (cnt desc, w1, w2)
+    * — deterministic across engines and layouts.
+    */
+  def bigramCounts(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    val pairs = df.select(tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        (x, i) => struct(x.as("w1"), element_at(col("toks"), i + 2).as("w2")))).as("p"))
+    pairs.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Distributed BPE-style merge learning at the token level: each round
+    * finds the corpus argmax adjacent pair (one shuffle, TakeOrdered(1))
+    * and greedily merges its non-overlapping occurrences left-to-right
+    * (one narrow map over the token arrays), exactly the BPE training
+    * loop's structure. Returns the learned merge table
+    * (rank, w1, w2, cnt) — bounded at `nMerges` rows, which is why the
+    * per-round single-row collect is driver-safe at any corpus size.
+    *
+    * Merged tokens join with '+' (never inside a `\w+` token, so merge
+    * products can't collide with source tokens). Per-round
+    * `localCheckpoint` truncates the lineage — without it round N replans
+    * N nested aggregate() lambdas.
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var cur = df.select(tokens(col(textCol)).as("toks")).filter(size(col("toks")) >= 2)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = cur
+        .select(explode(transform(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          (x, i) => struct(x.as("w1"), element_at(col("toks"), i + 2).as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val (w1, w2, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, w1, w2, cnt))
+        val merged = lit(w1 + "+" + w2)
+        cur = cur.select(aggregate(col("toks"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(w1) && x === lit(w2),
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(x)))).as("toks"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
     * runs, single punctuation marks — the GPT-2 pre-tokenizer shape).
     */
@@ -314,6 +383,29 @@ object Text {
       phones.cast("long").as("n_phones"),
       ssns.cast("long").as("n_ssn"),
       (emails + urls + phones + ssns > 0).as("has_pii"))
+  }
+
+  /** PII redaction: replace email / phone / SSN spans with typed
+    * placeholder tokens — the transform complement of [[piiStats]]: a
+    * corpus policy that can't afford to DROP a flagged doc redacts it and
+    * keeps the text. Span grammar is identical to piiStats, so
+    * detect(redact(x)) reports zero emails/phones/SSNs (fixpoint,
+    * spec-asserted). SSN (3-2-4) rewrites before phone (3-3-4): the
+    * patterns are disjoint, but ordering makes that independence explicit
+    * rather than incidental.
+    *
+    * Scale: a pure per-row `regexp_replace` chain inside whole-stage
+    * codegen — no shuffle, no state; 100 TB cost is one corpus scan.
+    */
+  def piiRedact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+        "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>")
+    df.select(col(idCol), redacted.as("text_redacted"))
   }
 
   /** Benchmark-contamination check: count shared winnowing fingerprints

@@ -85,6 +85,15 @@ object TextQueries extends QueryModule {
         docs(s, d).select(col("lang"), concat(lit("d"), col("doc_id")).as("doc_key")),
         "lang", "doc_key", n = 30, salt = "cap1")),
 
+    // BPE-induction inner loop: corpus top-100 adjacent token pairs
+    "text_bigram_top" -> ((s, d) => Text.bigramCounts(docs(s, d), "text", topN = 100)),
+
+    // weighted sampling without replacement (A-ES): 20 docs per language,
+    // selection probability ∝ n_chars — the "sample long docs more" mix rule
+    "sample_weighted" -> ((s, d) =>
+      graft.ops.Sampling.weightedPerClass(docs(s, d), "lang", "doc_id",
+        "n_chars", k = 20, salt = "aes1")),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -157,6 +166,20 @@ object TextQueries extends QueryModule {
           when(pmod(col("doc_id"), lit(11)) === 0,
             lit(" call 555-123-4567")).otherwise(lit(""))).as("text"))
       Text.piiStats(injected, "text", "doc_id")
+    }),
+
+    // PII redaction over the same injected spans: the kept-text policy
+    // (redact placeholders) instead of the drop policy
+    "text_pii_redact" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" contact me at user7@example.com")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" call 555-123-4567")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit(" ssn 123-45-6789")).otherwise(lit(""))).as("text"))
+      Text.piiRedact(injected, "text", "doc_id")
     }),
 
     // composed pipeline: language ID ⋈ quality → per-language corpus stats
@@ -291,6 +314,33 @@ object TextQueries extends QueryModule {
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR || '_mix1'), 1, 8))::BIGINT % 10000)
         |      < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)""".stripMargin,
+
+    // list_transform+range mirrors the engine's transform-over-slice;
+    // row_number cut reproduces TakeOrdered's (cnt desc, w1, w2) total order
+    "text_bigram_top" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(len(toks) - 1),
+         |        i -> {'w1': toks[i + 1], 'w2': toks[i + 2]})) AS p
+         |      FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT p['w1'] AS w1, p['w2'] AS w2, count(*)::BIGINT AS cnt
+         |      FROM b GROUP BY 1, 2),
+         |r AS (SELECT w1, w2, cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, w1, w2) AS rnk FROM c)
+         |SELECT w1, w2, cnt FROM r WHERE rnk <= 100""".stripMargin,
+
+    // A-ES priority floored to micro units; TopK (score desc, id asc) ==
+    // row_number ORDER BY prio DESC, doc_id
+    "sample_weighted" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id,
+        |    floor(pow(
+        |      ((('0x' || substr(md5(doc_id::VARCHAR || '_aes1'), 1, 8))::BIGINT % 1000000)::DOUBLE + 0.5) / 1000000.0,
+        |      1.0 / n_chars::DOUBLE) * 1000000.0) AS prio
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT lang, doc_id, prio,
+        |        row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rnk
+        |      FROM p)
+        |SELECT lang, doc_id, prio::BIGINT AS prio_micro FROM r WHERE rnk <= 20""".stripMargin,
 
     // TopK keeps (score desc, id asc) with score = -hash ⇒ hash asc, id asc
     "sample_capped" ->
@@ -461,6 +511,22 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, n_emails, n_urls, n_phones, n_ssn,
         |  (n_emails + n_urls + n_phones + n_ssn) > 0 AS has_pii
         |FROM c""".stripMargin,
+
+    // same replace chain, 'g' flag = Java's replaceAll semantics
+    "text_pii_redact" ->
+      """WITH src AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0 THEN ' contact me at user7@example.com' ELSE '' END
+        |       || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+        |       || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS text_redacted
+        |FROM src""".stripMargin,
 
     // w_micro floored pre-sum so the class normalizer is exact long adds;
     // pow(x, 0.5) on identical double ratios in both engines

@@ -205,6 +205,60 @@ class TextOpsSpec extends SparkSpec {
     assert(capped("rare") === 1000000L)
   }
 
+  test("bigram counts: adjacency within doc only, top-N total order") {
+    val df = Seq((1L, "to be or not to be"), (2L, "to be is to do"), (3L, "x")).toDF("id", "text")
+    val top = graft.ops.Text.bigramCounts(df, "text", topN = 3)
+      .as[(String, String, Long)].collect().toSeq
+    // "to be" appears 3× (docs 1+1+1... doc1 twice, doc2 once); next "be or"/"not to"... ties by name
+    assert(top.head === (("to", "be", 3L)))
+    assert(top.size === 3)
+    // single-token doc contributes nothing; no cross-doc pairs ("be"→"to" across docs)
+    val all = graft.ops.Text.bigramCounts(df, "text", topN = 1000)
+      .as[(String, String, Long)].collect()
+    assert(all.map(_._3).sum === (5 + 4))  // (n_tokens - 1) per multi-token doc
+  }
+
+  test("BPE merge learning: argmax pair merges greedily, non-overlapping") {
+    val df = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "a b c d"),
+      (3L, "a a a")).toDF("id", "text")
+    val merges = graft.ops.Text.learnBpeMerges(df, "text", nMerges = 2)
+    // round 1: "a b" occurs 4 times (3 in doc1 non-overlap... actually 3: pos 1,3,5; 1 in doc2)
+    assert(merges.head._2 === "a" && merges.head._3 === "b" && merges.head._4 === 4L)
+    // round 2 operates on the MERGED stream: doc1 = [a+b, a+b, a+b, c] so
+    // (a+b,a+b)=2 ties with (a,a)=2 and (a+b,c)=2 — w1-asc tie-break picks (a,a)
+    assert(merges(1) === ((2, "a", "a", 2L)))
+    // greedy non-overlap: "a a a" yields one (a,a) pair occurrence when merging,
+    // and merge products never re-pair within the same round
+    val one = graft.ops.Text.learnBpeMerges(
+      Seq((1L, "a a a")).toDF("id", "text"), "text", nMerges = 5)
+    assert(one.isEmpty || one.head._4 >= 2L)
+  }
+
+  test("weighted per-class sampling: k per class, weight-biased, layout-independent") {
+    // two classes; weights strongly skewed within each (ids 1..100 weight 1,
+    // ids 101..200 weight 1000) — heavy items should dominate the sample
+    val rows = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b",
+      if (i % 100 <= 49) 1L else 5000L))
+    val df = rows.toDF("id", "cls", "w")
+    val out = graft.ops.Sampling.weightedPerClass(df, "cls", "id", "w", k = 20, salt = "t")
+    val picked = out.as[(String, Long, Long)].collect()
+    assert(picked.count(_._1 == "a") === 20 && picked.count(_._1 == "b") === 20)
+    val heavyShare = picked.count(p => p._2 % 100 >= 50 && p._2 % 100 <= 99)
+    assert(heavyShare >= 30, s"heavy-weight items should dominate, got $heavyShare/40")
+    // deterministic across partitioning layouts
+    val re = graft.ops.Sampling.weightedPerClass(df.repartition(7), "cls", "id", "w",
+      k = 20, salt = "t").as[(String, Long, Long)].collect()
+    assert(re.sortBy(r => (r._1, r._2)).toSeq === picked.sortBy(r => (r._1, r._2)).toSeq)
+    // zero/negative weights are excluded, never sampled
+    val withZero = rows.map { case (i, c, w) => (i, c, if (i % 10 == 0) 0L else w) }
+      .toDF("id", "cls", "w")
+    val z = graft.ops.Sampling.weightedPerClass(withZero, "cls", "id", "w", k = 200, salt = "t")
+      .as[(String, Long, Long)].collect()
+    assert(z.forall(_._2 % 10 != 0))
+  }
+
   test("sequence packing: bins respect budget+straddle, ids cover, layout-independent") {
     val df = (1L to 400L).map(i => (i, 50L + (i % 7) * 30L)).toDF("id", "n_toks")
     val packed = graft.ops.Packing.assignBins(df, "id", "n_toks", budget = 1000, buckets = 8)
@@ -257,6 +311,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 0L, 1L, 0L, true)), "embedded long-digit fake not counted")
     assert(out(3L) === ((0L, 0L, 0L, 1L, true)))
     assert(out(4L) === ((0L, 0L, 0L, 0L, false)))
+  }
+
+  test("piiRedact: placeholders substituted; detect(redact(x)) is clean") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org thanks"),
+      (2L, "call 555-123-4567 or 555.123.4567"),
+      (3L, "ssn 123-45-6789 here"),
+      (4L, "perfectly clean text")).toDF("id", "text")
+    val red = graft.ops.Text.piiRedact(df, "text", "id")
+    val m = red.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "mail <EMAIL> and <EMAIL> thanks")
+    assert(m(2L) === "call <PHONE> or <PHONE>")
+    assert(m(3L) === "ssn <SSN> here")
+    assert(m(4L) === "perfectly clean text")
+    // fixpoint: rerunning detection over redacted text finds nothing
+    val redetect = graft.ops.Text.piiStats(
+      red.withColumnRenamed("text_redacted", "text"), "text", "id")
+      .filter(col("n_emails") + col("n_phones") + col("n_ssn") > 0)
+    assert(redetect.count() === 0)
   }
 
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
