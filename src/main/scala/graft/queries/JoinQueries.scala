@@ -172,6 +172,19 @@ object JoinQueries extends QueryModule {
       val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit(false).as("has_orders"))
       withOrders.unionByName(noOrders)
+    }),
+
+    // bloom-pruned semi join: lineitems of high-value orders. The bloom
+    // (scalar subquery, codegen probe) drops non-matching rows pre-shuffle;
+    // the exact semi join restores set equality with the oracle's EXISTS
+    "j_bloom_prune" -> ((s, d) => {
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      graft.ops.Bloom.semiJoinPruned(Tables.lineitem(s, d), hi,
+          "l_orderkey", "o_orderkey", expectedItems = 1L << 16, numBits = 1L << 19)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -263,5 +276,14 @@ object JoinQueries extends QueryModule {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |UNION ALL
         |SELECT c_custkey, FALSE AS has_orders FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    // the bloom is an optimization, not a semantics change: result ≡ EXISTS
+    "j_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000.0)
+        |GROUP BY l_returnflag""".stripMargin)
 }

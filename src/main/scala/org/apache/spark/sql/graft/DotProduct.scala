@@ -99,5 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotProduct.functionDescriptor)
     ext.injectFunction(WinnowFps.functionDescriptor)
+    ext.injectFunction(BloomOps.aggDescriptor)
+    ext.injectFunction(BloomOps.functionDescriptor)
   }
 }

@@ -141,6 +141,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges user_id exchanges — expected reuse")
   }
 
+  test("bloom prune probes pre-shuffle and the semi join stays exact") {
+    val p = plan("j_bloom_prune")
+    assert(p.contains("might_contain"),
+      "bloom probe expression missing — prune degenerated to a plain join")
+    assert(p.contains("LeftSemi") || p.contains("left_semi"),
+      "exactness-restoring semi join missing")
+    // the probe must filter the big side BEFORE its shuffle: the Filter
+    // containing might_contain sits under the Exchange in the formatted
+    // plan (formatted output lists operators bottom-up per subtree; a
+    // cheap structural proxy — the filter exists and no cartesian appears)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition
