@@ -241,4 +241,43 @@ object Similarity {
     rankTopK(cands, Seq("query_id"), k)
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
+
+  /** SemDeDup-style semantic dedup: cluster embeddings with the exact
+    * quantized k-means ([[KMeans.fitAssign]] — deterministic, integer
+    * arithmetic, oracle-reproducible), then inside each cluster drop every
+    * vector whose cosine to a LOWER-id cluster-mate reaches
+    * `simThreshold`. Returns the KEPT ids.
+    *
+    * The drop rule is a plain EXISTS (not connected components): x is
+    * dropped iff some lower-id same-cluster y is similar — the
+    * keep-one-representative policy of SemDeDup, deterministic because the
+    * id order is total. Cosines are floored to 1e-6 before the threshold
+    * compare so both engines make identical keep/drop calls at the
+    * boundary.
+    *
+    * Scale: pairwise work is Σ|cluster|², the SemDeDup design point — k is
+    * chosen ∝ corpus size (the paper uses N/k ≈ 10⁴) so clusters stay
+    * bounded; the cluster equi-join is the same shuffle shape as the LSH
+    * bucket joins, and the anti join at the end is AQE-planned. For
+    * occupancy auditing before running the quadratic step, count rows per
+    * `cluster` from [[KMeans.fitAssign]] — same guard workflow as
+    * [[Dedup.candidateBucketStats]].
+    */
+  def semanticKept(df: DataFrame, idCol: String, vecCol: String, k: Int = 8,
+      rounds: Int = 2, scale: Int = 1000, simThreshold: Double = 0.4): DataFrame = {
+    val assign = KMeans.fitAssign(df, vecCol, idCol, k, rounds, scale)
+      .select(col(idCol), col("cluster"))
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .join(assign, idCol)
+    val a = base.select(col(idCol).as("query_id"), col("v").as("qv"),
+      col("n").as("qn"), col("cluster"))
+    val b = base.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
+      col("n").as("cn"), col("cluster").as("cluster2"))
+    val dropped = a.join(b,
+        col("cluster") === col("cluster2") && col("neighbor_id") < col("query_id"))
+      .filter(floor6(candCos) >= lit(simThreshold))
+      .select(col("query_id").as(idCol)).distinct()
+    df.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -50,6 +50,12 @@ object SimilarityQueries extends QueryModule {
       graft.ops.KMeans.fitAssign(emb(s, d), "embedding", "vec_id",
         k = 8, rounds = 2, scale = 1000)),
 
+    // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
+    // kept ids (composes the oracle-exact k-means with pairwise cosine)
+    "dedup_semantic_kept" -> ((s, d) =>
+      Similarity.semanticKept(emb(s, d), "vec_id", "embedding",
+        k = 8, rounds = 2, scale = 1000, simThreshold = 0.4)),
+
     // IVF lifecycle end-to-end: build → persist → reload → probed search.
     // The oracle replays the search (probe ranking + ranked cosine) from
     // the SAME persisted index parquet, so list assignment, probe order,
@@ -127,6 +133,21 @@ object SimilarityQueries extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "emb_kmeans_assign" -> kmeansSql(k = 8, rounds = 2, scale = 1000),
+
+    // nested-WITH subquery reuses the exact k-means block; same floored
+    // cosine guard as dedup_embedding_neardup
+    "dedup_semantic_kept" ->
+      s"""WITH a AS (SELECT vec_id, cluster FROM (${kmeansSql(k = 8, rounds = 2, scale = 1000)}) t),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |      FROM embeddings),
+         |b AS (SELECT a.vec_id, a.cluster, e.v, e.nrm FROM a JOIN e USING (vec_id)),
+         |drp AS (SELECT DISTINCT x.vec_id
+         |        FROM b x JOIN b y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |        WHERE floor((CASE WHEN x.nrm * y.nrm > 0
+         |                          THEN list_dot_product(x.v, y.v) / (x.nrm * y.nrm)
+         |                          ELSE 0 END) * 1000000) / 1000000.0 >= 0.4)
+         |SELECT vec_id FROM embeddings ANTI JOIN drp USING (vec_id)""".stripMargin,
 
     "ann_topk_cosine" ->
       """WITH n AS (

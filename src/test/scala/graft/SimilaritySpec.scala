@@ -185,6 +185,30 @@ class SimilaritySpec extends SparkSpec {
       "no size join in the default path")
   }
 
+  test("semantic dedup keeps the lowest id of each near-identical group") {
+    // three tight groups (copies + epsilon) and some far-apart singletons,
+    // 4-dim for readability; k=2 clusters is enough to co-locate each group
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.999, 0.001, 0, 0)), (3L, v(0.998, 0.002, 0, 0)),
+      (10L, v(0, 1, 0, 0)), (11L, v(0, 0.999, 0.001, 0)),
+      (20L, v(0, 0, 1, 0)),
+      (21L, v(0.6, 0.6, 0, 0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticKept(df, "vec_id", "embedding",
+      k = 2, rounds = 2, scale = 1000, simThreshold = 0.99)
+      .as[Long].collect().toSet
+    // group representatives (lowest ids) always kept; exact copies dropped
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(10L) && !kept.contains(11L))
+    // singletons survive regardless of cluster
+    assert(kept.contains(20L) && kept.contains(21L))
+    // kept set is deterministic under repartitioning
+    val again = Similarity.semanticKept(df.repartition(5), "vec_id", "embedding",
+      k = 2, rounds = 2, scale = 1000, simThreshold = 0.99).as[Long].collect().toSet
+    assert(again === kept)
+  }
+
   test("integral-id guard rejects string ids with a clear message") {
     val bad = Seq(("a", Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
