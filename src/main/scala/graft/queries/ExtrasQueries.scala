@@ -16,6 +16,13 @@ object ExtrasQueries extends QueryModule {
   private val windowUs: Long = 2L * 3600 * 1000000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // one-pass per-column profile; exact NDV here so the oracle can match
+    // (the engine default is the HLL sketch — see ProfileSpec)
+    "profile_columns" -> ((s, d) =>
+      graft.ops.Profile.columns(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+        approxDistinct = false)),
+
     // U1: scalar UDF applied through the SQL surface
     "u1_scalar_udf" -> ((s, d) => {
       Udfs.register(s)
@@ -201,6 +208,16 @@ object ExtrasQueries extends QueryModule {
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
   val oracle: Map[String, String] = Map(
+    "profile_columns" -> Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
     "freq_heavy_hitters" ->
       """SELECT event_type AS item, count(*)::BIGINT AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
