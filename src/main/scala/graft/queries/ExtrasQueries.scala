@@ -16,6 +16,14 @@ object ExtrasQueries extends QueryModule {
   private val windowUs: Long = 2L * 3600 * 1000000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Morton key for 2-dim layout clustering; the full write-side lever is
+    // Layout.clusterByZOrder2 (LayoutSpec proves the bounding-box win)
+    "layout_zorder" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.zOrderKey2(
+          pmod(col("l_partkey"), lit(4096)),
+          pmod(col("l_suppkey"), lit(4096)), bits = 12).as("zkey"))),
+
     // one-pass per-column profile; exact NDV here so the oracle can match
     // (the engine default is the HLL sketch — see ProfileSpec)
     "profile_columns" -> ((s, d) =>
@@ -208,6 +216,11 @@ object ExtrasQueries extends QueryModule {
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
   val oracle: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.ops.Layout.zOrderSql2("(l_partkey % 4096)", "(l_suppkey % 4096)", 12)} AS zkey
+         |FROM lineitem""".stripMargin,
+
     "profile_columns" -> Seq(
       "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
       .map(c =>

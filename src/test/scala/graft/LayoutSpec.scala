@@ -55,4 +55,54 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_buck_b")
     }
   }
+
+  test("z-order key round-trips and interleaves bit-exactly") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (4095L, 4095L), (2748L, 1039L),
+      (1L, 4095L), (4095L, 1L))
+    val df = pts.toDF("x", "y")
+    val back = df.select(col("x"), col("y"),
+        graft.ops.Layout.deZOrder2(
+          graft.ops.Layout.zOrderKey2(col("x"), col("y"), 12), 12).as("d"))
+      .select(col("x"), col("y"), col("d.x").as("rx"), col("d.y").as("ry"))
+      .as[(Long, Long, Long, Long)].collect()
+    back.foreach { case (x, y, rx, ry) => assert(rx === x && ry === y, s"($x,$y)") }
+    // known value: x=1,y=0 → bit0 of x at position 1 → z=2; x=0,y=1 → z=1
+    val z = df.select(graft.ops.Layout.zOrderKey2(col("x"), col("y"), 12))
+      .as[Long].collect()
+    assert(z(1) === 2L && z(2) === 1L && z(0) === 0L)
+  }
+
+  test("z-order clustering shrinks per-partition bounding boxes on BOTH dims") {
+    // uniform 2-d grid; compare range-partitioning by zkey vs by x alone
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    // the pruning-relevant metric is the boxes' PERIMETER, not area (tiles
+    // tile the plane either way): a random range box intersects a partition
+    // with probability ∝ its extent per dimension. x-sorted: 4×64 slabs
+    // (half-perimeter 68); z-clustered: 16×16 tiles (half-perimeter 32)
+    def totalBBoxPerimeter(df: org.apache.spark.sql.DataFrame): Double = {
+      val parts = df.groupBy(spark_partition_id().as("pid"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .select((col("x1") - col("x0") + 1) + (col("y1") - col("y0") + 1))
+        .as[Long].collect()
+      parts.map(_.toDouble).sum
+    }
+    val zClustered = graft.ops.Layout.clusterByZOrder2(grid, "x", "y", bits = 6,
+      numPartitions = 16)
+    val xSorted = grid.repartitionByRange(16, col("x"))
+    val zPerim = totalBBoxPerimeter(zClustered)
+    val xPerim = totalBBoxPerimeter(xSorted)
+    assert(zPerim < xPerim * 0.6, s"z=$zPerim x=$xPerim")
+    // and a 2-d range predicate touches fewer z-partitions than x-partitions
+    def touched(df: org.apache.spark.sql.DataFrame): Long = {
+      val withPid = df.select(col("x"), col("y"), spark_partition_id().as("pid"))
+      val boxes = withPid.groupBy("pid")
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      boxes.filter(col("x1") >= 8 && col("x0") <= 15 && col("y1") >= 8 && col("y0") <= 15)
+        .count()
+    }
+    assert(touched(zClustered) <= touched(xSorted),
+      "z layout should never touch more partitions for a 2-d box predicate")
+  }
 }
