@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / fuzzy matching: blocked edit-distance pairing — the
+  * entity-resolution primitive (dedupe "Jon Smith Inc" vs "John Smith Inc")
+  * that exact- and minhash-dedup can't express (edit distance is not a
+  * set-overlap measure).
+  *
+  * Scale shape: the classic blocking design — candidate pairs come from an
+  * EQUI-join on a cheap blocking key (first token, soundex, prefix, …), so
+  * pairwise work is Σ|block|² instead of N². The expensive `levenshtein`
+  * runs only on block-mates. Same hot-bucket discipline as the LSH paths:
+  * audit block occupancy with [[blockStats]] before running a quadratic
+  * step on skewed keys (a degenerate blocking key is a cross join).
+  */
+object Fuzzy {
+
+  /** Pairs (id_a < id_b) sharing `block` whose edit distance lies in
+    * [minDist, maxDist]. `idCol` may be any orderable type (string ids
+    * fine — ordering only needs `<`). minDist = 1 excludes exact
+    * duplicates, which [[Dedup.exactDupGroups]] already handles cheaper.
+    */
+  def blockedEditPairs(df: DataFrame, textCol: String, idCol: String,
+      block: Column, maxDist: Int, minDist: Int = 0): DataFrame = {
+    require(maxDist >= minDist && minDist >= 0, s"bad dist range [$minDist,$maxDist]")
+    val a = df.select(block.as("blk"), col(textCol).as("text_a"), col(idCol).as("id_a"))
+    val b = df.select(block.as("blk"), col(textCol).as("text_b"), col(idCol).as("id_b"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("dist") >= minDist && col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Block-occupancy audit (rows + implied pair count per block), largest
+    * first — run before [[blockedEditPairs]] on an untrusted blocking key.
+    */
+  def blockStats(df: DataFrame, block: Column): DataFrame =
+    df.groupBy(block.as("blk"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_pairs", (col("n_rows") * (col("n_rows") - 1) / 2).cast("long"))
+      .orderBy(col("n_rows").desc)
+}

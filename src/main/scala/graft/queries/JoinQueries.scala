@@ -174,6 +174,15 @@ object JoinQueries extends QueryModule {
       withOrders.unionByName(noOrders)
     }),
 
+    // blocked fuzzy match (record linkage): distinct part names pairing
+    // within first-token blocks at edit distance 1-4 (exact dups excluded)
+    "j_fuzzy_blocked" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      graft.ops.Fuzzy.blockedEditPairs(names, "p_name", "p_name",
+          split(col("p_name"), " ").getItem(0), maxDist = 4, minDist = 1)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+    }),
+
     // bloom-pruned semi join: lineitems of high-value orders. The bloom
     // (scalar subquery, codegen probe) drops non-matching rows pre-shuffle;
     // the exact semi join restores set equality with the oracle's EXISTS
@@ -277,6 +286,14 @@ object JoinQueries extends QueryModule {
         |UNION ALL
         |SELECT c_custkey, FALSE AS has_orders FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j_fuzzy_blocked" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
 
     // the bloom is an optimization, not a semantics change: result ≡ EXISTS
     "j_bloom_prune" ->

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val people = Seq(
+    (1L, "jon smith"), (2L, "john smith"), (3L, "john smyth"),
+    (4L, "jane doe"), (5L, "jane roe"),
+    (6L, "zachary taylor")).toDF("id", "name")
+
+  test("blocked edit pairs: within-block only, distance band respected") {
+    // block on first letter: j-block holds 1,2,3,4,5; z-block holds 6
+    val pairs = graft.ops.Fuzzy.blockedEditPairs(people, "name", "id",
+        substring(col("name"), 1, 1), maxDist = 2, minDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 1L)))  // jon→john: one insert
+    assert(pairs.contains((2L, 3L, 1L)))  // smith→smyth: one sub
+    assert(pairs.contains((1L, 3L, 2L)))
+    assert(pairs.contains((4L, 5L, 1L)))  // doe→roe
+    // jane doe vs jon smith: distance > 2, excluded even though same block
+    assert(!pairs.exists(p => p._1 == 4L && p._2 < 4L))
+    assert(!pairs.exists(p => p._2 == 6L), "singleton block can't pair")
+  }
+
+  test("minDist=1 excludes exact duplicates; minDist=0 includes them") {
+    val withDup = people.union(Seq((7L, "jon smith")).toDF("id", "name"))
+    val strict = graft.ops.Fuzzy.blockedEditPairs(withDup, "name", "id",
+      substring(col("name"), 1, 1), maxDist = 2, minDist = 1)
+    assert(!strict.filter(col("dist") === 0).as[(Long, Long, Long)].collect().exists(_ => true))
+    val loose = graft.ops.Fuzzy.blockedEditPairs(withDup, "name", "id",
+      substring(col("name"), 1, 1), maxDist = 2, minDist = 0)
+    assert(loose.filter(col("dist") === 0).as[(Long, Long, Long)].collect()
+      .toSet === Set((1L, 7L, 0L)))
+  }
+
+  test("blockStats surfaces quadratic blocks largest-first") {
+    val st = graft.ops.Fuzzy.blockStats(people, substring(col("name"), 1, 1))
+      .as[(String, Long, Long)].collect()
+    assert(st.head === (("j", 5L, 10L)))
+    assert(st.last === (("z", 1L, 0L)))
+  }
+}
