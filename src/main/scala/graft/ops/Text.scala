@@ -71,6 +71,30 @@ object Text {
       .limit(topN)
   }
 
+  /** Inverted-index posting statistics: per term — document frequency,
+    * total term frequency, and the posting-list id range. The build step
+    * of a distributed search index (the BM25 scorer consumes the same df
+    * statistic); posting LISTS themselves would be
+    * `collect_list(sorted)` per term — unbounded for stopword-grade terms,
+    * so the engine surface exposes the bounded statistics and leaves list
+    * materialization to a sink that can spill (the classic
+    * index-segment writer split).
+    *
+    * One explode + two keyed aggregations, both with map-side combine; the
+    * (doc, term) tf pre-aggregation also caps the second shuffle at the
+    * per-doc vocabulary, not token count.
+    */
+  def postingStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("tf").as("tf_total"),
+      min(col(idCol)).as("first_doc"),
+      max(col(idCol)).as("last_doc"))
+  }
+
   /** Distributed BPE-style merge learning at the token level: each round
     * finds the corpus argmax adjacent pair (one shuffle, TakeOrdered(1))
     * and greedily merges its non-overlapping occurrences left-to-right

@@ -130,6 +130,48 @@ object JoinQueries extends QueryModule {
           count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q7-shaped volume shipping: two broadcast copies of the nation
+    // dim under different roles, bidirectional nation-pair filter, per-year
+    // rollup; only the fact⋈fact joins shuffle.
+    "q7_volume_shipping" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val vol = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(vol).cast("double").as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q10-shaped returned-item report: top-20 customers by lost
+    // revenue — join + agg + TakeOrdered (deterministic tie-break on key)
+    "q10_returned_items" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-10-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Pure range join (NO equi key): clicks attributed to 30-min windows
     // after high-value purchases. Naively this is a BroadcastNestedLoop/
     // cartesian plan; Intervals.bucketedIntervalJoin manufactures a bucket
@@ -286,6 +328,40 @@ object JoinQueries extends QueryModule {
         |UNION ALL
         |SELECT c_custkey, FALSE AS has_orders FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    // exact decimal sums then one double cast, mirroring the engine
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate)::BIGINT AS l_year,
+        |       sum(l_extendedprice::DECIMAL(18,2) *
+        |           (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """WITH agg AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         sum(l_extendedprice::DECIMAL(18,2) *
+        |             (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+        |         count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_custkey, c_name, c_mktsegment, revenue, n_items FROM (
+        |  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk FROM agg)
+        |WHERE rnk <= 20""".stripMargin,
 
     "j_fuzzy_blocked" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),

@@ -88,6 +88,9 @@ object TextQueries extends QueryModule {
     // BPE-induction inner loop: corpus top-100 adjacent token pairs
     "text_bigram_top" -> ((s, d) => Text.bigramCounts(docs(s, d), "text", topN = 100)),
 
+    // search-index build: per-term posting statistics (df, Σtf, id range)
+    "text_postings" -> ((s, d) => Text.postingStats(docs(s, d), "text", "doc_id")),
+
     // weighted sampling without replacement (A-ES): 20 docs per language,
     // selection probability ∝ n_chars — the "sample long docs more" mix rule
     "sample_weighted" -> ((s, d) =>
@@ -314,6 +317,13 @@ object TextQueries extends QueryModule {
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR || '_mix1'), 1, 8))::BIGINT % 10000)
         |      < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)""".stripMargin,
+
+    "text_postings" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, sum(tf)::BIGINT AS tf_total,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM tf GROUP BY term""".stripMargin,
 
     // list_transform+range mirrors the engine's transform-over-slice;
     // row_number cut reproduces TakeOrdered's (cnt desc, w1, w2) total order
