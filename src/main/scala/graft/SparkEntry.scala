@@ -54,5 +54,9 @@ object SparkEntry {
     "emb_kmeans_assign", "text_zipf_rank", "ts_resample_fill", "text_chunks",
     // round-6 additions: bucketed range join, skew-salted join, SCD2
     // changelog materialization, Misra-Gries heavy hitters
-    "j_range_bucketed", "skew_salted_join", "cdc_scd2", "freq_heavy_hitters")
+    "j_range_bucketed", "skew_salted_join", "cdc_scd2", "freq_heavy_hitters",
+    // round-6 batch 2: BPE bigrams, SemDeDup, bloom-pruned join, Q7,
+    // posting stats, z-order keys
+    "text_bigram_top", "dedup_semantic_kept", "j_bloom_prune",
+    "q7_volume_shipping", "text_postings", "layout_zorder")
 }
