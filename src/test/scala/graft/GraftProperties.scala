@@ -289,4 +289,47 @@ object GraftProperties extends Properties("graft") {
       out == expected
     }
   }
+
+  /** Morton interleave is a bijection on [0,2^bits)²: decode ∘ encode = id,
+    * and the reference bit-gather agrees.
+    */
+  property("zorder.roundtrip-bijection") = {
+    val coord = Gen.choose(0L, 4095L)
+    Prop.forAll(Gen.listOfN(6, Gen.zip(coord, coord))) { pts =>
+      val df = pts.toDF("x", "y")
+      val out = df.select(col("x"), col("y"),
+          graft.ops.Layout.deZOrder2(
+            graft.ops.Layout.zOrderKey2(col("x"), col("y"), 12), 12).as("d"))
+        .select(col("x"), col("y"), col("d.x"), col("d.y"))
+        .as[(Long, Long, Long, Long)].collect()
+      out.forall { case (x, y, rx, ry) => rx == x && ry == y } && {
+        // independent reference implementation of the interleave
+        def ref(x: Long, y: Long): Long =
+          (0 until 12).foldLeft(0L) { (acc, i) =>
+            acc | (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i)) }
+        val zs = df.select(graft.ops.Layout.zOrderKey2(col("x"), col("y"), 12))
+          .as[Long].collect().sorted
+        zs.sameElements(pts.map { case (x, y) => ref(x, y) }.sorted)
+      }
+    }
+  }
+
+  /** A-ES weighted sampling is a pure function of (ids, weights, salt):
+    * invariant under repartitioning AND under duplicating other classes
+    * (per-class independence).
+    */
+  property("sampling.weighted-layout-and-class-independent") = {
+    val row = Gen.zip(Gen.choose(1L, 500L), Gen.oneOf("a", "b"), Gen.choose(1L, 99L))
+    Prop.forAll(Gen.listOfN(30, row)) { rowsRaw =>
+      val rows = rowsRaw.distinctBy(_._1)
+      val df = rows.toDF("id", "cls", "w")
+      def run(d: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+        graft.ops.Sampling.weightedPerClass(d, "cls", "id", "w", k = 5, salt = "p")
+          .select("cls", "id").as[(String, Long)].collect().toSet
+      val base = run(df)
+      val aOnly = base.filter(_._1 == "a")
+      run(df.repartition(7)) == base &&
+        run(df.filter(col("cls") === "a")) == aOnly
+    }
+  }
 }

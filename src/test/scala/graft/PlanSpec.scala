@@ -141,6 +141,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges user_id exchanges — expected reuse")
   }
 
+  test("q7 broadcasts both nation roles and the supplier dim") {
+    val p = plan("q7_volume_shipping")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected supplier + two nation-role broadcasts, got $bhj")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fuzzy blocked join is an equi-join on the block key, never all-pairs") {
+    val p = plan("j_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "blocking must manufacture an equi-join")
+  }
+
   test("bloom prune probes pre-shuffle and the semi join stays exact") {
     val p = plan("j_bloom_prune")
     assert(p.contains("might_contain"),
