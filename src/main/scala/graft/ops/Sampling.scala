@@ -60,6 +60,19 @@ object Sampling {
     */
   def temperatureMixture(df: DataFrame, classCol: String, idCol: String,
       targetFraction: Double, temperature: Double, salt: String = "s0"): DataFrame = {
+    val rates = mixtureRatesUncapped(df, classCol, targetFraction, temperature)
+      .select(col(classCol), least(lit(1000000L), col("rate_micro")).as("rate_micro"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000000))
+        < col("rate_micro"))
+      .select(col(idCol), col(classCol), col("rate_micro"))
+  }
+
+  /** Per-class micro-unit sampling rates for the p^(1/T) mixture, WITHOUT
+    * the at-most-1 cap — shared by the with/without-replacement samplers.
+    */
+  private def mixtureRatesUncapped(df: DataFrame, classCol: String,
+      targetFraction: Double, temperature: Double): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0,1], got $targetFraction")
     require(temperature > 0, s"temperature must be positive, got $temperature")
@@ -71,16 +84,37 @@ object Sampling {
           floor(pow(col("n_c").cast("double") / col("n_max").cast("double"),
             lit(1.0 / temperature)) * lit(1000000.0)).cast("long")))
     val sumW = withW.agg(sum("w_micro").as("sum_w_micro"))
-    val rates = withW.crossJoin(broadcast(sumW))
+    withW.crossJoin(broadcast(sumW))
       .select(col(classCol),
-        least(lit(1000000L),
-          floor(lit(targetFraction) * col("n_total").cast("double")
-            * col("w_micro").cast("double") / col("sum_w_micro").cast("double")
-            / col("n_c").cast("double") * lit(1000000.0)).cast("long")).as("rate_micro"))
+        floor(lit(targetFraction) * col("n_total").cast("double")
+          * col("w_micro").cast("double") / col("sum_w_micro").cast("double")
+          / col("n_c").cast("double") * lit(1000000.0)).cast("long").as("rate_micro"))
+  }
+
+  /** Temperature mixture WITH replacement: where [[temperatureMixture]]
+    * caps a class's rate at 1 (can't oversample by dropping), this variant
+    * EMITS COPIES — each row yields `rate div 1` whole copies plus one more
+    * with probability `rate mod 1` (hash-decided, so deterministic), making
+    * the expected per-class multiplicity exactly the uncapped p^(1/T) rate.
+    * This is the standard oversampling arm of multilingual data mixing
+    * (rare languages repeat epochs while the head is subsampled).
+    *
+    * Output carries `copy_id` (1..n) so downstream shuffles/packing treat
+    * copies as distinct rows. Same scale shape as the other samplers: the
+    * rate table broadcasts, copies come from a per-row
+    * `explode(sequence())` — no shuffle.
+    */
+  def temperatureMixtureOversample(df: DataFrame, classCol: String, idCol: String,
+      targetFraction: Double, temperature: Double, salt: String = "s0"): DataFrame = {
+    val rates = mixtureRatesUncapped(df, classCol, targetFraction, temperature)
+    val u = pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000000))
     df.join(broadcast(rates), Seq(classCol))
-      .filter(pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000000))
-        < col("rate_micro"))
-      .select(col(idCol), col(classCol), col("rate_micro"))
+      .withColumn("n_copies",
+        expr("rate_micro div 1000000") +
+          when(u < pmod(col("rate_micro"), lit(1000000L)), lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(classCol), col("rate_micro"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
   }
 
   /** Hard per-class cap: keep AT MOST `n` rows per class, chosen

@@ -145,6 +145,12 @@ object TextQueries extends QueryModule {
       graft.ops.Sampling.temperatureMixture(docs(s, d), "lang", "doc_id",
         targetFraction = 0.3, temperature = 2.0, salt = "temp1")),
 
+    // with-replacement arm: rare languages emit >1 copy (expected
+    // multiplicity = the uncapped p^(1/T) rate), head subsampled
+    "sample_oversample" -> ((s, d) =>
+      graft.ops.Sampling.temperatureMixtureOversample(docs(s, d), "lang", "doc_id",
+        targetFraction = 0.9, temperature = 8.0, salt = "ovs1")),
+
     // deterministic sequence packing into 4096-char training bins via the
     // two-level distributed prefix sum (64 buckets at this SF so buckets
     // actually carry multiple docs)
@@ -555,6 +561,27 @@ object TextQueries extends QueryModule {
         |FROM documents d JOIN rates r USING (lang)
         |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || '_temp1'), 1, 8))::BIGINT % 1000000)
         |      < r.rate_micro""".stripMargin,
+
+    // same rate CTEs as sample_temperature, uncapped; copies via
+    // generate_series == the engine's explode(sequence())
+    "sample_oversample" ->
+      """WITH cls AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_c)::BIGINT AS n_total, max(n_c)::BIGINT AS n_max FROM cls),
+        |w AS (SELECT lang, n_c, n_total,
+        |        greatest(1, floor(pow(n_c::DOUBLE / n_max::DOUBLE, 0.125) * 1000000.0)::BIGINT) AS w_micro
+        |      FROM cls CROSS JOIN tot),
+        |sw AS (SELECT sum(w_micro)::BIGINT AS sum_w_micro FROM w),
+        |rates AS (SELECT lang,
+        |    floor(0.9 * n_total::DOUBLE * w_micro::DOUBLE / sum_w_micro::DOUBLE
+        |      / n_c::DOUBLE * 1000000.0)::BIGINT AS rate_micro
+        |  FROM w CROSS JOIN sw),
+        |j AS (SELECT d.doc_id, d.lang, r.rate_micro,
+        |        (r.rate_micro // 1000000) +
+        |        CASE WHEN (('0x' || substr(md5(d.doc_id::VARCHAR || '_ovs1'), 1, 8))::BIGINT % 1000000)
+        |                  < (r.rate_micro % 1000000) THEN 1 ELSE 0 END AS n_copies
+        |      FROM documents d JOIN rates r USING (lang))
+        |SELECT doc_id, lang, rate_micro, unnest(generate_series(1, n_copies)) AS copy_id
+        |FROM j WHERE n_copies > 0""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

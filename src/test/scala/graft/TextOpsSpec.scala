@@ -259,6 +259,29 @@ class TextOpsSpec extends SparkSpec {
     assert(z.forall(_._2 % 10 != 0))
   }
 
+  test("oversampling mixture: rare class multiplies, head subsamples, copies enumerated") {
+    val rows = (1L to 950L).map(i => (i, "big")) ++ (951L to 1000L).map(i => (i, "rare"))
+    val df = rows.toDF("id", "cls")
+    val out = graft.ops.Sampling.temperatureMixtureOversample(df, "cls", "id",
+      targetFraction = 0.5, temperature = 8.0, salt = "t")
+    val byCls = out.groupBy("cls").count().as[(String, Long)].collect().toMap
+    // rare class should emit MORE rows than it has members (with replacement)
+    assert(byCls("rare") > 50L, s"rare emitted ${byCls("rare")}")
+    assert(byCls("big") < 950L, s"head must subsample, emitted ${byCls("big")}")
+    // copy_id enumerates 1..n per id with no gaps
+    val copies = out.filter(col("cls") === "rare")
+      .groupBy("id").agg(count(lit(1)).as("n"), max("copy_id").as("mx"),
+        min("copy_id").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    copies.foreach { case (id, n, mx, mn) =>
+      assert(mn === 1L && mx === n, s"id $id copies $n range [$mn,$mx]") }
+    // deterministic under repartitioning
+    val again = graft.ops.Sampling.temperatureMixtureOversample(df.repartition(7),
+      "cls", "id", targetFraction = 0.5, temperature = 8.0, salt = "t")
+      .select("id", "copy_id").as[(Long, Long)].collect().toSet
+    assert(again === out.select("id", "copy_id").as[(Long, Long)].collect().toSet)
+  }
+
   test("sequence packing: bins respect budget+straddle, ids cover, layout-independent") {
     val df = (1L to 400L).map(i => (i, 50L + (i % 7) * 30L)).toDF("id", "n_toks")
     val packed = graft.ops.Packing.assignBins(df, "id", "n_toks", budget = 1000, buckets = 8)
