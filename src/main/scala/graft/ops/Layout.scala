@@ -50,6 +50,21 @@ object Layout {
       Seq(s"((($x >> $i) & 1) << ${2 * i + 1})", s"((($y >> $i) & 1) << ${2 * i})")
     }.mkString(" | ")
 
+  /** N-dimensional Morton interleave (generalizes [[zOrderKey2]], which is
+    * the n=2 case with x first): bit i of dimension d lands at position
+    * i·n + (n-1-d). n·bits ≤ 62 keeps the key a positive long.
+    */
+  def zOrderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1 && bits >= 1 && n * bits <= 62,
+      s"need 1 ≤ dims·bits ≤ 62, got $n dims × $bits bits")
+    cols.zipWithIndex.flatMap { case (c, d) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + (n - 1 - d))
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Cluster `df` for writing: range-partition by the z-key (global order
     * across output files → tight per-file min/max on BOTH dimensions),
     * then sort within partitions. `numPartitions` sizes output files.

@@ -140,6 +140,61 @@ object Text {
     out.toSeq
   }
 
+  /** Apply a learned merge table ([[learnBpeMerges]] output) to the
+    * corpus — the tokenizer-APPLY step: repeatedly merge the
+    * lowest-rank pair present in each document (all non-overlapping
+    * occurrences, left-to-right) until no table pair remains, exactly the
+    * standard BPE encode loop. Returns (id, toks).
+    *
+    * Per-row imperative loop over a typed Dataset map — the documented
+    * mapPartitions-tier exception (SURVEY §7.3): the merge loop is
+    * genuinely iterative per row and the rank table rides the closure
+    * (bounded by vocabulary size, like any tokenizer's merges file).
+    * Tokenization matches [[tokens]] (`lower` → split `\W+` → drop
+    * empties) so learn→apply compose.
+    */
+  def applyBpeMerges(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table = merges.toIndexedSeq
+    val ranks: Map[(String, String), Int] = table.zipWithIndex.toMap
+    def applyAll(toks: Array[String]): Array[String] = {
+      var cur = toks
+      var done = false
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < cur.length - 1) {
+          val r = ranks.getOrElse((cur(i), cur(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (w1, w2) = table(best)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var j = 0
+          while (j < cur.length) {
+            if (j < cur.length - 1 && cur(j) == w1 && cur(j + 1) == w2) {
+              out += (w1 + "+" + w2); j += 2
+            } else { out += cur(j); j += 1 }
+          }
+          cur = out.toArray
+        }
+      }
+      cur
+    }
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("")
+          .toLowerCase.split("\\W+").filter(_.nonEmpty)
+        (id, applyAll(toks).toSeq)
+      }
+      .toDF(idCol, "toks")
+  }
+
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
     * runs, single punctuation marks — the GPT-2 pre-tokenizer shape).
     */

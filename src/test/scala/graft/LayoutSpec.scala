@@ -72,6 +72,22 @@ class LayoutSpec extends SparkSpec {
     assert(z(1) === 2L && z(2) === 1L && z(0) === 0L)
   }
 
+  test("N-dim z-order: bijective on the grid, agrees with the 2-dim case") {
+    val grid3 = (for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val keys = grid3.select(graft.ops.Layout.zOrderKeyN(
+      Seq(col("x"), col("y"), col("z")), bits = 4).as("zk"))
+    assert(keys.distinct().count() === 4096L)
+    assert(keys.agg(max("zk")).as[Long].head() === 4095L)
+    // n=2 specialization matches zOrderKey2 bit-for-bit
+    val pts = Seq((7L, 11L), (0L, 4095L), (2748L, 1039L)).toDF("x", "y")
+    val both = pts.select(
+      graft.ops.Layout.zOrderKey2(col("x"), col("y"), 12).as("a"),
+      graft.ops.Layout.zOrderKeyN(Seq(col("x"), col("y")), 12).as("b"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("z-order clustering shrinks per-partition bounding boxes on BOTH dims") {
     // uniform 2-d grid; compare range-partitioning by zkey vs by x alone
     val n = 64

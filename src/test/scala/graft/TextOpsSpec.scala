@@ -236,6 +236,32 @@ class TextOpsSpec extends SparkSpec {
     assert(one.isEmpty || one.head._4 >= 2L)
   }
 
+  test("BPE apply: learned merges encode the corpus to a merge-free fixpoint") {
+    val df = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "a b c d"),
+      (3L, "a a a")).toDF("id", "text")
+    val merges = graft.ops.Text.learnBpeMerges(df, "text", nMerges = 3)
+      .map(m => (m._2, m._3))
+    val encoded = graft.ops.Text.applyBpeMerges(df, "text", "id", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // doc1: (a,b) merges everywhere → [a+b, a+b, a+b, c]; later merges may
+    // apply on top — whatever remains, no table pair may survive adjacent
+    val rankSet = merges.toSet
+    encoded.values.foreach { toks =>
+      toks.sliding(2).foreach { p =>
+        if (p.size == 2) assert(!rankSet.contains((p(0), p(1))),
+          s"unapplied merge $p in $toks") }
+    }
+    assert(encoded(2L).startsWith(Seq("a+b", "c")))
+    assert(encoded(1L).forall(t => t.contains("a+b") || t == "c"))
+    // empty/degenerate docs survive
+    val edge = graft.ops.Text.applyBpeMerges(
+      Seq((9L, ""), (10L, "???"), (11L, "a")).toDF("id", "text"), "text", "id", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(edge(9L).isEmpty && edge(10L).isEmpty && edge(11L) === Seq("a"))
+  }
+
   test("weighted per-class sampling: k per class, weight-biased, layout-independent") {
     // two classes; weights strongly skewed within each (ids 1..100 weight 1,
     // ids 101..200 weight 1000) — heavy items should dominate the sample
