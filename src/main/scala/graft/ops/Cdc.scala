@@ -19,6 +19,34 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Snapshot diff: classify every key across two dataset versions as
+    * added / removed / changed / unchanged -- the audit step between
+    * pipeline runs (and the input to an incremental downstream refresh:
+    * process only added + changed). One full-outer equi-join on the key;
+    * change detection is a null-safe struct comparison over the non-key
+    * columns (order-normalized) -- exact, no hash collisions, and null vs
+    * empty-string can't fake equality the way concatenated hashing would.
+    *
+    * Scale: one keyed join, AQE free to pick the strategy; the struct
+    * compare is a per-row codegen'd predicate.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val valueCols = oldDf.columns.filter(_ != keyCol).sorted
+    require(valueCols.sameElements(newDf.columns.filter(_ != keyCol).sorted),
+      s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val o = oldDf.select(col(keyCol),
+      struct(valueCols.toIndexedSeq.map(col): _*).as("__v_old"), lit(true).as("__p_old"))
+    val n = newDf.select(col(keyCol),
+      struct(valueCols.toIndexedSeq.map(col): _*).as("__v_new"), lit(true).as("__p_new"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__p_old").isNull, "added")
+          .when(col("__p_new").isNull, "removed")
+          .when(col("__v_old") <=> col("__v_new"), "unchanged")
+          .otherwise("changed").as("change"))
+  }
+
   /** @param tsCol   event-time column (epoch long or timestamp)
     * @param tieCol  unique-per-key tiebreaker for same-timestamp changes
     *                (offset / event id)

@@ -50,6 +50,19 @@ object Layout {
       Seq(s"((($x >> $i) & 1) << ${2 * i + 1})", s"((($y >> $i) & 1) << ${2 * i})")
     }.mkString(" | ")
 
+  /** Per-file min/max audit of a READ-BACK dataset: what parquet row-group
+    * pruning will see. Run it after a layout change to quantify skipping
+    * potential (the LayoutSpec z-order test does exactly that): tight
+    * per-file ranges on a column ⇒ range predicates on it skip files.
+    */
+  def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** N-dimensional Morton interleave (generalizes [[zOrderKey2]], which is
     * the n=2 case with x first): bit i of dimension d lands at position
     * i·n + (n-1-d). n·bits ≤ 62 keeps the key a positive long.

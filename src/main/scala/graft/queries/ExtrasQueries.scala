@@ -16,6 +16,19 @@ object ExtrasQueries extends QueryModule {
   private val windowUs: Long = 2L * 3600 * 1000000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // snapshot diff: orders vs a deterministically mutated copy — %97 keys
+    // removed, %101 keys re-added under shifted ids, %13 prices bumped
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val newSnap = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(13)) === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.ops.Cdc.snapshotDiff(o, newSnap, "o_orderkey")
+    }),
+
     // Morton key for 2-dim layout clustering; the full write-side lever is
     // Layout.clusterByZOrder2 (LayoutSpec proves the bounding-box win)
     "layout_zorder" -> ((s, d) =>
@@ -216,6 +229,24 @@ object ExtrasQueries extends QueryModule {
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
   val oracle: Map[String, String] = Map(
+    "cdc_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice THEN 'unchanged'
+        |       ELSE 'changed' END AS change
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey""".stripMargin,
+
     "layout_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${graft.ops.Layout.zOrderSql2("(l_partkey % 4096)", "(l_suppkey % 4096)", 12)} AS zkey

@@ -51,4 +51,23 @@ class CdcSpec extends SparkSpec {
     val p = Cdc.scd2(changes, "k", "ts", "off").queryExecution.executedPlan.toString
     assert(p.contains("hashpartitioning(k"), p.take(500))
   }
+
+  test("snapshotDiff: null-safe change detection, column order normalized") {
+    import spark.implicits._
+    val oldS = Seq((1L, Option("a"), Option(1.0)), (2L, None, Option(2.0)),
+      (3L, Option("c"), None), (4L, Option("d"), Option(4.0)))
+      .toDF("k", "s", "v")
+    // col order swapped; k=2 null→"x" (changed), k=3 identical nulls
+    // (unchanged), k=4 dropped, k=5 added
+    val newS = Seq((1L, Option(1.0), Option("a")), (2L, Option(2.0), Option("x")),
+      (3L, None: Option[Double], Option("c")), (5L, Option(5.0), Option("e")))
+      .toDF("k", "v", "s")
+    val d = Cdc.snapshotDiff(oldS, newS, "k").as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+    // schema mismatch fails fast
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(oldS, newS.drop("v"), "k")
+    }
+  }
 }

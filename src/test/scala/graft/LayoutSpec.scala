@@ -72,6 +72,23 @@ class LayoutSpec extends SparkSpec {
     assert(z(1) === 2L && z(2) === 1L && z(0) === 0L)
   }
 
+  test("fileStats: z-clustered parquet writes carry tight per-file ranges") {
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("graft_zwrite").toString
+    graft.ops.Layout.clusterByZOrder2(grid, "x", "y", bits = 6, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    val stats = graft.ops.Layout.fileStats(spark.read.parquet(dir), Seq("x", "y"))
+      .select(col("n_rows"), col("max_x") - col("min_x"), col("max_y") - col("min_y"))
+      .as[(Long, Long, Long)].collect()
+    assert(stats.length === 16)
+    // 16×16 z-tiles: every file spans at most 16 in each dimension — a
+    // range predicate on x OR y can skip 3/4 of the files
+    stats.foreach { case (rows, xw, yw) =>
+      assert(rows === 256L && xw <= 15L && yw <= 15L, s"($rows, $xw, $yw)") }
+  }
+
   test("N-dim z-order: bijective on the grid, agrees with the 2-dim case") {
     val grid3 = (for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
       yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")

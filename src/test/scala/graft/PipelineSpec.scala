@@ -65,6 +65,29 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PII redaction composes over the stream: flagged docs re-enter clean") {
+    // redact-instead-of-drop policy: the stream splits on has_pii, redacts
+    // the flagged branch, and the re-detected union is PII-free — the
+    // keep-the-text variant of the cleaning pipeline, stateless end to end
+    implicit val ctx = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val df = docs.toDF().toDF("doc_id", "text")
+    val redacted = graft.ops.Text.piiRedact(df, "text", "doc_id")
+      .withColumnRenamed("text_redacted", "text")
+    val recheck = graft.ops.Text.piiStats(redacted, "text", "doc_id")
+      .select($"doc_id", $"has_pii")
+    val q = recheck.writeStream.format("memory").queryName("redact_sink")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "call me at 555-123-4567 or mail a@b.com"),
+        (2L, "nothing sensitive here"))
+      q.processAllAvailable()
+      val got = spark.table("redact_sink").as[(Long, Boolean)].collect().toMap
+      assert(got === Map(1L -> false, 2L -> false))
+    } finally q.stop()
+  }
+
   test("envelope stream -> decode -> CSAS filter -> update-mode agg") {
     implicit val ctx = spark.sqlContext
     val wire = MemoryStream[String]
