@@ -34,6 +34,30 @@ object Fuzzy {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Golden-record survivorship: collapse each entity cluster (from
+    * [[blockedEditPairs]] + [[Graph.connectedComponents]], or any cluster
+    * key) to ONE merged record — per attribute, the value from the
+    * highest-`priorityCol` row that has it NON-NULL (`max_by` with a
+    * null-masked ordinal: both Spark's `max_by` and the oracle's `arg_max`
+    * skip null ordinals, so a null attribute never wins just because its
+    * row is newest). Classic post-linkage merge (latest-wins with
+    * null fallback).
+    *
+    * `priorityCol` must be unique within a cluster (an id or offset — the
+    * same totality contract as [[Cdc.scd2]]'s tie column): max_by between
+    * equal ordinals is tie-broken arbitrarily, uniqueness makes the merge
+    * deterministic. Scale: one groupBy(cluster) with mergeable max_by
+    * partials.
+    */
+  def goldenRecords(df: DataFrame, clusterCol: String, priorityCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecords needs at least one value column")
+    val aggs = valueCols.map { c =>
+      max_by(col(c), when(col(c).isNotNull, col(priorityCol))).as(c)
+    } :+ count(lit(1)).as("n_members")
+    df.groupBy(clusterCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Block-occupancy audit (rows + implied pair count per block), largest
     * first — run before [[blockedEditPairs]] on an untrusted blocking key.
     */

@@ -464,6 +464,17 @@ object Text {
       (emails + urls + phones + ssns > 0).as("has_pii"))
   }
 
+  /** Decontamination REMOVAL: the corpus minus benchmark-contaminated docs
+    * — [[contaminationCheck]]'s verdict applied as the filter a training
+    * run actually ships. Same broadcast-benchmark shape; the kept set is a
+    * per-row filter over the check's output (no extra shuffle).
+    */
+  def decontaminatedKept(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, k: Int = 8, w: Int = 4, minShared: Int = 3): DataFrame =
+    contaminationCheck(corpus, benchmark, textCol, idCol, k, w, minShared)
+      .filter(!col("contaminated"))
+      .select(col(idCol))
+
   /** PII redaction: replace email / phone / SSN spans with typed
     * placeholder tokens — the transform complement of [[piiStats]]: a
     * corpus policy that can't afford to DROP a flagged doc redacts it and

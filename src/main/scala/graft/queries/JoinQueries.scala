@@ -225,6 +225,16 @@ object JoinQueries extends QueryModule {
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
     }),
 
+    // post-linkage survivorship: duplicate part rows (same p_name entity)
+    // collapse to one golden record — newest non-null attribute wins
+    // (nulls injected deterministically so the fallback path executes)
+    "link_golden_record" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_name"), col("p_partkey"),
+        expr("CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_brand END").as("p_brand"),
+        expr("CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_size END").as("p_size"))
+      graft.ops.Fuzzy.goldenRecords(p, "p_name", "p_partkey", Seq("p_brand", "p_size"))
+    }),
+
     // bloom-pruned semi join: lineitems of high-value orders. The bloom
     // (scalar subquery, codegen probe) drops non-matching rows pre-shuffle;
     // the exact semi join restores set equality with the oracle's EXISTS
@@ -370,6 +380,18 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    // arg_max skips NULL ordinals in both engines — the survivorship rule
+    "link_golden_record" ->
+      """WITH p AS (SELECT p_name, p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_brand END AS p_brand,
+        |  CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_size END AS p_size
+        |  FROM part)
+        |SELECT p_name,
+        |  arg_max(p_brand, CASE WHEN p_brand IS NOT NULL THEN p_partkey END) AS p_brand,
+        |  arg_max(p_size, CASE WHEN p_size IS NOT NULL THEN p_partkey END) AS p_size,
+        |  count(*) AS n_members
+        |FROM p GROUP BY p_name""".stripMargin,
 
     // the bloom is an optimization, not a semantics change: result ≡ EXISTS
     "j_bloom_prune" ->

@@ -119,6 +119,15 @@ object TextQueries extends QueryModule {
         "text", "doc_id")
     }),
 
+    // ...and the removal the training run ships: corpus minus contaminated
+    "text_decontaminated_kept" -> ((s, d) => {
+      val all = docs(s, d)
+      Text.decontaminatedKept(
+        all.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id")
+    }),
+
     // BM25 lexical retrieval against a fixed query-term set (the targeted
     // corpus-slicing complement to the ANN operators)
     "text_bm25" -> ((s, d) =>
@@ -449,6 +458,16 @@ object TextQueries extends QueryModule {
          |  coalesce(sh.n_shared, 0) >= 3 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
          |LEFT JOIN sh ON sh.doc_id = d.doc_id""".stripMargin,
+
+    "text_decontaminated_kept" ->
+      s"""WITH cfp AS (${winnowFpsSql("doc_id % 50 <> 0")}),
+         |bfp AS (SELECT DISTINCT fp FROM (${winnowFpsSql("doc_id % 50 = 0")})),
+         |sh AS (SELECT doc_id, count(*) AS n_shared
+         |       FROM cfp JOIN bfp USING (fp) GROUP BY doc_id)
+         |SELECT d.doc_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN sh ON sh.doc_id = d.doc_id
+         |WHERE coalesce(sh.n_shared, 0) < 3""".stripMargin,
 
     // mirrors Text.bm25 EXPRESSION BY EXPRESSION: contributions floored to
     // micro-units pre-sum (exact long adds, order-independent); literal

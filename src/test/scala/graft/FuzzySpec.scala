@@ -35,6 +35,29 @@ class FuzzySpec extends SparkSpec {
       .toSet === Set((1L, 7L, 0L)))
   }
 
+  test("goldenRecords: newest non-null wins, all-null stays null") {
+    val rows = Seq(
+      // cluster A: newest (pri 3) has null brand → brand falls back to pri 2
+      ("A", 1L, Some("b1"), Some(10)),
+      ("A", 2L, Some("b2"), None),
+      ("A", 3L, None, Some(30)),
+      // cluster B: single row, all null attribute
+      ("B", 4L, None, Some(40)),
+      ("B", 5L, None, None)).toDF("cluster", "pri", "brand", "size")
+    val g = graft.ops.Fuzzy.goldenRecords(rows.toDF(), "cluster", "pri",
+      Seq("brand", "size"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toMap
+    assert(g("A") === ((Some("b2"), Some(30), 3L)))
+    assert(g("B") === ((None, Some(40), 2L)))
+    // layout-independent
+    val again = graft.ops.Fuzzy.goldenRecords(rows.toDF().repartition(5),
+      "cluster", "pri", Seq("brand", "size"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toMap
+    assert(again === g)
+  }
+
   test("blockStats surfaces quadratic blocks largest-first") {
     val st = graft.ops.Fuzzy.blockStats(people, substring(col("name"), 1, 1))
       .as[(String, Long, Long)].collect()
