@@ -58,5 +58,6 @@ object SparkEntry {
     // round-6 batch 2: BPE bigrams, SemDeDup, bloom-pruned join, Q7,
     // posting stats, z-order keys
     "text_bigram_top", "dedup_semantic_kept", "j_bloom_prune",
-    "q7_volume_shipping", "text_postings", "layout_zorder")
+    "q7_volume_shipping", "text_postings", "layout_zorder",
+    "cdc_snapshot_diff", "sample_oversample", "link_golden_record")
 }
