@@ -71,6 +71,40 @@ object Text {
       .limit(topN)
   }
 
+  /** Deflate compression ratio per document — the repetition/quality
+    * signal several corpus-filtering recipes use alongside the Gopher
+    * rules ([[repetitionStats]]): highly repetitive or templated text
+    * compresses far below prose, machine-generated noise barely at all.
+    * Returns (id, n_raw, n_compressed, ratio = compressed/raw).
+    *
+    * Per-row typed map (Deflater level 6, fresh per partition via
+    * mapPartitions so the native zlib state is reused across a partition's
+    * rows, not reallocated per doc). Deterministic for a fixed zlib level
+    * and JVM; the spec asserts ORDERING properties (repetitive < prose <
+    * random), not exact byte counts, so a zlib upgrade can't break it.
+    */
+  def compressionRatio(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio = if (raw.length == 0) 1.0 else compressed.toDouble / raw.length
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF(idCol, "n_raw", "n_compressed", "ratio")
+  }
+
   /** Inverted-index posting statistics: per term — document frequency,
     * total term frequency, and the posting-list id range. The build step
     * of a distributed search index (the BM25 scorer consumes the same df

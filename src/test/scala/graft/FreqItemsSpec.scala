@@ -40,6 +40,31 @@ class FreqItemsSpec extends SparkSpec {
     }
   }
 
+  test("count-min: never undercounts, exact at low load, merge-invariant") {
+    import org.apache.spark.sql.functions._
+    val (depth, width) = (4, 256)
+    // zipf-ish stream: item i appears 1000/i times, i in 1..50
+    val rows = (1L to 50L).flatMap(i => Seq.fill((1000 / i).toInt)(i))
+    val df = rows.toDF("item")
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def skOf(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(graft.functions.CountMin.sketch(depth, width)(col("item")).as("sk"))
+        .as[Seq[Long]].head()
+    val sk = skOf(df)
+    val n = rows.size
+    truth.foreach { case (item, cnt) =>
+      val est = graft.functions.CountMin.estimate(sk, depth, width, item)
+      assert(est >= cnt, s"undercount for $item: $est < $cnt")
+      assert(est <= cnt + (3.0 * n / width).toLong + 1,
+        s"overcount beyond bound for $item: $est vs $cnt (n=$n)")
+    }
+    // an item never seen estimates near zero (only collision mass)
+    val phantom = graft.functions.CountMin.estimate(sk, depth, width, 999999L)
+    assert(phantom <= (3.0 * n / width).toLong + 1, s"phantom $phantom")
+    // element-wise merge ⇒ layout invariance
+    assert(skOf(df.repartition(7)) === sk)
+  }
+
   test("null items are ignored") {
     val mg = Seq(Some("a"), None, Some("a"), None).toDF("item")
       .agg(FreqItems.heavyHitters(4)(col("item")).as("hh"))

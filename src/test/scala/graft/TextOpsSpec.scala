@@ -236,6 +236,28 @@ class TextOpsSpec extends SparkSpec {
     assert(one.isEmpty || one.head._4 >= 2L)
   }
 
+  test("compression ratio orders repetitive < prose < high-entropy") {
+    val rng = new scala.util.Random(7)
+    val noise = Seq.fill(2000)(rng.nextPrintableChar()).mkString
+    val df = Seq(
+      (1L, "spam " * 400),
+      (2L, ("the quick brown fox jumps over the lazy dog and then wanders " +
+        "through unfamiliar streets seeking novel phrases every time ") * 8),
+      (3L, noise),
+      (4L, "")).toDF("id", "text")
+    val r = graft.ops.Text.compressionRatio(df, "text", "id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._3 < r(2L)._3 && r(2L)._3 < r(3L)._3,
+      s"expected repetitive < prose < noise, got $r")
+    assert(r(1L)._3 < 0.05, s"repetitive text should crush: ${r(1L)._3}")
+    assert(r(3L)._3 > 0.5, s"high-entropy should resist: ${r(3L)._3}")
+    assert(r(4L) === ((0L, r(4L)._2, 1.0)))
+    // deterministic across partitionings
+    val again = graft.ops.Text.compressionRatio(df.repartition(3), "text", "id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(again === r.view.mapValues(_._3).toMap)
+  }
+
   test("BPE apply: learned merges encode the corpus to a merge-free fixpoint") {
     val df = Seq(
       (1L, "a b a b a b c"),
