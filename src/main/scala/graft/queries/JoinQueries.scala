@@ -225,6 +225,55 @@ object JoinQueries extends QueryModule {
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
     }),
 
+    // TPC-H Q4-shaped order-priority check: date-windowed orders that have
+    // at least one late-shipping line — EXISTS = left-semi with a
+    // cross-side residual, then a tiny rollup
+    "q4_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-07-01") &&
+          col("o_orderdate") < lit("1995-10-01"))
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q12-shaped priority split: conditional counts (CASE inside two
+    // sums) over the fact-fact join, grouped by return flag
+    "q12_priority_split" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+      val o = Tables.orders(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_count"))
+    }),
+
+    // TPC-H Q19-shaped disjunctive pushdown: OR-of-ANDs across both join
+    // sides — Catalyst must split the common l_quantity bounds below the
+    // join while keeping the residual disjunction
+    "q19_brand_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val joined = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)))
+      joined.agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+    }),
+
     // post-linkage survivorship: duplicate part rows (same p_name entity)
     // collapse to one golden record — newest non-null attribute wins
     // (nulls injected deterministically so the fallback path executes)
@@ -380,6 +429,34 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1995-07-01' AND o_orderdate < '1995-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q12_priority_split" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q19_brand_revenue" ->
+      """SELECT
+        |  sum(l_extendedprice::DECIMAL(18,2) *
+        |      (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)""".stripMargin,
 
     // arg_max skips NULL ordinals in both engines — the survivorship rule
     "link_golden_record" ->
