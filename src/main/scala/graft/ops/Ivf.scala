@@ -40,6 +40,11 @@ object Ivf {
     val feat = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
     val sample = if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
+    // empty corpus (a fresh ingest, a filter that matched nothing): MLlib
+    // k-means requires ≥1 row, so short-circuit to an empty index — search
+    // over it yields no candidates, which is the right answer
+    if (sample.isEmpty) return IvfIndex(Seq.empty,
+      feat.select(col(idCol), col("v"), lit(0).as("list_id")).limit(0))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(sample)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val assigned = model.transform(feat)
@@ -76,6 +81,11 @@ object Ivf {
   def search(index: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // empty index (built from an empty corpus): no lists to probe — an
+    // empty result with the search schema, not an analysis error
+    if (index.centroids.isEmpty)
+      return q.select(col("query_id"), col("query_id").as("neighbor_id"),
+        lit(1).as("rnk"), lit(0.0).as("sim")).limit(0)
     // rank lists per query by centroid distance, keep nprobe
     val listDists = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("list_id"), centroidDist(col("qv"), c).as("dist"))
