@@ -56,4 +56,43 @@ object CustomState {
           }
       }
   }
+
+  /** Streaming golden record: per key, maintain each attribute's value
+    * from the highest-priority row that had it non-null — the streaming
+    * twin of [[graft.ops.Fuzzy.goldenRecords]], same unique-priority
+    * contract — and emit the merged record whenever it changes. Late
+    * (lower-priority) rows fill attributes a newer row left null but never
+    * overwrite newer values. State per key is one (priority, value) pair
+    * per attribute — bounded by attribute count, never by stream length.
+    */
+  def goldenRecordState(ds: Dataset[(String, Long, Map[String, String])])
+      : Dataset[(String, Map[String, String])] = {
+    type AttrState = Map[String, (Long, String)]
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val stateEnc: Encoder[Map[String, (Long, String)]] =
+      ExpressionEncoder[Map[String, (Long, String)]]()
+    implicit val outEnc: Encoder[(String, Map[String, String])] =
+      Encoders.tuple(Encoders.STRING, ExpressionEncoder[Map[String, String]]())
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, (String, Map[String, String])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Map[String, String])],
+         state: GroupState[AttrState]) =>
+          var attrs = state.getOption.getOrElse(Map.empty: AttrState)
+          var changed = false
+          rows.toSeq.sortBy(_._2).foreach { case (_, pri, row) =>
+            row.foreach { case (a, v) =>
+              if (v != null && attrs.get(a).forall(_._1 <= pri)) {
+                if (!attrs.get(a).map(_._2).contains(v)) changed = true
+                attrs = attrs.updated(a, (pri, v))
+              }
+            }
+          }
+          if (changed) {
+            state.update(attrs)
+            Iterator.single(key -> attrs.map { case (a, (_, v)) => a -> v })
+          } else Iterator.empty
+      }
+  }
 }

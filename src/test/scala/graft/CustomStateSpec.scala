@@ -47,4 +47,35 @@ class CustomStateSpec extends SparkSpec {
       assert(rows.count(_._1 == "k2") === 1)
     } finally q.stop()
   }
+
+  test("streaming golden record: newest non-null wins, late rows only fill gaps") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Map[String, String])]
+    val q = CustomState.goldenRecordState(in.toDS())
+      .toDF("key", "merged")
+      .writeStream.format("memory").queryName("golden").outputMode("update").start()
+    def latest(key: String): Map[String, String] = {
+      val rows = spark.table("golden")
+        .as[(String, Map[String, String])].collect().filter(_._1 == key)
+      rows.last._2
+    }
+    try {
+      in.addData(("e1", 1L, Map("brand" -> "b1", "size" -> "10")))
+      q.processAllAvailable()
+      assert(latest("e1") === Map("brand" -> "b1", "size" -> "10"))
+      // newer row with a null-ish (absent) brand: size updates, brand kept
+      in.addData(("e1", 3L, Map("size" -> "30")))
+      q.processAllAvailable()
+      assert(latest("e1") === Map("brand" -> "b1", "size" -> "30"))
+      // LATE row (pri 2): must not overwrite pri-3 size, can fill new attrs
+      in.addData(("e1", 2L, Map("size" -> "20", "color" -> "red")))
+      q.processAllAvailable()
+      assert(latest("e1") === Map("brand" -> "b1", "size" -> "30", "color" -> "red"))
+      // no-change batch emits nothing new
+      val n = spark.table("golden").count()
+      in.addData(("e1", 2L, Map("size" -> "20")))
+      q.processAllAvailable()
+      assert(spark.table("golden").count() === n)
+    } finally q.stop()
+  }
 }
