@@ -117,6 +117,33 @@ object Sampling {
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
   }
 
+  /** Token-budget selection: per class, keep the hash-ordered prefix of
+    * docs whose cumulative token count stays within `budget` — "give me
+    * ~1B tokens of each language, sampled reproducibly", the budget-shaped
+    * complement of [[cappedPerClass]]'s row cap. The first doc of a class
+    * is always kept (a budget smaller than the first doc would otherwise
+    * silently empty the class — same never-drop-the-class stance as
+    * temperatureMixture's rate floor).
+    *
+    * Scale: one cumulative-sum window partitioned BY CLASS in hash order —
+    * reducer state is a running long, partition size is the class (the
+    * usual per-key window contract; for one giant class, pre-filter with
+    * [[hashSample]] to thin before the exact budget pass).
+    */
+  def tokenBudgetPerClass(df: DataFrame, classCol: String, idCol: String,
+      tokenCol: String, budget: Long, salt: String = "s0"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val h = h32(concat(col(idCol).cast("string"), lit("_" + salt)))
+    val w = Window.partitionBy(classCol).orderBy(h, col(idCol))
+    df.select(col(classCol), col(idCol), col(tokenCol).cast("long").as("n_tok"), h.as("__h"))
+      .withColumn("cum_tok", sum("n_tok").over(
+        Window.partitionBy(classCol).orderBy(col("__h"), col(idCol))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("cum_tok") <= budget || col("rn") === 1)
+      .select(col(classCol), col(idCol), col("n_tok"), col("cum_tok"))
+  }
+
   /** Hard per-class cap: keep AT MOST `n` rows per class, chosen
     * deterministically by id-hash order (the "no more than N docs per
     * language/domain" mix rule, where a fraction can't bound the absolute

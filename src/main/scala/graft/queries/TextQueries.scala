@@ -154,6 +154,11 @@ object TextQueries extends QueryModule {
       graft.ops.Sampling.temperatureMixture(docs(s, d), "lang", "doc_id",
         targetFraction = 0.3, temperature = 2.0, salt = "temp1")),
 
+    // budget-shaped mix: ~20k chars of each language, hash-ordered prefix
+    "sample_token_budget" -> ((s, d) =>
+      graft.ops.Sampling.tokenBudgetPerClass(docs(s, d), "lang", "doc_id",
+        "n_chars", budget = 20000L, salt = "tb1")),
+
     // with-replacement arm: rare languages emit >1 copy (expected
     // multiplicity = the uncapped p^(1/T) rate), head subsampled
     "sample_oversample" -> ((s, d) =>
@@ -580,6 +585,17 @@ object TextQueries extends QueryModule {
         |FROM documents d JOIN rates r USING (lang)
         |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || '_temp1'), 1, 8))::BIGINT % 1000000)
         |      < r.rate_micro""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH h AS (SELECT lang, doc_id, n_chars::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_tb1'), 1, 8))::BIGINT AS hh
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY hh, doc_id) AS cum_tok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, doc_id, n_tok, cum_tok::BIGINT AS cum_tok
+        |FROM c WHERE cum_tok <= 20000 OR rn = 1""".stripMargin,
 
     // same rate CTEs as sample_temperature, uncapped; copies via
     // generate_series == the engine's explode(sequence())

@@ -307,6 +307,29 @@ class TextOpsSpec extends SparkSpec {
     assert(z.forall(_._2 % 10 != 0))
   }
 
+  test("token budget per class: prefix within budget, first doc never dropped") {
+    val rows = (1L to 300L).map(i => (i, if (i % 2 == 0) "a" else "b", 100L + (i % 7) * 10))
+    val df = rows.toDF("id", "cls", "toks")
+    val out = graft.ops.Sampling.tokenBudgetPerClass(df, "cls", "id", "toks", budget = 3000L)
+      .as[(String, Long, Long, Long)].collect()
+    val byCls = out.groupBy(_._1)
+    byCls.foreach { case (cls, picked) =>
+      val maxCum = picked.map(_._4).max
+      assert(maxCum <= 3000L, s"$cls busts budget: $maxCum")
+      // greedy prefix: adding ANY unpicked doc would exceed the budget
+      // (cheap proxy: picked token sum is within one max-doc of the budget)
+      assert(maxCum >= 3000L - 160L, s"$cls underfills: $maxCum")
+    }
+    // a budget below the smallest doc still keeps exactly one doc per class
+    val tiny = graft.ops.Sampling.tokenBudgetPerClass(df, "cls", "id", "toks", budget = 1L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(tiny.groupBy(_._1).forall(_._2.length == 1))
+    // layout-independent
+    val again = graft.ops.Sampling.tokenBudgetPerClass(df.repartition(9), "cls", "id",
+      "toks", budget = 3000L).as[(String, Long, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq === out.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("oversampling mixture: rare class multiplies, head subsamples, copies enumerated") {
     val rows = (1L to 950L).map(i => (i, "big")) ++ (951L to 1000L).map(i => (i, "rare"))
     val df = rows.toDF("id", "cls")
