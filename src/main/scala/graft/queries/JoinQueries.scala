@@ -225,6 +225,40 @@ object JoinQueries extends QueryModule {
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
     }),
 
+    // TPC-H Q15-shaped top supplier: quarterly per-supplier revenue, keep
+    // the argmax row(s) via a 1-row broadcast of the max — no global sort
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    }),
+
+    // TPC-H Q17-shaped small-quantity revenue: correlated per-part average
+    // decorrelated into a keyed aggregate + join (exact integer-valued
+    // sums so the 0.2·avg threshold is bit-identical cross-engine)
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val partAvg = li.groupBy(col("l_partkey").as("pa_key"))
+        .agg((sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      val brand = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+      li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("pa_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"), count(lit(1)).as("n"))
+    }),
+
     // TPC-H Q4-shaped order-priority check: date-windowed orders that have
     // at least one late-shipping line — EXISTS = left-semi with a
     // cross-side residual, then a tiny rollup
@@ -429,6 +463,32 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(l_extendedprice::DECIMAL(18,2) *
+        |        (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    // avg decomposed as exact-integer sum / count in BOTH engines so the
+    // 0.2·avg comparison can't drift
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pa_key,
+        |         sum(l_quantity::BIGINT)::DOUBLE / count(*)::DOUBLE AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0 AS avg_yearly,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |JOIN pa ON l_partkey = pa_key
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
