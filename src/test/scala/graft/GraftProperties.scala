@@ -290,6 +290,31 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** snapshotDiff matches a reference classification for arbitrary
+    * old/new snapshots with nullable values.
+    */
+  property("cdc.snapshot-diff-matches-reference") = {
+    val snap = Gen.mapOf(Gen.zip(Gen.choose(1L, 15L), Gen.option(Gen.choose(0, 3))))
+    Prop.forAll(snap, snap) { (o, n) =>
+      def df(m: Map[Long, Option[Int]]) =
+        m.toSeq.map { case (k, v) => (k, v) }.toDF("k", "v")
+      if (o.isEmpty || n.isEmpty) true // empty snapshots are covered by EmptyInputSpec
+      else {
+        val got = graft.ops.Cdc.snapshotDiff(df(o), df(n), "k")
+          .as[(Long, String)].collect().toMap
+        val expected = (o.keySet ++ n.keySet).map { k =>
+          k -> ((o.get(k), n.get(k)) match {
+            case (None, Some(_)) => "added"
+            case (Some(_), None) => "removed"
+            case (Some(a), Some(b)) if a == b => "unchanged"
+            case _ => "changed"
+          })
+        }.toMap
+        got == expected
+      }
+    }
+  }
+
   /** Morton interleave is a bijection on [0,2^bits)²: decode ∘ encode = id,
     * and the reference bit-gather agrees.
     */

@@ -141,6 +141,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges user_id exchanges — expected reuse")
   }
 
+  test("token-budget window is class-partitioned, never a global sort") {
+    val p = plan("sample_token_budget")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("lang")),
+      s"unpartitioned window in sample_token_budget:\n${specs.mkString("\n")}")
+  }
+
   test("q7 broadcasts both nation roles and the supplier dim") {
     val p = plan("q7_volume_shipping")
     val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
