@@ -46,6 +46,20 @@ object StreamBench {
         graft.streaming.StreamingLsh.bucketFirstSeen(docs, "text", "doc_id")
           .toDF("doc_id", "band", "rep")
           .writeStream.format("noop").outputMode("append").start()
+      case "golden" =>
+        // streaming golden-record merge: 10k entities, rotating sparse
+        // attribute updates (each row carries one of three attrs)
+        import spark.implicits._
+        val updates = src.select(
+          concat(lit("e"), (col("value") % 10000).cast("string")).as("key"),
+          col("value").as("pri"),
+          map(
+            concat(lit("attr"), (col("value") % 3).cast("string")),
+            (col("value") % 97).cast("string")).as("attrs"))
+          .as[(String, Long, Map[String, String])]
+        graft.streaming.CustomState.goldenRecordState(updates)
+          .toDF("key", "merged")
+          .writeStream.format("noop").outputMode("update").start()
       case _ =>
         val lines = src.select(concat(
           lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
