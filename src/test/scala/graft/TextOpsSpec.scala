@@ -236,6 +236,31 @@ class TextOpsSpec extends SparkSpec {
     assert(one.isEmpty || one.head._4 >= 2L)
   }
 
+  test("text ops tolerate null, empty, and whitespace-only documents") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   \t  "), (4L, "normal text here"))
+      .toDF("doc_id", "text")
+    // every per-doc text op must execute; none may throw on degenerate docs
+    val outputs = Seq(
+      graft.ops.Text.wordCount(df, "text"),
+      graft.ops.Text.qualityScore(df, "text", "doc_id"),
+      graft.ops.Text.langId(df, "text", "doc_id"),
+      graft.ops.Text.tokenStats(df, "text", "doc_id"),
+      graft.ops.Text.piiStats(df, "text", "doc_id"),
+      graft.ops.Text.piiRedact(df, "text", "doc_id"),
+      graft.ops.Text.cleanse(df, "text", "doc_id"),
+      graft.ops.Text.repetitionStats(df, "text", "doc_id"),
+      graft.ops.Text.fingerprint(df, "text", "doc_id"),
+      graft.ops.Text.bigramCounts(df, "text"),
+      graft.ops.Text.postingStats(df, "text", "doc_id"),
+      graft.ops.Text.compressionRatio(df, "text", "doc_id"),
+      graft.ops.Dedup.simhash16(df, "text", "doc_id"),
+      graft.ops.Dedup.exactDupGroups(df, "text", "doc_id"))
+    outputs.foreach(_.collect())
+    // the corpus-level ops only see doc 4's tokens
+    assert(graft.ops.Text.wordCount(df, "text").count() === 3)
+    assert(graft.ops.Text.bigramCounts(df, "text").count() === 2)
+  }
+
   test("compression ratio orders repetitive < prose < high-entropy") {
     val rng = new scala.util.Random(7)
     val noise = Seq.fill(2000)(rng.nextPrintableChar()).mkString
