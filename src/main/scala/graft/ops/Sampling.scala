@@ -117,6 +117,26 @@ object Sampling {
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random GLOBAL
+    * order for training — `rank` is each row's 1-based position in the
+    * hash order of (id, epoch), and `cum_tok` the running token total
+    * through it (so "rank ≤ R" and "cum_tok ≤ B" both cut reproducible
+    * training prefixes). Different epochs draw independent orders; the
+    * same epoch always replays identically, on any cluster layout.
+    *
+    * Scale: global order WITHOUT a single-reducer sort — delegates to
+    * [[Ordered.rankedPrefixSum]]'s range-partitioned two-level rank
+    * (PlanSpec pins that shape for zipf ranks; same machinery here).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, tokenCol: String,
+      epoch: Int, salt: String = "ep"): DataFrame = {
+    val h = h32(concat(col(idCol).cast("string"), lit(s"_${salt}_$epoch")))
+    Ordered.rankedPrefixSum(
+      df.select(col(idCol), col(tokenCol).cast("long").as("n_tok"), h.as("__h")),
+      Seq(col("__h"), col(idCol)), col("n_tok"))
+      .select(col(idCol), col("n_tok"), col("rank"), col("cum").as("cum_tok"))
+  }
+
   /** Token-budget selection: per class, keep the hash-ordered prefix of
     * docs whose cumulative token count stays within `budget` — "give me
     * ~1B tokens of each language, sampled reproducibly", the budget-shaped

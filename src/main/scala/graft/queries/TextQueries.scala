@@ -154,6 +154,11 @@ object TextQueries extends QueryModule {
       graft.ops.Sampling.temperatureMixture(docs(s, d), "lang", "doc_id",
         targetFraction = 0.3, temperature = 2.0, salt = "temp1")),
 
+    // epoch-2 training order: reproducible global shuffle rank + running
+    // token total (range-partitioned two-level rank, no global sort)
+    "sample_epoch_shuffle" -> ((s, d) =>
+      graft.ops.Sampling.epochShuffle(docs(s, d), "doc_id", "n_chars", epoch = 2)),
+
     // budget-shaped mix: ~20k chars of each language, hash-ordered prefix
     "sample_token_budget" -> ((s, d) =>
       graft.ops.Sampling.tokenBudgetPerClass(docs(s, d), "lang", "doc_id",
@@ -585,6 +590,15 @@ object TextQueries extends QueryModule {
         |FROM documents d JOIN rates r USING (lang)
         |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || '_temp1'), 1, 8))::BIGINT % 1000000)
         |      < r.rate_micro""".stripMargin,
+
+    "sample_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id, n_chars::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_ep_2'), 1, 8))::BIGINT AS hh
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  row_number() OVER (ORDER BY hh, doc_id)::BIGINT AS rank,
+        |  sum(n_tok) OVER (ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
+        |FROM h""".stripMargin,
 
     "sample_token_budget" ->
       """WITH h AS (SELECT lang, doc_id, n_chars::BIGINT AS n_tok,

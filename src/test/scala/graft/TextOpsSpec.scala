@@ -332,6 +332,24 @@ class TextOpsSpec extends SparkSpec {
     assert(z.forall(_._2 % 10 != 0))
   }
 
+  test("epoch shuffle: epochs differ, replays agree, ranks are a permutation") {
+    val df = (1L to 200L).map(i => (i, 10L + i % 5)).toDF("id", "toks")
+    def run(epoch: Int, parts: Int = 1) = {
+      val in = if (parts > 1) df.repartition(parts) else df
+      graft.ops.Sampling.epochShuffle(in, "id", "toks", epoch)
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+    }
+    val e1 = run(1)
+    assert(e1.values.toSeq.sorted === (1L to 200L))
+    assert(run(1, parts = 7) === e1, "same epoch must replay identically")
+    val e2 = run(2)
+    assert(e2 !== e1, "different epochs must draw different orders")
+    // running totals line up with the rank order
+    val cum = graft.ops.Sampling.epochShuffle(df, "id", "toks", 1)
+      .orderBy("rank").select("n_tok", "cum_tok").as[(Long, Long)].collect()
+    assert(cum.scanLeft(0L)(_ + _._1).tail.toSeq === cum.map(_._2).toSeq)
+  }
+
   test("token budget per class: prefix within budget, first doc never dropped") {
     val rows = (1L to 300L).map(i => (i, if (i % 2 == 0) "a" else "b", 100L + (i % 7) * 10))
     val df = rows.toDF("id", "cls", "toks")
