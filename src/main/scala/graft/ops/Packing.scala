@@ -82,4 +82,32 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum("toks").as("total_toks"))
   }
+
+  /** Document boundary offsets inside each packed sequence — what a
+    * training loader needs to build attention masks / loss masks over
+    * [[packTexts]] output: per (bin, doc), the doc's 1-based pack position
+    * and its [start_off, end_off) character span in the concatenated
+    * string (separators accounted). Same (bucket, hash, id) order as
+    * packTexts, so spans index into `packed_text` exactly
+    * (spec-verified by substring extraction).
+    *
+    * Scale: one per-bin window — partition size is the bin (≈
+    * budget/avg-doc), the same bounded-state contract as the concat.
+    */
+  def packOffsets(df: DataFrame, idCol: String, textCol: String, tokenCol: String,
+      budget: Long, buckets: Int = 1024, salt: String = "pack",
+      sep: String = " <|doc|> "): DataFrame = {
+    val bins = assignBins(df, idCol, tokenCol, budget, buckets, salt)
+      .withColumn("h", h32(concat(col(idCol).cast("string"), lit("_" + salt))))
+    val joined = bins.join(
+      df.select(col(idCol), length(col(textCol)).cast("long").as("__len")), Seq(idCol))
+    val w = Window.partitionBy("bin").orderBy(col("bucket"), col("h"), col(idCol))
+    joined
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("__prev", coalesce(
+        sum("__len").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("start_off", col("__prev") + (col("pos") - 1) * lit(sep.length.toLong))
+      .select(col("bin"), col(idCol), col("pos"), col("start_off"),
+        (col("start_off") + col("__len")).as("end_off"))
+  }
 }

@@ -183,6 +183,11 @@ object TextQueries extends QueryModule {
       graft.ops.Packing.packTexts(docs(s, d), "doc_id", "text", "n_chars",
         budget = 4096, buckets = 64, salt = "pack")),
 
+    // ...and the loader-side boundary spans into those sequences
+    "seq_pack_offsets" -> ((s, d) =>
+      graft.ops.Packing.packOffsets(docs(s, d), "doc_id", "text", "n_chars",
+        budget = 4096, buckets = 64, salt = "pack")),
+
     // PII detection gate. The synthetic docs carry no PII, so the QUERY
     // appends deterministic spans (both engines): email on doc_id%7,
     // phone on doc_id%11 — composable suffixes so %77 docs carry both
@@ -541,6 +546,23 @@ object TextQueries extends QueryModule {
          |  sum(a.toks)::BIGINT AS total_toks
          |FROM assigned a JOIN documents d USING (doc_id)
          |GROUP BY bin""".stripMargin,
+
+    // separator length 9 = ' <|doc|> '; same (bucket, h, id) span order
+    "seq_pack_offsets" ->
+      s"""$packCte,
+         |assigned AS (SELECT doc_id, bucket, h, toks,
+         |    floor((cum - toks)::DOUBLE / 4096.0)::BIGINT AS bin FROM c_pack),
+         |j AS (SELECT a.bin, a.bucket, a.h, a.doc_id, length(d.text)::BIGINT AS len
+         |      FROM assigned a JOIN documents d USING (doc_id)),
+         |o AS (SELECT bin, doc_id, len,
+         |        row_number() OVER (PARTITION BY bin ORDER BY bucket, h, doc_id)::BIGINT AS pos,
+         |        coalesce(sum(len) OVER (PARTITION BY bin ORDER BY bucket, h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prevlen
+         |      FROM j)
+         |SELECT bin, doc_id, pos,
+         |  (prevlen + 9 * (pos - 1))::BIGINT AS start_off,
+         |  (prevlen + 9 * (pos - 1) + len)::BIGINT AS end_off
+         |FROM o""".stripMargin,
 
     "text_pii" ->
       """WITH src AS (SELECT doc_id,

@@ -373,6 +373,24 @@ class TextOpsSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2)).toSeq === out.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("pack offsets: every span extracts its exact document from the packed text") {
+    val df = (1L to 120L)
+      .map(i => (i, s"doc$i " + ("x" * (i % 37).toInt), 5L + (i % 37)))
+      .toDF("id", "text", "toks")
+    val packed = graft.ops.Packing.packTexts(df, "id", "text", "toks",
+      budget = 300, buckets = 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val offs = graft.ops.Packing.packOffsets(df, "id", "text", "toks",
+      budget = 300, buckets = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val textOf = df.select("id", "text").as[(Long, String)].collect().toMap
+    assert(offs.length === 120)
+    offs.foreach { case (bin, id, _, start, end) =>
+      val extracted = packed(bin).substring(start.toInt, end.toInt)
+      assert(extracted === textOf(id), s"bin $bin doc $id: '$extracted'")
+    }
+  }
+
   test("oversampling mixture: rare class multiplies, head subsamples, copies enumerated") {
     val rows = (1L to 950L).map(i => (i, "big")) ++ (951L to 1000L).map(i => (i, "rare"))
     val df = rows.toDF("id", "cls")
