@@ -190,4 +190,42 @@ object Graph {
   private def symmetrize(e: DataFrame): DataFrame =
     e.union(e.select(col("b").as("a"), col("a").as("b")))
       .toDF("u", "v").distinct()
+
+  /** Integer-exact PageRank (micro-units, floored at every step — the same
+    * all-integer determinism contract as [[KMeans]]): rank is
+    * reproducible bit-for-bit across engines, partitionings, and replays,
+    * which float PageRank (order-dependent double sums) is not.
+    *
+    * Recurrence (unnormalized, base 1e6):
+    *   r_0(v)   = 1_000_000
+    *   r_{i+1}(v) = (1e6 − damp) + (damp · Σ_{u→v} (r_i(u) div outdeg(u))) div 1e6
+    *
+    * Scale: each iteration is one equi-join on src (contributions) + one
+    * groupBy(dst) sum + a left join back to nodes — the standard
+    * distributed PageRank shuffle shape; ranks/outdeg are node-sized.
+    * `iterations` is a fixed small constant (power iteration converges
+    * geometrically), so the lineage stays shallow.
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampMicro: Long = 850000L): DataFrame = {
+    require(iterations >= 0 && iterations <= 50, s"bad iterations $iterations")
+    require(dampMicro >= 0 && dampMicro <= 1000000L, s"bad damping $dampMicro")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1000000L - dampMicro) +
+            expr(s"($dampMicro * coalesce(s, 0L)) div 1000000")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
 }

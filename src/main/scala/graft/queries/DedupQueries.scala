@@ -50,7 +50,17 @@ object DedupQueries extends QueryModule {
     "graph_triangles" -> ((s, d) =>
       graft.ops.Graph.triangles(
         Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5),
-        "doc_a", "doc_b")))
+        "doc_a", "doc_b")),
+
+    // integer-exact PageRank over the part→supplier bipartite graph (rank
+    // suppliers by weighted part coverage); 5 power iterations, all floors
+    "graph_pagerank" -> ((s, d) =>
+      graft.ops.Graph.pageRankInt(
+        Tables.lineitem(s, d).select(col("l_partkey"),
+          // suppliers shifted into a disjoint id space: bipartite sides
+          // must not collide in the node id domain
+          (col("l_suppkey") + 10000000L).as("supp_node")),
+        "l_partkey", "supp_node", iterations = 5)))
 
   // ---- shared oracle fragments ----
 
@@ -242,6 +252,26 @@ object DedupQueries extends QueryModule {
          |FROM pr ab
          |JOIN pr bc ON bc.lo = ab.hi
          |JOIN pr ac ON ac.lo = ab.lo AND ac.hi = bc.hi""".stripMargin,
+
+    // unrolled power iterations; // is DuckDB integer division = Spark div
+    "graph_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.r // od.deg)::BIGINT AS s
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+           |  JOIN od ON od.src = e.src GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |    (150000 + (850000 * coalesce(c$i.s, 0)) // 1000000)::BIGINT AS r
+           |  FROM nodes n LEFT JOIN c$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_partkey::BIGINT AS src,
+         |                  (l_suppkey + 10000000)::BIGINT AS dst
+         |           FROM lineitem),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+         |$iters
+         |SELECT node, r AS rank_micro FROM r5""".stripMargin
+    },
 
     "dedup_shingle_dupfrac" ->
       s"""$basesCte,

@@ -96,4 +96,27 @@ class GraphSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(kept === Set(1L, 4L))
   }
+
+  test("integer PageRank: hubs outrank leaves, deterministic, bounded") {
+    // star into node 10 plus a chain: 1..5 → 10, 10 → 20
+    val edges = (Seq((10L, 20L)) ++ (1L to 5L).map(i => (i, 10L))).toDF("src", "dst")
+    val r = graft.ops.Graph.pageRankInt(edges, "src", "dst", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    // sources with no in-edges sit at the damping floor
+    (1L to 5L).foreach(i => assert(r(i) === 150000L))
+    // the hub collects five contributions; the sink inherits the hub's
+    // FULL rank (outdeg 1) plus its own damping floor, so chain order is
+    // leaf < hub < sink — exact values from the closed form
+    assert(r(10L) === 150000L + 850000L * 5L * 150000L / 1000000L)
+    assert(r(20L) === 150000L + 850000L * r(10L) / 1000000L)
+    assert(r(1L) < r(10L) && r(10L) < r(20L), s"$r")
+    // iteration count changes values (power iteration is actually iterating)
+    val r1 = graft.ops.Graph.pageRankInt(edges, "src", "dst", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(20L) !== r(20L))
+    // layout-independent (exact integer arithmetic end to end)
+    val again = graft.ops.Graph.pageRankInt(edges.repartition(5), "src", "dst",
+      iterations = 5).as[(Long, Long)].collect().toMap
+    assert(again === r)
+  }
 }
