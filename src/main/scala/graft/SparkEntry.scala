@@ -59,5 +59,6 @@ object SparkEntry {
     // posting stats, z-order keys
     "text_bigram_top", "dedup_semantic_kept", "j_bloom_prune",
     "q7_volume_shipping", "text_postings", "layout_zorder",
-    "cdc_snapshot_diff", "sample_oversample", "link_golden_record")
+    "cdc_snapshot_diff", "sample_oversample", "link_golden_record",
+    "graph_pagerank", "j_fuzzy_blocked", "sample_epoch_shuffle")
 }
