@@ -57,6 +57,36 @@ object CustomState {
       }
   }
 
+  /** [[emitOnChange]] re-expressed on Spark 4's `transformWithState` — the
+    * successor arbitrary-state API (typed state variables, timers, TTL,
+    * RocksDB-backed). Semantics are identical (CustomStateSpec asserts
+    * parity); kept alongside the flatMapGroupsWithState form so both
+    * extension points stay exercised. Requires the RocksDB state store
+    * provider (the caller sets
+    * `spark.sql.streaming.stateStore.providerClass`; the spec does).
+    */
+  def emitOnChangeTws(ds: Dataset[(String, String)]): Dataset[(String, String)] = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    implicit val tupleEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stringEnc: Encoder[String] = Encoders.STRING
+    class EmitOnChange extends StatefulProcessor[String, (String, String), (String, String)] {
+      @transient private var last: ValueState[String] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        last = getHandle.getValueState[String]("last", Encoders.STRING, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, String)],
+          timerValues: TimerValues): Iterator[(String, String)] = {
+        var prev = if (last.exists()) Some(last.get()) else None
+        val out = rows.flatMap { case (_, v) =>
+          if (!prev.contains(v)) { prev = Some(v); Some(key -> v) } else None
+        }.toVector
+        prev.foreach(last.update)
+        out.iterator
+      }
+    }
+    ds.groupByKey(_._1)
+      .transformWithState(new EmitOnChange, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming golden record: per key, maintain each attribute's value
     * from the highest-priority row that had it non-null — the streaming
     * twin of [[graft.ops.Fuzzy.goldenRecords]], same unique-priority

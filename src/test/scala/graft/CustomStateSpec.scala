@@ -48,6 +48,33 @@ class CustomStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState twin of emit-on-change matches its semantics") {
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, String)]
+    val q = CustomState.emitOnChangeTws(in.toDS())
+      .toDF("k", "v")
+      .writeStream.format("memory").queryName("eoc_tws").outputMode("update").start()
+    try {
+      in.addData(("k1", "v1")); q.processAllAvailable()
+      in.addData(("k1", "v1")); q.processAllAvailable()   // no change → no emit
+      in.addData(("k1", "v2")); q.processAllAvailable()   // change → emit
+      in.addData(("k2", "x")); q.processAllAvailable()
+      val rows = spark.table("eoc_tws").as[(String, String)].collect().toSeq
+      assert(rows.count(_ == ("k1", "v1")) === 1)
+      assert(rows.count(_ == ("k1", "v2")) === 1)
+      assert(rows.count(_._1 == "k2") === 1)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming golden record: newest non-null wins, late rows only fill gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Long, Map[String, String])]
