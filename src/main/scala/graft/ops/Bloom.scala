@@ -22,20 +22,28 @@ import graft.SqlIdent
   */
 object Bloom {
 
-  /** Register the probe function + stable temp views for the SQL step. */
+  /** Monotone suffix so concurrent prunes in one session never clobber
+    * each other's temp views (deterministic — no Random).
+    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register the probe function + per-call temp views for the SQL step. */
   private def prune(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       expectedItems: Long, numBits: Long): DataFrame = {
     SqlIdent.column(bigKey); SqlIdent.column(smallKey)
     require(expectedItems > 0 && numBits > 0, "bloom sizing must be positive")
     val spark = big.sparkSession
     org.apache.spark.sql.graft.BloomOps.register(spark)
-    big.createOrReplaceTempView("graft_bloom_probe")
-    small.createOrReplaceTempView("graft_bloom_build")
+    val n = viewSeq.incrementAndGet()
+    val probeV = s"graft_bloom_probe_$n"
+    val buildV = s"graft_bloom_build_$n"
+    big.createOrReplaceTempView(probeV)
+    small.createOrReplaceTempView(buildV)
     spark.sql(
-      s"""SELECT p.* FROM graft_bloom_probe p
+      s"""SELECT p.* FROM $probeV p
          |WHERE graft_might_contain(
          |  (SELECT graft_bloom_agg(xxhash64($smallKey), ${expectedItems}L, ${numBits}L)
-         |   FROM graft_bloom_build),
+         |   FROM $buildV),
          |  xxhash64(p.$bigKey))""".stripMargin)
   }
 
