@@ -155,10 +155,11 @@ object Sampling {
     require(budget > 0, s"budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
     val h = h32(concat(col(idCol).cast("string"), lit("_" + salt)))
-    val w = Window.partitionBy(classCol).orderBy(h, col(idCol))
+    // both windows share ONE (partition, order) spec so they ride a single
+    // sort + exchange, not two
+    val w = Window.partitionBy(classCol).orderBy(col("__h"), col(idCol))
     df.select(col(classCol), col(idCol), col(tokenCol).cast("long").as("n_tok"), h.as("__h"))
-      .withColumn("cum_tok", sum("n_tok").over(
-        Window.partitionBy(classCol).orderBy(col("__h"), col(idCol))))
+      .withColumn("cum_tok", sum("n_tok").over(w))
       .withColumn("rn", row_number().over(w))
       .filter(col("cum_tok") <= budget || col("rn") === 1)
       .select(col(classCol), col(idCol), col("n_tok"), col("cum_tok"))
