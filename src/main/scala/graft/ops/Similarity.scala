@@ -242,6 +242,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** Per-group mean-pooled embedding (label centroids / chunk-to-doc
+    * pooling): element-wise mean over each group's vectors, emitted as
+    * (group, dim, mean) rows — the pooling step between chunk-level and
+    * doc-level embeddings, and the class-centroid input to
+    * nearest-centroid classification.
+    *
+    * Shape: posexplode → groupBy(group, dim) avg — partial-aggregated
+    * sums, shuffle rows = groups × dim (never corpus-sized). Means floored
+    * to 1e-6 (sum order over doubles is layout-dependent in the last ulps;
+    * the floor makes results comparable across engines and runs).
+    */
+  def meanPooled(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(groupCol, "dim")
+      .agg(floor6(avg("x")).as("mean"), count(lit(1)).as("n"))
+
   /** SemDeDup-style semantic dedup: cluster embeddings with the exact
     * quantized k-means ([[KMeans.fitAssign]] — deterministic, integer
     * arithmetic, oracle-reproducible), then inside each cluster drop every

@@ -50,6 +50,10 @@ object SimilarityQueries extends QueryModule {
       graft.ops.KMeans.fitAssign(emb(s, d), "embedding", "vec_id",
         k = 8, rounds = 2, scale = 1000)),
 
+    // chunk→doc / class-centroid pooling: element-wise mean per label
+    "emb_mean_pool" -> ((s, d) =>
+      Similarity.meanPooled(emb(s, d), "label", "embedding")),
+
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
     // kept ids (composes the oracle-exact k-means with pairwise cosine)
     "dedup_semantic_kept" -> ((s, d) =>
@@ -133,6 +137,16 @@ object SimilarityQueries extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "emb_kmeans_assign" -> kmeansSql(k = 8, rounds = 2, scale = 1000),
+
+    // avg of identical doubles; floor-to-micro absorbs summation-order ulps
+    "emb_mean_pool" ->
+      """SELECT label, u['dim'] AS dim,
+        |  floor(avg(u['x']) * 1000000) / 1000000.0 AS mean,
+        |  count(*) AS n
+        |FROM (SELECT label,
+        |        unnest(list_transform(range(len(v)), i -> {'dim': i, 'x': v[i+1]})) AS u
+        |      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))
+        |GROUP BY label, u['dim']""".stripMargin,
 
     // nested-WITH subquery reuses the exact k-means block; same floored
     // cosine guard as dedup_embedding_neardup

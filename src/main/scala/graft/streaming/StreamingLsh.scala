@@ -80,4 +80,37 @@ object StreamingLsh {
           docs.iterator.map(d => (d, key._1, rep))
       }
   }
+
+  /** Streaming EMBEDDING near-dup candidates: the same bucket-keyed
+    * min-id state machine over RP-LSH buckets of a vector stream (the
+    * incremental twin of [[graft.ops.Similarity.bucketedTopK]]'s candidate
+    * generation; multi-probe = call with `probes > 0` to also enter the
+    * Hamming-1 buckets, trading state entries for recall exactly like the
+    * batch multi-probe). A vector is a candidate iff any emitted row has
+    * `bucket_rep < vec_id`.
+    */
+  def embeddingBucketFirstSeen(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, planes: Int = 8, probes: Int = 0): Dataset[(Long, Int, Long)] = {
+    require(probes >= 0 && probes <= planes, s"probes must be in [0,$planes]")
+    val base = df.select(col(idCol).cast("long").as("vec_id"),
+      graft.ops.Similarity.lshBucket(col(vecCol), dim, planes).as("bucket"))
+    // probe list: home bucket + `probes` single-bit flips, exploded per row
+    val buckets =
+      if (probes == 0) base.select(col("vec_id"), col("bucket"))
+      else base.select(col("vec_id"), explode(array(
+        (col("bucket") +: (0 until probes).map(p =>
+          col("bucket").bitwiseXOR(lit(1 << p)))).toIndexedSeq: _*)).as("bucket"))
+    import buckets.sparkSession.implicits._
+    buckets.select(col("vec_id"), col("bucket").cast("int"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Int, rows: Iterator[(Long, Int)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toVector
+          val rep = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
+          state.update(rep)
+          ids.iterator.map(v => (v, bucket, rep))
+      }
+  }
 }

@@ -1,4 +1,5 @@
 package graft
+// (embedding-stream twin tested below alongside the text path)
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.StreamingLsh
@@ -52,5 +53,30 @@ class StreamingLshSpec extends SparkSpec {
     val inline = StreamingLsh.withBandKeys(docs, "text", "doc_id", 8, 2)
       .as[(Long, Int, String)].collect().toSet
     assert(inline === batch)
+  }
+
+  test("embedding stream: bucket-mates flag against the first-seen vector") {
+    implicit val ctx = spark.sqlContext
+    val dim = 8
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val a = v(1, 0.01, 0, 0, 0, 0, 0, 0)      // near-identical pair → same bucket
+    val a2 = v(0.99, 0.012, 0, 0, 0, 0, 0, 0)
+    val b = v(-1, -1, -1, -1, -1, -1, -1, -1) // far away
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingLsh.embeddingBucketFirstSeen(
+        input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", dim)
+      .toDF("vec_id", "bucket", "rep")
+      .writeStream.format("memory").queryName("emb_lsh").outputMode("append").start()
+    try {
+      input.addData((10L, a), (30L, b)); q.processAllAvailable()
+      input.addData((20L, a2)); q.processAllAvailable()  // cross-batch near-dup
+      val rows = spark.table("emb_lsh")
+        .as[(Long, Int, Long)].collect()
+      val byId = rows.groupBy(_._1)
+      // 20 lands in 10's bucket and sees 10 as representative
+      assert(byId(20L).exists(_._3 == 10L), s"$rows")
+      // first arrivals are their own representatives
+      assert(byId(10L).forall(_._3 == 10L) && byId(30L).forall(_._3 == 30L))
+    } finally q.stop()
   }
 }
