@@ -225,6 +225,32 @@ object JoinQueries extends QueryModule {
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
     }),
 
+    // TPC-H Q13-shaped customer order-count distribution: double
+    // aggregation with a left join keeping zero-order customers
+    "q13_order_distribution" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q18-shaped large-volume orders: HAVING subselect feeds a
+    // semi join, then the detail join re-aggregates
+    "q18_large_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 180L)
+        .select("l_orderkey", "sum_qty")
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    }),
+
     // TPC-H Q15-shaped top supplier: quarterly per-supplier revenue, keep
     // the argmax row(s) via a 1-row broadcast of the max — no global sort
     "q15_top_supplier" -> ((s, d) => {
@@ -463,6 +489,23 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity::BIGINT) > 180)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
