@@ -225,6 +225,28 @@ object JoinQueries extends QueryModule {
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
     }),
 
+    // TPC-H Q21-shaped waiting-supplier report: the double correlated
+    // subquery (EXISTS other-supplier line, NOT EXISTS other-supplier LATE
+    // line) decorrelated into one semi and one anti join on (order, ¬supp)
+    "q21_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderstatus")
+      val flagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val cand = flagged.filter(col("o_orderstatus") === "F" && col("late"))
+        .select(col("l_orderkey").as("ck"), col("l_suppkey").as("cs"))
+      val others = li.select(col("l_orderkey").as("xk"), col("l_suppkey").as("xs")).distinct()
+      val lateOthers = flagged.filter(col("late"))
+        .select(col("l_orderkey").as("yk"), col("l_suppkey").as("ys")).distinct()
+      cand
+        .join(others, col("ck") === col("xk") && col("cs") =!= col("xs"), "left_semi")
+        .join(lateOthers, col("ck") === col("yk") && col("cs") =!= col("ys"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), col("cs") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // TPC-H Q13-shaped customer order-count distribution: double
     // aggregation with a left join keeping zero-order customers
     "q13_order_distribution" -> ((s, d) => {
@@ -489,6 +511,22 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name""".stripMargin,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
