@@ -225,6 +225,22 @@ object JoinQueries extends QueryModule {
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
     }),
 
+    // TPC-H Q22-shaped dormant-capital report: scalar-subquery threshold
+    // (exact decimal average → one double) + anti join on orders
+    "q22_dormant_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val thr = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("thr"))
+      c.join(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+    }),
+
     // TPC-H Q21-shaped waiting-supplier report: the double correlated
     // subquery (EXISTS other-supplier line, NOT EXISTS other-supplier LATE
     // line) decorrelated into one semi and one anti join on (order, ¬supp)
@@ -511,6 +527,17 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH thr AS (
+        |  SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE AS thr
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |       sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal
+        |FROM customer, thr
+        |WHERE c_acctbal > thr.thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q21_waiting_supplier" ->
       """SELECT s_name, count(*) AS numwait
