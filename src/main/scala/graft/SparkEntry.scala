@@ -60,5 +60,6 @@ object SparkEntry {
     "text_bigram_top", "dedup_semantic_kept", "j_bloom_prune",
     "q7_volume_shipping", "text_postings", "layout_zorder",
     "cdc_snapshot_diff", "sample_oversample", "link_golden_record",
-    "graph_pagerank", "j_fuzzy_blocked", "sample_epoch_shuffle")
+    "graph_pagerank", "j_fuzzy_blocked", "sample_epoch_shuffle",
+    "q21_waiting_supplier")
 }
