@@ -25,6 +25,40 @@ class ApproxSpec extends SparkSpec {
     assert(a2 === a16, "HLL merge must be partition-layout independent")
   }
 
+  test("HLL sketches persist, merge incrementally, and estimate within rse") {
+    import org.apache.spark.sql.functions._
+    // two "days" with overlapping users: 1..3000 and 2001..5000
+    val d1 = (1L to 3000L).map(u => ("d1", u)).toDF("day", "user")
+    val d2 = (2001L to 5000L).map(u => ("d2", u)).toDF("day", "user")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    // build per-day sketches and PERSIST them — the raw data is now gone
+    graft.ops.Sketches.distinctSketches(d1.union(d2), Seq("day"), "user")
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    // per-day estimates
+    val perDay = graft.ops.Sketches.rollupEstimate(stored, Seq("day"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(perDay("d1") - 3000L) <= 150, s"$perDay")
+    assert(math.abs(perDay("d2") - 3000L) <= 150, s"$perDay")
+    // cross-day union answers the overlap question WITHOUT the raw data:
+    // true distinct = 5000 (not 6000 — 1000 users overlap)
+    val global = graft.ops.Sketches.rollupEstimate(stored, Seq.empty)
+      .collect().head.getLong(0)
+    assert(math.abs(global - 5000L) <= 250, s"global $global")
+    // incremental: sketching a NEW day and unioning with stored sketches
+    // equals sketching everything from scratch (merge associativity)
+    val d3 = (4500L to 6000L).map(u => ("d3", u)).toDF("day", "user")
+    val inc = graft.ops.Sketches.rollupEstimate(
+      stored.unionByName(
+        graft.ops.Sketches.distinctSketches(d3, Seq("day"), "user")), Seq.empty)
+      .collect().head.getLong(0)
+    val scratch = graft.ops.Sketches.rollupEstimate(
+      graft.ops.Sketches.distinctSketches(
+        d1.union(d2).union(d3), Seq("day"), "user"), Seq.empty)
+      .collect().head.getLong(0)
+    assert(inc === scratch, s"incremental $inc vs scratch $scratch")
+  }
+
   test("approx_percentile tracks the exact quantiles within accuracy bounds") {
     val df = spark.range(100000).select(col("id").cast("double").as("v"))
     val Seq(p50, p99) = df
