@@ -46,6 +46,16 @@ object StreamBench {
         graft.streaming.StreamingLsh.bucketFirstSeen(docs, "text", "doc_id")
           .toDF("doc_id", "band", "rep")
           .writeStream.format("noop").outputMode("append").start()
+      case "emblsh" =>
+        // streaming embedding near-dup: synthetic 16-dim vectors, 500
+        // distinct directions so buckets get real collisions
+        val vecs = src.select(col("value").as("vec_id"),
+          transform(sequence(lit(0), lit(15)),
+            i => sin(col("value") % 500 * (i + 1)).cast("float")).as("embedding"))
+        graft.streaming.StreamingLsh.embeddingBucketFirstSeen(
+            vecs, "embedding", "vec_id", dim = 16, planes = 8)
+          .toDF("vec_id", "bucket", "rep")
+          .writeStream.format("noop").outputMode("append").start()
       case "golden" =>
         // streaming golden-record merge: 10k entities, rotating sparse
         // attribute updates (each row carries one of three attrs)
