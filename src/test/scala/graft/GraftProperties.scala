@@ -315,6 +315,28 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** goldenRecords matches a brute-force survivorship reference: per
+    * cluster and attribute, the value of the highest-priority non-null row.
+    */
+  property("linkage.golden-records-match-reference") = {
+    val row = for {
+      c <- Gen.oneOf("x", "y"); pri <- Gen.choose(1L, 40L)
+      brand <- Gen.option(Gen.oneOf("a", "b", "c"))
+    } yield (c, pri, brand)
+    Prop.forAll(Gen.nonEmptyListOf(row)) { rowsRaw =>
+      // unique priorities per cluster (the documented totality contract)
+      val rows = rowsRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val got = graft.ops.Fuzzy.goldenRecords(
+        rows.toDF("c", "pri", "brand"), "c", "pri", Seq("brand"))
+        .collect().map(r => r.getString(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val winner = rs.filter(_._3.isDefined).sortBy(-_._2).headOption.flatMap(_._3)
+        c -> ((winner: Option[Any]), rs.size.toLong)
+      }
+      got == want
+    }
+  }
+
   /** Morton interleave is a bijection on [0,2^bits)²: decode ∘ encode = id,
     * and the reference bit-gather agrees.
     */
