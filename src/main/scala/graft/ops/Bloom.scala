@@ -39,12 +39,19 @@ object Bloom {
     val buildV = s"graft_bloom_build_$n"
     big.createOrReplaceTempView(probeV)
     small.createOrReplaceTempView(buildV)
-    spark.sql(
+    try spark.sql(
       s"""SELECT p.* FROM $probeV p
          |WHERE graft_might_contain(
          |  (SELECT graft_bloom_agg(xxhash64($smallKey), ${expectedItems}L, ${numBits}L)
          |   FROM $buildV),
          |  xxhash64(p.$bigKey))""".stripMargin)
+    finally {
+      // analysis is eager, so the returned plan no longer needs the views;
+      // dropping them keeps a long-lived session's catalog (and the plans
+      // the views pin) from growing with every prune call
+      spark.catalog.dropTempView(probeV)
+      spark.catalog.dropTempView(buildV)
+    }
   }
 
   /** Exact semi join with a bloom pre-filter: the bloom eliminates (1-fpp)

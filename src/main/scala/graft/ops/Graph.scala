@@ -221,10 +221,18 @@ object Graph {
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
       val sums = contrib.groupBy("node").agg(sum("c").as("s"))
+      // (damp * s) div 1e6 computed as the split form
+      //   damp * (s div 1e6) + (damp * (s mod 1e6)) div 1e6
+      // — exactly equal for s >= 0 (s = q*1e6 + r gives d*q + (d*r) div 1e6
+      // both ways) but the largest intermediate is d*r < 1e12 instead of
+      // d*s, which silently wraps Long in non-ANSI Spark once a node's
+      // summed contributions pass ~1.08e13 micro-units (extreme in-degree)
+      // while the DuckDB oracle would error — a latent divergence.
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(1000000L - dampMicro) +
-            expr(s"($dampMicro * coalesce(s, 0L)) div 1000000")).as("r"))
+            expr(s"$dampMicro * (coalesce(s, 0L) div 1000000) + " +
+              s"($dampMicro * (coalesce(s, 0L) % 1000000)) div 1000000")).as("r"))
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }

@@ -90,6 +90,10 @@ object Text {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // release the native zlib state at task end — finalization-only
+        // reclaim lets many short concurrent tasks pile up native memory
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = Option(text).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)

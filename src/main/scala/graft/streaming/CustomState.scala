@@ -110,19 +110,26 @@ object CustomState {
         (key: String, rows: Iterator[(String, Long, Map[String, String])],
          state: GroupState[AttrState]) =>
           var attrs = state.getOption.getOrElse(Map.empty: AttrState)
-          var changed = false
+          // dirtiness (persist) and emit-worthiness are distinct: a row
+          // re-asserting the SAME value at a HIGHER priority must persist
+          // the upgraded priority (or a later mid-priority row would wrongly
+          // overwrite it next batch), yet emits nothing — the merged record
+          // the reader sees is unchanged.
+          var valueChanged = false
+          var dirty = false
           rows.toSeq.sortBy(_._2).foreach { case (_, pri, row) =>
             row.foreach { case (a, v) =>
               if (v != null && attrs.get(a).forall(_._1 <= pri)) {
-                if (!attrs.get(a).map(_._2).contains(v)) changed = true
+                if (!attrs.get(a).map(_._2).contains(v)) valueChanged = true
+                if (!attrs.get(a).contains((pri, v))) dirty = true
                 attrs = attrs.updated(a, (pri, v))
               }
             }
           }
-          if (changed) {
-            state.update(attrs)
+          if (dirty) state.update(attrs)
+          if (valueChanged)
             Iterator.single(key -> attrs.map { case (a, (_, v)) => a -> v })
-          } else Iterator.empty
+          else Iterator.empty
       }
   }
 }

@@ -20,6 +20,15 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomOps {
 
+  /** Arity gate: a wrong-arg-count SQL call must surface as the analyzer's
+    * standard wrong-number-of-arguments error, not an
+    * IndexOutOfBoundsException from the children(i) access below.
+    */
+  private def checkArity(name: String, expected: Int, children: Seq[Expression]): Unit =
+    if (children.length != expected)
+      throw org.apache.spark.sql.errors.QueryCompilationErrors.wrongNumArgsError(
+        name, Seq(expected), children.length)
+
   /** graft_bloom_agg(xxhash64(k), estimatedNumItems, numBits) → binary.
     * The analyzer wraps a registered AggregateFunction in
     * AggregateExpression(Complete) itself.
@@ -27,13 +36,18 @@ object BloomOps {
   val aggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
-      (children: Seq[Expression]) =>
-        new BloomFilterAggregate(children.head, children(1), children(2)))
+      (children: Seq[Expression]) => {
+        checkArity("graft_bloom_agg", 3, children)
+        new BloomFilterAggregate(children.head, children(1), children(2))
+      })
 
   val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      (children: Seq[Expression]) => BloomFilterMightContain(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        checkArity("graft_might_contain", 2, children)
+        BloomFilterMightContain(children.head, children(1))
+      })
 
   /** Idempotent runtime registration of both functions. */
   def register(spark: SparkSession): Unit = {

@@ -29,6 +29,25 @@ class BloomSpec extends SparkSpec {
     assert(pruned.count() === small.count())
   }
 
+  test("prune leaves no temp views behind") {
+    val before = spark.catalog.listTables().filter("isTemporary").count()
+    val out = graft.ops.Bloom.semiJoinPruned(
+      (1L to 100L).toDF("k"), Seq(3L, 7L).toDF("bk"), "k", "bk")
+    assert(spark.catalog.listTables().filter("isTemporary").count() === before)
+    assert(out.count() === 2) // the plan still executes after the views drop
+  }
+
+  test("wrong arity surfaces as an analysis error, not IndexOutOfBounds") {
+    org.apache.spark.sql.graft.BloomOps.register(spark)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_might_contain(CAST(NULL AS BINARY))")
+    }
+    assert(ex.getMessage.toLowerCase.contains("parameter"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_agg(xxhash64('x')) FROM range(1)")
+    }
+  }
+
   test("innerJoinPruned preserves inner-join multiplicity") {
     val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
     val small = Seq((1L, 10.0), (1L, 20.0), (3L, 30.0)).toDF("bk", "w")

@@ -105,4 +105,30 @@ class CustomStateSpec extends SparkSpec {
       assert(spark.table("golden").count() === n)
     } finally q.stop()
   }
+
+  test("streaming golden record persists a priority upgrade carrying the same value") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Map[String, String])]
+    val q = CustomState.goldenRecordState(in.toDS())
+      .toDF("key", "merged")
+      .writeStream.format("memory").queryName("golden_pri").outputMode("update").start()
+    def latest: Map[String, String] =
+      spark.table("golden_pri").as[(String, Map[String, String])].collect().last._2
+    try {
+      in.addData(("e1", 5L, Map("brand" -> "b")))
+      q.processAllAvailable()
+      assert(latest === Map("brand" -> "b"))
+      // same value at HIGHER priority: no emit (merged record unchanged)...
+      val n = spark.table("golden_pri").count()
+      in.addData(("e1", 9L, Map("brand" -> "b")))
+      q.processAllAvailable()
+      assert(spark.table("golden_pri").count() === n)
+      // ...but the pri-9 claim must have been PERSISTED: a later pri-7 row
+      // must lose to it, matching the batch twin (max_by keeps b at pri 9)
+      in.addData(("e1", 7L, Map("brand" -> "c")))
+      q.processAllAvailable()
+      assert(spark.table("golden_pri").count() === n)
+      assert(latest === Map("brand" -> "b"))
+    } finally q.stop()
+  }
 }
