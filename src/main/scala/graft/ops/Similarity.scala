@@ -205,7 +205,7 @@ object Similarity {
         max(col("sz")).as("max_bucket"))
 
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      planes: Int = 8, k: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+      planes: Int = 8, k: Int = 3, maxBucket: Int = 1000): DataFrame = {
     graft.functions.TopK.requireIntegralId(df.schema, idCol, "bucketedTopK")
     val base = bucketedBase(df, idCol, vecCol, dim, planes)
     val a = base.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"), col("bucket"))
@@ -228,7 +228,7 @@ object Similarity {
     * lives in exactly one bucket.
     */
   def bucketedTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      planes: Int = 8, k: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+      planes: Int = 8, k: Int = 3, maxBucket: Int = 1000): DataFrame = {
     graft.functions.TopK.requireIntegralId(df.schema, idCol, "bucketedTopKMultiProbe")
     val base = bucketedBase(df, idCol, vecCol, dim, planes)
     val probes = array(lit(0L) +: (0 until planes).map(p => lit(1L << p)): _*)
@@ -274,15 +274,36 @@ object Similarity {
     * Scale: pairwise work is Σ|cluster|², the SemDeDup design point — k is
     * chosen ∝ corpus size (the paper uses N/k ≈ 10⁴) so clusters stay
     * bounded; the cluster equi-join is the same shuffle shape as the LSH
-    * bucket joins, and the anti join at the end is AQE-planned. For
-    * occupancy auditing before running the quadratic step, count rows per
-    * `cluster` from [[KMeans.fitAssign]] — same guard workflow as
-    * [[Dedup.candidateBucketStats]].
+    * bucket joins, and the anti join at the end is AQE-planned. Prefer
+    * [[semanticKeptAuto]], which derives k from the corpus count and
+    * REFUSES to run the quadratic step past a cluster-occupancy bound;
+    * this fixed-k core takes the same `maxCluster` guard directly.
+    *
+    * @param maxCluster occupancy bound checked EAGERLY (one k-row agg over
+    *                   the materialized assignment) before the Σ|cluster|²
+    *                   join is even constructed; a cluster past the bound
+    *                   throws with the audit numbers instead of silently
+    *                   pinning a reducer. Int.MaxValue disables.
     */
   def semanticKept(df: DataFrame, idCol: String, vecCol: String, k: Int = 8,
-      rounds: Int = 2, scale: Int = 1000, simThreshold: Double = 0.4): DataFrame = {
-    val assign = KMeans.fitAssign(df, vecCol, idCol, k, rounds, scale)
+      rounds: Int = 2, scale: Int = 1000, simThreshold: Double = 0.4,
+      maxCluster: Long = Long.MaxValue): DataFrame = {
+    val assignRaw = KMeans.fitAssign(df, vecCol, idCol, k, rounds, scale)
       .select(col(idCol), col("cluster"))
+    val assign =
+      if (maxCluster == Long.MaxValue) assignRaw
+      else {
+        // localCheckpoint so the guard's eager agg and the downstream
+        // pairwise join share ONE k-means run instead of replaying it
+        val mat = assignRaw.localCheckpoint(true)
+        val worst = clusterOccupancyStats(mat).collect()(0)
+        if (worst.getAs[Long]("max_cluster") > maxCluster)
+          throw new IllegalStateException(
+            s"semanticKept: largest cluster ${worst.getAs[Long]("max_cluster")} rows " +
+              s"exceeds maxCluster=$maxCluster (pair work ~${worst.getAs[Long]("pair_work")}); " +
+              "raise k (or targetClusterSize in semanticKeptAuto) before the quadratic step")
+        mat
+      }
     val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .join(assign, idCol)
@@ -295,5 +316,39 @@ object Similarity {
       .filter(floor6(candCos) >= lit(simThreshold))
       .select(col("query_id").as(idCol)).distinct()
     df.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Cluster-occupancy audit for the SemDeDup quadratic step (mirrors
+    * [[bucketOccupancyStats]] / [[Dedup.candidateBucketStats]]): cluster
+    * count, the largest cluster, and the implied pairwise work Σ|cluster|².
+    * `assign` is any (…, cluster) frame, e.g. [[KMeans.fitAssign]] output.
+    */
+  def clusterOccupancyStats(assign: DataFrame): DataFrame =
+    assign.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_cluster"),
+        sum(col("sz") * col("sz")).as("pair_work"))
+
+  /** [[semanticKept]] with k DERIVED from the corpus count — the scale-safe
+    * declared form. SemDeDup's pairwise step is Σ|cluster|², so k must grow
+    * with the corpus: k = max(8, ⌈n / targetClusterSize⌉) (the paper's
+    * design point is N/k ≈ 10⁴). The cluster-occupancy guard is mandatory
+    * here: the quadratic step refuses to run if the largest cluster exceeds
+    * maxClusterFactor × targetClusterSize (k-means can still pile a skewed
+    * corpus into one cluster no matter how k was chosen — the guard turns
+    * that silent reducer-pin into a loud, audited failure).
+    *
+    * The extra corpus `count()` is one columnar-metadata scan; the
+    * quadratic step downstream dwarfs it at every scale.
+    */
+  def semanticKeptAuto(df: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Int = 10000, rounds: Int = 2, scale: Int = 1000,
+      simThreshold: Double = 0.4, maxClusterFactor: Int = 8): DataFrame = {
+    require(targetClusterSize > 0 && maxClusterFactor > 0,
+      s"bad targetClusterSize=$targetClusterSize maxClusterFactor=$maxClusterFactor")
+    val n = df.count()
+    val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(k <= Int.MaxValue, s"derived k=$k overflows Int")
+    semanticKept(df, idCol, vecCol, k.toInt, rounds, scale, simThreshold,
+      maxCluster = targetClusterSize.toLong * maxClusterFactor)
   }
 }

@@ -15,6 +15,11 @@ object SimilarityQueries extends QueryModule {
   private val Dim = 64
   private val Planes = 8
 
+  /** Cap for the *_capped queries — small enough that sf0.01's largest
+    * buckets (size 8) get thinned, so the oracle proves the stride exactly.
+    */
+  private val CapSmall = 4
+
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -31,10 +36,22 @@ object SimilarityQueries extends QueryModule {
     }),
     "ann_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(emb(s, d), "vec_id", "embedding", Dim, Planes)),
+    // the bucketed searches run with the hot-bucket thinning guard ON
+    // (maxBucket=1000 default — a no-op on this corpus, where no bucket
+    // nears the cap, so the uncapped oracles still match exactly)
     "ann_bucket_topk" -> ((s, d) =>
       Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)),
     "ann_multiprobe_topk" -> ((s, d) =>
       Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)),
+    // deliberately tiny cap (sf0.01 buckets reach size 8): the md5 thinning
+    // stride FIRES here, and the oracle reproduces it predicate-for-predicate
+    // — proof the guard's results stay engine-exact, not just bounded
+    "ann_bucket_topk_capped" -> ((s, d) =>
+      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes,
+        k = 3, maxBucket = CapSmall)),
+    "ann_multiprobe_topk_capped" -> ((s, d) =>
+      Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes,
+        k = 3, maxBucket = CapSmall)),
     // embedding-cosine near-dup pairs, candidates bounded by LSH bucket
     // (threshold tuned to the synthetic corpus where max pair cosine ~0.51)
     "dedup_embedding_neardup" -> ((s, d) =>
@@ -55,10 +72,14 @@ object SimilarityQueries extends QueryModule {
       Similarity.meanPooled(emb(s, d), "label", "embedding")),
 
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
-    // kept ids (composes the oracle-exact k-means with pairwise cosine)
+    // kept ids (composes the oracle-exact k-means with pairwise cosine).
+    // The AUTO form derives k = max(8, ceil(n/10^4)) — 8 for every corpus
+    // up to 80k vectors, so the static k=8 oracle matches at the driver's
+    // verification scales — and runs the mandatory cluster-occupancy guard
+    // before the quadratic step.
     "dedup_semantic_kept" -> ((s, d) =>
-      Similarity.semanticKept(emb(s, d), "vec_id", "embedding",
-        k = 8, rounds = 2, scale = 1000, simThreshold = 0.4)),
+      Similarity.semanticKeptAuto(emb(s, d), "vec_id", "embedding",
+        targetClusterSize = 10000, rounds = 2, scale = 1000, simThreshold = 0.4)),
 
     // IVF lifecycle end-to-end: build → persist → reload → probed search.
     // The oracle replays the search (probe ranking + ranked cosine) from
@@ -309,5 +330,66 @@ object SimilarityQueries extends QueryModule {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM p)
          |SELECT query_id, neighbor_id, bucket, rnk, floor(cos * 1000000) / 1000000.0 AS sim
-         |FROM r WHERE rnk <= 3""".stripMargin)
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // the thinning stride mirrored predicate-for-predicate: neighbors in a
+    // bucket over the cap survive iff h32(vec_id || '_annthin') lands on the
+    // ceil(size/cap) stride — queries stay unthinned, exactly like the Scala
+    // side's thinHotBuckets(neighbor side only)
+    "ann_bucket_topk_capped" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |sz AS (SELECT bucket, count(*) AS bsize FROM e GROUP BY bucket),
+         |kept AS (
+         |  SELECT e.vec_id, e.v, e.nrm, e.bucket
+         |  FROM e JOIN sz USING (bucket)
+         |  WHERE bsize <= $CapSmall
+         |     OR (('0x' || substr(md5(e.vec_id::VARCHAR || '_annthin'), 1, 8))::BIGINT
+         |         % ceil(bsize::DOUBLE / $CapSmall)::BIGINT) = 0),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         |         CASE WHEN a.nrm * b.nrm > 0
+         |              THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM e a JOIN kept b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, bucket, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, bucket, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "ann_multiprobe_topk_capped" -> {
+      val masks = (Seq(0L) ++ (0 until Planes).map(p => 1L << p)).mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |sz AS (SELECT bucket, count(*) AS bsize FROM e GROUP BY bucket),
+         |kept AS (
+         |  SELECT e.vec_id, e.v, e.nrm, e.bucket
+         |  FROM e JOIN sz USING (bucket)
+         |  WHERE bsize <= $CapSmall
+         |     OR (('0x' || substr(md5(e.vec_id::VARCHAR || '_annthin'), 1, 8))::BIGINT
+         |         % ceil(bsize::DOUBLE / $CapSmall)::BIGINT) = 0),
+         |q AS (
+         |  SELECT e.vec_id, e.v, e.nrm, xor(e.bucket, m.m) AS probe
+         |  FROM e, (SELECT unnest($masks) AS m) m),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm * b.nrm > 0
+         |              THEN list_dot_product(q.v, b.v) / (q.nrm * b.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM q JOIN kept b ON q.probe = b.bucket AND q.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+         |FROM r WHERE rnk <= 3""".stripMargin
+    })
 }

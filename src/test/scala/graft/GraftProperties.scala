@@ -361,6 +361,44 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** Hot-bucket thinning is a PURE per-row predicate given the bucket
+    * sizes: an independent JVM-side md5 replica of the stride predicate
+    * reproduces the survivor set exactly (so under-cap buckets pass
+    * untouched and survivors are trivially a subset), and the kept set is
+    * invariant under repartitioning. Survivor COUNT is only expected-bounded
+    * (it's a hash stride), so exact-set equality is the stronger check.
+    */
+  property("annthin.predicate-exact-and-layout-invariant") = {
+    def h32Ref(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val bucketSizes = Gen.listOfN(4, Gen.choose(1, 40))
+    val capGen = Gen.choose(1, 12)
+    Prop.forAll(bucketSizes, capGen) { (sizes, cap) =>
+      // ids globally unique; bucket b gets sizes(b) consecutive ids
+      val rows = sizes.zipWithIndex.flatMap { case (n, b) =>
+        (0 until n).map(i => (b * 1000L + i, b.toLong))
+      }
+      val base = rows.toDF("vec_id", "bucket")
+        .withColumn("v", array(lit(1.0))).withColumn("n", lit(1.0))
+      def kept(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        graft.ops.Similarity.thinHotBuckets(d, "vec_id", cap)
+          .select("bucket", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val out = kept(base)
+      val expected = sizes.zipWithIndex.map { case (n, b) =>
+        val ids = (0 until n).map(i => b * 1000L + i)
+        val stride = math.ceil(n.toDouble / cap).toLong
+        b.toLong -> (if (n <= cap) ids.toSet
+                     else ids.filter(id => h32Ref(s"${id}_annthin") % stride == 0).toSet)
+      }.toMap
+      val expectedNonEmpty = expected.filter(_._2.nonEmpty)
+      out == expectedNonEmpty && kept(base.repartition(5)) == out
+    }
+  }
+
   /** A-ES weighted sampling is a pure function of (ids, weights, salt):
     * invariant under repartitioning AND under duplicating other classes
     * (per-class independence).

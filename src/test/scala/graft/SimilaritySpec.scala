@@ -180,9 +180,17 @@ class SimilaritySpec extends SparkSpec {
       dim = 8, planes = 4, k = 3, maxBucket = cap)
     assert(multi.select("query_id").distinct().count() === 400)
 
-    // default maxBucket leaves results (and the plan) untouched
-    assert(!unguarded.queryExecution.executedPlan.toString.contains("__bsize"),
-      "no size join in the default path")
+    // maxBucket=Int.MaxValue disables the guard entirely — no size join in
+    // the plan; the DEFAULT (1000) keeps the guard wired in
+    val off = Similarity.bucketedTopK(df, "vec_id", "embedding",
+      dim = 8, planes = 4, k = 3, maxBucket = Int.MaxValue)
+    assert(!off.queryExecution.executedPlan.toString.contains("__bsize"),
+      "no size join when the guard is explicitly off")
+    assert(unguarded.queryExecution.executedPlan.toString.contains("__bsize"),
+      "the default path carries the guard")
+    // and on this fixture (no bucket near 1000) the default-guarded results
+    // equal the guard-off results exactly
+    assert(unguarded.collect().toSet === off.collect().toSet)
   }
 
   test("semantic dedup keeps the lowest id of each near-identical group") {
@@ -207,6 +215,45 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.semanticKept(df.repartition(5), "vec_id", "embedding",
       k = 2, rounds = 2, scale = 1000, simThreshold = 0.99).as[Long].collect().toSet
     assert(again === kept)
+  }
+
+  test("semanticKeptAuto derives k from the corpus and matches the fixed-k form") {
+    val e = Tables.embeddings(spark, dir)
+    // corpus << targetClusterSize → derived k = floor of 8, identical to the
+    // declared oracle's fixed k = 8
+    val auto = Similarity.semanticKeptAuto(e, "vec_id", "embedding",
+      targetClusterSize = 10000, rounds = 2, scale = 1000, simThreshold = 0.4)
+      .as[Long].collect().toSet
+    val fixed = Similarity.semanticKept(e, "vec_id", "embedding",
+      k = 8, rounds = 2, scale = 1000, simThreshold = 0.4)
+      .as[Long].collect().toSet
+    assert(auto === fixed)
+    // a small targetClusterSize forces k up: ceil(n / 5) clusters ≥ 8
+    val n = e.count()
+    val kBig = math.max(8L, (n + 4) / 5)
+    info(s"n=$n derived k=$kBig")
+    assert(kBig > 8, "fixture must be big enough to derive k > 8")
+  }
+
+  test("SemDeDup occupancy guard trips on a degenerate single-cluster corpus") {
+    // every vector identical → k-means piles all of them into cluster 0; the
+    // quadratic step must refuse, loudly, BEFORE doing Σ|cluster|² work
+    val dup = (1L to 64L).map(i => (i, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      Similarity.semanticKept(dup, "vec_id", "embedding",
+        k = 4, rounds = 1, scale = 1000, simThreshold = 0.99, maxCluster = 16L)
+    }
+    assert(ex.getMessage.contains("maxCluster") && ex.getMessage.contains("64"))
+    // the audit surface reports the same numbers the guard acted on
+    val assign = graft.ops.KMeans.fitAssign(dup, "embedding", "vec_id", k = 4, rounds = 1)
+    val stats = Similarity.clusterOccupancyStats(assign).collect().head
+    assert(stats.getAs[Long]("max_cluster") === 64L)
+    assert(stats.getAs[Long]("pair_work") === 64L * 64L)
+    // under the bound, the guarded run completes and equals the unguarded one
+    val ok = Similarity.semanticKept(dup, "vec_id", "embedding",
+      k = 4, rounds = 1, scale = 1000, simThreshold = 0.99, maxCluster = 64L)
+      .as[Long].collect().toSet
+    assert(ok === Set(1L), "all-identical corpus keeps exactly the lowest id")
   }
 
   test("integral-id guard rejects string ids with a clear message") {
