@@ -21,12 +21,37 @@ object Fuzzy {
     * [minDist, maxDist]. `idCol` may be any orderable type (string ids
     * fine — ordering only needs `<`). minDist = 1 excludes exact
     * duplicates, which [[Dedup.exactDupGroups]] already handles cheaper.
+    *
+    * ENFORCED hot-block cap (same discipline as
+    * [[Similarity.thinHotBuckets]] / the minhash candidate caps — a
+    * degenerate blocking key is otherwise a cross join): the RIGHT side of
+    * a block larger than `maxBlock` is thinned deterministically by id
+    * hash (keep iff h32(id·salt) lands on the ceil(size/maxBlock) stride),
+    * bounding expected pair fan-out per block to ~size × maxBlock while
+    * every left-side row still meets a uniform sample of its block-mates.
+    * Only OVER-cap blocks enter the (broadcast) size lookup, so the
+    * broadcast is bounded by the hot-block count, not the block-key
+    * cardinality. Audit what was thinned with [[blockStats]];
+    * `Int.MaxValue` disables.
     */
   def blockedEditPairs(df: DataFrame, textCol: String, idCol: String,
-      block: Column, maxDist: Int, minDist: Int = 0): DataFrame = {
+      block: Column, maxDist: Int, minDist: Int = 0,
+      maxBlock: Int = 1000): DataFrame = {
     require(maxDist >= minDist && minDist >= 0, s"bad dist range [$minDist,$maxDist]")
     val a = df.select(block.as("blk"), col(textCol).as("text_a"), col(idCol).as("id_a"))
-    val b = df.select(block.as("blk"), col(textCol).as("text_b"), col(idCol).as("id_b"))
+    val bBase = df.select(block.as("blk"), col(textCol).as("text_b"), col(idCol).as("id_b"))
+    val b =
+      if (maxBlock == Int.MaxValue) bBase
+      else {
+        require(maxBlock > 0, s"maxBlock must be positive, got $maxBlock")
+        val hot = bBase.groupBy("blk").agg(count(lit(1)).as("__bsize"))
+          .filter(col("__bsize") > maxBlock)
+        val stride = ceil(col("__bsize").cast("double") / maxBlock).cast("long")
+        bBase.join(broadcast(hot), Seq("blk"), "left")
+          .filter(col("__bsize").isNull ||
+            pmod(Text.h32(concat(col("id_b").cast("string"), lit("_blkthin"))), stride) === 0)
+          .drop("__bsize")
+      }
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))

@@ -204,19 +204,25 @@ object Graph {
     * groupBy(dst) sum + a left join back to nodes — the standard
     * distributed PageRank shuffle shape; ranks/outdeg are node-sized.
     * `iterations` is a fixed small constant (power iteration converges
-    * geometrically), so the lineage stays shallow.
+    * geometrically), so the lineage stays shallow; past
+    * `checkpointInterval` iterations the rank lineage is truncated
+    * (`localCheckpoint`, same discipline as [[connectedComponents]]) so
+    * plan depth — and Catalyst re-analysis cost — stays CONSTANT in
+    * `iterations` instead of growing linearly.
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, dampMicro: Long = 850000L): DataFrame = {
+      iterations: Int = 5, dampMicro: Long = 850000L,
+      checkpointInterval: Int = 10): DataFrame = {
     require(iterations >= 0 && iterations <= 50, s"bad iterations $iterations")
     require(dampMicro >= 0 && dampMicro <= 1000000L, s"bad damping $dampMicro")
+    require(checkpointInterval > 0, s"bad checkpointInterval $checkpointInterval")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e.join(ranks, col("src") === col("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
@@ -233,6 +239,8 @@ object Graph {
           (lit(1000000L - dampMicro) +
             expr(s"$dampMicro * (coalesce(s, 0L) div 1000000) + " +
               s"($dampMicro * (coalesce(s, 0L) % 1000000)) div 1000000")).as("r"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }

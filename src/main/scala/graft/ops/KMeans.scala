@@ -98,17 +98,35 @@ object KMeans {
       .select(col("c"), coalesce(col("cent"), col("prev_cent")).as("cent"))
   }
 
+  /** Lineage discipline for the Lloyd loop: the centroid frame (k rows —
+    * tiny) accretes one assign+update plan layer per round, so past
+    * `checkpointInterval` rounds it is truncated with an eager
+    * `localCheckpoint` — plan depth (and Catalyst re-analysis cost) stays
+    * constant in `rounds`, same discipline as
+    * [[Graph.connectedComponents]]. At the default 2 rounds nothing
+    * triggers and the whole fit stays lazy.
+    */
+  private def lloyd(q: DataFrame, idCol: String, k: Int, rounds: Int,
+      checkpointInterval: Int): DataFrame = {
+    var cents = initCentroids(q, idCol, k)
+    for (r <- 1 to rounds) {
+      cents = update(assign(q, cents, idCol), cents)
+      if (r % checkpointInterval == 0 && r < rounds)
+        cents = cents.localCheckpoint(true)
+    }
+    cents
+  }
+
   /** `rounds` Lloyd iterations from the deterministic init, then a final
     * assignment: (idCol, cluster, d2) with d2 the exact integer squared
     * distance in micro-units².
     */
   def fitAssign(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
-      rounds: Int = 2, scale: Int = 1000): DataFrame = {
+      rounds: Int = 2, scale: Int = 1000, checkpointInterval: Int = 10): DataFrame = {
     require(k > 0 && rounds >= 0 && scale > 0, s"bad k=$k rounds=$rounds scale=$scale")
+    require(checkpointInterval > 0, s"bad checkpointInterval $checkpointInterval")
     val q = quantize(df, vecCol, idCol, scale)
-    var cents = initCentroids(q, idCol, k)
-    for (_ <- 0 until rounds)
-      cents = update(assign(q, cents, idCol), cents)
+    val cents = lloyd(q, idCol, k, rounds, checkpointInterval)
     assign(q, cents, idCol).select(col(idCol), col("cluster"), col("d2"))
   }
 
@@ -116,11 +134,8 @@ object KMeans {
     * `rounds` iterations — for handoff to IVF list building or audit.
     */
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
-      rounds: Int = 2, scale: Int = 1000): DataFrame = {
+      rounds: Int = 2, scale: Int = 1000, checkpointInterval: Int = 10): DataFrame = {
     val q = quantize(df, vecCol, idCol, scale)
-    var cents = initCentroids(q, idCol, k)
-    for (_ <- 0 until rounds)
-      cents = update(assign(q, cents, idCol), cents)
-    cents
+    lloyd(q, idCol, k, rounds, checkpointInterval)
   }
 }

@@ -58,6 +58,33 @@ class FuzzySpec extends SparkSpec {
     assert(again === g)
   }
 
+  test("hot-block cap thins a poison block, leaves sane blocks exact") {
+    // poison block: 40 near-identical names under one blocking key, plus a
+    // small healthy block — the degenerate-key scenario the cap exists for
+    val poison = (1L to 40L).map(i => (i, f"aacme corp $i%02d"))
+    val sane = Seq((100L, "zeta llc"), (101L, "zeta lcc"), (102L, "zeta ltd"))
+    val df = (poison ++ sane).toDF("id", "name")
+    val blk = substring(col("name"), 1, 1)
+    def pairs(maxBlock: Int) =
+      graft.ops.Fuzzy.blockedEditPairs(df, "name", "id", blk,
+        maxDist = 4, minDist = 1, maxBlock = maxBlock)
+        .as[(Long, Long, Long)].collect().toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(4)
+    // thinned pairs are a SUBSET with identical distances
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size, "the cap must actually thin the poison block")
+    // the healthy z-block is untouched: all 3 of its pairs survive
+    val zPairs = uncapped.filter(_._1 >= 100L)
+    assert(zPairs.size === 3 && zPairs.subsetOf(capped))
+    // deterministic across layouts
+    val again = graft.ops.Fuzzy.blockedEditPairs(df.repartition(7), "name", "id", blk,
+      maxDist = 4, minDist = 1, maxBlock = 4).as[(Long, Long, Long)].collect().toSet
+    assert(again === capped)
+    // the default cap (1000) is a no-op at this size — results stay exact
+    assert(pairs(1000) === uncapped)
+  }
+
   test("blockStats surfaces quadratic blocks largest-first") {
     val st = graft.ops.Fuzzy.blockStats(people, substring(col("name"), 1, 1))
       .as[(String, Long, Long)].collect()

@@ -119,4 +119,38 @@ class GraphSpec extends SparkSpec {
       iterations = 5).as[(Long, Long)].collect().toMap
     assert(again === r)
   }
+
+  test("pageRank plan depth is constant past the checkpoint interval") {
+    val edges = (Seq((10L, 20L)) ++ (1L to 5L).map(i => (i, 10L))).toDF("src", "dst")
+    def planNodes(iters: Int): Int =
+      graft.ops.Graph.pageRankInt(edges, "src", "dst", iterations = iters,
+        checkpointInterval = 3).queryExecution.optimizedPlan.collect { case n => n }.size
+    // 5 and 8 iterations both sit 2 rounds past their last checkpoint —
+    // identical residual plan, so node count must NOT grow with iterations
+    val (n5, n8) = (planNodes(5), planNodes(8))
+    assert(n5 === n8, s"plan grew with iterations: $n5 vs $n8")
+    // truncation changes nothing numerically: interval inside vs beyond the
+    // iteration count gives identical ranks
+    val trunc = graft.ops.Graph.pageRankInt(edges, "src", "dst",
+      iterations = 5, checkpointInterval = 3).as[(Long, Long)].collect().toMap
+    val lazyAll = graft.ops.Graph.pageRankInt(edges, "src", "dst",
+      iterations = 5, checkpointInterval = 100).as[(Long, Long)].collect().toMap
+    assert(trunc === lazyAll)
+  }
+
+  test("k-means plan depth is constant past the checkpoint interval") {
+    val pts = (0L to 15L).map(i => (i, Seq((i % 4).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    def planNodes(rounds: Int): Int =
+      graft.ops.KMeans.fitAssign(pts, "embedding", "vec_id", k = 2, rounds = rounds,
+        checkpointInterval = 3).queryExecution.optimizedPlan.collect { case n => n }.size
+    val (n5, n8) = (planNodes(5), planNodes(8))
+    assert(n5 === n8, s"plan grew with rounds: $n5 vs $n8")
+    // truncated assignments match the fully-lazy run exactly
+    val a = graft.ops.KMeans.fitAssign(pts, "embedding", "vec_id", k = 2, rounds = 5,
+      checkpointInterval = 3).as[(Long, Long, Long)].collect().toSet
+    val b = graft.ops.KMeans.fitAssign(pts.repartition(5), "embedding", "vec_id",
+      k = 2, rounds = 5, checkpointInterval = 100).as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
