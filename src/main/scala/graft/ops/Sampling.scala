@@ -146,19 +146,46 @@ object Sampling {
     * temperatureMixture's rate floor).
     *
     * Scale: one cumulative-sum window partitioned BY CLASS in hash order —
-    * reducer state is a running long, partition size is the class (the
-    * usual per-key window contract; for one giant class, pre-filter with
-    * [[hashSample]] to thin before the exact budget pass).
+    * reducer state is a running long, partition size is the class. A class
+    * far larger than its budget would still sort in full on one reducer, so
+    * `preSampleOver` makes the documented pre-thin MECHANICAL: classes with
+    * more than that many rows are first thinned by a deterministic md5
+    * stride (same discipline as [[graft.ops.Similarity.thinHotBuckets]]) to
+    * ~preSampleOver rows before the exact budget window. The class's FIRST
+    * doc in hash order always survives the thin (its identity comes from a
+    * cheap mergeable min-struct agg, not a window), so the
+    * never-empty-a-class guarantee is unchanged. Only OVER-threshold
+    * classes enter the broadcast lookup. The kept prefix of a thinned
+    * class walks the same hash order, just sparser — still reproducible on
+    * any layout. Long.MaxValue (default) disables.
     */
   def tokenBudgetPerClass(df: DataFrame, classCol: String, idCol: String,
-      tokenCol: String, budget: Long, salt: String = "s0"): DataFrame = {
+      tokenCol: String, budget: Long, salt: String = "s0",
+      preSampleOver: Long = Long.MaxValue): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
     val h = h32(concat(col(idCol).cast("string"), lit("_" + salt)))
+    val base = df.select(col(classCol), col(idCol),
+      col(tokenCol).cast("long").as("n_tok"), h.as("__h"))
+    val thinned =
+      if (preSampleOver == Long.MaxValue) base
+      else {
+        require(preSampleOver > 0, s"preSampleOver must be positive, got $preSampleOver")
+        val hot = base.groupBy(classCol).agg(
+            count(lit(1)).as("__csize"),
+            min(struct(col("__h"), col(idCol).as("__id"))).as("__first"))
+          .filter(col("__csize") > preSampleOver)
+        val stride = ceil(col("__csize").cast("double") / preSampleOver).cast("long")
+        base.join(broadcast(hot), Seq(classCol), "left")
+          .filter(col("__csize").isNull ||
+            (col("__first.__h") === col("__h") && col("__first.__id") === col(idCol)) ||
+            pmod(h32(concat(col(idCol).cast("string"), lit(s"_${salt}_pre"))), stride) === 0)
+          .select(col(classCol), col(idCol), col("n_tok"), col("__h"))
+      }
     // both windows share ONE (partition, order) spec so they ride a single
     // sort + exchange, not two
     val w = Window.partitionBy(classCol).orderBy(col("__h"), col(idCol))
-    df.select(col(classCol), col(idCol), col(tokenCol).cast("long").as("n_tok"), h.as("__h"))
+    thinned
       .withColumn("cum_tok", sum("n_tok").over(w))
       .withColumn("rn", row_number().over(w))
       .filter(col("cum_tok") <= budget || col("rn") === 1)

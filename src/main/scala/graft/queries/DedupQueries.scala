@@ -35,6 +35,14 @@ object DedupQueries extends QueryModule {
     "dedup_cc_kept" -> ((s, d) =>
       Dedup.dropNearDuplicatesCC(docs(s, d), "text", "doc_id", minJaccard = 0.5)
         .select("doc_id")),
+    // the O(log n) large-star/small-star CC over the SAME pair graph — its
+    // oracle is literally dedup_cc_clusters', pinning cross-algorithm
+    // equivalence through the DuckDB gate (not just the ScalaCheck property)
+    "dedup_cc_star" -> ((s, d) =>
+      graft.ops.Graph.connectedComponentsStar(
+        Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5),
+        "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))),
     "dedup_shingle_dupfrac" -> ((s, d) =>
       Dedup.duplicateShingleFraction(docs(s, d), "text", "doc_id")),
     // leakage-safe split: near-dup clusters never straddle train/eval
@@ -216,6 +224,11 @@ object DedupQueries extends QueryModule {
          |FROM jc WHERE j >= 0.5""".stripMargin,
 
     "dedup_cc_clusters" ->
+      s"""$reachCte
+         |SELECT nid AS doc_id, min(lbl)::BIGINT AS cluster_id
+         |FROM reach GROUP BY nid""".stripMargin,
+
+    "dedup_cc_star" ->
       s"""$reachCte
          |SELECT nid AS doc_id, min(lbl)::BIGINT AS cluster_id
          |FROM reach GROUP BY nid""".stripMargin,

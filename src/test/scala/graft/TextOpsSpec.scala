@@ -373,6 +373,42 @@ class TextOpsSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2)).toSeq === out.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("token budget pre-thin: giant class bounded, small classes exact, first doc kept") {
+    // one dominant class (10k rows) beside a small one — the giant-class
+    // reducer scenario the preSampleOver guard exists for
+    val rows = (1L to 10000L).map(i => (i, "giant", 50L)) ++
+      (20001L to 20020L).map(i => (i, "small", 100L))
+    val df = rows.toDF("id", "cls", "toks")
+    def run(pre: Long) = graft.ops.Sampling.tokenBudgetPerClass(
+      df, "cls", "id", "toks", budget = 100000L, salt = "s0", preSampleOver = pre)
+      .as[(String, Long, Long, Long)].collect()
+    val full = run(Long.MaxValue)
+    val thinned = run(500L)
+    // the small class is untouched by the pre-thin
+    assert(thinned.filter(_._1 == "small").sortBy(_._2).toSeq ===
+      full.filter(_._1 == "small").sortBy(_._2).toSeq)
+    // the giant class window saw ~500 rows, not 10k: kept count is bounded
+    // by what survived the stride (and still respects the budget)
+    val g = thinned.filter(_._1 == "giant")
+    assert(g.nonEmpty && g.map(_._4).max <= 100000L)
+    assert(g.length < full.count(_._1 == "giant"),
+      "pre-thin must bite on the giant class")
+    // the FULL class's first doc in hash order survives the thin: the
+    // budget=1 degenerate keeps exactly that doc, thinned or not
+    val first = graft.ops.Sampling.tokenBudgetPerClass(
+      df, "cls", "id", "toks", budget = 1L).as[(String, Long, Long, Long)]
+      .collect().filter(_._1 == "giant").map(_._2).toSet
+    val firstThinned = graft.ops.Sampling.tokenBudgetPerClass(
+      df, "cls", "id", "toks", budget = 1L, preSampleOver = 500L)
+      .as[(String, Long, Long, Long)].collect().filter(_._1 == "giant").map(_._2).toSet
+    assert(firstThinned === first, "first-in-hash-order doc must survive the pre-thin")
+    // deterministic across layouts
+    val again = graft.ops.Sampling.tokenBudgetPerClass(df.repartition(13), "cls", "id",
+      "toks", budget = 100000L, preSampleOver = 500L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq === thinned.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("pack offsets: every span extracts its exact document from the packed text") {
     val df = (1L to 120L)
       .map(i => (i, s"doc$i " + ("x" * (i % 37).toInt), 5L + (i % 37)))

@@ -67,6 +67,55 @@ class WindowStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W3 streaming: sessions grow and merge across batches (complete mode); update mode is rejected") {
+    implicit val ctx = spark.sqlContext
+    def sessions(src: org.apache.spark.sql.DataFrame) = src
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window($"ts", "30 seconds").as("w"), $"kind")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"kind", unix_millis($"w.start").as("s_start"),
+        unix_millis($"w.end").as("s_end"), $"cnt")
+    // Spark pins session windows to append/complete: update mode is an
+    // analysis error (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION) — assert
+    // it so an engine upgrade that lifts the restriction is noticed
+    val inBad = MemoryStream[E]
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      sessions(inBad.toDF()).writeStream.format("memory")
+        .queryName("w3_bad").outputMode("update").start()
+    }
+    assert(ex.getMessage.contains("STREAMING_OUTPUT_MODE"))
+    // complete mode shows the per-batch PARTIAL state: a session re-emits
+    // grown/merged as later events arrive inside the gap
+    val in = MemoryStream[E]
+    val q = sessions(in.toDF()).writeStream.format("memory")
+      .queryName("w3_complete").outputMode("complete").start()
+    try {
+      def rows = spark.table("w3_complete").as[(String, Long, Long, Long)].collect().toSeq
+      // batch 1: single event → partial session [t0, t0+30s), visible NOW
+      in.addData(E(at(0), "a", 1.0))
+      q.processAllAvailable()
+      assert(rows === Seq(("a", t0, t0 + 30000, 1L)))
+      // batch 2: +20s lands inside the gap → same session, end pushed out
+      in.addData(E(at(20), "a", 1.0))
+      q.processAllAvailable()
+      assert(rows === Seq(("a", t0, t0 + 50000, 2L)))
+      // batch 3: two events bridge the remaining gap → ONE merged session
+      in.addData(E(at(45), "a", 1.0), E(at(70), "a", 1.0))
+      q.processAllAvailable()
+      assert(rows === Seq(("a", t0, t0 + 100000, 4L)))
+      // final state equals the batch session_window over the same events —
+      // the same final-state-equivalence contract as the stream-stream joins
+      val batch = Seq((at(0), "a"), (at(20), "a"), (at(45), "a"), (at(70), "a"))
+        .toDF("ts", "kind")
+        .groupBy(session_window($"ts", "30 seconds").as("w"), $"kind")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"kind", unix_millis($"w.start").as("s_start"),
+          unix_millis($"w.end").as("s_end"), $"cnt")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("T2 at scale: aggregation runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
