@@ -61,5 +61,8 @@ object SparkEntry {
     "q7_volume_shipping", "text_postings", "layout_zorder",
     "cdc_snapshot_diff", "sample_oversample", "link_golden_record",
     "graph_pagerank", "j_fuzzy_blocked", "sample_epoch_shuffle",
-    "q21_waiting_supplier")
+    "q21_waiting_supplier",
+    // round-7 additions: guarded (thinned) bucketed ANN and the O(log n)
+    // star-CC alternative
+    "ann_bucket_topk_capped", "dedup_cc_star")
 }

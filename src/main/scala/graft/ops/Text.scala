@@ -418,6 +418,12 @@ object Text {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tok = df.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("t"))
       .filter(length(col("t")) > 0)
+    // dl and tf deliberately branch BEFORE aggregation: a shared (doc,term)
+    // pre-agg looks cheaper but Catalyst pushes tf's term filter through it
+    // into the scan, splitting the "shared" subplan and ADDING two
+    // exchanges (measured: 6 → 8). Here the tf branch filters tokens before
+    // its tiny (doc,term) agg, and dl's token-stream shuffle map-side
+    // combines to one row per (doc, partition) — the plan you want.
     val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
     val tf = tok.filter(col("t").isInCollection(queryTerms))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))

@@ -241,6 +241,91 @@ object JoinQueries extends QueryModule {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
     }),
 
+    // TPC-H Q8-shaped national market share: one nation's slice of a
+    // region+part-type market per order year — the case-sum / sum ratio
+    // over the deepest join tree in the suite (7 tables; every dim
+    // broadcast, only fact-fact shuffles). Numerator and denominator are
+    // EXACT decimal sums, cast to double only for the final division
+    // (then floor6 so a boundary ulp can't flip the hash).
+    "q8_market_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") <= lit("1996-12-31"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val volume = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(year(col("o_orderdate")).as("o_year"), volume.as("volume"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(graft.ops.Text.floor6(
+          sum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(col("volume")).cast("double")).as("mkt_share"))
+    }),
+
+    // TPC-H Q9-shaped product profit by supplier nation and order year.
+    // RESHAPED: the corpus has no partsupp table, so profit omits the
+    // ps_supplycost·l_quantity term and is pure discounted revenue — the
+    // structural content (LIKE part filter, supplier-nation rollup,
+    // per-year grouping over a 5-way join) is intact.
+    "q9_product_profit" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_name").like("%widget%"))
+        .select("p_partkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("nation"), year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(sum("amount").cast("double").as("sum_profit"))
+    }),
+
+    // TPC-H Q16-shaped supplier-relationship count. RESHAPED: supplier-part
+    // links come from DISTINCT lineitem (no partsupp table); the NOT IN
+    // denylist (anti join) and the count(DISTINCT supplier) per part
+    // attribute triple are the Q16 structure.
+    "q16_supplier_cnt" -> ((s, d) => {
+      val links = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#19" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val deny = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 5 === 0).select("s_suppkey")
+      links
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(deny), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
+
     // TPC-H Q21-shaped waiting-supplier report: the double correlated
     // subquery (EXISTS other-supplier line, NOT EXISTS other-supplier LATE
     // line) decorrelated into one semi and one anti join on (order, ¬supp)
@@ -527,6 +612,48 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         l_extendedprice::DECIMAL(18,2) *
+        |           (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS volume,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region   ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN part     ON l_partkey = p_partkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+        |SELECT o_year,
+        |  floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                 ELSE 0::DECIMAL(18,2) END)::DOUBLE
+        |        / sum(volume)::DOUBLE * 1000000) / 1000000.0 AS mkt_share
+        |FROM vol GROUP BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  sum(l_extendedprice::DECIMAL(18,2) *
+        |      (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#19' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 5 = 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
 
     "q22_dormant_customers" ->
       """WITH thr AS (

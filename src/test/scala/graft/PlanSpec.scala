@@ -11,6 +11,16 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf()).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Count shuffle exchanges on `key` (all keys if empty). Formatted mode
+    * prints each Exchange's partitioning on an `Arguments:` detail line —
+    * `Exchange hashpartitioning(...)` only appears in SIMPLE mode, so
+    * matching it here counts 0 for every plan (vacuous guard). Reused
+    * exchanges print as `ReusedExchange` without an Arguments line, so this
+    * counts DISTINCT shuffles, which is exactly what a reuse guard wants.
+    */
+  private def hashExchanges(p: String, key: String = ""): Int =
+    p.linesIterator.count(_.trim.startsWith(s"Arguments: hashpartitioning($key"))
+
   test("no headline query plans a cartesian product") {
     SparkEntry.benchQueries.foreach { q =>
       val p = plan(q)
@@ -86,6 +96,18 @@ class PlanSpec extends SparkSpec {
     // a shuffle there would serialize the whole corpus scan behind them
     assert(p.contains("BroadcastHashJoin"), "term-frequency join should broadcast")
     assert(!p.contains("CartesianProduct"), "corpus stats must broadcast, not cartesian")
+    // exchange-count pin (round-6 bench saw a +36% bm25 wobble; the plan
+    // was innocent — this makes sure it stays innocent): the only shuffles
+    // are the keyed aggregations, and extra exchanges mean a lost broadcast
+    // or lost exchange reuse
+    val exchanges = hashExchanges(p)
+    info(s"bm25 shuffle exchanges: $exchanges")
+    assert(exchanges > 0, "formatted-plan exchange counting went vacuous")
+    // 6 = dl agg, tf agg, dft agg, tf re-key to doc, scored agg, final join
+    // probe — the measured-good shape (1.07 s at sf0.1). A shared (doc,term)
+    // pre-agg variant measured WORSE (8 — term-filter pushdown splits the
+    // shared subplan); this pin catches both that and lost broadcasts.
+    assert(exchanges <= 6, s"$exchanges shuffle exchanges in bm25 — plan regressed")
   }
 
   test("boilerplate removal carries no broadcast hint on the sentence anti-join") {
@@ -136,8 +158,8 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window in ts_moving_avg:\n${specs.mkString("\n")}")
     // fill + moving-avg windows and the grid join all key by user_id; the
     // partitioning must be established once, not re-shuffled per stage
-    val exchanges = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(user_id"))
+    val exchanges = hashExchanges(p, "user_id")
+    assert(exchanges > 0, "formatted-plan exchange counting went vacuous")
     assert(exchanges <= 2, s"$exchanges user_id exchanges — expected reuse")
   }
 
