@@ -192,6 +192,27 @@ object Sampling {
       .select(col(classCol), col(idCol), col("n_tok"), col("cum_tok"))
   }
 
+  /** Keep the top `frac` of rows per class by `scoreCol` — the "top X% by
+    * quality per language/domain" selection rule — WITHOUT a per-class
+    * sort: the cutoff is the histogram-interpolated (1−frac) percentile
+    * from [[Stats.histogramPercentiles]] (two scans, every agg partial and
+    * mergeable, reducer state bounded by the bucket count), broadcast back
+    * and compared per row. The cutoff is a pure, floor6-stabilized function
+    * of (min, width, bucket counts), so both engines make identical keep
+    * calls. The kept fraction is approximate within one bucket width of
+    * the exact order statistic — the standard trade for not sorting a
+    * 100 TB class on one reducer.
+    */
+  def topFracByClass(df: DataFrame, classCol: String, scoreCol: String,
+      frac: Double, buckets: Int = 256): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val thr = Stats.histogramPercentiles(df, classCol, scoreCol,
+      Seq(("cut", 1.0 - frac)), buckets)
+    df.join(broadcast(thr), classCol)
+      .filter(col(scoreCol) >= col("p_cut"))
+      .drop("p_cut")
+  }
+
   /** Hard per-class cap: keep AT MOST `n` rows per class, chosen
     * deterministically by id-hash order (the "no more than N docs per
     * language/domain" mix rule, where a fraction can't bound the absolute

@@ -262,6 +262,13 @@ object RelationalQueries extends QueryModule {
         Tables.events(s, d), "event_type", "value",
         Seq(("50", 0.5), ("95", 0.95)), buckets = 256)),
 
+    // top-decile selection per class rides the SAME mergeable histogram
+    // threshold (no per-class sort at any scale)
+    "sample_top_frac" -> ((s, d) =>
+      graft.ops.Sampling.topFracByClass(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        "event_type", "value", frac = 0.1)),
+
     // Value histogram: fixed-width buckets, exact counts
     "stats_histogram" -> ((s, d) =>
       Tables.events(s, d)
@@ -460,6 +467,32 @@ object RelationalQueries extends QueryModule {
     // identical estimator arithmetic as ops.Stats.histogramPercentiles:
     // w=(mx-mn)/256, b=least(floor((v-mn)/w),255), t=p*n,
     // est = mn + w*(b + (t-below)/cnt) in the first bucket with cum >= t
+    "sample_top_frac" ->
+      """WITH r AS (SELECT event_type, "value" AS v FROM events WHERE "value" IS NOT NULL),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
+        |             (max(v) - min(v)) / 256.0 AS w
+        |      FROM r GROUP BY event_type),
+        |h AS (SELECT r.event_type,
+        |             CASE WHEN s.w = 0 THEN 0
+        |                  ELSE least(floor((r.v - s.mn) / s.w)::BIGINT, 255) END AS b,
+        |             count(*)::BIGINT AS cnt
+        |      FROM r JOIN s USING (event_type) GROUP BY 1, 2),
+        |c AS (SELECT h.*, sum(h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.b
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |      FROM h),
+        |sel AS (
+        |  SELECT c.event_type,
+        |         floor((CASE WHEN s.w = 0 THEN s.mn
+        |                ELSE s.mn + s.w * (c.b::DOUBLE +
+        |                     (0.9 * s.n::DOUBLE - (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE)
+        |                END) * 1000000) / 1000000.0 AS p_cut
+        |  FROM c JOIN s USING (event_type)
+        |  WHERE c.cum::DOUBLE >= 0.9 * s.n::DOUBLE
+        |  QUALIFY row_number() OVER (PARTITION BY c.event_type ORDER BY c.b) = 1)
+        |SELECT e.event_type, e.event_id, e."value"
+        |FROM events e JOIN sel USING (event_type)
+        |WHERE e."value" >= sel.p_cut""".stripMargin,
+
     "stats_percentiles_hist" ->
       """WITH r AS (SELECT event_type, "value" AS v FROM events WHERE "value" IS NOT NULL),
         |s AS (SELECT event_type, count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,

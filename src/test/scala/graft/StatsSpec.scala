@@ -39,6 +39,39 @@ class StatsSpec extends SparkSpec {
     assert(got("b") === 42.0)
   }
 
+  test("topFracByClass keeps ~frac per class, threshold-consistent, no per-class sort") {
+    // two classes with different scales so per-class thresholds differ
+    val rows = (1L to 1000L).map(i => (i, "a", i.toDouble)) ++
+      (2001L to 2500L).map(i => (i, "b", (i - 2000).toDouble * 10))
+    val df = rows.toDF("id", "cls", "score")
+    val kept = graft.ops.Sampling.topFracByClass(df, "cls", "score", frac = 0.1)
+      .as[(String, Long, Double)].collect()
+    val byCls = kept.groupBy(_._1)
+    // kept fraction within one bucket width of the target (1000/256 ≈ 4 rows)
+    assert(math.abs(byCls("a").length - 100) <= 8, s"a kept ${byCls("a").length}")
+    assert(math.abs(byCls("b").length - 50) <= 8, s"b kept ${byCls("b").length}")
+    // threshold-consistency: every kept score beats every dropped score
+    // (scores here are unique per class, so the cut is clean)
+    val keptIds = kept.map(_._2).toSet
+    val dropped = rows.filterNot(r => keptIds.contains(r._1))
+    Seq("a", "b").foreach { c =>
+      val minKept = byCls(c).map(_._3).min
+      val maxDropped = dropped.filter(_._2 == c).map(_._3).max
+      assert(minKept > maxDropped, s"$c: kept $minKept <= dropped $maxDropped")
+    }
+    // frac = 1 keeps everything; layout-invariant
+    assert(graft.ops.Sampling.topFracByClass(df, "cls", "score", 1.0).count() === 1500)
+    val again = graft.ops.Sampling.topFracByClass(df.repartition(11), "cls", "score", 0.1)
+      .as[(String, Long, Double)].collect().map(_._2).toSet
+    assert(again === keptIds)
+    // scale shape: no window over the DATA — the only windows run on the
+    // bounded histogram (<= 256 rows per class)
+    val p = graft.ops.Sampling.topFracByClass(df, "cls", "score", 0.1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), "threshold must broadcast")
+  }
+
   test("approx sketch percentiles land within the estimator's ballpark") {
     val e = Tables.events(spark, sf()).filter(col("value").isNotNull)
     val sk = Stats.approxPercentiles(e, "event_type", "value", Seq(0.5, 0.95))
