@@ -609,6 +609,50 @@ object Text {
     * docs score NULL, surfaced rather than defaulted. Output stabilized to
     * 6 dp ([[floor6]]) for cross-engine comparability of log/division.
     */
+  /** Interpolated bigram language-model score per document — the stronger
+    * perplexity-style quality signal beside [[unigramLogProb]] (the classic
+    * Jelinek-Mercer two-gram mix): per doc, the mean over its bigrams of
+    *   ln( λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/total ).
+    * The unigram backoff term keeps unseen-context probabilities nonzero,
+    * so ln never sees 0. Counts are exact corpus integers; the float work
+    * is the same ln+avg+floor6 recipe the oracle already matches for the
+    * unigram model. Returns (id, n_bigrams, avg_logprob — null for docs
+    * with fewer than 2 tokens, mirroring SQL's empty-group avg).
+    *
+    * Scale: bigram/unigram count tables are keyed aggregations with
+    * map-side combine; the scoring joins are equi-joins on the vocab keys
+    * (never corpus-crossing); the only corpus-sized shuffle is the per-doc
+    * final agg. λ enters the oracle as the exact Scala double string, so
+    * both engines compute the identical IEEE expression tree.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val pairs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        (x, i) => struct(x.as("w1"), element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = df.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum("ucnt").as("total"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    val prob = lit(lambda) * col("bcnt").cast("double") / col("c1").cast("double") +
+      lit(1.0 - lambda) * col("c2").cast("double") / col("total").cast("double")
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("t").as("w1"), col("ucnt").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("ucnt").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg(log(prob)).as("raw"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        floor6(col("raw")).as("avg_logprob"))
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))

