@@ -326,6 +326,76 @@ object JoinQueries extends QueryModule {
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
     }),
 
+    // TPC-H Q2-shaped best-supplier-per-part: the correlated min-cost
+    // subquery decorrelated into a per-part arg-max. RESHAPED (no partsupp
+    // cost): supplier-part links come from distinct lineitem and "best" is
+    // the highest-acctbal EUROPE supplier, ties to the smallest suppkey —
+    // deterministic via one mergeable max_by on a lexicographic struct (no
+    // per-part sort).
+    "q2_best_supplier" -> ((s, d) => {
+      val links = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+        .select("p_partkey")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      links
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_partkey")
+        .agg(max_by(
+          struct(col("s_name"), col("n_name"), col("s_acctbal"), col("s_suppkey")),
+          struct(col("s_acctbal"), lit(Long.MaxValue) - col("s_suppkey"))).as("b"))
+        .select(col("p_partkey"), col("b.s_name").as("s_name"),
+          col("b.n_name").as("nation"), col("b.s_acctbal").as("s_acctbal"))
+    }),
+
+    // TPC-H Q11-shaped important stock: per-(nation, part) revenue whose
+    // share of the nation's total clears a fraction threshold — the
+    // HAVING-against-a-global-aggregate structure. RESHAPED: value comes
+    // from lineitem revenue (no partsupp); the threshold compare is EXACT
+    // (decimal·1000 vs decimal — no float division anywhere).
+    "q11_important_stock" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name").as("nation"))
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("amount"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val np = rev.groupBy("nation", "l_partkey").agg(sum("amount").as("val_np"))
+      val tot = rev.groupBy("nation").agg(sum("amount").as("tot_n"))
+      np.join(broadcast(tot), "nation")
+        .filter(col("val_np") * 1000 > col("tot_n"))
+        .select(col("nation"), col("l_partkey").as("p_partkey"),
+          col("val_np").cast("double").as("value"))
+    }),
+
+    // TPC-H Q20-shaped shipment concentration: suppliers who shipped MORE
+    // THAN HALF of a part's 1995 volume — the nested-aggregate threshold
+    // structure (Q20's 0.5·sum(qty) correlation) decorrelated into two
+    // keyed aggregations and an exact integer 2·qty_ps > qty_p compare.
+    "q20_part_concentration" -> ((s, d) => {
+      val li95 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+      val ps = li95.groupBy("l_partkey", "l_suppkey").agg(sum("qty").as("qty_ps"))
+      val pTot = li95.groupBy("l_partkey").agg(sum("qty").as("qty_p"))
+      ps.join(pTot, "l_partkey")
+        .filter(col("qty_ps") * 2 > col("qty_p"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_dominated_parts"), sum("qty_ps").as("qty_total"))
+    }),
+
     // TPC-H Q21-shaped waiting-supplier report: the double correlated
     // subquery (EXISTS other-supplier line, NOT EXISTS other-supplier LATE
     // line) decorrelated into one semi and one anti join on (order, ¬supp)
@@ -612,6 +682,55 @@ object JoinQueries extends QueryModule {
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    "q2_best_supplier" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT p_partkey, s_name, n_name AS nation, s_acctbal,
+        |         row_number() OVER (PARTITION BY p_partkey
+        |           ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN sup ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'STANDARD' AND p_size <= 15)
+        |SELECT p_partkey, s_name, nation, s_acctbal
+        |FROM cand WHERE rn = 1""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH rev AS (
+        |  SELECT n_name AS nation, l_partkey,
+        |         l_extendedprice::DECIMAL(18,2) *
+        |           (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS amount
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |np AS (SELECT nation, l_partkey, sum(amount) AS val_np
+        |       FROM rev GROUP BY nation, l_partkey),
+        |tot AS (SELECT nation, sum(amount) AS tot_n FROM rev GROUP BY nation)
+        |SELECT np.nation, l_partkey AS p_partkey, val_np::DOUBLE AS "value"
+        |FROM np JOIN tot USING (nation)
+        |WHERE val_np * 1000 > tot_n""".stripMargin,
+
+    "q20_part_concentration" ->
+      """WITH li95 AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity::BIGINT AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(qty)::BIGINT AS qty_ps
+        |       FROM li95 GROUP BY l_partkey, l_suppkey),
+        |pt AS (SELECT l_partkey, sum(qty)::BIGINT AS qty_p
+        |       FROM li95 GROUP BY l_partkey)
+        |SELECT s_name, count(*)::BIGINT AS n_dominated_parts,
+        |       sum(qty_ps)::BIGINT AS qty_total
+        |FROM ps JOIN pt USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty_ps * 2 > qty_p
+        |GROUP BY s_name""".stripMargin,
 
     "q8_market_share" ->
       """WITH vol AS (
