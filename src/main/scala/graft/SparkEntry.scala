@@ -62,7 +62,9 @@ object SparkEntry {
     "cdc_snapshot_diff", "sample_oversample", "link_golden_record",
     "graph_pagerank", "j_fuzzy_blocked", "sample_epoch_shuffle",
     "q21_waiting_supplier",
-    // round-7 additions: guarded (thinned) bucketed ANN and the O(log n)
-    // star-CC alternative
-    "ann_bucket_topk_capped", "dedup_cc_star")
+    // round-7 additions: guarded (thinned) bucketed ANN, the O(log n)
+    // star-CC alternative, the deepest TPC-H join (Q8), bigram LM scoring,
+    // and histogram-threshold top-fraction selection
+    "ann_bucket_topk_capped", "dedup_cc_star", "q8_market_share",
+    "text_bigram_logprob", "sample_top_frac")
 }
