@@ -70,6 +70,15 @@ object StreamBench {
         graft.streaming.CustomState.goldenRecordState(updates)
           .toDF("key", "merged")
           .writeStream.format("noop").outputMode("update").start()
+      case "session" =>
+        // streaming session windows: 10k users, 5 s inactivity gap —
+        // sessions keep merging while a user's ids keep arriving, so the
+        // state store sees continuous read-merge-write traffic
+        src.select((col("value") % 10000).as("user_id"), col("timestamp").as("ts"))
+          .withWatermark("ts", "5 seconds")
+          .groupBy(session_window(col("ts"), "5 seconds").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream.format("noop").outputMode("append").start()
       case _ =>
         val lines = src.select(concat(
           lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
