@@ -87,6 +87,58 @@ object CustomState {
       .transformWithState(new EmitOnChange, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming A-ES weighted sample: per class, maintain the k highest
+    * hash-derived priorities — the streaming twin of
+    * [[graft.ops.Sampling.weightedPerClass]]. The priority is computed by
+    * the IDENTICAL recipe (md5-h32 uniform, `Math.pow(u, 1/w)` — the same
+    * function Spark's POWER codegen calls — floored to 1e-6 units, ties
+    * score-desc then id-asc like [[graft.functions.TopK]]), so after any
+    * prefix of the stream the state equals the batch sample over the same
+    * rows — CustomStateSpec asserts the equivalence batch-by-batch.
+    *
+    * Input rows are (class, id, weight); non-positive weights are excluded
+    * (A-ES is undefined there, matching the batch op). Emits the class's
+    * FULL membership as (class, version, id, prio_micro) whenever it
+    * changes — version is a per-class monotone counter so a consumer (and
+    * the spec) can pick each class's latest snapshot. State per class is
+    * ≤ k (prio, id) pairs plus the counter — bounded by k, never by
+    * stream length.
+    */
+  def weightedSampleState(ds: Dataset[(String, Long, Double)], k: Int,
+      salt: String = "s0"): Dataset[(String, Long, Long, Long)] = {
+    require(k > 0, s"k must be positive, got $k")
+    // state = (version, (prio, id) pairs sorted desc)
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val stateEnc: Encoder[(Long, Seq[(Long, Long)])] =
+      ExpressionEncoder[(Long, Seq[(Long, Long)])]()
+    implicit val outEnc: Encoder[(String, Long, Long, Long)] =
+      ExpressionEncoder[(String, Long, Long, Long)]()
+    def prioMicro(id: Long, w: Double): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}_$salt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) % 1000000L + 0.5) / 1000000.0
+      math.floor(math.pow(u, 1.0 / w) * 1000000.0).toLong
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long)]), (String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (cls: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (ver, cur) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+          val cand = (cur ++ rows.filter(_._3 > 0).map { case (_, id, w) =>
+            (prioMicro(id, w), id)
+          }).distinct
+          val top = cand.sortBy { case (p, id) => (-p, id) }.take(k)
+          if (top == cur) Iterator.empty
+          else {
+            state.update((ver + 1, top))
+            top.iterator.map { case (p, id) => (cls, ver + 1, id, p) }
+          }
+      }
+  }
+
   /** Streaming golden record: per key, maintain each attribute's value
     * from the highest-priority row that had it non-null — the streaming
     * twin of [[graft.ops.Fuzzy.goldenRecords]], same unique-priority

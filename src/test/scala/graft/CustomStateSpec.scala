@@ -106,6 +106,41 @@ class CustomStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted sample equals the batch A-ES sample after every batch") {
+    implicit val ctx = spark.sqlContext
+    // unique ids, two classes, mixed weights (incl. a non-positive one that
+    // both sides must ignore)
+    val rows = ((1L to 40L).map(i => ("a", i, (i % 7 + 1).toDouble)) ++
+      (101L to 130L).map(i => ("b", i, (i % 5 + 1).toDouble)) :+ ("a", 999L, 0.0)).toVector
+    val chunks = rows.grouped(25).toSeq
+    val in = MemoryStream[(String, Long, Double)]
+    val q = CustomState.weightedSampleState(in.toDS(), k = 5, salt = "p")
+      .toDF("cls", "ver", "id", "prio")
+      .writeStream.format("memory").queryName("wsample").outputMode("update").start()
+    def streamed: Map[String, Set[Long]] = {
+      val all = spark.table("wsample").as[(String, Long, Long, Long)].collect()
+      all.groupBy(_._1).map { case (c, rs) =>
+        val latest = rs.map(_._2).max
+        c -> rs.filter(_._2 == latest).map(_._3).toSet
+      }
+    }
+    def batch(prefix: Seq[(String, Long, Double)]): Map[String, Set[Long]] =
+      graft.ops.Sampling.weightedPerClass(
+        prefix.toDF("cls", "id", "w"), "cls", "id", "w", k = 5, salt = "p")
+        .select("cls", "id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    try {
+      var seen = Vector.empty[(String, Long, Double)]
+      chunks.foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+        seen ++= chunk
+        assert(streamed === batch(seen),
+          s"stream/batch divergence after ${seen.size} rows")
+      }
+    } finally q.stop()
+  }
+
   test("streaming golden record persists a priority upgrade carrying the same value") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Long, Map[String, String])]
