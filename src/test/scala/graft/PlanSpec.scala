@@ -196,6 +196,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q8 broadcasts every dimension; only fact-fact joins shuffle") {
+    val p = plan("q8_market_share")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 5, s"$broadcasts broadcast joins — dims must broadcast")
+    // lineitem⋈orders and orders⋈customer may shuffle; nothing else should
+    assert(hashExchanges(p) <= 5, s"${hashExchanges(p)} shuffles in q8")
+  }
+
+  test("q2 best-supplier reduces via map-side partial max_by, no per-part sort") {
+    val p = plan("q2_best_supplier")
+    assert(p.contains("partial_max_by"), "arg-max must partial-aggregate")
+    assert(!p.contains("Window"), "no per-part window sort")
+  }
+
   test("ANN top-k is a bounded partial aggregation, not a per-query window") {
     // the window form shuffles each query's FULL candidate list to one
     // reducer; the TopK aggregator caps shuffle input at k per partition
