@@ -139,6 +139,51 @@ object CustomState {
       }
   }
 
+  /** Streaming token-budget admission gate: per class, admit arriving docs
+    * while the class's running token total stays within `budget`; a
+    * class's FIRST doc is always admitted (the batch op's
+    * never-empty-a-class contract). Within a micro-batch, rows are ordered
+    * by the SAME md5-hash order [[graft.ops.Sampling.tokenBudgetPerClass]]
+    * uses, so (a) a replay of the same batches admits the same docs, and
+    * (b) when everything arrives in ONE batch the admitted set equals the
+    * batch op's exactly (CustomStateSpec asserts it). Across batches,
+    * admission is arrival-ordered — an admission gate cannot retroactively
+    * prefer a later doc; that cross-batch divergence from the batch op is
+    * the documented semantic, not a bug. State per class is two longs
+    * (admitted count, running total).
+    */
+  def tokenBudgetState(ds: Dataset[(String, Long, Long)], budget: Long,
+      salt: String = "s0"): Dataset[(String, Long, Long, Long)] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val stateEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(String, Long, Long, Long)] =
+      ExpressionEncoder[(String, Long, Long, Long)]()
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}_$salt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (cls: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0L))
+          val admitted = rows.toSeq.sortBy { case (_, id, _) => (h(id), id) }
+            .flatMap { case (_, id, tok) =>
+              if (n == 0L || total + tok <= budget) {
+                n += 1; total += tok
+                Some((cls, id, tok, total))
+              } else None
+            }
+          if (admitted.nonEmpty) state.update((n, total))
+          admitted.iterator
+      }
+  }
+
   /** Streaming golden record: per key, maintain each attribute's value
     * from the highest-priority row that had it non-null — the streaming
     * twin of [[graft.ops.Fuzzy.goldenRecords]], same unique-priority

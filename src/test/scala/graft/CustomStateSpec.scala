@@ -141,6 +141,50 @@ class CustomStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token-budget gate: single batch equals the batch op, budget enforced across batches") {
+    implicit val ctx = spark.sqlContext
+    val rows = (1L to 60L).map(i => (if (i % 2 == 0) "a" else "b", i, 100L + (i % 7) * 10))
+    // one-batch case: admitted set must equal the batch op's exactly
+    val in1 = MemoryStream[(String, Long, Long)]
+    val q1 = CustomState.tokenBudgetState(in1.toDS(), budget = 1500L, salt = "s0")
+      .toDF("cls", "id", "n_tok", "cum")
+      .writeStream.format("memory").queryName("tbgate1").outputMode("update").start()
+    try {
+      in1.addData(rows)
+      q1.processAllAvailable()
+      val streamed = spark.table("tbgate1").select("cls", "id")
+        .as[(String, Long)].collect().toSet
+      val batch = graft.ops.Sampling.tokenBudgetPerClass(
+        rows.toDF("cls", "id", "toks"), "cls", "id", "toks", budget = 1500L, salt = "s0")
+        .select("cls", "id").as[(String, Long)].collect().toSet
+      assert(streamed === batch, "single-batch admission must equal the batch op")
+    } finally q1.stop()
+    // multi-batch case: totals never bust the budget (except a first doc),
+    // and once a class is saturated later batches admit nothing
+    val in2 = MemoryStream[(String, Long, Long)]
+    val q2 = CustomState.tokenBudgetState(in2.toDS(), budget = 350L)
+      .toDF("cls", "id", "n_tok", "cum")
+      .writeStream.format("memory").queryName("tbgate2").outputMode("update").start()
+    try {
+      in2.addData(rows.take(30)); q2.processAllAvailable()
+      in2.addData(rows.drop(30)); q2.processAllAvailable()
+      val out = spark.table("tbgate2").as[(String, Long, Long, Long)].collect()
+      out.groupBy(_._1).foreach { case (cls, rs) =>
+        assert(rs.map(_._4).max <= 350L, s"$cls busts budget")
+      }
+      // a class whose first doc exceeds the budget still admits exactly it
+      val in3 = MemoryStream[(String, Long, Long)]
+      val q3 = CustomState.tokenBudgetState(in3.toDS(), budget = 10L)
+        .toDF("cls", "id", "n_tok", "cum")
+        .writeStream.format("memory").queryName("tbgate3").outputMode("update").start()
+      try {
+        in3.addData(("c", 1L, 999L), ("c", 2L, 999L)); q3.processAllAvailable()
+        val c = spark.table("tbgate3").as[(String, Long, Long, Long)].collect()
+        assert(c.length === 1 && c.head._3 === 999L)
+      } finally q3.stop()
+    } finally q2.stop()
+  }
+
   test("streaming golden record persists a priority upgrade carrying the same value") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Long, Map[String, String])]
