@@ -399,6 +399,42 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** Fuzzy hot-block thinning obeys the same exact predicate contract as
+    * the ANN thinning: pairs from a thinned block are exactly the pairs
+    * whose RIGHT id survives the md5 stride (left side never thinned),
+    * under-cap blocks emit all pairs, layout-invariant.
+    */
+  property("blkthin.predicate-exact-and-layout-invariant") = {
+    def h32Ref(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val blockSizes = Gen.listOfN(3, Gen.choose(1, 14))
+    val capGen = Gen.choose(1, 6)
+    Prop.forAll(blockSizes, capGen) { (sizes, cap) =>
+      // block b holds sizes(b) one-char-different texts under key "b<b>"
+      val rows = sizes.zipWithIndex.flatMap { case (n, b) =>
+        (0 until n).map(i => (b * 100L + i, s"b$b x$i"))
+      }
+      val df = rows.toDF("id", "txt")
+      val blk = substring(col("txt"), 1, 2)
+      def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        graft.ops.Fuzzy.blockedEditPairs(d, "txt", "id", blk,
+          maxDist = 4, minDist = 0, maxBlock = cap)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val out = pairs(df)
+      val expected = sizes.zipWithIndex.flatMap { case (n, b) =>
+        val ids = (0 until n).map(i => b * 100L + i)
+        val stride = math.ceil(n.toDouble / cap).toLong
+        val kept = if (n <= cap) ids.toSet
+                   else ids.filter(id => h32Ref(s"${id}_blkthin") % stride == 0).toSet
+        for (a <- ids; bId <- ids if a < bId && kept.contains(bId)) yield (a, bId)
+      }.toSet
+      out == expected && pairs(df.repartition(5)) == out
+    }
+  }
+
   /** A-ES weighted sampling is a pure function of (ids, weights, salt):
     * invariant under repartitioning AND under duplicating other classes
     * (per-class independence).
