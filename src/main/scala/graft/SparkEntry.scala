@@ -66,5 +66,5 @@ object SparkEntry {
     // star-CC alternative, the deepest TPC-H join (Q8), bigram LM scoring,
     // and histogram-threshold top-fraction selection
     "ann_bucket_topk_capped", "dedup_cc_star", "q8_market_share",
-    "text_bigram_logprob", "sample_top_frac")
+    "text_bigram_logprob", "sample_top_frac", "emb_pca_project")
 }

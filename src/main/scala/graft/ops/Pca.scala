@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.ops.Text.floor6
+
+/** Distributed PCA over an embedding column — the whitening/projection
+  * step embedding pipelines run before clustering or semantic dedup (the
+  * SemDeDup recipe itself PCA-whitens first).
+  *
+  * Scale design, Spark-first:
+  *  - The ONLY distributed pass is a one-shot covariance-sums aggregation:
+  *    a typed `Aggregator` whose buffer is (n, Σx [d], Σxxᵀ [d(d+1)/2]) —
+  *    partial-aggregated map-side and merged associatively, so the shuffle
+  *    carries ONE ~d²/2-long buffer per partition regardless of corpus
+  *    size (d=64 → 2 KB·partitions). No row ever leaves its partition.
+  *  - Coordinates are micro-quantized (`floor(x·scale)`, the [[KMeans]]
+  *    contract), so every sum is an EXACT integer — layout- and
+  *    engine-independent, hence the DuckDB oracle hash-matches the raw
+  *    sums bit-for-bit. Overflow headroom: |q| ≤ scale·max|x| (~2¹²
+  *    for unit-ish embeddings at scale=1000), so Σ products hold to
+  *    ~2³⁹ rows per partition tree — beyond any real corpus.
+  *  - The eigendecomposition runs DRIVER-SIDE on the d×d covariance
+  *    (cyclic Jacobi, deterministic sweep order) — d is a model constant
+  *    (64-4096), never data-sized, the same bounded-collect contract as
+  *    [[Ivf.load]]'s centroid table.
+  *  - Projection is a broadcast join of the k components against the
+  *    corpus: per-row center + dot — embarrassingly parallel, ranked by
+  *    the same codegen'd [[graft.functions.Native.dot]] the ANN paths use.
+  *
+  * Persistence mirrors [[Ivf.save]]: mean + components land in parquet so
+  * external readers (and the driver's DuckDB oracle) replay the projection
+  * from the SAME doubles instead of re-deriving them in their own
+  * summation order.
+  */
+object Pca {
+
+  /** Covariance-sums buffer: (n, Σx per dim, upper-triangle Σxᵢxⱼ). */
+  class CovSums(d: Int)
+      extends Aggregator[Array[Long], (Long, Array[Long], Array[Long]), (Long, Array[Long], Array[Long])] {
+    require(d > 0, s"need d > 0, got $d")
+    private val tri = d * (d + 1) / 2
+    override def zero: (Long, Array[Long], Array[Long]) =
+      (0L, new Array[Long](d), new Array[Long](tri))
+    override def reduce(b: (Long, Array[Long], Array[Long]), q: Array[Long])
+        : (Long, Array[Long], Array[Long]) = {
+      require(q.length == d, s"vector length ${q.length} != d=$d")
+      var i = 0
+      var t = 0
+      while (i < d) {
+        b._2(i) += q(i)
+        var j = i
+        while (j < d) { b._3(t) += q(i) * q(j); j += 1; t += 1 }
+        i += 1
+      }
+      (b._1 + 1, b._2, b._3)
+    }
+    override def merge(a: (Long, Array[Long], Array[Long]), b: (Long, Array[Long], Array[Long]))
+        : (Long, Array[Long], Array[Long]) = {
+      var i = 0
+      while (i < d) { a._2(i) += b._2(i); i += 1 }
+      var t = 0
+      while (t < tri) { a._3(t) += b._3(t); t += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+    override def finish(r: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) = r
+    override def bufferEncoder: Encoder[(Long, Array[Long], Array[Long])] =
+      ExpressionEncoder[(Long, Array[Long], Array[Long])]()
+    override def outputEncoder: Encoder[(Long, Array[Long], Array[Long])] =
+      ExpressionEncoder[(Long, Array[Long], Array[Long])]()
+  }
+
+  /** One row per upper-triangle pair: (i, j, n, s_i, s_j, sp) with every
+    * value an exact integer in micro-units — the oracle-checkable surface
+    * of the covariance pass (cov derives as (sp − s_i·s_j/n)/n).
+    */
+  def covarianceSums(df: DataFrame, vecCol: String, dim: Int, scale: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fn = udaf(new CovSums(dim), ExpressionEncoder[Array[Long]]())
+    val q = df.select(transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val row = q.agg(fn(col("q")).as("c"))
+      .select(col("c._1").as("n"), col("c._2").as("s"), col("c._3").as("p"))
+    val pairs = array((0 until dim).flatMap(i => (i until dim).map(j =>
+      struct(lit(i).as("i"), lit(j).as("j")))): _*)
+    // upper-triangle offset of (i, j): rows above i hold d, d-1, ... so
+    // start(i) = i*d - i(i-1)/2; element_at is 1-based
+    val i = col("ij.i")
+    val j = col("ij.j")
+    val triIdx = i * dim - i * (i - lit(1)) / 2 + (j - i) + 1
+    row.select(col("n"), col("s"), col("p"), explode(pairs).as("ij"))
+      .select(i.as("i"), j.as("j"), col("n"),
+        element_at(col("s"), i + 1).as("s_i"),
+        element_at(col("s"), j + 1).as("s_j"),
+        element_at(col("p"), triIdx.cast("int")).as("sp"))
+  }
+
+  /** Fitted model: per-dim mean (original units) and the top-k principal
+    * components (unit length, eigenvalue-descending, sign-normalized so
+    * the largest-|coord| entry is positive — a deterministic total choice).
+    */
+  case class PcaModel(mean: Seq[Double], eigenvalues: Seq[Double],
+      components: Seq[Seq[Double]])
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
+    * deterministic (fixed sweep order, fixed convergence threshold), no
+    * library dependency. O(d³) per sweep on the DRIVER over a
+    * model-constant d; returns (eigenvalues, eigenvectors as rows).
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val eig = (0 until d).map(i => a(i)(i)).toArray
+    val vecs = (0 until d).map(c => (0 until d).map(r => v(r)(c)).toArray).toArray
+    (eig, vecs)
+  }
+
+  /** Fit the top-k components: one covariance-sums pass (see above), then
+    * a driver-side Jacobi on the d×d matrix.
+    */
+  def fit(df: DataFrame, vecCol: String, dim: Int, k: Int, scale: Int = 1000): PcaModel = {
+    require(k > 0 && k <= dim, s"need 0 < k <= dim, got k=$k dim=$dim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fn = udaf(new CovSums(dim), ExpressionEncoder[Array[Long]]())
+    val q = df.select(transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val (n, s, p) = q.agg(fn(col("q")).as("c"))
+      .select(col("c._1"), col("c._2"), col("c._3"))
+      .as[(Long, Array[Long], Array[Long])].collect()(0)
+    // degenerate corpus (empty ingest / filter matched nothing): covariance
+    // is undefined, so return the EMPTY model — projection against it is an
+    // empty result with the right schema, the same contract as the empty
+    // [[Ivf]] index, not an analysis error
+    if (n <= 1) return PcaModel(Seq.fill(dim)(0.0), Seq.empty, Seq.empty)
+    // covariance back in ORIGINAL units: micro sums divide by scale (per
+    // factor); cov(i,j) = (sp/n − (s_i/n)(s_j/n)) / scale²
+    val mean = s.map(_.toDouble / n / scale)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      val t = lo * dim - lo * (lo - 1) / 2 + (hi - lo)
+      (p(t).toDouble / n - (s(lo).toDouble / n) * (s(hi).toDouble / n)) / (scale.toDouble * scale)
+    }
+    val (eig, vecs) = jacobiEigen(cov)
+    val top = eig.zip(vecs).sortBy { case (e, _) => -e }.take(k).map { case (e, vec) =>
+      // sign convention: the largest-|coord| entry positive (first on ties)
+      val pivot = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      (e, if (vec(pivot) < 0) vec.map(-_) else vec)
+    }
+    PcaModel(mean.toSeq, top.map(_._1).toSeq, top.map(_._2.toSeq).toSeq)
+  }
+
+  /** Persist mean + components as parquet (same externalized-model contract
+    * as [[Ivf.save]] — the oracle replays the projection from these files).
+    */
+  def save(model: PcaModel, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(model.mean)).toDF("mean")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/mean")
+    model.components.zipWithIndex.map { case (c, i) => (i, model.eigenvalues(i), c) }
+      .toDF("comp_id", "eigenvalue", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/components")
+  }
+
+  def load(spark: SparkSession, path: String): PcaModel = {
+    val mean = spark.read.parquet(s"$path/mean").collect()(0).getSeq[Double](0)
+    val comps = spark.read.parquet(s"$path/components")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+    PcaModel(mean, comps.map(_._2).toSeq, comps.map(_._3).toSeq)
+  }
+
+  /** Project every vector onto the model's components: one row per
+    * (id, comp_id) with proj = (x − mean)·v_c, floor6-stabilized. The
+    * centered vector is computed once per row; components ride a broadcast
+    * k-row join; the dot is the codegen'd native expression.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String, model: PcaModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meanLit: Column = array(model.mean.map(lit): _*)
+    val comps = model.components.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("comp_id", "cvec")
+    df.select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m).as("xc"))
+      .crossJoin(broadcast(comps))
+      .select(col(idCol), col("comp_id"),
+        floor6(graft.functions.Native.dot(col("xc"), col("cvec"))).as("proj"))
+  }
+}

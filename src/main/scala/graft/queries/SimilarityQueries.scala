@@ -81,6 +81,22 @@ object SimilarityQueries extends QueryModule {
       Similarity.semanticKeptAuto(emb(s, d), "vec_id", "embedding",
         targetClusterSize = 10000, rounds = 2, scale = 1000, simThreshold = 0.4)),
 
+    // one-pass covariance sums (micro-quantized → exact integers), the
+    // distributed half of PCA — every value engine- and layout-exact
+    "emb_covariance" -> ((s, d) =>
+      graft.ops.Pca.covarianceSums(emb(s, d), "embedding", Dim, scale = 1000)),
+
+    // PCA lifecycle end-to-end: fit (integer covariance + driver Jacobi) →
+    // persist → reload → project. The oracle replays the projection from
+    // the SAME persisted mean/components parquet (the Ivf pattern), so
+    // centering, dot order, and the 6dp floor are all pinned.
+    "emb_pca_project" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.ops.Pca.fit(e, "embedding", Dim, k = 4, scale = 1000)
+      graft.ops.Pca.save(model, s, PcaFixture)
+      graft.ops.Pca.project(e, "vec_id", "embedding", graft.ops.Pca.load(s, PcaFixture))
+    }),
+
     // IVF lifecycle end-to-end: build → persist → reload → probed search.
     // The oracle replays the search (probe ranking + ranked cosine) from
     // the SAME persisted index parquet, so list assignment, probe order,
@@ -99,6 +115,9 @@ object SimilarityQueries extends QueryModule {
     * rewrites it on every run before the oracle reads it).
     */
   private val IvfFixture = "/tmp/graft_ivf_fixture"
+
+  /** Same contract for the persisted PCA model. */
+  private val PcaFixture = "/tmp/graft_pca_fixture"
 
   /** DuckDB literal for hyperplane p (exact same doubles as the Scala side:
     * Double.toString round-trips bit-exactly through DuckDB's parser).
@@ -158,6 +177,35 @@ object SimilarityQueries extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "emb_kmeans_assign" -> kmeansSql(k = 8, rounds = 2, scale = 1000),
+
+    // integer-exact: same micro quantization, same sums — no tolerance
+    "emb_covariance" ->
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.i, b.j
+         |  FROM (SELECT unnest(range($Dim)) AS i) a,
+         |       (SELECT unnest(range($Dim)) AS j) b
+         |  WHERE b.j >= a.i)
+         |SELECT p.i::INT AS i, p.j::INT AS j, count(*)::BIGINT AS n,
+         |       sum(qv[p.i + 1])::BIGINT AS s_i,
+         |       sum(qv[p.j + 1])::BIGINT AS s_j,
+         |       sum(qv[p.i + 1] * qv[p.j + 1])::BIGINT AS sp
+         |FROM q CROSS JOIN pairs p
+         |GROUP BY p.i, p.j""".stripMargin,
+
+    // projection replayed from the persisted model: centering uses the
+    // exact parquet doubles, the dot is the same left-to-right fold
+    "emb_pca_project" ->
+      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaFixture/mean/*.parquet')),
+         |c AS (SELECT comp_id, vec FROM read_parquet('$PcaFixture/components/*.parquet')),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT e.vec_id, c.comp_id,
+         |  floor(list_dot_product(
+         |          list_transform(range($Dim), i -> e.v[i + 1] - m.mean[i + 1]),
+         |          c.vec) * 1000000) / 1000000.0 AS proj
+         |FROM e CROSS JOIN m CROSS JOIN c""".stripMargin,
 
     // avg of identical doubles; floor-to-micro absorbs summation-order ulps
     "emb_mean_pool" ->

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pca
+
+/** PCA: covariance-sums exactness, Jacobi correctness, projection
+  * semantics, persistence round-trip, layout-invariance.
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("covariance sums are exact integers matching a local replica") {
+    val vecs = (1L to 50L).map { i =>
+      (i, Seq(math.sin(i.toDouble).toFloat, math.cos(i.toDouble).toFloat,
+        (i % 5).toFloat / 4))
+    }
+    val df = vecs.toDF("id", "vec")
+    val rows = Pca.covarianceSums(df, "vec", dim = 3, scale = 1000)
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // local integer replica with the identical quantization
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1000).toLong))
+    for (i <- 0 until 3; j <- i until 3) {
+      val sI = q.map(_(i)).sum
+      val sJ = q.map(_(j)).sum
+      val sp = q.map(v => v(i) * v(j)).sum
+      assert(rows((i, j)) === ((50L, sI, sJ, sp)), s"pair ($i,$j)")
+    }
+    // layout-invariant (exact integers — must be identical, not close)
+    val again = Pca.covarianceSums(df.repartition(7), "vec", 3)
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(again === rows)
+  }
+
+  test("jacobi recovers a known eigensystem") {
+    // symmetric matrix with known spectrum: diag(5, 2) rotated by 30°
+    val c = math.cos(math.Pi / 6); val s = math.sin(math.Pi / 6)
+    val m = Array(
+      Array(5 * c * c + 2 * s * s, (5 - 2) * s * c),
+      Array((5 - 2) * s * c, 5 * s * s + 2 * c * c))
+    val (eig, vecs) = Pca.jacobiEigen(m)
+    val sorted = eig.sorted.reverse
+    assert(math.abs(sorted(0) - 5.0) < 1e-9 && math.abs(sorted(1) - 2.0) < 1e-9)
+    // eigenvector check: m·v = λ·v
+    eig.zip(vecs).foreach { case (l, v) =>
+      val mv = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      mv.zip(v).foreach { case (got, vi) => assert(math.abs(got - l * vi) < 1e-9) }
+    }
+  }
+
+  test("fit finds the dominant directions of a planted rank-2 corpus") {
+    // points on a plane spanned by e0+e1 and e2, plus tiny noise in e3
+    val rows = (1L to 400L).map { i =>
+      val a = math.sin(i * 0.37) * 3
+      val b = math.cos(i * 0.53) * 2
+      (i, Seq((a / math.sqrt(2)).toFloat, (a / math.sqrt(2)).toFloat,
+        b.toFloat, (((i % 7) - 3) / 3000.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 4, k = 4)
+    // eigenvalues descending; the top 2 dwarf the rest
+    assert(model.eigenvalues === model.eigenvalues.sorted.reverse)
+    assert(model.eigenvalues(1) > 100 * model.eigenvalues(2),
+      s"rank-2 structure not found: ${model.eigenvalues}")
+    // components orthonormal
+    for (i <- 0 until 4; j <- i until 4) {
+      val d = dot(model.components(i), model.components(j))
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9) else assert(math.abs(d) < 1e-9)
+    }
+    // top component lies in the planted plane: no e3 mass
+    assert(math.abs(model.components(0)(3)) < 1e-3)
+    // determinism across layouts (exact: integer sums + fixed Jacobi)
+    val again = Pca.fit(df.repartition(13), "embedding", dim = 4, k = 4)
+    assert(again === model)
+  }
+
+  test("projection matches a local replica and save/load round-trips") {
+    val rows = (1L to 60L).map(i =>
+      (i, Seq(math.sin(i * 1.1).toFloat, math.cos(i * 0.7).toFloat,
+        (i % 9).toFloat / 8)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 3, k = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_pca_").toString
+    Pca.save(model, spark, path)
+    val loaded = Pca.load(spark, path)
+    assert(loaded === model)
+    val proj = Pca.project(df, "vec_id", "embedding", loaded)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (id, v) =>
+      val xc = v.map(_.toDouble).zip(model.mean).map { case (x, m) => x - m }
+      model.components.zipWithIndex.foreach { case (c, ci) =>
+        val expect = math.floor(xc.zip(c).map { case (x, w) => x * w }
+          .foldLeft(0.0)(_ + _) * 1e6) / 1e6
+        assert(math.abs(proj((id, ci)) - expect) < 1e-9, s"id=$id comp=$ci")
+      }
+    }
+  }
+}
