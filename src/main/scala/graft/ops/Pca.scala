@@ -221,4 +221,28 @@ object Pca {
       .select(col(idCol), col("comp_id"),
         floor6(graft.functions.Native.dot(col("xc"), col("cvec"))).as("proj"))
   }
+
+  /** Whitened projection: each component's coordinate scaled to unit
+    * variance — (x − mean)·v_c / √λ_c, the transform SemDeDup-style
+    * pipelines feed to cosine similarity so no single direction dominates.
+    * Components with λ ≤ ε (numerically dead directions) emit NULL rather
+    * than an amplified-noise coordinate. Same broadcast shape as
+    * [[project]]; same floor6/persisted-doubles determinism contract.
+    */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, model: PcaModel,
+      eps: Double = 1e-12): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meanLit: Column = array(model.mean.map(lit): _*)
+    val comps = model.components.zipWithIndex
+      .map { case (c, i) => (i, model.eigenvalues(i), c) }
+      .toDF("comp_id", "eigenvalue", "cvec")
+    df.select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m).as("xc"))
+      .crossJoin(broadcast(comps))
+      .select(col(idCol), col("comp_id"),
+        floor6(when(col("eigenvalue") > eps,
+          graft.functions.Native.dot(col("xc"), col("cvec")) / sqrt(col("eigenvalue")))
+        ).as("white"))
+  }
 }

@@ -97,6 +97,15 @@ object SimilarityQueries extends QueryModule {
       graft.ops.Pca.project(e, "vec_id", "embedding", graft.ops.Pca.load(s, PcaFixture))
     }),
 
+    // whitened projection from the same persisted model: proj/sqrt(λ),
+    // the unit-variance embedding SemDeDup-style pipelines feed to cosine
+    "emb_pca_whiten" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.ops.Pca.fit(e, "embedding", Dim, k = 4, scale = 1000)
+      graft.ops.Pca.save(model, s, PcaFixture)
+      graft.ops.Pca.whiten(e, "vec_id", "embedding", graft.ops.Pca.load(s, PcaFixture))
+    }),
+
     // IVF lifecycle end-to-end: build → persist → reload → probed search.
     // The oracle replays the search (probe ranking + ranked cosine) from
     // the SAME persisted index parquet, so list assignment, probe order,
@@ -194,6 +203,20 @@ object SimilarityQueries extends QueryModule {
          |       sum(qv[p.i + 1] * qv[p.j + 1])::BIGINT AS sp
          |FROM q CROSS JOIN pairs p
          |GROUP BY p.i, p.j""".stripMargin,
+
+    // same replay with the persisted eigenvalue's sqrt in the divisor
+    "emb_pca_whiten" ->
+      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaFixture/mean/*.parquet')),
+         |c AS (SELECT comp_id, eigenvalue, vec
+         |      FROM read_parquet('$PcaFixture/components/*.parquet')),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT e.vec_id, c.comp_id,
+         |  CASE WHEN c.eigenvalue > 1e-12 THEN
+         |    floor(list_dot_product(
+         |            list_transform(range($Dim), i -> e.v[i + 1] - m.mean[i + 1]),
+         |            c.vec) / sqrt(c.eigenvalue) * 1000000) / 1000000.0
+         |  END AS white
+         |FROM e CROSS JOIN m CROSS JOIN c""".stripMargin,
 
     // projection replayed from the persisted model: centering uses the
     // exact parquet doubles, the dot is the same left-to-right fold

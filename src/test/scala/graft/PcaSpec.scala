@@ -78,6 +78,29 @@ class PcaSpec extends SparkSpec {
     assert(again === model)
   }
 
+  test("whitened coordinates have unit variance; dead directions null out") {
+    val rows = (1L to 500L).map { i =>
+      (i, Seq((math.sin(i * 0.37) * 3).toFloat, (math.cos(i * 0.53) * 2).toFloat,
+        (math.sin(i * 0.91) * 0.5).toFloat, 0.0f)) // last dim constant → λ≈0
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 4, k = 4)
+    val w = Pca.whiten(df, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    // live components: per-component sample variance of the whitened coord
+    // is ~1 (the definition of whitening; floor6 + n=500 gives ~1±few %)
+    (0 until 3).foreach { c =>
+      val xs = rows.map(r => w((r._1, c)).get.asInstanceOf[Double])
+      val mean = xs.sum / xs.length
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(varc - 1.0) < 0.05, s"component $c variance $varc")
+    }
+    // the constant dimension is numerically dead: λ ≤ eps → NULL, never an
+    // amplified-noise coordinate
+    assert(model.eigenvalues(3) < 1e-9)
+    assert(rows.forall(r => w((r._1, 3)).isEmpty))
+  }
+
   test("projection matches a local replica and save/load round-trips") {
     val rows = (1L to 60L).map(i =>
       (i, Seq(math.sin(i * 1.1).toFloat, math.cos(i * 0.7).toFloat,
