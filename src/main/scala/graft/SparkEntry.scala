@@ -66,5 +66,8 @@ object SparkEntry {
     // star-CC alternative, the deepest TPC-H join (Q8), bigram LM scoring,
     // and histogram-threshold top-fraction selection
     "ann_bucket_topk_capped", "dedup_cc_star", "q8_market_share",
-    "text_bigram_logprob", "sample_top_frac", "emb_pca_project")
+    "text_bigram_logprob", "sample_top_frac", "emb_pca_project",
+    // round-8 additions: whiten→cluster→dedup composition and the
+    // degree-capped triangle enumeration (guarded-path twin)
+    "dedup_semantic_whitened", "graph_triangles_capped")
 }

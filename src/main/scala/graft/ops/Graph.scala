@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph clustering for dedup pipelines: turn a near-duplicate
@@ -98,19 +98,74 @@ object Graph {
 
   /** Triangle enumeration: one row (a, b, c) with a < b < c per triangle.
     * Two equi-joins over the CANONICALIZED (lo, hi) edge list — candidate
-    * fan-out is Σ degree², the standard shape; at corpus scale feed it a
-    * bucket-bounded pair list (e.g. LSH candidates), never a dense graph.
+    * fan-out is Σ degree², the standard shape.
+    *
+    * ENFORCED hub cap (the [[Similarity.thinHotBuckets]] /
+    * [[Fuzzy.blockedEditPairs]] discipline — a dense hub node is otherwise
+    * a Σdeg² reducer pin): edges incident to a node whose degree exceeds
+    * `maxDegree` are thinned deterministically by the OTHER endpoint's md5
+    * hash (keep iff h32(other·salt) lands on the ceil(deg/maxDegree)
+    * stride), bounding every node's expected surviving degree to
+    * ~maxDegree so join fan-out is ≤ ~|E|·maxDegree. Enumeration over the
+    * thinned graph is a uniform SAMPLE of each hub's triangles — recall
+    * degrades gracefully, cost is bounded unconditionally. Audit what was
+    * thinned with [[degreeStats]]; `Int.MaxValue` disables. The hot-node
+    * table is bounded by the over-cap count, so the lookup is a broadcast
+    * join, never a shuffle.
     */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 1000): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
-    val bc = e.select(col("lo").as("b"), col("hi").as("c"))
-    val ac = e.select(col("lo").as("a"), col("hi").as("c"))
+    val kept =
+      if (maxDegree == Int.MaxValue) e
+      else {
+        require(maxDegree > 0, s"maxDegree must be positive, got $maxDegree")
+        val hot = e.select(col("lo").as("node")).union(e.select(col("hi").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") > maxDegree)
+        def stride(d: Column): Column = ceil(d.cast("double") / maxDegree).cast("long")
+        e.join(broadcast(hot.select(col("node").as("lo"), col("__deg").as("__dlo"))),
+            Seq("lo"), "left")
+          .join(broadcast(hot.select(col("node").as("hi"), col("__deg").as("__dhi"))),
+            Seq("hi"), "left")
+          .filter(
+            (col("__dlo").isNull ||
+              pmod(Text.h32(concat(col("hi").cast("string"), lit("_trithin"))),
+                stride(col("__dlo"))) === 0) &&
+            (col("__dhi").isNull ||
+              pmod(Text.h32(concat(col("lo").cast("string"), lit("_trithin"))),
+                stride(col("__dhi"))) === 0))
+          .select("lo", "hi")
+      }
+    val ab = kept.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = kept.select(col("lo").as("b"), col("hi").as("c"))
+    val ac = kept.select(col("lo").as("a"), col("hi").as("c"))
     ab.join(bc, "b").join(ac, Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Degree-occupancy audit companion to [[triangles]] (mirrors
+    * [[Similarity.bucketOccupancyStats]]): node counts split at the
+    * `maxDegree` cap over the canonicalized edge list, plus the worst node.
+    * A nonzero `hot_nodes` means the cap thinned candidates — raise it or
+    * accept the sampled recall.
+    */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 1000): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    e.select(col("lo").as("node")).union(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(
+        sum(when(col("deg") <= maxDegree, 1L).otherwise(0L)).as("ok_nodes"),
+        sum(when(col("deg") > maxDegree, 1L).otherwise(0L)).as("hot_nodes"),
+        sum(when(col("deg") > maxDegree, col("deg")).otherwise(0L)).as("hot_edges"),
+        max(col("deg")).as("max_degree"))
   }
 
   /** Connected components via alternating large-star/small-star rounds
@@ -144,8 +199,15 @@ object Graph {
     var converged = false
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      // fixed point: the (symmetric) edge multiset stopped changing
-      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // single-pass fixed-point probe: both sides are DISTINCT edge sets
+      // (symmetrize ends in .distinct()), so set equality ⟺ the full-outer
+      // join has no one-sided row. One shuffle join + a limit-1 scan,
+      // replacing the former two exceptAll passes (~4 wide shuffles per
+      // round — roughly half the per-round cost of the whole algorithm).
+      converged = next.withColumn("__n", lit(1))
+        .join(cur.withColumn("__c", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__n").isNull || col("__c").isNull)
+        .isEmpty
       cur = next
       iter += 1
     }

@@ -108,6 +108,9 @@ object KMeans {
     */
   private def lloyd(q: DataFrame, idCol: String, k: Int, rounds: Int,
       checkpointInterval: Int): DataFrame = {
+    // validated here, not only in fitAssign: fitCentroids reaches lloyd too,
+    // and `r % 0` would otherwise surface as a raw ArithmeticException
+    require(checkpointInterval > 0, s"bad checkpointInterval $checkpointInterval")
     var cents = initCentroids(q, idCol, k)
     for (r <- 1 to rounds) {
       cents = update(assign(q, cents, idCol), cents)
@@ -135,6 +138,7 @@ object KMeans {
     */
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
       rounds: Int = 2, scale: Int = 1000, checkpointInterval: Int = 10): DataFrame = {
+    require(k > 0 && rounds >= 0 && scale > 0, s"bad k=$k rounds=$rounds scale=$scale")
     val q = quantize(df, vecCol, idCol, scale)
     lloyd(q, idCol, k, rounds, checkpointInterval)
   }

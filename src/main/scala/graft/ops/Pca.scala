@@ -23,9 +23,13 @@ import graft.ops.Text.floor6
   *    for unit-ish embeddings at scale=1000), so Σ products hold to
   *    ~2³⁹ rows per partition tree — beyond any real corpus.
   *  - The eigendecomposition runs DRIVER-SIDE on the d×d covariance
-  *    (cyclic Jacobi, deterministic sweep order) — d is a model constant
-  *    (64-4096), never data-sized, the same bounded-collect contract as
-  *    [[Ivf.load]]'s centroid table.
+  *    (cyclic Jacobi, deterministic sweep order) — d is a model constant,
+  *    never data-sized, the same bounded-collect contract as [[Ivf.load]]'s
+  *    centroid table. Both halves are HARD-BOUNDED: the covariance pass
+  *    refuses d > [[MaxCovDim]] (buffer is d²/2 longs per partial) and the
+  *    Jacobi refuses d > [[MaxEigenDim]] (O(d³) per sweep on the driver;
+  *    practical sweet spot d ≤ 256). Oversized dims fail loudly at plan
+  *    time, not as an executor OOM or an hours-long driver stall.
   *  - Projection is a broadcast join of the k components against the
   *    corpus: per-row center + dot — embarrassingly parallel, ranked by
   *    the same codegen'd [[graft.functions.Native.dot]] the ANN paths use.
@@ -37,15 +41,42 @@ import graft.ops.Text.floor6
   */
 object Pca {
 
+  /** Hard ceiling on the covariance dimension: the aggregation buffer is
+    * d(d+1)/2 longs PER PARTIAL, so d=4096 is already a ~67 MB map-side
+    * buffer (and a ~67 MB shuffle block per partition). Past that an
+    * executor OOMs silently mid-aggregation — this bound turns an oversized
+    * dim into a loud, immediate error instead (the audit-first discipline
+    * of maxBucket/maxBlock/maxCluster). For d > 4096, project down first
+    * or switch to a blocked/sketched covariance.
+    */
+  val MaxCovDim = 4096
+
+  /** Ceiling for the DRIVER-side Jacobi eigensolve in [[fit]]: cyclic
+    * Jacobi is O(d³) per sweep (up to 100 sweeps), so d=1024 is already
+    * ~10¹¹ driver flops worst-case — minutes, not hours; d=4096 would be
+    * ~7·10¹² — hours. Practical sweet spot is d ≤ 256 (embedding PCA runs
+    * on pooled/truncated dims); past [[MaxEigenDim]] fit refuses loudly.
+    * A blocked or library eigensolver is the upgrade path if larger d is
+    * ever needed — [[covarianceSums]] itself stays valid to [[MaxCovDim]].
+    */
+  val MaxEigenDim = 1024
+
   /** Covariance-sums buffer: (n, Σx per dim, upper-triangle Σxᵢxⱼ). */
   class CovSums(d: Int)
       extends Aggregator[Array[Long], (Long, Array[Long], Array[Long]), (Long, Array[Long], Array[Long])] {
     require(d > 0, s"need d > 0, got $d")
+    require(d <= MaxCovDim,
+      s"d=$d exceeds MaxCovDim=$MaxCovDim — the d(d+1)/2-long buffer would be " +
+        f"~${d.toLong * (d + 1) / 2 * 8 / (1 << 20)}%d MB per partial; " +
+        "reduce the dimension upstream or use a blocked covariance")
     private val tri = d * (d + 1) / 2
     override def zero: (Long, Array[Long], Array[Long]) =
       (0L, new Array[Long](d), new Array[Long](tri))
     override def reduce(b: (Long, Array[Long], Array[Long]), q: Array[Long])
         : (Long, Array[Long], Array[Long]) = {
+      // callers pre-filter null vectors; this require turns a slipped-through
+      // null into a named error instead of an opaque executor NPE
+      require(q != null, "CovSums: null embedding vector (filter nulls upstream)")
       require(q.length == d, s"vector length ${q.length} != d=$d")
       var i = 0
       var t = 0
@@ -80,7 +111,9 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     val fn = udaf(new CovSums(dim), ExpressionEncoder[Array[Long]]())
-    val q = df.select(transform(col(vecCol),
+    // null vectors are dropped, not NPE'd: transform(null) is null, which
+    // would dereference inside the executor as an opaque task failure
+    val q = df.filter(col(vecCol).isNotNull).select(transform(col(vecCol),
       x => floor(x.cast("double") * scale).cast("long")).as("q"))
     val row = q.agg(fn(col("q")).as("c"))
       .select(col("c._1").as("n"), col("c._2").as("s"), col("c._3").as("p"))
@@ -154,10 +187,14 @@ object Pca {
     */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int, scale: Int = 1000): PcaModel = {
     require(k > 0 && k <= dim, s"need 0 < k <= dim, got k=$k dim=$dim")
+    require(dim <= MaxEigenDim,
+      s"dim=$dim exceeds MaxEigenDim=$MaxEigenDim — the driver-side Jacobi is O(d³) " +
+        "per sweep; reduce the dimension upstream (pool/truncate) or plug in a " +
+        "blocked eigensolver")
     val spark = df.sparkSession
     import spark.implicits._
     val fn = udaf(new CovSums(dim), ExpressionEncoder[Array[Long]]())
-    val q = df.select(transform(col(vecCol),
+    val q = df.filter(col(vecCol).isNotNull).select(transform(col(vecCol),
       x => floor(x.cast("double") * scale).cast("long")).as("q"))
     val (n, s, p) = q.agg(fn(col("q")).as("c"))
       .select(col("c._1"), col("c._2"), col("c._3"))
@@ -244,5 +281,60 @@ object Pca {
         floor6(when(col("eigenvalue") > eps,
           graft.functions.Native.dot(col("xc"), col("cvec")) / sqrt(col("eigenvalue")))
         ).as("white"))
+  }
+
+  /** Per-row projected VECTOR — the pipeline/STREAMING form of [[project]]:
+    * one `array<double>` column with the k component coordinates in
+    * comp_id order, computed against literal component arrays — no join at
+    * all, so it applies identically to a batch frame and a streaming one
+    * (stream-static cross joins are not supported; plan literals are).
+    * Coordinate c equals [[project]]'s `proj` for `comp_id = c` exactly
+    * (same centering, same codegen'd dot, same floor6) — `PcaStreamSpec`
+    * pins batch ≡ stream ≡ exploded-project agreement.
+    */
+  def projectVector(df: DataFrame, idCol: String, vecCol: String, model: PcaModel): DataFrame = {
+    // empty model (fit on an empty corpus) → empty result with the right
+    // schema, the same contract as [[project]]'s empty broadcast join
+    if (model.components.isEmpty)
+      return df.select(col(idCol), array().cast("array<double>").as("pvec")).limit(0)
+    val meanLit: Column = array(model.mean.map(lit): _*)
+    val pcols = model.components.map { c =>
+      floor6(graft.functions.Native.dot(col("xc"), array(c.map(lit): _*)))
+    }
+    df.select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m).as("xc"))
+      .select(col(idCol), array(pcols: _*).as("pvec"))
+  }
+
+  /** Per-row whitened VECTOR — the pipeline form of [[whiten]] (which
+    * explodes to oracle-checkable (id, comp_id, white) rows): one
+    * `array<double>` column holding the live components' whitened
+    * coordinates in comp_id order, computed in a single per-row projection
+    * against literal component arrays — NO join, NO shuffle, the shape a
+    * whiten → cluster → dedup pipeline wants between stages. Dead
+    * directions (λ ≤ eps) are DROPPED rather than emitted as NULL:
+    * downstream consumers (k-means, cosine) need dense numeric vectors.
+    * Coordinates carry the same floor6/persisted-doubles determinism
+    * contract as [[whiten]], so the two forms agree value-for-value.
+    */
+  def whitenVector(df: DataFrame, idCol: String, vecCol: String, model: PcaModel,
+      eps: Double = 1e-12): DataFrame = {
+    // empty model (fit on an empty corpus) → empty result, as above; a
+    // NON-empty model whose components are ALL dead is a data pathology
+    // (degenerate corpus) and still fails loudly below
+    if (model.components.isEmpty)
+      return df.select(col(idCol), array().cast("array<double>").as("wvec")).limit(0)
+    val live = model.components.zipWithIndex
+      .filter { case (_, i) => model.eigenvalues(i) > eps }
+    require(live.nonEmpty,
+      "whitenVector: every component is numerically dead (all eigenvalues <= eps)")
+    val meanLit: Column = array(model.mean.map(lit): _*)
+    val wcols = live.map { case (c, i) =>
+      floor6(graft.functions.Native.dot(col("xc"), array(c.map(lit): _*)) /
+        math.sqrt(model.eigenvalues(i)))
+    }
+    df.select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m).as("xc"))
+      .select(col(idCol), array(wcols: _*).as("wvec"))
   }
 }

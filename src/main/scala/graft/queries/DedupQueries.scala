@@ -55,10 +55,23 @@ object DedupQueries extends QueryModule {
       graft.ops.Graph.degrees(
         Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5),
         "doc_a", "doc_b")),
+    // hub cap explicitly OFF (Int.MaxValue): the oracle is the unthinned
+    // enumeration, and an implicit default cap would silently diverge once
+    // a verification corpus grows a 1000-degree node — the _capped twin
+    // below proves the guarded path with a stride-mirrored oracle
     "graph_triangles" -> ((s, d) =>
       graft.ops.Graph.triangles(
         Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5),
-        "doc_a", "doc_b")),
+        "doc_a", "doc_b", maxDegree = Int.MaxValue)),
+
+    // the guarded path on a deliberately hub-heavy residue graph (~100
+    // nodes, degrees well past the tiny cap), so the md5 thinning stride
+    // FIRES and the oracle reproduces it predicate-for-predicate — the
+    // ann_*_capped / j_fuzzy_blocked_capped contract
+    "graph_triangles_capped" -> ((s, d) =>
+      graft.ops.Graph.triangles(
+        docs(s, d).select((col("doc_id") % 40).as("src"), (col("doc_id") % 97).as("dst")),
+        "src", "dst", maxDegree = 8)),
 
     // integer-exact PageRank over the part→supplier bipartite graph (rank
     // suppliers by weighted part coverage); 5 power iterations, all floors
@@ -265,6 +278,34 @@ object DedupQueries extends QueryModule {
          |FROM pr ab
          |JOIN pr bc ON bc.lo = ab.hi
          |JOIN pr ac ON ac.lo = ab.lo AND ac.hi = bc.hi""".stripMargin,
+
+    // hub-cap stride mirrored predicate-for-predicate: an edge incident to
+    // an over-cap node survives iff the OTHER endpoint's
+    // h32(other || '_trithin') lands on the ceil(deg/cap) stride — exactly
+    // Graph.triangles' thinning, then the same two-join enumeration
+    "graph_triangles_capped" ->
+      """WITH e AS (SELECT DISTINCT least(doc_id % 40, doc_id % 97) AS lo,
+        |                  greatest(doc_id % 40, doc_id % 97) AS hi
+        |           FROM documents WHERE doc_id % 40 <> doc_id % 97),
+        |deg AS (SELECT node, count(*) AS d
+        |        FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        |        GROUP BY node),
+        |hot AS (SELECT node, d FROM deg WHERE d > 8),
+        |kept AS (
+        |  SELECT e.lo, e.hi
+        |  FROM e
+        |  LEFT JOIN hot dl ON dl.node = e.lo
+        |  LEFT JOIN hot dh ON dh.node = e.hi
+        |  WHERE (dl.node IS NULL OR
+        |         (('0x' || substr(md5(e.hi::VARCHAR || '_trithin'), 1, 8))::BIGINT
+        |          % ceil(dl.d::DOUBLE / 8)::BIGINT) = 0)
+        |    AND (dh.node IS NULL OR
+        |         (('0x' || substr(md5(e.lo::VARCHAR || '_trithin'), 1, 8))::BIGINT
+        |          % ceil(dh.d::DOUBLE / 8)::BIGINT) = 0))
+        |SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        |FROM kept ab
+        |JOIN kept bc ON bc.lo = ab.hi
+        |JOIN kept ac ON ac.lo = ab.lo AND ac.hi = bc.hi""".stripMargin,
 
     // unrolled power iterations; // is DuckDB integer division = Spark div
     "graph_pagerank" -> {

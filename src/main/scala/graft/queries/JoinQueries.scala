@@ -217,11 +217,27 @@ object JoinQueries extends QueryModule {
     }),
 
     // blocked fuzzy match (record linkage): distinct part names pairing
-    // within first-token blocks at edit distance 1-4 (exact dups excluded)
+    // within first-token blocks at edit distance 1-4 (exact dups excluded).
+    // Hot-block guard explicitly OFF (Int.MaxValue): the oracle is the
+    // unthinned SQL, and an implicit default cap would silently diverge
+    // once a verification corpus grows a 1000-row block — the _capped twin
+    // below proves the guarded path with a stride-mirrored oracle.
     "j_fuzzy_blocked" -> ((s, d) => {
       val names = Tables.part(s, d).select(col("p_name")).distinct()
       graft.ops.Fuzzy.blockedEditPairs(names, "p_name", "p_name",
-          split(col("p_name"), " ").getItem(0), maxDist = 4, minDist = 1)
+          split(col("p_name"), " ").getItem(0), maxDist = 4, minDist = 1,
+          maxBlock = Int.MaxValue)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+    }),
+
+    // the guarded path, deliberately tiny cap so the md5 thinning stride
+    // FIRES on sf0.01's size-8 first-token blocks and the oracle
+    // reproduces it predicate-for-predicate (the ann_*_capped contract)
+    "j_fuzzy_blocked_capped" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      graft.ops.Fuzzy.blockedEditPairs(names, "p_name", "p_name",
+          split(col("p_name"), " ").getItem(0), maxDist = 4, minDist = 1,
+          maxBlock = 4)
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
     }),
 
@@ -681,6 +697,25 @@ object JoinQueries extends QueryModule {
         |SELECT a.p_name AS name_a, c.p_name AS name_b,
         |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
+
+    // thinning stride mirrored predicate-for-predicate: RIGHT-side rows of
+    // a block over the cap survive iff h32(p_name || '_blkthin') lands on
+    // the ceil(size/cap) stride — the left side stays unthinned, exactly
+    // like Fuzzy.blockedEditPairs
+    "j_fuzzy_blocked_capped" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n),
+        |sz AS (SELECT blk, count(*) AS bsize FROM b GROUP BY blk),
+        |kept AS (
+        |  SELECT b.p_name, b.blk
+        |  FROM b JOIN sz USING (blk)
+        |  WHERE bsize <= 4
+        |     OR (('0x' || substr(md5(b.p_name || '_blkthin'), 1, 8))::BIGINT
+        |         % ceil(bsize::DOUBLE / 4)::BIGINT) = 0)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |       levenshtein(a.p_name, c.p_name)::BIGINT AS dist
+        |FROM b a JOIN kept c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""".stripMargin,
 
     "q2_best_supplier" ->

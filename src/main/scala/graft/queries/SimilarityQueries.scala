@@ -36,13 +36,17 @@ object SimilarityQueries extends QueryModule {
     }),
     "ann_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(emb(s, d), "vec_id", "embedding", Dim, Planes)),
-    // the bucketed searches run with the hot-bucket thinning guard ON
-    // (maxBucket=1000 default — a no-op on this corpus, where no bucket
-    // nears the cap, so the uncapped oracles still match exactly)
+    // the UNTHINNED declared queries disable the hot-bucket guard
+    // EXPLICITLY (Int.MaxValue): their oracles are unthinned SQL, and an
+    // implicit default cap would silently diverge the moment a verification
+    // corpus grows a 1000-row bucket. The *_capped twins below prove the
+    // guarded path; library callers get the documented default cap.
     "ann_bucket_topk" -> ((s, d) =>
-      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)),
+      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3,
+        maxBucket = Int.MaxValue)),
     "ann_multiprobe_topk" -> ((s, d) =>
-      Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 3)),
+      Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes,
+        k = 3, maxBucket = Int.MaxValue)),
     // deliberately tiny cap (sf0.01 buckets reach size 8): the md5 thinning
     // stride FIRES here, and the oracle reproduces it predicate-for-predicate
     // — proof the guard's results stay engine-exact, not just bounded
@@ -53,9 +57,11 @@ object SimilarityQueries extends QueryModule {
       Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes,
         k = 3, maxBucket = CapSmall)),
     // embedding-cosine near-dup pairs, candidates bounded by LSH bucket
-    // (threshold tuned to the synthetic corpus where max pair cosine ~0.51)
+    // (threshold tuned to the synthetic corpus where max pair cosine ~0.51);
+    // guard explicitly OFF — unthinned oracle, same contract as above
     "dedup_embedding_neardup" -> ((s, d) =>
-      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 50)
+      Similarity.bucketedTopK(emb(s, d), "vec_id", "embedding", Dim, Planes, k = 50,
+          maxBucket = Int.MaxValue)
         .filter(col("sim") >= 0.4)
         .filter(col("query_id") < col("neighbor_id"))
         .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("sim"))),
@@ -80,6 +86,27 @@ object SimilarityQueries extends QueryModule {
     "dedup_semantic_kept" -> ((s, d) =>
       Similarity.semanticKeptAuto(emb(s, d), "vec_id", "embedding",
         targetClusterSize = 10000, rounds = 2, scale = 1000, simThreshold = 0.4)),
+
+    // SemDeDup end-to-end as the paper runs it: PCA-whiten → cluster →
+    // within-cluster dedup. Fit k=4 components (persisted — the oracle
+    // replays the whitening from the same parquet doubles), whiten
+    // per-row against literal component arrays (no join, no shuffle),
+    // then the same auto-k semanticKept over the whitened vectors.
+    // Threshold 0.8: whitened cosines de-emphasize the dominant raw
+    // directions, so near-dups must agree across ALL unit-variance axes.
+    "dedup_semantic_whitened" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.ops.Pca.fit(e, "embedding", Dim, k = 4, scale = 1000)
+      graft.ops.Pca.save(model, s, PcaFixture)
+      // materialize the (corpus × 4 doubles) whitened frame ONCE: the
+      // iterative consumer (count + k-means rounds + both pairwise sides +
+      // final anti join) would otherwise recompute the 64-dim projection
+      // ~7× — and the k-narrow result is far cheaper to hold than to replay
+      val w = graft.ops.Pca.whitenVector(e, "vec_id", "embedding",
+        graft.ops.Pca.load(s, PcaFixture)).localCheckpoint(true)
+      Similarity.semanticKeptAuto(w, "vec_id", "wvec",
+        targetClusterSize = 10000, rounds = 2, scale = 1000, simThreshold = 0.8)
+    }),
 
     // one-pass covariance sums (micro-quantized → exact integers), the
     // distributed half of PCA — every value engine- and layout-exact
@@ -145,11 +172,12 @@ object SimilarityQueries extends QueryModule {
     * floored-division centroid rebuild, empty-cluster fallback) → final
     * assign. All-integer, so equality is exact, not approximate.
     */
-  private def kmeansSql(k: Int, rounds: Int, scale: Int): String = {
+  private def kmeansSql(k: Int, rounds: Int, scale: Int, dim: Int = Dim,
+      src: String = "embeddings", vecCol: String = "embedding"): String = {
     def assignCte(name: String, centsRel: String): String =
       s"""d_$name AS (
          |  SELECT q.vec_id, i.c,
-         |    list_sum(list_transform(range($Dim),
+         |    list_sum(list_transform(range($dim),
          |      j -> (q.qv[j+1] - i.cent[j+1]) * (q.qv[j+1] - i.cent[j+1])))::BIGINT AS d2
          |  FROM qz q CROSS JOIN $centsRel i),
          |$name AS (
@@ -161,7 +189,7 @@ object SimilarityQueries extends QueryModule {
       s"""s_$r AS (
          |  SELECT a.c, d.j AS dim, sum(q.qv[d.j+1])::BIGINT AS sv, count(*)::BIGINT AS n
          |  FROM $assignRel a JOIN qz q USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range($Dim)) AS j) d
+         |  CROSS JOIN (SELECT unnest(range($dim)) AS j) d
          |  GROUP BY a.c, d.j),
          |u_$r AS (
          |  SELECT c, list(floor(sv::DOUBLE / n::DOUBLE)::BIGINT ORDER BY dim) AS cent
@@ -174,8 +202,8 @@ object SimilarityQueries extends QueryModule {
     }.mkString(",\n")
     s"""WITH qz AS (
        |  SELECT vec_id,
-       |         list_transform(embedding, x -> floor(x::DOUBLE * $scale)::BIGINT) AS qv
-       |  FROM embeddings),
+       |         list_transform($vecCol, x -> floor(x::DOUBLE * $scale)::BIGINT) AS qv
+       |  FROM $src),
        |i0 AS (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT $k),
        |cents_0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cent FROM i0),
@@ -254,6 +282,35 @@ object SimilarityQueries extends QueryModule {
          |                          THEN list_dot_product(x.v, y.v) / (x.nrm * y.nrm)
          |                          ELSE 0 END) * 1000000) / 1000000.0 >= 0.4)
          |SELECT vec_id FROM embeddings ANTI JOIN drp USING (vec_id)""".stripMargin,
+
+    // whiten replayed from the persisted model (only live λ > 1e-12
+    // components, comp_id order — exactly whitenVector), then the same
+    // k-means + lower-id-EXISTS chain as dedup_semantic_kept over the
+    // 4-dim whitened vectors. The nested kmeans WITH reads the outer `w`.
+    "dedup_semantic_whitened" ->
+      s"""WITH w AS (
+         |  SELECT e.vec_id,
+         |         list(floor(list_dot_product(
+         |                list_transform(range($Dim), i -> e.v[i + 1] - m.mean[i + 1]),
+         |                c.vec) / sqrt(c.eigenvalue) * 1000000) / 1000000.0
+         |              ORDER BY c.comp_id) AS wvec
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+         |  CROSS JOIN (SELECT mean FROM read_parquet('$PcaFixture/mean/*.parquet')) m
+         |  CROSS JOIN (SELECT comp_id, eigenvalue, vec
+         |              FROM read_parquet('$PcaFixture/components/*.parquet')) c
+         |  WHERE c.eigenvalue > 1e-12
+         |  GROUP BY e.vec_id),
+         |a AS (SELECT vec_id, cluster FROM (
+         |  ${kmeansSql(k = 8, rounds = 2, scale = 1000, dim = 4, src = "w", vecCol = "wvec")}) t),
+         |ew AS (SELECT vec_id, wvec AS v,
+         |              sqrt(list_dot_product(wvec, wvec)) AS nrm FROM w),
+         |b AS (SELECT a.vec_id, a.cluster, ew.v, ew.nrm FROM a JOIN ew USING (vec_id)),
+         |drp AS (SELECT DISTINCT x.vec_id
+         |        FROM b x JOIN b y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |        WHERE floor((CASE WHEN x.nrm * y.nrm > 0
+         |                          THEN list_dot_product(x.v, y.v) / (x.nrm * y.nrm)
+         |                          ELSE 0 END) * 1000000) / 1000000.0 >= 0.8)
+         |SELECT vec_id FROM w ANTI JOIN drp USING (vec_id)""".stripMargin,
 
     "ann_topk_cosine" ->
       """WITH n AS (

@@ -39,6 +39,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  /** A null ELEMENT nulls the result even when both array COLUMNS are
+    * non-nullable, so nullability does not reduce to the children's (the
+    * BinaryExpression default). Getting this wrong is worse than
+    * pessimistic: for non-nullable children the codegen slot `ev.isNull`
+    * is a constant, the `isNull = true` assignment no longer compiles, and
+    * the whole stage silently falls back to interpreter mode.
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elementsNullable(left.dataType) || elementsNullable(right.dataType)
+
+  private def elementsNullable(t: DataType): Boolean = t match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true // unresolved/coercing: assume the worst until typed
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -58,11 +74,18 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      // when nothing can be null, skip the per-element null probe entirely
+      // (tighter loop) — and never emit the isNull assignment, which would
+      // target a constant slot and kill codegen for the whole stage
+      val nullCheck =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $sum += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $sum;

@@ -74,6 +74,33 @@ class GraphSpec extends SparkSpec {
     assert(tri === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
 
+  test("triangles hub cap: poison hub is thinned deterministically, clique survives") {
+    // node 0 fans out to 1..100 (the poison hub); 1..12 form a clique whose
+    // nodes stay under the cap (degree 12 each) — its 220 triangles must
+    // survive intact while the hub's are sampled
+    val hub = (1L to 100L).map(i => (0L, i))
+    val clique = for { a <- 1L to 12L; b <- (a + 1) to 12L } yield (a, b)
+    val edges = (hub ++ clique).toDF("src", "dst")
+    val full = Graph.triangles(edges, "src", "dst", maxDegree = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.size === 220 + 66) // C(12,3) clique + C(12,2) through the hub
+    val capped = Graph.triangles(edges, "src", "dst", maxDegree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a sample of real triangles, never an invention; the under-cap clique
+    // is untouched, the over-cap hub's 66 are thinned
+    assert(capped.subsetOf(full))
+    assert(capped.size >= 220 && capped.size < full.size)
+    // deterministic across layouts (md5 stride, not a random sample)
+    val again = Graph.triangles(edges.repartition(7), "src", "dst", maxDegree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === capped)
+    // the audit sees exactly the hub
+    val st = Graph.degreeStats(edges, "src", "dst", maxDegree = 16)
+      .collect()(0)
+    assert(st.getAs[Long]("hot_nodes") === 1L)
+    assert(st.getAs[Long]("max_degree") === 100L)
+  }
+
   test("componentStats sizes the clusters") {
     val comps = Graph.connectedComponents(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")

@@ -44,6 +44,17 @@ class KMeansSpec extends SparkSpec {
     assert(out === Set((0L, 0L, 0L), (1L, 1L, 0L)))
   }
 
+  test("fitCentroids validates its arguments like fitAssign (no raw ArithmeticException)") {
+    val pts = (0L to 7L).map(i => (i, Seq(i.toFloat))).toDF("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.KMeans.fitCentroids(pts, "embedding", "vec_id", k = 2, rounds = 2,
+        checkpointInterval = 0)
+    }.getMessage.contains("checkpointInterval"))
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.KMeans.fitCentroids(pts, "embedding", "vec_id", k = 0)
+    }.getMessage.contains("k="))
+  }
+
   test("centroid update floors toward negative infinity (engine-portable)") {
     // exactly-representable floats: q = -250, -250, -500 millis; mean
     // -333.33 → floor = -334 (toward -inf, not truncation's -333)

@@ -24,6 +24,28 @@ class NativeFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot codegen survives non-nullable inputs (no constant-isNull assignment)") {
+    // regression (round 8): with both children non-nullable the codegen
+    // slot ev.isNull is a constant, and the old unconditional
+    // `isNull = true` assignment failed Janino — silently dropping the
+    // whole stage to interpreter mode. GenerateUnsafeProjection has no
+    // fallback, so a codegen bug THROWS here instead of hiding in a WARN.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dense = BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = false)
+    val dDense = org.apache.spark.sql.graft.DotProduct(dense, dense)
+    assert(!dDense.nullable, "no null source anywhere -> non-nullable")
+    GenerateUnsafeProjection.generate(Seq(Alias(dDense, "x")()))
+    // null ELEMENTS alone must keep the expression nullable even when the
+    // array columns are non-nullable — nullability must not reduce to the
+    // children's (the BinaryExpression default)
+    val sparse = BoundReference(0, ArrayType(DoubleType, containsNull = true), nullable = false)
+    val dSparse = org.apache.spark.sql.graft.DotProduct(sparse, sparse)
+    assert(dSparse.nullable, "null elements can null the dot")
+    GenerateUnsafeProjection.generate(Seq(Alias(dSparse, "y")()))
+  }
+
   test("graft_dot null semantics: null array or null element -> null") {
     val df = Seq(
       (Some(Seq(Some(1.0), None)), Some(Seq(Some(2.0), Some(3.0)))),

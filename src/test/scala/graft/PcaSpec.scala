@@ -123,4 +123,52 @@ class PcaSpec extends SparkSpec {
       }
     }
   }
+
+  test("oversized dims fail loudly, not as executor OOM or driver stall") {
+    val df = Seq((1L, Seq(1f, 2f))).toDF("id", "vec")
+    assert(intercept[IllegalArgumentException] {
+      new Pca.CovSums(Pca.MaxCovDim + 1)
+    }.getMessage.contains("MaxCovDim"))
+    assert(intercept[IllegalArgumentException] {
+      Pca.fit(df, "vec", dim = Pca.MaxEigenDim + 1, k = 2)
+    }.getMessage.contains("MaxEigenDim"))
+  }
+
+  test("null embedding vectors are filtered, not NPE'd") {
+    val df = Seq((1L, Seq(1f, 2f)), (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq(3f, 4f))).toDF("id", "vec")
+    val n = Pca.covarianceSums(df, "vec", dim = 2).select("n").as[Long].collect()
+    assert(n.forall(_ === 2L), "the null row must be dropped from the sums")
+    val model = Pca.fit(df, "vec", dim = 2, k = 1)
+    assert(model.components.nonEmpty)
+  }
+
+  test("vector forms agree with the exploded project/whiten value-for-value") {
+    val df = (1L to 30L).map(i =>
+        (i, Seq.tabulate(4)(j => (math.sin(i * 0.9 + j) * (j + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 4, k = 3)
+    assert(model.eigenvalues.forall(_ > 1e-12), "fixture must have no dead directions")
+    val pv = Pca.projectVector(df, "vec_id", "embedding", model)
+      .as[(Long, Seq[Double])].collect().toMap
+    val pe = Pca.project(df, "vec_id", "embedding", model)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(pv === pe)
+    val wv = Pca.whitenVector(df, "vec_id", "embedding", model)
+      .as[(Long, Seq[Double])].collect().toMap
+    val we = Pca.whiten(df, "vec_id", "embedding", model)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(wv === we)
+  }
+
+  test("whitenVector refuses an all-dead model") {
+    val df = Seq((1L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val dead = Pca.PcaModel(Seq(1.0, 1.0), Seq(0.0, 0.0),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    assert(intercept[IllegalArgumentException] {
+      Pca.whitenVector(df, "vec_id", "embedding", dead)
+    }.getMessage.contains("dead"))
+  }
 }

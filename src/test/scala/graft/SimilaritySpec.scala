@@ -263,4 +263,30 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("withSurrogateId"))
   }
+
+  test("whitening changes the SemDeDup kept set: a shared offset stops swamping cosine") {
+    // planted: every vector rides a huge common first coordinate, the real
+    // content is the tiny remaining axes. RAW cosine ≈ 1 for every pair
+    // (the uncentered offset dominates), so raw SemDeDup collapses the
+    // corpus to one representative per cluster. WHITENED space centers and
+    // unit-variances each axis, the planted differences reappear, and the
+    // genuinely-distinct docs survive — the reason the SemDeDup recipe
+    // whitens first.
+    val vecs = (1L to 12L).map { i =>
+      (i, Seq(100f + (if (i % 2 == 0) 0.5f else -0.5f),
+        if ((i / 2) % 2 == 0) 1f else -1f,
+        (i % 3).toFloat - 1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val raw = Similarity.semanticKept(df, "vec_id", "embedding", k = 2, rounds = 2,
+      simThreshold = 0.9).as[Long].collect().toSet
+    val model = graft.ops.Pca.fit(df, "embedding", dim = 3, k = 3)
+    assert(model.eigenvalues.forall(_ > 1e-12), s"fixture eigen: ${model.eigenvalues}")
+    val w = graft.ops.Pca.whitenVector(df, "vec_id", "embedding", model)
+    val white = Similarity.semanticKept(w, "vec_id", "wvec", k = 2, rounds = 2,
+      simThreshold = 0.9).as[Long].collect().toSet
+    assert(raw.size <= 2, s"raw space must collapse to per-cluster reps, kept $raw")
+    assert(white.size > raw.size, s"whitening must rescue distinct docs: $white vs $raw")
+    assert(white.subsetOf(vecs.map(_._1).toSet))
+  }
 }
