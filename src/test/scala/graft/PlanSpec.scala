@@ -183,6 +183,20 @@ class PlanSpec extends SparkSpec {
       "blocking must manufacture an equi-join")
   }
 
+  test("triangle hub cap rides broadcast hot-node lookups, never a shuffle join") {
+    val p = plan("graph_triangles_capped")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "both hot-endpoint degree lookups must broadcast (the hot table is " +
+        "bounded by the over-cap node count)")
+  }
+
+  test("fuzzy hot-block cap rides a broadcast lookup; the pair join stays equi") {
+    val p = plan("j_fuzzy_blocked_capped")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "hot-block size lookup must broadcast")
+  }
+
   test("bloom prune probes pre-shuffle and the semi join stays exact") {
     val p = plan("j_bloom_prune")
     assert(p.contains("might_contain"),
