@@ -48,9 +48,14 @@ object Graph {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-    // symmetric closure: propagation must flow both ways along an edge
+    // symmetric closure: propagation must flow both ways along an edge.
+    // Pre-partitioned on dst — the per-round join key — so each round
+    // shuffles only the NODE-sized label table to meet it plus the
+    // unavoidable per-round min aggregation; without the repartition the
+    // cached edge set re-shuffles in full every round (same persist
+    // discipline as [[pageRankInt]]'s deg-weighted edge table).
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("dst")).persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -195,20 +200,25 @@ object Graph {
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     var cur = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
+    var curCnt = cur.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      // single-pass fixed-point probe: both sides are DISTINCT edge sets
-      // (symmetrize ends in .distinct()), so set equality ⟺ the full-outer
-      // join has no one-sided row. One shuffle join + a limit-1 scan,
-      // replacing the former two exceptAll passes (~4 wide shuffles per
-      // round — roughly half the per-round cost of the whole algorithm).
-      converged = next.withColumn("__n", lit(1))
+      // two-tier fixed-point probe, replacing the former two exceptAll
+      // passes (~4 wide shuffles per round): (1) COUNT — both sides are
+      // DISTINCT edge sets (symmetrize ends in .distinct()), so unequal
+      // cardinality proves change with a shuffle-free count over the
+      // cached partitions; (2) only equal counts (typically just the
+      // final round) pay a single full-outer join, where set equality ⟺
+      // no one-sided row (limit-1 probe).
+      val nextCnt = next.count()
+      converged = nextCnt == curCnt && next.withColumn("__n", lit(1))
         .join(cur.withColumn("__c", lit(1)), Seq("u", "v"), "full_outer")
         .filter(col("__n").isNull || col("__c").isNull)
         .isEmpty
       cur = next
+      curCnt = nextCnt
       iter += 1
     }
     if (!converged)
@@ -279,14 +289,25 @@ object Graph {
     require(dampMicro >= 0 && dampMicro <= 1000000L, s"bad damping $dampMicro")
     require(checkpointInterval > 0, s"bad checkpointInterval $checkpointInterval")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+    // the deg-weighted edge table and the node table are STATIC across
+    // iterations — materialize each ONCE, hash-partitioned on its join
+    // key. Spark's ReuseExchange cannot dedup them (each iteration's
+    // subplan differs through the rank dependency), so the lazy form
+    // re-scans, re-distincts, and re-shuffles the full edge set every
+    // iteration (measured: zero ReusedExchange in a 5-iteration plan).
+    // With the two cached tables, one power iteration shuffles only the
+    // NODE-sized rank table (to meet ew's src partitioning) plus the one
+    // unavoidable edge-sized contribution aggregation — the same persist
+    // discipline every distributed PageRank (GraphX, Pregel) applies.
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .repartition(col("node")).localCheckpoint(true)
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (i <- 1 to iterations) {
-      val contrib = e.join(ranks, col("src") === col("node"))
-        .join(outdeg, "src")
+      val contrib = ew.join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
       val sums = contrib.groupBy("node").agg(sum("c").as("s"))
       // (damp * s) div 1e6 computed as the split form
