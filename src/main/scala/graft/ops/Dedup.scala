@@ -190,14 +190,20 @@ object Dedup {
     val pairs = minhashCandidatePairs(df, textCol, idCol, k, bands, maxBucket)
     val shs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
-    val jac = when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .otherwise(lit(0.0))
+      .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+    // |A∪B| = |A| + |B| − |A∩B| for the distinct shingle SETS: one hashed
+    // array_intersect per pair plus integer arithmetic, instead of also
+    // materializing the union array per pair — identical value (same
+    // integers, same double division), half the per-pair set work. The
+    // per-doc sizes ride the join as two ints.
+    val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
     pairs
-      .join(shs.select(col(idCol).as("doc_a"), col("shs").as("sh_a")), "doc_a")
-      .join(shs.select(col(idCol).as("doc_b"), col("shs").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .join(shs.select(col(idCol).as("doc_a"), col("shs").as("sh_a"), col("nsh").as("n_a")), "doc_a")
+      .join(shs.select(col(idCol).as("doc_b"), col("shs").as("sh_b"), col("nsh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        when(uni > 0, col("inter").cast("double") / uni).otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -320,12 +326,13 @@ object Dedup {
       .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
     val a = sh.select(col(idCol).as("doc_a"), col("shs").as("sh_a"))
     val b = sh.select((col(idCol) - 1).as("join_id"), col(idCol).as("doc_b"), col("shs").as("sh_b"))
+    // same |A∪B| = |A|+|B|−|A∩B| identity as [[verifiedNearDupPairs]]
+    val uni = (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")
     a.join(b, col("doc_a") === col("join_id"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
       .select(col("doc_a"), col("doc_b"),
-        floor6(
-          when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-            .otherwise(lit(0.0))).as("jaccard"))
+        floor6(when(uni > 0, col("inter").cast("double") / uni)
+          .otherwise(lit(0.0))).as("jaccard"))
   }
 }

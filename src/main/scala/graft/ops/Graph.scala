@@ -199,7 +199,7 @@ object Graph {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     var cur = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+      .repartition(col("u")).dropDuplicates("u", "v").localCheckpoint(true)
     var curCnt = cur.count()
     var iter = 0
     var converged = false
@@ -259,9 +259,18 @@ object Graph {
     symmetrize(smaller.union(self).filter(col("a") =!= col("b")))
   }
 
+  /** Symmetric closure, deduped WITHOUT a (u,v)-keyed shuffle: the union
+    * is hash-repartitioned on u ONCE — which already co-locates duplicate
+    * (u,v) rows (same u ⇒ same partition), so the dedup aggregate
+    * satisfies its distribution for free — and every downstream per-round
+    * consumer (the min-label groupBy(u), the re-point join on u, the
+    * fixed-point probe join on (u,v) — subset co-partitioning) reuses
+    * that ONE exchange. Each half-round costs a single edge-sized shuffle
+    * instead of three.
+    */
   private def symmetrize(e: DataFrame): DataFrame =
     e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .toDF("u", "v").distinct()
+      .toDF("u", "v").repartition(col("u")).dropDuplicates("u", "v")
 
   /** Integer-exact PageRank (micro-units, floored at every step — the same
     * all-integer determinism contract as [[KMeans]]): rank is

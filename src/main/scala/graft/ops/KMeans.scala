@@ -128,7 +128,13 @@ object KMeans {
       rounds: Int = 2, scale: Int = 1000, checkpointInterval: Int = 10): DataFrame = {
     require(k > 0 && rounds >= 0 && scale > 0, s"bad k=$k rounds=$rounds scale=$scale")
     require(checkpointInterval > 0, s"bad checkpointInterval $checkpointInterval")
-    val q = quantize(df, vecCol, idCol, scale)
+    // materialize the quantized corpus ONCE (same persist discipline as
+    // [[Graph.pageRankInt]]'s static tables): lloyd's init + every round's
+    // assignment + the final assignment below would otherwise re-scan the
+    // source and re-run the per-row quantize transform rounds+2 times —
+    // at 100 TB the repeated scan IS the cost, and the checkpointed form
+    // is the 2-column projection, not the full row
+    val q = quantize(df, vecCol, idCol, scale).localCheckpoint(true)
     val cents = lloyd(q, idCol, k, rounds, checkpointInterval)
     assign(q, cents, idCol).select(col(idCol), col("cluster"), col("d2"))
   }
@@ -139,7 +145,10 @@ object KMeans {
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
       rounds: Int = 2, scale: Int = 1000, checkpointInterval: Int = 10): DataFrame = {
     require(k > 0 && rounds >= 0 && scale > 0, s"bad k=$k rounds=$rounds scale=$scale")
-    val q = quantize(df, vecCol, idCol, scale)
+    // rounds+1 corpus passes (init + one assignment per round) share one
+    // materialization; at rounds=0 only init reads q, so stay lazy
+    val q0 = quantize(df, vecCol, idCol, scale)
+    val q = if (rounds >= 1) q0.localCheckpoint(true) else q0
     lloyd(q, idCol, k, rounds, checkpointInterval)
   }
 }

@@ -97,13 +97,13 @@ object SimilarityQueries extends QueryModule {
     "dedup_semantic_whitened" -> ((s, d) => {
       val e = emb(s, d)
       val model = graft.ops.Pca.fit(e, "embedding", Dim, k = 4, scale = 1000)
-      graft.ops.Pca.save(model, s, PcaFixture)
+      graft.ops.Pca.save(model, s, pcaFixture(d))
       // materialize the (corpus × 4 doubles) whitened frame ONCE: the
       // iterative consumer (count + k-means rounds + both pairwise sides +
       // final anti join) would otherwise recompute the 64-dim projection
       // ~7× — and the k-narrow result is far cheaper to hold than to replay
       val w = graft.ops.Pca.whitenVector(e, "vec_id", "embedding",
-        graft.ops.Pca.load(s, PcaFixture)).localCheckpoint(true)
+        graft.ops.Pca.load(s, pcaFixture(d))).localCheckpoint(true)
       Similarity.semanticKeptAuto(w, "vec_id", "wvec",
         targetClusterSize = 10000, rounds = 2, scale = 1000, simThreshold = 0.8)
     }),
@@ -120,8 +120,8 @@ object SimilarityQueries extends QueryModule {
     "emb_pca_project" -> ((s, d) => {
       val e = emb(s, d)
       val model = graft.ops.Pca.fit(e, "embedding", Dim, k = 4, scale = 1000)
-      graft.ops.Pca.save(model, s, PcaFixture)
-      graft.ops.Pca.project(e, "vec_id", "embedding", graft.ops.Pca.load(s, PcaFixture))
+      graft.ops.Pca.save(model, s, pcaFixture(d))
+      graft.ops.Pca.project(e, "vec_id", "embedding", graft.ops.Pca.load(s, pcaFixture(d)))
     }),
 
     // whitened projection from the same persisted model: proj/sqrt(λ),
@@ -129,8 +129,8 @@ object SimilarityQueries extends QueryModule {
     "emb_pca_whiten" -> ((s, d) => {
       val e = emb(s, d)
       val model = graft.ops.Pca.fit(e, "embedding", Dim, k = 4, scale = 1000)
-      graft.ops.Pca.save(model, s, PcaFixture)
-      graft.ops.Pca.whiten(e, "vec_id", "embedding", graft.ops.Pca.load(s, PcaFixture))
+      graft.ops.Pca.save(model, s, pcaFixture(d))
+      graft.ops.Pca.whiten(e, "vec_id", "embedding", graft.ops.Pca.load(s, pcaFixture(d)))
     }),
 
     // IVF lifecycle end-to-end: build → persist → reload → probed search.
@@ -141,19 +141,27 @@ object SimilarityQueries extends QueryModule {
     "ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
       val idx = graft.ops.Ivf.build(e, "vec_id", "embedding", nlist = 8)
-      graft.ops.Ivf.save(idx, s, IvfFixture)
-      val loaded = graft.ops.Ivf.load(s, IvfFixture)
+      graft.ops.Ivf.save(idx, s, ivfFixture(d))
+      val loaded = graft.ops.Ivf.load(s, ivfFixture(d))
       graft.ops.Ivf.search(loaded, e.filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 5, nprobe = 2)
     }))
 
-  /** Fixed fixture path shared with the static oracle SQL (the query
-    * rewrites it on every run before the oracle reads it).
+  /** Persisted-model fixture paths, KEYED BY THE SF DIR: the fixture is
+    * rewritten by the query on every run, and a single fixed path would
+    * let a later run at a DIFFERENT scale (e.g. the sf0.1 bench, whose
+    * set includes the PCA queries) silently overwrite the model the
+    * static oracle replays — a correctness gate that depends on run
+    * ordering. The oracle SQL pins the sf0.01 key, the scale the driver
+    * verifies at (TESTDATA.md contract; tools/check_oracle.py likewise).
     */
-  private val IvfFixture = "/tmp/graft_ivf_fixture"
-
-  /** Same contract for the persisted PCA model. */
-  private val PcaFixture = "/tmp/graft_pca_fixture"
+  private def fixturePath(base: String, d: String): String =
+    base + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  private def ivfFixture(d: String): String = fixturePath("/tmp/graft_ivf_fixture", d)
+  private def pcaFixture(d: String): String = fixturePath("/tmp/graft_pca_fixture", d)
+  private val OracleSf = "/root/testdata/sf0.01"
+  private val IvfFixture = ivfFixture(OracleSf)
+  private val PcaFixture = pcaFixture(OracleSf)
 
   /** DuckDB literal for hyperplane p (exact same doubles as the Scala side:
     * Double.toString round-trips bit-exactly through DuckDB's parser).
