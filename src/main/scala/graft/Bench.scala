@@ -57,8 +57,8 @@ object Bench {
       // a query that errored must not masquerade as fast: report the first
       // error and the time of the run that produced it
       runs.find(_._2.isDefined) match {
-        case Some((t, err)) => (name, t, err)
-        case None => (name, runs.map(_._1).min, None)
+        case Some((t, err)) => (name, t, err, runs.map(_._1))
+        case None => (name, runs.map(_._1).min, None, runs.map(_._1))
       }
     }
     def jstr(s: String): String =
@@ -66,12 +66,19 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = (results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" } ++
+    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = (results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" } ++
       unknown.map(k => s"${jstr(k)}:${jstr("unknown query name")}"))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    // methodology is disclosed IN the record: `reps` names the estimator
+    // (min of N back-to-back runs) and `runs` carries every per-run time,
+    // so a consumer can recompute one-shot numbers (first element) or see
+    // the spread instead of trusting an opaque minimum
+    val runsJson = results.map { case (k, _, _, rs) =>
+      s"${jstr(k)}:${rs.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":${jstr(sfDir)}}"""
     println(line)
     // also land the metrics in a file: stdout is interleaved with Spark/sbt
     // noise, so downstream parsers get a clean copy at a stable path

@@ -105,7 +105,7 @@ object Graph {
     * Two equi-joins over the CANONICALIZED (lo, hi) edge list — candidate
     * fan-out is Σ degree², the standard shape.
     *
-    * ENFORCED hub cap (the [[Similarity.thinHotBuckets]] /
+    * OPT-IN hub cap (the [[Similarity.thinHotBuckets]] /
     * [[Fuzzy.blockedEditPairs]] discipline — a dense hub node is otherwise
     * a Σdeg² reducer pin): edges incident to a node whose degree exceeds
     * `maxDegree` are thinned deterministically by the OTHER endpoint's md5
@@ -113,13 +113,16 @@ object Graph {
     * stride), bounding every node's expected surviving degree to
     * ~maxDegree so join fan-out is ≤ ~|E|·maxDegree. Enumeration over the
     * thinned graph is a uniform SAMPLE of each hub's triangles — recall
-    * degrades gracefully, cost is bounded unconditionally. Audit what was
-    * thinned with [[degreeStats]]; `Int.MaxValue` disables. The hot-node
-    * table is bounded by the over-cap count, so the lookup is a broadcast
-    * join, never a shuffle.
+    * degrades gracefully, cost is bounded unconditionally. The DEFAULT is
+    * `Int.MaxValue` (exact enumeration): an enumeration primitive must not
+    * silently sample — callers running hub-heavy graphs opt into a cap
+    * explicitly (as the declared `graph_triangles_capped` query does) and
+    * audit what was thinned with [[degreeStats]]. The hot-node table is
+    * bounded by the over-cap count, so the lookup is a broadcast join,
+    * never a shuffle.
     */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String,
-      maxDegree: Int = 1000): DataFrame = {
+      maxDegree: Int = Int.MaxValue): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))

@@ -294,9 +294,12 @@ object Pca {
     */
   def projectVector(df: DataFrame, idCol: String, vecCol: String, model: PcaModel): DataFrame = {
     // empty model (fit on an empty corpus) → empty result with the right
-    // schema, the same contract as [[project]]'s empty broadcast join
+    // schema, the same contract as [[project]]'s empty broadcast join.
+    // filter(false), NOT limit(0): limit is unsupported on streaming
+    // Datasets, and this form must honor the batch ≡ stream contract
     if (model.components.isEmpty)
-      return df.select(col(idCol), array().cast("array<double>").as("pvec")).limit(0)
+      return df.select(col(idCol), array().cast("array<double>").as("pvec"))
+        .filter(lit(false))
     val meanLit: Column = array(model.mean.map(lit): _*)
     val pcols = model.components.map { c =>
       floor6(graft.functions.Native.dot(col("xc"), array(c.map(lit): _*)))
@@ -319,11 +322,13 @@ object Pca {
     */
   def whitenVector(df: DataFrame, idCol: String, vecCol: String, model: PcaModel,
       eps: Double = 1e-12): DataFrame = {
-    // empty model (fit on an empty corpus) → empty result, as above; a
-    // NON-empty model whose components are ALL dead is a data pathology
-    // (degenerate corpus) and still fails loudly below
+    // empty model (fit on an empty corpus) → empty result, as above
+    // (streaming-safe filter(false), not limit(0)); a NON-empty model whose
+    // components are ALL dead is a data pathology (degenerate corpus) and
+    // still fails loudly below
     if (model.components.isEmpty)
-      return df.select(col(idCol), array().cast("array<double>").as("wvec")).limit(0)
+      return df.select(col(idCol), array().cast("array<double>").as("wvec"))
+        .filter(lit(false))
     val live = model.components.zipWithIndex
       .filter { case (_, i) => model.eigenvalues(i) > eps }
     require(live.nonEmpty,

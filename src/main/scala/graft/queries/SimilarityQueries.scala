@@ -98,12 +98,21 @@ object SimilarityQueries extends QueryModule {
       val e = emb(s, d)
       val model = graft.ops.Pca.fit(e, "embedding", Dim, k = 4, scale = 1000)
       graft.ops.Pca.save(model, s, pcaFixture(d))
+      val loaded = graft.ops.Pca.load(s, pcaFixture(d))
+      // the static oracle's k-means block indexes wvec[1..4]: whitenVector
+      // DROPS dead (λ ≤ 1e-12) components, so a corpus with a dead
+      // direction would hand the oracle a 3-element wvec and NULL
+      // coordinates — fail loudly HERE instead of silently diverging
+      require(loaded.eigenvalues.forall(_ > 1e-12),
+        s"dedup_semantic_whitened: dead component in fitted model " +
+          s"(eigenvalues=${loaded.eigenvalues.mkString(",")}) — the static " +
+          "oracle assumes all 4 components are live")
       // materialize the (corpus × 4 doubles) whitened frame ONCE: the
       // iterative consumer (count + k-means rounds + both pairwise sides +
       // final anti join) would otherwise recompute the 64-dim projection
       // ~7× — and the k-narrow result is far cheaper to hold than to replay
-      val w = graft.ops.Pca.whitenVector(e, "vec_id", "embedding",
-        graft.ops.Pca.load(s, pcaFixture(d))).localCheckpoint(true)
+      val w = graft.ops.Pca.whitenVector(e, "vec_id", "embedding", loaded)
+        .localCheckpoint(true)
       Similarity.semanticKeptAuto(w, "vec_id", "wvec",
         targetClusterSize = 10000, rounds = 2, scale = 1000, simThreshold = 0.8)
     }),

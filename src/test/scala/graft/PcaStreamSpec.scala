@@ -45,4 +45,27 @@ class PcaStreamSpec extends SparkSpec {
       assert(batch === exploded)
     } finally q.stop()
   }
+
+  test("empty model on a STREAM yields an empty stream, not an AnalysisException") {
+    implicit val ctx = spark.sqlContext
+    // fit over an empty corpus → components are empty; the documented
+    // contract is an empty result with the right schema, and the empty
+    // branch must be streaming-legal (filter(false), not limit(0))
+    val empty = Pca.fit(Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      "embedding", dim = 4, k = 2)
+    assert(empty.components.isEmpty)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Pca.projectVector(input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", empty)
+      .writeStream.format("memory").queryName("pca_stream_empty")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Seq(1f, 2f, 3f, 4f))); q.processAllAvailable()
+      assert(spark.table("pca_stream_empty").isEmpty)
+    } finally q.stop()
+    // batch twin of the same branch keeps the schema
+    val b = Pca.projectVector(Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", empty)
+    assert(b.columns.toSeq === Seq("vec_id", "pvec") && b.isEmpty)
+  }
 }
