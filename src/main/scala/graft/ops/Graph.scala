@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   *    "Connected Components in MapReduce and Beyond") converges in
   *    O(log n) rounds — swap it in if diameters grow; the surface here
   *    stays the same.
-  *  - lineage is truncated each round (`localCheckpoint`) so the plan does
-  *    not grow with iterations; on a real cluster with fault-tolerance
-  *    requirements, configure a checkpoint dir and switch to
-  *    `checkpoint()` (reliable, HDFS-backed) — same call shape.
+  *  - lineage is truncated each round ([[Lineage.materialize]]) so the
+  *    plan does not grow with iterations, and each round's frame is
+  *    RELEASED ([[Lineage.release]]) as soon as its successor materializes
+  *    — storage held is one round's working set, not O(rounds) of them
+  *    (an evicted local checkpoint is a job failure, not a recompute, so
+  *    LRU is not a cleanup strategy). Pass `checkpointDir = Some(dir)` for
+  *    reliable HDFS-backed checkpoints that survive executor loss — the
+  *    right call for multi-hour iterative jobs on a real cluster.
   *  - convergence is detected distributively (`isEmpty` on the changed-row
   *    set — a limit-1 probe job, not a count of the corpus).
   */
@@ -44,7 +48,7 @@ object Graph {
     *                throws rather than returning silently-partial clusters.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, checkpointDir: Lineage.CheckpointDir = None): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -56,21 +60,28 @@ object Graph {
     // discipline as [[pageRankInt]]'s deg-weighted edge table).
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(col("dst")).persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    var labels = Lineage.materialize(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")), checkpointDir)
+    // the materialized frame `labels` derives from (labels itself wraps it
+    // in a Project after round 1) — released when its successor lands
+    var pinned = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("comp").as("nbr_min"))
         .withColumnRenamed("src", "id")
-      val next = labels.withColumnRenamed("comp", "prev")
+      val next = Lineage.materialize(labels.withColumnRenamed("comp", "prev")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("prev"),
-          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("comp")),
+        checkpointDir)
       converged = next.filter(col("comp") < col("prev")).isEmpty
+      // `next` is eagerly materialized and the convergence probe reads only
+      // `next` — the previous round's labels are now superseded: release
+      // their blocks instead of letting O(diameter) label tables pile up
+      Lineage.release(pinned)
+      pinned = next
       labels = next.select("id", "comp")
       iter += 1
     }
@@ -196,18 +207,18 @@ object Graph {
     * fast with less per-round work.
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, checkpointDir: Lineage.CheckpointDir = None): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    var cur = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")).dropDuplicates("u", "v").localCheckpoint(true)
+    var cur = Lineage.materialize(e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).dropDuplicates("u", "v"), checkpointDir)
     var curCnt = cur.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = Lineage.materialize(smallStar(largeStar(cur)), checkpointDir)
       // two-tier fixed-point probe, replacing the former two exceptAll
       // passes (~4 wide shuffles per round): (1) COUNT — both sides are
       // DISTINCT edge sets (symmetrize ends in .distinct()), so unequal
@@ -220,6 +231,10 @@ object Graph {
         .join(cur.withColumn("__c", lit(1)), Seq("u", "v"), "full_outer")
         .filter(col("__n").isNull || col("__c").isNull)
         .isEmpty
+      // the probe (the only consumer of the old round) has run — release
+      // the superseded edge set; O(log n) rounds must hold ONE round's
+      // edge-sized working set, not all of them
+      Lineage.release(cur)
       cur = next
       curCnt = nextCnt
       iter += 1
@@ -228,12 +243,16 @@ object Graph {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIter rounds")
     // at the fixed point every edge is (node, component-min); roots appear
-    // only on the min side
+    // only on the min side. The NODE-sized result is materialized so the
+    // final edge-star set can be released here — the returned frame is
+    // self-contained, holding node-sized storage only.
     val members = cur.filter(col("u") > col("v"))
       .select(col("u").as("id"), col("v").as("comp"))
     val roots = members.select(col("comp").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-    members.union(roots).distinct()
+    val out = Lineage.materialize(members.union(roots).distinct(), checkpointDir)
+    Lineage.release(cur)
+    out
   }
 
   /** One large-star half-round over a SYMMETRIC edge list: every node u
@@ -296,12 +315,13 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampMicro: Long = 850000L,
-      checkpointInterval: Int = 10): DataFrame = {
+      checkpointInterval: Int = 10,
+      checkpointDir: Lineage.CheckpointDir = None): DataFrame = {
     require(iterations >= 0 && iterations <= 50, s"bad iterations $iterations")
     require(dampMicro >= 0 && dampMicro <= 1000000L, s"bad damping $dampMicro")
     require(checkpointInterval > 0, s"bad checkpointInterval $checkpointInterval")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+    val e = Lineage.materialize(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct(), checkpointDir)
     // the deg-weighted edge table and the node table are STATIC across
     // iterations — materialize each ONCE, hash-partitioned on its join
     // key. Spark's ReuseExchange cannot dedup them (each iteration's
@@ -312,12 +332,19 @@ object Graph {
     // NODE-sized rank table (to meet ew's src partitioning) plus the one
     // unavoidable edge-sized contribution aggregation — the same persist
     // discipline every distributed PageRank (GraphX, Pregel) applies.
-    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val ew = Lineage.materialize(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .repartition(col("src")), checkpointDir)
+    val nodes = Lineage.materialize(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .repartition(col("node")).localCheckpoint(true)
+      .repartition(col("node")), checkpointDir)
+    // `e` only feeds the two static tables, both now eagerly materialized —
+    // its raw-edge blocks are dead weight for the rest of the job
+    Lineage.release(e)
     var ranks = nodes.withColumn("r", lit(1000000L))
+    // the rank table checkpointed at the last interval boundary, if any —
+    // released when the next boundary's (or the final) frame materializes
+    var pinnedRanks: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = ew.join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
@@ -334,9 +361,18 @@ object Graph {
           (lit(1000000L - dampMicro) +
             expr(s"$dampMicro * (coalesce(s, 0L) div 1000000) + " +
               s"($dampMicro * (coalesce(s, 0L) % 1000000)) div 1000000")).as("r"))
-      if (i % checkpointInterval == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(true)
+      if (i % checkpointInterval == 0 && i < iterations) {
+        ranks = Lineage.materialize(ranks, checkpointDir)
+        pinnedRanks.foreach(Lineage.release)
+        pinnedRanks = Some(ranks)
+      }
     }
-    ranks.select(col("node"), col("r").as("rank_micro"))
+    // materialize the NODE-sized result so the edge-sized static tables
+    // (ew — the big one) can be released here instead of staying pinned
+    // under the caller's lazy plan; the returned frame is self-contained
+    val out = Lineage.materialize(
+      ranks.select(col("node"), col("r").as("rank_micro")), checkpointDir)
+    Lineage.release(ew); Lineage.release(nodes); pinnedRanks.foreach(Lineage.release)
+    out
   }
 }

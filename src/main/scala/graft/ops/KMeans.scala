@@ -112,10 +112,17 @@ object KMeans {
     // and `r % 0` would otherwise surface as a raw ArithmeticException
     require(checkpointInterval > 0, s"bad checkpointInterval $checkpointInterval")
     var cents = initCentroids(q, idCol, k)
+    // superseded-checkpoint release, same discipline as
+    // [[Graph.pageRankInt]]: k rows is tiny, but a long fit must not
+    // accumulate one pinned block set per interval boundary
+    var pinned: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       cents = update(assign(q, cents, idCol), cents)
-      if (r % checkpointInterval == 0 && r < rounds)
+      if (r % checkpointInterval == 0 && r < rounds) {
         cents = cents.localCheckpoint(true)
+        pinned.foreach(Lineage.release)
+        pinned = Some(cents)
+      }
     }
     cents
   }

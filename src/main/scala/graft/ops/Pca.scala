@@ -22,14 +22,17 @@ import graft.ops.Text.floor6
   *    sums bit-for-bit. Overflow headroom: |q| ≤ scale·max|x| (~2¹²
   *    for unit-ish embeddings at scale=1000), so Σ products hold to
   *    ~2³⁹ rows per partition tree — beyond any real corpus.
-  *  - The eigendecomposition runs DRIVER-SIDE on the d×d covariance
-  *    (cyclic Jacobi, deterministic sweep order) — d is a model constant,
-  *    never data-sized, the same bounded-collect contract as [[Ivf.load]]'s
-  *    centroid table. Both halves are HARD-BOUNDED: the covariance pass
-  *    refuses d > [[MaxCovDim]] (buffer is d²/2 longs per partial) and the
-  *    Jacobi refuses d > [[MaxEigenDim]] (O(d³) per sweep on the driver;
-  *    practical sweet spot d ≤ 256). Oversized dims fail loudly at plan
-  *    time, not as an executor OOM or an hours-long driver stall.
+  *  - The eigendecomposition runs DRIVER-SIDE on the d×d covariance —
+  *    d is a model constant, never data-sized, the same bounded-collect
+  *    contract as [[Ivf.load]]'s centroid table. Full cyclic Jacobi
+  *    (deterministic sweep order) to d ≤ [[MaxEigenDim]]; past that, up to
+  *    [[MaxCovDim]], a top-k SUBSPACE ITERATION ([[powerEigen]], O(k·d²)
+  *    per iterate + a k×k Rayleigh–Ritz solve) — embedding-width d=2048/
+  *    4096 fits solve in seconds for the few components callers want.
+  *    Both halves stay HARD-BOUNDED: the covariance pass refuses
+  *    d > [[MaxCovDim]] (buffer is d²/2 longs per partial) and the
+  *    subspace width is capped at [[MaxPowerK]]. Oversized dims fail
+  *    loudly at plan time, not as an executor OOM or a driver stall.
   *  - Projection is a broadcast join of the k components against the
   *    corpus: per-row center + dot — embarrassingly parallel, ranked by
   *    the same codegen'd [[graft.functions.Native.dot]] the ANN paths use.
@@ -51,15 +54,25 @@ object Pca {
     */
   val MaxCovDim = 4096
 
-  /** Ceiling for the DRIVER-side Jacobi eigensolve in [[fit]]: cyclic
+  /** Ceiling for the DRIVER-side FULL Jacobi eigensolve in [[fit]]: cyclic
     * Jacobi is O(d³) per sweep (up to 100 sweeps), so d=1024 is already
     * ~10¹¹ driver flops worst-case — minutes, not hours; d=4096 would be
     * ~7·10¹² — hours. Practical sweet spot is d ≤ 256 (embedding PCA runs
-    * on pooled/truncated dims); past [[MaxEigenDim]] fit refuses loudly.
-    * A blocked or library eigensolver is the upgrade path if larger d is
-    * ever needed — [[covarianceSums]] itself stays valid to [[MaxCovDim]].
+    * on pooled/truncated dims). Past [[MaxEigenDim]] — up to [[MaxCovDim]]
+    * — [[fit]] switches to [[powerEigen]], a top-k subspace iteration at
+    * O(k·d²) per iterate: the k components a PCA caller actually wants
+    * never need the full spectrum, so d=4096/k=8 is ~10⁸ flops per iterate
+    * instead of Jacobi's 10¹²-flop sweeps.
     */
   val MaxEigenDim = 1024
+
+  /** Subspace width ceiling for [[powerEigen]]: k·d² per iterate means
+    * k=128/d=4096 is ~2·10⁹ flops per iterate — seconds; far past that the
+    * driver solve stops being "model-constant work". Wanting hundreds of
+    * components at d > 1024 is a different algorithm (randomized SVD on
+    * the distributed corpus), not a bigger loop.
+    */
+  val MaxPowerK = 128
 
   /** Covariance-sums buffer: (n, Σx per dim, upper-triangle Σxᵢxⱼ). */
   class CovSums(d: Int)
@@ -182,15 +195,142 @@ object Pca {
     (eig, vecs)
   }
 
+  /** Deterministic top-k subspace (block power / orthogonal) iteration on a
+    * symmetric PSD d×d matrix — the [[MaxEigenDim]] < d ≤ [[MaxCovDim]]
+    * eigensolver. O(k·d²) per iterate where Jacobi is O(d³) per sweep, so
+    * embedding-width covariances (d=2048/4096) solve in seconds for the
+    * handful of components PCA consumers want.
+    *
+    * Shape: rows of `q` span the current subspace; each iterate multiplies
+    * by the matrix, re-orthonormalizes (modified Gram–Schmidt, fixed row
+    * order), and converges when Rayleigh-quotient estimates are stationary.
+    * A final Rayleigh–Ritz step ([[jacobiEigen]] on the k×k projected
+    * matrix — tiny) rotates the converged subspace onto the eigenvectors
+    * proper, so closely-spaced eigenvalues resolve correctly instead of
+    * stalling the plain power recurrence. Init is a fixed splitmix64 fill —
+    * deterministic, and never accidentally orthogonal to an eigenvector the
+    * way an identity-basis init can be. Same determinism contract as
+    * [[jacobiEigen]]: fixed iteration order, no randomness, no library.
+    */
+  private[graft] def powerEigen(m: Array[Array[Double]], k: Int, maxIter: Int = 500,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    require(k > 0 && k <= d, s"need 0 < k <= d, got k=$k d=$d")
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val q = Array.tabulate(k, d)((c, i) => mix(c.toLong * d + i).toDouble / Long.MaxValue)
+    // modified Gram–Schmidt over rows, in place; a collapsed row (subspace
+    // deficiency mid-iteration) is re-seeded deterministically from `salt`
+    def orthonormalize(rows: Array[Array[Double]], salt: Long): Unit = {
+      var c = 0
+      while (c < rows.length) {
+        val r = rows(c)
+        var p = 0
+        while (p < c) {
+          val o = rows(p)
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += r(i) * o(i); i += 1 }
+          i = 0
+          while (i < d) { r(i) -= dot * o(i); i += 1 }
+          p += 1
+        }
+        var nrm = 0.0
+        var i = 0
+        while (i < d) { nrm += r(i) * r(i); i += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm < 1e-14) {
+          i = 0
+          while (i < d) { r(i) = mix(salt + c.toLong * d + i).toDouble / Long.MaxValue; i += 1 }
+          orthonormalize(rows, salt + k.toLong * d) // redo from a fresh seed
+          return
+        }
+        i = 0
+        while (i < d) { r(i) /= nrm; i += 1 }
+        c += 1
+      }
+    }
+    orthonormalize(q, 1L)
+    def mul(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        val mi = m(i)
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += mi(j) * v(j); j += 1 }
+        out(i) = s
+        i += 1
+      }
+      out
+    }
+    val prev = Array.fill(k)(Double.MaxValue)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val z = q.map(mul)
+      converged = true
+      var c = 0
+      while (c < k) {
+        var ray = 0.0
+        var i = 0
+        while (i < d) { ray += q(c)(i) * z(c)(i); i += 1 }
+        if (math.abs(ray - prev(c)) > tol * math.max(1.0, math.abs(ray))) converged = false
+        prev(c) = ray
+        System.arraycopy(z(c), 0, q(c), 0, d)
+        c += 1
+      }
+      orthonormalize(q, it.toLong + 2L)
+      it += 1
+    }
+    // Rayleigh–Ritz: project M onto the converged subspace and solve the
+    // k×k problem exactly; rotate the basis onto the Ritz vectors
+    val mq = q.map(mul)
+    val small = Array.tabulate(k, k) { (a, b) =>
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += q(a)(i) * mq(b)(i); i += 1 }
+      s
+    }
+    // symmetrize against round-off before the symmetric solver
+    for (a <- 0 until k; b <- a + 1 until k) {
+      val avg = (small(a)(b) + small(b)(a)) / 2.0
+      small(a)(b) = avg; small(b)(a) = avg
+    }
+    val (se, sv) = jacobiEigen(small)
+    val order = se.indices.sortBy(i => -se(i))
+    val eig = order.map(se).toArray
+    val vecs = order.map { oi =>
+      val w = sv(oi)
+      val out = new Array[Double](d)
+      var c = 0
+      while (c < k) {
+        var i = 0
+        while (i < d) { out(i) += w(c) * q(c)(i); i += 1 }
+        c += 1
+      }
+      out
+    }.toArray
+    (eig, vecs)
+  }
+
   /** Fit the top-k components: one covariance-sums pass (see above), then
-    * a driver-side Jacobi on the d×d matrix.
+    * a driver-side eigensolve on the d×d matrix — full Jacobi to
+    * [[MaxEigenDim]], top-k subspace iteration ([[powerEigen]]) beyond it
+    * up to [[MaxCovDim]].
     */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int, scale: Int = 1000): PcaModel = {
     require(k > 0 && k <= dim, s"need 0 < k <= dim, got k=$k dim=$dim")
-    require(dim <= MaxEigenDim,
-      s"dim=$dim exceeds MaxEigenDim=$MaxEigenDim — the driver-side Jacobi is O(d³) " +
-        "per sweep; reduce the dimension upstream (pool/truncate) or plug in a " +
-        "blocked eigensolver")
+    require(dim <= MaxCovDim,
+      s"dim=$dim exceeds MaxCovDim=$MaxCovDim — reduce the dimension upstream " +
+        "(pool/truncate) or use a blocked/sketched covariance")
+    require(dim <= MaxEigenDim || k <= MaxPowerK,
+      s"k=$k exceeds MaxPowerK=$MaxPowerK for the d > $MaxEigenDim subspace solver — " +
+        "hundreds of components at this width call for randomized SVD, not PCA fit")
     val spark = df.sparkSession
     import spark.implicits._
     val fn = udaf(new CovSums(dim), ExpressionEncoder[Array[Long]]())
@@ -212,7 +352,8 @@ object Pca {
       val t = lo * dim - lo * (lo - 1) / 2 + (hi - lo)
       (p(t).toDouble / n - (s(lo).toDouble / n) * (s(hi).toDouble / n)) / (scale.toDouble * scale)
     }
-    val (eig, vecs) = jacobiEigen(cov)
+    val (eig, vecs) =
+      if (dim <= MaxEigenDim) jacobiEigen(cov) else powerEigen(cov, k)
     val top = eig.zip(vecs).sortBy { case (e, _) => -e }.take(k).map { case (e, vec) =>
       // sign convention: the largest-|coord| entry positive (first on ties)
       val pivot = vec.indices.maxBy(i => (math.abs(vec(i)), -i))

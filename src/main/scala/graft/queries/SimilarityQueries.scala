@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, flatten, lit, sequence, transform}
 import graft.Tables
 import graft.ops.Similarity
 
@@ -14,6 +14,13 @@ object SimilarityQueries extends QueryModule {
 
   private val Dim = 64
   private val Planes = 8
+
+  /** emb_pca_project_wide widening: 32 tiles of the 64-dim embedding →
+    * d=2048, past [[graft.ops.Pca.MaxEigenDim]] so fit exercises the
+    * subspace eigensolver.
+    */
+  private val WideTiles = 32
+  private val WideDim = Dim * WideTiles
 
   /** Cap for the *_capped queries — small enough that sf0.01's largest
     * buckets (size 8) get thinned, so the oracle proves the stride exactly.
@@ -133,6 +140,24 @@ object SimilarityQueries extends QueryModule {
       graft.ops.Pca.project(e, "vec_id", "embedding", graft.ops.Pca.load(s, pcaFixture(d)))
     }),
 
+    // the d > MaxEigenDim(=1024) fit path: the 64-dim embeddings widened
+    // deterministically to 2048 dims (32 tiles, tile t scaled 1 + t/10 —
+    // expressible identically in DuckDB), fit k=4 through the SUBSPACE
+    // power-iteration eigensolver (full Jacobi would be O(d³) driver
+    // sweeps), persist, project. The oracle replays the projection from
+    // the persisted parquet doubles — eigensolver accuracy is PcaSpec's
+    // job; this row pins the distributed covariance + projection lifecycle
+    // at embedding-model width.
+    "emb_pca_project_wide" -> ((s, d) => {
+      val wide = emb(s, d).select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(WideTiles - 1)), t =>
+          transform(col("embedding"),
+            x => x.cast("double") * (lit(1.0) + t.cast("double") / 10.0)))).as("wide"))
+      val model = graft.ops.Pca.fit(wide, "wide", WideDim, k = 4, scale = 1000)
+      graft.ops.Pca.save(model, s, pcaWideFixture(d))
+      graft.ops.Pca.project(wide, "vec_id", "wide", graft.ops.Pca.load(s, pcaWideFixture(d)))
+    }),
+
     // whitened projection from the same persisted model: proj/sqrt(λ),
     // the unit-variance embedding SemDeDup-style pipelines feed to cosine
     "emb_pca_whiten" -> ((s, d) => {
@@ -168,9 +193,11 @@ object SimilarityQueries extends QueryModule {
     base + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
   private def ivfFixture(d: String): String = fixturePath("/tmp/graft_ivf_fixture", d)
   private def pcaFixture(d: String): String = fixturePath("/tmp/graft_pca_fixture", d)
+  private def pcaWideFixture(d: String): String = fixturePath("/tmp/graft_pca_wide_fixture", d)
   private val OracleSf = "/root/testdata/sf0.01"
   private val IvfFixture = ivfFixture(OracleSf)
   private val PcaFixture = pcaFixture(OracleSf)
+  private val PcaWideFixture = pcaWideFixture(OracleSf)
 
   /** DuckDB literal for hyperplane p (exact same doubles as the Scala side:
     * Double.toString round-trips bit-exactly through DuckDB's parser).
@@ -272,6 +299,22 @@ object SimilarityQueries extends QueryModule {
          |SELECT e.vec_id, c.comp_id,
          |  floor(list_dot_product(
          |          list_transform(range($Dim), i -> e.v[i + 1] - m.mean[i + 1]),
+         |          c.vec) * 1000000) / 1000000.0 AS proj
+         |FROM e CROSS JOIN m CROSS JOIN c""".stripMargin,
+
+    // the wide (d=2048) lifecycle replayed the same way: identical
+    // deterministic widening on both sides, projection from the persisted
+    // wide-model parquet doubles
+    "emb_pca_project_wide" ->
+      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaWideFixture/mean/*.parquet')),
+         |c AS (SELECT comp_id, vec FROM read_parquet('$PcaWideFixture/components/*.parquet')),
+         |e AS (SELECT vec_id,
+         |        flatten(list_transform(range($WideTiles), t ->
+         |          list_transform(embedding, x -> x::DOUBLE * (1 + t / 10.0)))) AS v
+         |      FROM embeddings)
+         |SELECT e.vec_id, c.comp_id,
+         |  floor(list_dot_product(
+         |          list_transform(range($WideDim), i -> e.v[i + 1] - m.mean[i + 1]),
          |          c.vec) * 1000000) / 1000000.0 AS proj
          |FROM e CROSS JOIN m CROSS JOIN c""".stripMargin,
 

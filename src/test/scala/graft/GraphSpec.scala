@@ -180,4 +180,49 @@ class GraphSpec extends SparkSpec {
       k = 2, rounds = 5, checkpointInterval = 100).as[(Long, Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("iterative ops release superseded checkpoints: storage holds one round, not O(rounds)") {
+    // unpersist removes the persistentRdds entry synchronously, so the map
+    // size is a deterministic probe of what each op leaves pinned. Every
+    // run below forces MANY rounds (long path / interval 1), and the
+    // contract is: at most ONE pinned block set survives per call — the
+    // self-contained result — never one per round. An evicted local
+    // checkpoint is a job FAILURE, so LRU is not the cleanup plan.
+    val sc = spark.sparkContext
+    def pinned(): Int = sc.getPersistentRDDs.size
+
+    val path = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val before1 = pinned()
+    val cc = Graph.connectedComponents(path, "a", "b", maxIter = 80)
+    assert(cc.collect().length === 60)
+    assert(pinned() <= before1 + 1,
+      s"connectedComponents pinned ${pinned() - before1} block sets (~59 rounds ran)")
+
+    val before2 = pinned()
+    val star = Graph.connectedComponentsStar(path, "a", "b")
+    assert(star.collect().length === 60)
+    assert(pinned() <= before2 + 1,
+      s"connectedComponentsStar pinned ${pinned() - before2} block sets")
+
+    val before3 = pinned()
+    val pr = Graph.pageRankInt(path, "a", "b", iterations = 8, checkpointInterval = 1)
+    assert(pr.collect().length === 60)
+    assert(pinned() <= before3 + 1,
+      s"pageRankInt pinned ${pinned() - before3} block sets (8 interval-1 rounds ran)")
+  }
+
+  test("reliable checkpointDir: same answers, checkpoint files land in the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = Graph.connectedComponents(edges, "a", "b", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // reliable checkpoints actually hit the filesystem (executor-loss-proof)
+    def fileCount(d: java.io.File): Int =
+      if (d.isDirectory) d.listFiles.map(fileCount).sum else 1
+    assert(fileCount(new java.io.File(dir)) > 0, "no checkpoint files written")
+    val star = Graph.connectedComponentsStar(edges, "a", "b", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === out)
+  }
 }

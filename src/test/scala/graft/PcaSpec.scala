@@ -130,8 +130,69 @@ class PcaSpec extends SparkSpec {
       new Pca.CovSums(Pca.MaxCovDim + 1)
     }.getMessage.contains("MaxCovDim"))
     assert(intercept[IllegalArgumentException] {
-      Pca.fit(df, "vec", dim = Pca.MaxEigenDim + 1, k = 2)
-    }.getMessage.contains("MaxEigenDim"))
+      Pca.fit(df, "vec", dim = Pca.MaxCovDim + 1, k = 2)
+    }.getMessage.contains("MaxCovDim"))
+    // past MaxEigenDim the subspace solver takes over — but its width is
+    // bounded too: wanting hundreds of components there is a different
+    // algorithm, and the request must fail loudly at plan time
+    assert(intercept[IllegalArgumentException] {
+      Pca.fit(df, "vec", dim = Pca.MaxEigenDim + 1, k = Pca.MaxPowerK + 1)
+    }.getMessage.contains("MaxPowerK"))
+  }
+
+  test("powerEigen matches full Jacobi on the top-k of a dense spectrum") {
+    // deterministic symmetric PSD matrix: M = B·Bᵀ/d from a hash fill —
+    // dense, no planted structure, eigenvalues of varying separation
+    val d = 48
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val b = Array.tabulate(d, d)((i, j) => mix(i.toLong * d + j).toDouble / Long.MaxValue)
+    val m = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => b(i)(t) * b(j)(t)).sum / d)
+    val k = 5
+    val (pe, pv) = Pca.powerEigen(m, k)
+    val (je, _) = Pca.jacobiEigen(m)
+    val topJ = je.sorted.reverse.take(k)
+    pe.zip(topJ).foreach { case (p, j) =>
+      assert(math.abs(p - j) < 1e-8 * math.max(1.0, math.abs(j)),
+        s"eigenvalue mismatch: power=${pe.toSeq} jacobi=${topJ.toSeq}")
+    }
+    // Ritz vectors are true eigenvectors: ‖M·v − λ·v‖ small, basis orthonormal
+    pe.zip(pv).foreach { case (l, v) =>
+      val mv = m.map(row => row.zip(v).map { case (a, x) => a * x }.sum)
+      val resid = math.sqrt(mv.zip(v).map { case (got, vi) =>
+        val e = got - l * vi; e * e }.sum)
+      assert(resid < 1e-7, s"eigen residual $resid at lambda=$l")
+    }
+    for (i <- 0 until k; j <- i until k) {
+      val dot = pv(i).zip(pv(j)).map { case (a, x) => a * x }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
+  test("fit routes d > MaxEigenDim through the subspace solver and finds planted structure") {
+    val d = Pca.MaxEigenDim + 16
+    // rank-2 corpus embedded in a wide space: components along e0+e1 and e2
+    val rows = (1L to 120L).map { i =>
+      val a = math.sin(i * 0.37) * 3
+      val b = math.cos(i * 0.53) * 2
+      val v = new Array[Float](d)
+      v(0) = (a / math.sqrt(2)).toFloat; v(1) = (a / math.sqrt(2)).toFloat
+      v(2) = b.toFloat
+      (i, v.toSeq)
+    }
+    val model = Pca.fit(rows.toDF("vec_id", "embedding"), "embedding", dim = d, k = 3)
+    assert(model.eigenvalues === model.eigenvalues.sorted.reverse)
+    assert(model.eigenvalues(1) > 100 * math.max(model.eigenvalues(2), 1e-12),
+      s"rank-2 structure not found: ${model.eigenvalues}")
+    // top component concentrates on the e0+e1 diagonal
+    val c0 = model.components(0)
+    assert(math.abs(math.abs(c0(0)) - math.abs(c0(1))) < 1e-6)
+    assert(math.abs(c0(0)) > 0.7 && c0.drop(3).forall(x => math.abs(x) < 1e-6))
   }
 
   test("null embedding vectors are filtered, not NPE'd") {
