@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * reference's Avro converter path, `IntegrationTestHarness.java:335-349`,
   * `MockAvroConverter.java:24-39`). Raw binary bodies plus the
   * registry WIRE FORMAT (magic byte 0x00 + big-endian 4-byte schema id +
-  * body) via [[frame]]/[[unframe]] — the registry CLIENT (schema fetch/
-  * negotiation) is infra outside query semantics, but framed topics decode
-  * once the reader schema is declared, which is what a migrating user hits.
+  * body) via [[frame]]/[[unframe]], and the full producer/consumer
+  * registry flow via [[encodeFramed]]/[[decodeFramed]] against the
+  * [[SchemaRegistryClient]] seam (register → frame; id → writer schema →
+  * evolution-aware decode) — only the registry's HTTP transport itself
+  * stays out of scope, swapped in by implementing the trait.
   *
   * Built on avro-core (shipped with Spark) via `mapPartitions`: writer/
   * reader instances are created once per partition and reused per record —
@@ -131,20 +133,79 @@ object AvroCodec {
       rows.map { row =>
         val dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](0), null)
         val rec = reader.read(null, dec)
-        Row.fromSeq(st.fields.map { f =>
-          val v = rec.get(f.name)
-          (f.dataType, v) match {
-            case (_, null) => null
-            case (StringType, s) => s.toString
-            case (BinaryType, b: java.nio.ByteBuffer) =>
-              val arr = new Array[Byte](b.remaining()); b.get(arr); arr
-            case (ShortType, x: Integer) => x.shortValue()
-            case (ByteType, x: Integer) => x.byteValue()
-            case (_, x) => x
-          }
-        }.toSeq)
+        rowFromRecord(st, rec)
       }
     }(Encoders.row(st))
     out
+  }
+
+  private def rowFromRecord(st: StructType, rec: GenericRecord): Row =
+    Row.fromSeq(st.fields.map { f =>
+      // evolved READER fields absent from the writer schema resolve to the
+      // reader default via Avro resolution; hasField guards ids written
+      // before the field existed when resolution left it unset
+      val v = if (rec.getSchema.getField(f.name) == null) null else rec.get(f.name)
+      (f.dataType, v) match {
+        case (_, null) => null
+        case (StringType, s) => s.toString
+        case (BinaryType, b: java.nio.ByteBuffer) =>
+          val arr = new Array[Byte](b.remaining()); b.get(arr); arr
+        case (ShortType, x: Integer) => x.shortValue()
+        case (ByteType, x: Integer) => x.byteValue()
+        case (_, x) => x
+      }
+    }.toSeq)
+
+  /** Producer path through the registry seam: register the columns' schema
+    * under `subject` (idempotent — re-encoding with an unchanged schema
+    * reuses the id), then encode + wire-frame with the returned id. The
+    * Confluent serializer flow (`IntegrationTestHarness.java:335-349`)
+    * minus only the HTTP transport.
+    */
+  def encodeFramed(df: DataFrame, cols: Seq[String],
+      registry: SchemaRegistryClient, subject: String): DataFrame = {
+    val id = registry.register(subject, avroSchema(df.selectExpr(cols: _*).schema))
+    frame(encode(df, cols), "value", id)
+  }
+
+  /** Consumer path through the registry seam: unframe, resolve each
+    * record's WRITER schema by its wire id from the registry, and decode
+    * with (writer, reader) Avro schema resolution against the declared
+    * reader `st` — so a topic carrying several schema VERSIONS (evolution:
+    * added nullable fields, etc.) decodes into one frame, old records
+    * filling evolved columns with their reader defaults.
+    *
+    * The subject's version set is snapshotted DRIVER-side (bounded by the
+    * evolution count, never data-sized) and shipped in the closure — the
+    * same cache a Confluent deserializer builds per JVM. An id outside the
+    * subject fails loudly: bytes framed against a different registry are
+    * corruption, not data.
+    */
+  def decodeFramed(df: DataFrame, valueCol: String, st: StructType,
+      registry: SchemaRegistryClient, subject: String): DataFrame = {
+    val readerJson = avroSchema(st).toString
+    val writers: Map[Int, String] =
+      registry.versions(subject).map { case (id, s) => id -> s.toString }.toMap
+    require(writers.nonEmpty, s"no schema registered under subject '$subject'")
+    val bytes = unframe(df, valueCol).selectExpr("schema_id", s"$valueCol AS value")
+    bytes.mapPartitions { rows =>
+      // fresh parser per schema: a shared Parser rejects re-parsing the
+      // same record name across versions ("redefined schema")
+      val reader = new Schema.Parser().parse(readerJson)
+      val cache = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      rows.map { row =>
+        require(!row.isNullAt(0),
+          "decodeFramed: record shorter than the 5-byte wire header (raw body on a framed topic?)")
+        val id = row.getInt(0)
+        val datumReader = cache.getOrElseUpdate(id, {
+          val wj = writers.getOrElse(id, throw new IllegalArgumentException(
+            s"schema id $id is not registered under subject '$subject' — " +
+              "framed against a different registry?"))
+          new GenericDatumReader[GenericRecord](new Schema.Parser().parse(wj), reader)
+        })
+        val dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](1), null)
+        rowFromRecord(st, datumReader.read(null, dec))
+      }
+    }(Encoders.row(st))
   }
 }

@@ -175,6 +175,27 @@ class PlanSpec extends SparkSpec {
     val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
     assert(bhj >= 3, s"expected supplier + two nation-role broadcasts, got $bhj")
     assert(!p.contains("CartesianProduct"))
+    // exchange-count pin (official BENCH_r08 recorded 0.82 → 2.74 s on this
+    // file with ZERO code change; local reps=2 runs stay ~0.9-1.2 s): the
+    // only shuffles are the fact⋈fact joins and the final rollup — extra
+    // exchanges would mean a lost broadcast
+    val exchanges = hashExchanges(p)
+    info(s"q7 shuffle exchanges: $exchanges")
+    assert(exchanges <= 5, s"$exchanges shuffle exchanges in q7 — plan regressed")
+  }
+
+  test("salted join shuffles once per side on (key, salt); replication is in-plan") {
+    // official BENCH_r08 recorded 2.12 → 4.65 s with zero code change;
+    // local reps=2 runs stay ~2.0-2.4 s. Pin the shape: the salt spread is
+    // a deterministic projection (no extra exchange), the join keys on
+    // (key, salt), and the final rollup is the only other shuffle.
+    val p = plan("skew_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = hashExchanges(p)
+    info(s"skew_salted_join shuffle exchanges: $exchanges")
+    assert(exchanges <= 4,
+      s"$exchanges shuffle exchanges in skew_salted_join — expected fact + " +
+        "replicated-dim sides plus the priority rollup only")
   }
 
   test("fuzzy blocked join is an equi-join on the block key, never all-pairs") {
@@ -208,6 +229,14 @@ class PlanSpec extends SparkSpec {
     // plan (formatted output lists operators bottom-up per subtree; a
     // cheap structural proxy — the filter exists and no cartesian appears)
     assert(!p.contains("CartesianProduct"))
+    // exchange-count pin (official BENCH_r08 recorded 1.05 → 1.66 s with
+    // zero code change; local reps=2 runs stay ~0.8-1.3 s): bloom build
+    // rides the scalar subquery's all-to-one merge, so the hash shuffles
+    // are the semi join's two sides (when not broadcast) + the returnflag
+    // rollup only
+    val exchanges = hashExchanges(p)
+    info(s"j_bloom_prune shuffle exchanges: $exchanges")
+    assert(exchanges <= 4, s"$exchanges shuffle exchanges in j_bloom_prune — plan regressed")
   }
 
   test("q8 broadcasts every dimension; only fact-fact joins shuffle") {

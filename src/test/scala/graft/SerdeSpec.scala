@@ -148,4 +148,38 @@ class SerdeSpec extends SparkSpec {
     assert(AvroCodec.unframe(framed, "value")
       .select("schema_id").as[Option[Int]].head() === Some(id))
   }
+
+  test("registry seam: evolving schema ids round-trip; old ids fill reader defaults") {
+    val registry = new graft.serde.InMemorySchemaRegistry
+    // v1 producer: (w, n)
+    val v1 = Seq(("be", 2L), ("to", 4L)).toDF("w", "n")
+    val framed1 = AvroCodec.encodeFramed(v1, Seq("w", "n"), registry, "words-value")
+    // re-encoding an UNCHANGED schema reuses the id (serializers re-register
+    // per batch — a fresh id each time would explode the registry)
+    val framed1b = AvroCodec.encodeFramed(v1, Seq("w", "n"), registry, "words-value")
+    val ids = (AvroCodec.unframe(framed1, "value") union AvroCodec.unframe(framed1b, "value"))
+      .select("schema_id").as[Int].collect().toSet
+    assert(ids === Set(1), s"idempotent re-register must reuse id 1, saw $ids")
+    // v2 producer EVOLVES the schema: adds a nullable score column
+    val v2 = Seq(("of", 6L, Some(0.5)), ("in", 8L, None)).toDF("w", "n", "score")
+    val framed2 = AvroCodec.encodeFramed(v2, Seq("w", "n", "score"), registry, "words-value")
+    assert(AvroCodec.unframe(framed2, "value")
+      .select("schema_id").as[Int].collect().toSet === Set(2), "evolution allocates id 2")
+    // one topic, both versions: consumer declares the v2 reader schema and
+    // decodes the mix — v1 records resolve score to the reader default null
+    val topic = framed1.union(framed2)
+    val st = StructType(Seq(StructField("w", StringType), StructField("n", LongType),
+      StructField("score", DoubleType)))
+    val back = AvroCodec.decodeFramed(topic, "value", st, registry, "words-value")
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(back === Set(("be", 2L, None), ("to", 4L, None),
+      ("of", 6L, Some(0.5)), ("in", 8L, None)))
+    // an id the subject never registered fails loudly, not as garbage rows
+    val alien = AvroCodec.frame(AvroCodec.encode(v1, Seq("w", "n")), "value", 99)
+    val err = intercept[org.apache.spark.SparkException] {
+      AvroCodec.decodeFramed(alien, "value", st, registry, "words-value").collect()
+    }
+    assert(err.getMessage.contains("99") ||
+      Option(err.getCause).exists(_.getMessage.contains("99")))
+  }
 }
