@@ -82,10 +82,13 @@ object Ivf {
       k: Int = 5, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     // empty index (built from an empty corpus): no lists to probe — an
-    // empty result with the search schema, not an analysis error
+    // empty result with the search schema, not an analysis error.
+    // filter(false), NOT limit(0): limit is unsupported on streaming
+    // Datasets, and search applies to a streaming query frame too
+    // (IvfStreamSpec pins stream ≡ batch)
     if (index.centroids.isEmpty)
       return q.select(col("query_id"), col("query_id").as("neighbor_id"),
-        lit(1).as("rnk"), lit(0.0).as("sim")).limit(0)
+        lit(1).as("rnk"), lit(0.0).as("sim")).filter(lit(false))
     // rank lists per query by centroid distance, keep nprobe
     val listDists = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("list_id"), centroidDist(col("qv"), c).as("dist"))
