@@ -311,10 +311,16 @@ object Similarity {
       col("n").as("qn"), col("cluster"))
     val b = base.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
       col("n").as("cn"), col("cluster").as("cluster2"))
+    // the drop rule is an EXISTS — run it as a LEFT SEMI join with the
+    // similarity predicate IN the join condition: the hash semi join
+    // stops scanning a probe row's cluster-mates at the FIRST lower-id
+    // match (a dense dup cluster short-circuits after ~1 dot instead of
+    // paying all |cluster| of them), and no pair set is materialized, so
+    // the distinct shuffle the inner-join form needed disappears
     val dropped = a.join(b,
-        col("cluster") === col("cluster2") && col("neighbor_id") < col("query_id"))
-      .filter(floor6(candCos) >= lit(simThreshold))
-      .select(col("query_id").as(idCol)).distinct()
+        col("cluster") === col("cluster2") && col("neighbor_id") < col("query_id") &&
+          floor6(candCos) >= lit(simThreshold), "left_semi")
+      .select(col("query_id").as(idCol))
     df.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
