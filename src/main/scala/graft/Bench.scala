@@ -51,7 +51,10 @@ object Bench {
         // would let Catalyst prune the projections we mean to measure)
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+          // 120 chars: ten of these at once must still leave the stdout
+          // line inside the driver's tail-capture window (r9 lost its
+          // entire bench artifact to untruncated AnalysisExceptions)
+          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
         ((System.nanoTime() - t0) / 1e9, err)
       }
       // a query that errored must not masquerade as fast: report the first
@@ -67,24 +70,34 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = (results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" } ++
-      unknown.map(k => s"${jstr(k)}:${jstr("unknown query name")}"))
+    val allErrs = results.collect { case (k, _, Some(e), _) => (k, e) } ++
+      unknown.map(k => (k, "unknown query name"))
+    // the stdout line must stay inside the driver's tail-capture window no
+    // matter how many queries error (r9: 10 errors → line too long →
+    // BENCH parsed:null). Cap the stdout errors object at 12 entries and
+    // summarize the overflow; the file copy below carries everything.
+    val errsCapped = (allErrs.take(12).map { case (k, e) => s"${jstr(k)}:${jstr(e)}" } ++
+      (if (allErrs.size > 12) Seq(s"${jstr("_truncated")}:${jstr(s"${allErrs.size - 12} more, see target/bench.json")}") else Nil))
       .mkString("{", ",", "}")
+    val errsFull = allErrs.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // methodology is disclosed IN the record: `reps` names the estimator
     // (min of N back-to-back runs) and `runs` carries every per-run time,
     // so a consumer can recompute one-shot numbers (first element) or see
-    // the spread instead of trusting an opaque minimum
+    // the spread instead of trusting an opaque minimum. `runs` lives only
+    // in the FILE copy — on stdout it would double the line length and
+    // risk the tail window that already ate one round's artifact.
     val runsJson = results.map { case (k, _, _, rs) =>
       s"${jstr(k)}:${rs.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    println(line)
-    // also land the metrics in a file: stdout is interleaved with Spark/sbt
-    // noise, so downstream parsers get a clean copy at a stable path
+    def line(errors: String, extra: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$extra,"errors":$errors,"sf":${jstr(sfDir)}}"""
+    println(line(errsCapped, ""))
+    // full record (per-run times + untruncated error list) at a stable
+    // path: stdout is interleaved with Spark/sbt noise and tail-limited
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (line(errsFull, s""","runs":$runsJson""") + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

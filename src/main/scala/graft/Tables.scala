@@ -5,11 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark's vectorized
-  * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it via
-  * `spark.sql.legacy.parquet.nanosAsLong` as an epoch-nanos long (`ts_ns`) and
-  * derive a microsecond-precision `ts` timestamp column. DuckDB-oracle queries
-  * use `epoch_ns(ts)` for the identical integer value.
+  * `events.ts` has shipped in two encodings across testdata generations:
+  *   - legacy: parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  *     rejects ([PARQUET_TYPE_ILLEGAL]); we read it via
+  *     `spark.sql.legacy.parquet.nanosAsLong` as an epoch-nanos long
+  *   - current: parquet timestamp[us] (no UTC adjustment → read as
+  *     TIMESTAMP_NTZ by default)
+  * The loader branches on the READ type and normalizes both to the same
+  * two columns: `ts` (TIMESTAMP, µs precision, UTC session) and `ts_ns`
+  * (epoch-nanos long — matches DuckDB `epoch_ns(ts)` exactly in both
+  * encodings, since µs-precision data yields nanos that are µs·1000 on
+  * both engines). Every downstream events query keys off these two.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -29,15 +35,28 @@ object Tables {
   }
 
   /** ts_ns: exact epoch nanos (matches DuckDB epoch_ns(ts));
-    * ts: µs-truncated timestamp for window()/watermark use.
-    * `div` truncates toward zero, which equals floor division only for
-    * post-epoch data — the driver's testdata starts in 1995, and DuckDB's
-    * ns→µs read-time truncation behaves identically there, so the two
-    * engines agree. Pre-1970 nanos would need floor() in both.
+    * ts: µs-precision timestamp for window()/watermark use.
+    *
+    * Legacy nanos-long path: `div` truncates toward zero, which equals
+    * floor division only for post-epoch data — the driver's testdata
+    * starts in 1995, and DuckDB's ns→µs read-time truncation behaves
+    * identically there, so the two engines agree. Pre-1970 nanos would
+    * need floor() in both.
+    *
+    * Current timestamp[us] path: the column arrives as TIMESTAMP_NTZ
+    * (parquet isAdjustedToUTC=false); cast to TIMESTAMP under the UTC
+    * session reinterprets the same wall-clock as a UTC instant, matching
+    * DuckDB's naive-timestamp read, then ts_ns = unix_micros·1000.
     */
   private def transformEvents(df: DataFrame): DataFrame =
-    df.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
