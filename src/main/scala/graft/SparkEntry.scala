@@ -69,5 +69,11 @@ object SparkEntry {
     "text_bigram_logprob", "sample_top_frac", "emb_pca_project",
     // round-8 additions: whiten→cluster→dedup composition and the
     // degree-capped triangle enumeration (guarded-path twin)
-    "dedup_semantic_whitened", "graph_triangles_capped")
+    "dedup_semantic_whitened", "graph_triangles_capped",
+    // round-10 addition: exact substring (span-level) dedup. The declared
+    // query pins hashed=false (oracle-checkable raw-gram keys), so the
+    // bench number is the conservative upper bound — the 8-byte xxhash64
+    // scale path (proven span-identical in SubstrDedupSpec) only shrinks
+    // the shuffle
+    "dedup_substr_clean")
 }

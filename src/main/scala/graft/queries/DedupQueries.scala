@@ -45,6 +45,19 @@ object DedupQueries extends QueryModule {
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))),
     "dedup_shingle_dupfrac" -> ((s, d) =>
       Dedup.duplicateShingleFraction(docs(s, d), "text", "doc_id")),
+    // exact substring (span-level) dedup — Lee et al. ExactSubstr: cut
+    // every ≥20-char span whose content repeats anywhere in the corpus.
+    // hashed=false pins the oracle to raw-gram keys (DuckDB cannot
+    // reproduce xxhash64); SubstrDedupSpec proves hashed ≡ exact here.
+    "dedup_substr_spans" -> ((s, d) =>
+      graft.ops.SubstrDedup.dupSpans(docs(s, d), "text", "doc_id",
+        k = 20, hashed = false)),
+    "dedup_substr_clean" -> ((s, d) =>
+      graft.ops.SubstrDedup.removeDupSpans(docs(s, d), "text", "doc_id",
+        k = 20, hashed = false)),
+    "dedup_substr_stats" -> ((s, d) =>
+      graft.ops.SubstrDedup.dupCharStats(docs(s, d), "text", "doc_id",
+        "source", k = 20, hashed = false)),
     // leakage-safe split: near-dup clusters never straddle train/eval
     "split_cluster_safe" -> ((s, d) =>
       Dedup.clusterSafeSplit(docs(s, d), "text", "doc_id",
@@ -178,7 +191,70 @@ object DedupQueries extends QueryModule {
        |  UNION
        |  SELECT r.nid, e.eb FROM reach r JOIN edges e ON e.ea = r.lbl)""".stripMargin
 
+  /** Shared ExactSubstr CTE (k = 20, 1-based positions): every 20-char
+    * window → corpus-duplicated grams → marked positions → maximal merged
+    * spans via gaps-and-islands, a direct transliteration of
+    * [[graft.ops.SubstrDedup.dupSpans]] with raw-gram keys.
+    */
+  private val substrSpansCte =
+    """WITH w_ss AS (
+      |  SELECT doc_id, substr(text, pos, 20) AS gram, pos FROM (
+      |    SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS pos
+      |    FROM documents WHERE length(text) >= 20)),
+      |dup_ss AS (SELECT gram FROM w_ss GROUP BY gram HAVING count(*) >= 2),
+      |m_ss AS (SELECT w_ss.doc_id, w_ss.pos FROM w_ss JOIN dup_ss USING (gram)),
+      |i1_ss AS (SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 19) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -9223372036854775807) + 1 THEN 1 ELSE 0 END AS st
+      |  FROM m_ss),
+      |i2_ss AS (SELECT doc_id, pos,
+      |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM i1_ss),
+      |spans_ss AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+      |    (max(pos) + 19)::BIGINT AS span_end
+      |  FROM i2_ss GROUP BY doc_id, isl)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_substr_spans" ->
+      s"""$substrSpansCte
+         |SELECT doc_id, span_start, span_end FROM spans_ss""".stripMargin,
+
+    "dedup_substr_clean" ->
+      s"""$substrSpansCte,
+         |gaps_ss AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS gs,
+         |    span_start - 1 AS ge
+         |  FROM spans_ss
+         |  UNION ALL
+         |  SELECT doc_id, max(span_end) + 1 AS gs, NULL AS ge
+         |  FROM spans_ss GROUP BY doc_id),
+         |segs_ss AS (
+         |  SELECT g.doc_id, gs,
+         |    substr(d.text, gs::INT, (coalesce(ge, length(d.text)) - gs + 1)::INT) AS seg
+         |  FROM gaps_ss g JOIN documents d USING (doc_id)),
+         |agg_ss AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS clean_text
+         |  FROM segs_ss GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, d.text) AS clean_text
+         |FROM documents d LEFT JOIN agg_ss a USING (doc_id)""".stripMargin,
+
+    "dedup_substr_stats" ->
+      s"""$substrSpansCte,
+         |perdoc_ss AS (SELECT doc_id,
+         |    sum(span_end - span_start + 1)::BIGINT AS doc_dup
+         |  FROM spans_ss GROUP BY doc_id),
+         |j_ss AS (SELECT d.source, length(d.text)::BIGINT AS n,
+         |    coalesce(p.doc_dup, 0)::BIGINT AS doc_dup
+         |  FROM documents d LEFT JOIN perdoc_ss p USING (doc_id)),
+         |a_ss AS (SELECT source, sum(n)::BIGINT AS total_chars,
+         |    sum(doc_dup)::BIGINT AS dup_chars
+         |  FROM j_ss GROUP BY source)
+         |SELECT source, total_chars, dup_chars,
+         |  floor((dup_chars::DOUBLE / total_chars::DOUBLE) * 1000000) / 1000000.0
+         |    AS dup_frac
+         |FROM a_ss""".stripMargin,
+
     "dedup_exact_groups" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
         |  min(doc_id) AS keeper_id, count(*) AS n_docs
