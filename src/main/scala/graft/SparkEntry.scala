@@ -75,5 +75,8 @@ object SparkEntry {
     // bench number is the conservative upper bound — the 8-byte xxhash64
     // scale path (proven span-identical in SubstrDedupSpec) only shrinks
     // the shuffle
-    "dedup_substr_clean")
+    "dedup_substr_clean",
+    // round-10 addition: hybrid lexical ⊕ semantic retrieval (per-query
+    // BM25 + cosine ANN fused by reciprocal rank)
+    "search_hybrid_rrf")
 }

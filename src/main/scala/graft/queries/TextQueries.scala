@@ -135,6 +135,30 @@ object TextQueries extends QueryModule {
     "text_bm25" -> ((s, d) =>
       Text.bm25(docs(s, d), "text", "doc_id", bm25Terms)),
 
+    // hybrid retrieval: per-query BM25 lexical top-10 ⊕ cosine ANN top-10,
+    // fused by reciprocal rank. Queries = every 100th doc; its lexical
+    // terms are the 3 lexicographically-smallest distinct words of length
+    // ≥ 4 in its own text (deterministic, oracle-expressible), its
+    // semantic side is the same id's embedding vector.
+    "search_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val qterms = dd.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(split(lower(col("text")), "\\W+")).as("term"))
+        .filter(length(col("term")) >= 4).distinct()
+        .withColumn("r", row_number().over(
+          Window.partitionBy("query_id").orderBy("term")))
+        .where(col("r") <= 3).drop("r")
+      val lex = graft.ops.Retrieval.bm25TopKPerQuery(dd, "text", "doc_id", qterms, k = 10)
+        .select("query_id", "doc_id", "rnk")
+      val e = Tables.load(s, d, "embeddings")
+      val sem = graft.ops.Similarity.cosineTopK(
+          e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", c = 60, k = 10)
+    }),
+
     // cross-doc boilerplate sentence removal. The synthetic docs carry no
     // sentence breaks, so the QUERY injects deterministic boilerplate
     // (both engines apply the same injection): every 3rd doc gets a common
@@ -537,6 +561,52 @@ object TextQueries extends QueryModule {
          |  coalesce(sc.sum_micro, 0)::DOUBLE / 1000000.0 AS bm25,
          |  coalesce(sc.n_hit, 0)::BIGINT AS n_hit_terms
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "search_hybrid_rrf" ->
+      s"""WITH tok_h AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |qt_h AS (SELECT query_id, term FROM (
+         |    SELECT query_id, t AS term,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY t) AS r
+         |    FROM (SELECT DISTINCT doc_id AS query_id, t FROM tok_h
+         |          WHERE doc_id % 100 = 0 AND length(t) >= 4))
+         |  WHERE r <= 3),
+         |dl_h AS (SELECT doc_id, count(*) AS dl FROM tok_h GROUP BY doc_id),
+         |tf_h AS (SELECT doc_id, t, count(*) AS tf FROM tok_h
+         |  WHERE t IN (SELECT DISTINCT term FROM qt_h) GROUP BY doc_id, t),
+         |dft_h AS (SELECT t, count(*) AS df_t FROM tf_h GROUP BY t),
+         |st_h AS (SELECT sum(dl)::DOUBLE AS sum_dl, count(*)::DOUBLE AS n_docs FROM dl_h),
+         |c_h AS (SELECT qt_h.query_id, tf_h.doc_id,
+         |    floor(ln(1.0 + (st_h.n_docs - dft_h.df_t::DOUBLE + 0.5) / (dft_h.df_t::DOUBLE + 0.5))
+         |      * (tf_h.tf::DOUBLE * 2.2 / (tf_h.tf::DOUBLE
+         |          + 1.2 * (0.25 + 0.75 * dl_h.dl::DOUBLE / (st_h.sum_dl / st_h.n_docs))))
+         |      * 1000000.0)::BIGINT AS c_micro
+         |  FROM tf_h JOIN qt_h ON tf_h.t = qt_h.term JOIN dl_h USING (doc_id)
+         |    JOIN dft_h USING (t) CROSS JOIN st_h),
+         |sc_h AS (SELECT query_id, doc_id, sum(c_micro)::BIGINT AS s
+         |  FROM c_h GROUP BY 1, 2),
+         |lex_h AS (SELECT query_id, doc_id, rnk FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+         |    FROM sc_h) WHERE rnk <= 10),
+         |n_h AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |p_h AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    CASE WHEN q.nrm * c.nrm > 0
+         |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0 END AS cos
+         |  FROM n_h q, n_h c WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+         |sem_h AS (SELECT query_id, doc_id, rnk FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+         |    FROM p_h) WHERE rnk <= 10),
+         |u_h AS (SELECT * FROM lex_h UNION ALL SELECT * FROM sem_h),
+         |f_h AS (SELECT query_id, doc_id,
+         |    sum(floor(1000000.0 / (60 + rnk))::BIGINT)::BIGINT AS rrf_micro
+         |  FROM u_h GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rnk, rrf_micro FROM (
+         |  SELECT query_id, doc_id, rrf_micro,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rnk
+         |  FROM f_h) WHERE rnk <= 10""".stripMargin,
 
     "text_boilerplate" ->
       """WITH src AS (SELECT doc_id,
