@@ -78,5 +78,8 @@ object SparkEntry {
     "dedup_substr_clean",
     // round-10 addition: hybrid lexical ⊕ semantic retrieval (per-query
     // BM25 + cosine ANN fused by reciprocal rank)
-    "search_hybrid_rrf")
+    "search_hybrid_rrf",
+    // round-10 addition: distributed training + scoring of the hashed-BoW
+    // quality classifier (2 GD rounds end-to-end)
+    "clf_quality_score")
 }

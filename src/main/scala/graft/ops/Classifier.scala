@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training + inference of a fastText-style hashed bag-of-words
+  * linear classifier — the quality-filter model family of LLM data
+  * pipelines (CCNet's wiki-reference LR, the LLaMA/GPT-3 "looks like good
+  * text" filters): hash tokens into `buckets` features, train logistic
+  * regression by full-batch gradient descent, score the corpus.
+  *
+  * Everything is INTEGER-EXACT in micro-units, so training itself is
+  * partition-order-independent and the DuckDB oracle replays every round
+  * bit-for-bit (the pageRankInt / KMeans determinism contract, applied to
+  * model TRAINING):
+  *  - weights live as micro-unit longs; per-(doc,bucket) dot terms and
+  *    gradient contributions are floored to micro BEFORE summation, so
+  *    all corpus-sized sums are exact long arithmetic;
+  *  - the only nonlinearity is the rational "fast sigmoid"
+  *    σ(z) = 1/2 + z/(2(1+|z|)) — just +,*,/,abs, each IEEE-correctly-
+  *    rounded and therefore engine-identical; no exp/ln whose last-ulp
+  *    behavior could differ between libms (cf. Text.bm25's ln, which is
+  *    confined to |terms| distinct values — a per-row per-round exp here
+  *    would be |corpus|·rounds roll-of-the-dice floors).
+  *
+  * Scale shape per round:
+  *  - the weight table (≤ buckets+1 rows) BROADCASTS into the feature
+  *    join; the corpus-sized features are scanned, never re-shuffled —
+  *    the per-doc margin is a map-side join + one groupBy(doc) whose key
+  *    is the feature table's own key;
+  *  - the gradient reduce shuffles ≤ buckets+1 aggregated rows (map-side
+  *    partial sums of longs), independent of corpus size;
+  *  - features are materialized ONCE (localCheckpoint) and reused by all
+  *    rounds + final scoring; the tiny weight frame is checkpointed per
+  *    round so plan depth stays constant in `rounds` ([[Lineage]]
+  *    discipline).
+  */
+object Classifier {
+
+  /** σ(z) = 1/2 + z/(2(1+|z|)) — monotone, bounded to (0,1), exact. */
+  def sigmoidFast(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Hashed term-frequency features: (idCol, bucket, x) with
+    * bucket = h32(token) mod buckets and x = tf_bucket / doc_len — the
+    * fastText input layer, portable md5 hashing so the oracle buckets
+    * identically. Token-less documents emit no rows (handled by the
+    * left joins downstream).
+    */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val tok = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val bt = tok.select(col(idCol), (Text.h32(col("t")) % buckets).as("bucket"))
+    val tf = bt.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+    val dl = bt.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    tf.join(dl, Seq(idCol))
+      .select(col(idCol), col("bucket"),
+        (col("tf").cast("double") / col("dl").cast("double")).as("x"))
+  }
+
+  /** Per-doc margin against a (bucket, w_micro) weight table (bias = row
+    * with bucket −1): z_micro = Σ floor(w_micro·x) + bias_micro, exact
+    * longs; z = z_micro/10⁶. Labels frame defines the doc universe.
+    */
+  private def margins(feats: DataFrame, labs: DataFrame, idCol: String,
+      weights: DataFrame): DataFrame = {
+    val wB = weights.where(col("bucket") >= 0)
+    val bias = weights.where(col("bucket") === -1)
+      .agg(coalesce(sum("w_micro"), lit(0L)).as("bias_micro"))
+    val zs = feats.join(broadcast(wB), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(floor(col("w_micro").cast("double") * col("x"))).as("zs"))
+    labs.join(zs, Seq(idCol), "left").crossJoin(broadcast(bias))
+      .select(col(idCol), col("y"),
+        ((coalesce(col("zs"), lit(0L)) + col("bias_micro")).cast("double") /
+          lit(1000000.0)).as("z"))
+  }
+
+  /** Train logistic regression on `label` (cast to 0/1 double) with
+    * `rounds` full-batch GD steps at learning rate `lr`. Returns the
+    * weight table (bucket, w_micro), bias at bucket −1; weight support =
+    * every bucket observed in the corpus.
+    */
+  def train(df: DataFrame, textCol: String, idCol: String, label: Column,
+      buckets: Int = 32, rounds: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    require(lr > 0, s"lr=$lr must be positive")
+    val spark = df.sparkSession
+    val labs = df.select(col(idCol), label.cast("double").as("y"))
+    // one materialization feeds every round (and the caller's scoring)
+    val feats = hashedFeatures(df, textCol, idCol, buckets).localCheckpoint(true)
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    var w = Seq((-1L, 0L)).toDF("bucket", "w_micro")
+    var pinned: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val p = margins(feats, labs, idCol, w)
+        .withColumn("p", sigmoidFast(col("z")))
+      val gradB = feats.join(p.select(col(idCol), col("p"), col("y")), Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(coalesce(sum(floor((col("p") - col("y")) * col("x") * lit(1000000.0))),
+          lit(0L)).as("g_micro"))
+      val gradBias = p.agg(coalesce(sum(floor((col("p") - col("y")) * lit(1000000.0))),
+        lit(0L)).as("g_micro"))
+        .select(lit(-1L).as("bucket"), col("g_micro"))
+      val grads = gradB.unionAll(gradBias)
+      val step = when(col("n") > 0,
+        floor(lit(lr) * col("g_micro").cast("double") / col("n").cast("double")))
+        .otherwise(lit(0L)).cast("long")
+      // grads carry the full weight support (every observed bucket + bias),
+      // so the new weights are grads-left-join-old, never the reverse
+      val next = grads.join(w, Seq("bucket"), "left")
+        .crossJoin(broadcast(nDocs))
+        .select(col("bucket"), (coalesce(col("w_micro"), lit(0L)) - step).as("w_micro"))
+        .localCheckpoint(true)
+      pinned.foreach(Lineage.release)
+      pinned = Some(next)
+      w = next
+    }
+    w
+  }
+
+  /** Score a corpus with a trained weight table: (idCol, y, score) with
+    * score = σ(z) floored to 6 dp (the export convention; z itself is
+    * already engine-exact).
+    */
+  def score(df: DataFrame, textCol: String, idCol: String, label: Column,
+      weights: DataFrame, buckets: Int = 32): DataFrame = {
+    val labs = df.select(col(idCol), label.cast("double").as("y"))
+    val feats = hashedFeatures(df, textCol, idCol, buckets)
+    margins(feats, labs, idCol, weights)
+      .select(col(idCol), col("y"), Text.floor6(sigmoidFast(col("z"))).as("score"))
+  }
+}

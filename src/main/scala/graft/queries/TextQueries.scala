@@ -135,6 +135,21 @@ object TextQueries extends QueryModule {
     "text_bm25" -> ((s, d) =>
       Text.bm25(docs(s, d), "text", "doc_id", bm25Terms)),
 
+    // fastText-style hashed-BoW quality classifier, TRAINED distributedly
+    // (2 full-batch GD rounds, micro-unit-exact gradients, rational
+    // sigmoid) on the lang=='en' proxy label, then scoring the corpus.
+    // The oracle replays the whole training loop round by round.
+    "clf_train_weights" -> ((s, d) =>
+      graft.ops.Classifier.train(docs(s, d), "text", "doc_id",
+        col("lang") === "en", buckets = 32, rounds = 2, lr = 0.5)),
+    "clf_quality_score" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = graft.ops.Classifier.train(dd, "text", "doc_id",
+        col("lang") === "en", buckets = 32, rounds = 2, lr = 0.5)
+      graft.ops.Classifier.score(dd, "text", "doc_id",
+        col("lang") === "en", w, buckets = 32)
+    }),
+
     // hybrid retrieval: per-query BM25 lexical top-10 ⊕ cosine ANN top-10,
     // fused by reciprocal rank. Queries = every 100th doc; its lexical
     // terms are the 3 lexicographically-smallest distinct words of length
@@ -328,6 +343,46 @@ object TextQueries extends QueryModule {
        |  floor((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS stop_ratio,
        |  floor((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS mean_word_len
        |FROM s""".stripMargin
+
+  /** Hashed-BoW logistic-regression TRAINING replay (2 rounds, 32 buckets,
+    * lr 0.5, label lang='en'), transliterating [[graft.ops.Classifier]]:
+    * micro-floored dot terms and gradients (exact BIGINT sums), rational
+    * fast-sigmoid (no transcendental whose libm could differ). Round 1
+    * exploits w₀ = 0 → p = 0.5 exactly.
+    */
+  private val clfTrainCte =
+    s"""WITH tok_c AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |bt_c AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS bucket FROM tok_c),
+       |tf_c AS (SELECT doc_id, bucket, count(*) AS tf FROM bt_c GROUP BY 1, 2),
+       |dl_c AS (SELECT doc_id, count(*) AS dl FROM bt_c GROUP BY 1),
+       |f_c AS (SELECT tf_c.doc_id, bucket, tf::DOUBLE / dl::DOUBLE AS x
+       |  FROM tf_c JOIN dl_c USING (doc_id)),
+       |lab_c AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |n_c AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |g1_c AS (SELECT bucket, sum(floor((0.5 - l.y) * f.x * 1000000.0))::BIGINT AS gm
+       |    FROM f_c f JOIN lab_c l USING (doc_id) GROUP BY bucket
+       |  UNION ALL
+       |  SELECT -1, coalesce(sum(floor((0.5 - y) * 1000000.0)), 0)::BIGINT FROM lab_c),
+       |w1_c AS (SELECT bucket,
+       |    (0 - floor(0.5 * gm::DOUBLE / n::DOUBLE))::BIGINT AS wm
+       |  FROM g1_c CROSS JOIN n_c),
+       |z2_c AS (SELECT l.doc_id, l.y,
+       |    (coalesce(s.zs, 0) + wb.wm)::DOUBLE / 1000000.0 AS z
+       |  FROM lab_c l
+       |  LEFT JOIN (SELECT f.doc_id, sum(floor(w.wm::DOUBLE * f.x))::BIGINT AS zs
+       |             FROM f_c f JOIN w1_c w ON w.bucket = f.bucket AND w.bucket >= 0
+       |             GROUP BY f.doc_id) s USING (doc_id)
+       |  CROSS JOIN (SELECT wm FROM w1_c WHERE bucket = -1) wb),
+       |p2_c AS (SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p FROM z2_c),
+       |g2_c AS (SELECT f.bucket, sum(floor((p.p - p.y) * f.x * 1000000.0))::BIGINT AS gm
+       |    FROM f_c f JOIN p2_c p USING (doc_id) GROUP BY f.bucket
+       |  UNION ALL
+       |  SELECT -1, coalesce(sum(floor((p - y) * 1000000.0)), 0)::BIGINT FROM p2_c),
+       |w2_c AS (SELECT g.bucket,
+       |    (coalesce(w.wm, 0) - floor(0.5 * g.gm::DOUBLE / n::DOUBLE))::BIGINT AS wm
+       |  FROM g2_c g LEFT JOIN w1_c w USING (bucket) CROSS JOIN n_c)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_wordcount" ->
@@ -561,6 +616,23 @@ object TextQueries extends QueryModule {
          |  coalesce(sc.sum_micro, 0)::DOUBLE / 1000000.0 AS bm25,
          |  coalesce(sc.n_hit, 0)::BIGINT AS n_hit_terms
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "clf_train_weights" ->
+      s"""$clfTrainCte
+         |SELECT bucket, wm AS w_micro FROM w2_c""".stripMargin,
+
+    "clf_quality_score" ->
+      s"""$clfTrainCte,
+         |z3_c AS (SELECT l.doc_id, l.y,
+         |    (coalesce(s.zs, 0) + wb.wm)::DOUBLE / 1000000.0 AS z
+         |  FROM lab_c l
+         |  LEFT JOIN (SELECT f.doc_id, sum(floor(w.wm::DOUBLE * f.x))::BIGINT AS zs
+         |             FROM f_c f JOIN w2_c w ON w.bucket = f.bucket AND w.bucket >= 0
+         |             GROUP BY f.doc_id) s USING (doc_id)
+         |  CROSS JOIN (SELECT wm FROM w2_c WHERE bucket = -1) wb)
+         |SELECT doc_id, y,
+         |  floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000) / 1000000.0 AS score
+         |FROM z3_c""".stripMargin,
 
     "search_hybrid_rrf" ->
       s"""WITH tok_h AS (SELECT doc_id, unnest($toks) AS t FROM documents),

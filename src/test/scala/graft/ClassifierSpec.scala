@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Classifier
+
+/** Hashed-BoW logistic regression: exact distributed training semantics,
+  * partition invariance, and actual learning on separable data.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val toy = Seq(
+    (1L, "good solid prose with structure", 1.0),
+    (2L, "good clean writing with depth", 1.0),
+    (3L, "spam spam click here spam", 0.0),
+    (4L, "click spam buy now click", 0.0),
+    (5L, "good writing beats spam", 1.0)
+  ).toDF("doc_id", "text", "y")
+
+  test("fast sigmoid is bounded, centered, monotone") {
+    val zs = Seq(-100.0, -1.0, 0.0, 1.0, 100.0).toDF("z")
+      .select(Classifier.sigmoidFast(col("z")).as("p")).as[Double].collect()
+    assert(zs(2) == 0.5)
+    assert(zs.forall(p => p > 0.0 && p < 1.0))
+    assert(zs.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+  }
+
+  test("training separates a separable toy corpus") {
+    val w = Classifier.train(toy, "text", "doc_id", col("y") === 1.0,
+      buckets = 16, rounds = 4, lr = 1.0)
+    val scored = Classifier.score(toy, "text", "doc_id", col("y") === 1.0, w, buckets = 16)
+      .as[(Long, Double, Double)].collect()
+    val good = scored.filter(_._2 == 1.0).map(_._3)
+    val bad = scored.filter(_._2 == 0.0).map(_._3)
+    assert(good.min > bad.max,
+      s"classifier failed to separate: good=${good.mkString(",")} bad=${bad.mkString(",")}")
+  }
+
+  test("weight support is every observed bucket plus the bias row") {
+    val w = Classifier.train(toy, "text", "doc_id", col("y") === 1.0,
+      buckets = 16, rounds = 1)
+    val buckets = w.select("bucket").as[Long].collect().toSet
+    val observed = Classifier.hashedFeatures(toy, "text", "doc_id", 16)
+      .select("bucket").distinct().as[Long].collect().toSet
+    assert(buckets == observed + (-1L))
+  }
+
+  test("training is partition-count invariant (integer-exact reductions)") {
+    val a = Classifier.train(toy.repartition(1), "text", "doc_id", col("y") === 1.0,
+      buckets = 16, rounds = 3)
+    val b = Classifier.train(toy.repartition(7), "text", "doc_id", col("y") === 1.0,
+      buckets = 16, rounds = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("empty corpus trains to a zero bias and nothing else") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], toy.schema)
+    val w = Classifier.train(empty, "text", "doc_id", col("y") === 1.0, rounds = 2)
+      .as[(Long, Long)].collect()
+    assert(w.toSeq == Seq((-1L, 0L)))
+  }
+
+  test("lang-id proxy is learnable on the real corpus (separation in means)") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val w = Classifier.train(d, "text", "doc_id", col("lang") === "en",
+      buckets = 32, rounds = 2, lr = 0.5)
+    val s = Classifier.score(d, "text", "doc_id", col("lang") === "en", w, buckets = 32)
+    val m = s.groupBy("y").agg(avg("score").as("m")).orderBy("y")
+      .as[(Double, Double)].collect().toMap
+    assert(m(1.0) > m(0.0),
+      s"en-mean ${m(1.0)} should exceed non-en mean ${m(0.0)} after training")
+  }
+
+  test("training plan: weights broadcast; corpus is never re-shuffled per round") {
+    val d = Tables.documents(spark, sf())
+    val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
+    val p = Classifier.score(d, "text", "doc_id", col("lang") === "en", w)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")
+  }
+}
