@@ -134,4 +134,37 @@ object Classifier {
     margins(feats, labs, idCol, weights)
       .select(col(idCol), col("y"), Text.floor6(sigmoidFast(col("z"))).as("score"))
   }
+
+  /** Stateless per-row scoring — the MODEL-SERVING form, for streams: the
+    * trained weight table is collected into a literal map (model-bounded,
+    * ≤ buckets+1 entries — the Ivf/Pca model-load precedent) and the whole
+    * score is one per-row expression: no join, no aggregation, append-mode
+    * streaming-legal.
+    *
+    * Bit-identical to [[score]]: the same per-bucket floor(w·tf/dl) micro
+    * terms are produced (per-row over the doc's distinct buckets instead
+    * of via the corpus-level feature join), and long addition is
+    * order-insensitive, so z_micro matches the relational path exactly.
+    * Output: (idCol, score).
+    */
+  def scoreWithModel(df: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, buckets: Int = 32): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val rows = weights.collect() // model-bounded: ≤ buckets+1 rows
+    val wm = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val biasMicro = wm.getOrElse(-1L, 0L)
+    val wb = wm.removed(-1L).toSeq.sortBy(_._1)
+    val wmap = map_from_arrays(
+      lit(wb.map(_._1).toArray), lit(wb.map(_._2).toArray))
+    val toksC = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+    val bksC = transform(toksC, t => Text.h32(t) % buckets)
+    val dl = size(bksC).cast("double")
+    val term = (b: Column) =>
+      floor(coalesce(element_at(wmap, b), lit(0L)).cast("double") *
+        (size(filter(bksC, e => e === b)).cast("double") / dl))
+    val zMicro = aggregate(array_distinct(bksC), lit(0L),
+      (acc, b) => acc + term(b)) + lit(biasMicro)
+    df.select(col(idCol),
+      Text.floor6(sigmoidFast(zMicro.cast("double") / lit(1000000.0))).as("score"))
+  }
 }

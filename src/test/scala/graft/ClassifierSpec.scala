@@ -72,6 +72,41 @@ class ClassifierSpec extends SparkSpec {
       s"en-mean ${m(1.0)} should exceed non-en mean ${m(0.0)} after training")
   }
 
+  test("per-row model-serving scorer is bit-identical to the relational scorer") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val w = Classifier.train(d, "text", "doc_id", col("lang") === "en",
+      buckets = 32, rounds = 2, lr = 0.5)
+    val relational = Classifier.score(d, "text", "doc_id", col("lang") === "en", w, 32)
+      .select("doc_id", "score")
+    val perRow = Classifier.scoreWithModel(d, "text", "doc_id", w, 32)
+    assert(relational.exceptAll(perRow).count() == 0 &&
+      perRow.exceptAll(relational).count() == 0)
+  }
+
+  test("model serving scores a document STREAM in append mode, no state") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val w = Classifier.train(toy, "text", "doc_id", col("y") === 1.0,
+      buckets = 16, rounds = 4, lr = 1.0)
+    val input = MemoryStream[(Long, String)]
+    val q = Classifier.scoreWithModel(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", w, 16)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try {
+      val docs = toy.select("doc_id", "text").as[(Long, String)].collect()
+      input.addData(docs.take(2): _*); q.processAllAvailable()
+      input.addData(docs.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("clf_stream").as[(Long, Double)].collect().toMap
+      val batch = Classifier.scoreWithModel(toy, "text", "doc_id", w, 16)
+        .as[(Long, Double)].collect().toMap
+      assert(streamed == batch)
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty),
+        "model serving must be stateless")
+    } finally q.stop()
+  }
+
   test("training plan: weights broadcast; corpus is never re-shuffled per round") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)

@@ -78,4 +78,50 @@ class FreqItemsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_misragries") || p.contains("ObjectHashAggregate"), p.take(600))
   }
+
+  test("the mergeable sketch IS the streaming state: stream agg ≡ batch agg") {
+    // a mergeable summary needs no custom stateful operator on a stream —
+    // the same udaf runs as a streaming aggregation, its buffer carried in
+    // the state store between micro-batches. Distinct items ≤ k here, so no
+    // eviction fires and the result is exactly the batch map (the same
+    // regime the DuckDB oracle row pins for the batch op).
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("item")
+      .groupBy().agg(FreqItems.heavyHitters(8)(col("item")).as("hh"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      val items = Seq("a", "a", "b", "c", "a", "b", "d", "a", "e", "b")
+      input.addData(items.take(4): _*); q.processAllAvailable()
+      input.addData(items.drop(4): _*); q.processAllAvailable()
+      val streamed = spark.table("mg_stream").as[Map[String, Long]].head()
+      val batch = items.toDF("item")
+        .agg(FreqItems.heavyHitters(8)(col("item")).as("hh"))
+        .as[Map[String, Long]].head()
+      assert(streamed == batch)
+      assert(streamed == Map("a" -> 4L, "b" -> 3L, "c" -> 1L, "d" -> 1L, "e" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming sketch under eviction still keeps every true heavy hitter") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("item")
+      .groupBy().agg(FreqItems.heavyHitters(3)(col("item")).as("hh"))
+      .writeStream.format("memory").queryName("mg_stream_evict")
+      .outputMode("complete").start()
+    try {
+      // 40 "hot" + 24 singletons over k=3 counters: hot count 40 > n/(k+1)=16
+      val items = new scala.util.Random(7).shuffle(
+        Seq.fill(40)("hot") ++ (1 to 24).map(i => s"rare$i"))
+      items.grouped(16).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val sk = spark.table("mg_stream_evict").as[Map[String, Long]].head()
+      assert(sk.contains("hot"), s"true heavy hitter evicted: $sk")
+      assert(sk("hot") <= 40 && sk("hot") >= 40 - 64 / 4, s"count bound violated: $sk")
+      assert(sk.size <= 3, s"memory bound violated: $sk")
+    } finally q.stop()
+  }
 }
