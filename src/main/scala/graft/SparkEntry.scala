@@ -81,5 +81,8 @@ object SparkEntry {
     "search_hybrid_rrf",
     // round-10 addition: distributed training + scoring of the hashed-BoW
     // quality classifier (2 GD rounds end-to-end)
-    "clf_quality_score")
+    "clf_quality_score",
+    // round-10 addition: waterfilling token-budget mixture (sorted-prefix
+    // waterline solve + broadcast-rate admission)
+    "mix_waterfill_kept")
 }

@@ -266,4 +266,70 @@ object Sampling {
     grouped.select(col(classCol), explode(col("topk")).as("item"))
       .select(col(classCol), col("item._2").as(idCol))
   }
+
+  /** Waterfilling (max-min fair) token-budget allocation: solve the
+    * waterline τ with Σ_c min(tot_c, τ) = budget, keep every class below
+    * the line whole, and sample each class above it down to τ weight —
+    * the allocation that spends a fixed training-token budget while
+    * flattening the head as little as necessary and never touching the
+    * tail (the cap-based complement to [[temperatureMixture]]'s
+    * exponential rebalancing).
+    *
+    * Distributed solve: per-class totals (one shuffle), then the waterline
+    * comes from the SORTED prefix sums via [[Ordered.rankedPrefixSum]] —
+    * for ascending totals t₁ ≤ … ≤ t_m, class k is fully kept iff
+    * cum_k + (m−k)·t_k ≤ B; with k* the largest such k,
+    * τ = (B − cum_{k*})/(m − k*). No driver-side loop, no m-sized
+    * single-reducer sort (the prefix sum is the two-level range-partitioned
+    * form). Output: (classCol, tot, rate_micro).
+    *
+    * Exactness: τ is floored to micro-units (`budget·10⁶` must stay under
+    * 2⁵³ for the floor to be exact — hence the 9·10⁹ budget bound; at
+    * trillion-token scale pass kilotokens as the weight unit) and per-class
+    * rates are exact integer floors of τ_micro/tot (a double quotient of
+    * longs this size cannot round across an integer boundary).
+    */
+  def waterfillRates(df: DataFrame, classCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(budget <= 9000000000L,
+      s"budget=$budget: budget·10⁶ must stay below 2⁵³ for exact micro " +
+        "flooring — rescale the weight unit (e.g. kilotokens) instead")
+    val cls = df.groupBy(col(classCol)).agg(sum(col(weightCol)).as("tot"))
+    val ranked = Ordered.rankedPrefixSum(cls,
+      Seq(col("tot").asc, col(classCol).asc), col("tot"))
+    val m = cls.agg(count(lit(1)).as("m"))
+    val kst = ranked.crossJoin(broadcast(m))
+      .where(col("cum") + (col("m") - col("rank")) * col("tot") <= budget)
+      .agg(coalesce(max(col("rank")), lit(0L)).as("kstar"),
+        coalesce(max_by(col("cum"), col("rank")), lit(0L)).as("pre"))
+    val params = m.crossJoin(broadcast(kst))
+      .select(col("m"), col("kstar"),
+        when(col("kstar") >= col("m"), lit(null).cast("long"))
+          .otherwise(floor((lit(budget) - col("pre")).cast("double") * lit(1000000.0) /
+            (col("m") - col("kstar")).cast("double")).cast("long"))
+          .as("tau_micro"))
+    ranked.crossJoin(broadcast(params))
+      .select(col(classCol), col("tot"),
+        when(col("tau_micro").isNull || col("rank") <= col("kstar"), lit(1000000L))
+          .otherwise(least(lit(1000000L),
+            floor(col("tau_micro").cast("double") / col("tot").cast("double"))
+              .cast("long")))
+          .as("rate_micro"))
+  }
+
+  /** Row admission under the waterfill allocation: the rate table
+    * broadcasts, each row keeps iff its id hash lands under its class's
+    * rate — one corpus scan, one broadcast join, the [[hashSample]]
+    * determinism contract. Output: (idCol, classCol, rate_micro).
+    */
+  def waterfillSample(df: DataFrame, classCol: String, idCol: String,
+      weightCol: String, budget: Long, salt: String = "s0"): DataFrame = {
+    val rates = waterfillRates(df, classCol, weightCol, budget)
+      .select(col(classCol), col("rate_micro"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000000))
+        < col("rate_micro"))
+      .select(col(idCol), col(classCol), col("rate_micro"))
+  }
 }

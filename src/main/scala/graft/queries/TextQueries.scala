@@ -135,6 +135,16 @@ object TextQueries extends QueryModule {
     "text_bm25" -> ((s, d) =>
       Text.bm25(docs(s, d), "text", "doc_id", bm25Terms)),
 
+    // waterfilling token-budget mixture: solve the waterline τ with
+    // Σ min(tot_lang, τ) = 30000 chars, keep below-line classes whole,
+    // sample above-line classes down to τ (max-min fair allocation)
+    "mix_waterfill_rates" -> ((s, d) =>
+      graft.ops.Sampling.waterfillRates(docs(s, d), "lang", "n_chars",
+        budget = 30000L)),
+    "mix_waterfill_kept" -> ((s, d) =>
+      graft.ops.Sampling.waterfillSample(docs(s, d), "lang", "doc_id", "n_chars",
+        budget = 30000L, salt = "wf1")),
+
     // fastText-style hashed-BoW quality classifier, TRAINED distributedly
     // (2 full-batch GD rounds, micro-unit-exact gradients, rational
     // sigmoid) on the lang=='en' proxy label, then scoring the corpus.
@@ -343,6 +353,33 @@ object TextQueries extends QueryModule {
        |  floor((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS stop_ratio,
        |  floor((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0 END) * 1000000) / 1000000.0 AS mean_word_len
        |FROM s""".stripMargin
+
+  /** Waterfilling allocation replay (budget 30000 chars over lang classes):
+    * sorted per-class totals → inclusive prefix sums → largest fully-kept
+    * rank k* → τ = (B − cum_{k*})/(m − k*) → per-class micro rates,
+    * transliterating [[graft.ops.Sampling.waterfillRates]].
+    */
+  private val waterfillCte =
+    """WITH cls_w AS (SELECT lang, sum(n_chars)::BIGINT AS tot
+      |  FROM documents GROUP BY lang),
+      |o_w AS (SELECT lang, tot,
+      |    row_number() OVER (ORDER BY tot, lang)::BIGINT AS k,
+      |    sum(tot) OVER (ORDER BY tot, lang ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+      |    (SELECT count(*) FROM cls_w)::BIGINT AS m
+      |  FROM cls_w),
+      |ks_w AS (SELECT coalesce(max(k), 0)::BIGINT AS kstar,
+      |    coalesce(max_by(cum, k), 0)::BIGINT AS pre
+      |  FROM o_w WHERE cum + (m - k) * tot <= 30000),
+      |pm_w AS (SELECT m, kstar,
+      |    CASE WHEN kstar >= m THEN NULL
+      |         ELSE floor((30000 - pre)::DOUBLE * 1000000.0 / (m - kstar)::DOUBLE)::BIGINT
+      |    END AS tau_micro
+      |  FROM (SELECT DISTINCT m FROM o_w) CROSS JOIN ks_w),
+      |rates_w AS (SELECT lang, tot,
+      |    CASE WHEN tau_micro IS NULL OR k <= kstar THEN 1000000::BIGINT
+      |         ELSE least(1000000, floor(tau_micro::DOUBLE / tot::DOUBLE)::BIGINT)
+      |    END AS rate_micro
+      |  FROM o_w CROSS JOIN pm_w)""".stripMargin
 
   /** Hashed-BoW logistic-regression TRAINING replay (2 rounds, 32 buckets,
     * lr 0.5, label lang='en'), transliterating [[graft.ops.Classifier]]:
@@ -616,6 +653,17 @@ object TextQueries extends QueryModule {
          |  coalesce(sc.sum_micro, 0)::DOUBLE / 1000000.0 AS bm25,
          |  coalesce(sc.n_hit, 0)::BIGINT AS n_hit_terms
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "mix_waterfill_rates" ->
+      s"""$waterfillCte
+         |SELECT lang, tot, rate_micro FROM rates_w""".stripMargin,
+
+    "mix_waterfill_kept" ->
+      s"""$waterfillCte
+         |SELECT d.doc_id, d.lang, r.rate_micro
+         |FROM documents d JOIN rates_w r USING (lang)
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '_wf1'), 1, 8))::BIGINT
+         |    % 1000000 < r.rate_micro""".stripMargin,
 
     "clf_train_weights" ->
       s"""$clfTrainCte

@@ -636,4 +636,67 @@ class TextOpsSpec extends SparkSpec {
     assert(top.head._4 === 1.0)
     assert(top(1)._2 === 3L)
   }
+
+  // one row per (class, unit-weight doc): class sizes become class totals
+  private def mixCorpus(sizes: Map[String, Int]) = {
+    val rows = for {
+      (c, n) <- sizes.toSeq.sortBy(_._1)
+      i <- 1 to n
+    } yield (s"${c}_$i".hashCode.toLong.abs + i, c, 1L)
+    rows.toDF("doc_id", "lang", "w")
+  }
+
+  test("waterfill: below-line classes kept whole, above-line capped at tau") {
+    // totals 10/40/100, budget 70 → k*=1 (10 + 2·10=30 ≤ 70; 50+40 ≤ 70
+    // fails at k=2: 50 + 1·40 = 90 > 70) → tau = (70-10)/2 = 30
+    val d = mixCorpus(Map("small" -> 10, "mid" -> 40, "big" -> 100))
+    val r = ops.Sampling.waterfillRates(d, "lang", "w", budget = 70L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("small") == (10L, 1000000L), s"below-line class must keep all: $r")
+    assert(r("mid") == (40L, 750000L), s"tau/40 = 30/40: $r")
+    assert(r("big") == (100L, 300000L), s"tau/100 = 30/100: $r")
+  }
+
+  test("waterfill: budget >= total keeps every class whole (infinite waterline)") {
+    val d = mixCorpus(Map("a" -> 5, "b" -> 9))
+    val r = ops.Sampling.waterfillRates(d, "lang", "w", budget = 14L)
+      .as[(String, Long, Long)].collect()
+    assert(r.forall(_._3 == 1000000L), r.mkString(","))
+    // and one unit less caps exactly one class (the larger)
+    val r13 = ops.Sampling.waterfillRates(d, "lang", "w", budget = 13L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(r13("a") == 1000000L && r13("b") < 1000000L, r13.toString)
+  }
+
+  test("waterfill: budget below m*min caps every class at tau = B/m") {
+    val d = mixCorpus(Map("a" -> 20, "b" -> 30, "c" -> 40))
+    val r = ops.Sampling.waterfillRates(d, "lang", "w", budget = 30L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // tau = 10 → rates 10/20, 10/30, 10/40
+    assert(r == Map("a" -> 500000L, "b" -> 333333L, "c" -> 250000L), r.toString)
+  }
+
+  test("waterfill sample admits by class rate and stays near budget in expectation") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val kept = ops.Sampling.waterfillSample(d, "lang", "doc_id", "n_chars",
+      budget = 30000L, salt = "wf1")
+    val keptChars = kept.join(d, Seq("doc_id"))
+      .agg(sum("n_chars")).as[Long].head()
+    assert(keptChars > 15000L && keptChars < 45000L,
+      s"kept $keptChars chars vs budget 30000 — hash admission far off expectation")
+    // rate bounds: every class's rate in (0, 1e6]
+    val rates = ops.Sampling.waterfillRates(d, "lang", "n_chars", 30000L)
+      .as[(String, Long, Long)].collect()
+    assert(rates.forall(r => r._3 > 0 && r._3 <= 1000000L))
+  }
+
+  test("waterfill guards the exactness envelope loudly") {
+    val d = mixCorpus(Map("a" -> 1))
+    intercept[IllegalArgumentException] {
+      ops.Sampling.waterfillRates(d, "lang", "w", budget = 10000000000L)
+    }
+    intercept[IllegalArgumentException] {
+      ops.Sampling.waterfillRates(d, "lang", "w", budget = 0L)
+    }
+  }
 }
