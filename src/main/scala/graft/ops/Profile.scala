@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling: per-column row/null/distinct/min/max in ONE pass —
@@ -45,5 +45,49 @@ object Profile {
         col(s"__max_$c").as("max_value"))
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** A named row-level data-quality constraint: `predicate` must hold on
+    * at least `minPassFrac` of rows (1.0 = every row). A null predicate
+    * result counts as a violation — unknown is not a pass.
+    */
+  case class Expectation(name: String, predicate: Column, minPassFrac: Double = 1.0) {
+    require(minPassFrac >= 0 && minPassFrac <= 1,
+      s"minPassFrac=$minPassFrac must be in [0,1]")
+  }
+
+  /** Deequ-style expectation suite in ONE aggregation pass: every check's
+    * violation count rides the same map-side-combined scan (no per-check
+    * job, no per-check shuffle — the whole report is one reduce of
+    * |checks| longs). Output: one row per check — (check, n_rows,
+    * n_violations, pass_micro, passed) with pass_micro the 6dp-floored
+    * pass fraction (empty input passes vacuously: no rows violate).
+    *
+    * This is the CI gate shape for data pipelines: compute once per
+    * snapshot, alert on `passed = false`, diff `pass_micro` across
+    * snapshots to catch drift before it reaches training.
+    */
+  def expectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "expectations needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names in ${checks.map(_.name)}")
+    val aggs = checks.map { e =>
+      sum(when(coalesce(e.predicate, lit(false)), 0L).otherwise(1L))
+        .as(s"__viol_${e.name}")
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val entries = checks.map { e =>
+      val viol = coalesce(col(s"__viol_${e.name}"), lit(0L))
+      val passMicro = when(col("__rows") === 0, lit(1000000L))
+        .otherwise(floor((col("__rows") - viol).cast("double") /
+          col("__rows").cast("double") * lit(1000000.0)).cast("long"))
+      struct(
+        lit(e.name).as("check"),
+        col("__rows").as("n_rows"),
+        viol.as("n_violations"),
+        passMicro.as("pass_micro"),
+        (passMicro >= math.floor(e.minPassFrac * 1000000.0).toLong).as("passed"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select("e.*")
   }
 }

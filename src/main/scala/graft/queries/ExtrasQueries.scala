@@ -44,6 +44,21 @@ object ExtrasQueries extends QueryModule {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
         approxDistinct = false)),
 
+    // Deequ-style expectation suite in one aggregation pass: the
+    // pre-training data-quality gate (completeness, consistency, domain,
+    // drift thresholds). min_length_200 intentionally carries a 90% bar
+    // the corpus misses, so both `passed` states flow through the oracle.
+    "quality_expectations" -> ((s, d) => {
+      import graft.ops.Profile.Expectation
+      graft.ops.Profile.expectations(Tables.documents(s, d), Seq(
+        Expectation("text_present", length(col("text")) > 0),
+        Expectation("n_chars_consistent", col("n_chars") === length(col("text"))),
+        Expectation("lang_known",
+          col("lang").isInCollection(Seq("en", "de", "fr", "es", "zh"))),
+        Expectation("source_format", col("source").rlike("^src[0-9]+$")),
+        Expectation("min_length_200", length(col("text")) >= 200, minPassFrac = 0.9)))
+    }),
+
     // U1: scalar UDF applied through the SQL surface
     "u1_scalar_udf" -> ((s, d) => {
       Udfs.register(s)
@@ -261,6 +276,26 @@ object ExtrasQueries extends QueryModule {
            |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
            |FROM orders""".stripMargin)
       .mkString("\nUNION ALL\n"),
+
+    "quality_expectations" -> {
+      val checks = Seq(
+        ("text_present", "length(text) > 0", 1000000L),
+        ("n_chars_consistent", "n_chars = length(text)", 1000000L),
+        ("lang_known", "lang IN ('en', 'de', 'fr', 'es', 'zh')", 1000000L),
+        ("source_format", "regexp_matches(source, '^src[0-9]+$')", 1000000L),
+        ("min_length_200", "length(text) >= 200", 900000L))
+      checks.map { case (n, p, thr) =>
+        val viol = s"coalesce(sum(CASE WHEN coalesce(($p), false) THEN 0 ELSE 1 END), 0)::BIGINT"
+        s"""SELECT "check", n_rows, n_violations, pass_micro,
+           |  pass_micro >= $thr AS passed FROM (
+           |  SELECT '$n' AS "check", count(*) AS n_rows, $viol AS n_violations,
+           |    CASE WHEN count(*) = 0 THEN 1000000::BIGINT
+           |         ELSE floor((count(*) - $viol)::DOUBLE
+           |                    / count(*)::DOUBLE * 1000000.0)::BIGINT
+           |    END AS pass_micro
+           |  FROM documents)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     "freq_heavy_hitters" ->
       """SELECT event_type AS item, count(*)::BIGINT AS cnt
