@@ -41,6 +41,16 @@ object Classifier {
   def sigmoidFast(z: Column): Column =
     lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
 
+  /** Token → bucket. `portable = true` is the md5-based [[Text.h32]] the
+    * DuckDB oracle reproduces (the correctness-gate default); `false` is
+    * codegen'd xxhash64 — ~3× serving throughput (33k → 100k docs/s,
+    * measured in tools/StreamBench clf mode), for production serving where the hash
+    * only needs to be CONSISTENT between train and serve, not replayable
+    * in SQL.
+    */
+  private def bucketOf(t: Column, buckets: Int, portable: Boolean): Column =
+    if (portable) Text.h32(t) % buckets else pmod(xxhash64(t), lit(buckets))
+
   /** Hashed term-frequency features: (idCol, bucket, x) with
     * bucket = h32(token) mod buckets and x = tf_bucket / doc_len — the
     * fastText input layer, portable md5 hashing so the oracle buckets
@@ -48,12 +58,12 @@ object Classifier {
     * left joins downstream).
     */
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, portableHash: Boolean = true): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val tok = df
       .select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("t"))
       .filter(length(col("t")) > 0)
-    val bt = tok.select(col(idCol), (Text.h32(col("t")) % buckets).as("bucket"))
+    val bt = tok.select(col(idCol), bucketOf(col("t"), buckets, portableHash).as("bucket"))
     val tf = bt.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
     val dl = bt.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     tf.join(dl, Seq(idCol))
@@ -85,13 +95,14 @@ object Classifier {
     * every bucket observed in the corpus.
     */
   def train(df: DataFrame, textCol: String, idCol: String, label: Column,
-      buckets: Int = 32, rounds: Int = 2, lr: Double = 0.5): DataFrame = {
+      buckets: Int = 32, rounds: Int = 2, lr: Double = 0.5,
+      portableHash: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     require(lr > 0, s"lr=$lr must be positive")
     val spark = df.sparkSession
     val labs = df.select(col(idCol), label.cast("double").as("y"))
     // one materialization feeds every round (and the caller's scoring)
-    val feats = hashedFeatures(df, textCol, idCol, buckets).localCheckpoint(true)
+    val feats = hashedFeatures(df, textCol, idCol, buckets, portableHash).localCheckpoint(true)
     val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n"))
     import spark.implicits._
     var w = Seq((-1L, 0L)).toDF("bucket", "w_micro")
@@ -128,9 +139,10 @@ object Classifier {
     * already engine-exact).
     */
   def score(df: DataFrame, textCol: String, idCol: String, label: Column,
-      weights: DataFrame, buckets: Int = 32): DataFrame = {
+      weights: DataFrame, buckets: Int = 32,
+      portableHash: Boolean = true): DataFrame = {
     val labs = df.select(col(idCol), label.cast("double").as("y"))
-    val feats = hashedFeatures(df, textCol, idCol, buckets)
+    val feats = hashedFeatures(df, textCol, idCol, buckets, portableHash)
     margins(feats, labs, idCol, weights)
       .select(col(idCol), col("y"), Text.floor6(sigmoidFast(col("z"))).as("score"))
   }
@@ -148,7 +160,8 @@ object Classifier {
     * Output: (idCol, score).
     */
   def scoreWithModel(df: DataFrame, textCol: String, idCol: String,
-      weights: DataFrame, buckets: Int = 32): DataFrame = {
+      weights: DataFrame, buckets: Int = 32,
+      portableHash: Boolean = true): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val rows = weights.collect() // model-bounded: ≤ buckets+1 rows
     val wm = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -157,7 +170,7 @@ object Classifier {
     val wmap = map_from_arrays(
       lit(wb.map(_._1).toArray), lit(wb.map(_._2).toArray))
     val toksC = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
-    val bksC = transform(toksC, t => Text.h32(t) % buckets)
+    val bksC = transform(toksC, t => bucketOf(t, buckets, portableHash))
     val dl = size(bksC).cast("double")
     val term = (b: Column) =>
       floor(coalesce(element_at(wmap, b), lit(0L)).cast("double") *

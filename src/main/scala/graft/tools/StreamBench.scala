@@ -79,6 +79,22 @@ object StreamBench {
           .groupBy(session_window(col("ts"), "5 seconds").as("w"), col("user_id"))
           .agg(count(lit(1)).as("cnt"))
           .writeStream.format("noop").outputMode("append").start()
+      case "clf" =>
+        // model-serving throughput: a classifier trained on the sf0.01
+        // corpus scores a synthetic ~12-token doc stream per-row
+        // (stateless append — the scoreWithModel path)
+        val portable = sys.env.getOrElse("SPARK_GRAFT_CLF_PORTABLE", "true").toBoolean
+        val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        val w = graft.ops.Classifier.train(d, "text", "doc_id",
+          col("lang") === "en", buckets = 32, rounds = 2, lr = 0.5,
+          portableHash = portable)
+        val docs = src.select(col("value").as("doc_id"), concat(
+          lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
+          (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
+          (col("value") % 7919).cast("string")).as("text"))
+        graft.ops.Classifier.scoreWithModel(docs, "text", "doc_id", w, buckets = 32,
+            portableHash = portable)
+          .writeStream.format("noop").outputMode("append").start()
       case _ =>
         val lines = src.select(concat(
           lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),

@@ -107,6 +107,22 @@ class ClassifierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("xxhash production path: train/score/serve stay mutually consistent") {
+    // the non-portable hash can't be oracle-checked; pin that the three
+    // surfaces agree with each other and the model still separates
+    val w = Classifier.train(toy, "text", "doc_id", col("y") === 1.0,
+      buckets = 16, rounds = 4, lr = 1.0, portableHash = false)
+    val rel = Classifier.score(toy, "text", "doc_id", col("y") === 1.0, w, 16,
+      portableHash = false).select("doc_id", "score")
+    val srv = Classifier.scoreWithModel(toy, "text", "doc_id", w, 16,
+      portableHash = false)
+    assert(rel.exceptAll(srv).count() == 0 && srv.exceptAll(rel).count() == 0)
+    val scored = rel.join(toy.select("doc_id", "y"), "doc_id")
+      .as[(Long, Double, Double)].collect()
+    assert(scored.filter(_._3 == 1.0).map(_._2).min >
+      scored.filter(_._3 == 0.0).map(_._2).max)
+  }
+
   test("training plan: weights broadcast; corpus is never re-shuffled per round") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
