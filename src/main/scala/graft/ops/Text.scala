@@ -122,6 +122,42 @@ object Text {
     * (doc, term) tf pre-aggregation also caps the second shuffle at the
     * per-doc vocabulary, not token count.
     */
+  /** Positional phrase search over the token stream — the inverted-index
+    * path to "docs containing this exact word sequence" (vs. a substring
+    * scan of every document, which at 100 TB re-reads the full corpus per
+    * query; here only PHRASE-TERM postings survive the explode, so the
+    * shuffle is bounded by the phrase terms' posting lists).
+    *
+    * Algorithm (single shuffle, no (phrase-length)-way self-join): each
+    * posting (doc, pos, term) emits one (doc, anchor = pos − slot, slot)
+    * row per phrase slot holding that term; an anchor seen with ALL
+    * |phrase| slots is a match (a slot fixes pos = anchor + slot, so a
+    * (doc, anchor, slot) row is unique and a plain count suffices —
+    * repeated words in the phrase are handled by construction).
+    *
+    * Output: (idCol, match_pos) — 1-based token position of each
+    * occurrence. `.select(idCol).distinct()` for presence.
+    */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    require(terms.forall(_.matches("\\w+")),
+      s"phrase terms must be single tokens, got $phrase")
+    val slotArr = array(terms.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("t"), lit(i).as("i"))
+    }: _*)
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col(idCol), col("pos"),
+        explode(filter(slotArr, s => s.getField("t") === col("term"))).as("s"))
+      .select(col(idCol), (col("pos") - col("s.i")).as("anchor"))
+      .where(col("anchor") >= 0)
+      .groupBy(col(idCol), col("anchor"))
+      .agg(count(lit(1)).as("n_slots"))
+      .where(col("n_slots") === terms.length)
+      .select(col(idCol), (col("anchor") + 1).cast("int").as("match_pos"))
+  }
+
   def postingStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = df.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("term"))
       .filter(length(col("term")) > 0)

@@ -93,6 +93,13 @@ object TextQueries extends QueryModule {
     // search-index build: per-term posting statistics (df, Σtf, id range)
     "text_postings" -> ((s, d) => Text.postingStats(docs(s, d), "text", "doc_id")),
 
+    // positional phrase search (inverted-index path); the oracle is the
+    // INDEPENDENT algorithm — a normalized LIKE substring scan — so two
+    // different phrase-matching strategies must agree doc-for-doc
+    "search_phrase_docs" -> ((s, d) =>
+      Text.phraseSearch(docs(s, d), "text", "doc_id", Seq("big", "order", "scan"))
+        .select("doc_id").distinct()),
+
     // weighted sampling without replacement (A-ES): 20 docs per language,
     // selection probability ∝ n_chars — the "sample long docs more" mix rule
     "sample_weighted" -> ((s, d) =>
@@ -653,6 +660,11 @@ object TextQueries extends QueryModule {
          |  coalesce(sc.sum_micro, 0)::DOUBLE / 1000000.0 AS bm25,
          |  coalesce(sc.n_hit, 0)::BIGINT AS n_hit_terms
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "search_phrase_docs" ->
+      """SELECT doc_id FROM documents
+        |WHERE (' ' || trim(regexp_replace(lower(text), '\W+', ' ', 'g')) || ' ')
+        |      LIKE '% big order scan %'""".stripMargin,
 
     "mix_waterfill_rates" ->
       s"""$waterfillCte

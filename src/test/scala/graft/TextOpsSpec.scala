@@ -637,6 +637,49 @@ class TextOpsSpec extends SparkSpec {
     assert(top(1)._2 === 3L)
   }
 
+  test("phrase search finds every anchored occurrence, 1-based") {
+    val d = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "cat mat here"),
+      (3L, "the mat cat"),
+      (4L, "CAT  MAT, punctuation! ignored")
+    ).toDF("doc_id", "text")
+    val got = Text.phraseSearch(d, "text", "doc_id", Seq("cat", "mat"))
+      .orderBy("doc_id", "match_pos").as[(Long, Int)].collect()
+    assert(got.toSeq == Seq((1L, 6), (2L, 1), (4L, 1)))
+  }
+
+  test("phrase search handles repeated words in the phrase by construction") {
+    val d = Seq((1L, "a b a b a"), (2L, "a b b a")).toDF("doc_id", "text")
+    val got = Text.phraseSearch(d, "text", "doc_id", Seq("a", "b", "a"))
+      .orderBy("doc_id", "match_pos").as[(Long, Int)].collect()
+    // overlapping token-anchored matches both count: positions 1 and 3
+    assert(got.toSeq == Seq((1L, 1), (1L, 3)))
+  }
+
+  test("single-term phrase degenerates to term postings; no-match is empty") {
+    val d = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val one = Text.phraseSearch(d, "text", "doc_id", Seq("x"))
+      .orderBy("match_pos").as[(Long, Int)].collect()
+    assert(one.toSeq == Seq((1L, 1), (1L, 3)))
+    assert(Text.phraseSearch(d, "text", "doc_id", Seq("x", "z")).isEmpty)
+    intercept[IllegalArgumentException] {
+      Text.phraseSearch(d, "text", "doc_id", Seq("two words"))
+    }
+  }
+
+  test("phrase search agrees with the substring scan on the real corpus") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val viaIndex = Text.phraseSearch(d, "text", "doc_id", Seq("table", "hash"))
+      .select("doc_id").distinct()
+    val viaScan = d.where(concat(lit(" "),
+        trim(regexp_replace(lower(col("text")), "\\W+", " ")), lit(" "))
+        .contains(" table hash ")).select("doc_id")
+    assert(viaIndex.exceptAll(viaScan).count() == 0 &&
+      viaScan.exceptAll(viaIndex).count() == 0)
+    assert(viaIndex.count() > 0, "fixture phrase must occur")
+  }
+
   // one row per (class, unit-weight doc): class sizes become class totals
   private def mixCorpus(sizes: Map[String, Int]) = {
     val rows = for {
