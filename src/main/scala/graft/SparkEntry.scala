@@ -84,5 +84,12 @@ object SparkEntry {
     "clf_quality_score",
     // round-10 addition: waterfilling token-budget mixture (sorted-prefix
     // waterline solve + broadcast-rate admission)
-    "mix_waterfill_kept")
+    "mix_waterfill_kept",
+    // round-10 additions: cohort-retention matrix (one user-keyed set-agg
+    // shuffle), integer-exact rolling z-score anomalies (key-partitioned
+    // window), centroid-distance embedding outliers (d-bounded moments +
+    // 1-row broadcast)
+    "ts_cohort_retention", "ts_anomaly", "emb_outliers",
+    // round-10 addition: closed-form two-sided CUSUM changepoint detection
+    "ts_cusum")
 }

@@ -258,6 +258,62 @@ object Similarity {
       .groupBy(groupCol, "dim")
       .agg(floor6(avg("x")).as("mean"), count(lit(1)).as("n"))
 
+  /** Centroid-distance outlier scoring with ENGINE-EXACT arithmetic: score
+    * every vector by its squared distance to the corpus centroid and flag
+    * the ones beyond `k`× the root-mean-square distance — the standard
+    * embedding-space garbage detector (mojibake, truncated inputs, wrong-
+    * modality rows land far from the mass) — without a float mean, sqrt,
+    * or tolerance anywhere.
+    *
+    * Arithmetic: vectors quantize to `qv = floor(x·scale)` longs; with
+    * n = corpus count and s = Σ qv (per-dim long sums), the score is the
+    * integer  D = Σ_j (n·qv_j − s_j)²  = n²·‖qv − centroid‖², and the flag
+    * with k = kNum/kDen (a rational — in high d distances concentrate
+    * around the RMS, so useful thresholds sit between integer multiples)
+    * is  n·D·kDen² > kNum²·ΣD  ⟺  ‖qv−c‖ > k·RMS‖qv−c‖. Products run in
+    * DECIMAL(38,0) (DuckDB replays them in HUGEINT): exact up to 10³⁸,
+    * which holds to n ≈ 10⁹ vectors at |x| ≤ 10, d ≤ 4096.
+    *
+    * Shape: one d-bounded moment aggregation (partial-combined posexplode
+    * sums, d rows collected — model-bounded, the PCA/IVF pattern), one
+    * narrow per-row pass for D (zip_with against the literal sums), one
+    * 1-row global ΣD broadcast back. No shuffle is corpus-keyed except the
+    * d-row moment reduce.
+    *
+    * Output: (idCol, d2n — the exact integer D div n = n·‖qv−c‖² (a long;
+    * D itself can cross 2⁵³ where a double cast would round), outlier).
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      scale: Int = 1000, kNum: Int = 3, kDen: Int = 2): DataFrame = {
+    require(scale > 0 && kNum > 0 && kDen > 0,
+      s"scale and kNum/kDen must be positive, got $scale, $kNum/$kDen")
+    val q = df.select(col(idCol),
+      transform(asDouble(col(vecCol)), x => floor(x * lit(scale)).cast("long")).as("__qv"))
+    // d rows: per-dimension long sums + the count — model-bounded collect
+    val mom = q.select(posexplode(col("__qv")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getAs[Int]("dim"))
+    if (mom.isEmpty)
+      // empty corpus: no centroid exists — empty result, same schema
+      return df.select(col(idCol), lit(0L).as("d2n"), lit(false).as("outlier"))
+        .where(lit(false))
+    val n = mom.head.getAs[Long]("n")
+    val svec = array(mom.map(r => lit(r.getAs[Long]("s"))).toIndexedSeq: _*)
+    val dec = "decimal(38,0)"
+    val d2 = aggregate(
+      zip_with(col("__qv"), svec, (qq, s) => {
+        val t = (lit(n) * qq - s).cast(dec)
+        t * t
+      }),
+      lit(0).cast(dec), (acc, t) => acc + t)
+    val scored = q.select(col(idCol), d2.as("__d2"))
+    val tot = scored.agg(sum(col("__d2")).cast(dec).as("__tot"))
+    scored.crossJoin(broadcast(tot))
+      .select(col(idCol), expr(s"__d2 div ${n}L").as("d2n"),
+        (col("__d2") * lit(n * kDen.toLong * kDen).cast(dec) >
+          lit(kNum.toLong * kNum).cast(dec) * col("__tot")).as("outlier"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster embeddings with the exact
     * quantized k-means ([[KMeans.fitAssign]] — deterministic, integer
     * arithmetic, oracle-reproducible), then inside each cluster drop every

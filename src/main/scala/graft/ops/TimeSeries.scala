@@ -67,6 +67,109 @@ object TimeSeries {
       .withColumn("ma", avg(col(valCol)).over(w))
   }
 
+  /** Cohort retention: bucket each user's FIRST activity (their cohort),
+    * then count, for each bucket offset `period` ≥ 0, how many of the
+    * cohort's users were active in that bucket — the standard
+    * triangle-retention matrix over an event log.
+    *
+    * Scale shape: ONE wide shuffle (groupBy user) whose per-user state is
+    * the `collect_set` of distinct active buckets — bounded by
+    * horizon/stepUs, a knob, not data-sized — with map-side partial
+    * dedup; the second aggregation runs on |cohorts|·|periods| rows.
+    * No self-join of events against first-activity, no distinct-count
+    * over raw events.
+    *
+    * `tsCol` must be epoch-micros (long). Output:
+    * (cohort  — first-activity bucket index = ts div stepUs,
+    *  period  — bucket − cohort, 0 for the cohort's own bucket,
+    *  active_users — exact distinct users of that cohort active then).
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    df.select(col(userCol), expr(s"`$tsCol` div ${stepUs}L").as("bucket"))
+      .groupBy(userCol)
+      .agg(collect_set(col("bucket")).as("__bs"))
+      .select(array_min(col("__bs")).as("cohort"), explode(col("__bs")).as("__b"))
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("period"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** Rolling z-score anomaly detection with ENGINE-EXACT arithmetic: flag
+    * a value whose deviation from the trailing `width`-row mean exceeds
+    * `k` standard deviations — without ever computing a float mean or a
+    * sqrt. Values are cent-quantized (`floor(v·100)` as long; IEEE-exact
+    * on any engine), and the flag is the integer inequality
+    *
+    *   (n·x − s)² > k²·(n·s2 − s²)      over the trailing frame,
+    *
+    * which is |x − mean| > k·stddev_pop cleared of denominators — every
+    * term an exact long, so the DuckDB oracle matches bit-for-bit where a
+    * float stddev would differ in the last ulp. Rows with fewer than
+    * `width` predecessors are never flagged (`n` is also returned so the
+    * caller can tell "not anomalous" from "not enough history").
+    *
+    * Scale shape: one exchange on `keyCol`, one ordered window whose frame
+    * state is `width` longs; per-key data, never global. Quantized-value
+    * bound: |v| < 9·10⁵ keeps n·s2·k² inside a long for width ≤ 8, k ≤ 3
+    * (documented, not data-checked — the caller picks the quantization).
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, valueCol: String, width: Int, k: Int): DataFrame = {
+    require(width > 0 && width <= 64, s"width must be in [1,64], got $width")
+    require(k > 0, s"k must be positive, got $k")
+    val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val frame = order.rowsBetween(-width, -1)
+    val n = lit(width.toLong)
+    df.withColumn("__x", floor(col(valueCol) * lit(100)).cast("long"))
+      .withColumn("__n", count(col("__x")).over(frame))
+      .withColumn("__s", sum(col("__x")).over(frame))
+      .withColumn("__s2", sum(col("__x") * col("__x")).over(frame))
+      .withColumn("anomaly",
+        col("__n") === n &&
+          (n * col("__x") - col("__s")) * (n * col("__x") - col("__s")) >
+            lit(k.toLong * k) * (n * col("__s2") - col("__s") * col("__s")))
+      .withColumn("hist_n", col("__n"))
+      .drop("__x", "__n", "__s", "__s2")
+  }
+
+  /** Two-sided CUSUM changepoint detection (Page 1954) in ENGINE-EXACT
+    * integer arithmetic — the sequential mean-shift detector monitoring
+    * pipelines run per key, here WITHOUT its sequential recursion:
+    *
+    *   s⁺_i = max(0, s⁺_{i−1} + (x_i − target − slack))
+    *
+    * has the closed form  s⁺_i = P_i − min(0, min_{j≤i} P_j)  over the
+    * prefix sums P of the drift-corrected deltas (induction: a new prefix
+    * minimum is exactly the step where the recursion clamps to 0), and
+    * symmetrically  s⁻_i = max(0, max_{j≤i} E_j) − E_i  for the downward
+    * side. So the whole detector is TWO cumulative window functions per
+    * side — one key exchange, frame state O(1) — instead of a per-key
+    * sequential fold, and every value is an exact long over cent-quantized
+    * inputs (`floor(v·100)`), reproducible across engines and layouts.
+    *
+    * Output adds: cusum_pos / cusum_neg (the detector statistics, cents)
+    * and shift_up / shift_down (statistic > hCents). All parameters in
+    * cents. Prefix sums are per-key sums of |x−target|±slack-sized longs —
+    * overflow needs ~10¹⁴ same-key events at |Δ| ≤ 10⁵ cents.
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+      valueCol: String, targetCents: Long, slackCents: Long,
+      hCents: Long): DataFrame = {
+    require(slackCents >= 0, s"slackCents must be non-negative, got $slackCents")
+    require(hCents > 0, s"hCents must be positive, got $hCents")
+    val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__xq", floor(col(valueCol) * lit(100)).cast("long"))
+      .withColumn("__p", sum(col("__xq") - lit(targetCents + slackCents)).over(cum))
+      .withColumn("__e", sum(col("__xq") - lit(targetCents - slackCents)).over(cum))
+      .withColumn("cusum_pos", col("__p") - least(min(col("__p")).over(cum), lit(0L)))
+      .withColumn("cusum_neg", greatest(max(col("__e")).over(cum), lit(0L)) - col("__e"))
+      .withColumn("shift_up", col("cusum_pos") > hCents)
+      .withColumn("shift_down", col("cusum_neg") > hCents)
+      .drop("__xq", "__p", "__e")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * key's previous event exceeds `gapUs`. Returns every event with its
     * 0-based per-key `session_id` (cumulative sum of session-break flags —

@@ -202,6 +202,38 @@ object RelationalQueries extends QueryModule {
         "user_id", "ts_us", "event_id", gapUs = 7200000000L)
         .select(col("user_id"), col("event_id"), col("session_id"))),
 
+    // Two-sided CUSUM mean-shift detection per user: cent-quantized,
+    // closed-form (prefix sum − running min) — two cumulative windows on
+    // one key exchange, no sequential fold. target 50.00, slack 5.00,
+    // h 500.00 keeps both shift directions live at the gate scale
+    // (342 up / 71 down at sf0.01)
+    "ts_cusum" -> ((s, d) =>
+      graft.ops.TimeSeries.cusum(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", "value",
+        targetCents = 5000L, slackCents = 500L, hCents = 50000L)
+        .select(col("user_id"), col("event_id"), col("cusum_pos"),
+          col("cusum_neg"), col("shift_up"), col("shift_down"))),
+
+    // Cohort retention: users bucketed by first-activity day; per (cohort,
+    // day offset) exact distinct active users — one user-keyed shuffle
+    "ts_cohort_retention" -> ((s, d) =>
+      graft.ops.TimeSeries.cohortRetention(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", stepUs = 86400000000L)),
+
+    // Rolling z-score anomalies in EXACT integer arithmetic: cent-quantized
+    // values, trailing 8-event frame per user, 3-sigma flag via the
+    // denominator-cleared inequality (n·x−s)² > k²(n·s2−s²) — no float
+    // stddev, so both engines make identical calls at the boundary
+    "ts_anomaly" -> ((s, d) =>
+      graft.ops.TimeSeries.rollingAnomalies(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", "value", width = 8, k = 3)
+        .select(col("user_id"), col("event_id"), col("anomaly"), col("hist_n"))),
+
     // KTable materialization (A3 batch twin): the latest record per key —
     // the table snapshot a changelog compacts to.
     "a3_latest_per_key" -> ((s, d) => {
@@ -423,6 +455,50 @@ object RelationalQueries extends QueryModule {
         |       (sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |                       ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
         |FROM b""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  floor("value" * 100)::BIGINT AS xq
+        |           FROM events WHERE "value" IS NOT NULL),
+        |c AS (SELECT user_id, event_id, tus,
+        |         sum(xq - 5500) OVER w AS p,
+        |         sum(xq - 4500) OVER w AS e
+        |      FROM q WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                          ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id,
+        |       (p - least(min(p) OVER w2, 0))::BIGINT AS cusum_pos,
+        |       (greatest(max(e) OVER w2, 0) - e)::BIGINT AS cusum_neg,
+        |       (p - least(min(p) OVER w2, 0)) > 50000 AS shift_up,
+        |       (greatest(max(e) OVER w2, 0) - e) > 50000 AS shift_down
+        |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "ts_cohort_retention" ->
+      """WITH ub AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS bucket
+        |            FROM events),
+        |c AS (SELECT user_id, bucket,
+        |             min(bucket) OVER (PARTITION BY user_id) AS cohort
+        |      FROM ub)
+        |SELECT cohort, bucket - cohort AS period, count(*) AS active_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // same cent quantization, same trailing frame, same denominator-cleared
+    // integer inequality — sum(BIGINT) is HUGEINT in DuckDB, so the products
+    // are exact there just as the longs are on the Spark side
+    "ts_anomaly" ->
+      """WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  floor("value" * 100)::BIGINT AS xq
+        |           FROM events WHERE "value" IS NOT NULL),
+        |w AS (SELECT user_id, event_id, xq,
+        |             count(xq) OVER win AS n,
+        |             sum(xq) OVER win AS s,
+        |             sum(xq * xq) OVER win AS s2
+        |      FROM q WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |       n = 8 AND (8 * xq - s) * (8 * xq - s) > 9 * (8 * s2 - s * s) AS anomaly,
+        |       n::BIGINT AS hist_n
+        |FROM w""".stripMargin,
 
     "a3_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,

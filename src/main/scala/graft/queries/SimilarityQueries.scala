@@ -84,6 +84,16 @@ object SimilarityQueries extends QueryModule {
     "emb_mean_pool" -> ((s, d) =>
       Similarity.meanPooled(emb(s, d), "label", "embedding")),
 
+    // centroid-distance outlier gate, integer-exact end to end. The
+    // synthetic embeddings concentrate hard around the RMS distance
+    // (spread ≈ ±2% — the high-d concentration the op's doc describes),
+    // so the declared threshold is k = 101/100 to keep BOTH flag branches
+    // live in the gate data (26 true / 474 false at sf0.01); a real
+    // corpus gate would run the default 3/2.
+    "emb_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(emb(s, d), "vec_id", "embedding",
+        scale = 1000, kNum = 101, kDen = 100)),
+
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
     // kept ids (composes the oracle-exact k-means with pairwise cosine).
     // The AUTO form derives k = max(8, ceil(n/10^4)) — 8 for every corpus
@@ -317,6 +327,30 @@ object SimilarityQueries extends QueryModule {
          |          list_transform(range($WideDim), i -> e.v[i + 1] - m.mean[i + 1]),
          |          c.vec) * 1000000) / 1000000.0 AS proj
          |FROM e CROSS JOIN m CROSS JOIN c""".stripMargin,
+
+    // same micro quantization, same integer moments; BIGINT sums promote to
+    // HUGEINT where Spark uses DECIMAL(38,0) — exact on both engines, and
+    // the score ships as the exact long D div n (D itself crosses 2^53)
+    "emb_outliers" ->
+      s"""WITH q AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+         |           FROM embeddings),
+         |mom AS (SELECT u['d'] AS dim, sum(u['v'])::BIGINT AS s, count(*)::BIGINT AS n
+         |        FROM (SELECT unnest(list_transform(range(len(qv)),
+         |                       i -> {'d': i, 'v': qv[i+1]})) AS u
+         |              FROM q)
+         |        GROUP BY 1),
+         |sv AS (SELECT list(s ORDER BY dim) AS svec, any_value(n) AS n FROM mom),
+         |sc AS (SELECT vec_id,
+         |              list_sum(list_transform(range($Dim), i ->
+         |                (n::HUGEINT * qv[i+1] - svec[i+1]) *
+         |                (n::HUGEINT * qv[i+1] - svec[i+1]))) AS d2,
+         |              n
+         |       FROM q CROSS JOIN sv),
+         |tot AS (SELECT sum(d2) AS t FROM sc)
+         |SELECT vec_id, (d2 // n)::BIGINT AS d2n,
+         |       (d2 * n * 10000 > 10201 * t) AS outlier
+         |FROM sc CROSS JOIN tot""".stripMargin,
 
     // avg of identical doubles; floor-to-micro absorbs summation-order ulps
     "emb_mean_pool" ->

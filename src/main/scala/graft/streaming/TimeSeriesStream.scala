@@ -38,12 +38,18 @@ object TimeSeriesStream {
 
   case class FillOut(key: Long, bucket: Long, filled: Double, observed: Boolean)
 
+  case class AnomalyOut(key: Long, ord: Long, anomaly: Boolean, hist_n: Long)
+
   // State case classes hold PRIMITIVE ARRAYS and must be PUBLIC: the
   // state-store serializer codegen (Janino) refuses to invoke accessors on
   // a non-public class ("no applicable method" with the method itself
   // listed as candidate), and flat arrays also serialize tighter than
   // Seq[Tuple]/Map shapes. Internal API — not part of the operator surface.
   case class SessState(bufTs: Array[Long], bufOrd: Array[Long], nextSession: Long)
+
+  case class AnomState(
+      pTs: Array[Long], pOrd: Array[Long], pX: Array[Long], // pending (unordered)
+      tail: Array[Long]) // last `width` FINALIZED quantized values, oldest first
 
   case class FillState(
       pBucket: Array[Long],   // pending buckets (parallel arrays:
@@ -106,6 +112,61 @@ object TimeSeriesStream {
             }
             Iterator.empty
           }
+      }
+  }
+
+  /** Streaming [[graft.ops.TimeSeries.rollingAnomalies]]: every event tagged
+    * with the exact-integer trailing z-score flag (same cent quantization,
+    * same denominator-cleared inequality, same (ts, ord) order) as the
+    * watermark finalizes it.
+    *
+    * Finality: an event's trailing frame is fixed once no arrival can sort
+    * before it — i.e. once the watermark passes its timestamp STRICTLY (an
+    * in-watermark arrival with an equal ts could still precede it by ord).
+    * Pending events buffer unordered and sort at drain; the only long-lived
+    * state is the `width`-value finalized tail each future frame needs, so
+    * steady-state state is O(width + in-flight watermark window) per key.
+    */
+  def rollingAnomalies(ds: Dataset[TsEvent], width: Int, k: Int,
+      watermark: String): Dataset[AnomalyOut] = {
+    require(width > 0 && width <= 64, s"width must be in [1,64], got $width")
+    require(k > 0, s"k must be positive, got $k")
+    implicit val outEnc: Encoder[AnomalyOut] = Encoders.product[AnomalyOut]
+    implicit val stEnc: Encoder[AnomState] = Encoders.product[AnomState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AnomState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[TsEvent], state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(
+            AnomState(Array.empty, Array.empty, Array.empty, Array.empty))
+          // same quantization op as the batch operator's floor(v*100) column
+          val added = rows.map(e => (us(e.ts), e.ord,
+            math.floor(e.value * 100).toLong)).toArray
+          val pend = (st.pTs.indices.map(i => (st.pTs(i), st.pOrd(i), st.pX(i)))
+            ++ added).sortBy(t => (t._1, t._2)).toArray
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val (fin, rest) = pend.partition(_._1 < wmUs)
+          var tail = st.tail
+          val out = fin.map { case (_, ord, x) =>
+            val flag = tail.length == width && {
+              val s = tail.sum
+              val s2 = tail.map(v => v * v).sum
+              val lhs = width * x - s
+              lhs * lhs > k.toLong * k * (width * s2 - s * s)
+            }
+            val n = tail.length.toLong
+            tail = (tail :+ x).takeRight(width)
+            AnomalyOut(key, ord, flag, n)
+          }
+          state.update(AnomState(rest.map(_._1), rest.map(_._2), rest.map(_._3), tail))
+          if (rest.nonEmpty)
+            // wake when the oldest pending event finalizes, even if the key
+            // never sees another row
+            state.setTimeoutTimestamp(math.max(rest.map(_._1).min / 1000L + 1L,
+              state.getCurrentWatermarkMs + 1L))
+          out.iterator
       }
   }
 

@@ -95,6 +95,21 @@ object StreamBench {
         graft.ops.Classifier.scoreWithModel(docs, "text", "doc_id", w, buckets = 32,
             portableHash = portable)
           .writeStream.format("noop").outputMode("append").start()
+      case "anomaly" =>
+        // rolling-anomaly throughput: 10k keys, per-key trailing-8 exact
+        // z-score state (flatMapGroupsWithState buffers the in-watermark
+        // window + an 8-long finalized tail per key); a spike rides every
+        // 1001st row so the flag path executes
+        import spark.implicits._
+        val ev = src.select((col("value") % 10000).as("key"),
+            col("timestamp").as("ts"), col("value").as("ord"),
+            ((col("value") % 97).cast("double") +
+              when(col("value") % 1001 === 0, lit(5000.0)).otherwise(lit(0.0)))
+              .as("value"))
+          .as[graft.streaming.TimeSeriesStream.TsEvent]
+        graft.streaming.TimeSeriesStream.rollingAnomalies(ev, width = 8, k = 3,
+            watermark = "5 seconds")
+          .writeStream.format("noop").outputMode("append").start()
       case _ =>
         val lines = src.select(concat(
           lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),

@@ -328,4 +328,34 @@ class PlanSpec extends SparkSpec {
         s"$q lacks a partial top-k aggregate")
     }
   }
+
+  test("cohort retention: one user-keyed shuffle plus the small matrix reduce") {
+    val p = plan("ts_cohort_retention")
+    assert(!p.contains("Window"), "retention must not window over raw events")
+    assert(hashExchanges(p, "user_id") == 1,
+      s"${hashExchanges(p, "user_id")} user shuffles — the set-agg dedup is one pass")
+    assert(hashExchanges(p) <= 2, s"${hashExchanges(p)} total shuffles")
+  }
+
+  test("rolling anomalies: key-partitioned window, single exchange") {
+    val p = plan("ts_anomaly")
+    assert(p.contains("Window"), "trailing frame is a window")
+    assert(hashExchanges(p) == 1 && hashExchanges(p, "user_id") == 1,
+      s"${hashExchanges(p)} shuffles — expected exactly the user_id exchange")
+  }
+
+  test("cusum: one key exchange drives all four cumulative windows") {
+    val p = plan("ts_cusum")
+    assert(p.contains("Window"), "cusum rides cumulative windows")
+    assert(hashExchanges(p) == 1 && hashExchanges(p, "user_id") == 1,
+      s"${hashExchanges(p)} shuffles — expected exactly the user_id exchange")
+  }
+
+  test("embedding outliers: ΣD joins back as a 1-row broadcast, no wide shuffle") {
+    val p = plan("emb_outliers")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the global total must broadcast (1-row side)")
+    // the only hash shuffle is the d-bounded moment reduce (dim keys)
+    assert(hashExchanges(p) <= 1, s"${hashExchanges(p)} shuffles in emb_outliers")
+  }
 }

@@ -289,4 +289,21 @@ class SimilaritySpec extends SparkSpec {
     assert(white.size > raw.size, s"whitening must rescue distinct docs: $white vs $raw")
     assert(white.subsetOf(vecs.map(_._1).toSet))
   }
+
+  test("embeddingOutliers: hand-exact integer scores and the rational RMS flag") {
+    // n=4, s=(4000,0) at scale 1000: D = Σ(n·qv−s)² gives 16e6 for the
+    // three origin points and 144e6 for (4,0); ΣD = 192e6. k=3/2 flags
+    // D·n·kDen² > kNum²·ΣD ⟺ D > 108e6 — exactly the (4,0) point.
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(0f, 0f)),
+      (4L, Array(4f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(df, "vec_id", "embedding",
+        scale = 1000, kNum = 3, kDen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((4000000L, false)))   // 16e6 div 4
+    assert(out(2L) === ((4000000L, false)))
+    assert(out(3L) === ((4000000L, false)))
+    assert(out(4L) === ((36000000L, true)))   // 144e6 div 4
+  }
 }

@@ -28,4 +28,83 @@ class TimeSeriesSpec extends SparkSpec {
       ("u1", 3L, 7.0, true),
       ("u2", 10L, 5.0, true))) // grid starts at u2's own first bucket
   }
+
+  test("cohortRetention: cohort = first bucket, periods are distinct offsets") {
+    // step=10: u1 → buckets {0,1,3}; u4 → {0,3} (same cohort as u1);
+    // u2 → {1} twice (within-bucket repeat dedups); u3 → {2}
+    val ev = Seq(
+      ("u1", 5L), ("u1", 15L), ("u1", 35L),
+      ("u4", 7L), ("u4", 38L),
+      ("u2", 12L), ("u2", 19L),
+      ("u3", 25L)
+    ).toDF("k", "ts")
+    val out = TimeSeries.cohortRetention(ev, "k", "ts", stepUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (0L, 0L, 2L),  // u1+u4 active in their cohort bucket
+      (0L, 1L, 1L),  // only u1 back in bucket 1
+      (0L, 3L, 2L),  // both back in bucket 3
+      (1L, 0L, 1L),  // u2's repeat inside bucket 1 counts once
+      (2L, 0L, 1L)))
+  }
+
+  test("cusum: closed form equals the sequential recursion, both sides") {
+    // key a ramps up (10,10,10,100,100), key b steps down (10,10,2,2);
+    // target=10.00, slack=0 — hand recursion: a's s⁺ = 0,0,0,9000,18000
+    // (cents), b's s⁻ = 0,0,800,1600
+    val ev = Seq(
+      ("a", 1L, 1L, 10.0), ("a", 2L, 2L, 10.0), ("a", 3L, 3L, 10.0),
+      ("a", 4L, 4L, 100.0), ("a", 5L, 5L, 100.0),
+      ("b", 1L, 6L, 10.0), ("b", 2L, 7L, 10.0),
+      ("b", 3L, 8L, 2.0), ("b", 4L, 9L, 2.0)
+    ).toDF("k", "ts", "ord", "v")
+    val out = TimeSeries.cusum(ev, "k", "ts", "ord", "v",
+        targetCents = 1000L, slackCents = 0L, hCents = 1000L)
+      .select("ord", "cusum_pos", "cusum_neg", "shift_up", "shift_down")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getBoolean(4)))).toMap
+    // exhaustive sequential-recursion replay (the op computes these via
+    // the closed form; any divergence is a correctness bug)
+    assert(out(3L) === ((0L, 0L, false, false)))
+    assert(out(4L) === ((9000L, 0L, true, false)))
+    assert(out(5L) === ((18000L, 0L, true, false)))
+    assert(out(7L) === ((0L, 0L, false, false)))
+    assert(out(8L) === ((0L, 800L, false, false)))
+    assert(out(9L) === ((0L, 1600L, false, true)))
+    // a recovery after a dip must CLAMP at zero, not go negative: replay
+    // 10,2,10,10 — s⁺ stays 0 through the dip and after
+    val ev2 = Seq(("c", 1L, 1L, 10.0), ("c", 2L, 2L, 2.0),
+      ("c", 3L, 3L, 10.0), ("c", 4L, 4L, 10.0)).toDF("k", "ts", "ord", "v")
+    val got2 = TimeSeries.cusum(ev2, "k", "ts", "ord", "v", 1000L, 0L, 100L)
+      .select("ord", "cusum_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("rollingAnomalies: exact integer flag matches the hand z-score calls") {
+    // one key, width=3, k=2; values in half-unit steps so cent quantization
+    // is float-unambiguous. After warmup: frame {1,2,3} → stddev_pop
+    // ≈ 0.8165, mean 2 → x=4 is z≈2.45 (flag); a zero-variance frame flags
+    // ANY deviation (and never flags zero deviation)
+    val ev = Seq(
+      ("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 3.0),
+      ("a", 4L, 4L, 4.0),  // z ≈ 2.45 > 2 → anomaly
+      ("a", 5L, 5L, 3.0),  // frame {2,3,4}: mean 3, x=3 → z=0 → not
+      ("b", 1L, 6L, 5.0), ("b", 2L, 7L, 5.0), ("b", 3L, 8L, 5.0),
+      ("b", 4L, 9L, 5.0),  // zero variance, zero deviation → 0 > 0 false
+      ("b", 5L, 10L, 5.5)  // zero variance, any deviation → anomaly
+    ).toDF("k", "ts", "ord", "v")
+    val out = TimeSeries.rollingAnomalies(ev, "k", "ts", "ord", "v",
+      width = 3, k = 2)
+      .select("ord", "anomaly", "hist_n")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // warmup rows (fewer than `width` predecessors) never flag
+    Seq(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 0L, 7L -> 1L, 8L -> 2L).foreach {
+      case (o, n) => assert(out(o) === (false, n), s"warmup ord $o") }
+    assert(out(4L) === (true, 3L))
+    assert(out(5L) === (false, 3L))
+    assert(out(9L) === (false, 3L))
+    assert(out(10L) === (true, 3L))
+  }
 }

@@ -62,6 +62,22 @@ class TimeSeriesStreamSpec extends SparkSpec {
     assert(got.count() === events.size)
   }
 
+  test("streaming rollingAnomalies drains to the batch flags (incl. a true flag)") {
+    val got = drained(in => TimeSeriesStream.rollingAnomalies(in.toDS(),
+      width = 3, k = 2, watermark = "10 seconds"), "ts_anom_stream")
+      .select("key", "ord", "anomaly", "hist_n")
+    val want = graft.ops.TimeSeries.rollingAnomalies(batchDf, "key", "ts_us",
+      "ord", "value", width = 3, k = 2)
+      .select("key", "ord", "anomaly", "hist_n")
+    assert(got.as[(Long, Long, Boolean, Long)].collect().toSet ===
+      want.as[(Long, Long, Boolean, Long)].collect().toSet)
+    assert(got.count() === events.size)
+    // the fixture's key-1 ramp (3,5,7 then 9) trips the 2-sigma flag at ord 4
+    // — the equivalence above is not vacuously all-false
+    assert(got.filter(col("anomaly")).as[(Long, Long, Boolean, Long)]
+      .collect().map(_._2).toSet === Set(4L))
+  }
+
   test("streaming resampleFill drains to the batch grid (gap buckets filled)") {
     val got = drained(in => TimeSeriesStream.resampleFill(in.toDS(), stepUs = 60000000L,
       watermark = "10 seconds"), "ts_fill_stream")
