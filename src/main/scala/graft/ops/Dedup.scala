@@ -299,6 +299,76 @@ object Dedup {
           lit(100)) < trainPct, lit("train")).otherwise(lit("eval")))
   }
 
+  /** Cross-corpus near-duplicate PAIRS: every `probe` doc whose exact
+    * shingle Jaccard vs some `ref` doc reaches `minJaccard`, with the match
+    * attached — the candidate feed for deduplicating a NEW crawl against an
+    * EXISTING training corpus (or an eval benchmark against a training set
+    * at the document level; token-level decontamination is
+    * [[Text.decontaminatedKept]]).
+    *
+    * Scale shape: candidates come ONLY from the LSH band equi-join between
+    * the two corpora — probe bands join ref band-buckets on
+    * (band, band_key), so fan-out per probe row is bounded by the ref
+    * bucket size, never |ref|. Ref buckets over `maxBucket` are skipped
+    * (and counted via the observed metrics, same contract as
+    * [[minhashCandidatePairs]]): a degenerate shared signature would
+    * otherwise replicate the whole hot bucket onto every matching probe
+    * row. Both corpora run the identical signature pipeline, so a doc is
+    * its own candidate when it appears in both — callers dedup by id
+    * upstream if the corpora overlap.
+    *
+    * Output: (probe_id, ref_id, jaccard). Id spaces of the two corpora are
+    * independent (a probe id never joins a ref id).
+    */
+  def crossCorpusPairs(probe: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String, minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val pBands = lshBands(probe, textCol, idCol, k, bands)
+      .select(col(idCol).as("probe_id"), col("band"), col("band_key"))
+    val rBuckets = lshBands(ref, textCol, idCol, k, bands)
+      .groupBy("band", "band_key").agg(collect_list(col(idCol)).as("ref_docs"))
+      .observe(s"graft_cross_buckets_${obsId.incrementAndGet()}",
+        sum(when(size(col("ref_docs")) > maxBucket, 1L).otherwise(0L)).as("skipped_buckets"),
+        sum(when(size(col("ref_docs")) > maxBucket, size(col("ref_docs")).cast("long"))
+          .otherwise(0L)).as("skipped_docs"))
+      .filter(size(col("ref_docs")) <= maxBucket)
+    val cand = pBands.join(rBuckets, Seq("band", "band_key"))
+      .select(col("probe_id"), explode(col("ref_docs")).as("ref_id"))
+      .distinct()
+    def shingleSets(df: DataFrame) = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
+      .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+    // same |A∪B| = |A|+|B|−|A∩B| identity as [[verifiedNearDupPairs]]
+    val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
+    cand
+      .join(shingleSets(probe).select(col(idCol).as("probe_id"),
+        col("shs").as("sh_a"), col("nsh").as("n_a")), "probe_id")
+      .join(shingleSets(ref).select(col(idCol).as("ref_id"),
+        col("shs").as("sh_b"), col("nsh").as("n_b")), "ref_id")
+      .select(col("probe_id"), col("ref_id"), col("n_a"), col("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+      .select(col("probe_id"), col("ref_id"),
+        when(uni > 0, col("inter").cast("double") / uni).otherwise(lit(0.0)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Cross-corpus near-dup REMOVAL: the `probe` rows kept after dropping
+    * every doc with a verified `ref` near-duplicate — dedup-new-data-
+    * against-the-training-set as one call. The ref corpus is never
+    * modified (it is the retained prior). The anti-join carries no
+    * broadcast hint: at crawl-refresh overlap rates the drop set is
+    * O(probe), so the strategy is left to AQE, which still broadcasts a
+    * genuinely small one.
+    */
+  def dropCrossCorpusDups(probe: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String, minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val dropped = crossCorpusPairs(probe, ref, textCol, idCol, minJaccard, k, bands, maxBucket)
+      .select(col("probe_id").as(idCol)).distinct()
+    probe.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash over the token multiset: bit b is the sign of the sum of
     * ±1 votes from each token's h32 bit b. Same explode+agg shape as
     * [[minhashSignatures]] (hash each token once on the map side, 16

@@ -62,6 +62,24 @@ object DedupQueries extends QueryModule {
     "split_cluster_safe" -> ((s, d) =>
       Dedup.clusterSafeSplit(docs(s, d), "text", "doc_id",
         trainPct = 90, salt = "split1", minJaccard = 0.5)),
+    // cross-corpus dedup: src5-src9 is the "new crawl" (probe), src0-src4
+    // the retained training corpus (ref); 0.5 threshold so the pair rows
+    // carry checkable content, 0.8 for the drop policy
+    "dedup_cross_pairs" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.crossCorpusPairs(
+        dd.filter(col("source") >= "src5"), dd.filter(col("source") < "src5"),
+        "text", "doc_id", minJaccard = 0.5)
+        .select(col("probe_id"), col("ref_id"),
+          graft.ops.Text.floor6(col("jaccard")).as("jaccard"))
+    }),
+    "dedup_cross_kept" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.dropCrossCorpusDups(
+        dd.filter(col("source") >= "src5"), dd.filter(col("source") < "src5"),
+        "text", "doc_id", minJaccard = 0.8)
+        .select("doc_id")
+    }),
     // dup-graph analytics over the verified pairs (0.5): node degrees and
     // triangle enumeration (how clique-ish are the dup families?)
     "graph_degrees" -> ((s, d) =>
@@ -175,6 +193,44 @@ object DedupQueries extends QueryModule {
        |  FROM cand c
        |  JOIN ss sa ON sa.doc_id = c.doc_a
        |  JOIN ss sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** Cross-corpus candidate→Jaccard chain mirroring
+    * [[graft.ops.Dedup.crossCorpusPairs]]: probe = src5-src9, ref =
+    * src0-src4. Signatures are per-doc, so banding all docs then filtering
+    * by source equals banding each filtered corpus. `rok` mirrors the
+    * ref-side maxBucket=1000 cap; thresholds apply at the point of use.
+    */
+  private val crossCte =
+    s"""$basesCte,
+       |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+       |pb AS (SELECT bands.doc_id, band, band_key
+       |       FROM bands JOIN documents USING (doc_id) WHERE source >= 'src5'),
+       |rb AS (SELECT bands.doc_id, band, band_key
+       |       FROM bands JOIN documents USING (doc_id) WHERE source < 'src5'),
+       |rok AS (SELECT band, band_key FROM rb
+       |        GROUP BY band, band_key HAVING count(*) <= 1000),
+       |xcand AS (
+       |  SELECT DISTINCT p.doc_id AS probe_id, r.doc_id AS ref_id
+       |  FROM pb p JOIN rb r ON p.band = r.band AND p.band_key = r.band_key
+       |  JOIN rok ON rok.band = p.band AND rok.band_key = p.band_key),
+       |ss AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_transform(range(len(toks) - 2),
+       |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+       |xj AS (
+       |  SELECT c.probe_id, c.ref_id,
+       |    (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
+       |          THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
+       |               / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
+       |          ELSE 0 END) AS j
+       |  FROM xcand c
+       |  JOIN ss sa ON sa.doc_id = c.probe_id
+       |  JOIN ss sb ON sb.doc_id = c.ref_id)""".stripMargin
 
   /** Transitive closure over the verified pairs at threshold 0.5: recursive
     * reachability (`reach(nid, lbl)` = lbl reachable from nid), so
@@ -311,6 +367,18 @@ object DedupQueries extends QueryModule {
       s"""$jcCte
          |SELECT doc_a, doc_b, floor(j * 1000000) / 1000000.0 AS jaccard
          |FROM jc WHERE j >= 0.5""".stripMargin,
+
+    "dedup_cross_pairs" ->
+      s"""$crossCte
+         |SELECT probe_id, ref_id, floor(j * 1000000) / 1000000.0 AS jaccard
+         |FROM xj WHERE j >= 0.5""".stripMargin,
+
+    "dedup_cross_kept" ->
+      s"""$crossCte,
+         |xdropped AS (SELECT DISTINCT probe_id FROM xj WHERE j >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE source >= 'src5'
+         |  AND doc_id NOT IN (SELECT probe_id FROM xdropped)""".stripMargin,
 
     "dedup_cc_clusters" ->
       s"""$reachCte

@@ -36,6 +36,21 @@ object StreamingLsh {
     */
   private[graft] def withBandKeys(df: DataFrame, textCol: String, idCol: String,
       k: Int, bands: Int): DataFrame = {
+    val wide = withWideBandKeys(df, textCol, idCol, k, bands)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), col(s"band_key_$b").as("band_key"))
+    }
+    wide.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** WIDE form of [[withBandKeys]]: one row per doc with `band_key_0..b-1`
+    * columns plus the doc's distinct shingle set (`shs`, `nsh`) from the
+    * same projection chain — so callers that need both signatures and
+    * shingles (the verify path) never self-join the stream.
+    */
+  private[graft] def withWideBandKeys(df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int): DataFrame = {
     require(k % bands == 0 && k <= Dedup.seedConsts.size, "k must split into equal bands")
     val r = k / bands
     val staged = df
@@ -47,19 +62,18 @@ object StreamingLsh {
             i => Dedup.combine3(element_at(col("hs"), i + 1),
               element_at(col("hs"), i + 2), element_at(col("hs"), i + 3))))
           .otherwise(array(Text.h32(array_join(col("toks"), " ")))))
+      .withColumn("shs", array_distinct(Dedup.shinglesOfTokens(col("toks"))))
     val sigCols: Seq[Column] = (0 until k).map { s =>
       val (a, b) = Dedup.seedConsts(s)
       array_min(transform(col("bases"),
         x => (x * lit(a) + lit(b)).bitwiseAND(lit(Dedup.Mask)))).as(s"sig_$s")
     }
-    val sigs = staged.select(col("doc_id") +: sigCols: _*)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
-          .as("band_key"))
+    val sigs = staged.select(col("doc_id") +: col("shs") +: sigCols: _*)
+    val keyCols = (0 until bands).map { b =>
+      md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
+        .as(s"band_key_$b")
     }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    sigs.select(col("doc_id") +: col("shs") +: size(col("shs")).as("nsh") +: keyCols: _*)
   }
 
   /** (doc_id, band, bucket_rep) stream — see object doc. `df` must be a
@@ -79,6 +93,64 @@ object StreamingLsh {
           state.update(rep)
           docs.iterator.map(d => (d, key._1, rep))
       }
+  }
+
+  /** Streaming cross-corpus near-dup detection: a document STREAM (the
+    * arriving crawl) verified against a STATIC reference corpus (the
+    * retained training set) — the incremental twin of
+    * [[graft.ops.Dedup.crossCorpusPairs]], and the shape a production
+    * ingest gate actually runs.
+    *
+    * Entirely STATELESS: per-row inline signatures + shingles on the stream
+    * (one projection chain — a stream row is one whole document, so no
+    * self-join), then one stream-static LEFT join PER BAND against that
+    * band's capped ref bucket lists, candidate union per row
+    * (`array_distinct` over the per-band lists — each (doc, ref) pair
+    * verifies exactly once, no streaming dropDuplicates state), explode,
+    * and a final stream-static join to the ref shingle sets with the
+    * Jaccard verify as a per-row filter. No watermark, no state store;
+    * recovery is free. Emits one row per VERIFIED (doc, ref) match in
+    * append mode; a doc with zero emitted rows is novel.
+    *
+    * Scale: fan-out per stream row is bounded by bands × `maxBucket`
+    * (over-cap ref buckets are dropped at build time, same contract as the
+    * batch op). The static side is re-planned per micro-batch — pass a
+    * PERSISTED `ref` (or a parquet-backed table) so the bucket build isn't
+    * repeated per trigger; with default thresholds AQE broadcasts genuinely
+    * small ref sides.
+    */
+  def crossCorpusMatches(probeStream: DataFrame, ref: DataFrame,
+      textCol: String, idCol: String, minJaccard: Double = 0.8, k: Int = 8,
+      bands: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val probe = withWideBandKeys(probeStream, textCol, idCol, k, bands)
+      .withColumnRenamed("shs", "sh_a").withColumnRenamed("nsh", "n_a")
+    val rBands = Dedup.lshBands(ref, textCol, idCol, k, bands)
+      .groupBy("band", "band_key")
+      .agg(collect_list(col(idCol).cast("long")).as("ref_docs"))
+      .filter(size(col("ref_docs")) <= maxBucket)
+    val joined = (0 until bands).foldLeft(probe) { (acc, b) =>
+      acc.join(
+        rBands.filter(col("band") === b)
+          .select(col("band_key").as(s"band_key_$b"), col("ref_docs").as(s"ref_docs_$b")),
+        Seq(s"band_key_$b"), "left")
+    }
+    val allRefs = array_distinct(concat(
+      (0 until bands).map(b =>
+        coalesce(col(s"ref_docs_$b"), typedLit(Array.empty[Long]))): _*))
+    val rShs = ref
+      .select(col(idCol).cast("long").as("ref_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("ref_id"),
+        array_distinct(Dedup.shinglesOfTokens(col("toks"))).as("sh_b"))
+      .select(col("ref_id"), col("sh_b"), size(col("sh_b")).as("n_b"))
+    val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
+    joined
+      .select(col("doc_id"), col("sh_a"), col("n_a"), explode(allRefs).as("ref_id"))
+      .join(rShs, "ref_id")
+      .select(col("doc_id"), col("ref_id"), col("n_a"), col("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+      .select(col("doc_id"), col("ref_id"),
+        when(uni > 0, col("inter").cast("double") / uni).otherwise(lit(0.0)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Streaming EMBEDDING near-dup candidates: the same bucket-keyed
