@@ -91,5 +91,9 @@ object SparkEntry {
     // 1-row broadcast)
     "ts_cohort_retention", "ts_anomaly", "emb_outliers",
     // round-10 addition: closed-form two-sided CUSUM changepoint detection
-    "ts_cusum")
+    "ts_cusum",
+    // round-10 additions: cross-corpus dedup (new crawl vs retained
+    // training set — banded equi-join, never |probe|×|ref|) and the
+    // Hilbert layout key (staged per-level fold, narrow + codegen'd)
+    "dedup_cross_kept", "layout_hilbert")
 }

@@ -37,6 +37,17 @@ object ExtrasQueries extends QueryModule {
           pmod(col("l_partkey"), lit(4096)),
           pmod(col("l_suppkey"), lit(4096)), bits = 12).as("zkey"))),
 
+    // Hilbert index for the same 2-dim clustering (strictly tighter
+    // locality than Morton — consecutive keys are always adjacent cells);
+    // write-side lever is Layout.clusterByHilbert2
+    "layout_hilbert" -> ((s, d) =>
+      graft.ops.Layout.withHilbertKey2(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(4096)).as("__px"),
+          pmod(col("l_suppkey"), lit(4096)).as("__py")),
+        col("__px"), col("__py"), bits = 12, out = "hkey")
+        .select("l_orderkey", "l_linenumber", "hkey")),
+
     // one-pass per-column profile; exact NDV here so the oracle can match
     // (the engine default is the HLL sketch — see ProfileSpec)
     "profile_columns" -> ((s, d) =>
@@ -266,6 +277,10 @@ object ExtrasQueries extends QueryModule {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${graft.ops.Layout.zOrderSql2("(l_partkey % 4096)", "(l_suppkey % 4096)", 12)} AS zkey
          |FROM lineitem""".stripMargin,
+
+    "layout_hilbert" -> graft.ops.Layout.hilbertSql2(
+      "lineitem", Seq("l_orderkey", "l_linenumber"),
+      "l_partkey % 4096", "l_suppkey % 4096", 12, "hkey"),
 
     "profile_columns" -> Seq(
       "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")

@@ -105,6 +105,49 @@ class LayoutSpec extends SparkSpec {
     both.foreach { case (a, b) => assert(a === b) }
   }
 
+  test("hilbert key: bijective, round-trips, and consecutive keys are adjacent cells") {
+    val k = 5 // full 32×32 grid
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val keyed = graft.ops.Layout.withHilbertKey2(grid, col("x"), col("y"), k, "h")
+    // bijection onto [0, 1024)
+    val hs = keyed.select("h").as[Long].collect()
+    assert(hs.distinct.length === 1024 && hs.min === 0L && hs.max === 1023L)
+    // THE Hilbert property (and what Morton lacks): walking the key order
+    // steps one cell at a time — every sorted-run bounding box grows as
+    // slowly as geometrically possible
+    val walk = keyed.select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    walk.sliding(2).foreach { case Array((_, x0, y0), (_, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"jump between ($x0,$y0) and ($x1,$y1)")
+    }
+    // decode inverts encode on every cell
+    val back = graft.ops.Layout.withHilbertXY2(
+        keyed.select(col("x").as("ox"), col("y").as("oy"), col("h")),
+        col("h"), k, "dx", "dy")
+      .select("ox", "oy", "dx", "dy").as[(Long, Long, Long, Long)].collect()
+    back.foreach { case (ox, oy, dx, dy) => assert(dx === ox && dy === oy, s"($ox,$oy)") }
+  }
+
+  test("hilbert clustering: per-partition boxes at least as tight as z-order") {
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def totalBBoxPerimeter(df: org.apache.spark.sql.DataFrame): Double =
+      df.groupBy(spark_partition_id().as("pid"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .select((col("x1") - col("x0") + 1) + (col("y1") - col("y0") + 1))
+        .as[Long].collect().map(_.toDouble).sum
+    val h = totalBBoxPerimeter(
+      graft.ops.Layout.clusterByHilbert2(grid, "x", "y", bits = 6, numPartitions = 16))
+    val z = totalBBoxPerimeter(
+      graft.ops.Layout.clusterByZOrder2(grid, "x", "y", bits = 6, numPartitions = 16))
+    val xOnly = totalBBoxPerimeter(grid.repartitionByRange(16, col("x")))
+    assert(h <= z, s"hilbert=$h zorder=$z")
+    assert(h < xOnly * 0.6, s"hilbert=$h xsorted=$xOnly")
+  }
+
   test("z-order clustering shrinks per-partition bounding boxes on BOTH dims") {
     // uniform 2-d grid; compare range-partitioning by zkey vs by x alone
     val n = 64

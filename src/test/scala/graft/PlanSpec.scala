@@ -358,4 +358,23 @@ class PlanSpec extends SparkSpec {
     // the only hash shuffle is the d-bounded moment reduce (dim keys)
     assert(hashExchanges(p) <= 1, s"${hashExchanges(p)} shuffles in emb_outliers")
   }
+
+  test("hilbert key is a pure narrow projection chain: zero exchanges") {
+    // the staged per-level fold must stay per-row — any Exchange here means
+    // the encode stopped being a layout-key projection
+    val p = plan("layout_hilbert")
+    assert(hashExchanges(p) === 0 && !p.contains("Exchange"), p.take(600))
+  }
+
+  test("cross-corpus dedup: banded equi-joins only, bounded exchange count") {
+    // measured sf0.001 = sf0.01: pairs 3 (probe sigs, ref sigs, ref buckets
+    // — candidate + verify joins broadcast at small scale, SMJ at large,
+    // both fine), kept adds the anti-join side
+    val pairs = plan("dedup_cross_pairs")
+    assert(!pairs.contains("CartesianProduct") && !pairs.contains("BroadcastNestedLoop"),
+      "cross-corpus candidates must come from the band equi-join")
+    assert(hashExchanges(pairs) <= 4, s"${hashExchanges(pairs)} shuffles in dedup_cross_pairs")
+    val kept = plan("dedup_cross_kept")
+    assert(hashExchanges(kept) <= 5, s"${hashExchanges(kept)} shuffles in dedup_cross_kept")
+  }
 }
