@@ -48,6 +48,19 @@ object ExtrasQueries extends QueryModule {
         col("__px"), col("__py"), bits = 12, out = "hkey")
         .select("l_orderkey", "l_linenumber", "hkey")),
 
+    // re-identification audits over the release's QI columns (lang, source)
+    // — k=5 / l=3 chosen so the sf corpus exercises BOTH outcomes
+    "privacy_k_anon" -> ((s, d) =>
+      graft.ops.Privacy.kAnonymityClasses(
+        Tables.documents(s, d), Seq("lang", "source"), k = 5)),
+    "privacy_l_div" -> ((s, d) =>
+      graft.ops.Privacy.lDiversityClasses(
+        Tables.documents(s, d), Seq("lang", "source"), "n_chars", l = 3)),
+    "privacy_suppress" -> ((s, d) =>
+      graft.ops.Privacy.suppressUnderK(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), k = 5)),
+
     // one-pass per-column profile; exact NDV here so the oracle can match
     // (the engine default is the HLL sketch — see ProfileSpec)
     "profile_columns" -> ((s, d) =>
@@ -281,6 +294,25 @@ object ExtrasQueries extends QueryModule {
     "layout_hilbert" -> graft.ops.Layout.hilbertSql2(
       "lineitem", Seq("l_orderkey", "l_linenumber"),
       "l_partkey % 4096", "l_suppkey % 4096", 12, "hkey"),
+
+    "privacy_k_anon" ->
+      """SELECT lang, source, count(*) AS class_size, count(*) >= 5 AS is_k_anon
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "privacy_l_div" ->
+      """SELECT lang, source, count(*) AS n_sensitive, count(*) >= 3 AS is_l_diverse
+        |FROM (SELECT DISTINCT lang, source, n_chars FROM documents)
+        |GROUP BY lang, source""".stripMargin,
+
+    "privacy_suppress" ->
+      """WITH cs AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CASE WHEN cs.c < 5 THEN NULL ELSE d.lang END AS lang,
+        |  CASE WHEN cs.c < 5 THEN NULL ELSE d.source END AS source,
+        |  cs.c < 5 AS suppressed
+        |FROM documents d JOIN cs
+        |  ON d.lang IS NOT DISTINCT FROM cs.lang
+        | AND d.source IS NOT DISTINCT FROM cs.source""".stripMargin,
 
     "profile_columns" -> Seq(
       "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
