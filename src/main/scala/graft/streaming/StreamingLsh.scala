@@ -24,8 +24,9 @@ import graft.ops.{Dedup, Text}
   * Determinism: the representative is the MIN id over everything seen so
   * far (not arrival order within a micro-batch), so results don't depend on
   * partition iteration order. Scale: state is one long per OCCUPIED bucket;
-  * eviction policy (e.g. timeout for buckets idle past the dedup horizon)
-  * can be added via GroupStateTimeout without changing the shape.
+  * [[bucketFirstSeenWithHorizon]] is the unbounded-run form — an event-time
+  * timeout evicts buckets idle past the dedup horizon, bounding state to
+  * horizon-active buckets.
   */
 object StreamingLsh {
 
@@ -34,14 +35,20 @@ object StreamingLsh {
     * inlining the tokenizer into every shingle position (the measured-10×
     * trap documented in Dedup.scala).
     */
+  /** `carry` = (outputName, expression) pairs computed off the raw input
+    * row and carried through the band explode (e.g. the event timestamp
+    * for horizon eviction).
+    */
   private[graft] def withBandKeys(df: DataFrame, textCol: String, idCol: String,
-      k: Int, bands: Int): DataFrame = {
-    val wide = withWideBandKeys(df, textCol, idCol, k, bands)
+      k: Int, bands: Int, carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val wide = withWideBandKeys(df, textCol, idCol, k, bands, carry)
+    val carried = carry.map { case (n, _) => col(n) }
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), col(s"band_key_$b").as("band_key"))
     }
-    wide.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    wide.select(col("doc_id") +: carried :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: carried :+ col("bk.band").as("band") :+
+        col("bk.band_key").as("band_key"): _*)
   }
 
   /** WIDE form of [[withBandKeys]]: one row per doc with `band_key_0..b-1`
@@ -50,11 +57,13 @@ object StreamingLsh {
     * shingles (the verify path) never self-join the stream.
     */
   private[graft] def withWideBandKeys(df: DataFrame, textCol: String, idCol: String,
-      k: Int, bands: Int): DataFrame = {
+      k: Int, bands: Int, carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(k % bands == 0 && k <= Dedup.seedConsts.size, "k must split into equal bands")
     val r = k / bands
+    val carryCols = carry.map { case (n, c) => c.as(n) }
     val staged = df
-      .select(col(idCol).cast("long").as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).cast("long").as("doc_id") +:
+        Text.tokens(col(textCol)).as("toks") +: carryCols: _*)
       .withColumn("hs", transform(col("toks"), t => Text.h32(t)))
       .withColumn("bases",
         when(size(col("hs")) >= 3,
@@ -68,12 +77,14 @@ object StreamingLsh {
       array_min(transform(col("bases"),
         x => (x * lit(a) + lit(b)).bitwiseAND(lit(Dedup.Mask)))).as(s"sig_$s")
     }
-    val sigs = staged.select(col("doc_id") +: col("shs") +: sigCols: _*)
+    val carried = carry.map { case (n, _) => col(n) }
+    val sigs = staged.select(col("doc_id") +: col("shs") +: (carried ++ sigCols): _*)
     val keyCols = (0 until bands).map { b =>
       md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
         .as(s"band_key_$b")
     }
-    sigs.select(col("doc_id") +: col("shs") +: size(col("shs")).as("nsh") +: keyCols: _*)
+    sigs.select(col("doc_id") +: col("shs") +: size(col("shs")).as("nsh") +:
+      (carried ++ keyCols): _*)
   }
 
   /** (doc_id, band, bucket_rep) stream — see object doc. `df` must be a
@@ -92,6 +103,52 @@ object StreamingLsh {
           val rep = math.min(state.getOption.getOrElse(Long.MaxValue), docs.min)
           state.update(rep)
           docs.iterator.map(d => (d, key._1, rep))
+      }
+  }
+
+  /** [[bucketFirstSeen]] with a DEDUP HORIZON — the eviction policy the
+    * unbounded-run deployment needs: a bucket's state (min-id
+    * representative + last-activity event time) is dropped once the
+    * watermark passes `lastTs + horizon`, so steady-state state is one
+    * entry per bucket ACTIVE WITHIN THE HORIZON, not per bucket ever seen.
+    * A re-arrival after eviction becomes its own representative again —
+    * the explicit semantic of a horizon ("only dedup against documents
+    * seen in the last H"), not a cache miss.
+    *
+    * Event-time (not processing-time) timeout: eviction is driven by the
+    * data's own clock, so replays and backfills evict identically —
+    * deterministic recovery, deterministic tests.
+    */
+  def bucketFirstSeenWithHorizon(df: DataFrame, textCol: String, idCol: String,
+      tsCol: String, watermark: String, horizonMs: Long,
+      k: Int = 8, bands: Int = 2): Dataset[(Long, Int, Long)] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    // the watermarked event-time column rides the band explode UNALTERED
+    // (its watermark metadata must reach the stateful operator)
+    val banded = withBandKeys(
+        df.withWatermark(tsCol, watermark), textCol, idCol, k, bands,
+        carry = Seq("__ts" -> col(tsCol)))
+    import banded.sparkSession.implicits._
+    banded.select(col("doc_id"), col("band"), col("band_key"), col("__ts"))
+      .as[(Long, Int, String, java.sql.Timestamp)]
+      .groupByKey { case (_, band, key, _) => (band, key) }
+      .flatMapGroupsWithState[(Long, Long), (Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val docs = rows.map(r => (r._1, r._4.getTime)).toVector
+            val (rep0, last0) = state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+            val rep = math.min(rep0, docs.map(_._1).min)
+            val last = math.max(last0, docs.map(_._2).max)
+            state.update((rep, last))
+            // must exceed the current watermark or Spark rejects it; the
+            // max() only fires for late data already past its horizon
+            state.setTimeoutTimestamp(
+              math.max(last + horizonMs, state.getCurrentWatermarkMs + 1L))
+            docs.iterator.map { case (d, _) => (d, key._1, rep) }
+          }
       }
   }
 

@@ -55,6 +55,36 @@ class StreamingLshSpec extends SparkSpec {
     assert(inline === batch)
   }
 
+  test("dedup horizon: bucket state evicts on the data's own clock; re-arrivals restart") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val other = "completely different content about query engines and shuffles"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingLsh.bucketFirstSeenWithHorizon(
+        input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        watermark = "0 seconds", horizonMs = 60_000L)
+      .toDF("doc_id", "band", "rep")
+      .writeStream.format("memory").queryName("lsh_horizon").outputMode("append").start()
+    try {
+      // start past t=0: the initial watermark is 0 and rows AT the
+      // watermark are dropped as late
+      input.addData((100L, base, ts(100))); q.processAllAvailable()
+      // within the horizon: the duplicate sees 100's state
+      input.addData((200L, base, ts(130))); q.processAllAvailable()
+      // push the watermark far past 100/200's horizon via an unrelated doc,
+      // then once more so the timeout actually fires and evicts
+      input.addData((900L, other, ts(700))); q.processAllAvailable()
+      input.addData((901L, other, ts(710))); q.processAllAvailable()
+      // same text again, beyond the horizon: must be its OWN representative
+      input.addData((300L, base, ts(720))); q.processAllAvailable()
+      val r = rows("lsh_horizon")
+      assert(r.filter(_._1 == 200L).exists(_._3 == 100L),
+        s"in-horizon dup must see earlier rep; all rows: $r")
+      assert(r.filter(_._1 == 300L).forall(_._3 == 300L),
+        s"post-horizon arrival must restart the bucket: $r")
+    } finally q.stop()
+  }
+
   test("embedding stream: bucket-mates flag against the first-seen vector") {
     implicit val ctx = spark.sqlContext
     val dim = 8
