@@ -79,6 +79,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** Recall@k audit: per query, the fraction of the EXACT top-k that an
+    * approximate searcher returned — the operational gate that keeps an
+    * ANN index honest in production (rebuild/re-tune when recall drifts
+    * below target). Generic over any two (query_id, neighbor_id) result
+    * sets; run it on a HASH-SAMPLED probe set (the exact side is a brute
+    * scan per probe — the audit's cost knob is the sample rate, never the
+    * corpus). One key shuffle: hit-marking is an equi-join on
+    * (query_id, neighbor_id), the reduce is per-query.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        graft.ops.Text.floor6(col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+
   /** Symmetric per-vector int8 quantization — the storage/shuffle lever
     * for 100 TB ANN (4× smaller than float32 on disk and on the candidate
     * shuffle). `scale = maxabs/127`; codes = round-half-up(v·127/maxabs),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, flatten, lit, sequence, transform}
+import org.apache.spark.sql.functions.{col, flatten, lit, pmod, sequence, transform}
 import graft.Tables
 import graft.ops.Similarity
 
@@ -63,6 +63,19 @@ object SimilarityQueries extends QueryModule {
     "ann_multiprobe_topk_capped" -> ((s, d) =>
       Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes,
         k = 3, maxBucket = CapSmall)),
+    // recall@3 of the multi-probe LSH path vs the exact top-3, on the
+    // vec_id % 10 == 0 probe sample (the audit's cost knob) — the gate
+    // that keeps a production ANN index honest
+    "ann_recall_audit" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(e, probes, "vec_id", "embedding", k = 3),
+        Similarity.bucketedTopKMultiProbe(e, "vec_id", "embedding", Dim, Planes,
+            k = 3, maxBucket = Int.MaxValue)
+          .filter(pmod(col("query_id"), lit(10)) === 0))
+    }),
+
     // embedding-cosine near-dup pairs, candidates bounded by LSH bucket
     // (threshold tuned to the synthetic corpus where max pair cosine ~0.51);
     // guard explicitly OFF — unthinned oracle, same contract as above
@@ -480,6 +493,50 @@ object SimilarityQueries extends QueryModule {
          |FROM r
          |WHERE rnk <= 50 AND floor(cos * 1000000) / 1000000.0 >= 0.4
          |  AND query_id < neighbor_id""".stripMargin,
+
+    // exact top-3 on the %10 probe sample vs the multiprobe chain (both
+    // blocks verbatim from their own green oracles), hit-joined per query
+    "ann_recall_audit" -> {
+      val masks = (Seq(0L) ++ (0 until Planes).map(p => 1L << p)).mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm * c.nrm > 0
+         |              THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM e q, e c
+         |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bp) WHERE rnk <= 3),
+         |q AS (
+         |  SELECT e.vec_id, e.v, e.nrm, xor(e.bucket, m.m) AS probe
+         |  FROM e, (SELECT unnest($masks) AS m) m),
+         |mp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm * b.nrm > 0
+         |              THEN list_dot_product(q.v, b.v) / (q.nrm * b.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM q JOIN e b ON q.probe = b.bucket AND q.vec_id <> b.vec_id),
+         |ap AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM mp) WHERE rnk <= 3 AND query_id % 10 = 0)
+         |SELECT x.query_id, count(*) AS n_exact,
+         |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  floor((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |         / count(*)::DOUBLE) * 1000000) / 1000000.0 AS recall
+         |FROM ex x LEFT JOIN ap a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |GROUP BY x.query_id""".stripMargin
+    },
 
     "ann_multiprobe_topk" -> {
       val masks = (Seq(0L) ++ (0 until Planes).map(p => 1L << p)).mkString("[", ", ", "]")

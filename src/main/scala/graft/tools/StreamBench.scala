@@ -95,6 +95,30 @@ object StreamBench {
         graft.ops.Classifier.scoreWithModel(docs, "text", "doc_id", w, buckets = 32,
             portableHash = portable)
           .writeStream.format("noop").outputMode("append").start()
+      case "crosscorpus" =>
+        // stream-vs-static cross-corpus dedup throughput: synthetic docs
+        // (content repeats every 500 ids) verified against the PERSISTED
+        // sf0.01 documents table — the stateless ingest-gate path; a slice
+        // of the stream intentionally collides with ref content so the
+        // verify join does real work
+        val ref = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+          .select(col("doc_id"), col("text")).persist()
+        ref.count() // materialize before the stream starts
+        val docs = src.select(col("value").as("doc_id"),
+          when(col("value") % 10 === 0,
+            // every 10th doc is a near-copy of a ref doc (ref text reused
+            // via a deterministic lookup is not expressible on a rate
+            // source, so approximate with a fixed high-dup phrase family)
+            concat(lit("the quick brown fox jumps over the lazy dog copy "),
+              (col("value") % 50).cast("string")))
+            .otherwise(concat(
+              lit("novel content stream words token "),
+              (col("value") % 500).cast("string"),
+              lit(" more filler for shingles "),
+              (col("value") % 37).cast("string"))).as("text"))
+        graft.streaming.StreamingLsh.crossCorpusMatches(
+            docs, ref, "text", "doc_id", minJaccard = 0.5)
+          .writeStream.format("noop").outputMode("append").start()
       case "anomaly" =>
         // rolling-anomaly throughput: 10k keys, per-key trailing-8 exact
         // z-score state (flatMapGroupsWithState buffers the in-watermark

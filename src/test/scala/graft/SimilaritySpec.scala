@@ -193,6 +193,46 @@ class SimilaritySpec extends SparkSpec {
     assert(unguarded.collect().toSet === off.collect().toSet)
   }
 
+  test("recallAtK: hand-exact fractions, perfect self-recall, real-corpus gate") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("query_id", "neighbor_id")
+    // query 1: approx found 1 of 3 (plus a spurious hit that must not
+    // inflate recall); query 2: found all 3
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx)
+      .select("query_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, b, c, d) => q -> ((b, c, d)) }.toMap
+    assert(r(1L) == ((3L, 1L, 0.333333)))
+    assert(r(2L) == ((3L, 3L, 1.0)))
+    // exact vs itself is always 1.0
+    val self = Similarity.recallAtK(exact, exact).select("recall").as[Double].collect()
+    assert(self.forall(_ == 1.0))
+    // the declared audit query's shape on the real corpus: recall is a
+    // valid fraction everywhere, and multi-probe recall dominates
+    // single-probe PER QUERY (its candidate set is a superset — Hamming-1
+    // buckets only ADD candidates). The absolute numbers are low here by
+    // design: the synthetic near-uniform 64-dim corpus is RP-LSH's
+    // documented worst case, and surfacing that honestly is exactly what
+    // the audit is FOR (a production gate would re-tune planes/probes on
+    // this signal).
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val exactTop = Similarity.cosineTopK(e, probes, "vec_id", "embedding", k = 3)
+    def audit(approx: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Similarity.recallAtK(exactTop,
+          approx.filter(pmod(col("query_id"), lit(10)) === 0))
+        .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val multi = audit(Similarity.bucketedTopKMultiProbe(
+      e, "vec_id", "embedding", 64, 8, k = 3, maxBucket = Int.MaxValue))
+    val single = audit(Similarity.bucketedTopK(
+      e, "vec_id", "embedding", 64, 8, k = 3, maxBucket = Int.MaxValue))
+    assert(multi.nonEmpty && multi.values.forall(x => x >= 0.0 && x <= 1.0))
+    multi.foreach { case (q, r) =>
+      assert(r >= single.getOrElse(q, 0.0), s"query $q: multiprobe $r < single") }
+  }
+
   test("semantic dedup keeps the lowest id of each near-identical group") {
     // three tight groups (copies + epsilon) and some far-apart singletons,
     // 4-dim for readability; k=2 clusters is enough to co-locate each group
