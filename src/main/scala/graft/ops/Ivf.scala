@@ -75,6 +75,61 @@ object Ivf {
     IvfIndex(centroids, spark.read.parquet(s"$path/assignments"))
   }
 
+  /** Assign NEW vectors to the EXISTING coarse quantizer — no retrain:
+    * per-row argmin over the broadcast centroid literals (the same
+    * cancelled-|v|² distance as probe ranking; ties break to the lower
+    * list_id via the stable sort over the ascending construction order).
+    * This is the index-maintenance half of the production IVF lifecycle:
+    * a 100 TB index absorbs a day's ingest with one narrow projection
+    * instead of a full rebuild. Returns (idCol, v, list_id) rows in the
+    * assignments schema.
+    */
+  def assignToIndex(index: IvfIndex, df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    require(index.centroids.nonEmpty, "cannot assign into an empty index — build first")
+    val listDists = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("list_id"), centroidDist(col("v"), c).as("dist"))
+    }
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("list_id",
+        element_at(array_sort(array(listDists: _*), (a, b) =>
+          when(a.getField("dist") < b.getField("dist"), -1)
+            .when(a.getField("dist") > b.getField("dist"), 1).otherwise(0)),
+          1).getField("list_id"))
+  }
+
+  /** Append new vectors to a PERSISTED index in place (parquet append on
+    * the assignments table; centroids untouched). Readers see the new rows
+    * on their next load — the lifecycle is build → save → append* →
+    * (listStats says rebuild) → build.
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String): Unit = {
+    val index = load(spark, path)
+    assignToIndex(index, df, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/assignments")
+  }
+
+  /** Per-list occupancy audit — the REBUILD signal: append-only
+    * maintenance slowly un-balances lists as the data distribution drifts
+    * from the trained quantizer, and an oversized list degrades every
+    * query probing it (scanned candidates ≈ Σ probed-list sizes). One
+    * count reduce; compare max_over_mean across snapshots and rebuild
+    * past a threshold (≈4-8× is the common IVF practice).
+    */
+  def listStats(index: IvfIndex): DataFrame = {
+    val counts = index.assignments.groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+    counts.agg(
+      count(lit(1)).as("n_lists"),
+      sum(col("n_vectors")).as("n_total"),
+      min(col("n_vectors")).as("min_list"),
+      max(col("n_vectors")).as("max_list"),
+      (max(col("n_vectors")).cast("double") /
+        (sum(col("n_vectors")).cast("double") / count(lit(1)).cast("double")))
+        .as("max_over_mean"))
+  }
+
   /** Top-k cosine neighbors per query, scanning only the `nprobe` lists
     * whose centroids are closest to the query vector.
     */

@@ -46,6 +46,48 @@ class IvfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append maintenance: assigned lists are true argmins; appended index searches whole") {
+    val all = corpus.toDF("vec_id", "embedding")
+    val first = all.filter($"vec_id" <= 60L)
+    val rest = all.filter($"vec_id" > 60L)
+    val path = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Ivf.save(Ivf.build(first, "vec_id", "embedding", nlist = 4), spark, path)
+    val built = Ivf.load(spark, path)
+
+    // every appended vector lands on the centroid brute-force says is closest
+    val assigned = Ivf.assignToIndex(built, rest, "vec_id", "embedding")
+      .select("vec_id", "v", "list_id")
+      .as[(Long, Seq[Double], Int)].collect()
+    assigned.foreach { case (id, v, listId) =>
+      val dists = built.centroids.map(c =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(dists(listId) == dists.min, s"vec $id assigned to non-closest list")
+    }
+
+    Ivf.append(spark, path, rest, "vec_id", "embedding")
+    val appended = Ivf.load(spark, path)
+    // the appended index holds everything once and searches find the new rows
+    assert(appended.assignments.count() === 120L)
+    val queries = all.filter($"vec_id" % 30L === 0L)
+    val hits = Ivf.search(appended, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.exists(_ > 60L), "search must reach appended vectors")
+    // and equals a search over an index with the same assignments built in
+    // one shot (same centroids, union of assignments)
+    val oneShot = built.copy(assignments =
+      built.assignments.unionByName(Ivf.assignToIndex(built, rest, "vec_id", "embedding")))
+    val a = Ivf.search(appended, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val b = Ivf.search(oneShot, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(a === b)
+
+    // occupancy audit: totals line up and the balance ratio is sane
+    val st = Ivf.listStats(appended)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(st._1 === 4L && st._2 === 120L && st._5 >= 1.0)
+  }
+
   test("empty index on a STREAM yields an empty stream, not an AnalysisException") {
     implicit val ctx = spark.sqlContext
     // build over an empty corpus → no centroids; the empty branch must be
