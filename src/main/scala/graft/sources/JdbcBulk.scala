@@ -26,4 +26,25 @@ object JdbcBulk {
       .option("lowerBound", lowerBound).option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .load()
+
+  /** Register the database as a DSv2 JDBC CATALOG with aggregate pushdown
+    * on: `spark.table("<name>.<schema>.<table>")` scans then compile
+    * MIN/MAX/COUNT/SUM group-bys INTO the database query (the plan shows
+    * `PushedAggregates`), so a DB-side rollup ships one row per group over
+    * the wire instead of the table. The `format("jdbc")` V1 path above
+    * pushes filters but never aggregates — catalog registration is the
+    * Spark-native lever for DB-side aggregation, and the 100 TB reason is
+    * bandwidth: a bulk-mode poll that only needs per-key counts should
+    * not move the fact table. (JdbcSpec pins the pushed plan and its
+    * agreement with the in-Spark aggregation.)
+    */
+  def registerCatalog(spark: SparkSession, name: String, url: String,
+      driver: Option[String] = None): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    driver.foreach(d => spark.conf.set(s"spark.sql.catalog.$name.driver", d))
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+  }
 }

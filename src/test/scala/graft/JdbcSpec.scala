@@ -85,6 +85,28 @@ class JdbcSpec extends SparkSpec {
     assert(pdf.count() === 10)
   }
 
+  test("DSv2 catalog pushes GROUP BY aggregates into the database (S2 scale path)") {
+    exec("CREATE TABLE AGG_T (grp INT NOT NULL, v INT NOT NULL)")
+    (1 to 30).foreach(i => exec(s"INSERT INTO AGG_T VALUES (${i % 3}, $i)"))
+    graft.sources.JdbcBulk.registerCatalog(spark, "graftdb", url)
+    try {
+      val agg = spark.table("graftdb.APP.AGG_T")
+        .groupBy("grp")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.max("v").as("mx"))
+      val plan = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the aggregation must compile INTO the JDBC query — one row per
+      // group crosses the wire, not the table
+      assert(plan.contains("PushedAggregates"), plan.take(1200))
+      assert(plan.contains("PushedGroupByExpressions"), plan.take(1200))
+      val rows = agg.orderBy("grp").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+      assert(rows.toSeq == Seq((0, 10L, 30), (1, 10L, 28), (2, 10L, 29)))
+    } finally exec("DROP TABLE AGG_T")
+  }
+
   test("upsert sink is idempotent under batch replay (at-least-once -> exact table)") {
     exec("CREATE TABLE UP_OUT (k VARCHAR(64) NOT NULL PRIMARY KEY, v BIGINT)")
     import spark.implicits._
