@@ -137,6 +137,21 @@ object TextQueries extends QueryModule {
         "text", "doc_id")
     }),
 
+    // the curation FUNNEL: per-stage survivor counts through the standard
+    // gauntlet (lang → length → exact dedup → decontam), pipeline
+    // semantics — every stage sees only the previous stage's survivors.
+    // minShared=25 (not the default 3): the synthetic corpus's ~31-word
+    // vocabulary makes every doc share a handful of winnow fingerprints
+    // with any benchmark, so the default would zero the last stage; 25
+    // keeps both outcomes live (real corpora keep the default)
+    "curation_funnel" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.ops.Curation.funnel(
+        all.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", minShared = 25)
+    }),
+
     // BM25 lexical retrieval against a fixed query-term set (the targeted
     // corpus-slicing complement to the ANN operators)
     "text_bm25" -> ((s, d) =>
@@ -638,6 +653,48 @@ object TextQueries extends QueryModule {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
          |LEFT JOIN sh ON sh.doc_id = d.doc_id
          |WHERE coalesce(sh.n_shared, 0) < 3""".stripMargin,
+
+    // five independent stage blocks (each its own WITH scope), unioned;
+    // stages 4-5 recompute the survivor chain — the oracle optimizes for
+    // auditability over reuse
+    "curation_funnel" -> {
+      val surviveCond =
+        "d.doc_id % 50 <> 0 AND l.lang_pred = 'en' AND length(d.text) >= 200"
+      val svChain =
+        s"""sv AS (SELECT d.doc_id, d.text FROM documents d JOIN l USING (doc_id)
+           |       WHERE $surviveCond),
+           |fpx AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+           |        FROM sv),
+           |kx AS (SELECT f, min(doc_id) AS keeper FROM fpx GROUP BY f)""".stripMargin
+      s"""(SELECT 'raw' AS stage, 1 AS stage_idx, count(*)::BIGINT AS n_docs
+         | FROM documents WHERE doc_id % 50 <> 0)
+         |UNION ALL
+         |(WITH l AS ($langSql)
+         | SELECT 'lang_en', 2, count(*)::BIGINT
+         | FROM documents d JOIN l USING (doc_id)
+         | WHERE d.doc_id % 50 <> 0 AND l.lang_pred = 'en')
+         |UNION ALL
+         |(WITH l AS ($langSql)
+         | SELECT 'min_length', 3, count(*)::BIGINT
+         | FROM documents d JOIN l USING (doc_id)
+         | WHERE $surviveCond)
+         |UNION ALL
+         |(WITH l AS ($langSql),
+         |$svChain
+         | SELECT 'exact_dedup', 4, count(*)::BIGINT
+         | FROM fpx JOIN kx ON fpx.f = kx.f AND fpx.doc_id = kx.keeper)
+         |UNION ALL
+         |(WITH l AS ($langSql),
+         |$svChain,
+         |s4x AS (SELECT fpx.doc_id FROM fpx JOIN kx ON fpx.f = kx.f AND fpx.doc_id = kx.keeper),
+         |cfpx AS (${winnowFpsSql("doc_id % 50 <> 0")}),
+         |bfpx AS (SELECT DISTINCT fp FROM (${winnowFpsSql("doc_id % 50 = 0")})),
+         |shx AS (SELECT cfpx.doc_id, count(*) AS n FROM cfpx JOIN bfpx USING (fp)
+         |        GROUP BY cfpx.doc_id)
+         | SELECT 'decontaminated', 5, count(*)::BIGINT
+         | FROM s4x LEFT JOIN shx USING (doc_id)
+         | WHERE coalesce(shx.n, 0) < 25)""".stripMargin
+    },
 
     // mirrors Text.bm25 EXPRESSION BY EXPRESSION: contributions floored to
     // micro-units pre-sum (exact long adds, order-independent); literal

@@ -36,6 +36,30 @@ class PipelineSpec extends SparkSpec {
       Set("ITEM_5", "ITEM_6", "ITEM_7", "ITEM_8"))
   }
 
+  test("curation funnel: hand-exact per-stage survivor counts, pipeline semantics") {
+    val en200 = "the best of the stories is that the end of the tale is the start " * 4
+    val corpus = Seq(
+      (1L, en200),                               // survives everything
+      (2L, en200),                               // exact dup of 1 → dropped at stage 4
+      (3L, "el que la de los " * 50),            // Spanish → dropped at stage 2
+      (4L, "the and of to is"),                  // English but short → dropped at stage 3
+      (5L, en200 + " zebra quokka wombat numbat dingo bilby kowari " * 10)
+      // ↑ survives to the decontam check, where the benchmark catches it
+    ).toDF("doc_id", "text")
+    // benchmark shares ONLY doc 5's tail (doc 1's phrasing never appears
+    // in it, so 1 must stay clean)
+    val benchmark = Seq(
+      (100L, "zebra quokka wombat numbat dingo bilby kowari " * 10)).toDF("doc_id", "text")
+    val f = graft.ops.Curation.funnel(corpus, benchmark, "text", "doc_id")
+      .select("stage", "stage_idx", "n_docs")
+      .as[(String, Int, Long)].collect().sortBy(_._2)
+    assert(f.map(t => (t._1, t._3)).toSeq == Seq(
+      ("raw", 5L), ("lang_en", 4L), ("min_length", 3L),
+      ("exact_dedup", 2L), ("decontaminated", 1L)))
+    // monotone by construction: each stage filters the previous survivors
+    assert(f.map(_._3).sliding(2).forall { case Array(a, b) => b <= a })
+  }
+
   test("corpus-cleaning pipeline runs unchanged under structured streaming") {
     // the batch text surface (cleanse → quality score → PII gate → keep
     // decision) is stateless per-row, so the SAME operator calls compose
