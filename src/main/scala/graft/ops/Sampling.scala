@@ -289,6 +289,43 @@ object Sampling {
     * rates are exact integer floors of τ_micro/tot (a double quotient of
     * longs this size cannot round across an integer boundary).
     */
+  /** Deterministic NEGATIVE SAMPLING for contrastive training: for every
+    * row (the anchor), `k` pseudo-random OTHER rows drawn uniformly by
+    * portable hash — the negatives a contrastive objective pairs against
+    * each positive. Never the anchor itself: the draw is over [1, N−1]
+    * and shifts past the anchor's own rank (the classic
+    * sample-without-self construction), so it's exactly uniform over the
+    * other N−1 rows. Deterministic under any partitioning (hash of
+    * (anchor, slot, salt)); change `salt` per epoch for fresh negatives.
+    *
+    * Scale shape: ranks come from [[Ordered.rankedPrefixSum]]'s two-level
+    * distributed prefix sum (row_number-by-id without a global window);
+    * the draw is a per-row projection; resolution is one equi-join on
+    * rank. The N needed for the modulus is one count job (a long on the
+    * driver — the documented model-bounded collect class). Modulo bias
+    * over the 2³² hash domain is ≤ N/2³² — negligible below ~10⁷ rows per
+    * sampled table and irrelevant to training at any size.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+      salt: String = "neg1"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val ranked = Ordered.rankedPrefixSum(df.select(col(idCol)),
+      Seq(col(idCol)), lit(1L)).select(col(idCol), col("rank"))
+    val n = ranked.count()
+    require(n >= 2, s"need at least 2 rows to draw negatives, got $n")
+    val probes = ranked
+      .select(col(idCol).as("anchor_id"), col("rank").as("__arnk"),
+        explode(sequence(lit(1), lit(k))).as("neg_idx"))
+      .withColumn("__t",
+        pmod(Text.h32(concat(col("anchor_id").cast("string"), lit("_"),
+          col("neg_idx").cast("string"), lit("_" + salt))), lit(n - 1)) + 1)
+      .withColumn("__nrnk",
+        when(col("__t") >= col("__arnk"), col("__t") + 1).otherwise(col("__t")))
+    probes
+      .join(ranked.select(col(idCol).as("neg_id"), col("rank").as("__nrnk")), "__nrnk")
+      .select("anchor_id", "neg_idx", "neg_id")
+  }
+
   def waterfillRates(df: DataFrame, classCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")

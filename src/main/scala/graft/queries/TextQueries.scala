@@ -243,6 +243,11 @@ object TextQueries extends QueryModule {
       graft.ops.Sampling.temperatureMixtureOversample(docs(s, d), "lang", "doc_id",
         targetFraction = 0.9, temperature = 8.0, salt = "ovs1")),
 
+    // contrastive negatives: 4 uniform-without-self draws per anchor,
+    // deterministic under any layout (hash of (anchor, slot, salt))
+    "sample_negatives" -> ((s, d) =>
+      graft.ops.Sampling.negativeSamples(docs(s, d), "doc_id", k = 4, salt = "neg1")),
+
     // deterministic sequence packing into 4096-char training bins via the
     // two-level distributed prefix sum (64 buckets at this SF so buckets
     // actually carry multiple docs)
@@ -923,6 +928,22 @@ object TextQueries extends QueryModule {
         |  FROM h)
         |SELECT lang, doc_id, n_tok, cum_tok::BIGINT AS cum_tok
         |FROM c WHERE cum_tok <= 20000 OR rn = 1""".stripMargin,
+
+    // row_number-by-id ranks == the engine's two-level prefix-sum rank
+    // (text_zipf_rank pins that equality); draw over [1, N-1], shift past
+    // the anchor's own rank — uniform over the other N-1 rows
+    "sample_negatives" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk
+        |           FROM documents),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |p AS (SELECT r.doc_id AS anchor_id, j.j AS neg_idx, r.rnk,
+        |        (('0x' || substr(md5(r.doc_id::VARCHAR || '_' || j.j::VARCHAR || '_neg1'), 1, 8))::BIGINT
+        |          % (nn.n - 1)) + 1 AS t
+        |      FROM r CROSS JOIN nn CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) j),
+        |sh AS (SELECT anchor_id, neg_idx,
+        |        CASE WHEN t >= rnk THEN t + 1 ELSE t END AS nrnk FROM p)
+        |SELECT sh.anchor_id, sh.neg_idx, r2.doc_id AS neg_id
+        |FROM sh JOIN r r2 ON r2.rnk = sh.nrnk""".stripMargin,
 
     // same rate CTEs as sample_temperature, uncapped; copies via
     // generate_series == the engine's explode(sequence())

@@ -565,6 +565,25 @@ class TextOpsSpec extends SparkSpec {
     assert(bits(h(1L) ^ h(2L)) <= bits(h(1L) ^ h(3L)))
   }
 
+  test("negative sampling: k without-self draws per anchor, layout-independent, salt-fresh") {
+    val ids = (1L to 40L).map(i => Tuple1(i * 7)).toDF("doc_id") // non-contiguous ids
+    val neg = graft.ops.Sampling.negativeSamples(ids, "doc_id", k = 4, salt = "a")
+      .as[(Long, Int, Long)].collect()
+    val valid = (1L to 40L).map(_ * 7).toSet
+    // exactly k rows per anchor, never the anchor itself, always a real id
+    val byAnchor = neg.groupBy(_._1)
+    assert(byAnchor.size === 40 && byAnchor.values.forall(_.length === 4))
+    neg.foreach { case (a, _, n) => assert(n != a && valid(n), s"($a, $n)") }
+    // deterministic under any partitioning
+    val reparted = graft.ops.Sampling.negativeSamples(
+      ids.repartition(13), "doc_id", k = 4, salt = "a").as[(Long, Int, Long)].collect()
+    assert(neg.toSet === reparted.toSet)
+    // a new salt is a fresh draw (an epoch's negatives differ)
+    val fresh = graft.ops.Sampling.negativeSamples(ids, "doc_id", k = 4, salt = "b")
+      .as[(Long, Int, Long)].collect()
+    assert(fresh.toSet !== neg.toSet)
+  }
+
   test("hash sampling is deterministic, layout-independent, and ~proportional") {
     val df = (1L to 2000L).map(i => (i, if (i % 4 == 0) "en" else "other")).toDF("id", "lang")
     val s1 = graft.ops.Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet
