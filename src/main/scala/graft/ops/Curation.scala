@@ -51,4 +51,61 @@ object Curation {
         .select(lit(name).as("stage"), lit(idx).as("stage_idx"), col("n_docs"))
     }.reduce(_ unionByName _)
   }
+
+  /** STREAMING curation gate with OBSERVED per-stage counters — the
+    * ingest-path form of [[funnel]]: filters an arriving document stream
+    * through the per-row stages (lang, length) plus decontamination
+    * against a static benchmark, and reports how many rows each stage
+    * passed PER MICRO-BATCH through `Dataset.observe` — the numbers ride
+    * `StreamingQueryProgress.observedMetrics` with ZERO extra jobs (no
+    * second aggregation pass, no state).
+    *
+    * Exact dedup is deliberately absent: it needs cross-batch state, and
+    * the streaming twin for that is [[graft.streaming.StreamingLsh]]'s
+    * bucket state — this gate stays fully STATELESS (recovery-free,
+    * throughput = the stateless projection path). Decontamination is
+    * per-row too: the benchmark's winnow fingerprint SET is a one-row
+    * static aggregate crossed in by broadcast, and the shared-count is an
+    * `array_intersect` against it — benchmarks are small by definition,
+    * which is what makes this shape sound.
+    *
+    * Returns the SURVIVOR stream (original columns); observed metric name
+    * `graft_curation_gate` carries raw/lang_en/min_length/decontaminated.
+    */
+  def observedGate(stream: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, minChars: Int = 200, minShared: Int = 3,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val bfps = Text.winnowFingerprints(benchmark, textCol, idCol, k, w)
+      .agg(collect_set(col("fp")).as("__bfps"))
+    val outCols = stream.columns.map(col).toSeq
+    val langs = Seq("en", "es", "de", "fr")
+    val toksed = stream.withColumn("__toks", Text.tokens(col(textCol)))
+    val scored = langs.foldLeft(toksed) { (acc, l) =>
+      acc.withColumn(s"__s_$l", Text.langScore(col("__toks"), l))
+    }
+    val best = langs.foldLeft((lit("und"), lit(0)): (org.apache.spark.sql.Column, org.apache.spark.sql.Column)) {
+      case ((bl, bs), l) =>
+        (when(col(s"__s_$l") > bs, lit(l)).otherwise(bl),
+          when(col(s"__s_$l") > bs, col(s"__s_$l")).otherwise(bs))
+    }
+    val norm = regexp_replace(lower(col(textCol)), "\\W+", "")
+    scored
+      .withColumn("__lang_ok", best._1 === "en")
+      .withColumn("__len_ok", length(col(textCol)) >= minChars)
+      .withColumn("__norm", norm)
+      .withColumn("__fps",
+        when(length(col("__norm")) >= k, graft.functions.Native.winnow(col("__norm"), k, w))
+          .otherwise(array(Text.h32(col("__norm")))))
+      .crossJoin(broadcast(bfps))
+      .withColumn("__clean",
+        size(array_intersect(col("__fps"), col("__bfps"))) < minShared)
+      .observe("graft_curation_gate",
+        count(lit(1)).as("raw"),
+        sum(when(col("__lang_ok"), 1L).otherwise(0L)).as("lang_en"),
+        sum(when(col("__lang_ok") && col("__len_ok"), 1L).otherwise(0L)).as("min_length"),
+        sum(when(col("__lang_ok") && col("__len_ok") && col("__clean"), 1L)
+          .otherwise(0L)).as("decontaminated"))
+      .filter(col("__lang_ok") && col("__len_ok") && col("__clean"))
+      .select(outCols: _*)
+  }
 }

@@ -292,7 +292,7 @@ object Text {
     "fr" -> Seq("le", "la", "les", "des", "est"))
 
   /** Marker-word score for one language over a token array column. */
-  private def langScore(toks: Column, lang: String): Column =
+  private[graft] def langScore(toks: Column, lang: String): Column =
     size(filter(toks, t => langMarkers(lang).map(m => t === lit(m)).reduce(_ || _)))
 
   /** Heuristic language ID: count language-marker stopwords, pick the argmax

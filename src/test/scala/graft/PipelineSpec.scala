@@ -60,6 +60,37 @@ class PipelineSpec extends SparkSpec {
     assert(f.map(_._3).sliding(2).forall { case Array(a, b) => b <= a })
   }
 
+  test("streaming curation gate: per-batch observed stage counts, stateless survivors") {
+    implicit val ctx = spark.sqlContext
+    val en200 = "the best of the stories is that the end of the tale is the start " * 4
+    val benchmark = Seq(
+      (100L, "zebra quokka wombat numbat dingo bilby kowari " * 10)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ops.Curation.observedGate(
+      input.toDF().toDF("doc_id", "text"), benchmark, "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("curation_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, en200),
+        (2L, en200),                              // exact dup passes: the gate is stateless by design
+        (3L, "el que la de los " * 50),           // dropped: language
+        (4L, "the and of to is"),                 // dropped: length
+        (5L, en200 + " zebra quokka wombat numbat dingo bilby kowari " * 10)) // dropped: contaminated
+      q.processAllAvailable()
+      val survivors = spark.table("curation_gate").select("doc_id")
+        .as[Long].collect().sorted
+      assert(survivors.toSeq == Seq(1L, 2L))
+      // the per-batch funnel rode the progress metrics — no extra jobs
+      val m = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("graft_curation_gate")))
+        .last
+      assert(m.getAs[Long]("raw") === 5L)
+      assert(m.getAs[Long]("lang_en") === 4L)
+      assert(m.getAs[Long]("min_length") === 3L)
+      assert(m.getAs[Long]("decontaminated") === 2L)
+    } finally q.stop()
+  }
+
   test("corpus-cleaning pipeline runs unchanged under structured streaming") {
     // the batch text surface (cleanse → quality score → PII gate → keep
     // decision) is stateless per-row, so the SAME operator calls compose
