@@ -228,6 +228,69 @@ object Multimodal {
     }
   }
 
+  /** REAL audio windowing for canonical PCM WAV payloads — no codec, no
+    * stub: for uncompressed PCM, window boundaries ARE byte offsets
+    * (byteRate and blockAlign from the real header), so splitting an
+    * audio column into fixed-duration training windows is pure codegen'd
+    * column arithmetic + payload slicing. The ASR/audio-embedding prep
+    * stage, fully real in this environment.
+    *
+    * Windows are blockAlign-aligned (a window must not split a sample
+    * frame), sized ⌊byteRate·windowMs/1000⌋ rounded DOWN to alignment
+    * (min one frame); the last window carries the remainder. Non-WAV /
+    * non-canonical / empty-data payloads emit no rows (same bad-record
+    * tolerance as [[sampleFrames]] — never an exception).
+    *
+    * Output: (idCol, window_idx, start_ms, n_bytes, samples BINARY).
+    */
+  def audioWindows(df: DataFrame, idCol: String, mediaCol: String,
+      windowMs: Int = 1000): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    // exact integer division for positive operands; products stay < 2^53
+    // (byteRate < 2^32, windowMs ≤ 10^5), so the double round-trip is exact
+    def idiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val p = col(s"$mediaCol.payload")
+    val canonical = length(p) >= 45 && magic(p, 0, RiffMagic) &&
+      magic(p, 8, WaveMagic) && magic(p, 12, "666D7420") &&
+      magic(p, 36, "64617461") && leUint(p, 28, 4) > 0 && leUint(p, 32, 2) > 0
+    val staged = df
+      .withColumn("__br", leUint(p, 28, 4))
+      .withColumn("__ba", leUint(p, 32, 2))
+      .withColumn("__dl", least(leUint(p, 40, 4), length(p).cast("long") - 44L))
+      .withColumn("__ok", canonical && col("__dl") > 0)
+      .withColumn("__wb", when(col("__ok"), greatest(col("__ba"),
+        idiv(idiv(col("__br") * lit(windowMs.toLong), lit(1000L)), col("__ba"))
+          * col("__ba"))))
+      .withColumn("__n", when(col("__ok"),
+        ceil(col("__dl").cast("double") / col("__wb").cast("double")).cast("long")))
+    staged
+      .withColumn("window_idx",
+        explode(when(col("__ok"), sequence(lit(0L), col("__n") - 1L))
+          .otherwise(typedLit(Array.empty[Long]))))
+      .select(col(idCol), col("window_idx"),
+        idiv(col("window_idx") * col("__wb") * 1000L, col("__br")).as("start_ms"),
+        least(col("__wb"), col("__dl") - col("window_idx") * col("__wb")).as("n_bytes"),
+        p.substr((lit(45L) + col("window_idx") * col("__wb")).cast("int"),
+          least(col("__wb"), col("__dl") - col("window_idx") * col("__wb")).cast("int"))
+          .as("samples"))
+  }
+
+  /** [[wavPayload]] with an actual PCM data chunk — fixture/synthesizer
+    * for [[audioWindows]] and any consumer needing real sample bytes.
+    */
+  def wavPayloadWithData(sampleRate: Column, channels: Column,
+      bitsPerSample: Column, data: Column): Column = {
+    val blockAlign = channels * bitsPerSample / 8
+    unhex(concat(
+      lit(RiffMagic), hexLE(lit(36L) + length(data), 4), lit(WaveMagic),
+      lit("666D7420"), hexLE(lit(16L), 4), hexLE(lit(1L), 2),
+      hexLE(channels, 2), hexLE(sampleRate, 4),
+      hexLE(sampleRate * blockAlign, 4), hexLE(blockAlign, 2),
+      hexLE(bitsPerSample, 2), lit("64617461"), hexLE(length(data), 4),
+      hex(data)))
+  }
+
   /** Metadata-only resize: records the target dims in the media struct
     * (payload untouched by the stub; a real resize re-encodes).
     */

@@ -154,6 +154,23 @@ object ExtrasQueries extends QueryModule {
           col("m.channels").as("channels"), col("m.duration_ms").as("duration_ms"))
     }),
 
+    // REAL audio windowing: synthesize per-doc PCM WAV payloads (ASCII
+    // data = repeated md5(text), so the oracle's character substring IS
+    // byte slicing), split into 2 ms training windows by pure header
+    // arithmetic, hash each window's sample bytes
+    "mm_audio_windows" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val sr = (lit(8000L) + (col("doc_id") % 5) * 8000L)
+      val data = encode(repeat(md5(col("text")), (col("doc_id") % 7 + 4).cast("int")), "UTF-8")
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        Multimodal.asMedia(
+          Multimodal.wavPayloadWithData(sr, lit(1L), lit(16L), data),
+          "audio/wav").as("media"))
+      Multimodal.audioWindows(media, "doc_id", "media", windowMs = 2)
+        .select(col("doc_id"), col("window_idx"), col("start_ms"), col("n_bytes"),
+          sha2(col("samples"), 256).as("sha"))
+    }),
+
     // P11: format-conversion round-trip — Avro-encode the rows to binary,
     // decode back; identity result proves the codec loses nothing
     // (ref StreamsSelectAndProjectIntTest.java:267-287, Avro↔JSON CSAS)
@@ -394,6 +411,28 @@ object ExtrasQueries extends QueryModule {
         |  (CASE WHEN doc_id % 3 = 2 THEN 2 END)::BIGINT AS channels,
         |  (CASE WHEN doc_id % 3 = 2 THEN 0 END)::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
+
+    // closed form of the synthesized per-doc WAV: byteRate = 2·sr
+    // (mono 16-bit), winBytes = align₂(byteRate·2ms), ASCII data so
+    // substring-by-character equals the engine's byte slicing
+    "mm_audio_windows" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    repeat(md5(text), (doc_id % 7 + 4)::INT) AS data,
+        |    length(repeat(md5(text), (doc_id % 7 + 4)::INT))::BIGINT AS dl,
+        |    (2 * (8000 + (doc_id % 5) * 8000))::BIGINT AS br
+        |  FROM documents),
+        |w AS (SELECT *, greatest(2, ((br * 2 // 1000) // 2) * 2)::BIGINT AS wb FROM base),
+        |nw AS (SELECT *, ceil(dl::DOUBLE / wb::DOUBLE)::BIGINT AS n FROM w WHERE dl > 0),
+        |g AS (SELECT doc_id, data, dl, br, wb,
+        |        unnest(generate_series(0, n - 1))::BIGINT AS window_idx
+        |      FROM nw)
+        |SELECT doc_id, window_idx,
+        |  (window_idx * wb * 1000 // br)::BIGINT AS start_ms,
+        |  least(wb, dl - window_idx * wb)::BIGINT AS n_bytes,
+        |  sha256(substring(data, (1 + window_idx * wb)::INT,
+        |    least(wb, dl - window_idx * wb)::INT)) AS sha
+        |FROM g""".stripMargin,
 
     // identity: the round-trip must reproduce the source exactly
     "p11_format_roundtrip" -> "SELECT doc_id, text FROM documents",

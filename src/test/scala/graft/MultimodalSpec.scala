@@ -116,6 +116,42 @@ class MultimodalSpec extends SparkSpec {
       && a.getAs[Long]("channels") === 1L && a.getAs[Long]("duration_ms") === 0L)
   }
 
+  test("audio windows: real byte-exact PCM slicing, aligned, lossless recombination") {
+    // 8 kHz mono 16-bit → blockAlign 2, byteRate 16000; 35 000 data bytes
+    val data = Array.tabulate(35000)(i => (i % 251).toByte)
+    val wav = Seq(Tuple1(1L)).toDF("media_id")
+      .withColumn("media", Multimodal.asMedia(
+        Multimodal.wavPayloadWithData(lit(8000L), lit(1L), lit(16L), lit(data)),
+        "audio/wav"))
+    val win = Multimodal.audioWindows(wav, "media_id", "media", windowMs = 1000)
+      .orderBy("window_idx")
+      .select("window_idx", "start_ms", "n_bytes", "samples")
+      .as[(Long, Long, Long, Array[Byte])].collect()
+    // 1 s of 16 kB/s audio = 16 000-byte windows: 16 000 + 16 000 + 3 000
+    assert(win.map(w => (w._1, w._2, w._3)).toSeq ==
+      Seq((0L, 0L, 16000L), (1L, 1000L, 16000L), (2L, 2000L, 3000L)))
+    // no window splits a sample frame
+    assert(win.forall(_._3 % 2 == 0))
+    // concatenating the windows reproduces the data chunk byte-for-byte
+    assert(win.flatMap(_._4).toSeq == data.toSeq)
+
+    // sub-second windows: 250 ms → 4000-byte windows, 9 of them
+    val fine = Multimodal.audioWindows(wav, "media_id", "media", windowMs = 250)
+      .select("n_bytes").as[Long].collect()
+    assert(fine.length === 9 && fine.sum === 35000L)
+
+    // non-WAV and headerless payloads emit no rows, never an error
+    val png = Seq(Tuple1(2L)).toDF("media_id")
+      .withColumn("media", Multimodal.asMedia(
+        Multimodal.pngPayload(lit(3L), lit(2L)), "image/png"))
+    assert(Multimodal.audioWindows(png, "media_id", "media").count() === 0L)
+    // empty data chunk (the header-only synthesizer) → no windows
+    val empty = Seq(Tuple1(3L)).toDF("media_id")
+      .withColumn("media", Multimodal.asMedia(
+        Multimodal.wavPayload(lit(8000L), lit(1L), lit(16L)), "audio/wav"))
+    assert(Multimodal.audioWindows(empty, "media_id", "media").count() === 0L)
+  }
+
   test("withHeaderMeta fills the media struct from the real parse") {
     val df = Seq((1L, bmp(320, 200))).toDF("id", "payload")
       .select(col("id"), Multimodal.asMedia(col("payload"), "image/bmp").as("media"))
