@@ -291,6 +291,61 @@ object Multimodal {
       hex(data)))
   }
 
+  /** REAL image row-band tiling for 24-bit BITMAPINFOHEADER BMP payloads
+    * — the image analog of [[audioWindows]], and equally codec-free:
+    * uncompressed BMP stores pixel rows contiguously at 4-byte-aligned
+    * stride rowSize = ⌈3w/4⌉·4, so splitting an image into horizontal
+    * bands (the vision-pipeline tiling/patching prep) is header
+    * arithmetic + payload slicing in codegen'd columns.
+    *
+    * Bands are emitted in STORAGE order (bottom-up for the positive
+    * heights this handles; `row0` is the storage row index); the last
+    * band carries the remainder rows. Non-BMP / non-24bpp / top-down /
+    * truncated payloads emit no rows — never an exception.
+    *
+    * Output: (idCol, band_idx, row0, n_rows, band BINARY).
+    */
+  def imageBands(df: DataFrame, idCol: String, mediaCol: String,
+      bandRows: Int = 16): DataFrame = {
+    require(bandRows > 0, s"bandRows must be positive, got $bandRows")
+    val p = col(s"$mediaCol.payload")
+    val isBmp24 = length(p) >= 54 && magic(p, 0, BmpMagic) &&
+      leUint(p, 14, 4) === 40 && leUint(p, 28, 2) === 24
+    val w = signed32(leUint(p, 18, 4))
+    val h = signed32(leUint(p, 22, 4))
+    val off = leUint(p, 10, 4)
+    // 24 bpp rows pad to 4-byte alignment
+    val rowSize = floor((w * 3 + 3).cast("double") / 4.0).cast("long") * 4L
+    val staged = df
+      .withColumn("__off", off)
+      .withColumn("__rs", rowSize)
+      .withColumn("__h", h)
+      .withColumn("__ok", isBmp24 && w > 0 && h > 0 &&
+        length(p).cast("long") >= off + rowSize * h)
+      .withColumn("__nb", when(col("__ok"),
+        ceil(col("__h").cast("double") / bandRows.toDouble).cast("long")))
+    staged
+      .withColumn("band_idx",
+        explode(when(col("__ok"), sequence(lit(0L), col("__nb") - 1L))
+          .otherwise(typedLit(Array.empty[Long]))))
+      .withColumn("row0", col("band_idx") * bandRows.toLong)
+      .withColumn("n_rows", least(lit(bandRows.toLong), col("__h") - col("row0")))
+      .select(col(idCol), col("band_idx"), col("row0"), col("n_rows"),
+        p.substr((col("__off") + 1L + col("row0") * col("__rs")).cast("int"),
+          (col("n_rows") * col("__rs")).cast("int")).as("band"))
+  }
+
+  /** [[bmpPayload]] with an actual pixel array — caller supplies `data`
+    * of exactly rowSize·height bytes (rowSize = ⌈3w/4⌉·4).
+    */
+  def bmpPayloadWithData(width: Column, height: Column, data: Column): Column =
+    unhex(concat(
+      lit(BmpMagic), hexLE(lit(54L) + length(data), 4), lit("00000000"),
+      hexLE(lit(54L), 4),
+      hexLE(lit(40L), 4), hexLE(width, 4), hexLE(height, 4),
+      hexLE(lit(1L), 2), hexLE(lit(24L), 2), lit("0" * 48),
+      hex(data)))
+
   /** Metadata-only resize: records the target dims in the media struct
     * (payload untouched by the stub; a real resize re-encodes).
     */

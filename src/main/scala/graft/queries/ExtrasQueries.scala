@@ -171,6 +171,24 @@ object ExtrasQueries extends QueryModule {
           sha2(col("samples"), 256).as("sha"))
     }),
 
+    // REAL image tiling: synthesize per-doc 24bpp BMPs (ASCII pixel
+    // array sized exactly rowSize·h), band into 3-row tiles by header
+    // arithmetic, hash each band's bytes
+    "mm_image_bands" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val w = (col("doc_id") % 5 + 1).cast("long")
+      val h = (col("doc_id") % 9 + 2).cast("long")
+      val rs = floor((w * 3 + 3).cast("double") / 4.0).cast("long") * 4L
+      val dataStr = repeat(md5(col("text")), 6).substr(lit(1), (rs * h).cast("int"))
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        Multimodal.asMedia(
+          Multimodal.bmpPayloadWithData(w, h, encode(dataStr, "UTF-8")),
+          "image/bmp").as("media"))
+      Multimodal.imageBands(media, "doc_id", "media", bandRows = 3)
+        .select(col("doc_id"), col("band_idx"), col("row0"), col("n_rows"),
+          sha2(col("band"), 256).as("sha"))
+    }),
+
     // P11: format-conversion round-trip — Avro-encode the rows to binary,
     // decode back; identity result proves the codec loses nothing
     // (ref StreamsSelectAndProjectIntTest.java:267-287, Avro↔JSON CSAS)
@@ -432,6 +450,28 @@ object ExtrasQueries extends QueryModule {
         |  least(wb, dl - window_idx * wb)::BIGINT AS n_bytes,
         |  sha256(substring(data, (1 + window_idx * wb)::INT,
         |    least(wb, dl - window_idx * wb)::INT)) AS sha
+        |FROM g""".stripMargin,
+
+    // closed form of the synthesized BMPs: rowSize = ⌈3w/4⌉·4, bands of
+    // 3 storage rows; ASCII pixel bytes so substring == byte slicing
+    "mm_image_bands" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    (doc_id % 5 + 1)::BIGINT AS w, (doc_id % 9 + 2)::BIGINT AS h
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, w, h, ((w * 3 + 3) // 4 * 4)::BIGINT AS rs,
+        |         substring(repeat(md5(text), 6), 1,
+        |           ((w * 3 + 3) // 4 * 4 * h)::INT) AS data
+        |       FROM base),
+        |nb AS (SELECT *, ceil(h::DOUBLE / 3.0)::BIGINT AS n FROM d2),
+        |g AS (SELECT doc_id, data, rs, h,
+        |        unnest(generate_series(0, n - 1))::BIGINT AS band_idx
+        |      FROM nb)
+        |SELECT doc_id, band_idx,
+        |  (band_idx * 3)::BIGINT AS row0,
+        |  least(3, h - band_idx * 3)::BIGINT AS n_rows,
+        |  sha256(substring(data, (1 + band_idx * 3 * rs)::INT,
+        |    (least(3, h - band_idx * 3) * rs)::INT)) AS sha
         |FROM g""".stripMargin,
 
     // identity: the round-trip must reproduce the source exactly

@@ -152,6 +152,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioWindows(empty, "media_id", "media").count() === 0L)
   }
 
+  test("image bands: stride-exact BMP row slicing, lossless recombination") {
+    // w=5 → rowSize (15+3)/4·4 = 16; h=7 rows, bandRows=3 → 3+3+1
+    val rowSize = 16
+    val data = Array.tabulate(rowSize * 7)(i => (i % 249).toByte)
+    val bmp = Seq(Tuple1(1L)).toDF("media_id")
+      .withColumn("media", Multimodal.asMedia(
+        Multimodal.bmpPayloadWithData(lit(5L), lit(7L), lit(data)), "image/bmp"))
+    val bands = Multimodal.imageBands(bmp, "media_id", "media", bandRows = 3)
+      .orderBy("band_idx")
+      .select("band_idx", "row0", "n_rows", "band")
+      .as[(Long, Long, Long, Array[Byte])].collect()
+    assert(bands.map(b => (b._1, b._2, b._3)).toSeq ==
+      Seq((0L, 0L, 3L), (1L, 3L, 3L), (2L, 6L, 1L)))
+    // every band is whole rows; recombination reproduces the pixel array
+    assert(bands.forall(b => b._4.length == b._3 * rowSize))
+    assert(bands.flatMap(_._4).toSeq == data.toSeq)
+    // truncated pixel array (header-only synthesizer) and non-BMP → no rows
+    val headerOnly = Seq(Tuple1(2L)).toDF("media_id")
+      .withColumn("media", Multimodal.asMedia(
+        Multimodal.bmpPayload(lit(5L), lit(7L)), "image/bmp"))
+    assert(Multimodal.imageBands(headerOnly, "media_id", "media").count() === 0L)
+    val wav = Seq(Tuple1(3L)).toDF("media_id")
+      .withColumn("media", Multimodal.asMedia(
+        Multimodal.wavPayload(lit(8000L), lit(1L), lit(16L)), "audio/wav"))
+    assert(Multimodal.imageBands(wav, "media_id", "media").count() === 0L)
+  }
+
   test("withHeaderMeta fills the media struct from the real parse") {
     val df = Seq((1L, bmp(320, 200))).toDF("id", "payload")
       .select(col("id"), Multimodal.asMedia(col("payload"), "image/bmp").as("media"))
