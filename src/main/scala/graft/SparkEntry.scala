@@ -95,5 +95,12 @@ object SparkEntry {
     // round-10 additions: cross-corpus dedup (new crawl vs retained
     // training set — banded equi-join, never |probe|×|ref|) and the
     // Hilbert layout key (staged per-level fold, narrow + codegen'd)
-    "dedup_cross_kept", "layout_hilbert")
+    "dedup_cross_kept", "layout_hilbert",
+    // round-10 batch 2: fuzzy benchmark decontamination (banded
+    // cross-corpus gate), exact per-class embedding diversity (one
+    // moment pass, no pairs), exact chi-square snapshot drift
+    "decontam_fuzzy_kept", "emb_diversity", "drift_chi2",
+    // round-10 batch 3: corpus-vocab OOV audit (TakeOrdered vocab model +
+    // broadcast membership) and the DoReMi-lite mixture optimizer
+    "text_oov_rate", "mix_domain_weights")
 }

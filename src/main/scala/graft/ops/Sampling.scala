@@ -312,7 +312,12 @@ object Sampling {
     val ranked = Ordered.rankedPrefixSum(df.select(col(idCol)),
       Seq(col(idCol)), lit(1L)).select(col(idCol), col("rank"))
     val n = ranked.count()
-    require(n >= 2, s"need at least 2 rows to draw negatives, got $n")
+    if (n < 2)
+      // no negatives can exist without a second row — empty result with
+      // the contract schema, not a throw (the EmptyInput contract every
+      // registered query keeps)
+      return ranked.select(col(idCol).as("anchor_id"),
+        lit(0).as("neg_idx"), col(idCol).as("neg_id")).where(lit(false))
     val probes = ranked
       .select(col(idCol).as("anchor_id"), col("rank").as("__arnk"),
         explode(sequence(lit(1), lit(k))).as("neg_idx"))
@@ -368,5 +373,88 @@ object Sampling {
       .filter(pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000000))
         < col("rate_micro"))
       .select(col(idCol), col(classCol), col("rate_micro"))
+  }
+
+  /** Effective sample size of each class under its example weights —
+    * Kish's ESS = (Σw)²/Σw², the audit that tells a weighted-mixture
+    * pipeline when a class's draw is dominated by a few giant documents
+    * (ESS ≪ n ⟹ the temperature/waterfill math is being steered by a
+    * handful of rows, re-chunk or cap before sampling). ENGINE-EXACT:
+    * integer weights, (Σw)² and n·Σw² ride DECIMAL(38,0)/HUGEINT, outputs
+    * are truncating integer divisions —
+    *   ess_milli      = 10³·(Σw)²  div Σw²        (≈ 1000·ESS, ≤ 10³·n)
+    *   ess_frac_micro = 10⁶·(Σw)² div (n·Σw²)    (≈ 10⁶·ESS/n, ≤ 10⁶).
+    * One map-side-combined groupBy carrying three numbers per class;
+    * nothing downstream is data-sized. Non-positive / null weights are
+    * excluded (they'd poison the quadratic term).
+    */
+  /** DoReMi-lite domain reweighting: multiplicative-weights updates that
+    * upweight HIGH-LOSS domains — the data-mixing optimizer family
+    * (DoReMi, Xie et al. 2023) with the proxy-model retrain replaced by
+    * static per-example losses, so the update dynamics are the paper's
+    * while everything stays ENGINE-EXACT and replayable:
+    *
+    *   round r:  Lbar = Σ_c w_c·L_c / Σ_c w_c           (weighted mean)
+    *             rel_c = 10⁶·(L_c − Lbar) / Lbar         (dimensionless)
+    *             w_c  ← w_c · max(0, 10⁶ + η·rel_c)/10⁶, renormalized to
+    *                    Σ = 10⁶
+    *
+    * in truncating integer micro-units (η = etaNum/etaDen rational,
+    * products on DECIMAL(38,0)) — every round floors identically on any
+    * engine, so a DuckDB oracle replays the full trajectory bit-for-bit.
+    *
+    * Scale shape: ONE data-sized aggregation (per-domain mean loss,
+    * map-side combined to |domains| rows); every round after that is
+    * arithmetic on the |domains|-row table with 1-row broadcast totals —
+    * rounds cost nothing at corpus scale. Exactness envelope: per-domain
+    * Σloss must stay under ~9.2·10¹² so the 10⁶ scaling fits a long
+    * (pre-average or subsample past that).
+    *
+    * Output: (classCol, loss_micro, w_micro) after `rounds` updates; a
+    * domain with the (positive) mean loss gets w_micro > 10⁶/|domains|.
+    */
+  def domainReweight(df: DataFrame, classCol: String, lossCol: String,
+      rounds: Int, etaNum: Int, etaDen: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    require(etaNum > 0 && etaDen > 0, s"eta must be positive, got $etaNum/$etaDen")
+    val dec = "decimal(38,0)"
+    val dom = df.filter(col(lossCol).isNotNull && col(lossCol) > 0)
+      .groupBy(classCol)
+      .agg(expr(s"(1000000 * sum(`$lossCol`)) div count(1)").as("loss_micro"))
+    var w = dom.select(col(classCol), col("loss_micro"),
+      lit(1000000L).as("w_micro"))
+    for (_ <- 1 to rounds) {
+      val tot = w.agg(sum(col("w_micro")).cast(dec).as("__wsum"),
+        sum(col("w_micro").cast(dec) * col("loss_micro").cast(dec)).cast(dec).as("__wl"))
+      val upd = w.crossJoin(broadcast(tot))
+        .withColumn("__lbar", expr(s"cast(__wl div __wsum as bigint)"))
+        .withColumn("__rel",
+          expr("(1000000 * (loss_micro - __lbar)) div greatest(__lbar, 1)"))
+        .withColumn("__factor",
+          greatest(lit(1000000L) + expr(s"($etaNum * __rel) div $etaDen"), lit(0L)))
+        .withColumn("__wraw",
+          expr(s"cast((cast(w_micro as $dec) * __factor) div 1000000 as bigint)"))
+      val norm = upd.agg(sum(col("__wraw")).cast(dec).as("__ws"))
+      w = upd.crossJoin(broadcast(norm))
+        .select(col(classCol), col("loss_micro"),
+          expr(s"cast((1000000 * cast(__wraw as $dec)) div greatest(__ws, 1) as bigint)")
+            .as("w_micro"))
+    }
+    w
+  }
+
+  def effectiveSampleSize(df: DataFrame, classCol: String,
+      weightCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(classCol), col(weightCol).cast("long").as("__w"))
+      .groupBy(classCol)
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("w_tot"),
+        sum(col("__w").cast(dec) * col("__w").cast(dec)).cast(dec).as("__w2"))
+      .withColumn("ess_milli",
+        expr(s"cast((1000 * cast(w_tot as $dec) * w_tot) div __w2 as bigint)"))
+      .withColumn("ess_frac_micro",
+        expr(s"cast((1000000 * cast(w_tot as $dec) * w_tot) div (n * __w2) as bigint)"))
+      .drop("__w2")
   }
 }

@@ -434,4 +434,52 @@ object Similarity {
     semanticKept(df, idCol, vecCol, k.toInt, rounds, scale, simThreshold,
       maxCluster = targetClusterSize.toLong * maxClusterFactor)
   }
+
+  /** Per-group EXACT embedding diversity — the mean pairwise squared L2
+    * distance of a class's vectors, WITHOUT enumerating a single pair:
+    *
+    *   Σ_{i<j} ‖x_i − x_j‖²  =  n·Σ_i‖x_i‖² − Σ_d (Σ_i x_{id})²
+    *
+    * (expand the square; the cross terms collapse into per-dimension
+    * component sums). Low diversity = a semantically collapsed class — the
+    * mixture-weighting / SemDeDup-tuning signal of a curation pipeline,
+    * here as one aggregation pass instead of an O(n²) pair join.
+    *
+    * Arithmetic is integer-exact end-to-end: components are floored to
+    * longs (`floor(x·scale)`), the per-group moments (n, Σ‖q‖², Σ_d s_d²)
+    * are exact, and the n²-growth products ride DECIMAL(38,0) (= DuckDB
+    * HUGEINT). The reported `mean_pair_d2` = total `div` pairs is bounded
+    * by the squared class diameter regardless of n, so the OUTPUT column
+    * stays long-sized even where the total would not.
+    *
+    * Scale shape: per-dim sums via posexplode + groupBy (group, dim) with
+    * map-side combine — the shuffle is |groups|·d rows after partial
+    * aggregation, not n·d; row moments are a second map-side-combined
+    * groupBy carrying 3 numbers per group; the final join is
+    * |groups|-sized. No collect, no window, no pair materialization.
+    * Singletons report pairs=0 and a NULL mean (distinct from a genuine
+    * 0 = all-identical class).
+    */
+  def embeddingDiversity(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Int = 1000): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val dec = "decimal(38,0)"
+    val q = df.filter(col(vecCol).isNotNull).select(col(labelCol),
+      transform(asDouble(col(vecCol)), x => floor(x * lit(scale)).cast("long")).as("__qv"))
+    val dimSums = q.select(col(labelCol), posexplode(col("__qv")).as(Seq("__d", "__v")))
+      .groupBy(labelCol, "__d").agg(sum("__v").as("__s"))
+      .groupBy(labelCol)
+      .agg(sum(col("__s").cast(dec) * col("__s").cast(dec)).cast(dec).as("__ssq"))
+    val rowMoments = q
+      .select(col(labelCol),
+        aggregate(col("__qv"), lit(0L), (acc, v) => acc + v * v).as("__n2"))
+      .groupBy(labelCol)
+      .agg(count(lit(1)).as("n"), sum(col("__n2").cast(dec)).cast(dec).as("__sn2"))
+    rowMoments.join(dimSums, Seq(labelCol))
+      .select(col(labelCol), col("n"),
+        (col("n").cast(dec) * col("__sn2") - col("__ssq")).cast(dec).as("__tot"),
+        expr("n * (n - 1) div 2").as("pairs"))
+      .select(col(labelCol), col("n"), col("pairs"),
+        when(col("pairs") > 0, expr("cast(__tot div pairs as bigint)")).as("mean_pair_d2"))
+  }
 }

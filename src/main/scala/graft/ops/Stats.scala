@@ -94,4 +94,60 @@ object Stats {
       .groupBy(groupCol)
       .agg(percentile_approx(col(valueCol), array(ps.map(lit): _*), lit(accuracy))
         .as("percentiles"))
+
+  /** Two-sample distribution-drift test between corpus snapshots (this
+    * week's crawl vs the retained training distribution) in ENGINE-EXACT
+    * integer arithmetic — the re-mix / re-train trigger of a data pipeline,
+    * as a fixed-bin chi-square statistic instead of the float-log PSI
+    * (whose `ln` differs across engines in the last ulp; the chi-square
+    * summand is rational, so it cannot).
+    *
+    * Values are cent-quantized and binned on a CALLER-FIXED grid
+    * (`loCents + k·widthCents`, `buckets` bins, outliers clamped into the
+    * edge bins) — fixed bins are what makes two INDEPENDENTLY computed
+    * snapshot histograms comparable, and the grid is the published contract
+    * of the drift monitor. Per occupied bin, with side counts (c_a, c_b)
+    * and side totals (N_A, N_B), the exact 2×B-table identity
+    *
+    *   χ² = Σ_b (c_a·N_B − c_b·N_A)² / ((c_a+c_b)·N_A·N_B)
+    *
+    * gives the per-bin term; `chi2_term_micro` is its 10⁶-scaled truncating
+    * integer division — every product an exact DECIMAL(38,0)/HUGEINT, every
+    * output a long (the term is bounded by 10⁶·N). Σ over bins ≈ 10⁶·χ²
+    * (per-bin floor truncation only).
+    *
+    * Scale shape: one scan per snapshot, each map-side-combined down to
+    * ≤ `buckets` rows; a buckets-sized outer join; totals as a 1-row
+    * broadcast. Nothing in the plan is data-sized past the two scans.
+    * Headroom: (c·N)² rides DECIMAL(38,0) — exact up to ~10⁸ rows per
+    * snapshot; past that, drift-monitor on a hash sample (the statistic is
+    * about distributions, not row identity).
+    */
+  def chiSquareDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      loCents: Long, widthCents: Long, buckets: Int): DataFrame = {
+    require(widthCents > 0, s"widthCents must be positive, got $widthCents")
+    require(buckets > 1, s"buckets must exceed 1, got $buckets")
+    val dec = "decimal(38,0)"
+    def binned(df: DataFrame, cname: String) =
+      df.filter(col(valueCol).isNotNull)
+        .select(least(greatest(
+          expr(s"(cast(floor(`$valueCol` * 100) as bigint) - ${loCents}L) div ${widthCents}L"),
+          lit(0L)), lit(buckets - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cname))
+    val joined = binned(a, "cnt_a").join(binned(b, "cnt_b"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val tot = joined.agg(sum("cnt_a").as("__na"), sum("cnt_b").as("__nb"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        (col("cnt_a").cast(dec) * col("__nb").cast(dec) -
+          col("cnt_b").cast(dec) * col("__na").cast(dec)).cast(dec))
+      .withColumn("chi2_term_micro",
+        when(col("__na") > 0 && col("__nb") > 0,
+          expr("cast((1000000 * __d * __d) div " +
+            "((cnt_a + cnt_b) * __na * __nb) as bigint)"))
+          .otherwise(lit(0L)))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"), col("chi2_term_micro"))
+  }
 }

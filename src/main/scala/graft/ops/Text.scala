@@ -704,4 +704,37 @@ object Text {
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         floor6(col("raw_lp")).as("avg_logprob"))
   }
+
+  /** Per-doc out-of-vocabulary audit against the corpus's own top-V
+    * vocabulary — the tokenizer-coverage QA every vocab re-train decision
+    * reads (a rising OOV rate means the corpus drifted past the
+    * tokenizer). Vocab = the V most frequent tokens, ties broken by token
+    * ascending so the boundary is deterministic cross-engine; the rate is
+    * exact micro units (`10⁶·n_oov div n_tok`), 0 for tokenless docs.
+    *
+    * Scale shape: vocab derivation is a map-side-combined token groupBy
+    * followed by a bounded TakeOrdered (V rows on the driver — a model,
+    * like the IVF centroids); membership is a BROADCAST left join on the
+    * exploded tokens (no token-keyed shuffle); the only data-sized
+    * exchange is the groupBy(doc) rollup. Docs with zero tokens rejoin
+    * through the id set with (0, 0, 0).
+    */
+  def oovStats(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"), lit(1).as("__in"))
+    val perDoc = tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_micro",
+        when(col("n_tok") > 0, expr("(1000000 * n_oov) div n_tok"))
+          .otherwise(lit(0L)))
+  }
 }

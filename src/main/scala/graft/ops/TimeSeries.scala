@@ -170,6 +170,61 @@ object TimeSeries {
       .drop("__xq", "__p", "__e")
   }
 
+  /** Width-bounded exponentially-weighted moving average in ENGINE-EXACT
+    * integer arithmetic. The classic EWMA recursion
+    * `s_t = α·x_t + (1−α)·s_{t−1}` truncated to its last `width` terms is a
+    * weighted mean with geometric weights (1−α)^lag — the constant α factor
+    * cancels under normalization. With decay 1−α = decayNum/decayDen
+    * rational, scaling every weight by decayDen^(width−1) makes them exact
+    * longs:  w(lag) = decayNum^lag · decayDen^(width−1−lag),  newest
+    * heaviest. Values are cent-quantized (`floor(v·100)`), the weight table
+    * is a plan-time literal array (width is a constant), and the output is
+    * `Σ w·x div Σ w` — truncating integer division, identical on both
+    * engines — so the oracle matches bit-for-bit where float pow/avg would
+    * drift in the last ulp.
+    *
+    * At the head of a series (fewer than `width` predecessors) the SAME
+    * weight-by-lag table applies to the rows present — the truncated-EWMA
+    * convention — and normalization keeps it exact.
+    *
+    * Scale shape: one exchange on `keyCol`; the window frame collects
+    * `width` (bucket, cents) structs per row — O(width) state, a knob. The
+    * in-frame sort makes the fold order deterministic regardless of
+    * partition layout. Overflow guard: decayDen^(width−1) must stay under
+    * 2^31 so Σ w·x fits a long at |cents| ≤ 10⁷.
+    */
+  def ewma(df: DataFrame, keyCol: String, bucketCol: String, valCol: String,
+      width: Int, decayNum: Int, decayDen: Int): DataFrame = {
+    require(width > 0 && width <= 64, s"width must be in [1,64], got $width")
+    require(decayNum > 0 && decayDen > decayNum,
+      s"decay must be a rational in (0,1), got $decayNum/$decayDen")
+    require(BigInt(decayDen).pow(width - 1) < (BigInt(1) << 31),
+      s"decayDen^(width-1) = ${BigInt(decayDen).pow(width - 1)} overflows the " +
+        "long weight budget — shrink width or the denominator")
+    val weights = (0 until width)
+      .map(l => (BigInt(decayNum).pow(l) * BigInt(decayDen).pow(width - 1 - l)).toLong)
+    val wArr = array(weights.map(lit): _*)
+    val order = Window.partitionBy(keyCol).orderBy(col(bucketCol))
+    val frame = order.rowsBetween(-(width - 1), Window.currentRow)
+    val win = col("__win")
+    val L = size(win)
+    // element idx (0-based, bucket-ascending) has lag L-1-idx → weight
+    // table position L-idx (1-based); num and den use the same subset so
+    // the decayDen^(width-1) scale cancels in the division
+    val num = aggregate(sequence(lit(0), L - 1), lit(0L),
+      (acc, i) => acc + element_at(wArr, L - i) * element_at(win, i + 1).getField("x"))
+    val den = aggregate(sequence(lit(0), L - 1), lit(0L),
+      (acc, i) => acc + element_at(wArr, L - i))
+    df.filter(col(valCol).isNotNull)
+      .withColumn("__x", floor(col(valCol) * lit(100)).cast("long"))
+      .withColumn("__win", sort_array(
+        collect_list(struct(col(bucketCol).as("b"), col("__x").as("x"))).over(frame)))
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .withColumn("ewma_cents", expr("__num div __den"))
+      .drop("__x", "__win", "__num", "__den")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * key's previous event exceeds `gapUs`. Returns every event with its
     * 0-based per-key `session_id` (cumulative sum of session-break flags —

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.Tables
 import graft.ops.Dedup
 
@@ -78,6 +78,20 @@ object DedupQueries extends QueryModule {
       Dedup.dropCrossCorpusDups(
         dd.filter(col("source") >= "src5"), dd.filter(col("source") < "src5"),
         "text", "doc_id", minJaccard = 0.8)
+        .select("doc_id")
+    }),
+    // FUZZY benchmark decontamination: where text_decontaminated_kept drops
+    // exact winnow-fingerprint overlap, this drops NEAR-duplicates of the
+    // benchmark set (every 50th doc) — the GPT-3/PaLM 13-gram-style fuzzy
+    // gate, riding the same banded cross-corpus machinery (probe = corpus,
+    // ref = benchmark; never |corpus|×|benchmark|). 0.5 threshold: a doc
+    // half-made of benchmark text is contaminated
+    "decontam_fuzzy_kept" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.dropCrossCorpusDups(
+        dd.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        dd.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", minJaccard = 0.5)
         .select("doc_id")
     }),
     // dup-graph analytics over the verified pairs (0.5): node degrees and
@@ -195,12 +209,13 @@ object DedupQueries extends QueryModule {
        |  JOIN ss sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   /** Cross-corpus candidate→Jaccard chain mirroring
-    * [[graft.ops.Dedup.crossCorpusPairs]]: probe = src5-src9, ref =
-    * src0-src4. Signatures are per-doc, so banding all docs then filtering
-    * by source equals banding each filtered corpus. `rok` mirrors the
-    * ref-side maxBucket=1000 cap; thresholds apply at the point of use.
+    * [[graft.ops.Dedup.crossCorpusPairs]] for an arbitrary probe/ref split
+    * of `documents`. Signatures are per-doc, so banding all docs then
+    * filtering by the split predicate equals banding each filtered corpus.
+    * `rok` mirrors the ref-side maxBucket=1000 cap; thresholds apply at
+    * the point of use.
     */
-  private val crossCte =
+  private def crossCteFor(probePred: String, refPred: String): String =
     s"""$basesCte,
        |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
        |bands AS (
@@ -208,9 +223,9 @@ object DedupQueries extends QueryModule {
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
        |pb AS (SELECT bands.doc_id, band, band_key
-       |       FROM bands JOIN documents USING (doc_id) WHERE source >= 'src5'),
+       |       FROM bands JOIN documents USING (doc_id) WHERE $probePred),
        |rb AS (SELECT bands.doc_id, band, band_key
-       |       FROM bands JOIN documents USING (doc_id) WHERE source < 'src5'),
+       |       FROM bands JOIN documents USING (doc_id) WHERE $refPred),
        |rok AS (SELECT band, band_key FROM rb
        |        GROUP BY band, band_key HAVING count(*) <= 1000),
        |xcand AS (
@@ -231,6 +246,9 @@ object DedupQueries extends QueryModule {
        |  FROM xcand c
        |  JOIN ss sa ON sa.doc_id = c.probe_id
        |  JOIN ss sb ON sb.doc_id = c.ref_id)""".stripMargin
+
+  /** The round-spanning split: probe = src5-src9, ref = src0-src4. */
+  private val crossCte = crossCteFor("source >= 'src5'", "source < 'src5'")
 
   /** Transitive closure over the verified pairs at threshold 0.5: recursive
     * reachability (`reach(nid, lbl)` = lbl reachable from nid), so
@@ -378,6 +396,13 @@ object DedupQueries extends QueryModule {
          |xdropped AS (SELECT DISTINCT probe_id FROM xj WHERE j >= 0.8)
          |SELECT doc_id FROM documents
          |WHERE source >= 'src5'
+         |  AND doc_id NOT IN (SELECT probe_id FROM xdropped)""".stripMargin,
+
+    "decontam_fuzzy_kept" ->
+      s"""${crossCteFor("doc_id % 50 <> 0", "doc_id % 50 = 0")},
+         |xdropped AS (SELECT DISTINCT probe_id FROM xj WHERE j >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 50 <> 0
          |  AND doc_id NOT IN (SELECT probe_id FROM xdropped)""".stripMargin,
 
     "dedup_cc_clusters" ->

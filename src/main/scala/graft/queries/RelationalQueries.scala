@@ -195,6 +195,32 @@ object RelationalQueries extends QueryModule {
         .select(col("user_id"), col("bucket"), floor6(col("ma")).as("ma"))
     }),
 
+    // Width-8 truncated EWMA (decay 1/2) over the same daily grid —
+    // ENGINE-EXACT: cent-quantized values, power-of-two literal weight
+    // table, truncating integer division; one key exchange, O(width)
+    // frame state
+    "ts_ewma" -> ((s, d) => {
+      val filled = graft.ops.TimeSeries.resampleFill(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", "value", stepUs = 86400000000L)
+      graft.ops.TimeSeries.ewma(filled, "user_id", "bucket", "filled",
+        width = 8, decayNum = 1, decayDen = 2)
+        .select(col("user_id"), col("bucket"), col("ewma_cents"))
+    }),
+
+    // Two-sample chi-square drift between corpus snapshots (even vs odd
+    // event ids — two independent draws from the same generator, so the
+    // statistic reports NO drift at any scale factor, which is itself the
+    // oracle-checked claim); fixed 32×5.00 grid from 0, outliers clamped
+    // into the edge bins. Exact integer chi-square terms in micro units.
+    "drift_chi2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Stats.chiSquareDrift(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value", loCents = 0L, widthCents = 500L, buckets = 32)
+    }),
+
     // gap-based sessionization: >2h of silence starts a new session
     "ts_sessionize" -> ((s, d) =>
       graft.ops.TimeSeries.sessionize(
@@ -444,6 +470,59 @@ object RelationalQueries extends QueryModule {
         |                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |             * 1000000) / 1000000.0 AS ma
         |FROM f""".stripMargin,
+
+    // same resample/fill chain as ts_moving_avg, then the identical
+    // integer-weight fold: cent-quantized values, power-of-two weight
+    // literals, truncating // division — bit-for-bit with the Spark op
+    "ts_ewma" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+        |                  epoch_us(ts) AS tus, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |lastv AS (SELECT user_id, bucket, value AS obs_v FROM (
+        |            SELECT user_id, bucket, value,
+        |                   row_number() OVER (PARTITION BY user_id, bucket
+        |                                      ORDER BY tus DESC, event_id DESC) AS rn
+        |            FROM o) WHERE rn = 1),
+        |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        |      FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |            FROM o GROUP BY user_id)),
+        |f AS (SELECT g.user_id, g.bucket,
+        |             last_value(lv.obs_v IGNORE NULLS)
+        |               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |                     ROWS UNBOUNDED PRECEDING) AS filled
+        |      FROM g LEFT JOIN lastv lv ON lv.user_id = g.user_id AND lv.bucket = g.bucket),
+        |e AS (SELECT user_id, bucket, floor(filled * 100)::BIGINT AS cents FROM f),
+        |wl AS (SELECT user_id, bucket,
+        |         list_sort(list(struct_pack(b := bucket, x := cents))
+        |           OVER (PARTITION BY user_id ORDER BY bucket
+        |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS l
+        |       FROM e)
+        |SELECT user_id, bucket,
+        |  (list_sum(list_transform(range(len(l)),
+        |     i -> [128,64,32,16,8,4,2,1][len(l)-i] * l[i+1]['x']))
+        |   // list_sum(list_transform(range(len(l)),
+        |     i -> [128,64,32,16,8,4,2,1][len(l)-i])))::BIGINT AS ewma_cents
+        |FROM wl""".stripMargin,
+
+    // every product ridden through HUGEINT exactly as the Spark side rides
+    // DECIMAL(38,0); // is truncating division on both engines
+    "drift_chi2" ->
+      """WITH ba AS (SELECT least(greatest((floor(value*100)::BIGINT - 0) // 500, 0), 31) AS bin
+        |            FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |bb AS (SELECT least(greatest((floor(value*100)::BIGINT - 0) // 500, 0), 31) AS bin
+        |       FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |ca AS (SELECT bin, count(*)::BIGINT AS cnt_a FROM ba GROUP BY bin),
+        |cb AS (SELECT bin, count(*)::BIGINT AS cnt_b FROM bb GROUP BY bin),
+        |j AS (SELECT bin, coalesce(cnt_a, 0)::BIGINT AS cnt_a, coalesce(cnt_b, 0)::BIGINT AS cnt_b
+        |      FROM ca FULL JOIN cb USING (bin)),
+        |t AS (SELECT sum(cnt_a)::BIGINT AS na, sum(cnt_b)::BIGINT AS nb FROM j)
+        |SELECT bin, cnt_a, cnt_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    ((1000000::HUGEINT * (cnt_a::HUGEINT * nb - cnt_b::HUGEINT * na)
+        |                       * (cnt_a::HUGEINT * nb - cnt_b::HUGEINT * na))
+        |      // ((cnt_a + cnt_b)::HUGEINT * na * nb))::BIGINT
+        |  ELSE 0 END AS chi2_term_micro
+        |FROM j CROSS JOIN t""".stripMargin,
 
     "ts_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),

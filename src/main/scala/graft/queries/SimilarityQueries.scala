@@ -107,6 +107,13 @@ object SimilarityQueries extends QueryModule {
       Similarity.embeddingOutliers(emb(s, d), "vec_id", "embedding",
         scale = 1000, kNum = 101, kDen = 100)),
 
+    // per-class semantic diversity — exact mean pairwise squared L2 via the
+    // moment identity (n·Σ‖x‖² − Σ_d s_d²), ONE aggregation pass, zero
+    // pair enumeration; the mixture-weighting / SemDeDup-tuning signal
+    "emb_diversity" -> ((s, d) =>
+      Similarity.embeddingDiversity(emb(s, d), "label", "embedding",
+        scale = 1000)),
+
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
     // kept ids (composes the oracle-exact k-means with pairwise cosine).
     // The AUTO form derives k = max(8, ceil(n/10^4)) — 8 for every corpus
@@ -344,6 +351,26 @@ object SimilarityQueries extends QueryModule {
     // same micro quantization, same integer moments; BIGINT sums promote to
     // HUGEINT where Spark uses DECIMAL(38,0) — exact on both engines, and
     // the score ships as the exact long D div n (D itself crosses 2^53)
+    // identical moment identity over the identical quantized integers;
+    // HUGEINT products ↔ the Spark side's DECIMAL(38,0), // ↔ div
+    "emb_diversity" ->
+      """WITH q AS (SELECT label, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |ds AS (SELECT label, u['d'] AS dim, sum(u['v'])::BIGINT AS s
+        |       FROM (SELECT label, unnest(list_transform(range(len(qv)),
+        |                      i -> {'d': i, 'v': qv[i+1]})) AS u
+        |             FROM q)
+        |       GROUP BY 1, 2),
+        |ssq AS (SELECT label, sum(s::HUGEINT * s::HUGEINT) AS ssq FROM ds GROUP BY label),
+        |rm AS (SELECT label, count(*)::BIGINT AS n,
+        |              sum(list_sum(list_transform(qv, v -> v * v)))::HUGEINT AS sn2
+        |       FROM q GROUP BY label)
+        |SELECT rm.label, rm.n, (rm.n * (rm.n - 1) // 2)::BIGINT AS pairs,
+        |  CASE WHEN rm.n > 1
+        |       THEN ((rm.n::HUGEINT * rm.sn2 - ssq.ssq) // (rm.n * (rm.n - 1) // 2))::BIGINT
+        |  END AS mean_pair_d2
+        |FROM rm JOIN ssq USING (label)""".stripMargin,
+
     "emb_outliers" ->
       s"""WITH q AS (SELECT vec_id,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv

@@ -261,6 +261,33 @@ object TextQueries extends QueryModule {
       graft.ops.Packing.packTexts(docs(s, d), "doc_id", "text", "n_chars",
         budget = 4096, buckets = 64, salt = "pack")),
 
+    // length-bucketed batching audit — pad-vs-truncate economics of
+    // fixed-shape batches on a 64/128/256/512 rung ladder (the corpus tops
+    // out at ~550 chars, so the top rung truncates a live tail); ONE
+    // map-side-combined groupBy to 4 rows
+    "seq_length_buckets" -> ((s, d) =>
+      graft.ops.Packing.lengthBuckets(docs(s, d), "n_chars",
+        ladder = Seq(64L, 128L, 256L, 512L))),
+
+    // per-doc OOV audit vs the corpus's own top-20 vocabulary (V=20 of a
+    // ~31-word synthetic vocab keeps both in- and out-of-vocab live);
+    // vocab = bounded TakeOrdered model, membership = broadcast join
+    "text_oov_rate" -> ((s, d) =>
+      Text.oovStats(docs(s, d), "text", "doc_id", vocabSize = 20)),
+
+    // Kish effective sample size per language under n_chars weights — the
+    // is-my-weighted-draw-dominated-by-giants audit; one 3-number groupBy
+    "mix_ess" -> ((s, d) =>
+      graft.ops.Sampling.effectiveSampleSize(docs(s, d), "lang", "n_chars")),
+
+    // DoReMi-lite mixture optimization: 3 multiplicative-weights rounds
+    // over per-language mean "losses" (n_chars as the deterministic loss
+    // proxy), η=1/2 — the whole trajectory integer-exact and replayed by
+    // the oracle's unrolled CTE chain
+    "mix_domain_weights" -> ((s, d) =>
+      graft.ops.Sampling.domainReweight(docs(s, d), "lang", "n_chars",
+        rounds = 3, etaNum = 1, etaDen = 2)),
+
     // ...and the loader-side boundary spans into those sequences
     "seq_pack_offsets" -> ((s, d) =>
       graft.ops.Packing.packOffsets(docs(s, d), "doc_id", "text", "n_chars",
@@ -308,6 +335,28 @@ object TextQueries extends QueryModule {
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
+
+  /** Unrolled [[graft.ops.Sampling.domainReweight]] trajectory: one CTE
+    * pair (totals, update+renorm) per round, every division the same
+    * truncating integer op the Spark side runs on DECIMAL(38,0).
+    */
+  private def reweightSql(rounds: Int, etaNum: Int, etaDen: Int): String = {
+    val base =
+      """d AS (SELECT lang, ((1000000 * sum(n_chars)) // count(*))::BIGINT AS loss_micro
+        |       FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY lang),
+        |w0 AS (SELECT lang, loss_micro, 1000000::BIGINT AS w FROM d)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""t$p AS (SELECT sum(w)::HUGEINT AS wsum, sum(w::HUGEINT * loss_micro) AS wl FROM w$p),
+         |u$r AS (SELECT lang, loss_micro,
+         |         (w::HUGEINT * greatest(1000000 + ($etaNum * ((1000000 * (loss_micro - (wl // wsum)::BIGINT)) // greatest((wl // wsum)::BIGINT, 1))) // $etaDen, 0)) // 1000000 AS wraw
+         |        FROM w$p CROSS JOIN t$p),
+         |s$r AS (SELECT sum(wraw) AS ws FROM u$r),
+         |w$r AS (SELECT lang, loss_micro, ((1000000::HUGEINT * wraw) // greatest(ws, 1))::BIGINT AS w FROM u$r CROSS JOIN s$r)""".stripMargin
+    }
+    s"WITH $base,\n${steps.mkString(",\n")}\n" +
+      s"SELECT lang, loss_micro, w AS w_micro FROM w$rounds"
+  }
 
   /** Jelinek-Mercer mix weight for the bigram LM. The oracle embeds BOTH
     * λ and (1−λ) via Double.toString — 1−0.7 is 0.30000000000000004 in
@@ -831,6 +880,48 @@ object TextQueries extends QueryModule {
       s"""$packCte
          |SELECT doc_id, bucket, toks,
          |  floor((cum - toks)::DOUBLE / 4096.0)::BIGINT AS bin FROM c_pack""".stripMargin,
+
+    // deterministic top-V boundary: ORDER BY count DESC, token ASC LIMIT V
+    // on both engines; // ↔ div
+    "text_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |vc AS (SELECT t, 1 AS inv FROM (SELECT t, count(*) AS c FROM tok GROUP BY t
+         |                                ORDER BY c DESC, t ASC LIMIT 20)),
+         |pd AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tok,
+         |              (count(*) FILTER (vc.inv IS NULL))::BIGINT AS n_oov
+         |       FROM tok LEFT JOIN vc ON vc.t = tok.t GROUP BY tok.doc_id)
+         |SELECT d.doc_id, coalesce(n_tok, 0)::BIGINT AS n_tok,
+         |  coalesce(n_oov, 0)::BIGINT AS n_oov,
+         |  (CASE WHEN coalesce(n_tok, 0) > 0 THEN (1000000 * n_oov) // n_tok
+         |        ELSE 0 END)::BIGINT AS oov_micro
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // unrolled multiplicative-weights trajectory — every round's truncating
+    // divisions replayed on HUGEINTs, so the full 3-round path is hash-exact
+    "mix_domain_weights" -> reweightSql(rounds = 3, etaNum = 1, etaDen = 2),
+
+    // HUGEINT products ↔ DECIMAL(38,0); Kish ESS = (Σw)²/Σw² per class
+    "mix_ess" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS w_tot,
+        |  ((1000::HUGEINT * sum(n_chars)::HUGEINT * sum(n_chars))
+        |    // sum(n_chars::HUGEINT * n_chars))::BIGINT AS ess_milli,
+        |  ((1000000::HUGEINT * sum(n_chars)::HUGEINT * sum(n_chars))
+        |    // (count(*) * sum(n_chars::HUGEINT * n_chars)))::BIGINT AS ess_frac_micro
+        |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |GROUP BY lang""".stripMargin,
+
+    "seq_length_buckets" ->
+      """WITH q AS (SELECT n_chars::BIGINT AS n,
+        |           (CASE WHEN n_chars <= 64 THEN 64 WHEN n_chars <= 128 THEN 128
+        |                 WHEN n_chars <= 256 THEN 256 ELSE 512 END)::BIGINT AS bucket_len
+        |       FROM documents WHERE n_chars IS NOT NULL),
+        |k AS (SELECT *, least(n, bucket_len) AS kept FROM q)
+        |SELECT bucket_len, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+        |  sum(bucket_len - kept)::BIGINT AS padding_tokens,
+        |  (count(*) FILTER (n > bucket_len))::BIGINT AS truncated_docs,
+        |  sum(greatest(n - bucket_len, 0))::BIGINT AS cut_tokens,
+        |  ((1000000 * sum(kept)) // (count(*) * bucket_len))::BIGINT AS util_micro
+        |FROM k GROUP BY bucket_len""".stripMargin,
 
     "seq_pack_concat" ->
       s"""$packCte,

@@ -346,4 +346,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) === ((4000000L, false)))
     assert(out(4L) === ((36000000L, true)))   // 144e6 div 4
   }
+
+  test("embeddingDiversity: moment identity equals the pairwise truth") {
+    // label 0: (1,0) vs (0,1) → one pair at d² = 1000² + 1000² = 2e6
+    // label 1: three identical points → 3 pairs, mean 0
+    // label 2: singleton → 0 pairs, NULL mean; null vectors are filtered
+    val df = Seq(
+      (0, Array(1f, 0f)), (0, Array(0f, 1f)),
+      (1, Array(2f, 2f)), (1, Array(2f, 2f)), (1, Array(2f, 2f)),
+      (2, Array(5f, 5f)),
+      (2, null.asInstanceOf[Array[Float]])
+    ).toDF("label", "embedding")
+    val out = Similarity.embeddingDiversity(df, "label", "embedding", scale = 1000)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(0) === ((2L, 1L, 2000000L)))
+    assert(out(1) === ((3L, 3L, 0L)))
+    assert(out(2) === ((1L, 0L, -1L)))
+  }
+
+  test("embeddingDiversity: brute-force pair check on a mixed class") {
+    // four distinct 2-d points, exact quantized pair distances summed by hand
+    val pts = Seq(Array(0f, 0f), Array(1f, 0f), Array(0f, 2f), Array(3f, 1f))
+    val df = pts.map(p => (7, p)).toDF("label", "embedding")
+    val q = pts.map(_.map(x => math.floor(x * 1000).toLong))
+    val pairs = for (i <- q.indices; j <- q.indices if i < j) yield
+      q(i).zip(q(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+    val expected = pairs.sum / pairs.length
+    val r = Similarity.embeddingDiversity(df, "label", "embedding", scale = 1000)
+      .collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 6L)
+    assert(r.getLong(3) === expected)
+  }
 }

@@ -84,4 +84,41 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(sk(g)(1) - p95) < 5.0, s"$g p95 sketch ${sk(g)(1)} vs $p95")
     }
   }
+
+  test("chiSquareDrift: identical snapshots score zero in every bin") {
+    import spark.implicits._
+    val snap = Seq(1.0, 7.5, 42.0, 199.99, -3.0).toDF("v")
+    val out = Stats.chiSquareDrift(snap, snap, "v",
+      loCents = 0L, widthCents = 500L, buckets = 32).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cnt_a") === r.getAs[Long]("cnt_b"))
+      assert(r.getAs[Long]("chi2_term_micro") === 0L)
+    }
+    // clamping: -3.0 and a huge outlier land in the edge bins
+    val bins = out.map(_.getAs[Long]("bin"))
+    assert(bins.contains(0L))
+  }
+
+  test("chiSquareDrift: disjoint snapshots match the hand-computed terms") {
+    import spark.implicits._
+    // a = 3×1.00 → bin 0; b = 3×10.00 → bin 2 (width 5.00). Per occupied
+    // bin D = 3·3 − 0 = 9, term = 10⁶·81/(3·3·3) = 3·10⁶
+    val a = Seq(1.0, 1.0, 1.0).toDF("v")
+    val b = Seq(10.0, 10.0, 10.0).toDF("v")
+    val out = Stats.chiSquareDrift(a, b, "v", 0L, 500L, 32)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"), r.getAs[Long]("chi2_term_micro"))))
+      .toMap
+    assert(out === Map(0L -> ((3L, 0L, 3000000L)), 2L -> ((0L, 3L, 3000000L))))
+  }
+
+  test("chiSquareDrift: an empty snapshot yields defined zero terms") {
+    import spark.implicits._
+    val a = Seq(1.0, 10.0).toDF("v")
+    val b = a.where(lit(false))
+    val out = Stats.chiSquareDrift(a, b, "v", 0L, 500L, 32).collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.getAs[Long]("chi2_term_micro") === 0L))
+  }
 }

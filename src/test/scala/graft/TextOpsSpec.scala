@@ -761,4 +761,76 @@ class TextOpsSpec extends SparkSpec {
       ops.Sampling.waterfillRates(d, "lang", "w", budget = 0L)
     }
   }
+
+  test("lengthBuckets: hand-exact pad/truncate economics per rung") {
+    // ladder (4, 8): 3,4 → rung 4; 5 → rung 8; 9,20 → rung 8 TRUNCATED
+    val d = Seq(3L, 4L, 5L, 9L, 20L).toDF("n_tok")
+    val out = ops.Packing.lengthBuckets(d, "n_tok", ladder = Seq(4L, 8L))
+      .collect().map(r => r.getAs[Long]("bucket_len") -> ((
+        r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("padding_tokens"), r.getAs[Long]("truncated_docs"),
+        r.getAs[Long]("cut_tokens"), r.getAs[Long]("util_micro")))).toMap
+    assert(out(4L) === ((2L, 7L, 1L, 0L, 0L, 875000L)))   // kept 7 of 2·4
+    assert(out(8L) === ((3L, 34L, 3L, 2L, 13L, 875000L))) // kept 21 of 3·8
+    intercept[IllegalArgumentException] {
+      ops.Packing.lengthBuckets(d, "n_tok", ladder = Seq(8L, 4L))
+    }
+    intercept[IllegalArgumentException] {
+      ops.Packing.lengthBuckets(d, "n_tok", ladder = Seq.empty)
+    }
+  }
+
+  test("negativeSamples on under-2-row input returns empty, not a throw") {
+    val one = Seq(1L).toDF("doc_id")
+    assert(ops.Sampling.negativeSamples(one, "doc_id", k = 2).count() === 0L)
+    assert(ops.Sampling.negativeSamples(one.where(lit(false)), "doc_id", k = 2)
+      .count() === 0L)
+  }
+
+  test("oovStats: top-V vocab with ascending-token tie-break, tokenless zero") {
+    // counts: a=2, b=1, c=1 → V=2 vocab = {a, b} (tie b<c by token asc)
+    val d = Seq((1L, "a a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val out = Text.oovStats(d, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 0L, 0L)))
+    assert(out(2L) === ((1L, 1L, 1000000L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+    // V=1: only 'a' survives; b becomes OOV → rate 333333 micro on doc 1
+    val v1 = Text.oovStats(d, "text", "doc_id", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(v1(1L) === 333333L)
+  }
+
+  test("domainReweight: one multiplicative-weights round replays by hand") {
+    // a: losses (2,2) → L=2e6 micro; b: (1) → 1e6. η=1:
+    // lbar=1.5e6, rel=±333333, factors 1333333/666667, renorm → 666666/333333
+    val d = Seq(("a", 2L), ("a", 2L), ("b", 1L)).toDF("cls", "loss")
+    val out = ops.Sampling.domainReweight(d, "cls", "loss",
+      rounds = 1, etaNum = 1, etaDen = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") === ((2000000L, 666666L)))
+    assert(out("b") === ((1000000L, 333333L)))
+  }
+
+  test("domainReweight: more rounds keep pushing weight at the hard domain") {
+    val d = Seq(("a", 2L), ("a", 2L), ("b", 1L)).toDF("cls", "loss")
+    def wA(r: Int) = ops.Sampling.domainReweight(d, "cls", "loss", r, 1, 2)
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    val (r1, r3) = (wA(1), wA(3))
+    assert(r3("a") > r1("a") && r1("a") > 500000L)
+    assert(r3("a") + r3("b") >= 999998L) // renormalized (floor slack ≤ 2)
+  }
+
+  test("effectiveSampleSize: Kish formula exact, bad weights excluded") {
+    val d = Seq(("x", 1L), ("x", 1L), ("y", 3L), ("y", 1L),
+      ("z", 5L), ("z", 0L)).toDF("cls", "w")
+      .union(Seq(("z", null.asInstanceOf[java.lang.Long])).toDF("cls", "w"))
+    val out = ops.Sampling.effectiveSampleSize(d, "cls", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("x") === ((2L, 2L, 2000L, 1000000L)))   // equal weights: ESS = n
+    assert(out("y") === ((2L, 4L, 1600L, 800000L)))    // 16/10, 16e6/(2·10)
+    assert(out("z") === ((1L, 5L, 1000L, 1000000L)))   // 0/null weights dropped
+  }
 }

@@ -107,4 +107,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(9L) === (false, 3L))
     assert(out(10L) === (true, 3L))
   }
+
+  test("ewma: integer weight fold matches the hand computation, per key") {
+    // width=4, decay 1/2 → weight table (lag 0..3) = [8,4,2,1]; key a has
+    // buckets 0,1,2 with 1.00/2.00/3.00; 1.005 on key b floors to 100 cents
+    val g = Seq(
+      ("a", 2L, 3.0), ("a", 0L, 1.0), ("a", 1L, 2.0), // unsorted on purpose
+      ("b", 0L, 1.005)
+    ).toDF("k", "bucket", "v")
+    val out = TimeSeries.ewma(g, "k", "bucket", "v",
+      width = 4, decayNum = 1, decayDen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out(("a", 0L)) === 100L)            // 8·100 / 8
+    assert(out(("a", 1L)) === 2000L / 12L)     // (8·200 + 4·100) / 12 = 166
+    assert(out(("a", 2L)) === 3400L / 14L)     // (8·300+4·200+2·100)/14 = 242
+    assert(out(("b", 0L)) === 100L)            // floor(100.5) = 100
+  }
+
+  test("ewma: null values are dropped, weight-budget guard trips") {
+    val g = Seq(("a", 0L, Some(1.0)), ("a", 1L, None), ("a", 2L, Some(3.0)))
+      .toDF("k", "bucket", "v")
+    val out = TimeSeries.ewma(g, "k", "bucket", "v", 4, 1, 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // the null bucket vanishes; bucket 2's frame holds only buckets {0,2}
+    assert(out === Map(0L -> 100L, 2L -> (8L * 300 + 4L * 100) / 12L))
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.ewma(g, "k", "bucket", "v", width = 40, decayNum = 1, decayDen = 7))
+    assert(e.getMessage.contains("overflows"))
+  }
 }
