@@ -404,43 +404,57 @@ object Sampling {
     * engine, so a DuckDB oracle replays the full trajectory bit-for-bit.
     *
     * Scale shape: ONE data-sized aggregation (per-domain mean loss,
-    * map-side combined to |domains| rows); every round after that is
-    * arithmetic on the |domains|-row table with 1-row broadcast totals —
-    * rounds cost nothing at corpus scale. Exactness envelope: per-domain
-    * Σloss must stay under ~9.2·10¹² so the 10⁶ scaling fits a long
-    * (pre-average or subsample past that).
+    * map-side combined to |domains| rows); the |domains|-row table is then
+    * a MODEL — collected once (the IVF-centroid / PCA-component
+    * precedent) and iterated on the driver in exact long arithmetic, so
+    * rounds cost literally nothing at corpus scale and the plan holds no
+    * per-round subtree for Spark to re-execute. Exactness envelope:
+    * per-domain Σloss must stay under ~9.2·10¹² so the 10⁶ scaling fits a
+    * long (pre-average or subsample past that), and per-domain mean loss
+    * under 10¹² (guarded) so every driver product stays in a long.
     *
     * Output: (classCol, loss_micro, w_micro) after `rounds` updates; a
-    * domain with the (positive) mean loss gets w_micro > 10⁶/|domains|.
+    * domain above the (positive) mean loss gets w_micro > 10⁶/|domains|.
     */
   def domainReweight(df: DataFrame, classCol: String, lossCol: String,
       rounds: Int, etaNum: Int, etaDen: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
     require(etaNum > 0 && etaDen > 0, s"eta must be positive, got $etaNum/$etaDen")
-    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
     val dom = df.filter(col(lossCol).isNotNull && col(lossCol) > 0)
       .groupBy(classCol)
       .agg(expr(s"(1000000 * sum(`$lossCol`)) div count(1)").as("loss_micro"))
-    var w = dom.select(col(classCol), col("loss_micro"),
-      lit(1000000L).as("w_micro"))
+      .collect().map(r => (r.get(0), r.getAs[Long]("loss_micro")))
+    dom.foreach { case (c, l) => require(l <= 1000000000000L,
+      s"domainReweight: mean loss $l for domain $c exceeds the 10¹² exact-" +
+        "long envelope — rescale the loss unit") }
+    // driver replay of the multiplicative-weights rounds in BigInt —
+    // BigInt `/` truncates toward zero exactly like Spark `div` (on
+    // DECIMAL) and DuckDB `//` (on HUGEINT), and sums of products cannot
+    // overflow no matter how skewed the losses are
+    val M = BigInt(1000000)
+    var w = dom.map { case (c, l) => (c, BigInt(l), M) }
     for (_ <- 1 to rounds) {
-      val tot = w.agg(sum(col("w_micro")).cast(dec).as("__wsum"),
-        sum(col("w_micro").cast(dec) * col("loss_micro").cast(dec)).cast(dec).as("__wl"))
-      val upd = w.crossJoin(broadcast(tot))
-        .withColumn("__lbar", expr(s"cast(__wl div __wsum as bigint)"))
-        .withColumn("__rel",
-          expr("(1000000 * (loss_micro - __lbar)) div greatest(__lbar, 1)"))
-        .withColumn("__factor",
-          greatest(lit(1000000L) + expr(s"($etaNum * __rel) div $etaDen"), lit(0L)))
-        .withColumn("__wraw",
-          expr(s"cast((cast(w_micro as $dec) * __factor) div 1000000 as bigint)"))
-      val norm = upd.agg(sum(col("__wraw")).cast(dec).as("__ws"))
-      w = upd.crossJoin(broadcast(norm))
-        .select(col(classCol), col("loss_micro"),
-          expr(s"cast((1000000 * cast(__wraw as $dec)) div greatest(__ws, 1) as bigint)")
-            .as("w_micro"))
+      val wsum = w.map(_._3).sum.max(BigInt(1))
+      val lbar = w.map { case (_, l, wc) => wc * l }.sum / wsum
+      val raw = w.map { case (c, l, wc) =>
+        val rel = (M * (l - lbar)) / lbar.max(BigInt(1))
+        val factor = (M + (BigInt(etaNum) * rel) / BigInt(etaDen)).max(BigInt(0))
+        (c, l, wc * factor / M)
+      }
+      val ws = raw.map(_._3).sum.max(BigInt(1))
+      w = raw.map { case (c, l, wr) => (c, l, M * wr / ws) }
     }
-    w
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(classCol).copy(name = classCol),
+      org.apache.spark.sql.types.StructField("loss_micro",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w_micro",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      w.map { case (c, l, wc) => org.apache.spark.sql.Row(c, l.toLong, wc.toLong) }
+        .toSeq.asJava, schema)
   }
 
   def effectiveSampleSize(df: DataFrame, classCol: String,

@@ -116,9 +116,14 @@ object Stats {
     * output a long (the term is bounded by 10⁶·N). Σ over bins ≈ 10⁶·χ²
     * (per-bin floor truncation only).
     *
-    * Scale shape: one scan per snapshot, each map-side-combined down to
-    * ≤ `buckets` rows; a buckets-sized outer join; totals as a 1-row
-    * broadcast. Nothing in the plan is data-sized past the two scans.
+    * Scale shape: ONE scan per snapshot (union with a side tag), ONE
+    * map-side-combined groupBy(bin) carrying two conditional counts — the
+    * full-outer "join" of the two histograms happens inside the same
+    * aggregation for free — and side totals via a single-partition window
+    * over the ≤ `buckets`-row histogram (the [[histogramPercentiles]]
+    * bounded-window trick: the window is over the histogram, not the
+    * data, so one reducer holds ≤ `buckets` longs). Nothing downstream of
+    * the two scans is data-sized, and nothing is computed twice.
     * Headroom: (c·N)² rides DECIMAL(38,0) — exact up to ~10⁸ rows per
     * snapshot; past that, drift-monitor on a hash sample (the statistic is
     * about distributions, not row identity).
@@ -128,18 +133,20 @@ object Stats {
     require(widthCents > 0, s"widthCents must be positive, got $widthCents")
     require(buckets > 1, s"buckets must exceed 1, got $buckets")
     val dec = "decimal(38,0)"
-    def binned(df: DataFrame, cname: String) =
+    def binned(df: DataFrame, side: Int) =
       df.filter(col(valueCol).isNotNull)
         .select(least(greatest(
           expr(s"(cast(floor(`$valueCol` * 100) as bigint) - ${loCents}L) div ${widthCents}L"),
-          lit(0L)), lit(buckets - 1L)).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(cname))
-    val joined = binned(a, "cnt_a").join(binned(b, "cnt_b"), Seq("bin"), "full")
-      .select(col("bin"),
-        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
-        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-    val tot = joined.agg(sum("cnt_a").as("__na"), sum("cnt_b").as("__nb"))
-    joined.crossJoin(broadcast(tot))
+          lit(0L)), lit(buckets - 1L)).as("bin"), lit(side).as("__side"))
+    val joined = binned(a, 0).union(binned(b, 1))
+      .groupBy("bin")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("__na", sum(col("cnt_a")).over(all))
+      .withColumn("__nb", sum(col("cnt_b")).over(all))
       .withColumn("__d",
         (col("cnt_a").cast(dec) * col("__nb").cast(dec) -
           col("cnt_b").cast(dec) * col("__na").cast(dec)).cast(dec))

@@ -377,4 +377,54 @@ class PlanSpec extends SparkSpec {
     val kept = plan("dedup_cross_kept")
     assert(hashExchanges(kept) <= 5, s"${hashExchanges(kept)} shuffles in dedup_cross_kept")
   }
+
+  test("drift: one union-groupBy, totals on the bounded-histogram window") {
+    // the r10 plan fix: 2 scans (one per snapshot), the bin groupBy, and a
+    // single-partition window over ≤ buckets rows — NO full-outer SMJ of
+    // two histogram subtrees and NO recomputed-totals join
+    val p = plan("drift_chi2")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"), p.take(600))
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*""")) <= 2,
+      "each snapshot must be scanned exactly once")
+    assert(hashExchanges(p) <= 1, s"${hashExchanges(p)} hash shuffles in drift_chi2")
+  }
+
+  test("domain reweighting runs its rounds on the collected model") {
+    // the data-sized work happened eagerly in the one per-domain agg; the
+    // returned frame must be a local table with NO per-round Spark subtree
+    val p = plan("mix_domain_weights")
+    assert(p.contains("LocalTableScan"), p.take(400))
+    assert(!p.contains("Exchange"), "rounds leaked back into the plan")
+  }
+
+  test("embedding diversity: no pair join, aggregation-only plan") {
+    val p = plan("emb_diversity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // dim-sum partials, dim rollup to labels, row-moment agg (+AQE-planned
+    // label join) — never a data-sized pair shuffle
+    assert(hashExchanges(p) <= 4, s"${hashExchanges(p)} shuffles in emb_diversity")
+  }
+
+  test("ewma rides the fill window's key exchange; one window partitioning") {
+    val p = plan("ts_ewma")
+    // grid + last-per-bucket exchanges (resampleFill) — the ewma frame must
+    // REUSE the user_id window partitioning, not add an exchange
+    assert(hashExchanges(p) <= 3, s"${hashExchanges(p)} shuffles in ts_ewma")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("oov: vocab is a bounded TakeOrdered model, membership broadcasts") {
+    val p = plan("text_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), "vocab top-V must be bounded")
+    assert(p.contains("BroadcastHashJoin"), "vocab membership must broadcast")
+    assert(!p.contains("SortMergeJoin"), "token-keyed SMJ means the vocab stopped broadcasting")
+  }
+
+  test("single-pass audits stay one exchange: mix_ess, seq_length_buckets") {
+    Seq("mix_ess", "seq_length_buckets").foreach { q =>
+      val p = plan(q)
+      assert(hashExchanges(p) <= 1, s"${hashExchanges(p)} shuffles in $q")
+      assert(!p.contains("Join"), s"$q grew a join")
+    }
+  }
 }
