@@ -128,6 +128,17 @@ object Stats {
     * snapshot; past that, drift-monitor on a hash sample (the statistic is
     * about distributions, not row identity).
     */
+  /** The drift grid's binning projection — shared verbatim by the batch
+    * test and the streaming monitor so the two can never disagree on a
+    * boundary: cent-quantize, fixed grid from `loCents` at `widthCents`,
+    * outliers clamped into the edge bins.
+    */
+  private[graft] def gridBin(valueCol: String, loCents: Long,
+      widthCents: Long, buckets: Int): org.apache.spark.sql.Column =
+    least(greatest(
+      expr(s"(cast(floor(`$valueCol` * 100) as bigint) - ${loCents}L) div ${widthCents}L"),
+      lit(0L)), lit(buckets - 1L))
+
   def chiSquareDrift(a: DataFrame, b: DataFrame, valueCol: String,
       loCents: Long, widthCents: Long, buckets: Int): DataFrame = {
     require(widthCents > 0, s"widthCents must be positive, got $widthCents")
@@ -135,9 +146,8 @@ object Stats {
     val dec = "decimal(38,0)"
     def binned(df: DataFrame, side: Int) =
       df.filter(col(valueCol).isNotNull)
-        .select(least(greatest(
-          expr(s"(cast(floor(`$valueCol` * 100) as bigint) - ${loCents}L) div ${widthCents}L"),
-          lit(0L)), lit(buckets - 1L)).as("bin"), lit(side).as("__side"))
+        .select(gridBin(valueCol, loCents, widthCents, buckets).as("bin"),
+          lit(side).as("__side"))
     val joined = binned(a, 0).union(binned(b, 1))
       .groupBy("bin")
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_a"),

@@ -113,6 +113,43 @@ class StatsSpec extends SparkSpec {
     assert(out === Map(0L -> ((3L, 0L, 3000000L)), 2L -> ((0L, 3L, 3000000L))))
   }
 
+  test("streaming drift monitor: drained histogram ≡ batch, score composes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals1 = Seq(1.0, 1.0, 7.5, 42.0)
+    val vals2 = Seq(7.5, 199.0, -3.0)
+    val in = MemoryStream[Double]
+    val q = graft.streaming.DriftStream.binCounts(
+        in.toDF().withColumnRenamed("value", "v"), "v", 0L, 500L, 32)
+      .writeStream.format("memory").queryName("drifthist")
+      .outputMode("complete").start()
+    try {
+      in.addData(vals1: _*); q.processAllAvailable()
+      in.addData(vals2: _*); q.processAllAvailable()
+      val streamed = spark.table("drifthist")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val all = (vals1 ++ vals2).toDF("v")
+      val batch = all
+        .select(least(greatest(expr("(cast(floor(v * 100) as bigint)) div 500"),
+          lit(0L)), lit(31L)).as("bin"))
+        .groupBy("bin").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      // end-to-end: scoring the drained histogram against a reference via
+      // the batch op equals running the batch op on the raw rows
+      val ref = Seq(1.0, 1.0, 7.5, 42.0, 199.0).toDF("v")
+      val direct = Stats.chiSquareDrift(all, ref, "v", 0L, 500L, 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // reconstruct the stream side from counts and rerun
+      val streamRows = streamed.toSeq.flatMap { case (bin, n) =>
+        Seq.fill(n.toInt)(bin * 5.0 + 0.01) } // representative value per bin
+      val viaCounts = Stats.chiSquareDrift(streamRows.toDF("v"), ref, "v", 0L, 500L, 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(viaCounts === direct)
+    } finally q.stop()
+  }
+
   test("chiSquareDrift: an empty snapshot yields defined zero terms") {
     import spark.implicits._
     val a = Seq(1.0, 10.0).toDF("v")
