@@ -187,6 +187,10 @@ object TimeSeries {
     * weight-by-lag table applies to the rows present — the truncated-EWMA
     * convention — and normalization keeps it exact.
     *
+    * Input contract: ONE row per (key, bucket) — i.e. an already-regular
+    * series such as [[resampleFill]] output. Duplicate buckets make the
+    * frame order (hence the fold) depend on physical row order.
+    *
     * Scale shape: one exchange on `keyCol`; the window frame collects
     * `width` (bucket, cents) structs per row — O(width) state, a knob. The
     * in-frame sort makes the fold order deterministic regardless of

@@ -170,6 +170,66 @@ object TimeSeriesStream {
       }
   }
 
+  case class EwmaOut(key: Long, bucket: Long, ewma_cents: Long)
+
+  /** Streaming [[graft.ops.TimeSeries.ewma]]: each observation tagged with
+    * the width-bounded integer-weight EWMA of its trailing frame (same
+    * cent quantization, same decayNum/decayDen weight table, same
+    * truncating division) as the watermark finalizes it. Input is the
+    * already-regular observation stream (one event per key per `stepUs`
+    * bucket — the resampleFill contract); bucket = epoch-µs div stepUs.
+    *
+    * Finality and state mirror [[rollingAnomalies]] exactly: pending
+    * events buffer unordered until the watermark passes them strictly,
+    * then sort and fold; the long-lived state is the (width−1)-value
+    * finalized tail the next frame needs. Drained output ≡ the batch
+    * operator on the same rows (TimeSeriesStreamSpec pins it).
+    */
+  def ewma(ds: Dataset[TsEvent], stepUs: Long, width: Int, decayNum: Int,
+      decayDen: Int, watermark: String): Dataset[EwmaOut] = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    require(width > 0 && width <= 64, s"width must be in [1,64], got $width")
+    require(decayNum > 0 && decayDen > decayNum,
+      s"decay must be a rational in (0,1), got $decayNum/$decayDen")
+    require(BigInt(decayDen).pow(width - 1) < (BigInt(1) << 31),
+      s"decayDen^(width-1) overflows the long weight budget")
+    val weights = (0 until width)
+      .map(l => (BigInt(decayNum).pow(l) * BigInt(decayDen).pow(width - 1 - l)).toLong)
+      .toArray
+    implicit val outEnc: Encoder[EwmaOut] = Encoders.product[EwmaOut]
+    implicit val stEnc: Encoder[AnomState] = Encoders.product[AnomState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AnomState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[TsEvent], state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(
+            AnomState(Array.empty, Array.empty, Array.empty, Array.empty))
+          val added = rows
+            .map(e => (us(e.ts), e.ord, math.floor(e.value * 100).toLong)).toArray
+          val pend = (st.pTs.indices.map(i => (st.pTs(i), st.pOrd(i), st.pX(i)))
+            ++ added).sortBy(t => (t._1, t._2)).toArray
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val (fin, rest) = pend.partition(_._1 < wmUs)
+          var tail = st.tail
+          val out = fin.map { case (tsUs, _, x) =>
+            val frame = (tail :+ x).takeRight(width)
+            var num = 0L; var den = 0L
+            frame.indices.foreach { i =>
+              val w = weights(frame.length - 1 - i); num += w * frame(i); den += w
+            }
+            tail = frame.takeRight(width - 1)
+            EwmaOut(key, tsUs / stepUs, num / den)
+          }
+          state.update(AnomState(rest.map(_._1), rest.map(_._2), rest.map(_._3), tail))
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(math.max(rest.map(_._1).min / 1000L + 1L,
+              state.getCurrentWatermarkMs + 1L))
+          out.iterator
+      }
+  }
+
   /** Streaming [[graft.ops.TimeSeries.resampleFill]]: one row per key per
     * `stepUs` bucket between the key's first and last observation, with
     * `filled` forward-carrying the last observed value, emitted as the

@@ -78,6 +78,26 @@ class TimeSeriesStreamSpec extends SparkSpec {
       .collect().map(_._2).toSet === Set(4L))
   }
 
+  test("streaming ewma drains to the batch weighted fold") {
+    // stepUs 10s: each fixture event sits in its own bucket per key (the
+    // regular-grid input contract); batch twin buckets the same way
+    val got = drained(in => TimeSeriesStream.ewma(in.toDS(), stepUs = 10000000L,
+      width = 4, decayNum = 1, decayDen = 2, watermark = "10 seconds"),
+      "ts_ewma_stream")
+      .select("key", "bucket", "ewma_cents")
+    val want = graft.ops.TimeSeries.ewma(
+      batchDf.withColumn("bucket", expr("ts_us div 10000000")),
+      "key", "bucket", "value", width = 4, decayNum = 1, decayDen = 2)
+      .select("key", "bucket", "ewma_cents")
+    assert(got.as[(Long, Long, Long)].collect().toSet ===
+      want.as[(Long, Long, Long)].collect().toSet)
+    assert(got.count() === events.size)
+    // hand pin (not vacuous): key 1's last bucket folds 8·900+4·700+2·500+1·300
+    // over 15 = 6733 cents
+    assert(got.filter(col("key") === 1L).orderBy(col("bucket").desc)
+      .as[(Long, Long, Long)].head()._3 === (8L * 900 + 4 * 700 + 2 * 500 + 300) / 15)
+  }
+
   test("streaming resampleFill drains to the batch grid (gap buckets filled)") {
     val got = drained(in => TimeSeriesStream.resampleFill(in.toDS(), stepUs = 60000000L,
       watermark = "10 seconds"), "ts_fill_stream")
