@@ -102,5 +102,9 @@ object SparkEntry {
     "decontam_fuzzy_kept", "emb_diversity", "drift_chi2",
     // round-10 batch 3: corpus-vocab OOV audit (TakeOrdered vocab model +
     // broadcast membership) and the DoReMi-lite mixture optimizer
-    "text_oov_rate", "mix_domain_weights")
+    "text_oov_rate", "mix_domain_weights",
+    // round-10 batch 4: Q21 decorrelated to one Expand-free grouped pass
+    // (min/max predicates replace countDistinct) — same oracle text as the
+    // structural semi+anti form, measured ~35% faster at sf0.1
+    "q21_waiting_supplier_agg")
 }

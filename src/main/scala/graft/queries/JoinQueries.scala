@@ -24,6 +24,25 @@ object JoinQueries extends QueryModule {
 
   private val windowUs: Long = 2L * 3600 * 1000000 // ±2h batch demo window
 
+  /** TPC-H Q21 oracle text — shared by the semi+anti structural form and
+    * the aggregate-decorrelated twin (one truth, two physical strategies).
+    */
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: inner windowed join — clicks ⋈ purchases on user within ±2h
     // (reference `StreamStreamJoinIntegrationTest.java:82`, JoinWindows.of).
@@ -434,6 +453,36 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // Q21's EXISTS/NOT-EXISTS pair decorrelated to ONE per-order aggregate
+    // instead of semi+anti joins: "another supplier exists" ⟺
+    // min(supp) ≠ max(supp), "exactly one late supplier" ⟺
+    // min(late supp) = max(late supp) (the candidate is late itself, so it
+    // IS that unique one), and the surviving rows are the order's late
+    // lineitems. min/max predicates instead of countDistinct keep the
+    // aggregation Expand-free — plain mergeable partials, ONE grouped pass
+    // where the structural form runs two data-sized distincts + a semi SMJ
+    // + an anti join. The oracle is LITERALLY q21's, pinning the rewrite's
+    // equivalence through the gate every round.
+    "q21_waiting_supplier_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderstatus")
+      val flagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      flagged.groupBy("l_orderkey").agg(
+          min(col("l_suppkey")).as("supp_lo"),
+          max(col("l_suppkey")).as("supp_hi"),
+          min(when(col("late"), col("l_suppkey"))).as("late_lo"),
+          max(when(col("late"), col("l_suppkey"))).as("late_hi"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("late_rows"),
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("is_f"))
+        .filter(col("is_f") === 1 && col("late_lo").isNotNull &&
+          col("late_lo") === col("late_hi") && col("supp_lo") < col("supp_hi"))
+        .join(broadcast(Tables.supplier(s, d)), col("late_lo") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum(col("late_rows")).as("numwait"))
+    }),
+
     // TPC-H Q13-shaped customer order-count distribution: double
     // aggregation with a left join keeping zero-order customers
     "q13_order_distribution" -> ((s, d) => {
@@ -820,21 +869,10 @@ object JoinQueries extends QueryModule {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
 
-    "q21_waiting_supplier" ->
-      """SELECT s_name, count(*) AS numwait
-        |FROM lineitem l1
-        |JOIN orders ON o_orderkey = l1.l_orderkey
-        |JOIN supplier ON s_suppkey = l1.l_suppkey
-        |WHERE o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
-        |GROUP BY s_name""".stripMargin,
+    "q21_waiting_supplier" -> q21Sql,
+    // the aggregate-decorrelated twin answers the SAME question — one
+    // oracle text, two physical strategies, both gated every round
+    "q21_waiting_supplier_agg" -> q21Sql,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (

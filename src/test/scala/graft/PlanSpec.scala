@@ -420,6 +420,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "token-keyed SMJ means the vocab stopped broadcasting")
   }
 
+  test("q21 aggregate twin: Expand-free single grouped pass, no semi/anti") {
+    val p = plan("q21_waiting_supplier_agg")
+    assert(!p.contains("Expand"), "min/max predicates regressed to countDistinct")
+    // li⋈o broadcast at this scale; the order rollup + s_name rollup are
+    // the only hash shuffles (the structural form runs 5)
+    assert(hashExchanges(p) <= 3, s"${hashExchanges(p)} shuffles in q21_agg")
+  }
+
   test("single-pass audits stay one exchange: mix_ess, seq_length_buckets") {
     Seq("mix_ess", "seq_length_buckets").foreach { q =>
       val p = plan(q)
