@@ -68,4 +68,55 @@ class TablesSchemaSpec extends SparkSpec {
     val bad = df.filter(col("ts_ns") =!= unix_micros(col("ts")) * lit(1000L)).count()
     assert(bad === 0L, "ts and ts_ns must encode the same instant on every row")
   }
+
+  /** The rest of the r9 failure class: every driver table's columns the
+    * query surface depends on, with the type families the operators
+    * assume. A regeneration that renames a column, widens an int to a
+    * string, or swaps the embedding element type fails HERE by table name
+    * instead of zeroing a slice of the oracle board. Integral/fractional
+    * FAMILIES (not exact widths) are asserted so a benign int32→int64
+    * regeneration stays green.
+    */
+  test("every driver table keeps its query-surface column contract") {
+    def family(t: DataType): String = t match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case FloatType | DoubleType | _: DecimalType => "fractional"
+      case StringType => "string"
+      case DateType | TimestampType | TimestampNTZType => "datetime"
+      case ArrayType(e, _) => s"array<${family(e)}>"
+      case other => other.typeName
+    }
+    val contract: Map[String, Map[String, String]] = Map(
+      "documents" -> Map("doc_id" -> "integral", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "integral"),
+      "embeddings" -> Map("vec_id" -> "integral",
+        "embedding" -> "array<fractional>", "label" -> "integral"),
+      "events" -> Map("event_id" -> "integral", "user_id" -> "integral",
+        "event_type" -> "string", "value" -> "fractional", "props" -> "string"),
+      "lineitem" -> Map("l_orderkey" -> "integral", "l_suppkey" -> "integral",
+        "l_partkey" -> "integral", "l_quantity" -> "fractional",
+        "l_extendedprice" -> "fractional", "l_discount" -> "fractional",
+        "l_returnflag" -> "string", "l_shipdate" -> "datetime"),
+      "orders" -> Map("o_orderkey" -> "integral", "o_custkey" -> "integral",
+        "o_orderdate" -> "datetime", "o_orderstatus" -> "string"),
+      "customer" -> Map("c_custkey" -> "integral", "c_nationkey" -> "integral"),
+      "supplier" -> Map("s_suppkey" -> "integral", "s_nationkey" -> "integral",
+        "s_name" -> "string"),
+      "part" -> Map("p_partkey" -> "integral", "p_type" -> "string"),
+      "nation" -> Map("n_nationkey" -> "integral", "n_regionkey" -> "integral",
+        "n_name" -> "string"),
+      "region" -> Map("r_regionkey" -> "integral", "r_name" -> "string"))
+    val problems = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = Tables.load(spark, sf(), table).schema
+      cols.toSeq.sortBy(_._1).flatMap { case (name, fam) =>
+        schema.find(_.name == name) match {
+          case None => Some(s"$table.$name: MISSING")
+          case Some(f) if family(f.dataType) != fam =>
+            Some(s"$table.$name: ${family(f.dataType)} (want $fam)")
+          case _ => None
+        }
+      }
+    }
+    assert(problems.isEmpty, s"driver-table contract drift:\n${problems.mkString("\n")}")
+  }
 }
