@@ -106,5 +106,8 @@ object SparkEntry {
     // round-10 batch 4: Q21 decorrelated to one Expand-free grouped pass
     // (min/max predicates replace countDistinct) — same oracle text as the
     // structural semi+anti form, measured ~35% faster at sf0.1
-    "q21_waiting_supplier_agg")
+    "q21_waiting_supplier_agg",
+    // round-10 batch 4: cross-corpus embedding dedup (bucket equi-join +
+    // floored-cosine verify, the vector twin of dedup_cross_kept)
+    "dedup_cross_emb_kept")
 }

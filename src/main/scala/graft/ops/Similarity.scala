@@ -435,6 +435,42 @@ object Similarity {
       maxCluster = targetClusterSize.toLong * maxClusterFactor)
   }
 
+  /** Cross-corpus EMBEDDING near-dup gate — the vector twin of
+    * [[Dedup.crossCorpusPairs]]: a new crawl's embeddings checked against
+    * the retained training corpus WITHOUT |probe|×|ref| work. Both sides
+    * bucket under the same deterministic RP-LSH hyperplanes; candidates
+    * come from the bucket equi-join (ref-side hot buckets thinned at
+    * `maxBucket` by the md5 stride, the [[thinHotBuckets]] contract);
+    * verification is the floored cosine against `minCos`. The ref corpus
+    * is never modified.
+    */
+  def crossCorpusEmbeddingPairs(probe: DataFrame, ref: DataFrame,
+      idCol: String, vecCol: String, dim: Int, planes: Int = 8,
+      minCos: Double = 0.6, maxBucket: Int = 1000): DataFrame = {
+    val p = bucketedBase(probe, idCol, vecCol, dim, planes)
+      .select(col(idCol).as("probe_id"), col("v").as("qv"),
+        col("n").as("qn"), col("bucket"))
+    val r = neighborSide(
+      thinHotBuckets(bucketedBase(ref, idCol, vecCol, dim, planes), idCol, maxBucket),
+      idCol)
+    p.join(r, col("bucket") === col("bucket2"))
+      .select(col("probe_id"), col("neighbor_id").as("ref_id"),
+        floor6(candCos).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** The removal: probe rows kept after dropping everything with a
+    * verified ref near-duplicate. Anti-join strategy left to AQE (the
+    * drop set is O(probe) at crawl-refresh overlap rates).
+    */
+  def dropCrossCorpusEmbeddingDups(probe: DataFrame, ref: DataFrame,
+      idCol: String, vecCol: String, dim: Int, planes: Int = 8,
+      minCos: Double = 0.6, maxBucket: Int = 1000): DataFrame = {
+    val dropped = crossCorpusEmbeddingPairs(probe, ref, idCol, vecCol, dim,
+      planes, minCos, maxBucket).select(col("probe_id").as(idCol)).distinct()
+    probe.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Per-group EXACT embedding diversity — the mean pairwise squared L2
     * distance of a class's vectors, WITHOUT enumerating a single pair:
     *

@@ -114,6 +114,27 @@ object SimilarityQueries extends QueryModule {
       Similarity.embeddingDiversity(emb(s, d), "label", "embedding",
         scale = 1000)),
 
+    // cross-corpus EMBEDDING dedup: odd vec_ids are the "new crawl",
+    // even the retained corpus; bucket equi-join candidates, floored
+    // cosine verify. 0.3 is the related-band on this near-uniform
+    // synthetic corpus (13 of 250 probes drop — both outcomes live); a
+    // real embedding space runs 0.9+
+    "dedup_cross_emb_pairs" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.crossCorpusEmbeddingPairs(
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", Dim, Planes, minCos = 0.3)
+    }),
+    "dedup_cross_emb_kept" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.dropCrossCorpusEmbeddingDups(
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", Dim, Planes, minCos = 0.3)
+        .select("vec_id")
+    }),
+
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
     // kept ids (composes the oracle-exact k-means with pairwise cosine).
     // The AUTO form derives k = max(8, ceil(n/10^4)) — 8 for every corpus
@@ -351,6 +372,43 @@ object SimilarityQueries extends QueryModule {
     // same micro quantization, same integer moments; BIGINT sums promote to
     // HUGEINT where Spark uses DECIMAL(38,0) — exact on both engines, and
     // the score ships as the exact long D div n (D itself crosses 2^53)
+    // same hyperplane literals, same floored cosine; rok mirrors the
+    // ref-side maxBucket=1000 thinning gate (never fires at this scale)
+    "dedup_cross_emb_pairs" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |pb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |rb AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |rok AS (SELECT bucket FROM rb GROUP BY bucket HAVING count(*) <= 1000),
+         |pr AS (SELECT p.vec_id AS probe_id, r.vec_id AS ref_id,
+         |        floor((CASE WHEN p.nrm * r.nrm > 0
+         |               THEN list_dot_product(p.v, r.v) / (p.nrm * r.nrm)
+         |               ELSE 0 END) * 1000000) / 1000000.0 AS cos
+         |       FROM pb p JOIN rb r ON p.bucket = r.bucket
+         |       JOIN rok ON rok.bucket = p.bucket)
+         |SELECT probe_id, ref_id, cos FROM pr WHERE cos >= 0.3""".stripMargin,
+
+    "dedup_cross_emb_kept" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |pb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |rb AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |rok AS (SELECT bucket FROM rb GROUP BY bucket HAVING count(*) <= 1000),
+         |dropped AS (SELECT DISTINCT p.vec_id
+         |            FROM pb p JOIN rb r ON p.bucket = r.bucket
+         |            JOIN rok ON rok.bucket = p.bucket
+         |            WHERE floor((CASE WHEN p.nrm * r.nrm > 0
+         |                   THEN list_dot_product(p.v, r.v) / (p.nrm * r.nrm)
+         |                   ELSE 0 END) * 1000000) / 1000000.0 >= 0.3)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
     // identical moment identity over the identical quantized integers;
     // HUGEINT products ↔ the Spark side's DECIMAL(38,0), // ↔ div
     "emb_diversity" ->

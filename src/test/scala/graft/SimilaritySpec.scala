@@ -347,6 +347,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4L) === ((36000000L, true)))   // 144e6 div 4
   }
 
+  test("cross-corpus embedding gate: planted near-dup dropped, ref untouched") {
+    // probe 11 is a near-copy of ref 2 (cosine ≈ 1 → same bucket, verified);
+    // probe 13 is orthogonal to everything in ref
+    val ref = Seq((2L, Array(1f, 0f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val probe = Seq((11L, Array(0.99f, 0.01f, 0f, 0f)), (13L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.crossCorpusEmbeddingPairs(probe, ref, "vec_id",
+      "embedding", dim = 4, planes = 4, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((11L, 2L)))
+    val kept = Similarity.dropCrossCorpusEmbeddingDups(probe, ref, "vec_id",
+      "embedding", dim = 4, planes = 4, minCos = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(13L))
+    // asymmetry: swapping roles drops ref 2, never mutates the ref frame
+    val keptSwapped = Similarity.dropCrossCorpusEmbeddingDups(ref, probe, "vec_id",
+      "embedding", dim = 4, planes = 4, minCos = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptSwapped === Set(4L))
+  }
+
   test("embeddingDiversity: moment identity equals the pairwise truth") {
     // label 0: (1,0) vs (0,1) → one pair at d² = 1000² + 1000² = 2e6
     // label 1: three identical points → 3 pairs, mean 0
