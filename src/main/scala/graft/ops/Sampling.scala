@@ -375,6 +375,46 @@ object Sampling {
       .select(col(idCol), col(classCol), col("rate_micro"))
   }
 
+  /** Stratified train/eval split with EXACT per-stratum quotas — the
+    * eval-set construction that cannot starve a thin band: docs are
+    * bucketed into caller-fixed strata (the drift grid's fixed-bin trick,
+    * [[Stats.gridBin]] on any numeric signal — quality score, length,
+    * classifier score), and WITHIN each stratum exactly
+    * ⌊n_s·trainPct/100⌋ docs (first in salted-hash order) go to train,
+    * the rest to eval. A plain hash split only hits the rate in
+    * expectation — a 50-doc tail stratum can easily land 0 eval docs; the
+    * quota form guarantees coverage, deterministically and
+    * layout-independently (the order is (hash, id), never partition
+    * order).
+    *
+    * Scale shape: per-stratum positions come from the range-partitioned
+    * two-level prefix sum ([[Ordered.rankedPrefixSum]] over
+    * (stratum, hash, id)) — NO per-stratum single-reducer window, which
+    * is what a naive row_number() OVER (PARTITION BY stratum) would pin
+    * at corpus scale; stratum offsets/quotas ride back as a
+    * |strata|-row broadcast.
+    *
+    * Output: (idCol, stratum, split ∈ {train, eval}).
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, signalCol: String,
+      loCents: Long, widthCents: Long, buckets: Int, trainPct: Int,
+      salt: String = "strat1"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100), got $trainPct")
+    val base = df.filter(col(signalCol).isNotNull)
+      .select(col(idCol),
+        Stats.gridBin(signalCol, loCents, widthCents, buckets).as("stratum"))
+      .withColumn("__h", h32(concat(col(idCol).cast("string"), lit("_" + salt))))
+    val ranked = Ordered.rankedPrefixSum(base,
+      Seq(col("stratum").asc, col("__h").asc, col(idCol).asc), lit(1L))
+    val stats = ranked.groupBy("stratum")
+      .agg(count(lit(1)).as("__n_s"), min(col("rank")).as("__r0"))
+    ranked.join(broadcast(stats), Seq("stratum"))
+      .withColumn("split",
+        when(col("rank") - col("__r0") < expr(s"(__n_s * $trainPct) div 100"),
+          lit("train")).otherwise(lit("eval")))
+      .select(col(idCol), col("stratum"), col("split"))
+  }
+
   /** Effective sample size of each class under its example weights —
     * Kish's ESS = (Σw)²/Σw², the audit that tells a weighted-mixture
     * pipeline when a class's draw is dominated by a few giant documents

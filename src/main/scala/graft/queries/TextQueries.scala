@@ -288,6 +288,30 @@ object TextQueries extends QueryModule {
       graft.ops.Sampling.domainReweight(docs(s, d), "lang", "n_chars",
         rounds = 3, etaNum = 1, etaDen = 2)),
 
+    // stratified split with EXACT per-stratum quotas (128-char length
+    // bands): no band can be starved of eval docs, positions via the
+    // range-partitioned two-level rank — never a per-stratum reducer
+    "split_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedSplit(docs(s, d), "doc_id", "n_chars",
+        loCents = 0L, widthCents = 12800L, buckets = 8, trainPct = 90,
+        salt = "strat1")),
+
+    // contamination accountability: which SOURCE is leaking benchmark
+    // text — per-source doc counts, contaminated counts, exact micro rate
+    // (the report that decides which crawl feed gets fixed)
+    "decontam_by_source" -> ((s, d) => {
+      val all = docs(s, d)
+      Text.contaminationCheck(
+          all.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          all.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "text", "doc_id")
+        .join(all.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("contaminated_docs"))
+        .withColumn("rate_micro", expr("(1000000 * contaminated_docs) div n_docs"))
+    }),
+
     // ...and the loader-side boundary spans into those sequences
     "seq_pack_offsets" -> ((s, d) =>
       graft.ops.Packing.packOffsets(docs(s, d), "doc_id", "text", "n_chars",
@@ -899,6 +923,36 @@ object TextQueries extends QueryModule {
     // unrolled multiplicative-weights trajectory — every round's truncating
     // divisions replayed on HUGEINTs, so the full 3-round path is hash-exact
     "mix_domain_weights" -> reweightSql(rounds = 3, etaNum = 1, etaDen = 2),
+
+    // the contamination CTE verbatim, rolled up by source
+    "decontam_by_source" ->
+      s"""WITH cfp AS (${winnowFpsSql("doc_id % 50 <> 0")}),
+         |bfp AS (SELECT DISTINCT fp FROM (${winnowFpsSql("doc_id % 50 = 0")})),
+         |sh AS (SELECT doc_id, count(*) AS n_shared
+         |       FROM cfp JOIN bfp USING (fp) GROUP BY doc_id),
+         |per AS (SELECT d.doc_id, d.source,
+         |          coalesce(sh.n_shared, 0) >= 3 AS contaminated
+         |        FROM (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0) d
+         |        LEFT JOIN sh ON sh.doc_id = d.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  (count(*) FILTER (contaminated))::BIGINT AS contaminated_docs,
+         |  ((1000000 * count(*) FILTER (contaminated)) // count(*))::BIGINT AS rate_micro
+         |FROM per GROUP BY source""".stripMargin,
+
+    // the oracle's per-stratum row_number equals the engine's two-level
+    // rank minus the stratum offset — same (hash, id) order
+    "split_stratified" ->
+      """WITH b AS (SELECT doc_id,
+        |            least(greatest((n_chars * 100 - 0) // 12800, 0), 7) AS stratum,
+        |            ('0x' || substr(md5(doc_id::VARCHAR || '_strat1'), 1, 8))::BIGINT AS h
+        |          FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT doc_id, stratum,
+        |             row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rnk,
+        |             count(*) OVER (PARTITION BY stratum) AS n_s
+        |      FROM b)
+        |SELECT doc_id, stratum,
+        |  CASE WHEN rnk - 1 < (n_s * 90) // 100 THEN 'train' ELSE 'eval' END AS split
+        |FROM r""".stripMargin,
 
     // HUGEINT products ↔ DECIMAL(38,0); Kish ESS = (Σw)²/Σw² per class
     "mix_ess" ->

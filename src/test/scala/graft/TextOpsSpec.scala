@@ -787,6 +787,27 @@ class TextOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("stratifiedSplit: exact per-stratum quotas, thin strata keep eval docs") {
+    // signal bands of width 1.00 (100 cents): stratum 0 holds 10 docs,
+    // stratum 1 holds 3, stratum 2 holds 1; trainPct 50 → train quotas
+    // 5/1/0 exactly (floor), eval gets the rest — the 1-doc stratum is
+    // GUARANTEED an eval doc where a plain hash split gets one by luck
+    val d = ((1 to 10).map(i => (i.toLong, 0.5)) ++
+      Seq((21L, 1.5), (22L, 1.5), (23L, 1.5)) ++ Seq((31L, 2.5)))
+      .toDF("doc_id", "sig")
+    val out = ops.Sampling.stratifiedSplit(d, "doc_id", "sig",
+      loCents = 0L, widthCents = 100L, buckets = 8, trainPct = 50)
+    val counts = out.groupBy("stratum", "split").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts((0L, "train")) === 5L && counts((0L, "eval")) === 5L)
+    assert(counts((1L, "train")) === 1L && counts((1L, "eval")) === 2L)
+    assert(counts.get((2L, "train")).isEmpty && counts((2L, "eval")) === 1L)
+    // deterministic and layout-independent
+    val again = ops.Sampling.stratifiedSplit(d.repartition(7), "doc_id", "sig",
+      loCents = 0L, widthCents = 100L, buckets = 8, trainPct = 50)
+    assert(out.collect().toSet === again.collect().toSet)
+  }
+
   test("oovStats: top-V vocab with ascending-token tie-break, tokenless zero") {
     // counts: a=2, b=1, c=1 → V=2 vocab = {a, b} (tie b<c by token asc)
     val d = Seq((1L, "a a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
