@@ -114,6 +114,18 @@ object SimilarityQueries extends QueryModule {
       Similarity.embeddingDiversity(emb(s, d), "label", "embedding",
         scale = 1000)),
 
+    // the SemDeDup tuning view end-to-end: diversity per LEARNED cluster
+    // (exact k-means ∘ moment-identity diversity) — a collapsed cluster
+    // (low mean_pair_d2) is where semantic dedup will bite hardest
+    "emb_cluster_diversity" -> ((s, d) => {
+      val e = emb(s, d)
+      val assigned = graft.ops.KMeans.fitAssign(e, "embedding", "vec_id",
+        k = 8, rounds = 2, scale = 1000).select(col("vec_id"), col("cluster"))
+      Similarity.embeddingDiversity(
+        assigned.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id")),
+        "cluster", "embedding", scale = 1000)
+    }),
+
     // cross-corpus EMBEDDING dedup: odd vec_ids are the "new crawl",
     // even the retained corpus; bucket equi-join candidates, floored
     // cosine verify. 0.3 is the related-band on this near-uniform
@@ -408,6 +420,27 @@ object SimilarityQueries extends QueryModule {
          |                   ELSE 0 END) * 1000000) / 1000000.0 >= 0.3)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // the green k-means block feeding the green diversity chain, keyed by
+    // the learned cluster instead of the label
+    "emb_cluster_diversity" ->
+      s"""WITH a AS (SELECT vec_id, cluster FROM (${kmeansSql(k = 8, rounds = 2, scale = 1000)}) t),
+         |q AS (SELECT a.cluster, list_transform(e.embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+         |      FROM a JOIN embeddings e USING (vec_id) WHERE e.embedding IS NOT NULL),
+         |ds AS (SELECT cluster, u['d'] AS dim, sum(u['v'])::BIGINT AS s
+         |       FROM (SELECT cluster, unnest(list_transform(range(len(qv)),
+         |                      i -> {'d': i, 'v': qv[i+1]})) AS u
+         |             FROM q)
+         |       GROUP BY 1, 2),
+         |ssq AS (SELECT cluster, sum(s::HUGEINT * s::HUGEINT) AS ssq FROM ds GROUP BY cluster),
+         |rm AS (SELECT cluster, count(*)::BIGINT AS n,
+         |              sum(list_sum(list_transform(qv, v -> v * v)))::HUGEINT AS sn2
+         |       FROM q GROUP BY cluster)
+         |SELECT rm.cluster, rm.n, (rm.n * (rm.n - 1) // 2)::BIGINT AS pairs,
+         |  CASE WHEN rm.n > 1
+         |       THEN ((rm.n::HUGEINT * rm.sn2 - ssq.ssq) // (rm.n * (rm.n - 1) // 2))::BIGINT
+         |  END AS mean_pair_d2
+         |FROM rm JOIN ssq USING (cluster)""".stripMargin,
 
     // identical moment identity over the identical quantized integers;
     // HUGEINT products ↔ the Spark side's DECIMAL(38,0), // ↔ div

@@ -453,4 +453,60 @@ object GraftProperties extends Properties("graft") {
         run(df.filter(col("cls") === "a")) == aOnly
     }
   }
+
+  /** The chi-square drift statistic is symmetric: swapping the snapshots
+    * swaps the count columns but leaves every per-bin term identical
+    * ((c_a·N_B − c_b·N_A)² is sign-invariant), and identical snapshots
+    * score zero.
+    */
+  property("drift.symmetric-and-zero-on-identical") = {
+    val vals = Gen.listOfN(12, Gen.choose(0.0, 160.0))
+    Prop.forAll(vals, vals) { (as, bs) =>
+      def terms(x: Seq[Double], y: Seq[Double]): Map[Long, (Long, Long, Long)] =
+        graft.ops.Stats.chiSquareDrift(x.toDF("v"), y.toDF("v"), "v", 0L, 500L, 32)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val ab = terms(as, bs)
+      val ba = terms(bs, as)
+      val swapped = ba.map { case (b, (ca, cb, t)) => b -> ((cb, ca, t)) }
+      val self = terms(as, as)
+      ab == swapped && self.values.forall(_._3 == 0L)
+    }
+  }
+
+  /** The truncated EWMA is a weighted mean of its frame: it always lands
+    * within the frame's [min, max] band of cent-quantized values.
+    */
+  property("ewma.bounded-by-frame-extremes") = {
+    val series = Gen.listOfN(10, Gen.choose(-50.0, 50.0))
+    Prop.forAll(series) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+        .toDF("k", "bucket", "v")
+      val out = graft.ops.TimeSeries.ewma(df, "k", "bucket", "v", 4, 1, 2)
+        .orderBy("bucket").select("ewma_cents").as[Long].collect()
+      val cents = vs.map(v => math.floor(v * 100).toLong)
+      out.zipWithIndex.forall { case (e, i) =>
+        val frame = cents.slice(math.max(0, i - 3), i + 1)
+        // truncating division can land one cent below the exact mean band
+        e >= frame.min - 1 && e <= frame.max
+      }
+    }
+  }
+
+  /** lengthBuckets conserves the corpus: Σ n_docs and Σ total_tokens over
+    * the rungs equal the input, and per rung kept + cut == total.
+    */
+  property("lengthbuckets.conserves-corpus") = {
+    val lens = Gen.listOfN(20, Gen.choose(1L, 40L))
+    Prop.forAll(lens) { ls =>
+      val out = graft.ops.Packing.lengthBuckets(ls.toDF("n"), "n", Seq(8L, 16L, 32L))
+        .collect()
+      val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+      val total = out.map(_.getAs[Long]("total_tokens")).sum
+      val keptPlusCut = out.map(r =>
+        r.getAs[Long]("n_docs") * r.getAs[Long]("bucket_len") -
+          r.getAs[Long]("padding_tokens") + r.getAs[Long]("cut_tokens")).sum
+      nDocs == ls.length && total == ls.sum && keptPlusCut == ls.sum
+    }
+  }
 }
