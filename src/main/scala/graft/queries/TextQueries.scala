@@ -296,6 +296,13 @@ object TextQueries extends QueryModule {
         loCents = 0L, widthCents = 12800L, buckets = 8, trainPct = 90,
         salt = "strat1")),
 
+    // training-data hand-off: 16 deterministic shards with an ORDER-
+    // INDEPENDENT per-shard integrity manifest (count, chars, content-hash
+    // sum) — the loader-side transport check
+    "export_shard_manifest" -> ((s, d) =>
+      graft.ops.Export.shardManifest(docs(s, d), "doc_id", "text",
+        shards = 16)),
+
     // contamination accountability: which SOURCE is leaking benchmark
     // text — per-source doc counts, contaminated counts, exact micro rate
     // (the report that decides which crawl feed gets fixed)
@@ -923,6 +930,17 @@ object TextQueries extends QueryModule {
     // unrolled multiplicative-weights trajectory — every round's truncating
     // divisions replayed on HUGEINTs, so the full 3-round path is hash-exact
     "mix_domain_weights" -> reweightSql(rounds = 3, etaNum = 1, etaDen = 2),
+
+    // BIGINT sum on both engines (NOT HUGEINT — the checksum's wraparound
+    // contract); h32 is non-negative so % == pmod here
+    "export_shard_manifest" ->
+      """WITH a AS (SELECT doc_id, text,
+        |           ('0x' || substr(md5(doc_id::VARCHAR || '_shard1'), 1, 8))::BIGINT % 16 AS shard
+        |         FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  sum(coalesce(length(text), 0))::BIGINT AS total_chars,
+        |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || coalesce(text, '')), 1, 8))::BIGINT)::BIGINT AS content_sum
+        |FROM a GROUP BY shard""".stripMargin,
 
     // the contamination CTE verbatim, rolled up by source
     "decontam_by_source" ->

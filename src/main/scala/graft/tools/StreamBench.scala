@@ -134,6 +134,16 @@ object StreamBench {
         graft.streaming.TimeSeriesStream.rollingAnomalies(ev, width = 8, k = 3,
             watermark = "5 seconds")
           .writeStream.format("noop").outputMode("append").start()
+      case "drift" =>
+        // live drift-monitor throughput: per-row fixed-grid binning
+        // (stateless, shared with the batch chi-square test) + the
+        // built-in streaming count — state is ≤ 64 longs TOTAL, so this
+        // measures the pure binning+agg path
+        val vals = src.select(
+          ((col("value") % 16000).cast("double") / 100.0).as("v"))
+        graft.streaming.DriftStream.binCounts(vals, "v",
+            loCents = 0L, widthCents = 500L, buckets = 64)
+          .writeStream.format("noop").outputMode("update").start()
       case _ =>
         val lines = src.select(concat(
           lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),

@@ -787,6 +787,27 @@ class TextOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("shardManifest: order-independent checksum catches every mutation class") {
+    val d = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      ops.Export.shardManifest(df, "doc_id", "text", shards = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toSet
+    val base = m(d)
+    assert(base.toSeq.map(_._2._1).sum === 4L) // every doc lands in some shard
+    assert(m(d.repartition(5)) === base) // partition interleaving is invisible
+    assert(m(d.orderBy(col("doc_id").desc)) === base) // row order is invisible
+    assert(m(d.filter(col("doc_id") =!= 2L)) !== base) // a dropped row shifts it
+    assert(m(d.withColumn("text",
+      when(col("doc_id") === 1L, "aX").otherwise(col("text")))) !== base) // a mutated row too
+    // shard assignment itself is a pure function of (id, salt)
+    val s1 = ops.Export.assignShards(d, "doc_id", 4).select("doc_id", "shard")
+      .collect().toSet
+    assert(ops.Export.assignShards(d.repartition(3), "doc_id", 4)
+      .select("doc_id", "shard").collect().toSet === s1)
+  }
+
   test("stratifiedSplit: exact per-stratum quotas, thin strata keep eval docs") {
     // signal bands of width 1.00 (100 cents): stratum 0 holds 10 docs,
     // stratum 1 holds 3, stratum 2 holds 1; trainPct 50 → train quotas
