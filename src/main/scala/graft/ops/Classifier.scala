@@ -180,4 +180,16 @@ object Classifier {
     df.select(col(idCol),
       Text.floor6(sigmoidFast(zMicro.cast("double") / lit(1000000.0))).as("score"))
   }
+
+  /** Persist trained weights — the (bucket, w_micro) frame IS the model
+    * (≤ buckets+1 rows, bias at bucket −1), so the lifecycle surface is
+    * the [[Ivf]]/[[Pca]] pattern: train once, parquet the model, serve
+    * forever from [[scoreWithModel]]. ClassifierSpec pins
+    * load∘save ≡ identity through a scoring replay.
+    */
+  def save(weights: DataFrame, path: String): Unit =
+    weights.write.mode("overwrite").parquet(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, count, floor, least, lit, pmod}
 import graft.Tables
 import graft.ops.Dedup
 
@@ -28,6 +28,15 @@ object DedupQueries extends QueryModule {
       Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"),
           graft.ops.Text.floor6(col("jaccard")).as("jaccard"))),
+    // the threshold-tuning view: candidate-pair Jaccard distribution in
+    // 0.1 bands — where to set the drop threshold is read off this
+    // histogram; the population is the BANDED candidate set (the set a
+    // production run can actually afford), not all pairs
+    "dedup_jaccard_hist" -> ((s, d) =>
+      Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.05)
+        .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"))),
+
     // transitive clustering of the verified-pair graph (distributed
     // min-label propagation); 0.5 threshold so the graph has chains to close
     "dedup_cc_clusters" -> ((s, d) =>
@@ -404,6 +413,13 @@ object DedupQueries extends QueryModule {
          |SELECT doc_id FROM documents
          |WHERE doc_id % 50 <> 0
          |  AND doc_id NOT IN (SELECT probe_id FROM xdropped)""".stripMargin,
+
+    // single-division doubles: both engines compute the identical IEEE
+    // quotient of the same small ints, so the band floor cannot straddle
+    "dedup_jaccard_hist" ->
+      s"""$jcCte
+         |SELECT least(floor(j * 10)::BIGINT, 9) AS band, count(*)::BIGINT AS n_pairs
+         |FROM jc WHERE j >= 0.05 GROUP BY band""".stripMargin,
 
     "dedup_cc_clusters" ->
       s"""$reachCte

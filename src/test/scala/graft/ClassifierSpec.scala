@@ -123,6 +123,19 @@ class ClassifierSpec extends SparkSpec {
       scored.filter(_._3 == 0.0).map(_._2).max)
   }
 
+  test("model lifecycle: save → load → serve equals the in-session model") {
+    val d = Tables.documents(spark, sf())
+    val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
+    val dir = java.nio.file.Files.createTempDirectory("clf-model").toString
+    Classifier.save(w, s"$dir/weights.parquet")
+    val loaded = Classifier.load(spark, s"$dir/weights.parquet")
+    val direct = Classifier.scoreWithModel(d, "text", "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val replayed = Classifier.scoreWithModel(d, "text", "doc_id", loaded)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replayed === direct)
+  }
+
   test("training plan: weights broadcast; corpus is never re-shuffled per round") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
