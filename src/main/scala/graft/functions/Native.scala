@@ -17,9 +17,13 @@ object Native {
   def winnow(norm: Column, k: Int = 8, w: Int = 4): Column =
     org.apache.spark.sql.graft.WinnowFps.winnow(norm, k, w)
 
-  /** Register the SQL surface (`graft_dot`, `graft_winnow_fps`). */
+  /** Register the SQL surface (`graft_dot`, `graft_winnow_fps`, and the
+    * curation pack `graft_h32`/`graft_tokens`/`graft_token_count`/
+    * `graft_lang_pred`/`graft_cleanse`).
+    */
   def register(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     org.apache.spark.sql.graft.WinnowFps.register(spark)
+    org.apache.spark.sql.graft.CurationFns.register(spark)
   }
 }

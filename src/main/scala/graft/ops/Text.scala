@@ -299,18 +299,33 @@ object Text {
     * (ties broken by fixed language order en>es>de>fr, then "und" if no
     * marker hits at all). Pure per-row expression — scales embarrassingly.
     */
+  /** The tie-break fold, defined ONCE for every lang-id surface: with
+    * strict `>`, the FIRST language reaching the max score wins, so ties
+    * break en>es>de>fr as documented. `score` supplies each language's
+    * score column (a pre-projected column in [[langId]]; the inline
+    * [[langScore]] in the SQL function pack — codegen CSE dedups the
+    * repeats there).
+    */
+  private def bestLang(score: String => Column): (Column, Column) =
+    Seq("en", "es", "de", "fr").foldLeft((lit("und"), lit(0)): (Column, Column)) {
+      case ((bl, bs), l) =>
+        val s = score(l)
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+
+  /** Per-row language prediction as a pure Column over the raw text —
+    * the [[langId]] semantics servable from SQL (`graft_lang_pred`).
+    */
+  def langPredOf(text: Column): Column = {
+    val toks = tokens(text)
+    bestLang(l => langScore(toks, l))._1
+  }
+
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val scored = df.select(col(idCol), toks.as("toks"))
       .select(col(idCol) +: langMarkers.keys.toSeq.sorted.map(l => langScore(col("toks"), l).as(s"s_$l")): _*)
-    // Fold in priority order: with strict `>`, the FIRST language reaching
-    // the max score wins, so ties break en>es>de>fr as documented.
-    val langs = Seq("en", "es", "de", "fr")
-    val best = langs.foldLeft((lit("und"), lit(0)): (Column, Column)) {
-      case ((bl, bs), l) =>
-        val s = col(s"s_$l")
-        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
+    val best = bestLang(l => col(s"s_$l"))
     scored.select(col(idCol), best._1.as("lang_pred"), best._2.cast("long").as("lang_score"))
   }
 
@@ -348,11 +363,16 @@ object Text {
     * per-row narrow); patterns are ASCII-safe in both Java and RE2 regex
     * dialects so the DuckDB oracle reproduces the output byte-for-byte.
     */
-  def cleanse(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val noHtml = regexp_replace(col(textCol), "<[^>]*>", " ")
+  /** The cleansing chain as a pure Column (SQL surface: `graft_cleanse`). */
+  def cleanseOf(text: Column): Column = {
+    val noHtml = regexp_replace(text, "<[^>]*>", " ")
     val noUrl = regexp_replace(noHtml, "https?://[^\\s]+", "<URL>")
     val noMail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val squashed = trim(regexp_replace(noMail, "\\s+", " "))
+    trim(regexp_replace(noMail, "\\s+", " "))
+  }
+
+  def cleanse(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val squashed = cleanseOf(col(textCol))
     df.select(col(idCol), squashed.as("clean_text"),
       (length(squashed) > 0).as("non_empty"))
   }

@@ -124,5 +124,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(WinnowFps.functionDescriptor)
     ext.injectFunction(BloomOps.aggDescriptor)
     ext.injectFunction(BloomOps.functionDescriptor)
+    CurationFns.all.foreach(ext.injectFunction)
   }
 }

@@ -118,4 +118,36 @@ class NativeFunctionsSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(short === Seq.empty)
   }
+
+  test("curation SQL pack: every gate equals its DataFrame operator") {
+    Native.register(spark)
+    val d = Tables.documents(spark, sf())
+    d.createOrReplaceTempView("nf_docs")
+    // lang: SQL prediction ≡ ops.Text.langId on every doc (same fold, ties)
+    val sqlLang = spark.sql(
+      "SELECT doc_id, graft_lang_pred(text) AS lp FROM nf_docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val opLang = graft.ops.Text.langId(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sqlLang === opLang)
+    // tokens / count / cleanse / h32 on a hostile fixture
+    val row = spark.sql(
+      """SELECT graft_tokens('To be, or NOT to be') AS t,
+        |       graft_token_count('<b>Hi</b> see https://x.io or a@b.co now') AS n,
+        |       graft_cleanse('<b>Hi</b> see https://x.io or a@b.co  now') AS c,
+        |       graft_h32('alpha') AS h""".stripMargin).head()
+    assert(row.getSeq[String](0) === Seq("to", "be", "or", "not", "to", "be"))
+    assert(row.getAs[String]("c") === "Hi see <URL> or <EMAIL> now")
+    // tokens of the RAW string: b,hi,b,see,https,x,io,or,a,b,co,now
+    assert(row.getLong(1) === 12L)
+    // the portable hash: same value the engine derives everywhere
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("alpha".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    assert(row.getAs[Long]("h") === expected)
+    // arity is analyzer-checked, not an IndexOutOfBounds
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_lang_pred('a', 'b')").collect()
+    }
+  }
 }
