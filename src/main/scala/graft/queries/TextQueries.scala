@@ -303,6 +303,20 @@ object TextQueries extends QueryModule {
       graft.ops.Export.shardManifest(docs(s, d), "doc_id", "text",
         shards = 16)),
 
+    // the curation gates through the KSQL-style TEXTUAL surface: one CSAS
+    // statement filters by graft_lang_pred and projects graft_cleanse /
+    // graft_token_count — proving the SQL pack makes the identical calls
+    // the DataFrame operators make (same Column chains under the hood)
+    "p14_curation_csas" -> ((s, d) => {
+      graft.functions.Native.register(s)
+      val reg = new graft.api.StreamRegistry(s)
+      reg.createStream("docs_cur", docs(s, d), keyCol = Some("doc_id"))
+      reg.sql("CREATE STREAM curated AS SELECT ROWKEY AS doc_id, " +
+          "graft_cleanse(text) AS clean_text, graft_token_count(text) AS n_tok " +
+          "FROM docs_cur WHERE graft_lang_pred(text) = 'en';")
+        .select("doc_id", "clean_text", "n_tok")
+    }),
+
     // contamination accountability: which SOURCE is leaking benchmark
     // text — per-source doc counts, contaminated counts, exact micro rate
     // (the report that decides which crawl feed gets fixed)
@@ -930,6 +944,24 @@ object TextQueries extends QueryModule {
     // unrolled multiplicative-weights trajectory — every round's truncating
     // divisions replayed on HUGEINTs, so the full 3-round path is hash-exact
     "mix_domain_weights" -> reweightSql(rounds = 3, etaNum = 1, etaDen = 2),
+
+    // the lang CTE, the cleanse chain, and the raw token count — exactly
+    // the three oracle blocks the individual operators already pass with
+    "p14_curation_csas" ->
+      s"""WITH lp AS (SELECT doc_id, lang_pred FROM ($langSql) l),
+         |c AS (SELECT doc_id,
+         |    trim(regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(text, '<[^>]*>', ' ', 'g'),
+         |          'https?://[^\\s]+', '<URL>', 'g'),
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean_text,
+         |    len($toks)::BIGINT AS n_tok
+         |  FROM documents)
+         |SELECT c.doc_id, c.clean_text, c.n_tok
+         |FROM c JOIN lp USING (doc_id)
+         |WHERE lp.lang_pred = 'en'""".stripMargin,
 
     // BIGINT sum on both engines (NOT HUGEINT — the checksum's wraparound
     // contract); h32 is non-negative so % == pmod here
