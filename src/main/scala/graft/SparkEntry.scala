@@ -109,5 +109,9 @@ object SparkEntry {
     "q21_waiting_supplier_agg",
     // round-10 batch 4: cross-corpus embedding dedup (bucket equi-join +
     // floored-cosine verify, the vector twin of dedup_cross_kept)
-    "dedup_cross_emb_kept")
+    "dedup_cross_emb_kept",
+    // round-10 batch 5: quota-exact stratified split (two-level rank),
+    // export shard manifest (one map-combined pass), and the curation
+    // gates through the textual CSAS surface
+    "split_stratified", "export_shard_manifest", "p14_curation_csas")
 }
