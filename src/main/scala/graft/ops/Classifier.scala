@@ -181,6 +181,47 @@ object Classifier {
       Text.floor6(sigmoidFast(zMicro.cast("double") / lit(1000000.0))).as("score"))
   }
 
+  /** Exact ROC AUC of a scored frame — the Mann-Whitney form with the
+    * standard ½-credit for ties, in ENGINE-EXACT integer arithmetic:
+    *
+    *   AUC = [ Σ_{(+,−) pairs} 1(s⁺ > s⁻) + ½·1(s⁺ = s⁻) ] / (n⁺·n⁻)
+    *       = Σ_g cp_g · (2·below_g + cn_g)  /  (2·n⁺·n⁻)
+    *
+    * over micro-quantized score GROUPS g (cp/cn = positive/negative counts
+    * at the score, below = negatives strictly below). Scores land on the
+    * [0,1] micro grid, so there are AT MOST 10⁶+1 groups no matter the
+    * corpus size — the cumulative window runs over the bounded histogram,
+    * never the data (the [[graft.ops.Stats.histogramPercentiles]]
+    * bounded-window contract). One map-side-combined groupBy(score) is the
+    * only data-sized stage. Products ride DECIMAL(38,0); the reported
+    * `auc_micro` = 10⁶·num div (2·n⁺·n⁻) is exact for any row count.
+    *
+    * The training-eval loop this serves: score the corpus against the
+    * weak label ([[score]] emits both), read one exact, reproducible
+    * ranking-quality number per model candidate.
+    */
+  def aucExact(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val q = scored.filter(col(scoreCol).isNotNull)
+      .select(floor(col(scoreCol) * lit(1000000)).cast("long").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+    val g = q.groupBy("__s").agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("__y") === 1, 0L).otherwise(1L)).as("__cn"))
+    // single-partition window over the ≤ 10⁶+1-row score histogram
+    val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__below", coalesce(sum(col("__cn")).over(w), lit(0L)))
+      .agg(
+        sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        sum(col("__cp").cast(dec) *
+          (lit(2L) * col("__below") + col("__cn")).cast(dec)).cast(dec).as("__num"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("cast((1000000 * __num) div (2 * n_pos * n_neg) as bigint)"))
+          .as("auc_micro"))
+  }
+
   /** Persist trained weights — the (bucket, w_micro) frame IS the model
     * (≤ buckets+1 rows, bias at bucket −1), so the lifecycle surface is
     * the [[Ivf]]/[[Pca]] pattern: train once, parquet the model, serve

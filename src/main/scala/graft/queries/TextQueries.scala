@@ -181,6 +181,18 @@ object TextQueries extends QueryModule {
       graft.ops.Classifier.score(dd, "text", "doc_id",
         col("lang") === "en", w, buckets = 32)
     }),
+    // one exact ranking-quality number for the trained model: Mann-Whitney
+    // AUC (½-credit ties) over micro-score groups — the cumulative window
+    // runs over the ≤10⁶-row score histogram, never the corpus
+    "clf_auc" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = graft.ops.Classifier.train(dd, "text", "doc_id",
+        col("lang") === "en", buckets = 32, rounds = 2, lr = 0.5)
+      graft.ops.Classifier.aucExact(
+        graft.ops.Classifier.score(dd, "text", "doc_id",
+          col("lang") === "en", w, buckets = 32),
+        "score", "y")
+    }),
 
     // hybrid retrieval: per-query BM25 lexical top-10 ⊕ cosine ANN top-10,
     // fused by reciprocal rank. Queries = every 100th doc; its lexical
@@ -849,6 +861,34 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, y,
          |  floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000) / 1000000.0 AS score
          |FROM z3_c""".stripMargin,
+
+    // the green scoring chain grouped by micro score; HUGEINT products,
+    // // ↔ div — the identical per-group Mann-Whitney sum
+    "clf_auc" ->
+      s"""$clfTrainCte,
+         |z3_c AS (SELECT l.doc_id, l.y,
+         |    (coalesce(s.zs, 0) + wb.wm)::DOUBLE / 1000000.0 AS z
+         |  FROM lab_c l
+         |  LEFT JOIN (SELECT f.doc_id, sum(floor(w.wm::DOUBLE * f.x))::BIGINT AS zs
+         |             FROM f_c f JOIN w2_c w ON w.bucket = f.bucket AND w.bucket >= 0
+         |             GROUP BY f.doc_id) s USING (doc_id)
+         |  CROSS JOIN (SELECT wm FROM w2_c WHERE bucket = -1) wb),
+         |sc AS (SELECT y, floor(
+         |    (floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000) / 1000000.0)
+         |    * 1000000)::BIGINT AS s
+         |  FROM z3_c),
+         |g AS (SELECT s,
+         |        (count(*) FILTER (y = 1))::BIGINT AS cp,
+         |        (count(*) FILTER (y <> 1))::BIGINT AS cn
+         |      FROM sc GROUP BY s),
+         |c AS (SELECT s, cp, cn,
+         |        coalesce(sum(cn) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+         |      FROM g)
+         |SELECT sum(cp)::BIGINT AS n_pos, sum(cn)::BIGINT AS n_neg,
+         |  ((1000000::HUGEINT * sum(cp::HUGEINT * (2 * below + cn)))
+         |    // (2::HUGEINT * sum(cp) * sum(cn)))::BIGINT AS auc_micro
+         |FROM c""".stripMargin,
 
     "search_hybrid_rrf" ->
       s"""WITH tok_h AS (SELECT doc_id, unnest($toks) AS t FROM documents),

@@ -123,6 +123,26 @@ class ClassifierSpec extends SparkSpec {
       scored.filter(_._3 == 0.0).map(_._2).max)
   }
 
+  test("aucExact: hand-computed pairs, ties at half credit, degenerate null") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Int)]): Option[Long] = {
+      val r = Classifier.aucExact(rows.toDF("score", "y"), "score", "y").head()
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // pairs: 0.9>0.8 ✓, 0.9>0.1 ✓, 0.7<0.8 ✗, 0.7>0.1 ✓ → 3/4
+    assert(auc(Seq((0.9, 1), (0.7, 1), (0.8, 0), (0.1, 0))) === Some(750000L))
+    assert(auc(Seq((0.5, 1), (0.5, 0))) === Some(500000L))        // pure tie → ½
+    assert(auc(Seq((0.9, 1), (0.1, 0))) === Some(1000000L))       // perfect
+    assert(auc(Seq((0.1, 1), (0.9, 0))) === Some(0L))             // inverted
+    assert(auc(Seq((0.9, 1), (0.8, 1))) === None)                 // one class
+    // the trained model on the real corpus separates better than chance
+    val d = Tables.documents(spark, sf())
+    val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 2)
+    val scored = Classifier.score(d, "text", "doc_id", col("lang") === "en", w)
+    val corpusAuc = Classifier.aucExact(scored, "score", "y").head().getLong(2)
+    assert(corpusAuc > 500000L, s"AUC $corpusAuc should beat chance")
+  }
+
   test("model lifecycle: save → load → serve equals the in-session model") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
