@@ -222,6 +222,35 @@ object Classifier {
           .as("auc_micro"))
   }
 
+  /** The PR curve on the same bounded-histogram machinery as [[aucExact]]:
+    * one point per DISTINCT micro score s — (tp, fp) = positives/negatives
+    * scored ≥ s (cumulative from the top), precision/recall as exact
+    * truncating micro divisions. At most 10⁶+1 points regardless of corpus
+    * size; the only data-sized stage is the map-combined groupBy(score).
+    * The threshold-picking view: read the operating point straight off the
+    * exact curve instead of sampling thresholds.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = scored.filter(col(scoreCol).isNotNull)
+      .select(floor(col(scoreCol) * lit(1000000)).cast("long").as("threshold_micro"),
+        col(labelCol).cast("int").as("__y"))
+    val g = q.groupBy("threshold_micro").agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("__y") === 1, 0L).otherwise(1L)).as("__cn"))
+    val fromTop = Window.orderBy(col("threshold_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("tp", sum(col("__cp")).over(fromTop))
+      .withColumn("fp", sum(col("__cn")).over(fromTop))
+      .withColumn("__npos", sum(col("__cp")).over(all))
+      .select(col("threshold_micro"), col("tp"), col("fp"),
+        expr("(1000000 * tp) div (tp + fp)").as("precision_micro"),
+        when(col("__npos") > 0, expr("(1000000 * tp) div __npos"))
+          .as("recall_micro"))
+  }
+
   /** Persist trained weights — the (bucket, w_micro) frame IS the model
     * (≤ buckets+1 rows, bias at bucket −1), so the lifecycle surface is
     * the [[Ivf]]/[[Pca]] pattern: train once, parquet the model, serve

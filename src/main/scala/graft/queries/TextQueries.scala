@@ -193,6 +193,17 @@ object TextQueries extends QueryModule {
           col("lang") === "en", w, buckets = 32),
         "score", "y")
     }),
+    // the operating-point view: one exact PR point per distinct micro
+    // score, cumulative from the top of the bounded score histogram
+    "clf_pr_curve" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = graft.ops.Classifier.train(dd, "text", "doc_id",
+        col("lang") === "en", buckets = 32, rounds = 2, lr = 0.5)
+      graft.ops.Classifier.prCurve(
+        graft.ops.Classifier.score(dd, "text", "doc_id",
+          col("lang") === "en", w, buckets = 32),
+        "score", "y")
+    }),
 
     // hybrid retrieval: per-query BM25 lexical top-10 ⊕ cosine ANN top-10,
     // fused by reciprocal rank. Queries = every 100th doc; its lexical
@@ -888,6 +899,33 @@ object TextQueries extends QueryModule {
          |SELECT sum(cp)::BIGINT AS n_pos, sum(cn)::BIGINT AS n_neg,
          |  ((1000000::HUGEINT * sum(cp::HUGEINT * (2 * below + cn)))
          |    // (2::HUGEINT * sum(cp) * sum(cn)))::BIGINT AS auc_micro
+         |FROM c""".stripMargin,
+
+    "clf_pr_curve" ->
+      s"""$clfTrainCte,
+         |z3_c AS (SELECT l.doc_id, l.y,
+         |    (coalesce(s.zs, 0) + wb.wm)::DOUBLE / 1000000.0 AS z
+         |  FROM lab_c l
+         |  LEFT JOIN (SELECT f.doc_id, sum(floor(w.wm::DOUBLE * f.x))::BIGINT AS zs
+         |             FROM f_c f JOIN w2_c w ON w.bucket = f.bucket AND w.bucket >= 0
+         |             GROUP BY f.doc_id) s USING (doc_id)
+         |  CROSS JOIN (SELECT wm FROM w2_c WHERE bucket = -1) wb),
+         |sc AS (SELECT y, floor(
+         |    (floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000) / 1000000.0)
+         |    * 1000000)::BIGINT AS s
+         |  FROM z3_c),
+         |g AS (SELECT s,
+         |        (count(*) FILTER (y = 1))::BIGINT AS cp,
+         |        (count(*) FILTER (y <> 1))::BIGINT AS cn
+         |      FROM sc GROUP BY s),
+         |c AS (SELECT s AS threshold_micro,
+         |        sum(cp) OVER w::BIGINT AS tp, sum(cn) OVER w::BIGINT AS fp,
+         |        (SELECT sum(cp) FROM g)::BIGINT AS npos
+         |      FROM g
+         |      WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING))
+         |SELECT threshold_micro, tp, fp,
+         |  ((1000000 * tp) // (tp + fp))::BIGINT AS precision_micro,
+         |  (CASE WHEN npos > 0 THEN (1000000 * tp) // npos END)::BIGINT AS recall_micro
          |FROM c""".stripMargin,
 
     "search_hybrid_rrf" ->

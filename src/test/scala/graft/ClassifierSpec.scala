@@ -143,6 +143,21 @@ class ClassifierSpec extends SparkSpec {
     assert(corpusAuc > 500000L, s"AUC $corpusAuc should beat chance")
   }
 
+  test("prCurve: exact cumulative points from the top of the histogram") {
+    import spark.implicits._
+    // scores desc: 0.9(+), 0.8(−), 0.7(+), 0.1(−) → points:
+    // t=0.9: tp1 fp0 p=1.0 r=0.5 | t=0.8: tp1 fp1 p=0.5 r=0.5
+    // t=0.7: tp2 fp1 p=666666µ r=1.0 | t=0.1: tp2 fp2 p=0.5 r=1.0
+    val d = Seq((0.9, 1), (0.7, 1), (0.8, 0), (0.1, 0)).toDF("score", "y")
+    val pts = Classifier.prCurve(d, "score", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(pts(900000L) === ((1L, 0L, 1000000L, 500000L)))
+    assert(pts(800000L) === ((1L, 1L, 500000L, 500000L)))
+    assert(pts(700000L) === ((2L, 1L, 666666L, 1000000L)))
+    assert(pts(100000L) === ((2L, 2L, 500000L, 1000000L)))
+  }
+
   test("model lifecycle: save → load → serve equals the in-session model") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
