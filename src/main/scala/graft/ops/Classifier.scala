@@ -251,6 +251,29 @@ object Classifier {
           .as("recall_micro"))
   }
 
+  /** Calibration (reliability) bins: decile bands of the micro score with
+    * exact per-band counts, positive counts, and mean predicted score —
+    * `confidence vs observed rate` read straight off integer divisions
+    * (the |mean_score − pos_rate| gap per band is the ECE summand). One
+    * map-combined groupBy to ≤ `bands` rows; nothing else is data-sized.
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      bands: Int = 10): DataFrame = {
+    require(bands > 1, s"bands must exceed 1, got $bands")
+    scored.filter(col(scoreCol).isNotNull)
+      .select(least(floor(col(scoreCol) * lit(bands)).cast("long"),
+        lit(bands - 1L)).as("band"),
+        floor(col(scoreCol) * lit(1000000)).cast("long").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("__ssum"))
+      .select(col("band"), col("n"), col("n_pos"),
+        expr("__ssum div n").as("mean_score_micro"),
+        expr("(1000000 * n_pos) div n").as("pos_rate_micro"))
+  }
+
   /** Persist trained weights — the (bucket, w_micro) frame IS the model
     * (≤ buckets+1 rows, bias at bucket −1), so the lifecycle surface is
     * the [[Ivf]]/[[Pca]] pattern: train once, parquet the model, serve

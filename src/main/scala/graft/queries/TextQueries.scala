@@ -193,6 +193,18 @@ object TextQueries extends QueryModule {
           col("lang") === "en", w, buckets = 32),
         "score", "y")
     }),
+    // reliability view: per score decile, exact confidence-vs-observed
+    // numbers (the ECE summands) — one map-combined groupBy to 10 rows
+    "clf_calibration" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = graft.ops.Classifier.train(dd, "text", "doc_id",
+        col("lang") === "en", buckets = 32, rounds = 2, lr = 0.5)
+      graft.ops.Classifier.calibrationBins(
+        graft.ops.Classifier.score(dd, "text", "doc_id",
+          col("lang") === "en", w, buckets = 32),
+        "score", "y", bands = 10)
+    }),
+
     // the operating-point view: one exact PR point per distinct micro
     // score, cumulative from the top of the bounded score histogram
     "clf_pr_curve" -> ((s, d) => {
@@ -900,6 +912,26 @@ object TextQueries extends QueryModule {
          |  ((1000000::HUGEINT * sum(cp::HUGEINT * (2 * below + cn)))
          |    // (2::HUGEINT * sum(cp) * sum(cn)))::BIGINT AS auc_micro
          |FROM c""".stripMargin,
+
+    "clf_calibration" ->
+      s"""$clfTrainCte,
+         |z3_c AS (SELECT l.doc_id, l.y,
+         |    (coalesce(s.zs, 0) + wb.wm)::DOUBLE / 1000000.0 AS z
+         |  FROM lab_c l
+         |  LEFT JOIN (SELECT f.doc_id, sum(floor(w.wm::DOUBLE * f.x))::BIGINT AS zs
+         |             FROM f_c f JOIN w2_c w ON w.bucket = f.bucket AND w.bucket >= 0
+         |             GROUP BY f.doc_id) s USING (doc_id)
+         |  CROSS JOIN (SELECT wm FROM w2_c WHERE bucket = -1) wb),
+         |sc AS (SELECT y,
+         |    floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000) / 1000000.0 AS score
+         |  FROM z3_c),
+         |b AS (SELECT least(floor(score * 10)::BIGINT, 9) AS band,
+         |        floor(score * 1000000)::BIGINT AS s, y FROM sc)
+         |SELECT band, count(*)::BIGINT AS n,
+         |  (count(*) FILTER (y = 1))::BIGINT AS n_pos,
+         |  (sum(s) // count(*))::BIGINT AS mean_score_micro,
+         |  ((1000000 * count(*) FILTER (y = 1)) // count(*))::BIGINT AS pos_rate_micro
+         |FROM b GROUP BY band""".stripMargin,
 
     "clf_pr_curve" ->
       s"""$clfTrainCte,

@@ -158,6 +158,19 @@ class ClassifierSpec extends SparkSpec {
     assert(pts(100000L) === ((2L, 2L, 500000L, 1000000L)))
   }
 
+  test("calibrationBins: exact per-decile confidence vs observed rate") {
+    import spark.implicits._
+    // band 9: scores .95/.91, one positive → mean 930000µ, rate 500000µ
+    // band 0: score .05 negative; score 1.0 clamps into band 9
+    val d = Seq((0.95, 1), (0.91, 0), (0.05, 0), (1.0, 1)).toDF("score", "y")
+    val bins = Classifier.calibrationBins(d, "score", "y", bands = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(bins(9L) === ((3L, 2L, (950000L + 910000L + 1000000L) / 3, 666666L)))
+    assert(bins(0L) === ((1L, 0L, 50000L, 0L)))
+    assert(bins.size === 2)
+  }
+
   test("model lifecycle: save → load → serve equals the in-session model") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
