@@ -28,6 +28,15 @@ object DedupQueries extends QueryModule {
       Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"),
           graft.ops.Text.floor6(col("jaccard")).as("jaccard"))),
+    // dense dup-family detector: the 2-core of the verified-pair graph
+    // (pairs/pendants/chains peel away; families with redundancy survive).
+    // Fixed 8 peels — idempotent once converged, so the unrolled oracle
+    // replays it exactly (the pageRankInt contract)
+    "graph_kcore" -> ((s, d) =>
+      graft.ops.Graph.kCore(
+        Dedup.verifiedNearDupPairs(docs(s, d), "text", "doc_id", minJaccard = 0.5),
+        "doc_a", "doc_b", k = 2, rounds = 8)),
+
     // the threshold-tuning view: candidate-pair Jaccard distribution in
     // 0.1 bands — where to set the drop threshold is read off this
     // histogram; the population is the BANDED candidate set (the set a
@@ -413,6 +422,27 @@ object DedupQueries extends QueryModule {
          |SELECT doc_id FROM documents
          |WHERE doc_id % 50 <> 0
          |  AND doc_id NOT IN (SELECT probe_id FROM xdropped)""".stripMargin,
+
+    // 8 unrolled peel rounds over the symmetrized distinct edge list —
+    // UNION (distinct) ↔ Spark's distinct, HAVING ↔ the degree filter.
+    // Every e_r/k_r is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // round references its predecessor 3× — un-materialized, the parquet
+    // subtree would duplicate 3^8 times and exhaust file handles
+    "graph_kcore" -> {
+      val peels = (1 to 8).map { r =>
+        s"""k$r AS MATERIALIZED (SELECT src AS id FROM e${r - 1} GROUP BY src HAVING count(*) >= 2),
+           |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+           |        JOIN k$r a ON a.id = e.src JOIN k$r b ON b.id = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""$jcCte,
+         |pr AS (SELECT doc_a, doc_b FROM jc WHERE j >= 0.5),
+         |e0 AS MATERIALIZED (
+         |       SELECT doc_a AS src, doc_b AS dst FROM pr WHERE doc_a <> doc_b
+         |       UNION SELECT doc_b, doc_a FROM pr WHERE doc_a <> doc_b),
+         |$peels
+         |SELECT src AS id, count(*)::BIGINT AS degree
+         |FROM e8 GROUP BY src HAVING count(*) >= 2""".stripMargin
+    },
 
     // single-division doubles: both engines compute the identical IEEE
     // quotient of the same small ints, so the band floor cannot straddle

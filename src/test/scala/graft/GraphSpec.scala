@@ -225,4 +225,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star === out)
   }
+
+  test("kCore: chains and pendants peel, cliques and cycles survive; idempotent") {
+    // K4 {10..13} with pendant 20; chain 1-2-3-4; triangle {30,31,32}
+    val k4 = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((10L, 20L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (30L, 31L), (31L, 32L), (30L, 32L))).toDF("a", "b")
+    def core(rounds: Int) = Graph.kCore(edges, "a", "b", k = 2, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c5 = core(5)
+    // 2-core: K4 at degree 3 (pendant gone), the triangle at degree 2
+    assert(c5 === Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L,
+      30L -> 2L, 31L -> 2L, 32L -> 2L))
+    // idempotence past convergence: extra rounds change nothing
+    assert(core(8) === c5)
+    // k=3 keeps only the K4
+    val c3 = Graph.kCore(edges, "a", "b", k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c3 === Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+  }
 }
