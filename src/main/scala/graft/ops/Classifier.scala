@@ -159,9 +159,15 @@ object Classifier {
     * order-insensitive, so z_micro matches the relational path exactly.
     * Output: (idCol, score).
     */
+  /** @param keepCols extra input columns carried through unchanged —
+    *                  e.g. the weak label for an online calibration
+    *                  monitor, where joining it back would be an illegal
+    *                  stream-stream self-join. Default keeps the
+    *                  original (idCol, score) contract.
+    */
   def scoreWithModel(df: DataFrame, textCol: String, idCol: String,
       weights: DataFrame, buckets: Int = 32,
-      portableHash: Boolean = true): DataFrame = {
+      portableHash: Boolean = true, keepCols: Seq[String] = Seq.empty): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val rows = weights.collect() // model-bounded: ≤ buckets+1 rows
     val wm = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -177,8 +183,8 @@ object Classifier {
         (size(filter(bksC, e => e === b)).cast("double") / dl))
     val zMicro = aggregate(array_distinct(bksC), lit(0L),
       (acc, b) => acc + term(b)) + lit(biasMicro)
-    df.select(col(idCol),
-      Text.floor6(sigmoidFast(zMicro.cast("double") / lit(1000000.0))).as("score"))
+    df.select(col(idCol) +: keepCols.map(col) :+
+      Text.floor6(sigmoidFast(zMicro.cast("double") / lit(1000000.0))).as("score"): _*)
   }
 
   /** Exact ROC AUC of a scored frame — the Mann-Whitney form with the

@@ -171,6 +171,42 @@ class ClassifierSpec extends SparkSpec {
     assert(bins.size === 2)
   }
 
+  test("online calibration monitor: observed per-batch sums ≡ the batch bins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = Tables.documents(spark, sf())
+    val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
+    val rows = d.select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("int").as("y"))
+      .as[(Long, String, Int)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(Long, String, Int)]
+    val scored = Classifier.scoreWithModel(
+      in.toDF().toDF("doc_id", "text", "y"), "text", "doc_id", w,
+      keepCols = Seq("y"))
+    val q = graft.streaming.ModelMonitor.observedCalibration(
+        scored, "score", "y", bands = 10, name = "clf_mon")
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val ms = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("clf_mon")))
+      assert(ms.nonEmpty)
+      def summed(field: String): Long = ms.map(_.getAs[Long](field)).sum
+      val batch = Classifier.calibrationBins(
+          Classifier.scoreWithModel(d, "text", "doc_id", w)
+            .join(d.select(col("doc_id"), (col("lang") === "en").cast("int").as("y")), "doc_id"),
+          "score", "y", bands = 10)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      batch.foreach { case (b, (n, pos)) =>
+        assert(summed(s"b${b}_n") === n, s"band $b n")
+        assert(summed(s"b${b}_pos") === pos, s"band $b pos")
+      }
+    } finally q.stop()
+  }
+
   test("model lifecycle: save → load → serve equals the in-session model") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)
