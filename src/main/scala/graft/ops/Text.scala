@@ -169,6 +169,37 @@ object Text {
       max(col(idCol)).as("last_doc"))
   }
 
+  /** Per-doc keyword extraction by tf-idf rank, ENGINE-EXACT: the idf is
+    * the LINEAR surrogate N/df (score = tf·N div df, truncating integer
+    * division) instead of the float logarithm — same descending order per
+    * doc wherever log-idf and linear-idf agree on df ordering at equal tf,
+    * and exactly reproducible cross-engine where ln() is not. Ties break
+    * (score desc, term asc).
+    *
+    * Scale shape: (doc, term) tf pre-agg → one vocab-keyed join against
+    * the df table → corpus count as a 1-row broadcast → per-doc
+    * row_number window whose partition is ONE DOC's distinct terms
+    * (bounded by document length, not the corpus — the legitimate
+    * per-doc window).
+    */
+  def keywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * __n) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** Distributed BPE-style merge learning at the token level: each round
     * finds the corpus argmax adjacent pair (one shuffle, TakeOrdered(1))
     * and greedily merges its non-overlapping occurrences left-to-right

@@ -193,6 +193,11 @@ object TextQueries extends QueryModule {
           col("lang") === "en", w, buckets = 32),
         "score", "y")
     }),
+    // per-doc top-3 keywords by engine-exact linear-idf tf-idf rank
+    // (score = tf·N div df; the per-doc window is bounded by doc length)
+    "text_keywords" -> ((s, d) =>
+      Text.keywords(docs(s, d), "text", "doc_id", k = 3)),
+
     // reliability view: per score decile, exact confidence-vs-observed
     // numbers (the ECE summands) — one map-combined groupBy to 10 rows
     "clf_calibration" -> ((s, d) => {
@@ -912,6 +917,18 @@ object TextQueries extends QueryModule {
          |  ((1000000::HUGEINT * sum(cp::HUGEINT * (2 * below + cn)))
          |    // (2::HUGEINT * sum(cp) * sum(cn)))::BIGINT AS auc_micro
          |FROM c""".stripMargin,
+
+    "text_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |         ((tf.tf * n.nn) // dfq.df)::BIGINT AS score
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, term ASC)::BIGINT AS rnk FROM sc)
+         |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     "clf_calibration" ->
       s"""$clfTrainCte,
