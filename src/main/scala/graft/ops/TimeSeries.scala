@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,6 +227,24 @@ object TimeSeries {
       .withColumn("__den", den)
       .withColumn("ewma_cents", expr("__num div __den"))
       .drop("__x", "__win", "__num", "__den")
+  }
+
+  /** Windowed top-N trending items: per time bucket, the N most frequent
+    * values of an item column, ties by item ascending — the trending-
+    * topics shape. Scale: one map-combined groupBy (bucket, item) — the
+    * only data-sized stage — then a per-bucket row_number whose partition
+    * is the bucket's DISTINCT-ITEM table (bounded by the item domain, not
+    * the event count). `tsCol` is epoch-micros.
+    */
+  def trendingTopN(df: DataFrame, tsCol: String, itemCol: Column,
+      stepUs: Long, n: Int): DataFrame = {
+    require(stepUs > 0 && n > 0, s"bad stepUs=$stepUs n=$n")
+    val w = Window.partitionBy("bucket").orderBy(col("cnt").desc, col("item").asc)
+    df.select(expr(s"`$tsCol` div ${stepUs}L").as("bucket"), itemCol.as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy("bucket", "item").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
   }
 
   /** Gap-based sessionization: a new session starts when the time since the

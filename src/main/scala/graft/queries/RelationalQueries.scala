@@ -221,6 +221,16 @@ object RelationalQueries extends QueryModule {
         "value", loCents = 0L, widthCents = 500L, buckets = 32)
     }),
 
+    // trending properties: per day, the top-3 values of the JSON `k`
+    // property by count (S5-style source-side parse feeding the windowed
+    // top-N — the trending-topics shape; per-day partitions are bounded
+    // by the k domain, not the event count)
+    "ts_trending_props" -> ((s, d) =>
+      graft.ops.TimeSeries.trendingTopN(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "ts_us", get_json_object(col("props"), "$.k").cast("long"),
+        stepUs = 86400000000L, n = 3)),
+
     // gap-based sessionization: >2h of silence starts a new session
     "ts_sessionize" -> ((s, d) =>
       graft.ops.TimeSeries.sessionize(
@@ -523,6 +533,16 @@ object RelationalQueries extends QueryModule {
         |      // ((cnt_a + cnt_b)::HUGEINT * na * nb))::BIGINT
         |  ELSE 0 END AS chi2_term_micro
         |FROM j CROSS JOIN t""".stripMargin,
+
+    "ts_trending_props" ->
+      """WITH b AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |            json_extract(props, '$.k')::BIGINT AS item
+        |           FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |g AS (SELECT bucket, item, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2)
+        |SELECT bucket, item, cnt,
+        |       row_number() OVER (PARTITION BY bucket
+        |         ORDER BY cnt DESC, item ASC)::BIGINT AS rnk
+        |FROM g QUALIFY rnk <= 3""".stripMargin,
 
     "ts_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
