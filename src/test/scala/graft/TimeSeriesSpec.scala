@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.ops.TimeSeries
 
 /** Resample/forward-fill semantics on a hand fixture: gaps carry the last
@@ -106,6 +107,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(5L) === (false, 3L))
     assert(out(9L) === (false, 3L))
     assert(out(10L) === (true, 3L))
+  }
+
+  test("trendingTopN: per-bucket counts, count-then-item tie-break, nulls out") {
+    // bucket 0 (ts 0-9): items 7×3, 5×2, 9×1 → top2 = 7, 5
+    // bucket 1: 5 and 9 tie at 2 → item asc wins: 5 rank1, 9 rank2
+    val ev = Seq((1L, Some(7L)), (2L, Some(7L)), (3L, Some(7L)),
+      (4L, Some(5L)), (5L, Some(5L)), (6L, Some(9L)), (7L, None),
+      (11L, Some(5L)), (12L, Some(5L)), (13L, Some(9L)), (14L, Some(9L)))
+      .toDF("ts", "item")
+    val out = TimeSeries.trendingTopN(ev, "ts", col("item"), stepUs = 10L, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(
+      (0L, 1L) -> ((7L, 3L)), (0L, 2L) -> ((5L, 2L)),
+      (1L, 1L) -> ((5L, 2L)), (1L, 2L) -> ((9L, 2L))))
   }
 
   test("ewma: integer weight fold matches the hand computation, per key") {
