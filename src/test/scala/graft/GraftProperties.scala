@@ -493,6 +493,46 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** stratifiedSplit holds EXACT quotas: every stratum's train count is
+    * floor(n_s·pct/100) regardless of how ids and strata are drawn, and
+    * the assignment is a pure function of (id, signal, salt).
+    */
+  property("split.exact-quota-per-stratum") = {
+    val row = Gen.zip(Gen.choose(1L, 10000L), Gen.choose(0, 5))
+    Prop.forAll(Gen.listOfN(25, row), Gen.choose(1, 99)) { (rowsRaw, pct) =>
+      val rows = rowsRaw.distinctBy(_._1).map { case (id, s) => (id, s + 0.5) }
+      val df = rows.toDF("id", "sig")
+      val out = graft.ops.Sampling.stratifiedSplit(df, "id", "sig",
+        loCents = 0L, widthCents = 100L, buckets = 8, trainPct = pct)
+      val perStratum = out.groupBy("stratum").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val trains = out.filter(col("split") === "train").groupBy("stratum").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      perStratum.forall { case (st, n) =>
+        trains.getOrElse(st, 0L) == n * pct / 100
+      }
+    }
+  }
+
+  /** The shard manifest is a pure content function: invariant under
+    * repartition AND row reorder, and any single-row drop changes it.
+    */
+  property("export.manifest-content-pure") = {
+    val row = Gen.zip(Gen.choose(1L, 100000L), Gen.alphaNumStr.map(_.take(12)))
+    Prop.forAll(Gen.listOfN(12, row)) { rowsRaw =>
+      val rows = rowsRaw.distinctBy(_._1)
+      val df = rows.toDF("id", "text")
+      def m(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Export.shardManifest(d, "id", "text", shards = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val base = m(df)
+      m(df.repartition(5)) == base &&
+        m(df.orderBy(col("id").desc)) == base &&
+        (rows.size < 2 || m(df.filter(col("id") =!= rows.head._1)) != base)
+    }
+  }
+
   /** lengthBuckets conserves the corpus: Σ n_docs and Σ total_tokens over
     * the rungs equal the input, and per rung kept + cut == total.
     */
