@@ -62,10 +62,11 @@ object SparkEntry {
     "cdc_snapshot_diff", "sample_oversample", "link_golden_record",
     "graph_pagerank", "j_fuzzy_blocked", "sample_epoch_shuffle",
     "q21_waiting_supplier",
-    // round-7 additions: guarded (thinned) bucketed ANN, the O(log n)
-    // star-CC alternative, the deepest TPC-H join (Q8), bigram LM scoring,
+    // round-7 additions: guarded (thinned) bucketed ANN, the cross-pinned
+    // CC twin (propagation since round 11 — star became the Dedup default,
+    // was dedup_cc_star), the deepest TPC-H join (Q8), bigram LM scoring,
     // and histogram-threshold top-fraction selection
-    "ann_bucket_topk_capped", "dedup_cc_star", "q8_market_share",
+    "ann_bucket_topk_capped", "dedup_cc_prop", "q8_market_share",
     "text_bigram_logprob", "sample_top_frac", "emb_pca_project",
     // round-8 additions: whiten→cluster→dedup composition and the
     // degree-capped triangle enumeration (guarded-path twin)
@@ -76,6 +77,9 @@ object SparkEntry {
     // scale path (proven span-identical in SubstrDedupSpec) only shrinks
     // the shuffle
     "dedup_substr_clean",
+    // round-11: the hashed (8-byte gram key) scale-path twin on the board —
+    // SubstrDedupSpec pins hashed ≡ exact; this is the shuffle 100 TB pays
+    "dedup_substr_clean_hashed",
     // round-10 addition: hybrid lexical ⊕ semantic retrieval (per-query
     // BM25 + cosine ANN fused by reciprocal rank)
     "search_hybrid_rrf",
@@ -103,10 +107,11 @@ object SparkEntry {
     // round-10 batch 3: corpus-vocab OOV audit (TakeOrdered vocab model +
     // broadcast membership) and the DoReMi-lite mixture optimizer
     "text_oov_rate", "mix_domain_weights",
-    // round-10 batch 4: Q21 decorrelated to one Expand-free grouped pass
-    // (min/max predicates replace countDistinct) — same oracle text as the
-    // structural semi+anti form, measured ~35% faster at sf0.1
-    "q21_waiting_supplier_agg",
+    // round-11: q21_waiting_supplier above IS now the Expand-free grouped
+    // pass (min/max predicates replace countDistinct); the structural
+    // semi+anti form stays oracle-gated as q21_waiting_supplier_structural
+    // but is off the board (6.1 s vs 1.2 s at sf0.1 — it is the plan the
+    // 100 TB path must not run)
     // round-10 batch 4: cross-corpus embedding dedup (bucket equi-join +
     // floored-cosine verify, the vector twin of dedup_cross_kept)
     "dedup_cross_emb_kept",

@@ -209,7 +209,10 @@ object Classifier {
   def aucExact(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val q = scored.filter(col(scoreCol).isNotNull)
+    // null LABELS are excluded, not counted as negatives: the otherwise(1L)
+    // branch below would silently absorb them, and the DuckDB mirror
+    // (FILTER y <> 1, which skips NULL) would disagree on n_neg/AUC
+    val q = scored.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(floor(col(scoreCol) * lit(1000000)).cast("long").as("__s"),
         col(labelCol).cast("int").as("__y"))
     val g = q.groupBy("__s").agg(
@@ -238,7 +241,8 @@ object Classifier {
     */
   def prCurve(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = scored.filter(col(scoreCol).isNotNull)
+    // null labels excluded (not negatives) — same contract as [[aucExact]]
+    val q = scored.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(floor(col(scoreCol) * lit(1000000)).cast("long").as("threshold_micro"),
         col(labelCol).cast("int").as("__y"))
     val g = q.groupBy("threshold_micro").agg(
@@ -266,7 +270,8 @@ object Classifier {
   def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
       bands: Int = 10): DataFrame = {
     require(bands > 1, s"bands must exceed 1, got $bands")
-    scored.filter(col(scoreCol).isNotNull)
+    // null labels excluded (not negatives) — same contract as [[aucExact]]
+    scored.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(least(floor(col(scoreCol) * lit(bands)).cast("long"),
         lit(bands - 1L)).as("band"),
         floor(col(scoreCol) * lit(1000000)).cast("long").as("__s"),

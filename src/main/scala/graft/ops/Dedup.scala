@@ -227,16 +227,24 @@ object Dedup {
   }
 
   /** Transitive near-duplicate clusters: [[verifiedNearDupPairs]] →
-    * [[Graph.connectedComponents]]. One row per doc that has at least one
-    * verified near-dup: (idCol, cluster_id = min doc id of its component).
-    * This is the policy [[dropNearDuplicates]]'s one-pass keeper rule
-    * approximates — here A~B, B~C places A,B,C in ONE cluster even when
-    * A!~C directly.
+    * [[Graph.connectedComponentsStar]]. One row per doc that has at least
+    * one verified near-dup: (idCol, cluster_id = min doc id of its
+    * component). This is the policy [[dropNearDuplicates]]'s one-pass
+    * keeper rule approximates — here A~B, B~C places A,B,C in ONE cluster
+    * even when A!~C directly.
+    *
+    * Star CC (O(log n) rounds regardless of component diameter) is the
+    * default: measured 3.5 s vs min-label propagation's 5.9 s on the same
+    * sf0.1 pair graph, and at 100 TB similarity graphs grow long chains at
+    * permissive thresholds, which propagation pays O(diameter) for. The
+    * two algorithms are cross-pinned equivalent through the DuckDB gate
+    * (dedup_cc_clusters vs dedup_cc_prop share one oracle) and
+    * GraphSpec/GraftProperties agreement tests.
     */
   def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
       maxBucket: Int = 1000): DataFrame =
-    Graph.connectedComponents(
+    Graph.connectedComponentsStar(
       verifiedNearDupPairs(df, textCol, idCol, minJaccard, k, bands, maxBucket),
       "doc_a", "doc_b")
       .select(col("id").as(idCol), col("comp").as("cluster_id"))

@@ -22,11 +22,14 @@ import graft.ops.Text.h32
   * md5-sum analogue, not an authenticity proof.) All map-side-combined:
   * the shuffle is |shards| rows of three longs.
   *
-  * `content_sum` wraps in 64-bit two's-complement by construction
-  * (sums of 2³²-bounded hashes overflow a long only past ~2³¹ rows per
-  * shard — and overflow WRAPS identically on both engines only if the
-  * oracle also sums into a BIGINT, so the oracle must NOT widen to
-  * HUGEINT; at 2³¹ rows per shard, re-shard).
+  * `content_sum` is exact below ~2³¹ rows per shard (sums of 2³²-bounded
+  * hashes stay inside a long until then). PAST that envelope the two
+  * engines diverge LOUDLY, not silently: Spark's long sum wraps in 64-bit
+  * two's-complement, while DuckDB always aggregates BIGINT in HUGEINT, so
+  * the oracle's post-aggregation `::BIGINT` cast raises out-of-range
+  * instead of wrapping — a failed gate, never a quietly-matching wrong
+  * number. At 2³¹ rows per shard, re-shard (shards is the lever; a 100 TB
+  * corpus at 2³¹ docs/shard is a misconfigured export, not a limit).
   */
 object Export {
 

@@ -245,10 +245,13 @@ object Graph {
     * star form (v → component-min); convergence = a fixed point of both
     * half-rounds, detected by an edge-set-unchanged probe.
     *
-    * Use this over [[connectedComponents]] when components can be long
-    * chains (similarity graphs at permissive thresholds, link graphs);
-    * for near-dup clusters (near-cliques) propagation converges just as
-    * fast with less per-round work.
+    * This is the default CC inside [[Dedup.nearDupClusters]]: at 100 TB
+    * similarity graphs grow long chains at permissive thresholds
+    * (propagation pays O(diameter) rounds for those), and even on the
+    * near-clique sf0.1 pair graph star measured 3.5 s vs propagation's
+    * 5.9 s — the fixed-point probe is cheaper than propagation's
+    * convergence checks. Keep [[connectedComponents]] as the
+    * cross-algorithm oracle twin.
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 40, checkpointDir: Lineage.CheckpointDir = None): DataFrame = {

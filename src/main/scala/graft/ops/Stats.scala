@@ -125,8 +125,10 @@ object Stats {
     * data, so one reducer holds ≤ `buckets` longs). Nothing downstream of
     * the two scans is data-sized, and nothing is computed twice.
     * Headroom: (c·N)² rides DECIMAL(38,0) — exact up to ~10⁸ rows per
-    * snapshot; past that, drift-monitor on a hash sample (the statistic is
-    * about distributions, not row identity).
+    * snapshot; past that the query RAISES (overflow-null is coalesced into
+    * raise_error, never a silent NULL term) — drift-monitor on a hash
+    * sample instead (the statistic is about distributions, not row
+    * identity).
     */
   /** The drift grid's binning projection — shared verbatim by the batch
     * test and the streaming monitor so the two can never disagree on a
@@ -160,10 +162,23 @@ object Stats {
       .withColumn("__d",
         (col("cnt_a").cast(dec) * col("__nb").cast(dec) -
           col("cnt_b").cast(dec) * col("__na").cast(dec)).cast(dec))
+      // envelope guard: past ~1e8 rows per snapshot 10⁶·(c·N)² reaches
+      // 10³⁸ and non-ANSI Spark's DECIMAL(38,0) products overflow to NULL
+      // (DuckDB's HUGEINT keeps exact values to 2^127) — a silent NULL
+      // term reads as "no drift", so the breach must fail LOUDLY instead:
+      // coalesce routes any overflow-null into raise_error. The
+      // denominator rides DECIMAL too (as longs it would WRAP silently at
+      // the same scale rather than null out). In-range quotients are
+      // unchanged — integral div of the same exact integers.
       .withColumn("chi2_term_micro",
         when(col("__na") > 0 && col("__nb") > 0,
-          expr("cast((1000000 * __d * __d) div " +
-            "((cnt_a + cnt_b) * __na * __nb) as bigint)"))
+          coalesce(
+            expr("cast((1000000 * __d * __d) div " +
+              "(cast(cnt_a + cnt_b as decimal(38,0)) * cast(__na as decimal(38,0)) " +
+              " * cast(__nb as decimal(38,0))) as bigint)"),
+            expr("cast(raise_error('chiSquareDrift: DECIMAL(38,0) overflow — " +
+              "snapshot exceeds the ~1e8-rows-per-side envelope; " +
+              "drift-monitor a hash sample instead') as bigint)")))
           .otherwise(lit(0L)))
       .select(col("bin"), col("cnt_a"), col("cnt_b"), col("chi2_term_micro"))
   }

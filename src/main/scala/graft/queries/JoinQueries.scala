@@ -431,10 +431,14 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_dominated_parts"), sum("qty_ps").as("qty_total"))
     }),
 
-    // TPC-H Q21-shaped waiting-supplier report: the double correlated
-    // subquery (EXISTS other-supplier line, NOT EXISTS other-supplier LATE
-    // line) decorrelated into one semi and one anti join on (order, ¬supp)
-    "q21_waiting_supplier" -> ((s, d) => {
+    // TPC-H Q21-shaped waiting-supplier report, STRUCTURAL decorrelation:
+    // the double correlated subquery (EXISTS other-supplier line, NOT EXISTS
+    // other-supplier LATE line) as one semi and one anti join on
+    // (order, ¬supp). Kept as the oracle-gated equivalence fixture for the
+    // headline aggregate plan below — at scale the two data-sized distincts
+    // + semi SMJ + anti join are the plan you would NOT want (6.1 s vs 1.2 s
+    // at sf0.1), so the grouped form is the default.
+    "q21_waiting_supplier_structural" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
       val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderstatus")
       val flagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -453,7 +457,8 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("numwait"))
     }),
 
-    // Q21's EXISTS/NOT-EXISTS pair decorrelated to ONE per-order aggregate
+    // TPC-H Q21-shaped waiting-supplier report, HEADLINE plan: the
+    // EXISTS/NOT-EXISTS pair decorrelated to ONE per-order aggregate
     // instead of semi+anti joins: "another supplier exists" ⟺
     // min(supp) ≠ max(supp), "exactly one late supplier" ⟺
     // min(late supp) = max(late supp) (the candidate is late itself, so it
@@ -461,9 +466,9 @@ object JoinQueries extends QueryModule {
     // lineitems. min/max predicates instead of countDistinct keep the
     // aggregation Expand-free — plain mergeable partials, ONE grouped pass
     // where the structural form runs two data-sized distincts + a semi SMJ
-    // + an anti join. The oracle is LITERALLY q21's, pinning the rewrite's
-    // equivalence through the gate every round.
-    "q21_waiting_supplier_agg" -> ((s, d) => {
+    // + an anti join. The oracle is LITERALLY the structural twin's,
+    // pinning the rewrite's equivalence through the gate every round.
+    "q21_waiting_supplier" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
       val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderstatus")
       val flagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -870,9 +875,9 @@ object JoinQueries extends QueryModule {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q21_waiting_supplier" -> q21Sql,
-    // the aggregate-decorrelated twin answers the SAME question — one
+    // the structural semi+anti twin answers the SAME question — one
     // oracle text, two physical strategies, both gated every round
-    "q21_waiting_supplier_agg" -> q21Sql,
+    "q21_waiting_supplier_structural" -> q21Sql,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (

@@ -146,6 +146,18 @@ object SimilarityQueries extends QueryModule {
         "vec_id", "embedding", Dim, Planes, minCos = 0.3)
         .select("vec_id")
     }),
+    // guard-FIRING fixture: maxBucket=1 makes every multi-occupant ref
+    // bucket hot, so the md5-stride keep predicate (thinHotBuckets) is
+    // exercised and oracle-pinned — the default-cap twins above never trip
+    // it at test scale, which would leave the stride's oracle equivalence
+    // unproven (every thinning stride must be proven exact where it fires)
+    "dedup_cross_emb_pairs_thinned" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.crossCorpusEmbeddingPairs(
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", Dim, Planes, minCos = 0.3, maxBucket = 1)
+    }),
 
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
     // kept ids (composes the oracle-exact k-means with pairwise cosine).
@@ -273,6 +285,38 @@ object SimilarityQueries extends QueryModule {
       s"(CASE WHEN list_dot_product(v, ${hpLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" +\n    ")
 
+  /** The ref-side [[graft.ops.Similarity.thinHotBuckets]] stride as a CTE:
+    * `rk` = rows of `rb` kept by "bucket under cap, OR portable
+    * h32(id·'_annthin') lands on the ceil(size/cap) stride". This is the
+    * op's actual hot-bucket semantics (a deterministic SAMPLE of hot
+    * buckets, not a whole-bucket drop), replayed term-for-term: DuckDB's
+    * `('0x'||substr(md5(s),1,8))::BIGINT` is exactly Spark's
+    * `conv(substring(md5(s),1,8),16,10)`, and both sides stride with
+    * `ceil(size/cap)` on nonnegative hashes (pmod ≡ % there).
+    */
+  private def thinStrideCte(cap: Int): String =
+    s"""bs AS (SELECT bucket, count(*)::BIGINT AS bsize FROM rb GROUP BY bucket),
+       |rk AS (SELECT rb.* FROM rb JOIN bs USING (bucket)
+       |       WHERE bs.bsize <= $cap
+       |          OR ('0x' || substr(md5(rb.vec_id::VARCHAR || '_annthin'), 1, 8))::BIGINT
+       |             % ceil(bs.bsize::DOUBLE / $cap)::BIGINT = 0)""".stripMargin
+
+  private def crossEmbPairsSql(cap: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+       |         ($bucketExpr)::BIGINT AS bucket
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+       |pb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |rb AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |${thinStrideCte(cap)},
+       |pr AS (SELECT p.vec_id AS probe_id, r.vec_id AS ref_id,
+       |        floor((CASE WHEN p.nrm * r.nrm > 0
+       |               THEN list_dot_product(p.v, r.v) / (p.nrm * r.nrm)
+       |               ELSE 0 END) * 1000000) / 1000000.0 AS cos
+       |       FROM pb p JOIN rk r ON p.bucket = r.bucket)
+       |SELECT probe_id, ref_id, cos FROM pr WHERE cos >= 0.3""".stripMargin
+
   /** Unrolled-Lloyd k-means oracle mirroring [[graft.ops.KMeans.fitAssign]]
     * CTE-block by CTE-block: quantize → init (k smallest ids) → per round
     * (argmin assign with (d2, c) tie-break, per-(cluster,dim) integer sums,
@@ -384,24 +428,15 @@ object SimilarityQueries extends QueryModule {
     // same micro quantization, same integer moments; BIGINT sums promote to
     // HUGEINT where Spark uses DECIMAL(38,0) — exact on both engines, and
     // the score ships as the exact long D div n (D itself crosses 2^53)
-    // same hyperplane literals, same floored cosine; rok mirrors the
-    // ref-side maxBucket=1000 thinning gate (never fires at this scale)
-    "dedup_cross_emb_pairs" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
-         |         ($bucketExpr)::BIGINT AS bucket
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
-         |pb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
-         |rb AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-         |rok AS (SELECT bucket FROM rb GROUP BY bucket HAVING count(*) <= 1000),
-         |pr AS (SELECT p.vec_id AS probe_id, r.vec_id AS ref_id,
-         |        floor((CASE WHEN p.nrm * r.nrm > 0
-         |               THEN list_dot_product(p.v, r.v) / (p.nrm * r.nrm)
-         |               ELSE 0 END) * 1000000) / 1000000.0 AS cos
-         |       FROM pb p JOIN rb r ON p.bucket = r.bucket
-         |       JOIN rok ON rok.bucket = p.bucket)
-         |SELECT probe_id, ref_id, cos FROM pr WHERE cos >= 0.3""".stripMargin,
+    // same hyperplane literals, same floored cosine; rk replays the
+    // ref-side thinHotBuckets STRIDE (keep iff bucket under cap OR the
+    // portable h32(id·'_annthin') lands on the ceil(size/cap) stride) —
+    // NOT a whole-bucket drop: the op keeps a deterministic sample of hot
+    // buckets. Never fires at cap=1000 at this scale; the cap=1 _thinned
+    // twin below makes it fire and pins the predicate oracle-exact.
+    "dedup_cross_emb_pairs" -> crossEmbPairsSql(cap = 1000),
+
+    "dedup_cross_emb_pairs_thinned" -> crossEmbPairsSql(cap = 1),
 
     "dedup_cross_emb_kept" ->
       s"""WITH e AS (
@@ -411,10 +446,9 @@ object SimilarityQueries extends QueryModule {
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
          |pb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
          |rb AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-         |rok AS (SELECT bucket FROM rb GROUP BY bucket HAVING count(*) <= 1000),
+         |${thinStrideCte(cap = 1000)},
          |dropped AS (SELECT DISTINCT p.vec_id
-         |            FROM pb p JOIN rb r ON p.bucket = r.bucket
-         |            JOIN rok ON rok.bucket = p.bucket
+         |            FROM pb p JOIN rk r ON p.bucket = r.bucket
          |            WHERE floor((CASE WHEN p.nrm * r.nrm > 0
          |                   THEN list_dot_product(p.v, r.v) / (p.nrm * r.nrm)
          |                   ELSE 0 END) * 1000000) / 1000000.0 >= 0.3)

@@ -135,6 +135,13 @@ class ClassifierSpec extends SparkSpec {
     assert(auc(Seq((0.9, 1), (0.1, 0))) === Some(1000000L))       // perfect
     assert(auc(Seq((0.1, 1), (0.9, 0))) === Some(0L))             // inverted
     assert(auc(Seq((0.9, 1), (0.8, 1))) === None)                 // one class
+    // null LABELS are excluded, not counted as negatives: a null-y row must
+    // not change n_neg or the AUC (the DuckDB mirror's FILTER (y <> 1)
+    // skips NULL, so counting it as negative would split the engines)
+    val withNull = Seq((0.9, Some(1)), (0.7, Some(1)), (0.8, Some(0)),
+      (0.1, Some(0)), (0.65, None: Option[Int])).toDF("score", "y")
+    val rn = Classifier.aucExact(withNull, "score", "y").head()
+    assert((rn.getLong(0), rn.getLong(1), rn.getLong(2)) === ((2L, 2L, 750000L)))
     // the trained model on the real corpus separates better than chance
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 2)
@@ -156,6 +163,13 @@ class ClassifierSpec extends SparkSpec {
     assert(pts(800000L) === ((1L, 1L, 500000L, 500000L)))
     assert(pts(700000L) === ((2L, 1L, 666666L, 1000000L)))
     assert(pts(100000L) === ((2L, 2L, 500000L, 1000000L)))
+    // a null-label row contributes no point and no tp/fp mass
+    val dn = Seq((0.9, Some(1)), (0.7, Some(1)), (0.8, Some(0)), (0.1, Some(0)),
+      (0.65, None: Option[Int])).toDF("score", "y")
+    val ptsN = Classifier.prCurve(dn, "score", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(ptsN === pts)
   }
 
   test("calibrationBins: exact per-decile confidence vs observed rate") {
@@ -169,6 +183,13 @@ class ClassifierSpec extends SparkSpec {
     assert(bins(9L) === ((3L, 2L, (950000L + 910000L + 1000000L) / 3, 666666L)))
     assert(bins(0L) === ((1L, 0L, 50000L, 0L)))
     assert(bins.size === 2)
+    // a null-label row is excluded from its band entirely (n AND rate)
+    val dn = Seq((0.95, Some(1)), (0.91, Some(0)), (0.05, Some(0)),
+      (1.0, Some(1)), (0.93, None: Option[Int])).toDF("score", "y")
+    val binsN = Classifier.calibrationBins(dn, "score", "y", bands = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(binsN === bins)
   }
 
   test("online calibration monitor: observed per-batch sums ≡ the batch bins") {
