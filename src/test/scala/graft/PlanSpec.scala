@@ -441,6 +441,24 @@ class PlanSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct"))
   }
 
+  test("(doc,term) agg pipelines: bounded exchanges, no cartesian") {
+    // the official r10 board ran these 2-3× over r8 with zero code change
+    // (text_postings 0.75→2.18 s); warmed re-measures sit at r8 levels
+    // (0.70/1.02/1.18 s round 11), so the elevation was machine load —
+    // these pins catch a REAL plan regression if one ever lands
+    // BroadcastNestedLoop is allowed: unigramLogProb joins the ONE-ROW
+    // corpus-total model by broadcast (the documented model-join pattern);
+    // a data×data nested loop would trip the exchange caps anyway
+    for ((q, cap) <- Seq("text_postings" -> 3, "text_unigram_logprob" -> 4,
+        "dedup_shingle_dupfrac" -> 5)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      val exchanges = hashExchanges(p)
+      info(s"$q shuffle exchanges: $exchanges")
+      assert(exchanges <= cap, s"$exchanges shuffle exchanges in $q — plan regressed")
+    }
+  }
+
   test("single-pass audits stay one exchange: mix_ess, seq_length_buckets") {
     Seq("mix_ess", "seq_length_buckets").foreach { q =>
       val p = plan(q)
