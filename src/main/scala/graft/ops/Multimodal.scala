@@ -346,6 +346,130 @@ object Multimodal {
       hexLE(lit(1L), 2), hexLE(lit(24L), 2), lit("0" * 48),
       hex(data)))
 
+  /** REAL perceptual hash (difference hash, "dHash") for 24-bit
+    * BITMAPINFOHEADER BMP payloads — codec-free like [[imageBands]]:
+    * uncompressed BMP pixels live at closed-form byte offsets, so the
+    * whole hash is header arithmetic + payload slicing in codegen'd
+    * columns, no UDF, no image library.
+    *
+    * Shape: nearest-point sample an 8×9 luminance grid (x_i = ⌊i·w/8⌋,
+    * i<8; y_j = ⌊j·h/9⌋, j<9, STORAGE row order), integer gray =
+    * (B+G+R) div 3, bit j·7+i = 1 iff gray(i,j) < gray(i+1,j) — the
+    * horizontal-gradient signature that survives re-encode/resize noise.
+    * 63 bits, NOT 64: bit 63 would make the hash negative in signed-64
+    * and overflow the DuckDB oracle's `1::BIGINT << 63`; 9 rows × 7
+    * comparisons keeps every engine in positive-BIGINT range with no
+    * loss that matters (dHash variants are grid-size-free).
+    *
+    * Non-BMP / non-24bpp / truncated payloads → null dhash (bad-record
+    * tolerance). Output: (idCol, dhash LONG).
+    *
+    * Scale: two narrow projections (72 gray columns, then the 63-term
+    * bit fold) — per-row, no shuffle, whole-stage codegen; the gray
+    * intermediates are materialized once instead of letting each of the
+    * 126 comparison operands re-slice the payload.
+    */
+  def dHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val p = col(s"$mediaCol.payload")
+    val isBmp24 = length(p) >= 54 && magic(p, 0, BmpMagic) &&
+      leUint(p, 14, 4) === 40 && leUint(p, 28, 2) === 24
+    val w = signed32(leUint(p, 18, 4))
+    val h = signed32(leUint(p, 22, 4))
+    val off = leUint(p, 10, 4)
+    val rowSize = floor((w * 3 + 3).cast("double") / 4.0).cast("long") * 4L
+    val ok = isBmp24 && w > 0 && h > 0 &&
+      length(p).cast("long") >= off + rowSize * h
+    // grid magnitudes stay far under 2^53, so the double round-trips are
+    // exact integer division
+    def idiv(a: Column, b: Double): Column = floor(a.cast("double") / b).cast("long")
+    def gray(i: Int, j: Int): Column = {
+      val x = idiv(w * lit(i.toLong), 8.0)
+      val y = idiv(h * lit(j.toLong), 9.0)
+      val pos = off + y * rowSize + lit(3L) * x // 0-based byte offset
+      // clamp before the int cast: a garbage header (gated out by __ok
+      // below) can carry an arbitrary off/dims, and ANSI cast would throw
+      // where bad-record tolerance demands null — the clamped slice is
+      // empty/garbage only on rows whose hash is nulled anyway
+      val posC = least(greatest(pos + 1L, lit(1L)), lit(Int.MaxValue.toLong))
+      val hx = hex(p.substr(posC.cast("int"), lit(3))) // "BBGGRR"
+      idiv(conv(substring(hx, 1, 2), 16, 10).cast("long") +
+        conv(substring(hx, 3, 2), 16, 10).cast("long") +
+        conv(substring(hx, 5, 2), 16, 10).cast("long"), 3.0)
+    }
+    val staged = df.select(
+      (col(idCol) +: ok.as("__ok") +:
+        (for (j <- 0 until 9; i <- 0 until 8)
+          yield gray(i, j).as(s"__g_${i}_$j"))): _*)
+    val bits = for (j <- 0 until 9; i <- 0 until 7) yield
+      when(col(s"__g_${i}_$j") < col(s"__g_${i + 1}_$j"),
+        shiftleft(lit(1L), j * 7 + i)).otherwise(0L)
+    staged.select(col(idCol),
+      when(col("__ok"), bits.reduce(_ bitwiseOR _)).as("dhash"))
+  }
+
+  /** Near-duplicate image pairs by banded Hamming join over [[dHash]] —
+    * the image twin of [[Dedup.minhashCandidatePairs]]: never all-pairs.
+    * The 63-bit hash splits into 4 bands of 16 bits ((dhash >> 16·b) &
+    * 0xFFFF; the top band carries 15); candidates share at least one
+    * EXACT band (pigeonhole: guaranteed recall for hamming ≤ 3, graceful
+    * for larger thresholds), verification is `bit_count(xor) <=
+    * maxHamming`. Both sides of the candidate join are the banded
+    * equi-key — shuffle is corpus×4 rows of (band, value, id, hash).
+    *
+    * Hot band buckets (a corpus of near-identical images piles into one
+    * (band, value)) are thinned by the [[Similarity.thinHotBuckets]]
+    * md5-stride discipline: rows of buckets over `maxBucket` keep a
+    * deterministic h32(id·"_imgthin") stride sample, bounding fan-out to
+    * ~|corpus|·maxBucket·4 while keeping (not dropping) hot families.
+    * The (band, value) size table is ≤ 4·2^16 rows — always broadcast.
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be nonnegative, got $maxHamming")
+    val hashes = dHash(df, idCol, mediaCol).filter(col("dhash").isNotNull)
+    val banded = hashes.select(col(idCol), col("dhash"),
+      explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+      .withColumn("bval",
+        expr("shiftright(dhash, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    val kept =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+        val sizes = banded.groupBy("band", "bval").agg(count(lit(1)).as("__bsize"))
+        val stride = ceil(col("__bsize").cast("double") / maxBucket).cast("long")
+        banded.join(broadcast(sizes), Seq("band", "bval"))
+          .filter(col("__bsize") <= maxBucket ||
+            pmod(Text.h32(concat(col(idCol).cast("string"), lit("_imgthin"))),
+              stride) === 0)
+          .drop("__bsize")
+      }
+    val a = kept.select(col("band"), col("bval"),
+      col(idCol).as("doc_a"), col("dhash").as("__ha"))
+    val b = kept.select(col("band"), col("bval"),
+      col(idCol).as("doc_b"), col("dhash").as("__hb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(__ha ^ __hb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate image removal: [[imageNearDupPairs]] → the
+    * [[Dedup.dropNearDuplicates]] one-pass keeper rule (a doc is dropped
+    * iff a lower-id doc is its near-duplicate) → anti-join. Keeps rows
+    * whose payload doesn't hash (null dhash) — an undecodable image is
+    * upstream-filter business, not dedup's.
+    */
+  def dropNearDupImages(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
+    val dropped = imageNearDupPairs(df, idCol, mediaCol, maxHamming, maxBucket)
+      .select(col("doc_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Metadata-only resize: records the target dims in the media struct
     * (payload untouched by the stub; a real resize re-encodes).
     */

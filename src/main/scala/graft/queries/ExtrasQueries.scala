@@ -15,6 +15,61 @@ object ExtrasQueries extends QueryModule {
 
   private val windowUs: Long = 2L * 3600 * 1000000
 
+  /** Synthesized 16×12 24bpp BMP corpus for the dHash queries: pixel data
+    * is 576 ASCII chars (rowSize 48 × 12 rows) — a base image per `source`
+    * (repeat(md5(source), 18)) with storage row (doc_id % 12) overwritten
+    * by doc-specific bytes. Same-source docs are near-duplicates (≤ 2
+    * differing rows → small Hamming distance); cross-source hashes are
+    * unrelated. Closed-form in (source, doc_id) so the DuckDB oracle can
+    * regenerate the pixel STRING and never needs the binary.
+    */
+  private def dhashMedia(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Multimodal
+    val pr = col("doc_id") % 12
+    val base = repeat(md5(col("source")), 18)
+    val rowStr = repeat(md5(col("doc_id").cast("string")), 2).substr(lit(1), lit(48))
+    val dataStr = concat(
+      base.substr(lit(1), (pr * 48).cast("int")),
+      rowStr,
+      base.substr((pr * 48 + 49).cast("int"), (lit(576) - (pr + 1) * 48).cast("int")))
+    Tables.documents(s, d).select(col("doc_id"),
+      Multimodal.asMedia(
+        Multimodal.bmpPayloadWithData(lit(16L), lit(12L), encode(dataStr, "UTF-8")),
+        "image/bmp").as("media"))
+  }
+
+  /** The dHash closed form as DuckDB CTEs (`px` → `g` → `hsh`): gray =
+    * (ascii+ascii+ascii) // 3 at the same storage offsets the engine
+    * reads from the binary (x_i = 2i for w=16, y_j = ⌊12j/9⌋, byte pos =
+    * 48·y + 3·x), bit j·7+i via the same comparisons. 63 bits keeps
+    * `1::BIGINT << k` in range (DuckDB raises on << 63).
+    */
+  private val dhashCte: String = {
+    val grays = (for (j <- 0 until 9; i <- 0 until 8) yield {
+      val p = (j * 12 / 9) * 48 + 3 * (i * 16 / 8)
+      s"(ascii(substr(s,${p + 1},1))+ascii(substr(s,${p + 2},1))+ascii(substr(s,${p + 3},1)))//3 AS g_${i}_$j"
+    }).mkString(",\n    ")
+    val bits = (for (j <- 0 until 9; i <- 0 until 7) yield
+      s"(CASE WHEN g_${i}_$j < g_${i + 1}_$j THEN 1::BIGINT << ${j * 7 + i} ELSE 0::BIGINT END)")
+      .mkString(" |\n    ")
+    s"""px AS (
+       |  SELECT doc_id,
+       |    substr(b, 1, (48*pr)::INT) || r || substr(b, (48*pr + 49)::INT, (576 - 48*(pr+1))::INT) AS s
+       |  FROM (SELECT doc_id, repeat(md5(source), 18) AS b,
+       |          substr(repeat(md5(doc_id::VARCHAR), 2), 1, 48) AS r,
+       |          (doc_id % 12)::BIGINT AS pr FROM documents)),
+       |g AS (SELECT doc_id,
+       |    $grays
+       |  FROM px),
+       |hsh AS (SELECT doc_id, ($bits) AS dhash FROM g)""".stripMargin
+  }
+
+  /** The 4×16-bit banding over `hsh` as a CTE (`banded`). */
+  private val dhashBandedCte: String =
+    """banded AS (
+      |  SELECT doc_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bval
+      |  FROM hsh, (SELECT unnest([0, 1, 2, 3]) AS band) bands)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // snapshot diff: orders vs a deterministically mutated copy — %97 keys
     // removed, %101 keys re-added under shifted ids, %13 prices bumped
@@ -188,6 +243,30 @@ object ExtrasQueries extends QueryModule {
         .select(col("doc_id"), col("band_idx"), col("row0"), col("n_rows"),
           sha2(col("band"), 256).as("sha"))
     }),
+
+    // REAL perceptual hashing: synthesize 16×12 24bpp BMPs whose pixel
+    // array is closed-form in (source, doc_id) — base image per source,
+    // one doc-specific storage row overwritten — then dHash the BINARY
+    // through the real header/stride/pixel arithmetic. The oracle computes
+    // the same 63 bits from the generative closed form WITHOUT ever
+    // building a BMP (ascii() on the data string), so any off-by-one in
+    // offset/stride/endianness on the Spark side breaks the hash match.
+    "mm_image_dhash" -> ((s, d) =>
+      graft.ops.Multimodal.dHash(dhashMedia(s, d), "doc_id", "media")),
+
+    // image near-dup pairs over the same corpus: banded Hamming equi-join
+    // (never all-pairs), hot-band guard pinned explicitly OFF here (the
+    // unthinned declared form) — the cap=1 twin below fires the stride
+    "mm_image_neardup_pairs" -> ((s, d) =>
+      graft.ops.Multimodal.imageNearDupPairs(dhashMedia(s, d), "doc_id", "media",
+        maxHamming = 6, maxBucket = Int.MaxValue)),
+    "mm_image_neardup_thinned" -> ((s, d) =>
+      graft.ops.Multimodal.imageNearDupPairs(dhashMedia(s, d), "doc_id", "media",
+        maxHamming = 6, maxBucket = 1)),
+    "mm_image_neardup_kept" -> ((s, d) =>
+      graft.ops.Multimodal.dropNearDupImages(dhashMedia(s, d), "doc_id", "media",
+        maxHamming = 6, maxBucket = Int.MaxValue)
+        .select("doc_id")),
 
     // P11: format-conversion round-trip — Avro-encode the rows to binary,
     // decode back; identity result proves the codec loses nothing

@@ -186,4 +186,117 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("width") === 320 && out.getAs[Int]("height") === 200)
     assert(out.getAs[String]("mime") === "image/bmp")
   }
+
+  // ---- dHash: real perceptual hashing over real BMP pixel bytes ----
+
+  /** 24bpp BMP with a real pixel array, ByteBuffer-built (independent of
+    * the column synthesizers — offsets/endianness cross-checked).
+    */
+  private def bmpWithData(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(54 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + data.length).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.position(54) // rest of BITMAPINFOHEADER stays zero (BI_RGB)
+    b.put(data)
+    b.array()
+  }
+
+  /** Independent plain-Scala dHash — the Spark column pipeline must agree
+    * with this byte-level reference bit for bit.
+    */
+  private def refDHash(payload: Array[Byte]): Option[Long] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    def le(off: Int, n: Int): Long =
+      (0 until n).map(k => (payload(off + k) & 0xffL) << (8 * k)).sum
+    if (le(14, 4) != 40 || le(28, 2) != 24) return None
+    val w = le(18, 4).toInt; val h = le(22, 4).toInt
+    val off = le(10, 4).toInt
+    val rs = ((w * 3 + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || payload.length < off + rs.toLong * h) return None
+    def gray(i: Int, j: Int): Long = {
+      val x = i * w / 8; val y = j * h / 9
+      val pos = off + y * rs + 3 * x
+      ((payload(pos) & 0xff) + (payload(pos + 1) & 0xff) + (payload(pos + 2) & 0xff)) / 3L
+    }
+    var hash = 0L
+    for (j <- 0 until 9; i <- 0 until 7)
+      if (gray(i, j) < gray(i + 1, j)) hash |= 1L << (j * 7 + i)
+    Some(hash)
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("id", "p")
+      .select(col("id"), Multimodal.asMedia(col("p"), "image/bmp").as("media"))
+
+  test("dHash agrees bit-for-bit with the independent byte-level reference") {
+    val rnd = new scala.util.Random(42)
+    def img(w: Int, h: Int): Array[Byte] = {
+      val rs = ((w * 3 + 3) / 4) * 4
+      val d = new Array[Byte](rs * h); rnd.nextBytes(d); d
+    }
+    // dims straddle the grid: w<8 / h<9 repeat samples, larger ones stride
+    val cases = Seq((1L, 16, 12), (2L, 5, 4), (3L, 33, 9), (4L, 8, 9),
+      (5L, 100, 60), (6L, 7, 30))
+    val payloads = cases.map { case (id, w, h) => id -> bmpWithData(w, h, img(w, h)) }
+    val got = Multimodal.dHash(mediaDf(payloads), "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.foreach { case (id, p) =>
+      assert(got(id) === refDHash(p).get, s"id $id")
+      assert(got(id) >= 0L, "63-bit hash must stay positive")
+    }
+    // invalid payloads → null dhash, no exception
+    val bad = mediaDf(Seq(7L -> Array[Byte](1, 2, 3), 8L -> wav(8000, 1, 16, 0)))
+    val badOut = Multimodal.dHash(bad, "id", "media").collect()
+    assert(badOut.forall(_.isNullAt(1)))
+  }
+
+  test("banded Hamming near-dup ≡ brute force at the pigeonhole-guaranteed threshold") {
+    val rnd = new scala.util.Random(7)
+    val rs = ((16 * 3 + 3) / 4) * 4
+    val base = new Array[Byte](rs * 12); rnd.nextBytes(base)
+    def mutate(nBytes: Int, seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); val d = base.clone()
+      (0 until nBytes).foreach(_ => d(r.nextInt(d.length)) = r.nextInt(256).toByte)
+      d
+    }
+    val payloads = (0L until 20L).map(id =>
+      id -> bmpWithData(16, 12, mutate((id % 5).toInt * 6, id.toInt)))
+    // maxHamming=3 with 4 bands of 16: pigeonhole guarantees a shared band,
+    // so the banded set must EQUAL brute force, not approximate it
+    val banded = Multimodal.imageNearDupPairs(mediaDf(payloads), "id", "media",
+        maxHamming = 3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = payloads.map { case (id, p) => id -> refDHash(p).get }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must exercise at least one pair")
+    // keeper rule: dropped ⊆ docs with a lower-id near-dup; undecodable kept
+    val withBad = payloads :+ (99L -> Array[Byte](0, 1))
+    val kept = Multimodal.dropNearDupImages(mediaDf(withBad), "id", "media",
+        maxHamming = 3, maxBucket = Int.MaxValue)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expectDropped = brute.map(_._2)
+    assert(kept === (withBad.map(_._1).toSet -- expectDropped))
+    assert(kept.contains(99L), "undecodable payloads are not dedup's to drop")
+  }
+
+  test("hot-band stride thinning: capped output is a subset, hot family survives") {
+    // 12 identical images = one hot (band,value) bucket per band at cap 4
+    val rnd = new scala.util.Random(11)
+    val rs = ((16 * 3 + 3) / 4) * 4
+    val base = new Array[Byte](rs * 12); rnd.nextBytes(base)
+    val payloads = (0L until 12L).map(id => id -> bmpWithData(16, 12, base))
+    val full = Multimodal.imageNearDupPairs(mediaDf(payloads), "id", "media",
+        maxHamming = 0, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Multimodal.imageNearDupPairs(mediaDf(payloads), "id", "media",
+        maxHamming = 0, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size === 12 * 11 / 2)
+    assert(capped.subsetOf(full) && capped.nonEmpty,
+      "stride keeps a deterministic sample of the hot family")
+  }
 }
