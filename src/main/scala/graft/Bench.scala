@@ -70,16 +70,27 @@ object Bench {
         // line inside the driver's tail-capture window (r9 lost its
         // entire bench artifact to untruncated AnalysisExceptions)
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
-      // a warm-up failure is the query failing — record it, skip the reps
-      val warmErr = (1 to warmup).view.flatMap(_ => once()).headOption
-      val runs =
-        if (warmErr.isDefined) Seq((0.0, warmErr, loadavg1))
-        else (1 to reps).map { _ =>
+      // a warm-up failure is the query failing — record it WITH the
+      // elapsed time of the failing attempt (a 0.0 would misread as
+      // "instant"), skip the reps; the single runs/loadavg entry then
+      // describes the failed warm-up run itself
+      var warmFail: Option[(Double, String, Double)] = None
+      var wi = 0
+      while (wi < warmup && warmFail.isEmpty) {
+        val la = loadavg1
+        val t0 = System.nanoTime()
+        once().foreach(e => warmFail = Some(((System.nanoTime() - t0) / 1e9, e, la)))
+        wi += 1
+      }
+      val runs = warmFail match {
+        case Some((t, e, la)) => Seq((t, Some(e), la))
+        case None => (1 to reps).map { _ =>
           val la = loadavg1
           val t0 = System.nanoTime()
           val err = once()
           ((System.nanoTime() - t0) / 1e9, err, la)
         }
+      }
       // a query that errored must not masquerade as fast: report the first
       // error and the time of the run that produced it
       runs.find(_._2.isDefined) match {
@@ -94,7 +105,17 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // stdout floats carry 3 decimals (ms resolution — below this board's
+    // run-to-run noise): full-precision doubles print at up to 17 sig
+    // digits and have pushed the one-line record past the driver's
+    // tail-capture window two rounds running (BENCH parsed:null in r10 AND
+    // r11). The file copy keeps full precision.
+    def n3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:${n3(v)}" }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val allErrs = results.collect { case (k, _, Some(e), _, _) => (k, e) } ++
       unknown.map(k => (k, "unknown query name"))
     // the stdout line must stay inside the driver's tail-capture window no
@@ -120,14 +141,18 @@ object Bench {
     val loadJson = results.map { case (k, _, _, _, ls) =>
       s"${jstr(k)}:${ls.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    def line(errors: String, extra: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmup,"load_start":$loadStart,"load_end":$loadEnd,"jvm_uptime_sec":$uptimeSec,"queries":$qs$extra,"errors":$errors,"sf":${jstr(sfDir)}}"""
-    println(line(errsCapped, ""))
+    def line(value: String, queries: String, errors: String, extra: String): String =
+      s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"warmup":$warmup,"load_start":${n3(loadStart)},"load_end":${n3(loadEnd)},"jvm_uptime_sec":${n3(uptimeSec)},"queries":$queries$extra,"errors":$errors,"sf":${jstr(sfDir)}}"""
     // full record (per-run times + untruncated error list) at a stable
     // path: stdout is interleaved with Spark/sbt noise and tail-limited
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line(errsFull, s""","runs":$runsJson,"loadavg":$loadJson""") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out,
+      (line(total.toString, qsFull, errsFull,
+        s""","runs":$runsJson,"loadavg":$loadJson""") + "\n").getBytes("UTF-8"))
+    // the one-line stdout record prints LAST, after the file write, so
+    // nothing this process controls lands after it in the driver's tail
+    println(line(n3(total), qs, errsCapped, ""))
     spark.stop()
   }
 }

@@ -118,5 +118,11 @@ object SparkEntry {
     // round-10 batch 5: quota-exact stratified split (two-level rank),
     // export shard manifest (one map-combined pass), and the curation
     // gates through the textual CSAS surface
-    "split_stratified", "export_shard_manifest", "p14_curation_csas")
+    "split_stratified", "export_shard_manifest", "p14_curation_csas",
+    // round-12: image near-dup via banded Hamming join over the 63-bit
+    // dHash — the CAPPED twin is the board entry (the unthinned pair set
+    // grows quadratically inside a source family, which is exactly what
+    // the hot-band stride bounds; cap=1 makes the stride fire everywhere,
+    // so the measured plan is the guard path 100 TB runs)
+    "mm_image_neardup_thinned")
 }

@@ -320,8 +320,12 @@ object Multimodal {
       .withColumn("__off", off)
       .withColumn("__rs", rowSize)
       .withColumn("__h", h)
+      // division, not `off + rowSize * h`: the product overflows Long for
+      // garbage headers carrying huge dims and would validate a truncated
+      // payload (same overflow-safe guard as [[dHash]])
       .withColumn("__ok", isBmp24 && w > 0 && h > 0 &&
-        length(p).cast("long") >= off + rowSize * h)
+        floor((length(p).cast("long") - off).cast("double") /
+          rowSize.cast("double")).cast("long") >= h)
       .withColumn("__nb", when(col("__ok"),
         ceil(col("__h").cast("double") / bandRows.toDouble).cast("long")))
     staged
@@ -377,15 +381,32 @@ object Multimodal {
     val h = signed32(leUint(p, 22, 4))
     val off = leUint(p, 10, 4)
     val rowSize = floor((w * 3 + 3).cast("double") / 4.0).cast("long") * 4L
+    // overflow-safe size guard: a garbage header can carry w/h up to 2^31
+    // each, so `off + rowSize * h` can overflow Long to negative and
+    // VALIDATE a truncated payload (whose clamped slices then hash to 0,
+    // colliding all such records into false near-dup pairs). Divide
+    // instead of multiplying: storage rows available after the pixel
+    // offset must cover h. |length-off| < 2^32 and rowSize < 2^34 are
+    // both exact in double, and a misround of the floored quotient would
+    // need rowSize·h < 2^31 (the payload bound) while h·rowSize ≥ 2^53·δ
+    // — impossible, so the comparison is exact.
     val ok = isBmp24 && w > 0 && h > 0 &&
-      length(p).cast("long") >= off + rowSize * h
+      floor((length(p).cast("long") - off).cast("double") /
+        rowSize.cast("double")).cast("long") >= h
     // grid magnitudes stay far under 2^53, so the double round-trips are
     // exact integer division
     def idiv(a: Column, b: Double): Column = floor(a.cast("double") / b).cast("long")
     def gray(i: Int, j: Int): Column = {
       val x = idiv(w * lit(i.toLong), 8.0)
       val y = idiv(h * lit(j.toLong), 9.0)
-      val pos = off + y * rowSize + lit(3L) * x // 0-based byte offset
+      // clamp BOTH factors before the product: gray columns evaluate on
+      // every row (the __ok gate applies at the end), and a garbage
+      // header's y·rowSize (~2^31·2^33) overflows Long, which under ANSI
+      // is an exception, not a null. Clamped to 2^31 each the product
+      // stays ≤ 2^62; valid rows sit far below the clamp (payload < 2^31
+      // bytes), so this changes nothing for them.
+      val cap = lit(Int.MaxValue.toLong)
+      val pos = off + least(y, cap) * least(rowSize, cap) + lit(3L) * x // 0-based byte offset
       // clamp before the int cast: a garbage header (gated out by __ok
       // below) can carry an arbitrary off/dims, and ANSI cast would throw
       // where bad-record tolerance demands null — the clamped slice is
@@ -428,7 +449,29 @@ object Multimodal {
   def imageNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
       maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be nonnegative, got $maxHamming")
-    val hashes = dHash(df, idCol, mediaCol).filter(col("dhash").isNotNull)
+    // The (id, dhash) frame is MATERIALIZED (lineage truncated) before the
+    // banded self-join. A stored media column (the production case) plans
+    // fine un-materialized, but a DERIVED payload column — any upstream
+    // synthesize/transcode stage — gets inlined by the optimizer into all
+    // 72 staged gray columns, and the self-join then SQUARES that tree:
+    // Catalyst planning stops terminating (r11: >6-min planning hang at
+    // sf0.001 while the dHash projection alone runs in seconds —
+    // unbounded optimizer time is as fatal at scale as any shuffle). Two
+    // narrow columns × corpus rows is cheap to hold; both join sides then
+    // plan against a LogicalRDD leaf, bounding optimizer cost regardless
+    // of how the payload was produced. ContextCleaner reclaims the blocks
+    // once the query's RDD is unreferenced; iterative-loop callers that
+    // hold many rounds use the explicit [[Lineage.release]] discipline.
+    //
+    // The null-hash filter goes AFTER the boundary on purpose: pushed
+    // below it, isNotNull(dhash) substitutes through the staged
+    // projections into a scan-level predicate carrying the whole payload
+    // expression (observed: a 5.6 MiB task binary and a codegen fallback
+    // at sf0.001); above it, the filter is a trivial predicate on a leaf
+    // attribute. Null-hash rows in the materialized frame cost 2 narrow
+    // columns each — nothing next to the planning they avoid.
+    val hashes = Lineage.materialize(dHash(df, idCol, mediaCol))
+      .filter(col("dhash").isNotNull)
     val banded = hashes.select(col(idCol), col("dhash"),
       explode(array((0 until 4).map(lit(_)): _*)).as("band"))
       .withColumn("bval",

@@ -553,6 +553,56 @@ object ExtrasQueries extends QueryModule {
         |    (least(3, h - band_idx * 3) * rs)::INT)) AS sha
         |FROM g""".stripMargin,
 
+    // the oracle recomputes the 63-bit hash from the generative closed
+    // form (ascii() over the regenerated pixel STRING — never a binary),
+    // so any off-by-one in offset/stride/endianness on the Spark side
+    // breaks the hash match
+    "mm_image_dhash" -> s"WITH $dhashCte\nSELECT doc_id, dhash FROM hsh",
+
+    // banded self-join + bit_count(xor) Hamming verify, replayed over the
+    // same 4×16-bit bands the engine shuffles on
+    "mm_image_neardup_pairs" ->
+      s"""WITH $dhashCte,
+         |$dhashBandedCte,
+         |pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 6""".stripMargin,
+
+    // the cap=1 twin fires the hot-band stride on every bucket of size>1:
+    // keep iff bucket under cap OR the portable h32(id·'_imgthin') lands
+    // on the ceil(size/cap) stride — the same term-for-term replay the
+    // cross-emb '_annthin' twin pins (SimilarityQueries)
+    "mm_image_neardup_thinned" ->
+      s"""WITH $dhashCte,
+         |$dhashBandedCte,
+         |bs AS (SELECT band, bval, count(*)::BIGINT AS bsize
+         |       FROM banded GROUP BY band, bval),
+         |bk AS (SELECT banded.* FROM banded JOIN bs USING (band, bval)
+         |       WHERE bs.bsize <= 1
+         |          OR ('0x' || substr(md5(banded.doc_id::VARCHAR || '_imgthin'), 1, 8))::BIGINT
+         |             % ceil(bs.bsize::DOUBLE / 1)::BIGINT = 0),
+         |pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 6""".stripMargin,
+
+    // keeper rule: a doc is dropped iff a LOWER-id doc is its near-dup
+    "mm_image_neardup_kept" ->
+      s"""WITH $dhashCte,
+         |$dhashBandedCte,
+         |drp AS (
+         |  SELECT DISTINCT b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM drp)""".stripMargin,
+
     // identity: the round-trip must reproduce the source exactly
     "p11_format_roundtrip" -> "SELECT doc_id, text FROM documents",
 

@@ -27,11 +27,16 @@ object ModelMonitor {
       lit(bands - 1L))
     val s = floor(col(scoreCol) * lit(1000000)).cast("long")
     val y = col(labelCol).cast("int")
+    // row admission must match Classifier.calibrationBins exactly: rows
+    // with a null score OR null label are EXCLUDED from all three metrics
+    // (not just the pos count) — otherwise a batch containing an unlabeled
+    // row breaks the documented batch ≡ streaming calibration invariant
+    val ok = col(scoreCol).isNotNull && col(labelCol).isNotNull
     val metrics = (0 until bands).flatMap { b =>
       Seq(
-        sum(when(band === b, 1L).otherwise(0L)).as(s"b${b}_n"),
-        sum(when(band === b && y === 1, 1L).otherwise(0L)).as(s"b${b}_pos"),
-        sum(when(band === b, s).otherwise(0L)).as(s"b${b}_ssum"))
+        sum(when(ok && band === b, 1L).otherwise(0L)).as(s"b${b}_n"),
+        sum(when(ok && band === b && y === 1, 1L).otherwise(0L)).as(s"b${b}_pos"),
+        sum(when(ok && band === b, s).otherwise(0L)).as(s"b${b}_ssum"))
     }
     scored.observe(name, metrics.head, metrics.tail: _*)
   }

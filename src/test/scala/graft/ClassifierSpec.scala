@@ -228,6 +228,32 @@ class ClassifierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online calibration monitor excludes null-label rows like the batch bins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same fixture as the calibrationBins null test: the 0.93 null-label
+    // row must vanish from ALL THREE band-9 metrics (n, pos, ssum), not
+    // only the pos count — the batch ≡ streaming invariant with unlabeled
+    // rows present
+    val in = MemoryStream[(Double, Option[Int])]
+    val q = graft.streaming.ModelMonitor.observedCalibration(
+        in.toDF().toDF("score", "y"), "score", "y", bands = 10, name = "mon_null")
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      in.addData((0.95, Some(1)), (0.91, Some(0)), (0.05, Some(0)),
+        (1.0, Some(1)), (0.93, None: Option[Int]))
+      q.processAllAvailable()
+      val m = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("mon_null"))).last
+      assert(m.getAs[Long]("b9_n") === 3L)
+      assert(m.getAs[Long]("b9_pos") === 2L)
+      assert(m.getAs[Long]("b9_ssum") === 950000L + 910000L + 1000000L)
+      assert(m.getAs[Long]("b0_n") === 1L)
+      assert(m.getAs[Long]("b0_ssum") === 50000L)
+    } finally q.stop()
+  }
+
   test("model lifecycle: save → load → serve equals the in-session model") {
     val d = Tables.documents(spark, sf())
     val w = Classifier.train(d, "text", "doc_id", col("lang") === "en", rounds = 1)

@@ -283,6 +283,21 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.contains(99L), "undecodable payloads are not dedup's to drop")
   }
 
+  test("garbage headers with overflowing dims null out instead of hash-colliding") {
+    // w=h=Int.MaxValue: `off + rowSize·h` overflows Long to negative,
+    // which would VALIDATE the truncated payload under a product-form
+    // guard — every such record then hashes to 0 (clamped empty slices →
+    // null grays → all comparisons false) and they all collide into false
+    // near-dup pairs. The division-form guard must null them out.
+    val evil = (0L until 2L).map(id =>
+      id -> bmpWithData(Int.MaxValue, Int.MaxValue, Array[Byte](1, 2, 3, 4, 5)))
+    val out = Multimodal.dHash(mediaDf(evil), "id", "media").collect()
+    assert(out.length === 2 && out.forall(_.isNullAt(1)))
+    assert(Multimodal.imageNearDupPairs(mediaDf(evil), "id", "media",
+      maxHamming = 63, maxBucket = Int.MaxValue).count() === 0L)
+    assert(Multimodal.imageBands(mediaDf(evil), "id", "media").count() === 0L)
+  }
+
   test("hot-band stride thinning: capped output is a subset, hot family survives") {
     // 12 identical images = one hot (band,value) bucket per band at cap 4
     val rnd = new scala.util.Random(11)

@@ -201,6 +201,42 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges shuffle exchanges in cdc_snapshot_diff — plan regressed")
   }
 
+  test("scd2 is one key-partitioned window — a single exchange, no global sort") {
+    // official BENCH_r11 recorded 0.28 → 3.50 s (12×) with zero code
+    // change and per-rep loadavg ~2 recorded; builder re-measures stay
+    // ~0.3 s. Pin the shape: the changelog→intervals rewrite is ONE
+    // window partitioned by the key — a single hash exchange, never a
+    // global sort.
+    val p = plan("cdc_scd2")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"unpartitioned window in cdc_scd2:\n${specs.mkString("\n")}")
+    val exchanges = hashExchanges(p)
+    info(s"cdc_scd2 shuffle exchanges: $exchanges")
+    assert(exchanges == 1,
+      s"$exchanges shuffle exchanges in cdc_scd2 — expected exactly the user_id window exchange")
+  }
+
+  test("heavy hitters shuffles k-bounded sketches, never one row per item") {
+    // official BENCH_r11 recorded 0.19 → 4.33 s (22×) with zero code
+    // change; builder re-measures stay ~0.2 s. Pin the shape: the
+    // Misra-Gries aggregation is two-phase (map-side partial sketches,
+    // one k-bounded row per partition) merged on a single partition — no
+    // hashpartitioning shuffle exists in the plan at all.
+    val p = plan("freq_heavy_hitters")
+    assert(p.contains("partial_"),
+      "heavy hitters must partial-aggregate map-side before the exchange")
+    val hashEx = hashExchanges(p)
+    info(s"freq_heavy_hitters hash exchanges: $hashEx")
+    assert(hashEx == 0,
+      s"$hashEx hashpartitioning exchanges in freq_heavy_hitters — the " +
+        "global sketch merge must ride a SinglePartition exchange only")
+    val single = p.linesIterator.count(_.trim.startsWith("Arguments: SinglePartition"))
+    info(s"freq_heavy_hitters single-partition exchanges: $single")
+    assert(single == 1,
+      s"$single SinglePartition exchanges — expected exactly the final sketch merge")
+  }
+
   test("time-series windows are all key-partitioned and share one exchange") {
     val p = plan("ts_moving_avg")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
