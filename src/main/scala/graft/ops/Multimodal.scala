@@ -68,6 +68,12 @@ object Multimodal {
   private val RiffMagic = "52494646" // "RIFF"
   private val WaveMagic = "57415645" // "WAVE"
   private val PngSig = "89504E470D0A1A0A"
+  private val AviMagic = "41564920" // "AVI "
+  private val ListMagic = "4C495354" // "LIST"
+  private val HdrlMagic = "6864726C" // "hdrl"
+  private val AvihMagic = "61766968" // "avih"
+  private val MoviMagic = "6D6F7669" // "movi"
+  private val DbMagic = "30306462" // "00db" (uncompressed DIB frame)
 
   /** Sniff + parse the header of a BMP / canonical WAV / PNG payload into
     * (fmt, width, height, sample_rate, channels, bits_per_sample,
@@ -87,25 +93,41 @@ object Multimodal {
     val isWav = length(payload) >= 36 && magic(payload, 0, RiffMagic) &&
       magic(payload, 8, WaveMagic)
     val isPng = length(payload) >= 24 && magic(payload, 0, PngSig)
+    val isAvi = length(payload) >= 72 && magic(payload, 0, RiffMagic) &&
+      magic(payload, 8, AviMagic)
     // field gates: the owning chunk/header variant must be present
     val bmpInfoDims = isBmp && leUint(payload, 14, 4) === 40
     val wavFmt = isWav && magic(payload, 12, "666D7420") && // "fmt "
       leUint(payload, 16, 4) >= 16 // PCM fmt body covers offsets 22..35
+    // AVI main header: canonical LIST hdrl leading with avih, whose 56-byte
+    // body owns µsPerFrame/totalFrames/width/height at fixed offsets
+    val aviHdr = isAvi && magic(payload, 12, ListMagic) &&
+      magic(payload, 20, HdrlMagic) && magic(payload, 24, AvihMagic) &&
+      leUint(payload, 28, 4) >= 56
     val nullL = lit(null).cast("long")
     val wavDuration = when(length(payload) >= 44 && magic(payload, 36, "64617461") &&
         leUint(payload, 28, 4) > 0, // "data" chunk where canonical + byte rate sane
       floor(leUint(payload, 40, 4).cast("double") * 1000.0 /
         leUint(payload, 28, 4).cast("double")).cast("long"))
+    // totalFrames · µsPerFrame via double (each can be 2^32; the Long
+    // product would ANSI-overflow on garbage), floored to ms
+    val aviDuration = when(leUint(payload, 32, 4) > 0,
+      floor(leUint(payload, 48, 4).cast("double") *
+        leUint(payload, 32, 4).cast("double") / 1000.0).cast("long"))
     struct(
-      when(isBmp, "bmp").when(isWav, "wav").when(isPng, "png").as("fmt"),
+      when(isBmp, "bmp").when(isWav, "wav").when(isPng, "png")
+        .when(isAvi, "avi").as("fmt"),
       when(bmpInfoDims, signed32(leUint(payload, 18, 4)))
-        .when(isPng, beUint(payload, 16, 4)).otherwise(nullL).as("width"),
+        .when(isPng, beUint(payload, 16, 4))
+        .when(aviHdr, leUint(payload, 64, 4)).otherwise(nullL).as("width"),
       when(bmpInfoDims, signed32(leUint(payload, 22, 4)))
-        .when(isPng, beUint(payload, 20, 4)).otherwise(nullL).as("height"),
+        .when(isPng, beUint(payload, 20, 4))
+        .when(aviHdr, leUint(payload, 68, 4)).otherwise(nullL).as("height"),
       when(wavFmt, leUint(payload, 24, 4)).otherwise(nullL).as("sample_rate"),
       when(wavFmt, leUint(payload, 22, 2)).otherwise(nullL).as("channels"),
       when(wavFmt, leUint(payload, 34, 2)).otherwise(nullL).as("bits_per_sample"),
-      when(wavFmt, wavDuration).otherwise(nullL).as("duration_ms"))
+      when(wavFmt, wavDuration).when(aviHdr, aviDuration)
+        .otherwise(nullL).as("duration_ms"))
   }
 
   /** Fill the media struct's metadata fields from the REAL header parse
@@ -350,6 +372,101 @@ object Multimodal {
       hexLE(lit(1L), 2), hexLE(lit(24L), 2), lit("0" * 48),
       hex(data)))
 
+  /** Shared hex body for the canonical AVI layout this module reads and
+    * writes: RIFF/'AVI ' → LIST hdrl holding exactly the 56-byte avih →
+    * LIST movi at byte 88, '00db' uncompressed-DIB frame chunks from
+    * byte 100. µsPerFrame at 32, totalFrames at 48, width/height at
+    * 64/68 — the standard avih field offsets under this layout.
+    */
+  private def aviHeaderHex(w: Column, h: Column, usPerFrame: Column,
+      totalFrames: Column, moviBytes: Column): Column =
+    concat(
+      lit(RiffMagic), hexLE(lit(92L) + moviBytes, 4), lit(AviMagic),
+      lit(ListMagic), hexLE(lit(68L), 4), lit(HdrlMagic),
+      lit(AvihMagic), hexLE(lit(56L), 4),
+      hexLE(usPerFrame, 4), lit("0" * 24), // maxBytesPerSec/padding/flags = 0
+      hexLE(totalFrames, 4), lit("0" * 8), hexLE(lit(1L), 4), lit("0" * 8),
+      hexLE(w, 4), hexLE(h, 4), lit("0" * 32), // 16 reserved bytes
+      lit(ListMagic), hexLE(lit(4L) + moviBytes, 4), lit(MoviMagic))
+
+  /** Canonical header-only AVI (empty movi list; totalFrames still set —
+    * fixture/synthesizer for [[headerMeta]]).
+    */
+  def aviPayload(width: Column, height: Column, usPerFrame: Column,
+      totalFrames: Column): Column =
+    unhex(aviHeaderHex(width, height, usPerFrame, totalFrames, lit(0L)))
+
+  /** [[aviPayload]] with actual uncompressed-DIB frame chunks — each
+    * frame's `data` must be exactly rowSize·height bytes (rowSize =
+    * ⌈3w/4⌉·4, the DIB stride [[imageBands]] documents). Frame count is
+    * fixed at plan time (one '00db' chunk per element); per-doc frame
+    * CONTENT is a column.
+    */
+  def aviPayloadWithFrames(width: Column, height: Column, usPerFrame: Column,
+      frames: Seq[Column]): Column = {
+    val chunks = frames.map(f => concat(lit(DbMagic), hexLE(length(f), 4), hex(f)))
+    val moviBytes = frames.map(f => length(f).cast("long") + 8L)
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    unhex(concat(
+      (aviHeaderHex(width, height, usPerFrame, lit(frames.size.toLong), moviBytes) +:
+        chunks): _*))
+  }
+
+  /** REAL video frame extraction for canonical uncompressed-DIB AVI
+    * payloads — the video member of the codec-free triple
+    * ([[audioWindows]], [[imageBands]], this): with fixed-size '00db'
+    * frame chunks, frame boundaries ARE closed-form byte offsets
+    * (100 + k·(8+frameBytes)), so slicing a video column into per-frame
+    * training rows is header arithmetic + payload slicing in codegen'd
+    * columns. This replaces the byte-chunking STUB of [[sampleFrames]]
+    * with a real container parse wherever the canonical layout holds;
+    * [[sampleFrames]] stays as the stub for compressed containers, which
+    * genuinely need a codec.
+    *
+    * Canonical gates (same discipline as [[audioWindows]]): RIFF/'AVI ',
+    * LIST hdrl + avih at the fixed offsets, LIST movi at 88, and the
+    * FIRST frame chunk must be '00db' sized exactly rowSize·height —
+    * non-canonical layouts emit no rows, never wrong ones. Frame count =
+    * min(avih totalFrames, frames that fit in the payload).
+    *
+    * Output: (idCol, frame_idx, t_ms, n_bytes, frame BINARY).
+    */
+  def videoFrames(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val p = col(s"$mediaCol.payload")
+    val canonical = length(p) >= 112 && magic(p, 0, RiffMagic) &&
+      magic(p, 8, AviMagic) && magic(p, 12, ListMagic) &&
+      magic(p, 20, HdrlMagic) && magic(p, 24, AvihMagic) &&
+      leUint(p, 28, 4) >= 56 && magic(p, 88, ListMagic) &&
+      magic(p, 96, MoviMagic) && magic(p, 100, DbMagic)
+    val w = leUint(p, 64, 4)
+    val h = leUint(p, 68, 4)
+    val cap = lit(Int.MaxValue.toLong)
+    // DIB stride; factors clamped before the product for the same ANSI
+    // garbage-header reason as [[dHash]] (w/h are unsigned 2^32 here)
+    val rs = floor((least(w, cap) * 3 + 3).cast("double") / 4.0).cast("long") * 4L
+    val fb = least(rs, cap) * least(h, cap)
+    val declared = when(leUint(p, 104, 4) === fb, leUint(p, 48, 4)).otherwise(0L)
+    // frames that actually fit: (len-100) div (8+fb), double-exact (both
+    // operands under 2^31 whenever the result can be ≥ 1)
+    val avail = floor((length(p).cast("long") - 100L).cast("double") /
+      (fb + 8L).cast("double")).cast("long")
+    val staged = df
+      .withColumn("__fb", fb)
+      .withColumn("__us", leUint(p, 32, 4))
+      .withColumn("__n", least(declared, avail))
+      .withColumn("__ok", canonical && w > 0 && h > 0 && col("__n") >= 1)
+    staged
+      .withColumn("frame_idx",
+        explode(when(col("__ok"), sequence(lit(0L), col("__n") - 1L))
+          .otherwise(typedLit(Array.empty[Long]))))
+      .select(col(idCol), col("frame_idx"),
+        floor(col("frame_idx").cast("double") * col("__us").cast("double") / 1000.0)
+          .cast("long").as("t_ms"),
+        col("__fb").as("n_bytes"),
+        p.substr((lit(109L) + col("frame_idx") * (col("__fb") + 8L)).cast("int"),
+          col("__fb").cast("int")).as("frame"))
+  }
+
   /** REAL perceptual hash (difference hash, "dHash") for 24-bit
     * BITMAPINFOHEADER BMP payloads — codec-free like [[imageBands]]:
     * uncompressed BMP pixels live at closed-form byte offsets, so the
@@ -484,10 +601,32 @@ object Multimodal {
     // columns each — nothing next to the planning they avoid.
     val hashes = Lineage.materialize(dHash(df, idCol, mediaCol))
       .filter(col("dhash").isNotNull)
-    val banded = hashes.select(col(idCol), col("dhash"),
+    bandedHammingPairs(hashes, idCol, "dhash", maxHamming, maxBucket, "_imgthin")
+  }
+
+  /** Generic banded-Hamming candidate join over a 63-bit perceptual hash
+    * column — the shared scale machinery behind [[imageNearDupPairs]] and
+    * [[audioNearDupPairs]]: 4 bands of 16 bits, exact-band equi-join
+    * candidates (never all-pairs), `bit_count(xor)` verification,
+    * [[Similarity.thinHotBuckets]]-style md5-stride hot-bucket cap. One
+    * code path for every modality, so the image cap=1 oracle twin
+    * (`mm_image_neardup_thinned`) pins the stride predicate for ALL
+    * callers.
+    *
+    * `hashes` must be (idCol, hashCol LONG) with nulls pre-filtered and
+    * lineage already bounded (see the materialize note in
+    * [[imageNearDupPairs]] — callers materialize their hash frame so a
+    * derived payload column cannot blow up planning on both join sides).
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int, thinSalt: String): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be nonnegative, got $maxHamming")
+    val banded = hashes.select(col(idCol), col(hashCol).as("__hsh"),
       explode(array((0 until 4).map(lit(_)): _*)).as("band"))
       .withColumn("bval",
-        expr("shiftright(dhash, band * 16)").bitwiseAND(lit(0xFFFFL)))
+        expr("shiftright(__hsh, band * 16)").bitwiseAND(lit(0xFFFFL)))
     val kept =
       if (maxBucket == Int.MaxValue) banded
       else {
@@ -496,14 +635,14 @@ object Multimodal {
         val stride = ceil(col("__bsize").cast("double") / maxBucket).cast("long")
         banded.join(broadcast(sizes), Seq("band", "bval"))
           .filter(col("__bsize") <= maxBucket ||
-            pmod(Text.h32(concat(col(idCol).cast("string"), lit("_imgthin"))),
+            pmod(Text.h32(concat(col(idCol).cast("string"), lit(thinSalt))),
               stride) === 0)
           .drop("__bsize")
       }
     val a = kept.select(col("band"), col("bval"),
-      col(idCol).as("doc_a"), col("dhash").as("__ha"))
+      col(idCol).as("doc_a"), col("__hsh").as("__ha"))
     val b = kept.select(col("band"), col("bval"),
-      col(idCol).as("doc_b"), col("dhash").as("__hb"))
+      col(idCol).as("doc_b"), col("__hsh").as("__hb"))
     a.join(b, Seq("band", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -521,6 +660,86 @@ object Multimodal {
   def dropNearDupImages(df: DataFrame, idCol: String, mediaCol: String,
       maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
     val dropped = imageNearDupPairs(df, idCol, mediaCol, maxHamming, maxBucket)
+      .select(col("doc_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** REAL audio fingerprint for canonical 16-bit PCM WAV payloads — the
+    * audio twin of [[dHash]], equally codec-free: sample amplitude at a
+    * 64-point time grid (frame f_k = ⌊k·n/64⌋ over the n sample frames,
+    * first channel, 16-bit LE signed), bit k = 1 iff |s_k| < |s_{k+1}| —
+    * the coarse temporal-envelope signature (a point-sampled cousin of
+    * energy-difference fingerprints like Chromaprint's, honest about
+    * being point-sampled: no per-window aggregation, so the whole hash
+    * is header arithmetic + 64 payload slices in codegen'd columns).
+    * 63 bits for the same signed-64 / DuckDB `1::BIGINT << 63` reason as
+    * [[dHash]].
+    *
+    * Same staging discipline as [[dHash]] (header fields once, then the
+    * 64 energy columns, then the bit fold — the optimizer must never
+    * re-walk 64 copies of the header parse), and the same bad-record
+    * tolerance: non-WAV / non-16-bit / non-canonical / empty payloads →
+    * null fingerprint, never an exception. Grid positions need no
+    * overflow clamps: every factor is bounded by the actual payload
+    * length (frames = dataLen div blockAlign with dataLen ≤ length(p)),
+    * unlike BMP's header-declared dims.
+    *
+    * Output: (idCol, afp LONG).
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val p = col(s"$mediaCol.payload")
+    val canonical = length(p) >= 46 && magic(p, 0, RiffMagic) &&
+      magic(p, 8, WaveMagic) && magic(p, 12, "666D7420") &&
+      magic(p, 36, "64617461")
+    val ba = leUint(p, 32, 2)
+    val dl = least(leUint(p, 40, 4), length(p).cast("long") - 44L)
+    // __ba staged as max(ba, 1): a garbage header's blockAlign of 0 would
+    // make dl/ba NaN/Inf, and the ANSI long cast throws where bad-record
+    // tolerance demands null — validity still checks the RAW ba > 0
+    val hdr = df.select(col(idCol), p.as("__p"),
+      (canonical && leUint(p, 34, 2) === 16 && ba > 0 && dl >= ba).as("__ok"),
+      greatest(ba, lit(1L)).as("__ba"), dl.as("__dl"))
+    def idiv(a: Column, b: Double): Column = floor(a.cast("double") / b).cast("long")
+    val n = floor(col("__dl").cast("double") / col("__ba").cast("double")).cast("long")
+    def energy(k: Int): Column = {
+      // frame index ⌊k·n/64⌋ ≤ n−1; 0-based byte pos 44 + f·blockAlign is
+      // ≤ 44 + dl − ba by construction, so the slice is always in-bounds
+      // on ok rows (and harmlessly clamped garbage on rows nulled anyway)
+      val f = idiv(n * lit(k.toLong), 64.0)
+      val pos = lit(44L) + f * col("__ba")
+      val posC = least(greatest(pos + 1L, lit(1L)), lit(Int.MaxValue.toLong))
+      val hx = hex(col("__p").substr(posC.cast("int"), lit(2))) // "LLHH" LE
+      val v = conv(substring(hx, 3, 2), 16, 10).cast("long") * 256L +
+        conv(substring(hx, 1, 2), 16, 10).cast("long")
+      abs(when(v >= 32768L, v - 65536L).otherwise(v)) // signed16 → |amp|
+    }
+    val staged = hdr.select(
+      (col(idCol) +: col("__ok") +:
+        (0 until 64).map(k => energy(k).as(s"__e_$k"))): _*)
+    val bits = (0 until 63).map(k =>
+      when(col(s"__e_$k") < col(s"__e_${k + 1}"),
+        shiftleft(lit(1L), k)).otherwise(0L))
+    staged.select(col(idCol),
+      when(col("__ok"), bits.reduce(_ bitwiseOR _)).as("afp"))
+  }
+
+  /** Near-duplicate audio pairs: [[audioFingerprint]] through the shared
+    * [[bandedHammingPairs]] machinery (same lineage-materialize guard,
+    * same hot-band stride — pinned oracle-exact by the image cap=1 twin).
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 10, maxBucket: Int = 1000): DataFrame = {
+    val hashes = Lineage.materialize(audioFingerprint(df, idCol, mediaCol))
+      .filter(col("afp").isNotNull)
+    bandedHammingPairs(hashes, idCol, "afp", maxHamming, maxBucket, "_audthin")
+  }
+
+  /** Near-duplicate audio removal — lower-id keeper rule, undecodable
+    * payloads kept (same contract as [[dropNearDupImages]]).
+    */
+  def dropNearDupAudio(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 10, maxBucket: Int = 1000): DataFrame = {
+    val dropped = audioNearDupPairs(df, idCol, mediaCol, maxHamming, maxBucket)
       .select(col("doc_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

@@ -70,6 +70,60 @@ object ExtrasQueries extends QueryModule {
       |  SELECT doc_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bval
       |  FROM hsh, (SELECT unnest([0, 1, 2, 3]) AS band) bands)""".stripMargin
 
+  /** Synthesized canonical mono 16-bit PCM WAV corpus for the audio
+    * fingerprint queries: data is 256 ASCII chars (128 sample frames) — a
+    * base signal per `source` (repeat(md5(source), 8)) with 32-char
+    * segment (doc_id % 8) overwritten by doc-specific bytes. Same-source
+    * docs are near-duplicates; closed-form in (source, doc_id) so the
+    * DuckDB oracle regenerates the sample STRING and never needs the
+    * binary.
+    */
+  private def afpMedia(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Multimodal
+    val sg = col("doc_id") % 8
+    val base = repeat(md5(col("source")), 8)
+    val segStr = md5(col("doc_id").cast("string"))
+    val dataStr = concat(
+      base.substr(lit(1), (sg * 32).cast("int")),
+      segStr,
+      base.substr((sg * 32 + 33).cast("int"), (lit(256) - (sg + 1) * 32).cast("int")))
+    Tables.documents(s, d).select(col("doc_id"),
+      Multimodal.asMedia(
+        Multimodal.wavPayloadWithData(lit(8000L), lit(1L), lit(16L),
+          encode(dataStr, "UTF-8")),
+        "audio/wav").as("media"))
+  }
+
+  /** The audio-fingerprint closed form as DuckDB CTEs (`pxa` → `ea` →
+    * `afh`): blockAlign 2 and 128 frames make the engine's sampled frame
+    * f_k = ⌊128k/64⌋ = 2k, so the 16-bit LE sample at grid point k reads
+    * chars 4k+1 (low byte) and 4k+2 (high byte); ASCII data keeps every
+    * sample positive, so |amp| = value. Bit k via the same comparison.
+    */
+  private val afpCte: String = {
+    val energies = (0 until 64).map { k =>
+      s"(ascii(substr(s,${4 * k + 1},1)) + 256*ascii(substr(s,${4 * k + 2},1))) AS e_$k"
+    }.mkString(",\n    ")
+    val bits = (0 until 63).map(k =>
+      s"(CASE WHEN e_$k < e_${k + 1} THEN 1::BIGINT << $k ELSE 0::BIGINT END)")
+      .mkString(" |\n    ")
+    s"""pxa AS (
+       |  SELECT doc_id,
+       |    substr(b, 1, (32*sg)::INT) || r || substr(b, (32*sg + 33)::INT, (256 - 32*(sg+1))::INT) AS s
+       |  FROM (SELECT doc_id, repeat(md5(source), 8) AS b,
+       |          md5(doc_id::VARCHAR) AS r,
+       |          (doc_id % 8)::BIGINT AS sg FROM documents)),
+       |ea AS (SELECT doc_id,
+       |    $energies
+       |  FROM pxa),
+       |afh AS (SELECT doc_id, ($bits) AS afp FROM ea)""".stripMargin
+  }
+
+  private val afpBandedCte: String =
+    """abanded AS (
+      |  SELECT doc_id, afp, band, (afp >> (16 * band)) & 65535 AS bval
+      |  FROM afh, (SELECT unnest([0, 1, 2, 3]) AS band) bands)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // snapshot diff: orders vs a deterministically mutated copy — %97 keys
     // removed, %101 keys re-added under shifted ids, %13 prices bumped
@@ -267,6 +321,59 @@ object ExtrasQueries extends QueryModule {
       graft.ops.Multimodal.dropNearDupImages(dhashMedia(s, d), "doc_id", "media",
         maxHamming = 6, maxBucket = Int.MaxValue)
         .select("doc_id")),
+
+    // REAL audio fingerprinting over the same discipline as mm_image_dhash:
+    // 64-point temporal-envelope sample of real PCM bytes through the real
+    // header arithmetic; the oracle recomputes all 63 bits from the
+    // generative closed form
+    "mm_audio_fp" -> ((s, d) =>
+      graft.ops.Multimodal.audioFingerprint(afpMedia(s, d), "doc_id", "media")),
+
+    // audio near-dup pairs via the SHARED bandedHammingPairs machinery
+    // (guard pinned off here — the image cap=1 twin fires the stride for
+    // the shared code path)
+    "mm_audio_neardup_pairs" -> ((s, d) =>
+      graft.ops.Multimodal.audioNearDupPairs(afpMedia(s, d), "doc_id", "media",
+        maxHamming = 10, maxBucket = Int.MaxValue)),
+    "mm_audio_neardup_kept" -> ((s, d) =>
+      graft.ops.Multimodal.dropNearDupAudio(afpMedia(s, d), "doc_id", "media",
+        maxHamming = 10, maxBucket = Int.MaxValue)
+        .select("doc_id")),
+
+    // REAL video header decode: canonical AVI avih fields (dims, frame
+    // timing) parsed back by the same headerMeta that owns BMP/PNG/WAV —
+    // the oracle states the closed form, so any mis-parsed offset breaks it
+    "mm_video_meta" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val payload = Multimodal.aviPayload(
+        (col("doc_id") % 640 + 1).cast("long"),
+        (col("doc_id") % 480 + 1).cast("long"),
+        lit(33333L), (col("doc_id") % 100).cast("long"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.headerMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.fmt").as("fmt"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.duration_ms").as("duration_ms"))
+    }),
+
+    // REAL video frame extraction: synthesize canonical uncompressed-DIB
+    // AVIs (3 frames, per-doc dims and timing, ASCII frame bytes), slice
+    // by pure container arithmetic, hash each frame's bytes
+    "mm_video_frames" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val w = (col("doc_id") % 4 + 1).cast("long")
+      val h = (col("doc_id") % 3 + 2).cast("long")
+      val us = (lit(33000L) + (col("doc_id") % 5) * 1000L).cast("long")
+      val fb = (floor((w * 3 + 3).cast("double") / 4.0).cast("long") * 4L * h)
+      val frames = (0 until 3).map(k =>
+        encode(repeat(md5(concat(col("text"), lit(k.toString))), 2)
+          .substr(lit(1), fb.cast("int")), "UTF-8"))
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        Multimodal.asMedia(
+          Multimodal.aviPayloadWithFrames(w, h, us, frames), "video/avi").as("media"))
+      Multimodal.videoFrames(media, "doc_id", "media")
+        .select(col("doc_id"), col("frame_idx"), col("t_ms"), col("n_bytes"),
+          sha2(col("frame"), 256).as("sha"))
+    }),
 
     // P11: format-conversion round-trip — Avro-encode the rows to binary,
     // decode back; identity result proves the codec loses nothing
@@ -602,6 +709,54 @@ object ExtrasQueries extends QueryModule {
          |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM drp)""".stripMargin,
+
+    // closed form of the synthesized avih fields headerMeta parses back
+    "mm_video_meta" ->
+      """SELECT doc_id, 'avi' AS fmt,
+        |  (doc_id % 640 + 1)::BIGINT AS width,
+        |  (doc_id % 480 + 1)::BIGINT AS height,
+        |  ((doc_id % 100) * 33333 // 1000)::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // closed form of the synthesized AVIs: fb = ⌈3w/4⌉·4·h DIB bytes per
+    // frame, 3 frames, t_ms = ⌊k·µsPerFrame/1000⌋; ASCII frame bytes so
+    // substring == byte slicing
+    "mm_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |    (doc_id % 4 + 1)::BIGINT AS w, (doc_id % 3 + 2)::BIGINT AS h,
+        |    (33000 + (doc_id % 5) * 1000)::BIGINT AS us
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, us, ((w * 3 + 3) // 4 * 4 * h)::BIGINT AS fb, text FROM v),
+        |g AS (SELECT doc_id, us, fb, text,
+        |        unnest([0, 1, 2])::BIGINT AS frame_idx FROM d2)
+        |SELECT doc_id, frame_idx,
+        |  (frame_idx * us // 1000)::BIGINT AS t_ms, fb AS n_bytes,
+        |  sha256(substr(repeat(md5(text || frame_idx::VARCHAR), 2), 1, fb::INT)) AS sha
+        |FROM g""".stripMargin,
+
+    "mm_audio_fp" -> s"WITH $afpCte\nSELECT doc_id, afp FROM afh",
+
+    "mm_audio_neardup_pairs" ->
+      s"""WITH $afpCte,
+         |$afpBandedCte,
+         |apr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+         |  FROM abanded a JOIN abanded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM apr WHERE hamming <= 10""".stripMargin,
+
+    "mm_audio_neardup_kept" ->
+      s"""WITH $afpCte,
+         |$afpBandedCte,
+         |adrp AS (
+         |  SELECT DISTINCT b.doc_id AS doc_b
+         |  FROM abanded a JOIN abanded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.afp, b.afp)) <= 10)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM adrp)""".stripMargin,
 
     // identity: the round-trip must reproduce the source exactly
     "p11_format_roundtrip" -> "SELECT doc_id, text FROM documents",

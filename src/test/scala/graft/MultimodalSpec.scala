@@ -298,6 +298,186 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageBands(mediaDf(evil), "id", "media").count() === 0L)
   }
 
+  // ---- AVI: real container parse + frame slicing over real bytes ----
+
+  /** Canonical uncompressed-DIB AVI, ByteBuffer-built (independent of the
+    * column synthesizer — offsets and endianness cross-checked).
+    */
+  private def avi(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = frames.map(_.length + 8).sum
+    val b = ByteBuffer.allocate(100 + movi).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(92 + movi).put("AVI ".getBytes)
+    b.put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+    b.put("avih".getBytes).putInt(56)
+    b.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+    b.putInt(frames.size).putInt(0).putInt(1).putInt(0)
+    b.putInt(w).putInt(h)
+    b.position(b.position() + 16) // reserved
+    b.put("LIST".getBytes).putInt(4 + movi).put("movi".getBytes)
+    frames.foreach { f => b.put("00db".getBytes).putInt(f.length).put(f) }
+    b.array()
+  }
+
+  test("avi header fields parse from independently crafted bytes") {
+    val rnd = new scala.util.Random(17)
+    val fb = 12 * 2 // w=3 → stride 12, h=2
+    val fs = Seq.fill(3)({ val d = new Array[Byte](fb); rnd.nextBytes(d); d })
+    val m = parse(1L -> avi(3, 2, 33333, fs), 2L -> avi(640, 480, 40000, Nil))
+    assert(m(1L).getAs[String]("fmt") === "avi")
+    assert(m(1L).getAs[Long]("width") === 3L)
+    assert(m(1L).getAs[Long]("height") === 2L)
+    assert(m(1L).getAs[Long]("duration_ms") === 3L * 33333 / 1000)
+    assert(m(1L).isNullAt(m(1L).fieldIndex("sample_rate")))
+    assert(m(2L).getAs[Long]("width") === 640L)
+    assert(m(2L).getAs[Long]("duration_ms") === 0L) // zero frames
+  }
+
+  test("video frames: container-exact slicing, truncation-aware, garbage-tolerant") {
+    val rnd = new scala.util.Random(19)
+    val fb = 12 * 2
+    val fs = Seq.fill(3)({ val d = new Array[Byte](fb); rnd.nextBytes(d); d })
+    val full = avi(3, 2, 33333, fs)
+    // truncated: header claims 3 frames, payload carries 2
+    val truncated = java.util.Arrays.copyOfRange(full, 0, 100 + 2 * (8 + fb))
+    // first chunk sized wrong for the declared dims → no rows, not garbage rows
+    val wrongSize = avi(3, 2, 33333, Seq(new Array[Byte](fb + 4)))
+    val df = audioDf(Seq(1L -> full, 2L -> truncated, 3L -> wrongSize,
+      4L -> Array[Byte](9, 9, 9), 5L -> bmp(4, 4)))
+    val rows = Multimodal.videoFrames(df, "id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getAs[Array[Byte]]("frame")))).toMap
+    assert(rows.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 1L)))
+    (0 until 3).foreach { k =>
+      val (tMs, nBytes, frame) = rows((1L, k.toLong))
+      assert(tMs === k.toLong * 33333 / 1000)
+      assert(nBytes === fb.toLong)
+      assert(frame.toSeq === fs(k).toSeq, s"frame $k bytes")
+    }
+    assert(rows((2L, 1L))._3.toSeq === fs(1).toSeq)
+  }
+
+  test("avi synthesizers round-trip through the parser and the frame slicer") {
+    import spark.implicits._
+    val df = Seq((7L, "payloadseed")).toDF("id", "seed")
+      .select(col("id"), Multimodal.asMedia(
+        Multimodal.aviPayloadWithFrames(lit(3L), lit(2L), lit(20000L),
+          (0 until 2).map(k =>
+            encode(substring(concat(md5(concat(col("seed"), lit(k.toString))),
+              md5(col("seed"))), 1, 24), "UTF-8"))), "video/avi").as("media"))
+    val meta = df.select(Multimodal.headerMeta(col("media.payload")).as("m"))
+      .select("m.*").collect().head
+    assert(meta.getAs[String]("fmt") === "avi")
+    assert(meta.getAs[Long]("width") === 3L)
+    assert(meta.getAs[Long]("duration_ms") === 2L * 20000 / 1000)
+    val frames = Multimodal.videoFrames(df, "id", "media").collect()
+    assert(frames.length === 2)
+    assert(frames.forall(_.getAs[Long]("n_bytes") === 24L))
+  }
+
+  // ---- audio fingerprint: real PCM amplitude sampling over real bytes ----
+
+  /** Canonical PCM WAV with a real data chunk, ByteBuffer-built
+    * (independent of the column synthesizers).
+    */
+  private def wavWithData(rate: Int, channels: Short, bits: Short,
+      data: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels)
+    b.putInt(rate).putInt(rate * channels * bits / 8)
+    b.putShort((channels * bits / 8).toShort).putShort(bits)
+    b.put("data".getBytes).putInt(data.length)
+    b.put(data)
+    b.array()
+  }
+
+  /** Independent plain-Scala fingerprint — the Spark column pipeline must
+    * agree with this byte-level reference bit for bit.
+    */
+  private def refAudioFp(payload: Array[Byte]): Option[Long] = {
+    if (payload.length < 46) return None
+    def str4(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (str4(0) != "RIFF" || str4(8) != "WAVE" ||
+      str4(12) != "fmt " || str4(36) != "data") return None
+    def le(off: Int, n: Int): Long =
+      (0 until n).map(k => (payload(off + k) & 0xffL) << (8 * k)).sum
+    val bps = le(34, 2); val ba = le(32, 2)
+    val dl = math.min(le(40, 4), payload.length - 44L)
+    if (bps != 16 || ba <= 0 || dl < ba) return None
+    val n = dl / ba
+    def energy(k: Int): Long = {
+      val f = n * k / 64
+      val pos = (44 + f * ba).toInt
+      val v = ((payload(pos) & 0xff) | ((payload(pos + 1) & 0xff) << 8)).toLong
+      math.abs(if (v >= 32768) v - 65536 else v)
+    }
+    var hsh = 0L
+    for (k <- 0 until 63) if (energy(k) < energy(k + 1)) hsh |= 1L << k
+    Some(hsh)
+  }
+
+  private def audioDf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("id", "p")
+      .select(col("id"), Multimodal.asMedia(col("p"), "audio/wav").as("media"))
+
+  test("audio fingerprint agrees bit-for-bit with the independent reference") {
+    val rnd = new scala.util.Random(13)
+    def pcm(frames: Int, ba: Int): Array[Byte] = {
+      val d = new Array[Byte](frames * ba); rnd.nextBytes(d); d
+    }
+    // frame counts straddle the 64-point grid; mono and stereo strides
+    val cases = Seq((1L, 8000, 1: Short, 128), (2L, 16000, 2: Short, 64),
+      (3L, 44100, 1: Short, 63), (4L, 8000, 2: Short, 1000), (5L, 8000, 1: Short, 1))
+    val payloads = cases.map { case (id, r, ch, frames) =>
+      id -> wavWithData(r, ch, 16, pcm(frames, ch * 2))
+    }
+    val got = Multimodal.audioFingerprint(audioDf(payloads), "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.foreach { case (id, p) =>
+      assert(got(id) === refAudioFp(p).get, s"id $id")
+      assert(got(id) >= 0L, "63-bit fingerprint must stay positive")
+    }
+    // invalid payloads → null fingerprint, no exception: garbage, 8-bit
+    // PCM, empty data chunk, a BMP
+    val bad = audioDf(Seq(
+      7L -> Array[Byte](1, 2, 3),
+      8L -> wavWithData(8000, 1, 8, Array.fill(64)(1: Byte)),
+      9L -> wav(8000, 1, 16, 0),
+      10L -> bmp(4, 4)))
+    val badOut = Multimodal.audioFingerprint(bad, "id", "media").collect()
+    assert(badOut.length === 4 && badOut.forall(_.isNullAt(1)))
+  }
+
+  test("audio near-dup rides the shared banded join: banded ≡ brute at h≤3") {
+    val rnd = new scala.util.Random(29)
+    val base = new Array[Byte](256); rnd.nextBytes(base)
+    def mutate(nBytes: Int, seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); val d = base.clone()
+      (0 until nBytes).foreach(_ => d(r.nextInt(d.length)) = r.nextInt(256).toByte)
+      d
+    }
+    val payloads = (0L until 20L).map(id =>
+      id -> wavWithData(8000, 1, 16, mutate((id % 5).toInt * 4, id.toInt)))
+    val banded = Multimodal.audioNearDupPairs(audioDf(payloads), "id", "media",
+        maxHamming = 3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = payloads.map { case (id, p) => id -> refAudioFp(p).get }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must exercise at least one pair")
+    // keeper rule + undecodable payloads kept
+    val withBad = payloads :+ (99L -> Array[Byte](0, 1))
+    val kept = Multimodal.dropNearDupAudio(audioDf(withBad), "id", "media",
+        maxHamming = 3, maxBucket = Int.MaxValue)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === (withBad.map(_._1).toSet -- brute.map(_._2)))
+    assert(kept.contains(99L), "undecodable payloads are not dedup's to drop")
+  }
+
   test("hot-band stride thinning: capped output is a subset, hot family survives") {
     // 12 identical images = one hot (band,value) bucket per band at cap 4
     val rnd = new scala.util.Random(11)
