@@ -20,40 +20,16 @@ object Verify {
     Tables.configure(spark)
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Per-query wall-clock budget. Round 11 proved exceptions are not the
-    // only way a query can zero the round: a Catalyst planning
-    // NON-TERMINATION (the mm_image_neardup lineage blowup) hung this
-    // process before any artifact was written — 0/201 checked. Each query
-    // now runs on its own daemon thread with a hard budget; a breach
-    // cancels the query's job group (covers stuck EXECUTION), records the
-    // query in failed.json (covers the artifact), and moves on. A stuck
-    // PLANNING thread is not interruptible, but as a daemon it merely
-    // burns one core while the remaining board completes — the failure is
-    // one red row, never an empty artifact.
+    // Per-query wall-clock budget ([[Budget]] — the r11 planning-hang
+    // lesson): a non-terminating or throwing query lands in failed.json
+    // as one red row while the rest of the board completes, never an
+    // empty artifact.
     val budgetSec = sys.env.get("SPARK_GRAFT_VERIFY_TIMEOUT_SEC")
       .map(_.toInt).getOrElse(300)
-    def runBudgeted(name: String)(body: => Unit): Option[String] = {
-      val err = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-      val t = new Thread(() => {
-        try {
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          body
-        } catch { case e: Throwable =>
-          err.set(Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"))
-        } finally spark.sparkContext.clearJobGroup()
-      }, s"verify-$name")
-      t.setDaemon(true)
-      t.start()
-      t.join(budgetSec * 1000L)
-      if (t.isAlive) {
-        spark.sparkContext.cancelJobGroup(name)
-        Some(s"Timeout: planning or execution exceeded ${budgetSec}s")
-      } else err.get
-    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      runBudgeted(name) {
+      Budget.run(spark.sparkContext, name, budgetSec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }.foreach { msg =>

@@ -467,6 +467,56 @@ object Multimodal {
           col("__fb").cast("int")).as("frame"))
   }
 
+  /** 63-bit [[dHash]] of a video's KEYFRAME (frame 0) for canonical
+    * uncompressed-DIB AVI payloads: slice the first '00db' frame, wrap it
+    * in a BITMAPINFOHEADER (a REAL BMP construction — DIB frame bytes are
+    * BMP pixel bytes at the same ⌈3w/4⌉·4 stride), and hash it through
+    * the exact image pipeline. The codec-free video near-dup signature;
+    * non-canonical / truncated / dim-less payloads → null (bad-record
+    * tolerance). Output: (idCol, dhash LONG).
+    */
+  def videoKeyframeHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val p = col(s"$mediaCol.payload")
+    val canonical = length(p) >= 112 && magic(p, 0, RiffMagic) &&
+      magic(p, 8, AviMagic) && magic(p, 12, ListMagic) &&
+      magic(p, 20, HdrlMagic) && magic(p, 24, AvihMagic) &&
+      leUint(p, 28, 4) >= 56 && magic(p, 88, ListMagic) &&
+      magic(p, 96, MoviMagic) && magic(p, 100, DbMagic)
+    val w = leUint(p, 64, 4)
+    val h = leUint(p, 68, 4)
+    val cap = lit(Int.MaxValue.toLong)
+    val rs = floor((least(w, cap) * 3 + 3).cast("double") / 4.0).cast("long") * 4L
+    val fb = least(rs, cap) * least(h, cap)
+    // subtraction, never `108 + fb` vs length (fb can be ~2^62 on garbage)
+    val ok = canonical && w > 0 && h > 0 &&
+      leUint(p, 104, 4) === fb && length(p).cast("long") - 108L >= fb
+    val frame = p.substr(lit(109), least(fb, cap).cast("int"))
+    val wrapped = df.select(col(idCol),
+      asMedia(when(ok, bmpPayloadWithData(w, h, frame)), "image/bmp").as("__m"))
+    dHash(wrapped, idCol, "__m")
+  }
+
+  /** Near-duplicate video pairs: keyframe hashes through the shared
+    * [[bandedHammingPairs]] machinery — zero new join code for the third
+    * modality.
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
+    val hashes = Lineage.materialize(videoKeyframeHash(df, idCol, mediaCol))
+      .filter(col("dhash").isNotNull)
+    bandedHammingPairs(hashes, idCol, "dhash", maxHamming, maxBucket, "_vidthin")
+  }
+
+  /** Near-duplicate video removal — lower-id keeper rule, undecodable
+    * payloads kept (same contract as [[dropNearDupImages]]).
+    */
+  def dropNearDupVideos(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
+    val dropped = videoNearDupPairs(df, idCol, mediaCol, maxHamming, maxBucket)
+      .select(col("doc_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** REAL perceptual hash (difference hash, "dHash") for 24-bit
     * BITMAPINFOHEADER BMP payloads — codec-free like [[imageBands]]:
     * uncompressed BMP pixels live at closed-form byte offsets, so the

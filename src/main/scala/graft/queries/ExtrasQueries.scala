@@ -8,8 +8,11 @@ import graft.ops.Text
 
 /** Coverage extras: UDF/UDAF/UDTF surface (U1-U3), remaining per-record
   * transforms (P2 flatMapValues, P4 selectKey), full-outer windowed join
-  * batch twin (J3), and the multimodal binary-column query — each with a
-  * DuckDB oracle.
+  * batch twin (J3), and the multimodal binary-column families — header
+  * metadata, audio windows + fingerprint + near-dup, image bands + dHash
+  * + near-dup, AVI frames + keyframe hash — each with a DuckDB oracle
+  * that recomputes the result from a generative closed form, never from
+  * the binary.
   */
 object ExtrasQueries extends QueryModule {
 
@@ -117,6 +120,50 @@ object ExtrasQueries extends QueryModule {
        |    $energies
        |  FROM pxa),
        |afh AS (SELECT doc_id, ($bits) AS afp FROM ea)""".stripMargin
+  }
+
+  /** Synthesized canonical uncompressed-DIB AVI corpus (3 frames, per-doc
+    * dims/timing, frame k bytes = the first rowSize·h chars of
+    * repeat(md5(text‖k), 2)) — closed-form for the DuckDB oracles of the
+    * video queries.
+    */
+  private def aviFramesMedia(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Multimodal
+    val w = (col("doc_id") % 4 + 1).cast("long")
+    val h = (col("doc_id") % 3 + 2).cast("long")
+    val us = (lit(33000L) + (col("doc_id") % 5) * 1000L).cast("long")
+    val fb = floor((w * 3 + 3).cast("double") / 4.0).cast("long") * 4L * h
+    val frames = (0 until 3).map(k =>
+      encode(repeat(md5(concat(col("text"), lit(k.toString))), 2)
+        .substr(lit(1), fb.cast("int")), "UTF-8"))
+    Tables.documents(s, d).select(col("doc_id"),
+      Multimodal.asMedia(
+        Multimodal.aviPayloadWithFrames(w, h, us, frames), "video/avi").as("media"))
+  }
+
+  /** Keyframe-dHash closed form with PER-DOC dims: the same 63-bit gray
+    * comparisons as `dhashCte`, but w/h/rowSize are row values, so every
+    * sampled position is computed inside the SQL (`(h·j div 9)·rs +
+    * 3·(w·i div 8)`).
+    */
+  private val videoKeyCte: String = {
+    val grays = (for (j <- 0 until 9; i <- 0 until 8) yield {
+      val pos = s"((h*$j//9)*rs + 3*(w*$i//8))"
+      s"(ascii(substr(s,($pos+1)::INT,1))+ascii(substr(s,($pos+2)::INT,1))+ascii(substr(s,($pos+3)::INT,1)))//3 AS g_${i}_$j"
+    }).mkString(",\n    ")
+    val bits = (for (j <- 0 until 9; i <- 0 until 7) yield
+      s"(CASE WHEN g_${i}_$j < g_${i + 1}_$j THEN 1::BIGINT << ${j * 7 + i} ELSE 0::BIGINT END)")
+      .mkString(" |\n    ")
+    s"""vfx AS (
+       |  SELECT doc_id, w, h, rs,
+       |    substr(repeat(md5(text || '0'), 2), 1, (rs * h)::INT) AS s
+       |  FROM (SELECT doc_id, text,
+       |          (doc_id % 4 + 1)::BIGINT AS w, (doc_id % 3 + 2)::BIGINT AS h,
+       |          ((doc_id % 4 + 1) * 3 + 3) // 4 * 4 AS rs FROM documents)),
+       |vg AS (SELECT doc_id,
+       |    $grays
+       |  FROM vfx),
+       |vkh AS (SELECT doc_id, ($bits) AS dhash FROM vg)""".stripMargin
   }
 
   private val afpBandedCte: String =
@@ -358,22 +405,17 @@ object ExtrasQueries extends QueryModule {
     // REAL video frame extraction: synthesize canonical uncompressed-DIB
     // AVIs (3 frames, per-doc dims and timing, ASCII frame bytes), slice
     // by pure container arithmetic, hash each frame's bytes
-    "mm_video_frames" -> ((s, d) => {
-      import graft.ops.Multimodal
-      val w = (col("doc_id") % 4 + 1).cast("long")
-      val h = (col("doc_id") % 3 + 2).cast("long")
-      val us = (lit(33000L) + (col("doc_id") % 5) * 1000L).cast("long")
-      val fb = (floor((w * 3 + 3).cast("double") / 4.0).cast("long") * 4L * h)
-      val frames = (0 until 3).map(k =>
-        encode(repeat(md5(concat(col("text"), lit(k.toString))), 2)
-          .substr(lit(1), fb.cast("int")), "UTF-8"))
-      val media = Tables.documents(s, d).select(col("doc_id"),
-        Multimodal.asMedia(
-          Multimodal.aviPayloadWithFrames(w, h, us, frames), "video/avi").as("media"))
-      Multimodal.videoFrames(media, "doc_id", "media")
+    "mm_video_frames" -> ((s, d) =>
+      graft.ops.Multimodal.videoFrames(aviFramesMedia(s, d), "doc_id", "media")
         .select(col("doc_id"), col("frame_idx"), col("t_ms"), col("n_bytes"),
-          sha2(col("frame"), 256).as("sha"))
-    }),
+          sha2(col("frame"), 256).as("sha"))),
+
+    // keyframe dHash over the same AVI corpus — the video near-dup
+    // signature: frame 0 sliced, wrapped into a real BMP, hashed through
+    // the exact image pipeline; the oracle recomputes the 63 bits with
+    // PER-DOC dims (w,h,rowSize as row values inside the gray positions)
+    "mm_video_keyframe_dhash" -> ((s, d) =>
+      graft.ops.Multimodal.videoKeyframeHash(aviFramesMedia(s, d), "doc_id", "media")),
 
     // P11: format-conversion round-trip — Avro-encode the rows to binary,
     // decode back; identity result proves the codec loses nothing
@@ -734,6 +776,8 @@ object ExtrasQueries extends QueryModule {
         |  (frame_idx * us // 1000)::BIGINT AS t_ms, fb AS n_bytes,
         |  sha256(substr(repeat(md5(text || frame_idx::VARCHAR), 2), 1, fb::INT)) AS sha
         |FROM g""".stripMargin,
+
+    "mm_video_keyframe_dhash" -> s"WITH $videoKeyCte\nSELECT doc_id, dhash FROM vkh",
 
     "mm_audio_fp" -> s"WITH $afpCte\nSELECT doc_id, afp FROM afh",
 

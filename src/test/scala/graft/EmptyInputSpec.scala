@@ -20,33 +20,21 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  /** Per-query wall-clock budget (seconds). Non-termination is a failure
-    * mode, not just exceptions: round 11's mm_image planning hang wedged
-    * this suite (and with it `sbt test`) for 8+ minutes before timeout.
-    * Each query runs on a daemon thread; a budget breach fails THAT query
-    * loudly while the rest of the board completes. Generous because empty
-    * input still pays cold-JIT planning on the first few queries.
+  /** Per-query wall-clock budget (seconds) via [[Budget]]. Non-termination
+    * is a failure mode, not just exceptions: round 11's mm_image planning
+    * hang wedged this suite (and with it `sbt test`) for 8+ minutes before
+    * timeout. A budget breach fails THAT query loudly while the rest of
+    * the board completes. Generous because empty input still pays
+    * cold-JIT planning on the first few queries.
     */
   private val budgetSec =
     sys.env.get("SPARK_GRAFT_EMPTY_TIMEOUT_SEC").map(_.toInt).getOrElse(120)
 
-  private def runBudgeted(name: String)(body: => Unit): Option[String] = {
-    val err = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-    val t = new Thread(() => {
-      try body
-      catch { case e: Throwable =>
-        err.set(Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(160))) }
-    }, s"empty-$name")
-    t.setDaemon(true)
-    t.start()
-    t.join(budgetSec * 1000L)
-    if (t.isAlive) Some(s"did not terminate within ${budgetSec}s (planning or execution hang)")
-    else err.get
-  }
-
   test("every registered query executes on zero-row tables") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      runBudgeted(name) { fn(spark, emptyDir).collect(): Unit }.map(name -> _)
+      Budget.run(spark.sparkContext, name, budgetSec) {
+        fn(spark, emptyDir).collect(): Unit
+      }.map(name -> _)
     }
     assert(failures.isEmpty,
       s"${failures.size} queries fail on empty input:\n" +

@@ -375,6 +375,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Long]("n_bytes") === 24L))
   }
 
+  test("video near-dup composes keyframe dHash with the shared banded join") {
+    val rnd = new scala.util.Random(31)
+    val rs = ((16 * 3 + 3) / 4) * 4
+    val base = new Array[Byte](rs * 12); rnd.nextBytes(base)
+    def mutate(nBytes: Int, seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); val d = base.clone()
+      (0 until nBytes).foreach(_ => d(r.nextInt(d.length)) = r.nextInt(256).toByte)
+      d
+    }
+    // keyframe families; the SECOND frame is pure noise and must not
+    // affect the signature
+    val keyframes = (0L until 16L).map(id => id -> mutate((id % 4).toInt * 5, id.toInt)).toMap
+    val payloads = (0L until 16L).map { id =>
+      val f1 = new Array[Byte](rs * 12); rnd.nextBytes(f1)
+      id -> avi(16, 12, 33333, Seq(keyframes(id), f1))
+    }
+    // the keyframe hash IS the wrapped-BMP dHash, bit for bit
+    val got = Multimodal.videoKeyframeHash(audioDf(payloads), "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = keyframes.map { case (id, f0) => id -> refDHash(bmpWithData(16, 12, f0)).get }
+    assert(got === ref)
+    // banded ≡ brute at the pigeonhole-guaranteed threshold
+    val banded = Multimodal.videoNearDupPairs(audioDf(payloads), "id", "media",
+        maxHamming = 3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, ha) <- ref.toSeq; (b, hb) <- ref.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must exercise at least one pair")
+    // keeper rule; undecodable payloads kept
+    val withBad = payloads :+ (99L -> Array[Byte](3, 1))
+    val kept = Multimodal.dropNearDupVideos(audioDf(withBad), "id", "media",
+        maxHamming = 3, maxBucket = Int.MaxValue)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === (withBad.map(_._1).toSet -- brute.map(_._2)))
+    assert(kept.contains(99L))
+  }
+
   // ---- audio fingerprint: real PCM amplitude sampling over real bytes ----
 
   /** Canonical PCM WAV with a real data chunk, ByteBuffer-built
