@@ -31,8 +31,20 @@ object MediaStream {
     */
   def hashBucketFirstSeen(hashed: DataFrame, idCol: String,
       hashCol: String): Dataset[(Long, Int, Long)] = {
-    val banded = hashed.select(col(idCol).cast("long").as("doc_id"),
-        col(hashCol).as("__hsh"),
+    // The narrow (id, hash) frame is REPARTITIONED before banding — the
+    // streaming stand-in for the batch path's materialize boundary, and
+    // load-bearing for the same reason: without an exchange here the
+    // hash projection (72 gray columns for images) fuses with the
+    // banding/explode/state-input code into ONE whole-stage codegen
+    // span, the generated processNext() grows past janino's 64 KB, and
+    // the ENTIRE span silently falls back to interpreted eval (~200×
+    // slower — measured as a stream that never finishes its first
+    // micro-batch). The shuffle itself is 16 bytes/row and the state
+    // operator shuffles anyway on (band, value) right after.
+    val boundary = hashed.select(col(idCol).cast("long").as("doc_id"),
+        col(hashCol).as("__hsh"))
+      .repartition(col("doc_id"))
+    val banded = boundary.select(col("doc_id"), col("__hsh"),
         explode(array((0 until 4).map(lit(_)): _*)).as("band"))
       .withColumn("bval",
         expr("shiftright(__hsh, band * 16)").bitwiseAND(lit(0xFFFFL)))

@@ -134,6 +134,40 @@ object StreamBench {
         graft.streaming.TimeSeriesStream.rollingAnomalies(ev, width = 8, k = 3,
             watermark = "5 seconds")
           .writeStream.format("noop").outputMode("append").start()
+      case "mediadedup" =>
+        // streaming image near-dup throughput: the payload arrives as
+        // STORED DATA (the production shape — images come off the wire
+        // as bytes, not as column expressions), modeled by broadcast-
+        // joining the rate stream to a small static payload table
+        // synthesized ONCE up front (500 base images × 12 doc-specific
+        // row overwrites = 6000 distinct 16×12 BMPs; ids repeat every
+        // 6000, so bucket state gets real hits). Deriving the payload
+        // per-row on the stream instead is the known planning trap: the
+        // synthesized expression inlines into the 72 gray columns and
+        // per-micro-batch replanning alone takes tens of seconds — the
+        // streaming analog of the batch materialize note in
+        // Multimodal.imageNearDupPairs.
+        val pid = col("pid")
+        val pr = pid % 12
+        val base = repeat(md5((pid % 500).cast("string")), 18)
+        val rowStr = repeat(md5(pid.cast("string")), 2).substr(lit(1), lit(48))
+        val dataStr = concat(
+          base.substr(lit(1), (pr * 48).cast("int")),
+          rowStr,
+          base.substr((pr * 48 + 49).cast("int"), (lit(576) - (pr + 1) * 48).cast("int")))
+        val payloads = spark.range(6000).select(col("id").as("pid"),
+            graft.ops.Multimodal.bmpPayloadWithData(lit(16L), lit(12L),
+              encode(dataStr, "UTF-8")).as("p"))
+          .persist()
+        payloads.count() // materialize before the stream starts
+        val media = src.select(col("value").as("doc_id"),
+            (col("value") % 6000).as("pid"))
+          .join(broadcast(payloads), "pid")
+          .select(col("doc_id"),
+            graft.ops.Multimodal.asMedia(col("p"), "image/bmp").as("media"))
+        graft.streaming.MediaStream.imageBucketFirstSeen(media, "doc_id", "media")
+          .toDF("doc_id", "band", "rep")
+          .writeStream.format("noop").outputMode("append").start()
       case "drift" =>
         // live drift-monitor throughput: per-row fixed-grid binning
         // (stateless, shared with the batch chi-square test) + the
