@@ -17,13 +17,28 @@ object Native {
   def winnow(norm: Column, k: Int = 8, w: Int = 4): Column =
     org.apache.spark.sql.graft.WinnowFps.winnow(norm, k, w)
 
-  /** Register the SQL surface (`graft_dot`, `graft_winnow_fps`, and the
-    * curation pack `graft_h32`/`graft_tokens`/`graft_token_count`/
-    * `graft_lang_pred`/`graft_cleanse`).
+  /** Native 63-bit image dHash of a BMP payload (BINARY → LONG, null for
+    * undecodable payloads).
+    */
+  def dhash(payload: Column): Column =
+    org.apache.spark.sql.graft.ImageDHash.dhash(payload)
+
+  /** Native 63-bit audio fingerprint of a PCM WAV payload (BINARY →
+    * LONG, null for undecodable payloads).
+    */
+  def audioFp(payload: Column): Column =
+    org.apache.spark.sql.graft.AudioFp.fp(payload)
+
+  /** Register the SQL surface (`graft_dot`, `graft_winnow_fps`,
+    * `graft_dhash`, `graft_audio_fp`, and the curation pack
+    * `graft_h32`/`graft_tokens`/`graft_token_count`/`graft_lang_pred`/
+    * `graft_cleanse`).
     */
   def register(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     org.apache.spark.sql.graft.WinnowFps.register(spark)
+    org.apache.spark.sql.graft.ImageDHash.register(spark)
+    org.apache.spark.sql.graft.AudioFp.register(spark)
     org.apache.spark.sql.graft.CurationFns.register(spark)
   }
 }

@@ -535,21 +535,28 @@ object Multimodal {
     * Non-BMP / non-24bpp / truncated payloads → null dhash (bad-record
     * tolerance). Output: (idCol, dhash LONG).
     *
-    * Scale: three narrow projections — header fields + payload STAGED
-    * once, then the 72 gray columns, then the 63-term bit fold — per-row,
-    * no shuffle, whole-stage codegen. The staging matters twice over: the
-    * gray intermediates are computed once instead of letting each of the
-    * 126 comparison operands re-slice the payload, and the header parse
-    * (w/h/off/rowSize — each a ~30-node hex/conv tree) is computed once
-    * instead of being inlined into every gray's position arithmetic.
-    * Un-staged, the optimizer re-walks 72 copies of those trees on every
-    * execution — measured ~4 s of DRIVER time per run, FLAT in row count
-    * (5 k rows ≈ 80 k rows ≈ 4 s); staged it is ~1.5 s, and per-row cost
-    * is ~6 µs/core either way. Payload slices stay BINARY substr (O(1)
-    * random access) — a decode-to-string detour would make every slice
-    * O(position) on megabyte real-world images.
+    * Scale: ONE native Catalyst expression node
+    * ([[org.apache.spark.sql.graft.ImageDHash]], byte-array kernel with
+    * `doGenCode`) — ~nothing to plan, ~100 ns/row. The column-composition
+    * twin [[dHashColumns]] stays as the oracle-transparent reference
+    * implementation (identical semantics, pinned equal in MultimodalSpec)
+    * and as the documentation of the exact bit recipe; it plans at ~1.5 s
+    * per execution (72 staged gray trees the optimizer re-walks), which
+    * is what made it the dominant cost of streaming micro-batch
+    * replanning — the reason the native expression is the default.
     */
-  def dHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+  def dHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.ImageDHash.dhash(col(s"$mediaCol.payload"))
+        .as("dhash"))
+
+  /** The column-composition reference twin of [[dHash]] — see its scale
+    * note. Three narrow projections: header fields + payload staged once
+    * (the optimizer must never re-walk 72 copies of the header parse),
+    * then the 72 gray columns, then the 63-term bit fold; payload slices
+    * are BINARY substr (O(1) random access).
+    */
+  private[graft] def dHashColumns(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
     val p = col(s"$mediaCol.payload")
     val isBmp24 = length(p) >= 54 && magic(p, 0, BmpMagic) &&
       leUint(p, 14, 4) === 40 && leUint(p, 28, 2) === 24
@@ -725,18 +732,28 @@ object Multimodal {
     * 63 bits for the same signed-64 / DuckDB `1::BIGINT << 63` reason as
     * [[dHash]].
     *
-    * Same staging discipline as [[dHash]] (header fields once, then the
-    * 64 energy columns, then the bit fold — the optimizer must never
-    * re-walk 64 copies of the header parse), and the same bad-record
-    * tolerance: non-WAV / non-16-bit / non-canonical / empty payloads →
-    * null fingerprint, never an exception. Grid positions need no
-    * overflow clamps: every factor is bounded by the actual payload
-    * length (frames = dataLen div blockAlign with dataLen ≤ length(p)),
-    * unlike BMP's header-declared dims.
+    * Same bad-record tolerance as [[dHash]]: non-WAV / non-16-bit /
+    * non-canonical / empty payloads → null fingerprint, never an
+    * exception. Like [[dHash]], the default is ONE native expression
+    * node ([[org.apache.spark.sql.graft.AudioFp]]); the column twin
+    * [[audioFingerprintColumns]] stays as the oracle-transparent
+    * reference, pinned equal in MultimodalSpec.
     *
     * Output: (idCol, afp LONG).
     */
-  def audioFingerprint(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+  def audioFingerprint(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.AudioFp.fp(col(s"$mediaCol.payload"))
+        .as("afp"))
+
+  /** The column-composition reference twin of [[audioFingerprint]]:
+    * header fields staged once, then the 64 energy columns, then the bit
+    * fold. Grid positions need no overflow clamps — every factor is
+    * bounded by the actual payload length (frames = dataLen div
+    * blockAlign with dataLen ≤ length(p)), unlike BMP's header-declared
+    * dims.
+    */
+  private[graft] def audioFingerprintColumns(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
     val p = col(s"$mediaCol.payload")
     val canonical = length(p) >= 46 && magic(p, 0, RiffMagic) &&
       magic(p, 8, WaveMagic) && magic(p, 12, "666D7420") &&

@@ -124,6 +124,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(WinnowFps.functionDescriptor)
     ext.injectFunction(BloomOps.aggDescriptor)
     ext.injectFunction(BloomOps.functionDescriptor)
+    ext.injectFunction(ImageDHash.functionDescriptor)
+    ext.injectFunction(AudioFp.functionDescriptor)
     CurationFns.all.foreach(ext.injectFunction)
   }
 }

@@ -248,6 +248,14 @@ class MultimodalSpec extends SparkSpec {
     val bad = mediaDf(Seq(7L -> Array[Byte](1, 2, 3), 8L -> wav(8000, 1, 16, 0)))
     val badOut = Multimodal.dHash(bad, "id", "media").collect()
     assert(badOut.forall(_.isNullAt(1)))
+    // the native expression (the default) and the column-composition
+    // reference twin must agree bit for bit — valid AND invalid payloads
+    val allRows = payloads ++ Seq(7L -> Array[Byte](1, 2, 3), 8L -> wav(8000, 1, 16, 0))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(asMap(Multimodal.dHash(mediaDf(allRows), "id", "media")) ===
+      asMap(Multimodal.dHashColumns(mediaDf(allRows), "id", "media")))
   }
 
   test("banded Hamming near-dup ≡ brute force at the pigeonhole-guaranteed threshold") {
@@ -487,6 +495,14 @@ class MultimodalSpec extends SparkSpec {
       10L -> bmp(4, 4)))
     val badOut = Multimodal.audioFingerprint(bad, "id", "media").collect()
     assert(badOut.length === 4 && badOut.forall(_.isNullAt(1)))
+    // native default ≡ column-composition reference twin, valid + invalid
+    val allRows = payloads ++ Seq(7L -> Array[Byte](1, 2, 3),
+      8L -> wavWithData(8000, 1, 8, Array.fill(64)(1: Byte)), 10L -> bmp(4, 4))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(asMap(Multimodal.audioFingerprint(audioDf(allRows), "id", "media")) ===
+      asMap(Multimodal.audioFingerprintColumns(audioDf(allRows), "id", "media")))
   }
 
   test("audio near-dup rides the shared banded join: banded ≡ brute at h≤3") {

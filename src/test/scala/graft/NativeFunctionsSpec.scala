@@ -55,6 +55,36 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("graft_dhash / graft_audio_fp: SQL surface, codegen, null tolerance") {
+    Native.register(spark)
+    // a valid 1×1 24bpp BMP (payload 54 + one padded row of 4 bytes) and
+    // garbage — through BOTH the Column facade and the SQL name
+    val bmp = java.nio.ByteBuffer.allocate(58)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(58).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(1).putInt(1).putShort(1).putShort(24)
+    bmp.position(54); bmp.put(Array[Byte](10, 20, 30, 0))
+    val wav = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    wav.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    wav.put("data".getBytes).putInt(4).put(Array[Byte](1, 2, 3, 4))
+    val df = Seq((1L, bmp.array(), wav.array()),
+      (2L, Array[Byte](9), Array[Byte](9))).toDF("id", "img", "aud")
+    df.createOrReplaceTempView("media_native")
+    val col = df.select(Native.dhash($"img").as("d"), Native.audioFp($"aud").as("a"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1)))
+    val sql = spark.sql(
+      "SELECT graft_dhash(img) AS d, graft_audio_fp(aud) AS a FROM media_native")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(col.toSeq === sql.toSeq)
+    assert(col(0)._1 != null && col(0)._2 != null, "valid payloads hash")
+    assert(col(1)._1 == null && col(1)._2 == null, "garbage payloads null out")
+  }
+
   test("SQL surface via registration: SELECT graft_dot(...)") {
     Native.register(spark)
     pairs.createOrReplaceTempView("dot_pairs")
