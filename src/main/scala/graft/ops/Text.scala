@@ -17,15 +17,26 @@ object Text {
   /** Portable 32-bit hash: first 8 hex digits of md5 as a long in [0, 2^32).
     * Deterministic and engine-portable (DuckDB: `('0x'||substr(md5(s),1,8))::BIGINT`),
     * which lets the driver's oracle reproduce minhash/simhash exactly.
+    * Implemented as the native [[org.apache.spark.sql.graft.H32]]
+    * expression (first 4 digest bytes read directly — identical values,
+    * no hex round-trip); the column composition
+    * `conv(substring(md5(c), 1, 8), 16, 10)` is the reference twin,
+    * pinned equal in TextOpsSpec.
     */
-  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def h32(c: Column): Column = org.apache.spark.sql.graft.H32.h32(c)
+
+  /** The column-composition reference twin of [[h32]] (what every DuckDB
+    * oracle literally replays).
+    */
+  private[graft] def h32Columns(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Seeded variant: family of independent portable hashes. Null-propagating
     * (concat, not concat_ws): h32(null, seed) is null, matching the unseeded
     * form — otherwise all-null docs would share one minhash signature.
     */
   def h32(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString), c)), 1, 8), 16, 10).cast("long")
+    h32(concat(lit(seed.toString), c))
 
   /** Tokenize to lowercase words, dropping empties. Close to the reference's
     * `KafkaWordCount.java:61-62` (`lower(s).split("\\W+")`), but intentionally

@@ -41,6 +41,24 @@ class TextOpsSpec extends SparkSpec {
     assert(v === expected)
   }
 
+  test("native h32 ≡ the md5-prefix column twin (what every oracle replays)") {
+    // ASCII, unicode (UTF-8 multibyte), empty, long, null — the native
+    // kernel must agree value-for-value with conv(substring(md5,1,8),16,10)
+    val inputs = Seq("hello world", "héllo wörld ünïcode 漢字", "",
+      "x" * 10000, null).map(Tuple1[String](_))
+    val df = inputs.toDF("t")
+    val both = df.select(Text.h32($"t").as("native"),
+      Text.h32Columns($"t").as("cols")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+    assert(both.count(!_.isNullAt(0)) === 4)
+    // range invariant holds through the native path
+    both.filter(!_.isNullAt(0)).foreach(r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 32)))
+  }
+
   test("shinglesOfTokens emits n-grams, whole-doc fallback for short docs") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shinglesOfTokens(Text.tokens($"t")).as("sh"))
