@@ -33,12 +33,14 @@ import org.apache.spark.sql.functions._
   * license header — can occur millions of times at 100 TB; collect_list
   * per gram would pin a reducer, counts + semi join never do).
   *
-  * `hashed=true` (scale default) shuffles 8-byte xxhash64 keys instead of
-  * k-char grams — a k/8× shuffle-volume cut; a 64-bit collision (≈2⁻⁶⁴
-  * per pair) can only ADD a span, never miss one. The oracle-checked
-  * queries pin `hashed=false` (DuckDB cannot reproduce xxhash64) and
-  * `SubstrDedupSpec` proves hashed ≡ exact on the real corpus, so the
-  * correctness gate stays hash-free while the scale path stays cheap.
+  * `hashed=true` (scale default) shuffles 8-byte rolling-polynomial keys
+  * (native [[org.apache.spark.sql.graft.GramHashes]] — all window hashes
+  * in one O(n) pass, no per-window substring) instead of k-char grams — a
+  * k/8× shuffle-volume cut; a 64-bit collision can only ADD a span, never
+  * miss one. The oracle-checked queries pin `hashed=false` (DuckDB cannot
+  * reproduce the hash) and `SubstrDedupSpec` proves hashed ≡ exact on the
+  * real corpus, so the correctness gate stays hash-free while the scale
+  * path stays cheap.
   *
   * Positions are 1-based (SQL substr convention) so the DuckDB oracle is
   * a direct transliteration.
@@ -80,9 +82,19 @@ object SubstrDedup {
     */
   private def dupPositions(df: DataFrame, textCol: String, idCol: String,
       k: Int, minDupCount: Int, hashed: Boolean): DataFrame = {
-    val w0 = windows(df, textCol, idCol, k)
-    val w = if (hashed) w0.select(col(idCol), col("pos"), xxhash64(col("gram")).as("gk"))
-            else w0.withColumnRenamed("gram", "gk")
+    // hashed (scale) path: the native rolling-hash kernel
+    // (graft_gram_hashes) emits all n−k+1 window keys in ONE O(n) pass —
+    // the column windows() formulation allocates every window as its own
+    // k-char substring first (O(n·k) transient strings) and then hashes
+    // it; positions and the collisions-only-ADD-spans property are
+    // unchanged (SubstrDedupSpec pins hashed ≡ exact either way)
+    val w =
+      if (hashed)
+        df.select(col(idCol),
+          posexplode(org.apache.spark.sql.graft.GramHashes
+            .gramHashes(col(textCol), k)).as(Seq("p0", "gk")))
+          .select(col(idCol), (col("p0") + 1).as("pos"), col("gk"))
+      else windows(df, textCol, idCol, k).withColumnRenamed("gram", "gk")
     val dup = w.groupBy("gk").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minDupCount).select("gk")
     w.join(dup, Seq("gk"), "left_semi").select(col(idCol), col("pos"))

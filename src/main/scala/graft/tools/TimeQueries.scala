@@ -26,12 +26,20 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.configure(spark)
     val results = args.toSeq.map { name =>
+      // noop sink, NOT count(): count lets Catalyst prune every projection
+      // and row-preserving join out of the plan — a projection-shaped
+      // query (a hash column, a scoring pass, an SCD2 window) then
+      // measures as little more than the scan (observed: a 6.5 s query
+      // reporting 0.45 s). Same evaluation discipline as Bench. The row
+      // count is taken once, untimed, for the report only.
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      (name, runs.map(_._1).min, runs.head._2, runs.map(_._1))
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      (name, runs.min, n, runs)
     }
     results.foreach { case (name, best, rows, runs) =>
       println(f"""{"query":"$name","best_sec":$best%.2f,"rows":$rows,"runs":[${

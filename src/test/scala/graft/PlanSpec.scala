@@ -203,8 +203,9 @@ class PlanSpec extends SparkSpec {
 
   test("scd2 is one key-partitioned window — a single exchange, no global sort") {
     // official BENCH_r11 recorded 0.28 → 3.50 s (12×) with zero code
-    // change and per-rep loadavg ~2 recorded; the r12 builder re-measure
-    // is 0.37 s. Pin the shape: the changelog→intervals rewrite is ONE
+    // change and per-rep loadavg ~2 recorded; the r12 builder board
+    // (warmed, noop-forced) measures 0.24 s. Pin the shape: the
+    // changelog→intervals rewrite is ONE
     // window partitioned by the key — a single hash exchange, never a
     // global sort.
     val p = plan("cdc_scd2")
@@ -219,9 +220,10 @@ class PlanSpec extends SparkSpec {
 
   test("heavy hitters shuffles k-bounded sketches, never one row per item") {
     // official BENCH_r11 recorded 0.19 → 4.33 s (22×) with zero code
-    // change; the r12 builder re-measure is 0.63 s warmed (5.2 s on the
-    // cold-JIT first run — elevated official numbers on this slot look
-    // like un-warmed/loaded executions, not a plan change). Pin the shape: the
+    // change; the r12 builder board (warmed, noop-forced) measures
+    // 0.16 s, and cold-JIT first runs land ~5 s — elevated official
+    // numbers on this slot look like un-warmed/loaded executions, not a
+    // plan change. Pin the shape: the
     // Misra-Gries aggregation is two-phase (map-side partial sketches,
     // one k-bounded row per partition) merged on a single partition — no
     // hashpartitioning shuffle exists in the plan at all.
