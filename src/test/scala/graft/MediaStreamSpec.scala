@@ -68,6 +68,52 @@ class MediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media bucket state survives a stop/restart from checkpoint") {
+    // file source + foreachBatch (memory sink does not support recovery);
+    // payload bytes ride JSON as base64 → BINARY, the wire shape a real
+    // media ingest uses
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_ckpt_").toFile
+    val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, p BINARY")
+    def writeDocs(name: String, docs: Seq[(Long, Array[Byte])]): Unit =
+      java.nio.file.Files.write(new java.io.File(inDir, name).toPath,
+        docs.map { case (i, p) =>
+          s"""{"doc_id": $i, "p": "${java.util.Base64.getEncoder.encodeToString(p)}"}"""
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    val rows = scala.collection.concurrent.TrieMap[(Long, Int), Long]()
+    def startQuery() =
+      MediaStream.imageBucketFirstSeen(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "10")
+          .json(inDir.getPath)
+          .select(col("doc_id"), Multimodal.asMedia(col("p"), "image/bmp").as("media")),
+        "doc_id", "media")
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[(Long, Int, Long)], _: Long) =>
+          ds.collect().foreach { case (d, b, rep) => rows.update((d, b), rep) }
+          ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // phase 1: the future representative plus an unrelated image
+    writeDocs("p1.json", Seq(100L -> bmpWithData(16, 12, baseImg),
+      900L -> bmpWithData(16, 12, otherImg)))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rows.keys.map(_._1).toSet === Set(100L, 900L))
+
+    // phase 2: fresh query from the same checkpoint; the identical image
+    // must be flagged against the PRE-RESTART representative
+    writeDocs("p2.json", Seq(200L -> bmpWithData(16, 12, baseImg)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val hits200 = rows.collect { case ((200L, b), rep) => (b, rep) }.toSeq
+    assert(hits200.nonEmpty)
+    assert(hits200.forall(_._2 == 100L),
+      s"post-restart image must see the pre-restart rep, got $hits200")
+  }
+
   test("audio stream twin shares the contract") {
     implicit val ctx = spark.sqlContext
     def wavWithData(data: Array[Byte]): Array[Byte] = {
