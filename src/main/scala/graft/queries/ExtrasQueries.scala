@@ -417,6 +417,16 @@ object ExtrasQueries extends QueryModule {
     "mm_video_keyframe_dhash" -> ((s, d) =>
       graft.ops.Multimodal.videoKeyframeHash(aviFramesMedia(s, d), "doc_id", "media")),
 
+    // video near-dup removal — keyframe hashes through the SAME shared
+    // bandedHammingPairs machinery (guard pinned off; the image cap=1
+    // twin fires the stride for the shared path). The tiny-dim corpus is
+    // collision-dense by construction, so BOTH keeper outcomes flow
+    // through the oracle (23 kept / 477 dropped at sf0.01)
+    "mm_video_neardup_kept" -> ((s, d) =>
+      graft.ops.Multimodal.dropNearDupVideos(aviFramesMedia(s, d), "doc_id", "media",
+        maxHamming = 6, maxBucket = Int.MaxValue)
+        .select("doc_id")),
+
     // P11: format-conversion round-trip — Avro-encode the rows to binary,
     // decode back; identity result proves the codec loses nothing
     // (ref StreamsSelectAndProjectIntTest.java:267-287, Avro↔JSON CSAS)
@@ -778,6 +788,19 @@ object ExtrasQueries extends QueryModule {
         |FROM g""".stripMargin,
 
     "mm_video_keyframe_dhash" -> s"WITH $videoKeyCte\nSELECT doc_id, dhash FROM vkh",
+
+    "mm_video_neardup_kept" ->
+      s"""WITH $videoKeyCte,
+         |vbanded AS (
+         |  SELECT doc_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bval
+         |  FROM vkh, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |vdrp AS (
+         |  SELECT DISTINCT b.doc_id AS doc_b
+         |  FROM vbanded a JOIN vbanded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM vdrp)""".stripMargin,
 
     "mm_audio_fp" -> s"WITH $afpCte\nSELECT doc_id, afp FROM afh",
 
