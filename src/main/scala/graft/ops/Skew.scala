@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic salt in [0, salts) from a spreading column (any
-    * high-cardinality column; the row's own id is ideal).
+    * high-cardinality column; the row's own id is ideal). xxhash64 is the
+    * codegen'd native hash — no string materialization per row, unlike a
+    * crc32-over-cast, which at 100 TB is a measurable map-side tax on
+    * every fact row.
     */
   def saltOf(spreadCol: Column, salts: Int): Column =
-    pmod(crc32(spreadCol.cast("string")), lit(salts)).cast("int")
+    pmod(xxhash64(spreadCol), lit(salts)).cast("int")
 
   /** Two-phase salted aggregation: partial aggregate on (key, salt) —
     * spreading a hot key over `salts` reducers — then final aggregate on

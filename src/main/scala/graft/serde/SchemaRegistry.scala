@@ -42,22 +42,26 @@ class InMemorySchemaRegistry extends SchemaRegistryClient {
   private val lock = new Object
   private var nextId = 1
   private var byId = Map.empty[Int, Schema]
-  // canonical-form JSON → id, so re-registration is idempotent per subject
+  // canonical-form JSON → id, REGISTRY-WIDE (Confluent ids identify the
+  // schema, not the (subject, schema) pair — the same canonical schema
+  // registered under a second subject reuses its global id); registration
+  // is idempotent per subject via the version vector
   private var bySubject = Map.empty[String, Vector[Int]]
-  private var byCanonical = Map.empty[(String, String), Int]
+  private var byCanonical = Map.empty[String, Int]
 
   override def register(subject: String, schema: Schema): Int = lock.synchronized {
     val canonical = schema.toString // Schema.toString is the canonical JSON
-    byCanonical.get((subject, canonical)) match {
-      case Some(id) => id
-      case None =>
-        val id = nextId
-        nextId += 1
-        byId += id -> schema
-        bySubject += subject -> (bySubject.getOrElse(subject, Vector.empty) :+ id)
-        byCanonical += (subject, canonical) -> id
-        id
-    }
+    val id = byCanonical.getOrElse(canonical, {
+      val fresh = nextId
+      nextId += 1
+      byId += fresh -> schema
+      byCanonical += canonical -> fresh
+      fresh
+    })
+    val versions = bySubject.getOrElse(subject, Vector.empty)
+    if (!versions.contains(id))
+      bySubject += subject -> (versions :+ id)
+    id
   }
 
   override def getById(id: Int): Option[Schema] = lock.synchronized(byId.get(id))
