@@ -124,5 +124,9 @@ object SparkEntry {
     // grows quadratically inside a source family, which is exactly what
     // the hot-band stride bounds; cap=1 makes the stride fire everywhere,
     // so the measured plan is the guard path 100 TB runs)
-    "mm_image_neardup_thinned")
+    "mm_image_neardup_thinned",
+    // round-13: BPE merge learning on the board — per round one
+    // map-combined pair-count shuffle + TakeOrdered(1), the dominant cost
+    // a distributed tokenizer trainer pays at any corpus size
+    "text_bpe_merges")
 }

@@ -59,6 +59,31 @@ object TextQueries extends QueryModule {
             .as("cum_frac"))
     }),
     "text_token_stats" -> ((s, d) => Text.tokenStats(docs(s, d), "text", "doc_id")),
+    // BPE-style merge learning (3 rounds): each round is one distributed
+    // pair-count shuffle + a TakeOrdered(1) argmax; the returned table is
+    // nMerges rows (driver-bounded, like every persisted-model op). The
+    // oracle unrolls the identical 3 rounds as CTEs — pair zip-unnest,
+    // (cnt desc, w1, w2) argmax, and a list_reduce fold whose CASE is
+    // token-for-token the engine's aggregate() merge lambda.
+    "text_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      Text.learnBpeMerges(docs(s, d), "text", nMerges = BpeRounds)
+        .map { case (r, w1, w2, c) => (r.toLong, w1, w2, c) }
+        .toDF("merge_rank", "w1", "w2", "cnt")
+    }),
+    // tokenizer APPLY: encode every doc with the table learned above
+    // (lowest-rank-first to fixpoint). The oracle applies the 3 merges
+    // sequentially per doc — equivalent because a later merge can never
+    // create a new occurrence of an earlier pair (merging only replaces
+    // two adjacent tokens with one '+'-joined product, which matches an
+    // earlier pair only if that pair references the product — impossible,
+    // it was learned first).
+    "text_bpe_encoded" -> ((s, d) => {
+      val merges = Text.learnBpeMerges(docs(s, d), "text", nMerges = BpeRounds)
+      Text.applyBpeMerges(docs(s, d), "text", "doc_id", merges.map(m => (m._2, m._3)))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          concat_ws(" ", col("toks")).as("encoded"))
+    }),
     // overlapping 50-token chunks, stride 40 (RAG/embedding prep)
     "text_chunks" -> ((s, d) => Text.chunkDocs(docs(s, d), "text", "doc_id",
       chunk = 50, overlap = 10)),
@@ -421,6 +446,52 @@ object TextQueries extends QueryModule {
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
 
+  /** BPE rounds for the text_bpe_* queries (engine and oracle agree). */
+  private val BpeRounds = 3
+
+  /** The oracle's one-round BPE merge over a token-list column: a
+    * sentinel-prepended list_reduce fold building a chr(31)-delimited
+    * string, merging non-overlapping (w1, w2) occurrences left-to-right —
+    * the CASE mirrors the engine's aggregate() lambda clause-for-clause
+    * (`Text.learnBpeMerges`). The '' sentinel keeps the fold total on
+    * lists that have merged down to a single token (list_reduce rejects
+    * empty input); delimiter boundaries make the ends_with test an exact
+    * last-token comparison (tokens are \w+ plus '+', never chr(31)).
+    */
+  private def bpeMergeExpr(listCol: String, pairRel: String): String =
+    // assembled without margins: this text is embedded inside further
+    // stripMargin blocks, which would eat a leading '||' as two margins
+    s"list_filter(string_split(" +
+      s"list_reduce(list_prepend('', list_transform($listCol, x -> chr(31) || x)), " +
+      s"(acc, x) -> CASE WHEN ends_with(acc, chr(31) || $pairRel.w1) " +
+      s"AND x = chr(31) || $pairRel.w2 " +
+      s"THEN left(acc, length(acc) - length($pairRel.w1) - 1) || " +
+      s"chr(31) || $pairRel.w1 || '+' || $pairRel.w2 " +
+      s"ELSE acc || x END), " +
+      s"chr(31)), y -> y <> '')"
+
+  /** Unrolled BPE-learning CTE chain: w0 = token lists of docs with ≥2
+    * tokens (the engine's up-front filter); round r zip-unnests adjacent
+    * pairs (p), takes the (cnt desc, w1, w2) argmax with the engine's
+    * cnt≥2 stop floor (t), and re-merges every list (w). A round with no
+    * qualifying pair would cross-join w{r} to zero rows — diverging from
+    * the engine's early STOP — accepted: the gate corpus sits orders of
+    * magnitude above the floor, and the merges output would already
+    * differ via the missing t{r} row.
+    */
+  private def bpeLearnCtes(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT unnest(l[:len(l)-1]) AS a, unnest(l[2:]) AS b FROM w${r - 1}),
+         |t$r AS (SELECT a AS w1, b AS w2, count(*)::BIGINT AS cnt FROM p$r
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 1),
+         |w$r AS (SELECT ${bpeMergeExpr("w.l", "t")} AS l FROM w${r - 1} w, t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""t0d AS (SELECT $toks AS l FROM documents),
+       |w0 AS (SELECT l FROM t0d WHERE len(l) >= 2),
+       |$chain""".stripMargin
+  }
+
   /** Unrolled [[graft.ops.Sampling.domainReweight]] trajectory: one CTE
     * pair (totals, update+renorm) per round, every division the same
     * truncating integer op the Spark side runs on DECIMAL(38,0).
@@ -622,6 +693,27 @@ object TextQueries extends QueryModule {
          |SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
          |  floor(raw * 1000000) / 1000000.0 AS avg_logprob
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    "text_bpe_merges" ->
+      s"""WITH ${bpeLearnCtes(BpeRounds)}
+         |${(1 to BpeRounds).map(r =>
+             s"SELECT $r::BIGINT AS merge_rank, w1, w2, cnt FROM t$r")
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // sequential per-doc replay of the learned merges (see the queries-map
+    // note for why sequential ≡ the engine's lowest-rank-fixpoint encode);
+    // d0 coalesces null text to '' exactly as applyBpeMerges does
+    "text_bpe_encoded" ->
+      s"""WITH ${bpeLearnCtes(BpeRounds)},
+         |d0 AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(coalesce(text, '')), '${"\\W"}+'),
+         |    x -> length(x) > 0) AS l FROM documents),
+         |${(1 to BpeRounds).map(r =>
+             s"d$r AS (SELECT doc_id, ${bpeMergeExpr("d.l", "t")} AS l FROM d${r - 1} d, t$r t)")
+           .mkString(",\n")}
+         |SELECT doc_id, len(l)::BIGINT AS n_toks,
+         |  coalesce(array_to_string(l, ' '), '') AS encoded
+         |FROM d$BpeRounds""".stripMargin,
 
     "text_zipf_rank" ->
       s"""WITH v AS (SELECT w AS word, count(*)::BIGINT AS cnt
