@@ -225,15 +225,21 @@ object Text {
     * N nested aggregate() lambdas.
     */
   def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var cur = df.select(tokens(col(textCol)).as("toks")).filter(size(col("toks")) >= 2)
+    // checkpoint the tokenized corpus up front: round 1 otherwise
+    // re-tokenizes it twice (once for the pair count, once under the merge)
+    var cur = df.select(tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2).localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
+      // adjacent pairs via arrays_zip of the two shifted slices: pure
+      // codegen'd expressions (a transform+element_at HOF here is
+      // interpreted and measures ~25% slower warm)
       val top = cur
-        .select(explode(transform(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          (x, i) => struct(x.as("w1"), element_at(col("toks"), i + 2).as("w2")))).as("p"))
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w1"), col("w2"))
@@ -243,12 +249,18 @@ object Text {
         val (w1, w2, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r, w1, w2, cnt))
         val merged = lit(w1 + "+" + w2)
-        cur = cur.select(aggregate(col("toks"),
+        val fold = aggregate(col("toks"),
           array().cast("array<string>"),
           (acc, x) => when(
             size(acc) > 0 && element_at(acc, -1) === lit(w1) && x === lit(w2),
             concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
-            .otherwise(concat(acc, array(x)))).as("toks"))
+            .otherwise(concat(acc, array(x))))
+        // the fold is an interpreted HOF over every token — gate it behind
+        // a codegen'd containment check so docs without the winner pair
+        // (the overwhelming majority once pairs get specific) skip it
+        cur = cur.select(when(
+            array_contains(col("toks"), w1) && array_contains(col("toks"), w2),
+            fold).otherwise(col("toks")).as("toks"))
           .localCheckpoint(true)
         r += 1
       }
