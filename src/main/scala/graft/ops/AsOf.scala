@@ -49,4 +49,66 @@ object AsOf {
       .select(left.columns.map(col).toSeq ++
         rightCols.map(c => col(s"__asof_row.$c").as(c)): _*)
   }
+
+  /** [[asOfJoin]] re-expressed as union + one keyed window — the
+    * HIGH-CHURN scale path. The equi-join form materializes every
+    * (left row × at-or-before version) match before its reduce; for a
+    * dimension with V versions per key that is a V× fan-out the shuffle
+    * must carry. Here both sides union into one stream tagged
+    * version=0 / fact=1, one window partitioned by key and ordered by
+    * (ts, tag, version-payload) attaches the running `last` version
+    * struct (ignoreNulls) to every row, and facts are filtered back out:
+    * ONE hash exchange, per-row state instead of per-match rows, no join
+    * anywhere in the plan (AsOfSpec pins both the equality to
+    * [[asOfJoin]] — ties, unmatched rows, identical tie-break — and the
+    * exchange count).
+    *
+    * Same contract as [[asOfJoin]]: sides share only `keyCol`, left rows
+    * unique. Tie policy is identical: a version AT the fact's timestamp
+    * applies (versions sort before facts at equal ts), and same-(key, ts)
+    * versions resolve to the lexicographic max of (rightTs, remaining
+    * right columns) — the window's sort-then-last replays max_by's
+    * ordering struct.
+    */
+  def asOfJoinCompact(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap == Set(keyCol),
+      s"left/right may share only the key '$keyCol', shared: ${overlap.mkString(", ")}")
+    require(left.columns.contains(leftTs) && right.columns.contains(rightTs),
+      s"timestamp columns '$leftTs'/'$rightTs' must exist on their sides")
+    Seq("__asof_ts", "__asof_tag", "__asof_v", "__asof_f").foreach { n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"column name '$n' is reserved by AsOf.asOfJoinCompact")
+    }
+    val rightCols = right.columns.filterNot(_ == keyCol).toSeq
+    val leftCols = left.columns.filterNot(_ == keyCol).toSeq
+    // version payload struct leads with rightTs: the window's
+    // (ts, tag, __asof_v) sort then makes `last` pick exactly max_by's
+    // (rightTs, remaining-columns) survivor among same-ts versions
+    val vStruct = struct((col(rightTs) +: rightCols.filterNot(_ == rightTs).map(col)): _*)
+    val versions = right.select(
+      col(keyCol), col(rightTs).as("__asof_ts"), lit(0).as("__asof_tag"),
+      vStruct.as("__asof_v"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.selectExpr(leftCols: _*).schema.fields)).as("__asof_f"))
+    val facts = left.select(
+      col(keyCol), col(leftTs).as("__asof_ts"), lit(1).as("__asof_tag"),
+      lit(null).cast(versions.schema("__asof_v").dataType).as("__asof_v"),
+      struct(leftCols.map(col): _*).as("__asof_f"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__asof_ts"), col("__asof_tag"), col("__asof_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = versions.unionByName(facts)
+      .withColumn("__asof_v", last(col("__asof_v"), ignoreNulls = true).over(w))
+    val vOut = rightCols.map { c =>
+      val src = if (c == rightTs) col("__asof_v").getField(rightTs)
+                else col("__asof_v").getField(c)
+      src.as(c)
+    }
+    ordered.filter(col("__asof_tag") === 1)
+      .select((col(keyCol) +: leftCols.map(c => col(s"__asof_f.$c").as(c))) ++ vOut: _*)
+      .select(left.columns.map(col).toSeq ++ rightCols.map(col): _*)
+  }
 }

@@ -84,6 +84,20 @@ object JoinQueries extends QueryModule {
       graft.ops.AsOf.asOfJoin(p, v, "user_id", "ets", "vts")
     }),
 
+    // the HIGH-CHURN scale path for the same lookup: union + one keyed
+    // window instead of join-then-reduce — no per-version fan-out in any
+    // shuffle (AsOfSpec pins equality + the 1-exchange/no-join plan).
+    // Same oracle as j_asof: the two forms are exact twins.
+    "j_asof_compact" -> ((s, d) => {
+      val e = ev(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("ets"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("vts"),
+          col("event_id").as("v_id"), col("value").as("v_value"))
+      graft.ops.AsOf.asOfJoinCompact(p, v, "user_id", "ets", "vts")
+    }),
+
     // J5: multi-way chained join — customer ⋈ orders ⋈ lineitem revenue per
     // segment (reference chains at `:232-261`). customer is broadcast.
     "j5_multiway_revenue" -> ((s, d) => {
@@ -622,6 +636,14 @@ object JoinQueries extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "j_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS ets
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS vts, event_id AS v_id, "value" AS v_value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.p_id, p.user_id, p.ets, v.vts, v.v_id, v.v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ets >= v.vts""".stripMargin,
+
+    "j_asof_compact" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS ets
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, epoch_us(ts) AS vts, event_id AS v_id, "value" AS v_value

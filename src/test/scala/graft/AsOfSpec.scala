@@ -43,4 +43,28 @@ class AsOfSpec extends SparkSpec {
       AsOf.asOfJoin(left, right.withColumnRenamed("ver", "ets"), "k", "ets", "vts"))
     assert(e.getMessage.contains("share only the key"))
   }
+
+  test("compact (union+window) form equals the join form row-for-row, ties included") {
+    val churny = Seq(                       // 3 same-ts versions → tie-break must match
+      ("u1", 10L, "x"), ("u1", 10L, "z"), ("u1", 10L, "y"),
+      ("u1", 20L, "b"), ("u2", 60L, "late")  // u2@60 is AFTER u2's only fact → unmatched
+    ).toDF("k", "vts", "ver")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "k", "ets", "vts", "ver")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getString(4)))).sortBy(_._1).toSeq
+    assert(canon(AsOf.asOfJoinCompact(left, churny, "k", "ets", "vts"))
+      === canon(AsOf.asOfJoin(left, churny, "k", "ets", "vts")))
+  }
+
+  test("compact form plans one hash exchange and no join") {
+    val out = AsOf.asOfJoinCompact(left, right, "k", "ets", "vts")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"compact as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the one keyed window exchange, saw $exchanges:\n$plan")
+  }
 }
