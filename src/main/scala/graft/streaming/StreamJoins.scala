@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Windowed stream-stream equi-joins — the Spark re-expression of Kafka
   * Streams `JoinWindows.of(windowMs)` (reference call sites:
@@ -63,4 +64,69 @@ object StreamJoins {
   def dashJoin(l: Column, r: Column): Column =
     concat(coalesce(l.cast("string"), lit("null")), lit("-"),
       coalesce(r.cast("string"), lit("null")))
+
+  /** One table-changelog update: the dimension's new value for `key` as of
+    * event-time `ts`.
+    */
+  case class TableUpdate(key: String, ts: Long, value: String)
+
+  /** One stream fact to enrich. */
+  case class Fact(key: String, ts: Long, payload: String)
+
+  /** Fact enriched with the table value current at its event time
+    * (None = no version yet — KStream⋈KTable's unmatched-left null).
+    */
+  case class EnrichedFact(key: String, ts: Long, payload: String,
+      value: Option[String])
+
+  /** Stream⋈TABLE join where the dimension is itself a LIVE changelog
+    * stream — the KStream⋈KTable shape (beyond-reference surface: the
+    * reference links kafka-streams but never exercises stream-table joins,
+    * SURVEY §2.4 "not present"; Spark has no built-in stream-stream
+    * enrichment without a window, so this is the custom-state expression).
+    *
+    * Semantics are timestamp-synchronized like Kafka Streams: within each
+    * micro-batch, updates and facts for a key apply in EVENT-TIME order
+    * (updates before facts at equal ts, same tie policy as
+    * [[graft.ops.AsOf.asOfJoin]]), so a fact is enriched with the latest
+    * update at-or-before its own timestamp even when both arrive in one
+    * batch. Across batches the table state is whatever has been ingested —
+    * the KS contract (a replayed fact sees the NEWER table, exactly like
+    * KS reprocessing). An update older than the key's current state is
+    * ignored (history is not versioned — state per key is ONE (ts, value)
+    * pair, the 100 TB bound; for point-in-time-correct historical joins
+    * use the batch [[graft.ops.AsOf]] over the SCD2 materialization).
+    */
+  def streamTableJoin(facts: Dataset[Fact],
+      updates: Dataset[TableUpdate]): Dataset[EnrichedFact] = {
+    implicit val taggedEnc: Encoder[(String, Long, Int, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt, Encoders.STRING)
+    implicit val stateEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[EnrichedFact] = Encoders.product[EnrichedFact]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val tagged = updates.map(u => (u.key, u.ts, 0, u.value))
+      .union(facts.map(f => (f.key, f.ts, 1, f.payload)))
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), EnrichedFact](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Int, String)],
+            state: GroupState[(Long, String)]) =>
+          val ordered = rows.toVector.sortBy(r => (r._2, r._3, r._4))
+          val out = Vector.newBuilder[EnrichedFact]
+          var cur = state.getOption
+          ordered.foreach {
+            case (_, ts, 0, v) =>
+              if (cur.forall(_._1 <= ts)) cur = Some((ts, v))
+            case (_, ts, 1, p) =>
+              // the fold position IS the semantics: within the batch the
+              // event-time sort means cur holds the latest at-or-before
+              // update; across batches cur is the current table (KS replay)
+              out += EnrichedFact(key, ts, p, cur.map(_._2))
+            case _ => ()
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }
