@@ -29,16 +29,23 @@ object Native {
   def audioFp(payload: Column): Column =
     org.apache.spark.sql.graft.AudioFp.fp(payload)
 
+  /** Native nearest-neighbor BMP resize (BINARY → BINARY 24bpp BMP, null
+    * for undecodable payloads; target dims are plan-time constants).
+    */
+  def resizeBmp(payload: Column, w2: Int, h2: Int): Column =
+    org.apache.spark.sql.graft.ImageResize.resize(payload, w2, h2)
+
   /** Register the SQL surface (`graft_dot`, `graft_winnow_fps`,
-    * `graft_dhash`, `graft_audio_fp`, and the curation pack
-    * `graft_h32`/`graft_tokens`/`graft_token_count`/`graft_lang_pred`/
-    * `graft_cleanse`).
+    * `graft_dhash`, `graft_audio_fp`, `graft_resize`, and the curation
+    * pack `graft_h32`/`graft_tokens`/`graft_token_count`/
+    * `graft_lang_pred`/`graft_cleanse`).
     */
   def register(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     org.apache.spark.sql.graft.WinnowFps.register(spark)
     org.apache.spark.sql.graft.ImageDHash.register(spark)
     org.apache.spark.sql.graft.AudioFp.register(spark)
+    org.apache.spark.sql.graft.ImageResize.register(spark)
     org.apache.spark.sql.graft.CurationFns.register(spark)
   }
 }

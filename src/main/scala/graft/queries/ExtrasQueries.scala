@@ -355,6 +355,22 @@ object ExtrasQueries extends QueryModule {
     "mm_image_dhash" -> ((s, d) =>
       graft.ops.Multimodal.dHash(dhashMedia(s, d), "doc_id", "media")),
 
+    // REAL nearest-neighbor resize (native graft_resize — one expression
+    // node, not w2·h2 staged substrs): 16×12 → 8×6 picks source pixel
+    // (2i, 2j). 8×6 has a pad-free 24-byte stride, so the ASCII pixel
+    // array decodes to a string and the oracle replays EVERY output byte
+    // from the closed-form source image, plus the parsed-back header dims
+    // and total payload length.
+    "mm_image_resize" -> ((s, d) => {
+      val rp = graft.functions.Native.resizeBmp(col("media.payload"), 8, 6)
+      dhashMedia(s, d).select(col("doc_id"), rp.as("rp"))
+        .select(col("doc_id"),
+          graft.ops.Multimodal.headerMeta(col("rp")).getField("width").as("w"),
+          graft.ops.Multimodal.headerMeta(col("rp")).getField("height").as("h"),
+          length(col("rp")).cast("long").as("plen"),
+          decode(substring(col("rp"), 55, 144), "UTF-8").as("pix"))
+    }),
+
     // image near-dup pairs over the same corpus: banded Hamming equi-join
     // (never all-pairs), hot-band guard pinned explicitly OFF here (the
     // unthinned declared form) — the cap=1 twin below fires the stride
@@ -717,6 +733,17 @@ object ExtrasQueries extends QueryModule {
     // so any off-by-one in offset/stride/endianness on the Spark side
     // breaks the hash match
     "mm_image_dhash" -> s"WITH $dhashCte\nSELECT doc_id, dhash FROM hsh",
+
+    // every byte of the 8×6 output replayed from the source string:
+    // output pixel (i, j) ← source byte pos 48·(2j) + 3·(2i) (+1, 1-based)
+    "mm_image_resize" -> {
+      val pix = (for (j <- 0 until 6; i <- 0 until 8)
+        yield s"substr(s, ${48 * 2 * j + 6 * i + 1}, 3)").mkString(" || ")
+      s"""WITH $dhashCte
+         |SELECT doc_id, 8::BIGINT AS w, 6::BIGINT AS h, 198::BIGINT AS plen,
+         |  $pix AS pix
+         |FROM px""".stripMargin
+    },
 
     // banded self-join + bit_count(xor) Hamming verify, replayed over the
     // same 4×16-bit bands the engine shuffles on

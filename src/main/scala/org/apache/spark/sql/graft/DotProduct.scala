@@ -126,6 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(BloomOps.functionDescriptor)
     ext.injectFunction(ImageDHash.functionDescriptor)
     ext.injectFunction(AudioFp.functionDescriptor)
+    ext.injectFunction(ImageResize.functionDescriptor)
     CurationFns.all.foreach(ext.injectFunction)
   }
 }

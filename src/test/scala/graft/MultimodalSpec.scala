@@ -306,6 +306,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageBands(mediaDf(evil), "id", "media").count() === 0L)
   }
 
+  test("native resize matches an independent byte-level nearest-neighbor reference") {
+    val rnd = new scala.util.Random(7)
+    def img(w: Int, h: Int): Array[Byte] = {
+      val rs = ((w * 3 + 3) / 4) * 4
+      val d = new Array[Byte](rs * h); rnd.nextBytes(d); d
+    }
+    // independent reference (ByteBuffer header, explicit loops)
+    def refResize(p: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      def le(off: Int, n: Int): Long =
+        (0 until n).map(k => (p(off + k) & 0xffL) << (8 * k)).sum
+      val w = le(18, 4).toInt; val h = le(22, 4).toInt; val off = le(10, 4).toInt
+      val rs = ((w * 3 + 3) / 4) * 4; val rs2 = ((w2 * 3 + 3) / 4) * 4
+      val data = new Array[Byte](rs2 * h2)
+      for (j <- 0 until h2; i <- 0 until w2; c <- 0 until 3)
+        data(j * rs2 + 3 * i + c) = p(off + (h * j / h2) * rs + 3 * (w * i / w2) + c)
+      bmpWithData(w2, h2, data)
+    }
+    // up, down, non-divisible, and pad-introducing (w2=5 → stride 16) dims
+    val cases = Seq((16, 12, 8, 6), (5, 4, 16, 12), (33, 9, 5, 5), (7, 30, 7, 30))
+    cases.zipWithIndex.foreach { case ((w, h, w2, h2), idx) =>
+      val p = bmpWithData(w, h, img(w, h))
+      val got = mediaDf(Seq(idx.toLong -> p))
+        .select(graft.functions.Native.resizeBmp(col("media.payload"), w2, h2))
+        .head().getAs[Array[Byte]](0)
+      assert(got.toSeq === refResize(p, w2, h2).toSeq, s"dims $w x $h -> $w2 x $h2")
+    }
+    // same-dims resize is dHash-invariant (the hash samples the same grid)
+    val keep = bmpWithData(16, 12, img(16, 12))
+    val df = mediaDf(Seq(1L -> keep))
+      .select(col("id"), Multimodal.asMedia(
+        graft.functions.Native.resizeBmp(col("media.payload"), 16, 12),
+        "image/bmp").as("media"))
+    assert(Multimodal.dHash(df, "id", "media").head().getLong(1)
+      === refDHash(keep).get)
+    // null contract: garbage and overflow-dim payloads resize to null
+    val bad = mediaDf(Seq(
+      7L -> Array[Byte](1, 2, 3),
+      8L -> wav(8000, 1, 16, 0),
+      9L -> bmpWithData(Int.MaxValue, Int.MaxValue, Array[Byte](1, 2, 3))))
+    assert(bad.select(graft.functions.Native.resizeBmp(col("media.payload"), 4, 4))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   // ---- AVI: real container parse + frame slicing over real bytes ----
 
   /** Canonical uncompressed-DIB AVI, ByteBuffer-built (independent of the
