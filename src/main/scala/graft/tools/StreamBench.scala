@@ -168,6 +168,22 @@ object StreamBench {
         graft.streaming.MediaStream.imageBucketFirstSeen(media, "doc_id", "media")
           .toDF("doc_id", "band", "rep")
           .writeStream.format("noop").outputMode("append").start()
+      case "streamtable" =>
+        // live stream⋈table join throughput: 1 update in 50 rows rotates
+        // one of 10k keys' table values, the other 49 are facts enriched
+        // against per-key (ts, value) state
+        import graft.streaming.StreamJoins.{Fact, TableUpdate}
+        import spark.implicits._
+        val keyed = src.select((col("value") % 10000).cast("string").as("key"),
+          col("value").as("ts"), col("value").as("v"))
+        val updates = keyed.filter(col("v") % 50 === 0)
+          .select(col("key"), col("ts"), concat(lit("u"), col("v")).as("value"))
+          .as[TableUpdate]
+        val facts = keyed.filter(col("v") % 50 =!= 0)
+          .select(col("key"), col("ts"), concat(lit("f"), col("v")).as("payload"))
+          .as[Fact]
+        graft.streaming.StreamJoins.streamTableJoin(facts, updates)
+          .writeStream.format("noop").outputMode("update").start()
       case "drift" =>
         // live drift-monitor throughput: per-row fixed-grid binning
         // (stateless, shared with the batch chi-square test) + the
