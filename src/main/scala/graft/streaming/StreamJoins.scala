@@ -129,4 +129,45 @@ object StreamJoins {
           out.result().iterator
       }
   }
+
+  /** [[streamTableJoin]] re-expressed on Spark 4's `transformWithState` —
+    * the successor arbitrary-state API, kept alongside the
+    * flatMapGroupsWithState form so both extension points stay exercised
+    * for this operator family (same policy as
+    * [[CustomState.emitOnChangeTws]]; StreamTableJoinSpec asserts parity).
+    * Requires the RocksDB state store provider (the caller sets
+    * `spark.sql.streaming.stateStore.providerClass`; the spec does).
+    */
+  def streamTableJoinTws(facts: Dataset[Fact],
+      updates: Dataset[TableUpdate]): Dataset[EnrichedFact] = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    implicit val taggedEnc: Encoder[(String, Long, Int, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt, Encoders.STRING)
+    implicit val stateEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[EnrichedFact] = Encoders.product[EnrichedFact]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    class Join extends StatefulProcessor[String, (String, Long, Int, String), EnrichedFact] {
+      @transient private var table: ValueState[(Long, String)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        table = getHandle.getValueState[(Long, String)]("table", stateEnc, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Long, Int, String)],
+          timerValues: TimerValues): Iterator[EnrichedFact] = {
+        val ordered = rows.toVector.sortBy(r => (r._2, r._3, r._4))
+        val out = Vector.newBuilder[EnrichedFact]
+        var cur = if (table.exists()) Some(table.get()) else None
+        ordered.foreach {
+          case (_, ts, 0, v) => if (cur.forall(_._1 <= ts)) cur = Some((ts, v))
+          case (_, ts, 1, p) => out += EnrichedFact(key, ts, p, cur.map(_._2))
+          case _ => ()
+        }
+        cur.foreach(table.update)
+        out.result().iterator
+      }
+    }
+    val tagged = updates.map(u => (u.key, u.ts, 0, u.value))
+      .union(facts.map(f => (f.key, f.ts, 1, f.payload)))
+    tagged.groupByKey(_._1)
+      .transformWithState(new Join, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -73,4 +73,33 @@ class StreamTableJoinSpec extends SparkSpec {
       assert(by === Map("k1" -> Some("a"), "k2" -> None))
     }
   }
+
+  test("transformWithState twin matches the flatMapGroupsWithState semantics") {
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val facts = MemoryStream[Fact]
+    val updates = MemoryStream[TableUpdate]
+    facts.addData(Fact("k", 5L, "f5"), Fact("k", 20L, "f20"))
+    updates.addData(TableUpdate("k", 10L, "a"))
+    val q = StreamJoins.streamTableJoinTws(facts.toDS(), updates.toDS())
+      .writeStream.format("memory").queryName("stj_tws").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: replay (old fact sees the current table) + advance
+      updates.addData(TableUpdate("k", 30L, "b")); q.processAllAvailable()
+      facts.addData(Fact("k", 15L, "late"), Fact("k", 40L, "f40")); q.processAllAvailable()
+      val by = spark.table("stj_tws").as[EnrichedFact].collect()
+        .map(e => e.payload -> e.value).toMap
+      assert(by === Map("f5" -> None, "f20" -> Some("a"),
+        "late" -> Some("b"), "f40" -> Some("b")))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
