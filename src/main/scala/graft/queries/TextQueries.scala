@@ -94,6 +94,30 @@ object TextQueries extends QueryModule {
 
     "text_cleanse" -> ((s, d) => Text.cleanse(docs(s, d), "text", "doc_id")),
 
+    // END-TO-END curation pipeline under the oracle gate — the composition
+    // a training-data run actually executes, chained as ONE declared
+    // query: quality floor (≥10 tokens) → language gate (predicted en) →
+    // exact-dup keeper (min doc_id per md5(text)) → per-source token
+    // budget (hash-ordered prefix, first doc always admitted). Every
+    // stage reuses an operator that is ALSO individually oracle-green
+    // (text_quality_score / text_lang_id / dedup_exact_groups /
+    // sample_token_budget), so a failure here localizes to composition,
+    // not to any stage.
+    "pipeline_curate_pack" -> ((s, d) => {
+      val base = docs(s, d)
+      val q = Text.qualityScore(base, "text", "doc_id")
+        .filter(col("n_tokens") >= 10).select("doc_id", "n_tokens")
+      val lp = Text.langId(base, "text", "doc_id")
+        .filter(col("lang_pred") === "en").select("doc_id")
+      val gated = base.select("doc_id", "text", "source")
+        .join(q, "doc_id").join(lp, "doc_id")
+      val keeper = gated.groupBy(md5(col("text")).as("__k"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = gated.join(keeper, Seq("doc_id"), "left_semi")
+      graft.ops.Sampling.tokenBudgetPerClass(kept, "source", "doc_id",
+        "n_tokens", budget = 5000L, salt = "cp1")
+    }),
+
     // deterministic training-mix sampling: 20% overall, en boosted to 50%
     "sample_stratified" -> ((s, d) =>
       graft.ops.Sampling.stratifiedHashSample(docs(s, d), "lang", "doc_id",
@@ -819,6 +843,25 @@ object TextQueries extends QueryModule {
 
     "text_lang_id" -> langSql,
     "text_quality_score" -> qualitySql,
+
+    // the four stages' oracle fragments composed exactly as the engine
+    // chains them; budget window replays the tb-pattern with salt _cp1
+    "pipeline_curate_pack" ->
+      s"""WITH t AS (SELECT doc_id, text, source, $toks AS toks FROM documents),
+         |q AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t WHERE len(toks) >= 10),
+         |lp AS (SELECT doc_id FROM ($langSql) WHERE lang_pred = 'en'),
+         |g AS (SELECT t.doc_id, t.text, t.source, q.n_tokens
+         |      FROM t JOIN q USING (doc_id) JOIN lp USING (doc_id)),
+         |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+         |h AS (SELECT g.source, g.doc_id, g.n_tokens AS n_tok,
+         |    ('0x' || substr(md5(g.doc_id::VARCHAR || '_cp1'), 1, 8))::BIGINT AS hh
+         |  FROM g JOIN k USING (doc_id)),
+         |c AS (SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY hh, doc_id) AS cum_tok,
+         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+         |  FROM h)
+         |SELECT source, doc_id, n_tok, cum_tok::BIGINT AS cum_tok
+         |FROM c WHERE cum_tok <= 5000 OR rn = 1""".stripMargin,
 
     "text_quality_filter" ->
       s"""SELECT doc_id,
