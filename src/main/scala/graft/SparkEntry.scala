@@ -128,5 +128,9 @@ object SparkEntry {
     // round-13: BPE merge learning on the board — per round one
     // map-combined pair-count shuffle + TakeOrdered(1), the dominant cost
     // a distributed tokenizer trainer pays at any corpus size
-    "text_bpe_merges")
+    "text_bpe_merges",
+    // round-13: the high-churn as-of twin (union + one keyed window, no
+    // join fan-out), the native resize, and the end-to-end curation
+    // pipeline — the composition number a training-data run actually pays
+    "j_asof_compact", "mm_image_resize", "pipeline_curate_pack")
 }
