@@ -78,19 +78,9 @@ object Curation {
     val bfps = Text.winnowFingerprints(benchmark, textCol, idCol, k, w)
       .agg(collect_set(col("fp")).as("__bfps"))
     val outCols = stream.columns.map(col).toSeq
-    val langs = Seq("en", "es", "de", "fr")
-    val toksed = stream.withColumn("__toks", Text.tokens(col(textCol)))
-    val scored = langs.foldLeft(toksed) { (acc, l) =>
-      acc.withColumn(s"__s_$l", Text.langScore(col("__toks"), l))
-    }
-    val best = langs.foldLeft((lit("und"), lit(0)): (org.apache.spark.sql.Column, org.apache.spark.sql.Column)) {
-      case ((bl, bs), l) =>
-        (when(col(s"__s_$l") > bs, lit(l)).otherwise(bl),
-          when(col(s"__s_$l") > bs, col(s"__s_$l")).otherwise(bs))
-    }
     val norm = regexp_replace(lower(col(textCol)), "\\W+", "")
-    scored
-      .withColumn("__lang_ok", best._1 === "en")
+    Text.withLangPred(stream, textCol, "__lang_pred")
+      .withColumn("__lang_ok", col("__lang_pred") === "en")
       .withColumn("__len_ok", length(col(textCol)) >= minChars)
       .withColumn("__norm", norm)
       .withColumn("__fps",

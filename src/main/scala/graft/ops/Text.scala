@@ -345,9 +345,33 @@ object Text {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "les", "des", "est"))
 
-  /** Marker-word score for one language over a token array column. */
-  private[graft] def langScore(toks: Column, lang: String): Column =
-    size(filter(toks, t => langMarkers(lang).map(m => t === lit(m)).reduce(_ || _)))
+  /** All marker-word occurrences (any language) extracted in ONE
+    * codegen'd regex pass. `\b`-bounded whole-word matches on the
+    * lowercased text ≡ membership of a `\W+` token in the marker set for
+    * these ASCII markers (`\w`/`\W` complement, so a token equals a
+    * marker exactly when it occurs with non-word characters or string
+    * edges on both sides); the trailing `\b` forces full-token matches,
+    * so alternation order is irrelevant even for prefix pairs like
+    * de/des, is/ist. All four [[langScore]] columns reference this SAME
+    * expression, so whole-stage codegen's subexpression elimination runs
+    * the regex once per row.
+    */
+  private[graft] def markerMatches(text: Column): Column =
+    regexp_extract_all(lower(text),
+      lit("\\b(" + langMarkers.values.flatten.toSeq.distinct.mkString("|") + ")\\b"),
+      lit(0))
+
+  /** Marker-word score for one language: the shared single-pass extract
+    * filtered to the language's set. The filter lambda is an interpreted
+    * HOF, but it runs over the MATCHES only (tens per doc), not every
+    * token — the former all-tokens form cost 4 languages × tokens
+    * interpreted steps per row and measured ~20× slower at 10×-corpus
+    * scale (SCALE.md round 13). The DuckDB oracle keeps its full
+    * list_filter-over-tokens form and the gate pins the equality.
+    */
+  private[graft] def langScore(text: Column, lang: String): Column =
+    size(filter(markerMatches(text),
+      t => langMarkers(lang).map(m => t === lit(m)).reduce(_ || _)))
 
   /** Heuristic language ID: count language-marker stopwords, pick the argmax
     * (ties broken by fixed language order en>es>de>fr, then "und" if no
@@ -370,15 +394,38 @@ object Text {
   /** Per-row language prediction as a pure Column over the raw text —
     * the [[langId]] semantics servable from SQL (`graft_lang_pred`).
     */
-  def langPredOf(text: Column): Column = {
-    val toks = tokens(text)
-    bestLang(l => langScore(toks, l))._1
+  def langPredOf(text: Column): Column =
+    bestLang(l => langScore(text, l))._1
+
+  /** Count of `lang`'s markers in an already-extracted match array —
+    * an interpreted HOF, but over tens of matches, not every token.
+    */
+  private def langScoreOfMatches(mm: Column, lang: String): Column =
+    size(filter(mm, t => langMarkers(lang).map(m => t === lit(m)).reduce(_ || _)))
+
+  /** Attach `outCol` = predicted language in TWO projections: the
+    * single-pass marker extract materializes as a real column first, and
+    * only then do the per-language counts read it. The staging is
+    * load-bearing, not style — an interpreted HOF path re-evaluates a
+    * shared regex subexpression per reference (no codegen CSE), and
+    * CollapseProject declines to inline a non-cheap expression used this
+    * many times, so the projection boundary is what pins the regex to
+    * once per row (the round-12 staged-dHash discipline; ~20× measured
+    * at 10×-corpus scale, SCALE.md round 13).
+    */
+  def withLangPred(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val mm = "__graft_mm"
+    require(!df.columns.contains(mm), s"column name '$mm' is reserved by withLangPred")
+    df.withColumn(mm, markerMatches(col(textCol)))
+      .withColumn(outCol, bestLang(l => langScoreOfMatches(col(mm), l))._1)
+      .drop(mm)
   }
 
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = df.select(col(idCol), toks.as("toks"))
-      .select(col(idCol) +: langMarkers.keys.toSeq.sorted.map(l => langScore(col("toks"), l).as(s"s_$l")): _*)
+    val scored = df
+      .withColumn("__graft_mm", markerMatches(col(textCol)))
+      .select(col(idCol) +: langMarkers.keys.toSeq.sorted
+        .map(l => langScoreOfMatches(col("__graft_mm"), l).as(s"s_$l")): _*)
     val best = bestLang(l => col(s"s_$l"))
     scored.select(col(idCol), best._1.as("lang_pred"), best._2.cast("long").as("lang_score"))
   }
