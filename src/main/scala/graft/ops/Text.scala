@@ -328,9 +328,16 @@ object Text {
     */
   def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
+    // same split-size arithmetic as [[tokenCount]] (leading AND trailing
+    // empty artifacts — Spark split keeps trailing empties), codegen'd —
+    // no per-element lambda
+    val ws = split(t, "\\s+")
+    val wsRaw = size(ws) - when(element_at(ws, 1) === "", 1).otherwise(0) -
+      when(element_at(ws, -1) === "", 1).otherwise(0)
     df.select(
       col(idCol),
-      size(filter(split(t, "\\s+"), x => length(x) > 0)).cast("long").as("ws_tokens"),
+      when(size(ws).isNull, lit(null).cast("int"))
+        .otherwise(greatest(wsRaw, lit(0))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"),
       length(t).cast("long").as("n_chars_obs"))
@@ -436,20 +443,45 @@ object Text {
     */
   def floor6(c: Column): Column = floor(c * lit(1000000)) / lit(1000000.0)
 
+  /** Token count without the per-element lambda: `size` of the raw
+    * `\W+` split minus its empty edge artifacts — Spark's `split` uses
+    * limit=-1, so unlike Java's it KEEPS a trailing empty when the text
+    * ends with a separator, and a leading empty appears when it starts
+    * with one (or is empty). `\W+` matches runs, so empties never occur
+    * mid-array; the `greatest` clamp covers the single-`""` array (empty
+    * text), where both edge checks see the same element. Equal to
+    * `size(tokens(text))` for every string, in codegen'd expressions;
+    * null text propagates null, as `size(filter(null))` did.
+    */
+  private[graft] def tokenCount(text: Column): Column = {
+    val sp = split(lower(text), "\\W+")
+    val raw = size(sp) - when(element_at(sp, 1) === "", 1).otherwise(0) -
+      when(element_at(sp, -1) === "", 1).otherwise(0)
+    // greatest() SKIPS nulls, so guard explicitly to keep null-in/null-out
+    when(size(sp).isNull, lit(null).cast("int")).otherwise(greatest(raw, lit(0)))
+  }
+
   /** Quality scoring: document length, punctuation ratio, stopword ratio,
     * mean word length — the standard cheap pre-filters for web-scale corpus
     * cleaning. All per-row arithmetic; fractions stabilized to 6 dp so the
     * DuckDB oracle hash-matches despite double formatting.
+    *
+    * Every measure is a codegen'd expression — no array-lambda HOFs on
+    * this path (the former filter/aggregate forms cost 6.2 s at
+    * 10×-corpus scale, same class as the [[langScore]] rework; the
+    * oracle keeps its list-form SQL and pins the equalities):
+    * stopword hits via the one-pass `\b` marker alternation (≡ token
+    * membership, see [[markerMatches]]); summed token length =
+    * word-character count (tokens are maximal `\w+` runs, so their
+    * lengths sum to exactly the `\w` chars of the text).
     */
   def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, x =>
-      langMarkers.values.flatten.toSeq.distinct.map(m => x === lit(m)).reduce(_ || _))).cast("double")
+    val nTok = tokenCount(t).cast("double")
+    val nStop = size(markerMatches(t)).cast("double")
     val nPunct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
     val nChars = length(t).cast("double")
-    val sumTokLen = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x).cast("double")
+    val sumTokLen = length(regexp_replace(lower(t), "\\W", "")).cast("double")
     df.select(
       col(idCol),
       nChars.cast("long").as("n_chars_obs"),

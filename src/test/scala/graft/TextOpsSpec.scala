@@ -15,6 +15,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq("to", "be", "or", "not", "to", "be"))
   }
 
+  test("split-size tokenCount ≡ size(tokens) on every edge shape") {
+    // adversarial shapes for Spark split's limit=-1 semantics: leading,
+    // trailing, and both-edge separators, empty, all-separator, null,
+    // unicode separators, single token
+    val cases = Seq("", "!", "!!!", "a", "!a", "a!", "!a!", "a b", " a b ",
+      "To be, or NOT to be!", "x\n\ny!", "...the end.", "a_b-c", "¡hola!",
+      "tab\tsep", null)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select($"id", Text.tokenCount($"t").as("n"),
+        size(Text.tokens($"t")).as("ref"))
+      .collect()
+    got.foreach { r =>
+      val n = if (r.isNullAt(1)) null else r.getInt(1)
+      val ref = if (r.isNullAt(2)) null else r.getInt(2)
+      assert(n === ref, s"case '${cases(r.getLong(0).toInt)}'")
+    }
+  }
+
   test("langId breaks score ties in en>es>de>fr priority order") {
     // "la" (es) vs "la" (fr): identical single marker → es wins over fr
     val df = Seq((1L, "la cosa"), (2L, "der the")).toDF("id", "text")
