@@ -368,17 +368,20 @@ object Text {
       lit("\\b(" + langMarkers.values.flatten.toSeq.distinct.mkString("|") + ")\\b"),
       lit(0))
 
-  /** Marker-word score for one language: the shared single-pass extract
-    * filtered to the language's set. The filter lambda is an interpreted
-    * HOF, but it runs over the MATCHES only (tens per doc), not every
-    * token — the former all-tokens form cost 4 languages × tokens
-    * interpreted steps per row and measured ~20× slower at 10×-corpus
-    * scale (SCALE.md round 13). The DuckDB oracle keeps its full
+  /** Marker-word score for one language as a PURE codegen'd column (one
+    * `\b` alternation per language — same token-membership equivalence as
+    * [[markerMatches]]). This is the inline form the SQL pack's
+    * `graft_lang_pred` composes: fully compiled, so whole-stage codegen's
+    * subexpression elimination dedups the tie-break fold's duplicate
+    * references (an HOF here would re-evaluate per reference,
+    * interpreted). DataFrame surfaces ([[langId]], [[withLangPred]],
+    * [[qualityScore]]) stage the shared [[markerMatches]] extract instead
+    * — one regex pass total. The DuckDB oracle keeps its
     * list_filter-over-tokens form and the gate pins the equality.
     */
   private[graft] def langScore(text: Column, lang: String): Column =
-    size(filter(markerMatches(text),
-      t => langMarkers(lang).map(m => t === lit(m)).reduce(_ || _)))
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + langMarkers(lang).mkString("|") + ")\\b"), lit(0)))
 
   /** Heuristic language ID: count language-marker stopwords, pick the argmax
     * (ties broken by fixed language order en>es>de>fr, then "und" if no
