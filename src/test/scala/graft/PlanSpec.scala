@@ -506,4 +506,22 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q grew a join")
     }
   }
+
+  test("curation pipeline: two window exchanges, no join, regex staged once") {
+    // the round-13 pushdown lesson pinned as a plan shape: the md5 keeper
+    // window + the source budget window are the only shuffles, nothing
+    // joins, and the marker-extract regex must appear exactly once in the
+    // plan — a filter pushed below the staging projections duplicates it
+    // into every alias reference (measured 1.4 s → 17 s at 10×, SCALE.md)
+    val p = plan("pipeline_curate_pack")
+    assert(!p.contains("Join"), "pipeline_curate_pack grew a join")
+    val exchanges = hashExchanges(p)
+    info(s"pipeline_curate_pack shuffle exchanges: $exchanges")
+    assert(exchanges == 2,
+      s"$exchanges shuffles — expected exactly the md5 keeper + source budget windows")
+    val regexCount = "regexp_extract_all".r.findAllIn(p).size
+    info(s"marker-extract occurrences in plan: $regexCount")
+    assert(regexCount == 1,
+      s"marker-extract regex appears $regexCount times — pushdown re-duplicated the staged column")
+  }
 }
