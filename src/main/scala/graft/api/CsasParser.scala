@@ -16,11 +16,24 @@ import scala.collection.mutable
   */
 private[api] object CsasParser {
 
+  sealed trait Statement
+
   /** Parsed `CREATE STREAM|TABLE` statement: object name, lower-cased WITH
     * options, the SELECT text, and whether it declares a TABLE.
     */
   case class Csas(name: String, options: Map[String, String], select: String,
-      table: Boolean = false)
+      table: Boolean = false) extends Statement
+
+  /** Parsed explicit-schema source DDL
+    * (`CREATE STREAM s (COL TYPE, ...) WITH (kafka_topic='t',
+    * value_format='JSON', key='col');` — reference
+    * `DatabaseSelectAndProjectIntTest.java:269-281`,
+    * `StreamsSelectAndProjectIntTest.java:330-344` incl.
+    * `map<varchar, double>` column types): object name, declared columns
+    * as (name, KSQL type text), lower-cased WITH options.
+    */
+  case class SourceDdl(name: String, columns: Seq[(String, String)],
+      options: Map[String, String]) extends Statement
 
   /** `Some(csas)` for a CREATE STREAM/TABLE statement, `None` for anything
     * else (pass those through to `spark.sql` — `CREATE TEMPORARY VIEW`
@@ -29,7 +42,7 @@ private[api] object CsasParser {
     * starts with `CREATE STREAM`/`CREATE TABLE` but is malformed throws
     * `IllegalArgumentException` with the offending position.
     */
-  def parse(statement: String): Option[Csas] = {
+  def parse(statement: String): Option[Statement] = {
     require(statement != null, "null statement")
     val s = statement
     var i = 0
@@ -78,6 +91,68 @@ private[api] object CsasParser {
       else if (keyword("TABLE")) true
       else return None
     val name = ident()
+
+    /** KSQL type text up to a top-level ',' or ')': generics nest via
+      * '<'/'>' (`map<varchar, double>` carries a comma inside).
+      */
+    def typeText(): String = {
+      ws()
+      val start = i
+      var depth = 0
+      while (i < s.length &&
+          (depth > 0 || (s.charAt(i) != ',' && s.charAt(i) != ')'))) {
+        s.charAt(i) match {
+          case '<' => depth += 1
+          case '>' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      val t = s.substring(start, i).trim
+      require(t.nonEmpty, s"expected column type at position $start in: $s")
+      t
+    }
+
+    // explicit-schema source DDL: CREATE STREAM name (col type, ...) WITH (...)
+    // — only the STREAM form; CREATE TABLE t (...) is Spark DDL, not ours
+    if (!isTable && peek('(')) {
+      expect('(')
+      val cols = mutable.ArrayBuffer[(String, String)]()
+      var more = true
+      while (more) {
+        val cn = ident()
+        cols += cn -> typeText()
+        more = peek(',')
+        if (more) i += 1
+      }
+      expect(')')
+      val options: Map[String, String] =
+        if (keyword("WITH")) {
+          expect('(')
+          val m = mutable.LinkedHashMap[String, String]()
+          if (!peek(')')) {
+            var more2 = true
+            while (more2) {
+              // dotted option keys (kafka-config style), same as the CSAS path
+              val kb = new StringBuilder(ident())
+              while (peek('.')) { i += 1; kb += '.'; kb ++= ident() }
+              expect('=')
+              m(kb.toString.toLowerCase) = stringLit()
+              more2 = peek(',')
+              if (more2) i += 1
+            }
+          }
+          expect(')')
+          m.toMap
+        } else Map.empty
+      ws()
+      if (i < s.length && s.charAt(i) == ';') i += 1
+      ws()
+      require(i >= s.length,
+        s"unexpected trailing text at position $i in: $s")
+      return Some(SourceDdl(name, cols.toSeq, options))
+    }
+
     val options: Map[String, String] =
       if (keyword("WITH")) {
         expect('(')

@@ -29,8 +29,18 @@ case class StreamDef(df: DataFrame, keyCol: Option[String], timeCol: Option[Stri
   * CSAS is `spark.sql` over the views, so Catalyst pushdown/pruning applies
   * through the registry unchanged.
   */
-class StreamRegistry(spark: SparkSession) {
+class StreamRegistry(spark: SparkSession,
+    registry: Option[graft.serde.SchemaRegistryClient] = None) {
   private val defs = mutable.Map[String, StreamDef]()
+  private val topicFrames = mutable.Map[String, DataFrame]()
+
+  /** Register a raw TOPIC frame (the [[graft.sources.Kafka.envelopeSchema]]
+    * shape — at minimum a `value` column; `timestamp` feeds ROWTIME when
+    * present) so explicit-schema source DDL can resolve it. The engine's
+    * analogue of a topic existing on the broker.
+    */
+  def registerTopic(topic: String, df: DataFrame): Unit =
+    topicFrames(topic.toLowerCase) = df
 
   /** Register a stream with explicit key/time columns; projects ROWKEY and
     * ROWTIME pseudo-columns (epoch-ms long, KSQL's ROWTIME type).
@@ -121,8 +131,124 @@ class StreamRegistry(spark: SparkSession) {
     * here with the offending position instead of confusing Spark's parser.
     */
   def sql(statement: String): DataFrame = CsasParser.parse(statement) match {
-    case Some(c) if c.table => createTableAs(c.name, c.select, c.options.get("timestamp"))
-    case Some(c) => createStreamAs(c.name, c.select, c.options.get("timestamp"))
+    case Some(c: CsasParser.Csas) if c.table =>
+      createTableAs(c.name, c.select, c.options.get("timestamp"))
+    case Some(c: CsasParser.Csas) =>
+      createStreamAs(c.name, c.select, c.options.get("timestamp"))
+    case Some(d: CsasParser.SourceDdl) =>
+      createSourceStream(d.name, d.columns, d.options)
     case None => spark.sql(statement)
+  }
+
+  /** KSQL column type → Spark DDL type (recursive for array/map). */
+  private def sparkType(ksql: String): String = {
+    val t = ksql.trim.toLowerCase
+    def inner(prefix: String): String = t.substring(prefix.length, t.length - 1)
+    if (t.startsWith("array<") && t.endsWith(">"))
+      s"array<${sparkType(inner("array<"))}>"
+    else if (t.startsWith("map<") && t.endsWith(">")) {
+      val body = inner("map<")
+      // split at the top-level comma (key type is scalar in KSQL, but
+      // walk depth anyway so nested generics can't confuse the split)
+      var depth = 0
+      val cut = body.indices.find { j =>
+        body.charAt(j) match {
+          case '<' => depth += 1; false
+          case '>' => depth -= 1; false
+          case ',' => depth == 0
+          case _ => false
+        }
+      }.getOrElse(throw new IllegalArgumentException(s"malformed map type: $ksql"))
+      s"map<${sparkType(body.substring(0, cut))},${sparkType(body.substring(cut + 1))}>"
+    } else t match {
+      case "varchar" | "string" => "string"
+      case "bigint" | "long" => "bigint"
+      case "int" | "integer" => "int"
+      case "double" => "double"
+      case "boolean" | "bool" => "boolean"
+      case other => throw new IllegalArgumentException(
+        s"unsupported KSQL column type '$other'")
+    }
+  }
+
+  /** Explicit-schema source DDL (reference
+    * `DatabaseSelectAndProjectIntTest.java:269-281`): resolve the topic's
+    * raw envelope frame ([[registerTopic]]), decode `value` per
+    * `value_format` against the DECLARED schema, and register the stream
+    * with `key=` as ROWKEY and the envelope timestamp as ROWTIME.
+    *
+    *  - JSON: `from_json` with the declared struct (a field the payload
+    *    lacks is null; malformed rows null every field — P13's tolerance)
+    *  - DELIMITED: positional comma split, each slot cast to its declared
+    *    type (scalar columns only — the format can't carry array/map)
+    *  - AVRO: registry-framed decode ([[graft.serde.AvroCodec.decodeFramed]]
+    *    under subject `<topic>-value`) — requires this registry to be
+    *    constructed with a [[graft.serde.SchemaRegistryClient]]
+    */
+  def createSourceStream(name: String, columns: Seq[(String, String)],
+      options: Map[String, String]): DataFrame = {
+    require(columns.nonEmpty, s"CREATE STREAM $name: empty column list")
+    val topic = options.getOrElse("kafka_topic", name).toLowerCase
+    val raw = topicFrames.getOrElse(topic, throw new IllegalArgumentException(
+      s"unknown topic '$topic' — registerTopic(...) it before CREATE STREAM $name"))
+    // decode against LOWERCASED field names and alias back to the declared
+    // spelling: Spark's from_json and Avro schema resolution match field
+    // names case-SENSITIVELY (verified — spark.sql.caseSensitive does not
+    // apply), while KSQL identifiers are case-insensitive and the
+    // reference's payload keys are lowercase
+    val ddl = columns.map { case (n, t) => s"`${n.toLowerCase}` ${sparkType(t)}" }
+      .mkString(", ")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val fmt = options.getOrElse("value_format", "JSON").toUpperCase
+    val decoded = fmt match {
+      case "JSON" =>
+        raw.withColumn("__v", from_json(col("value").cast("string"), schema))
+          .select(columns.map { case (n, _) => col(s"__v.`${n.toLowerCase}`").as(n) } ++
+            (if (raw.columns.contains("timestamp")) Seq(col("timestamp")) else Nil): _*)
+      case "DELIMITED" =>
+        val parts = split(col("value").cast("string"), ",")
+        raw.select(columns.zipWithIndex.map { case ((n, t), idx) =>
+          val st = sparkType(t)
+          require(!st.contains("<"),
+            s"DELIMITED cannot carry column '$n' of type $t")
+          element_at(parts, idx + 1).cast(st).as(n)
+        } ++ (if (raw.columns.contains("timestamp")) Seq(col("timestamp")) else Nil): _*)
+      case "AVRO" =>
+        // decodeFramed yields exactly the declared columns, so the
+        // envelope timestamp does not survive this path — ROWTIME comes
+        // from the WITH (timestamp='col') reassignment or stays null
+        val reg = registry.getOrElse(throw new IllegalArgumentException(
+          s"value_format='AVRO' for $name needs a SchemaRegistryClient — " +
+            "construct StreamRegistry(spark, Some(registry))"))
+        graft.serde.AvroCodec.decodeFramed(raw, "value", schema,
+            reg, s"$topic-value")
+          .select(columns.map { case (n, _) => col(s"`${n.toLowerCase}`").as(n) }: _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported value_format '$other' (JSON, DELIMITED, AVRO)")
+    }
+    val hasEnvTs = decoded.columns.contains("timestamp")
+    // ROWTIME: explicit WITH (timestamp='col') reassignment (an epoch-ms
+    // bigint DECLARED column, KSQL semantics) wins; else the envelope
+    // timestamp; else null
+    val rowtime: Column = options.get("timestamp") match {
+      case Some(tc) =>
+        require(columns.exists(_._1.equalsIgnoreCase(tc)),
+          s"timestamp column '$tc' is not among $name's declared columns")
+        col(tc).cast("long")
+      case None if hasEnvTs => unix_millis(col("timestamp").cast("timestamp"))
+      case None => lit(null).cast("long")
+    }
+    options.get("key").foreach { k =>
+      require(columns.exists(_._1.equalsIgnoreCase(k)),
+        s"key column '$k' is not among $name's declared columns")
+    }
+    val out = decoded
+      .withColumn("ROWKEY", options.get("key").map(col).getOrElse(lit(null)))
+      .withColumn("ROWTIME", rowtime)
+      .drop("timestamp")
+    out.createOrReplaceTempView(name)
+    defs(name) = StreamDef(out, options.get("key"),
+      options.get("timestamp").orElse(if (hasEnvTs) Some("timestamp") else None))
+    out
   }
 }
