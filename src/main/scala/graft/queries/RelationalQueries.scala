@@ -95,6 +95,24 @@ object RelationalQueries extends QueryModule {
         .filter(col("k").isNotNull)
     }),
 
+    // the explicit-schema source DDL path under the oracle gate
+    // (reference `DatabaseSelectAndProjectIntTest.java:269-281`): encode
+    // documents as a JSON-envelope topic, declare the stream with the
+    // reference statement shape, then CSAS off it — the full textual
+    // round-trip (to_json → declared-schema decode → ROWKEY → derived
+    // stream) must reproduce a plain relational SELECT
+    "p15_source_ddl" -> ((s, d) => {
+      val reg = new graft.api.StreamRegistry(s)
+      reg.registerTopic("docs_topic", Tables.documents(s, d).select(
+        encode(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))),
+          "UTF-8").as("value")))
+      reg.sql("CREATE STREAM docs_ddl (DOC_ID bigint, LANG varchar, N_CHARS bigint) " +
+        "WITH (kafka_topic='docs_topic', value_format='JSON', key='doc_id');")
+      reg.sql("CREATE STREAM en_docs AS SELECT ROWKEY AS doc_id, LANG AS lang, " +
+          "N_CHARS AS n_chars FROM docs_ddl WHERE LANG = 'en';")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // F4-F9 scalar-function suite: concat joiner (reference valueJoiner
     // `AbstractJoinIntegrationTest.java:118-123`), arithmetic, comparisons,
     // struct construction + field access, cast coercion.
@@ -412,6 +430,9 @@ object RelationalQueries extends QueryModule {
       """SELECT o_orderkey AS ROWKEY, epoch_ms(o_orderdate) + 10000 AS RTIME,
         |       epoch_ms(o_orderdate) + 10000 AS ROWTIME
         |FROM orders""".stripMargin,
+
+    "p15_source_ddl" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'""",
 
     "p13_bad_records" ->
       """SELECT event_id, json_extract(props, 'k')::INT AS k FROM events
