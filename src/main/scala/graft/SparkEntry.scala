@@ -132,5 +132,10 @@ object SparkEntry {
     // round-13: the high-churn as-of twin (union + one keyed window, no
     // join fan-out), the native resize, and the end-to-end curation
     // pipeline — the composition number a training-data run actually pays
-    "j_asof_compact", "mm_image_resize", "pipeline_curate_pack")
+    "j_asof_compact", "mm_image_resize", "pipeline_curate_pack",
+    // round-13 batch 2: mergeable KLL quantile sketches — build per
+    // (source, lang), merge the serialized images to one global sketch,
+    // probe 4 ranks; the shuffle is one ≤8 KB sketch per group per
+    // partition, the pattern any-range percentile rollups pay at 100 TB
+    "sketch_quantiles_rollup")
 }

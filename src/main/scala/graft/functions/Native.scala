@@ -40,6 +40,22 @@ object Native {
     * pack `graft_h32`/`graft_tokens`/`graft_token_count`/
     * `graft_lang_pred`/`graft_cleanse`).
     */
+  /** Mergeable KLL quantile sketch of a double column (BINARY result;
+    * persist it, union later with [[kllMerge]]). Exact while ≤ k values.
+    */
+  def kllAgg(value: Column, k: Int = org.apache.spark.sql.graft.KllOps.DefaultK): Column =
+    org.apache.spark.sql.graft.KllOps.kllAgg(value, k)
+
+  /** Union of serialized KLL sketches (BINARY → BINARY rollup). */
+  def kllMerge(sketch: Column, k: Int = org.apache.spark.sql.graft.KllOps.DefaultK): Column =
+    org.apache.spark.sql.graft.KllOps.kllMerge(sketch, k)
+
+  /** INCLUSIVE-rank quantiles from a serialized KLL sketch (`cume_dist`
+    * semantics); null for an empty sketch.
+    */
+  def kllQuantiles(sketch: Column, ranks: Seq[Double]): Column =
+    org.apache.spark.sql.graft.KllOps.kllQuantiles(sketch, ranks)
+
   def register(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     org.apache.spark.sql.graft.WinnowFps.register(spark)
@@ -47,5 +63,6 @@ object Native {
     org.apache.spark.sql.graft.AudioFp.register(spark)
     org.apache.spark.sql.graft.ImageResize.register(spark)
     org.apache.spark.sql.graft.CurationFns.register(spark)
+    org.apache.spark.sql.graft.KllOps.register(spark)
   }
 }

@@ -539,6 +539,33 @@ object ExtrasQueries extends QueryModule {
         .agg(graft.functions.FreqItems.heavyHitters(64)(col("event_type")).as("hh"))
         .select(explode(col("hh")).as(Seq("item", "cnt")))),
 
+    // Mergeable KLL quantile sketches (native TypedImperativeAggregate,
+    // the HllSketchAgg pattern): per-source doc-length distribution. While
+    // a group has seen ≤ k=1024 values the sketch retains all of them and
+    // every INCLUSIVE-rank quantile is EXACT — at sf0.01 each source is
+    // far below capacity, so the DuckDB cume_dist oracle pins the whole
+    // build→probe chain (the freq_heavy_hitters exact-regime trick); the
+    // compaction-regime error envelope is an ApproxSpec property.
+    "sketch_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Sketches.rollupQuantiles(
+        graft.ops.Sketches.quantileSketches(docs, Seq("source"), "n_chars"),
+        Seq("source"), Seq(0.5, 0.9, 0.99))
+    }),
+
+    // The rollup side under the same oracle: build finer-grained sketches
+    // per (source, lang), MERGE them to one global sketch (graft_kll_merge
+    // over the serialized images — the persisted-artifact path ApproxSpec
+    // drives through parquet), and probe. Total corpus ≤ k at sf0.01 →
+    // the merge is provably lossless: global quantiles from merged
+    // per-group sketches must equal DuckDB's cume_dist over the raw rows.
+    "sketch_quantiles_rollup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Sketches.rollupQuantiles(
+        graft.ops.Sketches.quantileSketches(docs, Seq("source", "lang"), "n_chars"),
+        Seq.empty, Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
     // A4: emission-granularity equivalence batch twin — word counts built
     // from per-batch partial counts re-aggregated (caching/coalesced
     // emission) must equal the single-pass count (per-record emission)
@@ -636,6 +663,34 @@ object ExtrasQueries extends QueryModule {
     "freq_heavy_hitters" ->
       """SELECT event_type AS item, count(*)::BIGINT AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // inclusive-rank quantile = smallest v with cume_dist ≥ r — the exact
+    // definition KLL's INCLUSIVE search uses, so the exact-regime sketch
+    // must reproduce it value-for-value
+    "sketch_quantiles" ->
+      """WITH cd AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+        |         cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT source,
+        |  min(v) FILTER (WHERE cd >= 0.5) AS q_50,
+        |  min(v) FILTER (WHERE cd >= 0.9) AS q_90,
+        |  min(v) FILTER (WHERE cd >= 0.99) AS q_99,
+        |  count(*)::BIGINT AS n_rows
+        |FROM cd GROUP BY source""".stripMargin,
+
+    "sketch_quantiles_rollup" ->
+      """WITH cd AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v,
+        |         cume_dist() OVER (ORDER BY n_chars) AS cd
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT
+        |  min(v) FILTER (WHERE cd >= 0.25) AS q_25,
+        |  min(v) FILTER (WHERE cd >= 0.5) AS q_50,
+        |  min(v) FILTER (WHERE cd >= 0.75) AS q_75,
+        |  min(v) FILTER (WHERE cd >= 0.95) AS q_95,
+        |  count(*)::BIGINT AS n_rows
+        |FROM cd""".stripMargin,
 
     "u1_scalar_udf" ->
       """SELECT event_id,

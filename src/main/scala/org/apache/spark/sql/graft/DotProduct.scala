@@ -127,6 +127,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ImageDHash.functionDescriptor)
     ext.injectFunction(AudioFp.functionDescriptor)
     ext.injectFunction(ImageResize.functionDescriptor)
+    ext.injectFunction(KllOps.aggDescriptor)
+    ext.injectFunction(KllOps.mergeDescriptor)
+    ext.injectFunction(KllOps.quantilesDescriptor)
     CurationFns.all.foreach(ext.injectFunction)
   }
 }

@@ -67,4 +67,120 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(p50 - 50000) < 1000, s"p50=$p50")
     assert(math.abs(p99 - 99000) < 1000, s"p99=$p99")
   }
+
+  // ---- KLL quantile sketches (graft.ops.Sketches.quantileSketches) ----
+
+  /** Exact inclusive-rank quantile: smallest v with count(<=v)/n >= r —
+    * the same definition as SQL cume_dist and KLL INCLUSIVE search.
+    */
+  private def exactQ(values: Seq[Double], r: Double): Double = {
+    val sorted = values.sorted
+    val n = sorted.size
+    sorted(math.max(0, math.ceil(r * n).toInt - 1))
+  }
+
+  test("KLL sketches are exact below capacity and partition-layout invariant") {
+    // skewed + duplicated values, n=600 per key < k=1024 → exact regime
+    val vals = (1 to 600).map(i => ((i * i) % 997).toDouble)
+    val df = vals.map(("a", _)).toDF("key", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketches.rollupQuantiles(
+        graft.ops.Sketches.quantileSketches(d, Seq("key"), "v"),
+        Seq("key"), Seq(0.5, 0.9, 0.99))
+        .collect().head
+    val row = run(df)
+    assert(row.getDouble(1) === exactQ(vals, 0.5), "p50")
+    assert(row.getDouble(2) === exactQ(vals, 0.9), "p90")
+    assert(row.getDouble(3) === exactQ(vals, 0.99), "p99")
+    assert(row.getLong(4) === 600L)
+    // mergeability: partial sketches from any partition layout merge to the
+    // same exact answer (all partials below capacity → merge is lossless)
+    assert(run(df.repartition(16)) === row, "layout invariance")
+  }
+
+  test("KLL sketches persist to parquet and roll up incrementally") {
+    val d1 = (1 to 400).map(i => ("d1", i.toDouble))
+    val d2 = (1 to 300).map(i => ("d2", (i * 3).toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    graft.ops.Sketches.quantileSketches(
+      (d1 ++ d2).toDF("day", "v"), Seq("day"), "v")
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    // global quantiles from merged per-day sketches, raw data gone; total
+    // 700 < k → the merge is lossless and the answer exact
+    val g = graft.ops.Sketches.rollupQuantiles(stored, Seq.empty, Seq(0.5, 0.9))
+      .collect().head
+    val all = (d1 ++ d2).map(_._2)
+    assert(g.getDouble(0) === exactQ(all, 0.5), s"global p50 ${g.getDouble(0)}")
+    assert(g.getDouble(1) === exactQ(all, 0.9), s"global p90 ${g.getDouble(1)}")
+    assert(g.getLong(2) === 700L)
+    // incremental: union stored sketches with a NEW day's sketch ==
+    // sketching everything from scratch (merge associativity, exact regime)
+    val d3 = (1 to 200).map(i => ("d3", (i * 7).toDouble))
+    val inc = graft.ops.Sketches.rollupQuantiles(
+      stored.unionByName(graft.ops.Sketches.quantileSketches(
+        d3.toDF("day", "v"), Seq("day"), "v")), Seq.empty, Seq(0.5, 0.9))
+      .collect().head
+    val scratch = graft.ops.Sketches.rollupQuantiles(
+      graft.ops.Sketches.quantileSketches(
+        (d1 ++ d2 ++ d3).toDF("day", "v"), Seq("day"), "v"),
+      Seq.empty, Seq(0.5, 0.9)).collect().head
+    assert(inc === scratch, s"incremental $inc vs scratch $scratch")
+  }
+
+  test("KLL compacting regime stays within the k-determined rank error") {
+    // n=100k >> k=200 → heavy compaction; KLL guarantees the TRUE rank of
+    // the returned quantile is within eps(k=200) ~ 1.65% of the requested
+    // rank with high probability (use 3% for test stability)
+    val n = 100000
+    val df = spark.range(n).select(col("id").cast("double").as("v"))
+      .withColumn("key", lit("x"))
+    val row = graft.ops.Sketches.rollupQuantiles(
+      graft.ops.Sketches.quantileSketches(df, Seq("key"), "v", k = 200),
+      Seq("key"), Seq(0.25, 0.5, 0.9), k = 200).collect().head
+    for ((r, i) <- Seq(0.25, 0.5, 0.9).zipWithIndex) {
+      val est = row.getDouble(i + 1)
+      val trueRank = (est + 1) / n // values are 0..n-1: rank(v) = (v+1)/n
+      assert(math.abs(trueRank - r) < 0.03, s"rank($est)=$trueRank vs $r")
+    }
+    assert(row.getLong(4) === n.toLong)
+  }
+
+  test("KLL nulls and NaN are excluded; empty sketch probes to null") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", null), ("a", Double.NaN), ("a", 3.0))
+      .toDF("key", "v")
+    val row = graft.ops.Sketches.rollupQuantiles(
+      graft.ops.Sketches.quantileSketches(df, Seq("key"), "v"),
+      Seq("key"), Seq(1.0)).collect().head
+    assert(row.getDouble(1) === 3.0, "max over {1,3} — null skipped")
+    // n_rows counts non-null rows; NaN is sketch-skipped but row-counted
+    assert(row.getLong(2) === 3L)
+    // an all-null group has no rankable values: quantileSketches excludes
+    // it entirely (no group, rather than a null-quantile row)
+    val empty = Seq[(String, java.lang.Double)](("a", null)).toDF("key", "v")
+    assert(graft.ops.Sketches.rollupQuantiles(
+      graft.ops.Sketches.quantileSketches(empty, Seq("key"), "v"),
+      Seq("key"), Seq(0.5)).count() === 0L)
+    // a GLOBAL aggregate over zero rows still emits one row: the empty
+    // sketch probes to null, not an exception
+    graft.functions.Native.register(spark)
+    empty.filter(col("v").isNotNull).createOrReplaceTempView("kll_empty")
+    val er = spark.sql(
+      """SELECT graft_kll_quantiles(graft_kll_agg(v), array(0.5D)) AS q
+        |FROM kll_empty""".stripMargin).collect().head
+    assert(er.isNullAt(0), "empty sketch → null quantile")
+  }
+
+  test("KLL SQL surface: graft_kll_agg / graft_kll_merge / graft_kll_quantiles") {
+    graft.functions.Native.register(spark)
+    (1 to 100).map(i => ("s" + (i % 2), i.toDouble)).toDF("src", "v")
+      .createOrReplaceTempView("kll_in")
+    val out = spark.sql(
+      """SELECT element_at(graft_kll_quantiles(
+        |         graft_kll_merge(sk), array(0.5D)), 1) AS p50
+        |FROM (SELECT src, graft_kll_agg(v) AS sk FROM kll_in GROUP BY src)
+        |""".stripMargin).collect().head.getDouble(0)
+    assert(out === 50.0, s"sql p50 $out")
+  }
 }
