@@ -137,5 +137,9 @@ object SparkEntry {
     // (source, lang), merge the serialized images to one global sketch,
     // probe 4 ranks; the shuffle is one ≤8 KB sketch per group per
     // partition, the pattern any-range percentile rollups pay at 100 TB
-    "sketch_quantiles_rollup")
+    "sketch_quantiles_rollup",
+    // round-13 batch 3: theta-sketch contamination report — each corpus
+    // side folds to ONE sketch map-side, the set algebra runs on two
+    // single-row frames; the 100 TB cost is the two scans, nothing else
+    "sketch_theta_contam")
 }

@@ -56,6 +56,34 @@ object Native {
   def kllQuantiles(sketch: Column, ranks: Seq[Double]): Column =
     org.apache.spark.sql.graft.KllOps.kllQuantiles(sketch, ranks)
 
+  /** Theta sketch of a column's distinct values (BINARY; union/intersect/
+    * diff later — the set-operation-capable distinct sketch).
+    */
+  def thetaAgg(value: Column, lgK: Int = org.apache.spark.sql.graft.ThetaOps.DefaultLgK): Column =
+    org.apache.spark.sql.graft.ThetaOps.thetaAgg(value, lgK)
+
+  /** Union of serialized theta sketches (BINARY → BINARY rollup). */
+  def thetaMerge(sketch: Column, lgK: Int = org.apache.spark.sql.graft.ThetaOps.DefaultLgK): Column =
+    org.apache.spark.sql.graft.ThetaOps.thetaMerge(sketch, lgK)
+
+  /** Intersection across serialized theta sketches; null over zero rows
+    * (the identity is the universal set, which has no sketch).
+    */
+  def thetaIntersectAgg(sketch: Column): Column =
+    org.apache.spark.sql.graft.ThetaOps.thetaIntersectAgg(sketch)
+
+  /** Distinct-count estimate from a serialized theta sketch. */
+  def thetaEstimate(sketch: Column): Column =
+    org.apache.spark.sql.graft.ThetaOps.thetaEstimate(sketch)
+
+  /** Pairwise sketch set ops (BINARY, BINARY → BINARY). */
+  def thetaIntersect(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ThetaOps.thetaIntersect(a, b)
+  def thetaUnionPair(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ThetaOps.thetaUnionPair(a, b)
+  def thetaANotB(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ThetaOps.thetaANotB(a, b)
+
   def register(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     org.apache.spark.sql.graft.WinnowFps.register(spark)
@@ -64,5 +92,6 @@ object Native {
     org.apache.spark.sql.graft.ImageResize.register(spark)
     org.apache.spark.sql.graft.CurationFns.register(spark)
     org.apache.spark.sql.graft.KllOps.register(spark)
+    org.apache.spark.sql.graft.ThetaOps.register(spark)
   }
 }

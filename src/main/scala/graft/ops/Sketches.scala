@@ -81,4 +81,47 @@ object Sketches {
       .withColumn("_qs", graft.functions.Native.kllQuantiles(col("qsketch"), ranks))
       .select(keepKeys.map(col) ++ qCols ++ Seq(col("n_rows")): _*)
   }
+
+  /** One theta sketch per `keyCols` group over `valueCol`'s distinct values
+    * (nulls excluded) — the set-operation-capable sibling of
+    * [[distinctSketches]]: HLL sketches only union, theta sketches also
+    * intersect and difference, which is what overlap questions need.
+    * Persist the output; roll up later with `graft_theta_merge` /
+    * `graft_theta_intersect_agg` or pairwise `graft_theta_set_op`.
+    */
+  def overlapSketches(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      lgK: Int = org.apache.spark.sql.graft.ThetaOps.DefaultLgK): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one sketch key")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.Native.thetaAgg(col(valueCol), lgK).as("tsketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Full overlap report between two corpora on `valueCol`'s distinct
+    * values: one row with estimated `n_a`, `n_b`, `n_common`
+    * (|A ∩ B| — the contamination count when B is a benchmark), `n_union`,
+    * `n_only_a`, and `n_only_b`. Each side collapses to ONE ≤128 KB sketch
+    * via map-side partial aggregation (never a shuffle of raw values); the
+    * set algebra then runs on the two single-row frames joined by a
+    * broadcast of one row. Exact while each side has ≤ `2^lgK` distincts.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+      lgK: Int = org.apache.spark.sql.graft.ThetaOps.DefaultLgK): DataFrame = {
+    import graft.functions.Native._
+    val sa = a.filter(col(valueCol).isNotNull)
+      .agg(thetaAgg(col(valueCol), lgK).as("sk_a"))
+    val sb = b.filter(col(valueCol).isNotNull)
+      .agg(thetaAgg(col(valueCol), lgK).as("sk_b"))
+    sa.crossJoin(broadcast(sb))
+      // stage the derived sketches once: each feeds two estimates
+      .withColumn("_common", thetaIntersect(col("sk_a"), col("sk_b")))
+      .withColumn("_union", thetaUnionPair(col("sk_a"), col("sk_b")))
+      .select(
+        thetaEstimate(col("sk_a")).as("n_a"),
+        thetaEstimate(col("sk_b")).as("n_b"),
+        thetaEstimate(col("_common")).as("n_common"),
+        thetaEstimate(col("_union")).as("n_union"),
+        thetaEstimate(thetaANotB(col("sk_a"), col("sk_b"))).as("n_only_a"),
+        thetaEstimate(thetaANotB(col("sk_b"), col("sk_a"))).as("n_only_b"))
+  }
 }

@@ -566,6 +566,60 @@ object ExtrasQueries extends QueryModule {
         Seq.empty, Seq(0.25, 0.5, 0.75, 0.95))
     }),
 
+    // The sketch USED in a curation pipeline (no collect anywhere): KLL
+    // per-source length thresholds (p05/p95, exact at this SF) broadcast-
+    // joined back onto the corpus, keep docs inside the band — the
+    // outlier-trim step every length-filtered training corpus runs. At
+    // 100 TB the threshold frame is |sources| rows (one sketch each), so
+    // the second pass is scan + broadcast filter, no extra shuffle.
+    "sketch_quantile_trim" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val th = graft.ops.Sketches.rollupQuantiles(
+        graft.ops.Sketches.quantileSketches(docs, Seq("source"), "n_chars"),
+        Seq("source"), Seq(0.05, 0.95))
+      docs.join(broadcast(th), "source")
+        .filter(col("n_chars") >= col("q_5") && col("n_chars") <= col("q_95"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"),
+          min("n_chars").as("min_kept"), max("n_chars").as("max_kept"))
+    }),
+
+    // Theta sketches: the set-operation-capable distinct sketch (HLL only
+    // unions; overlap questions need intersect/difference). Contamination
+    // report — distinct normalized-text fingerprints shared between the
+    // training shard and the held-out benchmark shard (every 50th doc, the
+    // decontam_* split). Each side collapses to ONE ≤128 KB sketch via
+    // map-side partial agg; a theta sketch is exact while ≤ 2^lgK=16k
+    // distincts, far above sf0.01's 500 docs, so the DuckDB
+    // INTERSECT/EXCEPT oracle pins all six estimates value-for-value; the
+    // sampling-regime error envelope is an ApproxSpec property.
+    "sketch_theta_contam" -> ((s, d) => {
+      val dd = Tables.documents(s, d).select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      graft.ops.Sketches.corpusOverlap(
+        dd.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        dd.filter(pmod(col("doc_id"), lit(50)) === 0), "fp")
+    }),
+
+    // N-ary intersection: vocabulary present in EVERY source's docs —
+    // per-source token sketches, then one intersect-agg (and the union
+    // merge alongside): |sources| sketch rows into the final agg, never
+    // a (source × token) recount. Exact regime at this SF → plain
+    // GROUP BY/HAVING oracle.
+    "sketch_theta_core_vocab" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\W+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.ops.Sketches.overlapSketches(toks, Seq("source"), "tok")
+        .agg(
+          graft.functions.Native.thetaEstimate(
+            graft.functions.Native.thetaIntersectAgg(col("tsketch"))).as("core_vocab"),
+          graft.functions.Native.thetaEstimate(
+            graft.functions.Native.thetaMerge(col("tsketch"))).as("total_vocab"),
+          count(lit(1)).as("n_sources"))
+    }),
+
     // A4: emission-granularity equivalence batch twin — word counts built
     // from per-batch partial counts re-aggregated (caching/coalesced
     // emission) must equal the single-pass count (per-record emission)
@@ -691,6 +745,48 @@ object ExtrasQueries extends QueryModule {
         |  min(v) FILTER (WHERE cd >= 0.95) AS q_95,
         |  count(*)::BIGINT AS n_rows
         |FROM cd""".stripMargin,
+
+    "sketch_quantile_trim" ->
+      """WITH cd AS (
+        |  SELECT source, n_chars,
+        |         cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |th AS (
+        |  SELECT source,
+        |    min(n_chars) FILTER (WHERE cd >= 0.05) AS lo,
+        |    min(n_chars) FILTER (WHERE cd >= 0.95) AS hi
+        |  FROM cd GROUP BY source)
+        |SELECT d.source, count(*)::BIGINT AS kept,
+        |  min(d.n_chars)::BIGINT AS min_kept, max(d.n_chars)::BIGINT AS max_kept
+        |FROM documents d JOIN th USING (source)
+        |WHERE d.n_chars BETWEEN th.lo AND th.hi
+        |GROUP BY d.source""".stripMargin,
+
+    "sketch_theta_contam" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |a AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 50 <> 0 AND fp IS NOT NULL),
+        |b AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 50 = 0 AND fp IS NOT NULL)
+        |SELECT
+        |  (SELECT count(*) FROM a)::DOUBLE AS n_a,
+        |  (SELECT count(*) FROM b)::DOUBLE AS n_b,
+        |  (SELECT count(*) FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b))::DOUBLE AS n_common,
+        |  (SELECT count(*) FROM (SELECT fp FROM a UNION SELECT fp FROM b))::DOUBLE AS n_union,
+        |  (SELECT count(*) FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b))::DOUBLE AS n_only_a,
+        |  (SELECT count(*) FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a))::DOUBLE AS n_only_b""".stripMargin,
+
+    "sketch_theta_core_vocab" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest($toks) AS tok FROM documents)),
+         |ns AS (SELECT count(DISTINCT source) AS n FROM documents)
+         |SELECT
+         |  (SELECT count(*) FROM (
+         |     SELECT tok FROM t GROUP BY tok
+         |     HAVING count(*) = (SELECT n FROM ns)))::DOUBLE AS core_vocab,
+         |  (SELECT count(DISTINCT tok) FROM t)::DOUBLE AS total_vocab,
+         |  (SELECT n FROM ns)::BIGINT AS n_sources""".stripMargin,
 
     "u1_scalar_udf" ->
       """SELECT event_id,

@@ -130,6 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(KllOps.aggDescriptor)
     ext.injectFunction(KllOps.mergeDescriptor)
     ext.injectFunction(KllOps.quantilesDescriptor)
+    ext.injectFunction(ThetaOps.aggDescriptor)
+    ext.injectFunction(ThetaOps.mergeDescriptor)
+    ext.injectFunction(ThetaOps.intersectAggDescriptor)
+    ext.injectFunction(ThetaOps.estimateDescriptor)
+    ext.injectFunction(ThetaOps.pairOpDescriptor)
     CurationFns.all.foreach(ext.injectFunction)
   }
 }

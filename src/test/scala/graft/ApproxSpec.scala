@@ -183,4 +183,105 @@ class ApproxSpec extends SparkSpec {
         |""".stripMargin).collect().head.getDouble(0)
     assert(out === 50.0, s"sql p50 $out")
   }
+
+  // ---- theta sketches (graft.ops.Sketches.overlapSketches/corpusOverlap) ----
+
+  test("theta overlap report is exact below capacity and layout invariant") {
+    // A = 1..3000, B = 2001..5000 → |A∩B|=1000, |A∪B|=5000, A\B=2000
+    val a = (1L to 3000L).toDF("v")
+    val b = (2001L to 5000L).toDF("v")
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketches.corpusOverlap(x, y, "v").collect().head
+    val r = run(a, b)
+    assert(r.getDouble(0) === 3000.0, "n_a")
+    assert(r.getDouble(1) === 3000.0, "n_b")
+    assert(r.getDouble(2) === 1000.0, "n_common")
+    assert(r.getDouble(3) === 5000.0, "n_union")
+    assert(r.getDouble(4) === 2000.0, "n_only_a")
+    assert(r.getDouble(5) === 2000.0, "n_only_b")
+    // mergeability: partial sketches from any partition layout union to
+    // the same exact sketch below capacity
+    assert(run(a.repartition(16), b.repartition(7)) === r, "layout invariance")
+  }
+
+  test("theta sketches persist to parquet and answer set algebra later") {
+    val shards = (1L to 4000L).map(v => ("s" + (v % 4), v)).toDF("shard", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta").toString
+    graft.ops.Sketches.overlapSketches(shards, Seq("shard"), "v")
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    graft.functions.Native.register(spark)
+    // the 4 residue-class shards are disjoint: union = 4000, intersection = 0
+    val row = stored.agg(
+      graft.functions.Native.thetaEstimate(
+        graft.functions.Native.thetaMerge(col("tsketch"))).as("u"),
+      graft.functions.Native.thetaEstimate(
+        graft.functions.Native.thetaIntersectAgg(col("tsketch"))).as("i"))
+      .collect().head
+    assert(row.getDouble(0) === 4000.0, "union of stored shards")
+    assert(row.getDouble(1) === 0.0, "intersection of disjoint shards")
+    // incremental: a NEW shard 3901..4100 — half overlaps the stored
+    // corpus (3901..4000), half is genuinely new (4001..4100)
+    val s4 = (3901L to 4100L)
+    val inc = stored.unionByName(
+      graft.ops.Sketches.overlapSketches(
+        s4.toDF("v").withColumn("shard", lit("s4")), Seq("shard"), "v"))
+    val u2 = inc.agg(graft.functions.Native.thetaEstimate(
+      graft.functions.Native.thetaMerge(col("tsketch")))).collect().head.getDouble(0)
+    assert(u2 === 4100.0, s"union with overlapping new shard $u2")
+  }
+
+  test("theta sampling regime stays within the k-determined rse") {
+    // 200k distincts >> 2^lgK=512 retained → deep sampling; rse ~ 1/sqrt(512)
+    // ≈ 4.4%, test at 4 sigma for stability
+    val n = 200000
+    val df = spark.range(n).select(col("id").as("v"))
+    val est = df.agg(graft.functions.Native.thetaEstimate(
+      graft.functions.Native.thetaAgg(col("v"), lgK = 9))).collect().head.getDouble(0)
+    assert(math.abs(est - n) / n < 0.18, s"est=$est vs n=$n")
+    // a-not-b of half the range in the sampling regime: relative error on
+    // the difference stays bounded too
+    val half = spark.range(n / 2).select(col("id").as("v"))
+    val skAll = df.agg(graft.functions.Native.thetaAgg(col("v"), lgK = 9).as("s"))
+    val skHalf = half.agg(graft.functions.Native.thetaAgg(col("v"), lgK = 9).as("s"))
+    val diff = skAll.crossJoin(skHalf.withColumnRenamed("s", "t"))
+      .select(graft.functions.Native.thetaEstimate(
+        graft.functions.Native.thetaANotB(col("s"), col("t"))))
+      .collect().head.getDouble(0)
+    assert(math.abs(diff - n / 2.0) / (n / 2.0) < 0.25, s"diff=$diff vs ${n / 2}")
+  }
+
+  test("theta nulls are excluded; intersect-agg over zero rows is null") {
+    val df = Seq[(String, java.lang.Long)](("a", 1L), ("a", null), ("a", 2L))
+      .toDF("k", "v")
+    val est = df.groupBy("k").agg(graft.functions.Native.thetaEstimate(
+      graft.functions.Native.thetaAgg(col("v"))).as("n")).collect().head
+    assert(est.getDouble(1) === 2.0, "nulls skipped")
+    // intersect-agg with no input rows: identity is the universal set,
+    // which has no sketch — the answer is null, not an empty sketch
+    graft.functions.Native.register(spark)
+    val r = spark.sql(
+      """SELECT graft_theta_intersect_agg(s) AS i FROM (
+        |  SELECT graft_theta_agg(v) AS s FROM VALUES (1L) AS t(v) WHERE v > 100
+        |  GROUP BY v)""".stripMargin).collect().head
+    assert(r.isNullAt(0), "empty intersect-agg → null")
+  }
+
+  test("theta SQL surface: agg / merge / set_op / estimate round-trip") {
+    graft.functions.Native.register(spark)
+    (1 to 300).map(i => ("s" + (i % 3), i.toLong)).toDF("src", "v")
+      .createOrReplaceTempView("theta_in")
+    // per-src sketches hold disjoint residue classes; pairwise intersect of
+    // s0 with itself = 100, with s1 = 0
+    val out = spark.sql(
+      """WITH sk AS (SELECT src, graft_theta_agg(v) AS s FROM theta_in GROUP BY src)
+        |SELECT
+        |  graft_theta_estimate(graft_theta_merge(s)) AS total,
+        |  graft_theta_estimate(graft_theta_set_op(min(s), max(s), 'intersect')) AS disj,
+        |  graft_theta_estimate(graft_theta_set_op(min(s), max(s), 'union')) AS pair_union
+        |FROM sk""".stripMargin).collect().head
+    assert(out.getDouble(0) === 300.0, s"total ${out.getDouble(0)}")
+    assert(out.getDouble(1) === 0.0, s"disjoint ${out.getDouble(1)}")
+    assert(out.getDouble(2) === 200.0, s"pair union ${out.getDouble(2)}")
+  }
 }
