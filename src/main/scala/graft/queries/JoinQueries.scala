@@ -632,6 +632,46 @@ object JoinQueries extends QueryModule {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // bucketed co-located fact-fact join (ops/Bucketing): both sides
+    // pre-shuffled into 8 aligned buckets on the join key at write time,
+    // so the sort-merge join plans with ZERO Exchange (BucketingSpec pins
+    // it) — the 100 TB answer to joins too big to broadcast. First touch
+    // per session pays the layout write; reps measure the join itself.
+    "j_bucketed_colocated" -> ((s, d) => {
+      val ord = graft.ops.Bucketing.tableName("orders", d)
+      val li = graft.ops.Bucketing.tableName("lineitem", d)
+      graft.ops.Bucketing.ensureBucketed(s, ord, 8, "o_orderkey")(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
+      graft.ops.Bucketing.ensureBucketed(s, li, 8, "l_orderkey")(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"))
+      graft.ops.Bucketing.colocatedJoin(s, ord, li, "o_orderkey", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // bucket-pruned point lookup on the same layout: an IN-list on the
+    // bucket key prunes to the matching ≤4-of-8 buckets at PLANNING time
+    // (SelectedBucketsCount in the scan), and the groupBy on the bucket
+    // key runs exchange-free on top. The agg is ALSO what keeps bucketed
+    // scanning on: Spark's DisableUnnecessaryBucketedScan drops the
+    // bucketed access path (and with it the pruning) when no upstream
+    // operator wants the hash distribution (BucketingSpec pins both
+    // behaviors) — the index-free point-read path needs a distribution
+    // consumer or an explicit opt-out of autoBucketedScan.
+    "j_bucketed_pruned_scan" -> ((s, d) => {
+      val ord = graft.ops.Bucketing.tableName("orders", d)
+      graft.ops.Bucketing.ensureBucketed(s, ord, 8, "o_orderkey")(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
+      s.table(ord)
+        .filter(col("o_orderkey").isin(1L, 7L, 32L, 33L, 3333L))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), max(col("o_orderpriority")).as("prio"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -991,5 +1031,19 @@ object JoinQueries extends QueryModule {
         |FROM lineitem l
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000.0)
-        |GROUP BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // the bucketed layout is an access-path choice, not a semantic one:
+    // the oracle is the plain join/filter over the raw tables
+    "j_bucketed_colocated" ->
+      """SELECT o_orderpriority,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "j_bucketed_pruned_scan" ->
+      """SELECT o_orderkey, count(*) AS n, max(o_orderpriority) AS prio
+        |FROM orders WHERE o_orderkey IN (1, 7, 32, 33, 3333)
+        |GROUP BY o_orderkey""".stripMargin)
 }
