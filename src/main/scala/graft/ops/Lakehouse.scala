@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus maintenance over plain parquet: the three write
+  * strategies a continuously-updated 100 TB corpus needs, with the same
+  * merge semantics the reference materializes through compacted-topic
+  * upserts (a KTable is exactly "latest record per key wins, null value
+  * deletes" — reference `ConnectSourceConsumer.java` offset/key model).
+  *
+  *  - COPY-ON-WRITE ([[upsertSharded]]): the table is directory-
+  *    partitioned into `shard = pmod(murmur3(key), n)`. An upsert batch
+  *    routes its rows to shards, merges ONLY the touched shards, and
+  *    atomically replaces just those directories (dynamic partition
+  *    overwrite) — untouched shard files are never read or rewritten.
+  *    Read amplification zero, write amplification = touched fraction.
+  *  - MERGE-ON-READ ([[morView]]): deltas are appended as-is (cheapest
+  *    possible write) and readers reconcile: latest version per key wins,
+  *    tombstones drop the key. Write amplification zero; the read pays
+  *    one shuffle on the key.
+  *  - COMPACTION ([[compactTo]]): fold the reconciled view back into a
+  *    fresh sharded base — after which MOR and COW answer identically
+  *    (the `lake_compact_equiv` oracle pins the equivalence).
+  *
+  * Scale notes:
+  *  - shard count is the COW rewrite granularity: at 100 TB with ~256 MB
+  *    target files, n ≈ 400k shards; a batch touching k distinct shards
+  *    rewrites k/n of the table. Uniformly-hashed keys touch ~all shards
+  *    once the batch exceeds ~n·ln(n) keys — COW wins for small/clustered
+  *    batches (takedown lists, per-source re-crawls), MOR+periodic
+  *    compaction wins for firehose updates. Both are provided because the
+  *    crossover is workload-owned, not engine-owned.
+  *  - the shard function is the SAME murmur3-pmod Spark's bucketing and
+  *    `repartition(n, key)` use, so a sharded table can be promoted to a
+  *    join-aligned bucketed layout (ops/Bucketing) without moving rows
+  *    across shard boundaries.
+  *  - the merge itself is a full-outer join restricted to touched shards:
+  *    both sides are pre-filtered by the shard predicate, so at scale it
+  *    shuffles only the touched fraction, never the table.
+  */
+object Lakehouse {
+
+  val ShardCol = "_shard"
+
+  /** The bucketing-compatible shard id: pmod(murmur3(key), shards). */
+  def shardOf(key: String, shards: Int) =
+    pmod(hash(col(key)), lit(shards))
+
+  /** Initial sharded layout write (skipped if the path already exists —
+    * the layout is a one-time investment the incremental writes amortize).
+    */
+  def writeShardedOnce(df: DataFrame, path: String, key: String,
+      shards: Int): Unit = synchronized {
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.isFile) {
+      df.withColumn(ShardCol, shardOf(key, shards))
+        .write.partitionBy(ShardCol).mode("overwrite").parquet(path)
+    }
+  }
+
+  /** All current rows (shard column dropped — it's layout, not data). */
+  def readSharded(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(ShardCol)
+
+  /** Copy-on-write upsert: `updates` rows replace same-key base rows,
+    * new keys insert, rows with `deletedCol = true` remove the key.
+    * Only shards receiving at least one update row are read, merged, and
+    * rewritten (dynamic partition overwrite swaps exactly those
+    * directories); every other shard's files are untouched.
+    *
+    * If one batch carries several rows for a key, the highest
+    * `versionCol` wins and a tombstone beats an update at the same
+    * version (same reconciliation as [[morView]], so COW and MOR agree
+    * row-for-row on identical inputs).
+    *
+    * Returns the touched shard ids (the write amplification, in shards).
+    */
+  def upsertSharded(spark: SparkSession, path: String, key: String,
+      shards: Int, updates: DataFrame, versionCol: String,
+      deletedCol: String): Seq[Int] = {
+    val upd = updates.withColumn(ShardCol, shardOf(key, shards))
+    val touched = upd.select(ShardCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+
+    val dataCols = updates.columns.filter(c => c != versionCol && c != deletedCol)
+    val base = spark.read.parquet(path)
+      .filter(col(ShardCol).isin(touched.map(Integer.valueOf): _*))
+      .select(ShardCol, dataCols: _*)
+      .withColumn(versionCol, lit(Long.MinValue))
+      .withColumn(deletedCol, lit(false))
+    val merged = reconcile(base.unionByName(upd), key, versionCol, deletedCol)
+      .select(ShardCol, dataCols: _*)
+
+    // stage the merged shards, then swap: the overwrite must not read the
+    // directories it replaces (Spark rejects overwriting an input path,
+    // and a mid-write failure would otherwise corrupt the base). The
+    // staging write is the actual copy-on-write — new files first, the
+    // atomic swap after.
+    val staging = path.stripSuffix("/") + "_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.partitionBy(ShardCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+    touched
+  }
+
+  /** Merge-on-read view: base ∪ deltas reconciled — per key the highest
+    * `versionCol` wins (base rows rank below every delta), keys whose
+    * winning row has `deletedCol = true` disappear. One hash shuffle on
+    * the key; nothing is rewritten.
+    */
+  def morView(base: DataFrame, deltas: DataFrame, key: String,
+      versionCol: String, deletedCol: String): DataFrame = {
+    val b = base
+      .withColumn(versionCol, lit(Long.MinValue))
+      .withColumn(deletedCol, lit(false))
+    reconcile(b.unionByName(deltas.select(b.columns.map(col).toSeq: _*)),
+      key, versionCol, deletedCol)
+      .drop(versionCol, deletedCol)
+  }
+
+  /** Fold a reconciled view into a fresh sharded base at `path` —
+    * compaction. After this, [[readSharded]] ≡ the pre-compaction
+    * [[morView]].
+    */
+  def compactTo(view: DataFrame, path: String, key: String,
+      shards: Int): Unit = {
+    view.withColumn(ShardCol, shardOf(key, shards))
+      .write.partitionBy(ShardCol).mode("overwrite").parquet(path)
+  }
+
+  /** Latest-per-key: highest version wins; a tombstone beats an update at
+    * the SAME version; a later-version update resurrects a deleted key.
+    */
+  private def reconcile(all: DataFrame, key: String, versionCol: String,
+      deletedCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col(deletedCol).desc)
+    all.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1 && !col(deletedCol))
+      .drop("_rk")
+  }
+}

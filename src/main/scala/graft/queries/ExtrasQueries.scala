@@ -620,6 +620,51 @@ object ExtrasQueries extends QueryModule {
           count(lit(1)).as("n_sources"))
     }),
 
+    // Lakehouse maintenance (ops/Lakehouse): one deterministic upsert
+    // batch (price bumps %97, inserted keys %131 → +100000000 as 'X-NEW',
+    // tombstones %113), applied three ways that must agree with one SQL
+    // truth. COW rewrites only touched shard directories; MOR appends
+    // deltas and reconciles at read; compaction folds MOR back to a base.
+    "lake_cow_upsert" -> ((s, d) => {
+      import graft.ops.Lakehouse
+      val path = lakePath("orders_cow", d)
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      Lakehouse.writeShardedOnce(src, path, "o_orderkey", 16)
+      Lakehouse.upsertSharded(s, path, "o_orderkey", 16,
+        cowBatch(src), "_v", "_deleted")
+      Lakehouse.readSharded(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    "lake_mor_view" -> ((s, d) => {
+      import graft.ops.Lakehouse
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      Lakehouse.morView(src, morDeltas(src), "o_orderkey", "_v", "_deleted")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // compaction: same deltas folded into a fresh sharded base — the
+    // reconciled-read and the compacted-base answers share ONE oracle
+    "lake_compact_equiv" -> ((s, d) => {
+      import graft.ops.Lakehouse
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val path = lakePath("orders_compacted", d)
+      Lakehouse.compactTo(
+        Lakehouse.morView(src, morDeltas(src), "o_orderkey", "_v", "_deleted"),
+        path, "o_orderkey", 16)
+      Lakehouse.readSharded(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // A4: emission-granularity equivalence batch twin — word counts built
     // from per-batch partial counts re-aggregated (caching/coalesced
     // emission) must equal the single-pass count (per-record emission)
@@ -633,6 +678,48 @@ object ExtrasQueries extends QueryModule {
       batches.reduce(_ unionByName _)
         .groupBy("word").agg(sum(col("cnt")).as("cnt"))
     }))
+
+  /** Per-(table, sf-dir) lakehouse path so fixtures never alias. */
+  private def lakePath(base: String, sfDir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_lake",
+      s"${base}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+
+  /** The COW upsert batch, derived from the PRISTINE source so replaying
+    * it is idempotent (re-running Verify/Bench against an already-upserted
+    * base reconverges to the same state): price bumps for %97 keys (minus
+    * the tombstoned ones so one batch never carries conflicting rows for
+    * a key), inserts under fresh keys for %131, tombstones for %113.
+    */
+  private def cowBatch(src: DataFrame): DataFrame = {
+    val bumps = src
+      .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 113 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("_v", lit(1L)).withColumn("_deleted", lit(false))
+    val inserts = src.filter(col("o_orderkey") % 131 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderpriority", lit("X-NEW"))
+      .withColumn("_v", lit(1L)).withColumn("_deleted", lit(false))
+    val tombstones = src.filter(col("o_orderkey") % 113 === 0)
+      .withColumn("_v", lit(1L)).withColumn("_deleted", lit(true))
+    bumps.unionByName(inserts).unionByName(tombstones)
+  }
+
+  /** Two MOR delta generations: v1 bumps (+1000, %97) and v1 tombstones
+    * (%113), then v2 re-bumps (+1500 replacing, %194) — v2 also
+    * RESURRECTS any %113 key it covers (later version beats tombstone).
+    */
+  private def morDeltas(src: DataFrame): DataFrame = {
+    val v1bump = src.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("_v", lit(1L)).withColumn("_deleted", lit(false))
+    val v1tomb = src.filter(col("o_orderkey") % 113 === 0)
+      .withColumn("_v", lit(1L)).withColumn("_deleted", lit(true))
+    val v2bump = src.filter(col("o_orderkey") % 194 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1500.0)
+      .withColumn("_v", lit(2L)).withColumn("_deleted", lit(false))
+    v1bump.unionByName(v1tomb).unionByName(v2bump)
+  }
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), x -> length(x) > 0)"""
@@ -1042,5 +1129,46 @@ object ExtrasQueries extends QueryModule {
     "a4_incremental_equiv" ->
       s"""SELECT w AS word, count(*) AS cnt
          |FROM (SELECT unnest($toks) AS w FROM documents)
-         |GROUP BY w""".stripMargin)
+         |GROUP BY w""".stripMargin,
+
+    // the lakehouse write strategies are access paths, not semantics:
+    // the COW oracle is the merge applied in plain SQL
+    "lake_cow_upsert" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 113 <> 0
+        |  UNION ALL
+        |  SELECT 'X-NEW' AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 131 = 0
+        |) GROUP BY o_orderpriority""".stripMargin,
+
+    // v2 (%194) beats both the v1 bump and the v1 tombstone; the v1
+    // tombstone beats the same-version v1 bump; else base
+    "lake_mor_view" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 194 = 0 THEN o_totalprice + 1500
+        |              WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 194 = 0 OR o_orderkey % 113 <> 0
+        |) GROUP BY o_orderpriority""".stripMargin,
+
+    "lake_compact_equiv" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 194 = 0 THEN o_totalprice + 1500
+        |              WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 194 = 0 OR o_orderkey % 113 <> 0
+        |) GROUP BY o_orderpriority""".stripMargin)
 }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Lakehouse
+
+/** ops/Lakehouse: file-level copy-on-write proof (untouched shards keep
+  * their exact files), upsert idempotence, MOR reconciliation corner
+  * cases (same-version tombstone tie, later-version resurrection), and
+  * MOR ≡ compacted-base equivalence.
+  */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Shards = 4
+
+  private def freshPath(tag: String): String = {
+    val p: Path = Files.createTempDirectory(s"graft_lakespec_$tag")
+    p.toFile.deleteOnExit()
+    s"$p/tbl"
+  }
+
+  /** shard-dir → sorted (file name, size) snapshot. */
+  private def shardFiles(path: String): Map[String, Seq[(String, Long)]] =
+    new java.io.File(path).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${Lakehouse.ShardCol}="))
+      .map { d =>
+        d.getName -> d.listFiles().toSeq.filterNot(_.getName.startsWith("."))
+          .map(f => (f.getName, f.length)).sortBy(_._1)
+      }.toMap
+
+  private def base(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+      (col("id") * 10).cast("double").as("v"))
+
+  private def upd(rows: (Long, Double, Long, Boolean)*): DataFrame =
+    rows.toDF("k", "v", "_v", "_deleted")
+
+  test("COW upsert rewrites ONLY the touched shard directories") {
+    val path = freshPath("cow")
+    Lakehouse.writeShardedOnce(base(1000), path, "k", Shards)
+    val before = shardFiles(path)
+    assert(before.size === Shards)
+
+    // one update row → exactly one touched shard
+    val touched = Lakehouse.upsertSharded(spark, path, "k", Shards,
+      upd((7L, 999.0, 1L, false)), "_v", "_deleted")
+    assert(touched.size === 1)
+    val after = shardFiles(path)
+
+    val touchedDir = s"${Lakehouse.ShardCol}=${touched.head}"
+    assert(after(touchedDir) !== before(touchedDir), "touched shard not rewritten")
+    (before.keySet - touchedDir).foreach { dir =>
+      assert(after(dir) === before(dir), s"untouched $dir was rewritten")
+    }
+
+    val got = Lakehouse.readSharded(spark, path)
+    assert(got.count() === 1000)
+    assert(got.filter($"k" === 7).select("v").as[Double].head() === 999.0)
+  }
+
+  test("upsert applies update+insert+delete and replaying it is a no-op") {
+    val path = freshPath("idem")
+    Lakehouse.writeShardedOnce(base(100), path, "k", Shards)
+    val batch = upd((5L, -5.0, 1L, false), (1000L, 42.0, 1L, false),
+      (9L, 0.0, 1L, true))
+
+    Lakehouse.upsertSharded(spark, path, "k", Shards, batch, "_v", "_deleted")
+    def state() = Lakehouse.readSharded(spark, path)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    val once = state()
+    assert(once.size === 100) // 100 - 1 deleted + 1 inserted
+    assert(once.contains((5L, -5.0)) && once.contains((1000L, 42.0)))
+    assert(!once.exists(_._1 == 9L))
+
+    Lakehouse.upsertSharded(spark, path, "k", Shards, batch, "_v", "_deleted")
+    assert(state() === once, "replaying the same batch changed the table")
+  }
+
+  test("MOR: tombstone wins a same-version tie; later version resurrects") {
+    val b = base(10)
+    val deltas = upd(
+      (3L, 333.0, 1L, false), (3L, 0.0, 1L, true), // v1 tie → deleted
+      (4L, 0.0, 1L, true), (4L, 444.0, 2L, false)) // v2 resurrects
+    val got = Lakehouse.morView(b, deltas, "k", "_v", "_deleted")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(!got.exists(_._1 == 3L), "same-version tombstone must win the tie")
+    assert(got.contains((4L, 444.0)), "later version must resurrect the key")
+    assert(got.size === 9)
+  }
+
+  test("compacted base answers exactly like the MOR view") {
+    val b = base(500)
+    val deltas = upd((1L, 11.0, 1L, false), (2L, 0.0, 1L, true),
+      (9999L, 1.0, 1L, false))
+    val view = Lakehouse.morView(b, deltas, "k", "_v", "_deleted")
+    val path = freshPath("compact")
+    Lakehouse.compactTo(view, path, "k", Shards)
+    val compacted = Lakehouse.readSharded(spark, path)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(compacted === view.orderBy("k").as[(Long, Double)].collect().toSeq)
+  }
+
+  test("shard routing matches Spark's bucket/repartition hash function") {
+    // the promotion-to-bucketed-layout claim: pmod(hash(k), n) must be the
+    // partitionIdExpression Spark's HashPartitioning uses
+    val df = base(200).withColumn("s", Lakehouse.shardOf("k", Shards))
+    val viaRepartition = df.repartition(Shards, col("k"))
+      .withColumn("pid", spark_partition_id())
+    assert(viaRepartition.filter(col("s") =!= col("pid")).count() === 0)
+  }
+}
