@@ -141,5 +141,12 @@ object SparkEntry {
     // round-13 batch 3: theta-sketch contamination report — each corpus
     // side folds to ONE sketch map-side, the set algebra runs on two
     // single-row frames; the 100 TB cost is the two scans, nothing else
-    "sketch_theta_contam")
+    "sketch_theta_contam",
+    // round-13 batch 4: the storage-layout write paths. The co-located
+    // join's first rep pays the one-time bucketed layout write; the timed
+    // steady state is the zero-exchange sort-merge join (the fact-fact
+    // join 100 TB can't broadcast). The COW upsert re-merges and rewrites
+    // its touched shards EVERY rep — the number is the real incremental
+    // write path, not a cached read
+    "j_bucketed_colocated", "lake_cow_upsert")
 }

@@ -51,7 +51,10 @@ object Bucketing {
 
   /** Ensure `name` exists as a path-backed bucketed+sorted parquet table.
     * `build` is only evaluated (and the shuffle+write only paid) when the
-    * session catalog doesn't have the table yet.
+    * session catalog doesn't have the table yet. The NAME owns its schema:
+    * the first ensureBucketed for a name wins, later calls reuse it as-is
+    * — callers wanting a different projection of the same base must use a
+    * different name (BucketingSpec hit exactly this).
     */
   def ensureBucketed(spark: SparkSession, name: String, buckets: Int,
       key: String)(build: => DataFrame): Unit = synchronized {

@@ -665,6 +665,39 @@ object ExtrasQueries extends QueryModule {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // Incremental curation — the "process the delta, not the corpus"
+    // discipline: a new crawl batch (doc_id %10 == 0) is quality-gated,
+    // deduped within itself, deduped against the PERSISTED corpus state's
+    // fingerprint index (never rescanning corpus text — at 100 TB the
+    // index is 16 bytes/doc, the texts are the 100 TB), and upserted into
+    // the sharded lakehouse corpus. Replaying the batch is a no-op (its
+    // fingerprints are in the index after the first apply), so the final
+    // state this query reports is run-count-invariant.
+    "lake_incr_curate" -> ((s, d) => {
+      import graft.ops.Lakehouse
+      val all = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          col("source"))
+        .withColumn("fp", md5(col("text")))
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+        .drop("text")
+      val path = lakePath("corpus_incr", d)
+      Lakehouse.writeShardedOnce(all.filter(col("doc_id") % 10 =!= 0),
+        path, "doc_id", 16)
+
+      val batch = all.filter(col("doc_id") % 10 === 0 && col("n_tokens") >= 10)
+      val firstPerFp = batch.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val index = Lakehouse.readSharded(s, path).select("fp").distinct()
+      val kept = batch.join(firstPerFp, Seq("fp", "doc_id"), "left_semi")
+        .join(index, Seq("fp"), "left_anti")
+        .withColumn("_v", lit(1L)).withColumn("_deleted", lit(false))
+      Lakehouse.upsertSharded(s, path, "doc_id", 16, kept, "_v", "_deleted")
+
+      Lakehouse.readSharded(s, path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // A4: emission-granularity equivalence batch twin — word counts built
     // from per-batch partial counts re-aggregated (caching/coalesced
     // emission) must equal the single-pass count (per-record emission)
@@ -1159,6 +1192,22 @@ object ExtrasQueries extends QueryModule {
         |  FROM orders
         |  WHERE o_orderkey % 194 = 0 OR o_orderkey % 113 <> 0
         |) GROUP BY o_orderpriority""".stripMargin,
+
+    // final corpus state = retained corpus ∪ (batch rows that survive the
+    // quality gate, within-batch first-per-fingerprint, and the
+    // corpus-index anti join) — run-count-invariant, so plain SQL
+    "lake_incr_curate" ->
+      s"""WITH t AS (SELECT doc_id, source, md5(text) AS fp,
+         |                  len($toks)::BIGINT AS n_tokens FROM documents),
+         |corpus AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+         |batch AS (SELECT * FROM t WHERE doc_id % 10 = 0 AND n_tokens >= 10),
+         |bk AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp),
+         |kept AS (SELECT b.* FROM batch b JOIN bk USING (fp, doc_id)
+         |         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)),
+         |final AS (SELECT source, n_tokens FROM corpus
+         |          UNION ALL SELECT source, n_tokens FROM kept)
+         |SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+         |FROM final GROUP BY source""".stripMargin,
 
     "lake_compact_equiv" ->
       """SELECT o_orderpriority, count(*) AS n,

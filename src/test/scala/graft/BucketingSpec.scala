@@ -18,14 +18,17 @@ class BucketingSpec extends SparkSpec {
     p.linesIterator.count(_.trim.startsWith("Arguments: hashpartitioning("))
 
   private lazy val dir = sf()
+  // spec-owned table names: a bucketed table's NAME owns its schema (the
+  // first ensureBucketed wins), so sharing the query surface's names with
+  // a different projection would collide
   private lazy val ordTbl = {
-    val n = Bucketing.tableName("orders", dir)
+    val n = Bucketing.tableName("orders_spec", dir)
     Bucketing.ensureBucketed(spark, n, 8, "o_orderkey")(
       Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"))
     n
   }
   private lazy val liTbl = {
-    val n = Bucketing.tableName("lineitem", dir)
+    val n = Bucketing.tableName("lineitem_spec", dir)
     Bucketing.ensureBucketed(spark, n, 8, "l_orderkey")(
       Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"))
     n

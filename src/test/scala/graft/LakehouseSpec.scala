@@ -104,6 +104,35 @@ class LakehouseSpec extends SparkSpec {
     assert(compacted === view.orderBy("k").as[(Long, Double)].collect().toSeq)
   }
 
+  test("a changelog stream applies to the base via foreachBatch upserts") {
+    // the streaming CDC-apply path: each micro-batch is one COW upsert.
+    // Batch 2 updates AND deletes keys written by batch 1, so the final
+    // state proves cross-batch reconciliation against the on-disk base,
+    // not just within-batch merge.
+    implicit val ctx = spark.sqlContext
+    val path = freshPath("stream")
+    Lakehouse.writeShardedOnce(base(50), path, "k", Shards)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Long, Boolean)]
+    val q = in.toDF().toDF("k", "v", "_v", "_deleted")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Lakehouse.upsertSharded(spark, path, "k", Shards, batch,
+          "_v", "_deleted"); ()
+      }.start()
+    try {
+      in.addData((100L, 1.0, 1L, false), (3L, 30.5, 1L, false))
+      q.processAllAvailable()
+      in.addData((100L, 2.0, 2L, false), (3L, 0.0, 2L, true))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Lakehouse.readSharded(spark, path)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got.contains((100L, 2.0)), "batch-2 update lost")
+    assert(!got.exists(_._1 == 3L), "batch-2 delete lost")
+    assert(got.size === 50) // 50 base - 1 deleted + 1 inserted
+  }
+
   test("shard routing matches Spark's bucket/repartition hash function") {
     // the promotion-to-bucketed-layout claim: pmod(hash(k), n) must be the
     // partitionIdExpression Spark's HashPartitioning uses
