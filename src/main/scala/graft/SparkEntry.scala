@@ -148,5 +148,9 @@ object SparkEntry {
     // join 100 TB can't broadcast). The COW upsert re-merges and rewrites
     // its touched shards EVERY rep — the number is the real incremental
     // write path, not a cached read
-    "j_bucketed_colocated", "lake_cow_upsert")
+    "j_bucketed_colocated", "lake_cow_upsert",
+    // round-13 batch 4: the incremental-curation replay number — the
+    // fixed cost a delta run pays before touching anything new (batch
+    // curation pass + fingerprint-index anti join; corpus text unread)
+    "lake_incr_curate")
 }

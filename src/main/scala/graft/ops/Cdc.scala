@@ -47,6 +47,64 @@ object Cdc {
           .otherwise("changed").as("change"))
   }
 
+  /** [[snapshotDiff]] keeping the row images: per changed key, the full
+    * old and new value structs ride along — the input shape incremental
+    * view maintenance needs (to retract the old contribution and add the
+    * new one). Same single full-outer equi-join.
+    */
+  def snapshotDiffImages(oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val valueCols = oldDf.columns.filter(_ != keyCol).sorted
+    require(valueCols.sameElements(newDf.columns.filter(_ != keyCol).sorted),
+      s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val o = oldDf.select(col(keyCol),
+      struct(valueCols.toIndexedSeq.map(col): _*).as("__old"))
+    val n = newDf.select(col(keyCol),
+      struct(valueCols.toIndexedSeq.map(col): _*).as("__new"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") <=> col("__new"), "unchanged")
+          .otherwise("changed").as("change"),
+        col("__old"), col("__new"))
+  }
+
+  /** Incremental view maintenance for additive group stats: refresh a
+    * persisted `(group, n, s)` aggregate from a change feed WITHOUT
+    * rescanning the base table. Every removed/changed old image retracts
+    * `(-1, -value)` from its old group, every added/changed new image
+    * adds `(+1, +value)` to its new group (a change may MOVE a row
+    * between groups — both sides are handled), and groups whose count
+    * reaches zero disappear, matching a from-scratch re-aggregation
+    * exactly for these distributive aggregates.
+    *
+    * Scale: O(|changes| + |groups|) — the maintained aggregate never
+    * re-reads the 100 TB it summarizes. `unchanged` rows should be
+    * filtered out upstream (they contribute nothing; passing them is
+    * harmless but pays join width). Exactness requires an exact-additive
+    * value type (long / decimal) — float sums would drift under
+    * retraction.
+    */
+  def refreshGroupStats(stats: DataFrame, diffImages: DataFrame,
+      groupField: String, valueField: String,
+      groupCol: String = "g", nCol: String = "n",
+      sumCol: String = "s"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val retract = diffImages.filter(col("change").isin("removed", "changed"))
+      .select(col("__old")(groupField).as(groupCol),
+        lit(-1L).as(nCol), (-col("__old")(valueField)).as(sumCol))
+    val add = diffImages.filter(col("change").isin("added", "changed"))
+      .select(col("__new")(groupField).as(groupCol),
+        lit(1L).as(nCol), col("__new")(valueField).as(sumCol))
+    stats.select(col(groupCol), col(nCol).cast("long"), col(sumCol))
+      .unionByName(retract).unionByName(add)
+      .groupBy(groupCol)
+      .agg(sum(nCol).as(nCol), sum(sumCol).as(sumCol))
+      .filter(col(nCol) > 0)
+  }
+
   /** @param tsCol   event-time column (epoch long or timestamp)
     * @param tieCol  unique-per-key tiebreaker for same-timestamp changes
     *                (offset / event id)

@@ -55,14 +55,40 @@ object Lakehouse {
       shards: Int): Unit = synchronized {
     val done = new java.io.File(path, "_SUCCESS")
     if (!done.isFile) {
-      df.withColumn(ShardCol, shardOf(key, shards))
-        .write.partitionBy(ShardCol).mode("overwrite").parquet(path)
+      val sharded = df.withColumn(ShardCol, shardOf(key, shards))
+      sharded.write.partitionBy(ShardCol).mode("overwrite").parquet(path)
+      writeSchemaSidecar(path, sharded)
     }
   }
 
+  /** An EMPTY partitioned write leaves no data files and no partition
+    * directories — nothing to infer a schema from — so the writers leave
+    * the schema DDL in a sidecar (underscore-prefixed: invisible to
+    * Spark's file listing) and reads fall back to it. A zero-row corpus
+    * is a legitimate state for an incrementally-maintained table (day
+    * zero, or everything tombstoned).
+    */
+  private val SchemaSidecar = "_graft_schema.ddl"
+
+  private def writeSchemaSidecar(path: String, df: DataFrame): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, SchemaSidecar),
+      df.schema.toDDL.getBytes("UTF-8"))
+
+  private def readWithFallback(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        val sidecar = java.nio.file.Paths.get(path, SchemaSidecar)
+        if (!java.nio.file.Files.isRegularFile(sidecar)) throw e
+        val ddl = new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+        spark.read.schema(ddl).parquet(path)
+    }
+
   /** All current rows (shard column dropped — it's layout, not data). */
   def readSharded(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(ShardCol)
+    readWithFallback(spark, path).drop(ShardCol)
 
   /** Copy-on-write upsert: `updates` rows replace same-key base rows,
     * new keys insert, rows with `deletedCol = true` remove the key.
@@ -86,7 +112,7 @@ object Lakehouse {
     if (touched.isEmpty) return touched
 
     val dataCols = updates.columns.filter(c => c != versionCol && c != deletedCol)
-    val base = spark.read.parquet(path)
+    val base = readWithFallback(spark, path)
       .filter(col(ShardCol).isin(touched.map(Integer.valueOf): _*))
       .select(ShardCol, dataCols: _*)
       .withColumn(versionCol, lit(Long.MinValue))
@@ -101,7 +127,9 @@ object Lakehouse {
     // atomic swap after.
     val staging = path.stripSuffix("/") + "_staging"
     merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
+    // the staging schema is known a priori — an all-tombstone merge
+    // leaving zero rows must still be readable for the swap
+    spark.read.schema(merged.schema).parquet(staging)
       .write.partitionBy(ShardCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
@@ -123,14 +151,27 @@ object Lakehouse {
       .drop(versionCol, deletedCol)
   }
 
+  /** Time travel: the table as of `version` — [[morView]] with only the
+    * deltas at or below the version applied. Because deltas are
+    * append-only and versioned, every historical state stays
+    * reconstructable, which is what makes a training run reproducible
+    * ("trained on corpus@v12") long after later upserts landed. O(base +
+    * deltas≤v) read, nothing rewritten.
+    */
+  def asOf(base: DataFrame, deltas: DataFrame, key: String,
+      versionCol: String, deletedCol: String, version: Long): DataFrame =
+    morView(base, deltas.filter(col(versionCol) <= version),
+      key, versionCol, deletedCol)
+
   /** Fold a reconciled view into a fresh sharded base at `path` —
     * compaction. After this, [[readSharded]] ≡ the pre-compaction
     * [[morView]].
     */
   def compactTo(view: DataFrame, path: String, key: String,
       shards: Int): Unit = {
-    view.withColumn(ShardCol, shardOf(key, shards))
-      .write.partitionBy(ShardCol).mode("overwrite").parquet(path)
+    val sharded = view.withColumn(ShardCol, shardOf(key, shards))
+    sharded.write.partitionBy(ShardCol).mode("overwrite").parquet(path)
+    writeSchemaSidecar(path, sharded)
   }
 
   /** Latest-per-key: highest version wins; a tombstone beats an update at

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Udfs
@@ -665,6 +665,60 @@ object ExtrasQueries extends QueryModule {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // the change feed OF a lakehouse upsert: snapshotDiff(pristine,
+    // post-upsert state) classifies every key — the audit artifact (and
+    // incremental-refresh input) a maintained corpus emits per apply.
+    // Shares the COW path with lake_cow_upsert; both are idempotent, so
+    // either execution order converges to the same state.
+    "lake_change_feed" -> ((s, d) => {
+      import graft.ops.{Cdc, Lakehouse}
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val path = lakePath("orders_cow", d)
+      Lakehouse.writeShardedOnce(src, path, "o_orderkey", 16)
+      Lakehouse.upsertSharded(s, path, "o_orderkey", 16,
+        cowBatch(src), "_v", "_deleted")
+      Cdc.snapshotDiff(src, Lakehouse.readSharded(s, path), "o_orderkey")
+    }),
+
+    // time travel: the corpus as of version 1 — only the v1 deltas
+    // applied, reconstructed from the append-only delta log (the
+    // reproducible-training-snapshot read: "corpus@v1" stays answerable
+    // after v2 landed)
+    "lake_time_travel" -> ((s, d) => {
+      import graft.ops.Lakehouse
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      Lakehouse.asOf(src, morDeltas(src), "o_orderkey", "_v", "_deleted", 1L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // incremental view maintenance: the persisted (group, count, sum)
+    // aggregate refreshed from the upsert's change feed — retract old
+    // images, add new ones — WITHOUT rescanning the base. Shares
+    // lake_cow_upsert's oracle: one truth, two strategies (full
+    // re-aggregation vs O(|changes| + |groups|) maintenance). Decimal
+    // arithmetic end-to-end so retraction is exact.
+    "lake_incr_stats" -> ((s, d) => {
+      import graft.ops.{Cdc, Lakehouse}
+      val dec = "decimal(18,2)"
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(dec).as("o_totalprice"))
+      val stats0 = src.groupBy(col("o_orderpriority").as("g"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      val finalState = Lakehouse.morView(src,
+        cowBatch(src, c => (c + lit(1000).cast(dec)).cast(dec)),
+        "o_orderkey", "_v", "_deleted")
+      val feed = Cdc.snapshotDiffImages(src, finalState, "o_orderkey")
+        .filter(col("change") =!= "unchanged")
+      Cdc.refreshGroupStats(stats0, feed, "o_orderpriority", "o_totalprice")
+        .select(col("g").as("o_orderpriority"), col("n"),
+          col("s").cast("double").as("total"))
+    }),
+
     // Incremental curation — the "process the delta, not the corpus"
     // discipline: a new crawl batch (doc_id %10 == 0) is quality-gated,
     // deduped within itself, deduped against the PERSISTED corpus state's
@@ -724,10 +778,11 @@ object ExtrasQueries extends QueryModule {
     * the tombstoned ones so one batch never carries conflicting rows for
     * a key), inserts under fresh keys for %131, tombstones for %113.
     */
-  private def cowBatch(src: DataFrame): DataFrame = {
+  private def cowBatch(src: DataFrame,
+      bump: Column => Column = _ + 1000.0): DataFrame = {
     val bumps = src
       .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 113 =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("o_totalprice", bump(col("o_totalprice")))
       .withColumn("_v", lit(1L)).withColumn("_deleted", lit(false))
     val inserts = src.filter(col("o_orderkey") % 131 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
@@ -1192,6 +1247,42 @@ object ExtrasQueries extends QueryModule {
         |  FROM orders
         |  WHERE o_orderkey % 194 = 0 OR o_orderkey % 113 <> 0
         |) GROUP BY o_orderpriority""".stripMargin,
+
+    // v1 only: the %97 bump and the %113 tombstone, no %194 re-bump
+    "lake_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 113 <> 0
+        |) GROUP BY o_orderpriority""".stripMargin,
+
+    // IVM refresh answers the SAME truth as the COW full re-aggregation
+    "lake_incr_stats" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 113 <> 0
+        |  UNION ALL
+        |  SELECT 'X-NEW' AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 131 = 0
+        |) GROUP BY o_orderpriority""".stripMargin,
+
+    // the upsert's effect per key, straight from the batch rules
+    "lake_change_feed" ->
+      """SELECT o_orderkey, 'removed' AS change FROM orders WHERE o_orderkey % 113 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000 AS o_orderkey, 'added' AS change
+        |FROM orders WHERE o_orderkey % 131 = 0
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN 'changed' ELSE 'unchanged' END AS change
+        |FROM orders WHERE o_orderkey % 113 <> 0""".stripMargin,
 
     // final corpus state = retained corpus ∪ (batch rows that survive the
     // quality gate, within-batch first-per-fingerprint, and the

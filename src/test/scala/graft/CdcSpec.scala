@@ -70,4 +70,41 @@ class CdcSpec extends SparkSpec {
       Cdc.snapshotDiff(oldS, newS.drop("v"), "k")
     }
   }
+
+  test("refreshGroupStats: IVM refresh equals from-scratch re-aggregation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group moves (b→c for k=2), deletes (k=3 empties group d entirely),
+    // inserts into a NEW group (k=10 → e), and value-only changes (k=1)
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "d", 30L),
+      (4L, "a", 40L)).toDF("k", "g", "v")
+    val after = Seq((1L, "a", 15L), (2L, "c", 20L), (4L, "a", 40L),
+      (10L, "e", 7L)).toDF("k", "g", "v")
+
+    val stats0 = before.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val feed = Cdc.snapshotDiffImages(before, after, "k")
+      .filter(col("change") =!= "unchanged")
+    val refreshed = Cdc.refreshGroupStats(stats0, feed, "g", "v")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    val scratch = after.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(refreshed === scratch)
+    assert(!refreshed.exists(_._1 == "d"), "emptied group must disappear")
+    assert(refreshed.exists(_._1 == "e"), "new group must appear")
+  }
+
+  test("snapshotDiffImages carries old/new images; unchanged rows are inert") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val before = Seq((1L, "x", 1L), (2L, "y", 2L)).toDF("k", "g", "v")
+    val diff = Cdc.snapshotDiffImages(before, before, "k")
+    assert(diff.filter(col("change") =!= "unchanged").count() === 0)
+    // an all-unchanged feed refreshes to identical stats even UNFILTERED
+    val stats0 = before.groupBy(col("g")).agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val refreshed = Cdc.refreshGroupStats(stats0, diff, "g", "v")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(refreshed === stats0.orderBy("g").as[(String, Long, Long)].collect().toSeq)
+  }
 }

@@ -92,6 +92,19 @@ class LakehouseSpec extends SparkSpec {
     assert(got.size === 9)
   }
 
+  test("asOf(v) reconstructs each historical state from the delta log") {
+    val b = base(10)
+    val deltas = upd(
+      (3L, 33.0, 1L, false), // v1: update
+      (3L, 0.0, 2L, true), // v2: delete it again
+      (7L, 77.0, 2L, false)) // v2: another update
+    def state(v: Long) = Lakehouse.asOf(b, deltas, "k", "_v", "_deleted", v)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(state(0L) === base(10).orderBy("k").as[(Long, Double)].collect().toSeq)
+    assert(state(1L).contains((3L, 33.0)) && state(1L).contains((7L, 70.0)))
+    assert(!state(2L).exists(_._1 == 3L) && state(2L).contains((7L, 77.0)))
+  }
+
   test("compacted base answers exactly like the MOR view") {
     val b = base(500)
     val deltas = upd((1L, 11.0, 1L, false), (2L, 0.0, 1L, true),

@@ -19,7 +19,11 @@ class SketchStreamSpec extends SparkSpec {
   import spark.implicits._
 
   case class D(ts: Timestamp, source: String, len: Double)
-  private val t0 = 1700000000000L // aligned well inside an hour bucket
+  // MINUTE-ALIGNED epoch (1700000040000 ms = 28333334 exact minutes):
+  // tumbling windows align to epoch minutes, so a misaligned t0 splits
+  // the 0-45 s offsets across two windows (this spec's first version used
+  // second 20 of a minute and flaked on exactly that)
+  private val t0 = 1700000040000L
   private def at(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
 
   test("streaming windowed KLL sketches equal the batch twin after close") {
@@ -46,12 +50,15 @@ class SketchStreamSpec extends SparkSpec {
       assert(spark.table("kll_stream").count() === 0, "window still open")
       in.addData(D(at(130), "a", 1.0)) // watermark passes the first window
       q.processAllAvailable()
-      val out = spark.table("kll_stream")
+      val rows = spark.table("kll_stream")
         .withColumn("qs",
           graft.functions.Native.kllQuantiles(col("qsketch"), Seq(0.5, 1.0)))
         .select($"source", element_at($"qs", 1).as("p50"),
           element_at($"qs", 2).as("max"), $"n_rows")
-        .as[(String, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+        .as[(String, Double, Double, Long)].collect()
+      assert(rows.length === 2, // one closed window per source — a keyed
+        s"expected exactly 2 closed windows, got ${rows.toSeq}") // map would mask a split window
+      val out = rows.map(r => r._1 -> r).toMap
       // exact regime (n << k): quantiles are exact over the fed values
       // a: {10,30,20,40,50} → p50=30 (cume_dist: 3/5 ≥ .5), max=50
       assert(out("a") === (("a", 30.0, 50.0, 5L)), s"${out("a")}")
