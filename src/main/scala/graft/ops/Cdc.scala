@@ -105,6 +105,39 @@ object Cdc {
       .filter(col(nCol) > 0)
   }
 
+  /** Persisted [[refreshGroupStats]]: read the stats table at `statsPath`
+    * (initialize empty on first touch), refresh from the feed, atomically
+    * replace. The stats table is O(groups) — tiny by construction — so
+    * the full rewrite is the cheap part; the point is what is NOT read:
+    * the base table the stats summarize. Drive from `foreachBatch` and a
+    * changelog stream maintains a live aggregate at
+    * O(|batch| + |groups|) per micro-batch (CdcStreamSpec).
+    */
+  def refreshGroupStatsAt(spark: org.apache.spark.sql.SparkSession,
+      statsPath: String, diffImages: DataFrame, groupField: String,
+      valueField: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val gType = diffImages.schema("__new").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType](groupField).dataType
+    val vType = diffImages.schema("__new").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType](valueField).dataType
+    val stats0 =
+      if (new java.io.File(statsPath, "_SUCCESS").isFile)
+        spark.read.parquet(statsPath)
+      else
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("g", gType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("s", vType))))
+    val refreshed = refreshGroupStats(stats0, diffImages, groupField, valueField)
+    val staging = statsPath.stripSuffix("/") + "_staging"
+    refreshed.write.mode("overwrite").parquet(staging)
+    spark.read.schema(refreshed.schema).parquet(staging)
+      .write.mode("overwrite").parquet(statsPath)
+  }
+
   /** @param tsCol   event-time column (epoch long or timestamp)
     * @param tieCol  unique-per-key tiebreaker for same-timestamp changes
     *                (offset / event id)

@@ -75,16 +75,19 @@ object Lakehouse {
       java.nio.file.Paths.get(path, SchemaSidecar),
       df.schema.toDDL.getBytes("UTF-8"))
 
-  private def readWithFallback(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-        val sidecar = java.nio.file.Paths.get(path, SchemaSidecar)
-        if (!java.nio.file.Files.isRegularFile(sidecar)) throw e
-        val ddl = new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
-        spark.read.schema(ddl).parquet(path)
-    }
+  /** Schema-on-read: when the sidecar exists it is authoritative — after
+    * a schema-evolving upsert only the touched shards' files carry the
+    * new column, and footer inference would resolve the table schema
+    * from whichever file it samples; the explicit schema makes every
+    * file read consistently (parquet fills absent columns with null).
+    */
+  private def readWithFallback(spark: SparkSession, path: String): DataFrame = {
+    val sidecar = java.nio.file.Paths.get(path, SchemaSidecar)
+    if (java.nio.file.Files.isRegularFile(sidecar)) {
+      val ddl = new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+      spark.read.schema(ddl).parquet(path)
+    } else spark.read.parquet(path)
+  }
 
   /** All current rows (shard column dropped — it's layout, not data). */
   def readSharded(spark: SparkSession, path: String): DataFrame =
@@ -101,6 +104,13 @@ object Lakehouse {
     * version (same reconciliation as [[morView]], so COW and MOR agree
     * row-for-row on identical inputs).
     *
+    * SCHEMA EVOLUTION: a column present on only one side widens the
+    * table schema — base rows read null for batch-new columns, updated
+    * rows carry null for columns the batch dropped (full-row-replacement
+    * semantics). The evolved schema lands in the sidecar after the swap,
+    * and reads are schema-on-read against it, so untouched shards (whose
+    * files predate the new column) stay consistent.
+    *
     * Returns the touched shard ids (the write amplification, in shards).
     */
   def upsertSharded(spark: SparkSession, path: String, key: String,
@@ -111,13 +121,14 @@ object Lakehouse {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
 
-    val dataCols = updates.columns.filter(c => c != versionCol && c != deletedCol)
     val base = readWithFallback(spark, path)
       .filter(col(ShardCol).isin(touched.map(Integer.valueOf): _*))
-      .select(ShardCol, dataCols: _*)
       .withColumn(versionCol, lit(Long.MinValue))
       .withColumn(deletedCol, lit(false))
-    val merged = reconcile(base.unionByName(upd), key, versionCol, deletedCol)
+    val all = base.unionByName(upd, allowMissingColumns = true)
+    val dataCols = all.columns
+      .filter(c => c != versionCol && c != deletedCol && c != ShardCol)
+    val merged = reconcile(all, key, versionCol, deletedCol)
       .select(ShardCol, dataCols: _*)
 
     // stage the merged shards, then swap: the overwrite must not read the
@@ -129,10 +140,14 @@ object Lakehouse {
     merged.write.mode("overwrite").parquet(staging)
     // the staging schema is known a priori — an all-tombstone merge
     // leaving zero rows must still be readable for the swap
-    spark.read.schema(merged.schema).parquet(staging)
-      .write.partitionBy(ShardCol)
+    val stagingDf = spark.read.schema(merged.schema).parquet(staging)
+    stagingDf.write.partitionBy(ShardCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
+    // sidecar last: a crash between swap and sidecar leaves reads on the
+    // pre-evolution schema (new column invisible) until the next write —
+    // stale but consistent, never mixed-per-file
+    writeSchemaSidecar(path, stagingDf)
     touched
   }
 

@@ -77,4 +77,40 @@ class CdcStreamSpec extends SparkSpec {
         ("k1", 600L, 3L, "v6", None, true)))
     } finally q.stop()
   }
+
+  test("a changelog stream maintains a live (group, n, sum) aggregate") {
+    // streaming IVM: each micro-batch of change IMAGES refreshes the
+    // persisted stats via foreachBatch — base table never read. Batch 2
+    // moves a key between groups and empties one group, so the final
+    // stats prove cross-batch retraction against persisted state.
+    implicit val ctx = spark.sqlContext
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("graft_ivm_stream").toString + "/stats"
+    // (key, change, old g, old v, new g, new v) → struct-image feed shape
+    val in = MemoryStream[(Long, String, String, Long, String, Long)]
+    def toImages(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("k", "change", "og", "ov", "ng", "nv")
+      .select(col("k"), col("change"),
+        when(col("change") =!= "added",
+          struct(col("og").as("g"), col("ov").as("v"))).as("__old"),
+        when(col("change") =!= "removed",
+          struct(col("ng").as("g"), col("nv").as("v"))).as("__new"))
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Cdc.refreshGroupStatsAt(spark, statsPath,
+          toImages(batch), "g", "v"); ()
+      }.start()
+    try {
+      in.addData((1L, "added", null, 0L, "a", 10L),
+        (2L, "added", null, 0L, "b", 20L),
+        (3L, "added", null, 0L, "a", 5L))
+      q.processAllAvailable()
+      in.addData((2L, "changed", "b", 20L, "a", 21L), // moves b → a
+        (3L, "removed", "a", 5L, null, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(statsPath).orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 31L)), s"group b must vanish: $got")
+  }
 }

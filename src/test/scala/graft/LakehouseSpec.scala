@@ -92,6 +92,22 @@ class LakehouseSpec extends SparkSpec {
     assert(got.size === 9)
   }
 
+  test("upsert with a new column evolves the schema; untouched shards read null") {
+    val path = freshPath("evolve")
+    Lakehouse.writeShardedOnce(base(100), path, "k", Shards)
+    val evolved = Seq((5L, 55.0, "en", 1L, false))
+      .toDF("k", "v", "lang", "_v", "_deleted")
+    Lakehouse.upsertSharded(spark, path, "k", Shards, evolved, "_v", "_deleted")
+    val got = Lakehouse.readSharded(spark, path)
+    assert(got.columns.toSet === Set("k", "v", "lang"))
+    assert(got.filter($"k" === 5).select("v", "lang")
+      .as[(Double, String)].head() === ((55.0, "en")))
+    // every pre-evolution row — INCLUDING those in untouched shard files
+    // that predate the column — reads null via the sidecar schema
+    assert(got.filter($"lang".isNull).count() === 99)
+    assert(got.count() === 100)
+  }
+
   test("asOf(v) reconstructs each historical state from the delta log") {
     val b = base(10)
     val deltas = upd(
