@@ -524,4 +524,43 @@ class PlanSpec extends SparkSpec {
     assert(regexCount == 1,
       s"marker-extract regex appears $regexCount times — pushdown re-duplicated the staged column")
   }
+
+  test("bucketed co-located join: zero exchanges end-to-end") {
+    // the layout family's whole claim: the shuffle happened at write time.
+    // Only the final aggregation may exchange (on the group key); the
+    // join itself must not — 2+ exchanges means bucket alignment broke.
+    val p = plan("j_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), "co-located join must stay SMJ")
+    val exchanges = hashExchanges(p)
+    info(s"j_bucketed_colocated shuffle exchanges: $exchanges")
+    assert(exchanges <= 1,
+      s"$exchanges exchanges — the bucketed join re-shuffled a side")
+  }
+
+  test("MOR view: one keyed window exchange per side, no join fan-out") {
+    // reconcile = union + one row_number window on the key: the base and
+    // delta scans union narrowly, then exactly one hash exchange feeds
+    // the window; the group agg above may add one more.
+    val p = plan("lake_mor_view")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "morView grew a join — reconcile is union+window by design")
+    val exchanges = hashExchanges(p)
+    info(s"lake_mor_view shuffle exchanges: $exchanges")
+    assert(exchanges <= 2, s"$exchanges exchanges in lake_mor_view")
+  }
+
+  test("IVM refresh: the refresh subplan is one agg exchange over stats ∪ feed") {
+    // the FIXTURE recomputes stats0, the post-state, and the image feed
+    // from the source table so the oracle can check it (≈5 exchanges of
+    // demo scaffolding: stats agg, reconcile window, diff join sides);
+    // the refresh itself — (stats ∪ retract ∪ add) → group agg — adds
+    // exactly one. In production the feed and stats are PERSISTED inputs
+    // and only that last exchange runs. Growth beyond 6 means the
+    // refresh path itself started re-aggregating or joining wide.
+    val p = plan("lake_incr_stats")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = hashExchanges(p)
+    info(s"lake_incr_stats shuffle exchanges: $exchanges")
+    assert(exchanges <= 6, s"$exchanges exchanges in lake_incr_stats")
+  }
 }
