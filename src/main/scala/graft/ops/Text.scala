@@ -480,12 +480,21 @@ object Text {
     */
   def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val nTok = tokenCount(t).cast("double")
-    val nStop = size(markerMatches(t)).cast("double")
-    val nPunct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
-    val nChars = length(t).cast("double")
-    val sumTokLen = length(regexp_replace(lower(t), "\\W", "")).cast("double")
-    df.select(
+    // ONE native scan replaces four regex passes (split + N-alternative
+    // extract_all + two replace copies) — semantics-equivalence contract
+    // documented at [[org.apache.spark.sql.graft.TextStatsKernel]];
+    // measured 112 s → ~2 s on the 100×-perturbed corpus (SCALE.md). The
+    // struct is STAGED as a real column so the four field reads share one
+    // evaluation regardless of projection collapsing.
+    val staged = df.select(col(idCol), length(t).cast("double").as("__nc"),
+      org.apache.spark.sql.graft.TextStatsFns.textStats(t,
+        langMarkers.values.flatten.toSeq.distinct).as("__ts"))
+    val nChars = col("__nc")
+    val nTok = col("__ts")("n_tokens").cast("double")
+    val nStop = col("__ts")("n_stop").cast("double")
+    val nPunct = col("__ts")("n_punct").cast("double")
+    val sumTokLen = col("__ts")("n_wordchars").cast("double")
+    staged.select(
       col(idCol),
       nChars.cast("long").as("n_chars_obs"),
       nTok.cast("long").as("n_tokens"),
