@@ -363,6 +363,16 @@ object Text {
     * expression, so whole-stage codegen's subexpression elimination runs
     * the regex once per row.
     */
+  /** The full marker vocabulary / per-language marker lists — exposed for
+    * the kernel-equivalence spec (TextOpsSpec pins the native kernels ≡
+    * these regex reference forms).
+    */
+  private[graft] def stopwordSet: Seq[String] = langMarkers.values.flatten.toSeq.distinct
+  private[graft] def markersOf(lang: String): Seq[String] = langMarkers(lang)
+
+  /** REFERENCE FORM (spec-pinned twin of the native MarkerCounts/TextStats
+    * kernels; production paths run the kernels).
+    */
   private[graft] def markerMatches(text: Column): Column =
     regexp_extract_all(lower(text),
       lit("\\b(" + langMarkers.values.flatten.toSeq.distinct.mkString("|") + ")\\b"),
@@ -379,6 +389,7 @@ object Text {
     * — one regex pass total. The DuckDB oracle keeps its
     * list_filter-over-tokens form and the gate pins the equality.
     */
+  /** REFERENCE FORM (spec-pinned twin of the native MarkerCounts kernel). */
   private[graft] def langScore(text: Column, lang: String): Column =
     size(regexp_extract_all(lower(text),
       lit("\\b(" + langMarkers(lang).mkString("|") + ")\\b"), lit(0)))
@@ -404,38 +415,45 @@ object Text {
   /** Per-row language prediction as a pure Column over the raw text —
     * the [[langId]] semantics servable from SQL (`graft_lang_pred`).
     */
-  def langPredOf(text: Column): Column =
-    bestLang(l => langScore(text, l))._1
-
-  /** Count of `lang`'s markers in an already-extracted match array —
-    * an interpreted HOF, but over tens of matches, not every token.
-    */
-  private def langScoreOfMatches(mm: Column, lang: String): Column =
-    size(filter(mm, t => langMarkers(lang).map(m => t === lit(m)).reduce(_ || _)))
+  def langPredOf(text: Column): Column = {
+    // one opaque struct expression referenced 2× per language — codegen
+    // CSE dedups deterministic duplicates within the projection, so the
+    // scan still runs once per row
+    val mc = markerCountsCol(text)
+    bestLang(l => mc(s"n_$l"))._1
+  }
 
   /** Attach `outCol` = predicted language in TWO projections: the
-    * single-pass marker extract materializes as a real column first, and
-    * only then do the per-language counts read it. The staging is
-    * load-bearing, not style — an interpreted HOF path re-evaluates a
-    * shared regex subexpression per reference (no codegen CSE), and
-    * CollapseProject declines to inline a non-cheap expression used this
-    * many times, so the projection boundary is what pins the regex to
-    * once per row (the round-12 staged-dHash discipline; ~20× measured
-    * at 10×-corpus scale, SCALE.md round 13).
+    * single-pass marker-count struct materializes as a real column first,
+    * and only then do the per-language reads consume it. The staging is
+    * load-bearing, not style — CollapseProject declines to inline a
+    * non-cheap expression used this many times, so the projection
+    * boundary pins the scan to once per row (the round-12 staged-dHash
+    * discipline; ~20× measured at 10×-corpus scale, SCALE.md round 13).
     */
+  /** The native one-pass marker counter (token → language-bitmask map,
+    * [[org.apache.spark.sql.graft.MarkerCountsKernel]]) — replaces the
+    * union-alternation extract (DataFrame path) and the per-language
+    * alternation scans (SQL-pack path) with one char scan. Measured at
+    * the 167×-chars corpus: 14.6 → ~1.5 s (SCALE.md session-4).
+    */
+  private def markerCountsCol(text: Column): Column =
+    org.apache.spark.sql.graft.TextStatsFns.markerCounts(text,
+      Seq("en", "es", "de", "fr").map(l => l -> langMarkers(l)))
+
   def withLangPred(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
-    val mm = "__graft_mm"
-    require(!df.columns.contains(mm), s"column name '$mm' is reserved by withLangPred")
-    df.withColumn(mm, markerMatches(col(textCol)))
-      .withColumn(outCol, bestLang(l => langScoreOfMatches(col(mm), l))._1)
-      .drop(mm)
+    val mc = "__graft_mc"
+    require(!df.columns.contains(mc), s"column name '$mc' is reserved by withLangPred")
+    df.withColumn(mc, markerCountsCol(col(textCol)))
+      .withColumn(outCol, bestLang(l => col(mc)(s"n_$l"))._1)
+      .drop(mc)
   }
 
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val scored = df
-      .withColumn("__graft_mm", markerMatches(col(textCol)))
+      .withColumn("__graft_mc", markerCountsCol(col(textCol)))
       .select(col(idCol) +: langMarkers.keys.toSeq.sorted
-        .map(l => langScoreOfMatches(col("__graft_mm"), l).as(s"s_$l")): _*)
+        .map(l => col("__graft_mc")(s"n_$l").as(s"s_$l")): _*)
     val best = bestLang(l => col(s"s_$l"))
     scored.select(col(idCol), best._1.as("lang_pred"), best._2.cast("long").as("lang_score"))
   }

@@ -106,7 +106,90 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** One-pass per-language marker-token counts — the native kernel behind
+  * [[graft.ops.Text.langId]] / `withLangPred` / `graft_lang_pred`.
+  *
+  * Replaces either the shared `\b(union-alternation)\b` extract_all (the
+  * DataFrame staging path) or one alternation scan PER LANGUAGE (the SQL
+  * pack's inline form) with a single char scan: each token is looked up
+  * once in a token → language-bitmask map, so a token claimed by several
+  * languages still counts for each (exactly the per-match set-membership
+  * the HOF filters computed). Field order = the caller's language order.
+  */
+object MarkerCountsKernel {
+  def compute(s: UTF8String, dict: java.util.HashMap[String, Integer],
+      nLangs: Int): InternalRow = {
+    val lower = s.toLowerCase.toString
+    val n = lower.length
+    val counts = new Array[Int](nLangs)
+    var runStart = -1
+    var i = 0
+    while (i <= n) {
+      val w = i < n && (lower.charAt(i) match {
+        case c => c == '_' || (c >= '0' && c <= '9') ||
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      })
+      if (w) {
+        if (runStart < 0) runStart = i
+      } else if (runStart >= 0) {
+        val mask = dict.get(lower.substring(runStart, i))
+        if (mask != null) {
+          var m = mask.intValue()
+          var l = 0
+          while (m != 0) {
+            if ((m & 1) != 0) counts(l) += 1
+            m >>>= 1
+            l += 1
+          }
+        }
+        runStart = -1
+      }
+      i += 1
+    }
+    new GenericInternalRow(counts.map(c => c: Any))
+  }
+}
+
+case class MarkerCounts(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(langs.size <= 32, "bitmask dictionary supports at most 32 languages")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(
+    langs.map { case (l, _) => StructField(s"n_$l", IntegerType, nullable = false) })
+
+  override def prettyName: String = "graft_marker_counts"
+
+  @transient private lazy val dict: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer]()
+    langs.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val prev = h.get(w)
+        h.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerCountsKernel.compute(input.asInstanceOf[UTF8String], dict, langs.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerDict", dict, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.MarkerCountsKernel.compute($c, $ref, ${langs.size});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsFns {
   def textStats(text: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(text), stopwords))
+
+  def markerCounts(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    ExpressionUtils.column(MarkerCounts(ExpressionUtils.expression(text), langs))
 }

@@ -33,6 +33,51 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("native TextStats/MarkerCounts kernels ≡ the regex reference forms") {
+    // the regex Columns (markerMatches / langScore / the four quality
+    // scans) are retained as REFERENCE implementations; the native
+    // one-pass kernels must match them on every adversarial shape:
+    // edge separators, empty/null, punctuation-only, marker repeats,
+    // markers glued to word chars (no \b inside a \w+ run), multi-lang
+    // ties, unicode, and the ScaleGen `_cNN` suffix form
+    val cases = Seq("", "!", "a", "the the THE el el und", "the_c37 el_c2",
+      "la cosa der the", "?!.,;: the; el! und?", " to be, or NOT to be! ",
+      "x\n\nder y!", "...the end.", "a_b-c el", "¡hola! el día",
+      "tab\tthe\tsep", "étude the naïve el", null)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val stop = Text.stopwordSet
+    val native = df.select($"id",
+      org.apache.spark.sql.graft.TextStatsFns.textStats($"t", stop).as("ts"),
+      org.apache.spark.sql.graft.TextStatsFns.markerCounts($"t",
+        Seq("en", "es", "de", "fr").map(l => l -> Text.markersOf(l))).as("mc"))
+    val ref = df.select($"id",
+      Text.tokenCount($"t").as("n_tokens"),
+      size(Text.markerMatches($"t")).as("n_stop"),
+      length(regexp_replace($"t", "[^.,;:!?]", "")).as("n_punct"),
+      length(regexp_replace(lower($"t"), "\\W", "")).as("n_wordchars"),
+      Text.langScore($"t", "en").as("s_en"), Text.langScore($"t", "es").as("s_es"),
+      Text.langScore($"t", "de").as("s_de"), Text.langScore($"t", "fr").as("s_fr"))
+    val joined = native.join(ref, "id").collect()
+    joined.foreach { r =>
+      val c = cases(r.getLong(0).toInt)
+      def nn(i: Int): Any = if (r.isNullAt(i)) null else r.get(i)
+      val (ts, mc) = (nn(1), nn(2))
+      if (c == null) assert(ts == null && mc == null, "null text → null structs")
+      else {
+        val t = ts.asInstanceOf[org.apache.spark.sql.Row]
+        val m = mc.asInstanceOf[org.apache.spark.sql.Row]
+        assert(t.getInt(0) === r.getInt(3), s"n_tokens '$c'")
+        assert(t.getInt(1) === r.getInt(4), s"n_stop '$c'")
+        assert(t.getInt(2) === r.getInt(5), s"n_punct '$c'")
+        assert(t.getInt(3) === r.getInt(6), s"n_wordchars '$c'")
+        assert(m.getInt(0) === r.getInt(7), s"s_en '$c'")
+        assert(m.getInt(1) === r.getInt(8), s"s_es '$c'")
+        assert(m.getInt(2) === r.getInt(9), s"s_de '$c'")
+        assert(m.getInt(3) === r.getInt(10), s"s_fr '$c'")
+      }
+    }
+  }
+
   test("langId breaks score ties in en>es>de>fr priority order") {
     // "la" (es) vs "la" (fr): identical single marker → es wins over fr
     val df = Seq((1L, "la cosa"), (2L, "der the")).toDF("id", "text")
