@@ -526,8 +526,16 @@ object Text {
     * per-row narrow); patterns are ASCII-safe in both Java and RE2 regex
     * dialects so the DuckDB oracle reproduces the output byte-for-byte.
     */
-  /** The cleansing chain as a pure Column (SQL surface: `graft_cleanse`). */
-  def cleanseOf(text: Column): Column = {
+  /** The cleansing chain as a pure Column (SQL surface: `graft_cleanse`) —
+    * the native 4-pass kernel ([[org.apache.spark.sql.graft.CleanseKernel]],
+    * exact-equivalence contract in its scaladoc; [[cleanseOfRef]] is the
+    * spec-pinned regex twin). 37.8 → ~3 s at the 167×-chars corpus.
+    */
+  def cleanseOf(text: Column): Column =
+    org.apache.spark.sql.graft.CleanseFns.cleanseText(text)
+
+  /** REFERENCE FORM (spec-pinned twin of the native cleanse kernel). */
+  private[graft] def cleanseOfRef(text: Column): Column = {
     val noHtml = regexp_replace(text, "<[^>]*>", " ")
     val noUrl = regexp_replace(noHtml, "https?://[^\\s]+", "<URL>")
     val noMail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -78,6 +78,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("native cleanse kernel ≡ the regexp_replace chain on adversarial shapes") {
+    // stage interactions and regex corner semantics: unclosed tags, tag
+    // whitespace terminating a URL, xhttp prefix match, https backtrack,
+    // greedy email domains that end before the run does, consecutive @,
+    // dotless domains, resume-after-match overlap, control chars, CRLF,
+    // unicode, leading/trailing whitespace, null
+    val cases = Seq(
+      "", " ", "plain text.", "<b>bold</b> text", "a<unclosed tag",
+      "see https://x.co/a?b=1 now", "xhttps://a.b end", "http:// nope",
+      "httpss://nope", "https://end-of-string",
+      "<a href='http://t.co'>link</a>",
+      "mail me@example.com!", "a@b.cc-x tail", "a@@b.cc", "a@b a@b.cc",
+      "a@.cc", "a@b.c", "x@y.zz.wwp q@r.s-t.uu", "pre me@ex.com me2@ex.com post",
+      "first@a.bb second@c.dd", "\t multi \n\n space \r\n", "ctl keep",
+      "étude naïve ¡hola!", "<t>a@b.cc</t> http://u v@w.xyz", null)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select($"id", Text.cleanseOf($"t").as("k"),
+        Text.cleanseOfRef($"t").as("r")).collect()
+    got.foreach { r =>
+      val c = cases(r.getLong(0).toInt)
+      assert((if (r.isNullAt(1)) null else r.getString(1)) ===
+        (if (r.isNullAt(2)) null else r.getString(2)), s"case '$c'")
+    }
+    // and corpus-wide: every sf0.001 document cleans identically
+    val docs = Tables.documents(spark, sf())
+    val diff = docs.select(Text.cleanseOf($"text").as("k"),
+        Text.cleanseOfRef($"text").as("r"))
+      .filter(!($"k" <=> $"r")).count()
+    assert(diff === 0, s"$diff corpus docs clean differently")
+  }
+
   test("langId breaks score ties in en>es>de>fr priority order") {
     // "la" (es) vs "la" (fr): identical single marker → es wins over fr
     val df = Seq((1L, "la cosa"), (2L, "der the")).toDF("id", "text")
