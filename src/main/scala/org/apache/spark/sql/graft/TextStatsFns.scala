@@ -186,10 +186,89 @@ case class MarkerCounts(child: Expression, langs: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** One-pass per-document repetition statistics — the native kernel behind
+  * [[graft.ops.Text.repetitionStats]].
+  *
+  * The column form was a SHUFFLE MISTAKE at scale: it exploded the corpus
+  * to one row per (doc, token) — ~80× the row count — and ran a
+  * groupBy(doc, token) exchange to compute counts that are strictly
+  * per-document, plus an interpreted `transform(sequence(...))` HOF to
+  * build every adjacent-pair string into an array. All five statistics
+  * (token total, distinct tokens, top token count, 2-gram total/distinct)
+  * come out of one char scan with a per-row count map; at 100 TB this is
+  * the difference between a 40-billion-row shuffle and none at all.
+  * Tokens are maximal `\w+` runs of `lower(text)` — identical to the
+  * split semantics it replaces (TextOpsSpec pins the equivalence).
+  */
+object TokenRepStatsKernel {
+  def compute(s: UTF8String): InternalRow = {
+    val lower = s.toLowerCase.toString
+    val n = lower.length
+    val counts = new java.util.HashMap[String, Integer]()
+    val grams = new java.util.HashSet[String]()
+    var nTok = 0
+    var nGrams = 0
+    var prev: String = null
+    var runStart = -1
+    var i = 0
+    while (i <= n) {
+      val w = i < n && {
+        val c = lower.charAt(i)
+        c == '_' || (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+          (c >= 'A' && c <= 'Z')
+      }
+      if (w) {
+        if (runStart < 0) runStart = i
+      } else if (runStart >= 0) {
+        val tok = lower.substring(runStart, i)
+        nTok += 1
+        val c = counts.get(tok)
+        counts.put(tok, Integer.valueOf(if (c == null) 1 else c.intValue() + 1))
+        if (prev != null) { nGrams += 1; grams.add(prev + " " + tok) }
+        prev = tok
+        runStart = -1
+      }
+      i += 1
+    }
+    var top = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val v = it.next().intValue(); if (v > top) top = v }
+    new GenericInternalRow(Array[Any](nTok, counts.size(), top, nGrams, grams.size()))
+  }
+}
+
+case class TokenRepStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_cnt", IntegerType, nullable = false),
+    StructField("n_2grams", IntegerType, nullable = false),
+    StructField("n_2gram_distinct", IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_token_rep_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenRepStatsKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenRepStatsKernel.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsFns {
   def textStats(text: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(text), stopwords))
 
   def markerCounts(text: Column, langs: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(MarkerCounts(ExpressionUtils.expression(text), langs))
+
+  def tokenRepStats(text: Column): Column =
+    ExpressionUtils.column(TokenRepStats(ExpressionUtils.expression(text)))
 }

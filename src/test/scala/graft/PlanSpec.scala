@@ -519,10 +519,17 @@ class PlanSpec extends SparkSpec {
     info(s"pipeline_curate_pack shuffle exchanges: $exchanges")
     assert(exchanges == 2,
       s"$exchanges shuffles — expected exactly the md5 keeper + source budget windows")
-    val regexCount = "regexp_extract_all".r.findAllIn(p).size
-    info(s"marker-extract occurrences in plan: $regexCount")
-    assert(regexCount == 1,
-      s"marker-extract regex appears $regexCount times — pushdown re-duplicated the staged column")
+    // the marker scan is the native MarkerCounts kernel now; the pin's
+    // point is unchanged — the staged scan must appear ONCE, not be
+    // pushdown-duplicated into every alias reference (1.4 s → 17 s at 10×
+    // when that happened to the regex form), and no regex alternation
+    // may sneak back into the language gate
+    val kernelCount = "graft_marker_counts".r.findAllIn(p).size
+    info(s"marker-scan occurrences in plan: $kernelCount")
+    assert(kernelCount == 1,
+      s"marker scan appears $kernelCount times — pushdown re-duplicated the staged column")
+    assert(!p.contains("regexp_extract_all"),
+      "a regex marker extract reappeared alongside the native kernel")
   }
 
   test("bucketed co-located join: zero exchanges end-to-end") {
