@@ -75,7 +75,21 @@ object Dedup {
     * O(shingles × seeds). Docs under 3 tokens fall back to one whole-doc
     * hash.
     */
-  private def explodedShingleHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[graft] def explodedShingleHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // native one-pass kernel (ShingleBasesKernel: same H32 md5 per token,
+    // same masked combine — bit-identical bases, so every oracle replay
+    // is untouched); the old column form paid two interpreted HOF lambdas
+    // per token/shingle and is kept below as the spec-pinned reference.
+    // Null text keeps the old tree's array(NULL) explode behavior.
+    val bases = when(col(textCol).isNull, array(lit(null).cast("long")))
+      .otherwise(org.apache.spark.sql.graft.ShingleFns.shingleBases(col(textCol)))
+    df.select(col(idCol), explode(bases).as("base"))
+  }
+
+  /** REFERENCE FORM (spec-pinned twin of [[explodedShingleHashes]]'s
+    * native kernel).
+    */
+  private[graft] def explodedShingleHashesRef(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toksed = df.select(col(idCol), tokens(col(textCol)).as("toks"))
     val hashed = toksed.select(col(idCol), col("toks"),
       transform(col("toks"), t => h32(t)).as("hs"))

@@ -169,6 +169,29 @@ class TextOpsSpec extends SparkSpec {
     assert(dup.getAs[Long]("keeper_id") === 1L)
   }
 
+  test("native shingle-base kernel ≡ the HOF column reference, hash for hash") {
+    // the bases feed every minhash signature and LSH band key, so they
+    // must be BIT-identical to the column form (same per-token H32 md5,
+    // same masked combine, same <3-token whole-doc fallback, same
+    // array(NULL) row for null text)
+    val cases = Seq(null, "", "one", "one two", "one two three",
+      "a b c d e f g", "dup dup dup dup", " x  y  z ", "Thé QUICK brown-fox.",
+      "a_b c-d e.f", "123 456 789 0")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val kernel = graft.ops.Dedup.explodedShingleHashes(df, "text", "id")
+      .orderBy("id", "base").collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    val ref = graft.ops.Dedup.explodedShingleHashesRef(df, "text", "id")
+      .orderBy("id", "base").collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(kernel === ref)
+    // corpus-wide at sf0.001: identical multisets
+    val docs = Tables.documents(spark, sf())
+    val kc = graft.ops.Dedup.explodedShingleHashes(docs, "text", "doc_id")
+      .groupBy("base").count()
+    val rc = graft.ops.Dedup.explodedShingleHashesRef(docs, "text", "doc_id")
+      .groupBy("base").count()
+    assert(kc.exceptAll(rc).count() === 0 && rc.exceptAll(kc).count() === 0)
+  }
+
   test("minhash candidate pairs surface planted near-duplicates, not random docs") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
