@@ -105,25 +105,18 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // stdout floats carry 3 decimals (ms resolution — below this board's
-    // run-to-run noise): full-precision doubles print at up to 17 sig
-    // digits and have pushed the one-line record past the driver's
-    // tail-capture window two rounds running (BENCH parsed:null in r10 AND
-    // r11). The file copy keeps full precision.
     def n3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:${n3(v)}" }
-      .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val allErrs = results.collect { case (k, _, Some(e), _, _) => (k, e) } ++
       unknown.map(k => (k, "unknown query name"))
     // the stdout line must stay inside the driver's tail-capture window no
     // matter how many queries error (r9: 10 errors → line too long →
-    // BENCH parsed:null). Cap the stdout errors object at 12 entries and
-    // summarize the overflow; the file copy below carries everything.
-    val errsCapped = (allErrs.take(12).map { case (k, e) => s"${jstr(k)}:${jstr(e)}" } ++
-      (if (allErrs.size > 12) Seq(s"${jstr("_truncated")}:${jstr(s"${allErrs.size - 12} more, see target/bench.json")}") else Nil))
+    // BENCH parsed:null). Cap the stdout errors object at 5 entries with
+    // 60-char messages; the file copy below carries everything.
+    val errsCapped = (allErrs.take(5).map { case (k, e) => s"${jstr(k)}:${jstr(e.take(60))}" } ++
+      (if (allErrs.size > 5) Seq(s"${jstr("_truncated")}:${jstr(s"${allErrs.size - 5} more, see target/bench.json")}") else Nil))
       .mkString("{", ",", "}")
     val errsFull = allErrs.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -143,16 +136,22 @@ object Bench {
     }.mkString("{", ",", "}")
     def line(value: String, queries: String, errors: String, extra: String): String =
       s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"warmup":$warmup,"load_start":${n3(loadStart)},"load_end":${n3(loadEnd)},"jvm_uptime_sec":${n3(uptimeSec)},"queries":$queries$extra,"errors":$errors,"sf":${jstr(sfDir)}}"""
-    // full record (per-run times + untruncated error list) at a stable
-    // path: stdout is interleaved with Spark/sbt noise and tail-limited
+    // full record (per-query + per-run times + untruncated error list) at a
+    // stable path: stdout is interleaved with Spark/sbt noise and
+    // tail-limited
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (line(total.toString, qsFull, errsFull,
         s""","runs":$runsJson,"loadavg":$loadJson""") + "\n").getBytes("UTF-8"))
-    // the one-line stdout record prints LAST, after the file write, so
-    // nothing this process controls lands after it in the driver's tail
-    println(line(n3(total), qs, errsCapped, ""))
+    // the one-line stdout record prints LAST, after the file write, AND
+    // carries NO per-query map: 88 queries × ~28 chars ≈ 2.6 KB overflowed
+    // the driver's ~2 KB tail window THREE rounds running (parsed:null in
+    // r10/r11/r13) even at 3-decimal floats. stdout is total+errors+sf
+    // (~250 B); per-query numbers live in target/bench.json.
+    println(line(n3(total),
+      s"""{"_see":${jstr("target/bench.json")},"_n":${results.size}}""",
+      errsCapped, ""))
     spark.stop()
   }
 }

@@ -38,7 +38,15 @@ object QueryableState {
       .load(checkpointDir)
 }
 
-class QueryableState(keyCols: Seq[String]) {
+/** @param maxKeys hard cap on the driver-local store — growing past it
+  *                 FAILS the query loudly (the foreachBatch throw stops the
+  *                 stream) instead of OOMing the driver hours later. The
+  *                 default fits the serving use case (per-instance lookups
+  *                 over a bounded key space); someone pointing a 100 TB
+  *                 aggregate at a driver map should be told at key
+  *                 1,000,001, not by the kernel.
+  */
+class QueryableState(keyCols: Seq[String], maxKeys: Int = 1000000) {
   private val store = TrieMap[Seq[Any], Row]()
 
   /** Start consuming an update-mode aggregate into this store. */
@@ -47,6 +55,12 @@ class QueryableState(keyCols: Seq[String]) {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val keyIdx = keyCols.map(batch.schema.fieldIndex)
         batch.collect().foreach(r => store.put(keyIdx.map(r.get), r))
+        if (store.size > maxKeys)
+          throw new IllegalStateException(
+            s"QueryableState grew past maxKeys=$maxKeys distinct keys — " +
+              "this is a driver-local SERVING store; for state this large " +
+              "read the checkpoint distributively (QueryableState" +
+              ".fromCheckpoint) or sink updates to an external store")
         ()
       }
     checkpointLocation.fold(w0)(c => w0.option("checkpointLocation", c)).start()

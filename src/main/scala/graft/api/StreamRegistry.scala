@@ -79,10 +79,46 @@ class StreamRegistry(spark: SparkSession,
       case Some(tc) => result.withColumn("ROWTIME", col(tc).cast("long"))
       case None     => result
     }
-    out.createOrReplaceTempView(name)
+    // KSQL contract: a derived stream still CARRIES its pseudo-columns
+    // even when the projection aliases them away — the reference's chained
+    // CSAS selects ROWKEY from a stream whose projection renamed it to
+    // RKEY (StreamsSelectAndProjectIntTest.java:179-185). The registered
+    // VIEW (what downstream statements query) restores missing
+    // ROWKEY/ROWTIME; the RETURNED frame stays exactly the user's
+    // projection — KSQL's value schema vs queryable pseudo-column split.
+    restorePseudoCols(sql, out, timestampCol).createOrReplaceTempView(name)
     val key = if (out.columns.contains("ROWKEY")) Some("ROWKEY") else None
     defs(name) = StreamDef(out, key, timestampCol)
     out
+  }
+
+  /** Re-run a CSAS select with the source's ROWKEY/ROWTIME injected into
+    * the projection, so the derived VIEW keeps the pseudo-columns the
+    * user's select dropped. Select-project-filter surface only (CSAS has
+    * no DISTINCT/GROUP BY); anything unresolvable (e.g. an ambiguous
+    * ROWKEY over a join) falls back to the plain result.
+    */
+  private def restorePseudoCols(sql: String, out: DataFrame,
+      timestampCol: Option[String]): DataFrame = {
+    if (out.columns.contains("ROWKEY") && out.columns.contains("ROWTIME")) return out
+    val trimmed = sql.trim
+    val upper = trimmed.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.startsWith("SELECT") || upper.startsWith("SELECT DISTINCT")) return out
+    try {
+      var v = spark.sql("SELECT ROWKEY AS __graft_rk, ROWTIME AS __graft_rt, " +
+        trimmed.substring("SELECT".length))
+      if (!v.columns.contains("ROWKEY")) v = v.withColumn("ROWKEY", col("__graft_rk"))
+      v = timestampCol match {
+        // a WITH (timestamp='col') reassignment wins over the inherited one
+        case Some(tc) => v.withColumn("ROWTIME", col(tc).cast("long"))
+        case None if !v.columns.contains("ROWTIME") =>
+          v.withColumn("ROWTIME", col("__graft_rt"))
+        case None => v
+      }
+      v.drop("__graft_rk", "__graft_rt")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => out
+    }
   }
 
   /** CTAS: `CREATE TABLE name AS <sql>` — the KSQL table analogue. An
@@ -117,6 +153,11 @@ class StreamRegistry(spark: SparkSession,
   def stream(name: String): StreamDef = defs(name)
   def names: Seq[String] = defs.keys.toSeq.sorted
 
+  /** Textual multi-statement entry — alias of [[sql]] kept for call-site
+    * clarity when passing a whole script.
+    */
+  def sqlScript(script: String): DataFrame = sql(script)
+
   /** Textual entry point — the KSQL statement surface
     * (`ksqlContext.sql(...)`, reference
     * `StreamsSelectAndProjectIntTest.java:174-344`):
@@ -130,7 +171,17 @@ class StreamRegistry(spark: SparkSession,
     * `)`/commas/`timestamp=` text freely; a malformed CREATE STREAM fails
     * here with the offending position instead of confusing Spark's parser.
     */
-  def sql(statement: String): DataFrame = CsasParser.parse(statement) match {
+  def sql(statement: String): DataFrame = {
+    val stmts = StreamRegistry.splitStatements(statement)
+    require(stmts.nonEmpty, "empty SQL script")
+    // multi-statement scripts execute in order (the reference issues two
+    // CSAS statements in ONE string — StreamsSelectAndProjectIntTest
+    // .java:179-185); the LAST statement's frame is returned, matching the
+    // reference's run-then-query-the-last-stream usage
+    stmts.map(sqlOne).last
+  }
+
+  private def sqlOne(statement: String): DataFrame = CsasParser.parse(statement) match {
     case Some(c: CsasParser.Csas) if c.table =>
       createTableAs(c.name, c.select, c.options.get("timestamp"))
     case Some(c: CsasParser.Csas) =>
@@ -250,5 +301,41 @@ class StreamRegistry(spark: SparkSession,
     defs(name) = StreamDef(out, options.get("key"),
       options.get("timestamp").orElse(if (hasEnvTs) Some("timestamp") else None))
     out
+  }
+}
+
+object StreamRegistry {
+
+  /** Split a KSQL script into statements at TOP-LEVEL semicolons —
+    * semicolons inside `'...'` string literals (with KSQL's `''` escape),
+    * `"..."` quoted identifiers, or backtick identifiers do not split.
+    * Empty fragments (a trailing `;`, blank lines between statements) are
+    * dropped. A lexer walk, not a regex: option values like
+    * `WITH (fmt='a;b')` must survive intact.
+    */
+  private[graft] def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0 // 0 = top level, else the active quote char
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) {
+          // KSQL escapes a quote by doubling it — '' inside '...' stays in
+          if (quote == '\'' && i + 1 < script.length && script.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case ';' => out += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -88,7 +88,14 @@ object AsOf {
     // (ts, tag, __asof_v) sort then makes `last` pick exactly max_by's
     // (rightTs, remaining-columns) survivor among same-ts versions
     val vStruct = struct((col(rightTs) +: rightCols.filterNot(_ == rightTs).map(col)): _*)
-    val versions = right.select(
+    // null-key / null-timestamp VERSIONS can never win the equi-join
+    // form's `rightTs <= leftTs` predicate (SQL three-valued logic), but
+    // the window sorts nulls FIRST, where they would silently enrich
+    // facts — drop them here so the two forms stay exact twins on all
+    // inputs. Null-ts facts need no handling: with null versions gone
+    // they sort before every version and read a null running state,
+    // exactly the equi-join form's unmatched-left contract.
+    val versions = right.filter(col(keyCol).isNotNull && col(rightTs).isNotNull).select(
       col(keyCol), col(rightTs).as("__asof_ts"), lit(0).as("__asof_tag"),
       vStruct.as("__asof_v"),
       lit(null).cast(org.apache.spark.sql.types.StructType(

@@ -106,8 +106,13 @@ object Cdc {
   }
 
   /** Persisted [[refreshGroupStats]]: read the stats table at `statsPath`
-    * (initialize empty on first touch), refresh from the feed, atomically
-    * replace. The stats table is O(groups) — tiny by construction — so
+    * (initialize empty on first touch), refresh from the feed, publish by
+    * RENAME swap — stage the new table, retire the old directory, rename
+    * the staging in (each rename atomic on HDFS/local). A crash between
+    * the renames leaves no live table but a complete staging copy, which
+    * the next refresh recovers as its base — never a half-written or
+    * missing state after the change feed was consumed.
+    * The stats table is O(groups) — tiny by construction — so
     * the full rewrite is the cheap part; the point is what is NOT read:
     * the base table the stats summarize. Drive from `foreachBatch` and a
     * changelog stream maintains a live aggregate at
@@ -117,13 +122,26 @@ object Cdc {
       statsPath: String, diffImages: DataFrame, groupField: String,
       valueField: String): Unit = {
     import org.apache.spark.sql.functions._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = target.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(
+      statsPath.stripSuffix("/") + "_staging")
+    val retired = new org.apache.hadoop.fs.Path(
+      statsPath.stripSuffix("/") + "_old")
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.isFile(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     val gType = diffImages.schema("__new").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType](groupField).dataType
     val vType = diffImages.schema("__new").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType](valueField).dataType
+    // prior state: the live table; else — crash between the two swap
+    // renames below — the completed staging copy (the refresh that crashed
+    // re-applies, but refreshGroupStats over the SAME diff batch is the
+    // foreachBatch replay case the maintenance contract already covers)
     val stats0 =
-      if (new java.io.File(statsPath, "_SUCCESS").isFile)
-        spark.read.parquet(statsPath)
+      if (complete(target)) spark.read.parquet(statsPath)
+      else if (complete(staging)) spark.read.parquet(staging.toString)
       else
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(
@@ -131,11 +149,23 @@ object Cdc {
             org.apache.spark.sql.types.StructField("n",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("s", vType))))
+    // the staging write fully evaluates `refreshed` (reading the live
+    // table while it still exists) BEFORE any rename moves its input
     val refreshed = refreshGroupStats(stats0, diffImages, groupField, valueField)
-    val staging = statsPath.stripSuffix("/") + "_staging"
-    refreshed.write.mode("overwrite").parquet(staging)
-    spark.read.schema(refreshed.schema).parquet(staging)
-      .write.mode("overwrite").parquet(statsPath)
+    fs.delete(staging, true)
+    refreshed.write.mode("overwrite").parquet(staging.toString)
+    // swap via renames (atomic on HDFS/local), NOT delete-then-rewrite: the
+    // exposure window is between two metadata ops, not a parquet job. A
+    // crash between them leaves no live table but a COMPLETE staging copy,
+    // which the loader above recovers from on the next refresh.
+    fs.delete(retired, true)
+    if (fs.exists(target)) {
+      if (!fs.rename(target, retired))
+        throw new java.io.IOException(s"could not retire $target")
+    }
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"could not publish $staging -> $target")
+    fs.delete(retired, true)
   }
 
   /** @param tsCol   event-time column (epoch long or timestamp)

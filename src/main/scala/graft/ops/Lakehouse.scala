@@ -144,6 +144,23 @@ object Lakehouse {
     stagingDf.write.partitionBy(ShardCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
+    // dynamic partition overwrite only replaces partitions it WRITES rows
+    // for: a touched shard whose every key was tombstoned has zero staged
+    // rows, so its old directory would survive the swap and the deletes
+    // would silently un-apply on read. Remove those directories explicitly.
+    // (A crash between the swap and these deletes re-exposes the stale
+    // shards; `_staging` holds the merged state for recovery/retry — the
+    // upsert is idempotent, re-running it converges.)
+    val stagedShards = stagingDf.select(ShardCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(stagedShards)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { sh =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"$ShardCol=$sh"), true)
+      }
+    }
     // sidecar last: a crash between swap and sidecar leaves reads on the
     // pre-evolution schema (new column invisible) until the next write —
     // stale but consistent, never mixed-per-file

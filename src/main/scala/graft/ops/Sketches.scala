@@ -92,7 +92,11 @@ object Sketches {
   def overlapSketches(df: DataFrame, keyCols: Seq[String], valueCol: String,
       lgK: Int = org.apache.spark.sql.graft.ThetaOps.DefaultLgK): DataFrame = {
     require(keyCols.nonEmpty, "need at least one sketch key")
-    df.groupBy(keyCols.map(col): _*)
+    // null values are invisible to the sketch, so they are excluded from
+    // n_rows too — the same rows-the-sketch-saw convention as
+    // [[quantileSketches]] and [[corpusOverlap]]
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
       .agg(graft.functions.Native.thetaAgg(col(valueCol), lgK).as("tsketch"),
         count(lit(1)).as("n_rows"))
   }

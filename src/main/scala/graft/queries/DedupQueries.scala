@@ -80,9 +80,9 @@ object DedupQueries extends QueryModule {
     // the 8-byte xxhash64 scale path the 100 TB run would actually use —
     // same spans (SubstrDedupSpec proves hashed ≡ exact on corpora with
     // real collisions-free grams) but the gram shuffle carries fixed-width
-    // longs instead of 20-char strings. No DuckDB oracle (it cannot
-    // reproduce xxhash64) → rows-only check; the bench board carries it so
-    // the published number is the shuffle the scale path pays.
+    // longs instead of 20-char strings. Oracle = dedup_substr_clean's SQL
+    // verbatim (DuckDB cannot reproduce xxhash64, but the OUTPUT is the
+    // same clean text, so the raw-gram recomputation checks it fully).
     "dedup_substr_clean_hashed" -> ((s, d) =>
       graft.ops.SubstrDedup.removeDupSpans(docs(s, d), "text", "doc_id",
         k = 20, hashed = true)),
@@ -326,6 +326,29 @@ object DedupQueries extends QueryModule {
          |SELECT doc_id, span_start, span_end FROM spans_ss""".stripMargin,
 
     "dedup_substr_clean" ->
+      s"""$substrSpansCte,
+         |gaps_ss AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS gs,
+         |    span_start - 1 AS ge
+         |  FROM spans_ss
+         |  UNION ALL
+         |  SELECT doc_id, max(span_end) + 1 AS gs, NULL AS ge
+         |  FROM spans_ss GROUP BY doc_id),
+         |segs_ss AS (
+         |  SELECT g.doc_id, gs,
+         |    substr(d.text, gs::INT, (coalesce(ge, length(d.text)) - gs + 1)::INT) AS seg
+         |  FROM gaps_ss g JOIN documents d USING (doc_id)),
+         |agg_ss AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS clean_text
+         |  FROM segs_ss GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, d.text) AS clean_text
+         |FROM documents d LEFT JOIN agg_ss a USING (doc_id)""".stripMargin,
+
+    // the hashed twin declares the raw-gram oracle VERBATIM: DuckDB cannot
+    // reproduce xxhash64, but SubstrDedupSpec proves hashed ≡ exact spans
+    // (identical clean text), so the full rows+schema+hash check applies —
+    // the board still pays the 8-byte-gram shuffle the scale path pays.
+    "dedup_substr_clean_hashed" ->
       s"""$substrSpansCte,
          |gaps_ss AS (
          |  SELECT doc_id,

@@ -292,10 +292,15 @@ object TextQueries extends QueryModule {
     // terms are the 3 lexicographically-smallest distinct words of length
     // ≥ 4 in its own text (deterministic, oracle-expressible), its
     // semantic side is the same id's embedding vector.
+    // The query set is CAPPED at doc_id < 50000 (≤500 queries at any SF):
+    // a retrieval batch is constant-size in production, and an uncapped
+    // every-100th-doc fixture makes Q ∝ D — the published number then
+    // degrades quadratically with corpus size while the operator itself is
+    // linear at fixed Q (the r13 100× envelope measured exactly that).
     "search_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d)
-      val qterms = dd.filter(col("doc_id") % 100 === 0)
+      val qterms = dd.filter(col("doc_id") % 100 === 0 && col("doc_id") < 50000)
         .select(col("doc_id").as("query_id"),
           explode(split(lower(col("text")), "\\W+")).as("term"))
         .filter(length(col("term")) >= 4).distinct()
@@ -306,7 +311,8 @@ object TextQueries extends QueryModule {
         .select("query_id", "doc_id", "rnk")
       val e = Tables.load(s, d, "embeddings")
       val sem = graft.ops.Similarity.cosineTopK(
-          e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+          e, e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 50000),
+          "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
       graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", c = 60, k = 10)
     }),
@@ -1134,7 +1140,7 @@ object TextQueries extends QueryModule {
          |    SELECT query_id, t AS term,
          |      row_number() OVER (PARTITION BY query_id ORDER BY t) AS r
          |    FROM (SELECT DISTINCT doc_id AS query_id, t FROM tok_h
-         |          WHERE doc_id % 100 = 0 AND length(t) >= 4))
+         |          WHERE doc_id % 100 = 0 AND doc_id < 50000 AND length(t) >= 4))
          |  WHERE r <= 3),
          |dl_h AS (SELECT doc_id, count(*) AS dl FROM tok_h GROUP BY doc_id),
          |tf_h AS (SELECT doc_id, t, count(*) AS tf FROM tok_h
@@ -1160,7 +1166,8 @@ object TextQueries extends QueryModule {
          |p_h AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
          |    CASE WHEN q.nrm * c.nrm > 0
          |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0 END AS cos
-         |  FROM n_h q, n_h c WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+         |  FROM n_h q, n_h c
+         |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 50000 AND c.vec_id <> q.vec_id),
          |sem_h AS (SELECT query_id, doc_id, rnk FROM (
          |    SELECT query_id, doc_id,
          |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk

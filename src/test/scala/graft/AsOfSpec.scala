@@ -58,6 +58,35 @@ class AsOfSpec extends SparkSpec {
       === canon(AsOf.asOfJoin(left, churny, "k", "ets", "vts")))
   }
 
+  test("null timestamps / null keys: compact form still equals the join form") {
+    // a null-vts version sorts nulls-FIRST in the window — unfiltered it
+    // would enrich facts the equi-join form's vts <= ets predicate never
+    // matches; null-ets facts and null-k rows are the same class of trap
+    val nullyLeft = Seq(
+      (1L, Some("u1"), Some(15L)), (2L, Some("u1"), None), // null event ts
+      (3L, None, Some(15L))                                // null key
+    ).toDF("eid", "k", "ets")
+    val nullyRight = Seq(
+      (Some("u1"), Some(10L), "v10"), (Some("u1"), None, "vnull"), // null version ts
+      (None, Some(5L), "vkey")                                     // null key
+    ).toDF("k", "vts", "ver")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "k", "ets", "vts", "ver")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getString(4)))).sortBy(_._1).toSeq
+    val viaJoin = canon(AsOf.asOfJoin(nullyLeft, nullyRight, "k", "ets", "vts"))
+    val viaCompact = canon(AsOf.asOfJoinCompact(nullyLeft, nullyRight, "k", "ets", "vts"))
+    assert(viaCompact === viaJoin)
+    // and the semantics themselves: only the non-null row enriches
+    assert(viaJoin === Seq(
+      (1L, Some("u1"), Some(15L), Some(10L), Some("v10")),
+      (2L, Some("u1"), None, None, None),
+      (3L, None, Some(15L), None, None)))
+  }
+
   test("compact form plans one hash exchange and no join") {
     val out = AsOf.asOfJoinCompact(left, right, "k", "ets", "vts")
     val plan = out.queryExecution.executedPlan.toString

@@ -86,6 +86,52 @@ class CsasSpec extends SparkSpec {
     assert(r.sql("SELECT count(*) AS c FROM orders_fx").as[Long].head() === 8L)
   }
 
+  test("multi-statement script: the reference's literal two-CSAS string (ref :174-185)") {
+    val r = reg
+    // StreamsSelectAndProjectIntTest.java:174-185 verbatim, with the
+    // format placeholders bound to our fixture names — TWO CSAS statements
+    // in ONE sql() call, the second reading the first's output
+    val out = r.sql(
+      "CREATE STREAM STREAM1 WITH (timestamp='RTIME') AS SELECT ROWKEY AS RKEY, " +
+        "ROWTIME+10000 AS " +
+        "RTIME, ROWTIME+100 AS RT100, ORDERID, ITEMID " +
+        "FROM orders_fx WHERE ORDERUNITS > 20 AND ITEMID = 'ITEM_8'; " +
+        "CREATE STREAM STREAM2 AS SELECT ROWKEY AS NEWRKEY, " +
+        "ROWTIME AS NEWRTIME, RKEY, RTIME, RT100, ORDERID, ITEMID " +
+        "FROM STREAM1 ;")
+    // both streams registered; the returned frame is the LAST statement's
+    assert(r.names.contains("STREAM1") && r.names.contains("STREAM2"))
+    assert(out.columns.toSeq ===
+      Seq("NEWRKEY", "NEWRTIME", "RKEY", "RTIME", "RT100", "ORDERID", "ITEMID"))
+    val rows = out.collect()
+    assert(rows.length === 1)
+    val row = rows.head
+    // the reference's golden expectations (its key "8" row): RTIME =
+    // original ROWTIME + 10000, and STREAM1's reassigned event time is what
+    // STREAM2 inherits as ROWTIME/NEWRTIME
+    assert(row.getAs[Long]("RKEY") === 8L)
+    assert(row.getAs[Long]("RTIME") === 8L + 10000L)
+    assert(row.getAs[Long]("NEWRTIME") === 8L + 10000L)
+    assert(row.getAs[Long]("RT100") === 8L + 100L)
+    assert(row.getAs[String]("ORDERID") === "ORDER_6")
+    assert(row.getAs[String]("ITEMID") === "ITEM_8")
+  }
+
+  test("statement splitter: top-level semicolons only, quoted ones survive") {
+    import graft.api.StreamRegistry.splitStatements
+    assert(splitStatements("SELECT 1; SELECT 2 ;") === Seq("SELECT 1", "SELECT 2"))
+    // ';' inside string literals / quoted identifiers must not split;
+    // '' escape keeps the literal open across an embedded quote
+    assert(splitStatements("SELECT 'a;b' AS x; SELECT 'it''s; fine' AS y") ===
+      Seq("SELECT 'a;b' AS x", "SELECT 'it''s; fine' AS y"))
+    assert(splitStatements("SELECT `c;1` FROM t; SELECT \"d;2\" FROM u") ===
+      Seq("SELECT `c;1` FROM t", "SELECT \"d;2\" FROM u"))
+    assert(splitStatements("  ;;  SELECT 1  ;; ") === Seq("SELECT 1"))
+    // a multi-statement CSAS script mixes with WITH options carrying ';'
+    assert(splitStatements(
+      "CREATE STREAM A WITH (note='x;y') AS SELECT 1; CREATE STREAM B AS SELECT 2").size === 2)
+  }
+
   test("CSAS tokenizer handles option values the old regex could not") {
     val r = reg
     // ')' and ',' and the literal text "timestamp=" inside OTHER option

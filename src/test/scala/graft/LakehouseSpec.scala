@@ -80,6 +80,30 @@ class LakehouseSpec extends SparkSpec {
     assert(state() === once, "replaying the same batch changed the table")
   }
 
+  test("tombstoning EVERY key in a shard empties it — deletes are not lost") {
+    val path = freshPath("allt")
+    Lakehouse.writeShardedOnce(base(100), path, "k", Shards)
+    // every key of one shard, all tombstoned in one batch: dynamic
+    // partition overwrite writes zero rows for that shard, so without the
+    // explicit directory removal the old files would survive the swap and
+    // the deletes would silently un-apply on read
+    val sh = spark.range(100).select(col("id").as("k"))
+      .withColumn("s", Lakehouse.shardOf("k", Shards))
+    val victims = sh.filter($"s" === 0).select("k").as[Long].collect().toSeq
+    assert(victims.nonEmpty)
+    val batch = upd(victims.map(k => (k, 0.0, 1L, true)): _*)
+    Lakehouse.upsertSharded(spark, path, "k", Shards, batch, "_v", "_deleted")
+    val got = Lakehouse.readSharded(spark, path)
+    assert(got.count() === 100 - victims.size)
+    assert(got.filter($"k".isin(victims.map(Long.box): _*)).isEmpty,
+      "tombstoned keys resurfaced — the emptied shard directory survived")
+    assert(!shardFiles(path).contains(s"${Lakehouse.ShardCol}=0"),
+      "emptied shard directory still on disk")
+    // replay converges (idempotence holds through the empty-shard path)
+    Lakehouse.upsertSharded(spark, path, "k", Shards, batch, "_v", "_deleted")
+    assert(Lakehouse.readSharded(spark, path).count() === 100 - victims.size)
+  }
+
   test("MOR: tombstone wins a same-version tie; later version resurrects") {
     val b = base(10)
     val deltas = upd(

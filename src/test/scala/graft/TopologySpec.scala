@@ -55,4 +55,18 @@ class TopologySpec extends SparkSpec {
       assert(store.all().size >= 6)
     } finally q.stop()
   }
+
+  test("queryable state refuses to grow past maxKeys — loud stop, not an OOM") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val store = new QueryableState(Seq("word"), maxKeys = 4)
+    val q = store.serve(Text.wordCount(in.toDF().toDF("text"), "text"))
+    try {
+      in.addData("w1 w2 w3 w4 w5 w6")
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.getMessage.contains("maxKeys") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxKeys")),
+        s"expected the maxKeys guard to fail the stream, got: $e")
+    } finally q.stop()
+  }
 }
