@@ -78,6 +78,16 @@ object ScaleGen {
     def isNearDup(id: org.apache.spark.sql.Column) =
       pmod(xxhash64(id, col("copy")), lit(100)) < dupPct
 
+    // SPLITTABLE output layout, or the audit measures the fixture: the
+    // sf0.1 sources are one row group, and explode preserves partitioning,
+    // so without the repartition the 100× corpus lands as ONE ~80 MB row
+    // group — parquet can't split that, so every scan-side stage runs as a
+    // single task and the "straggler" is the file layout, not the plan
+    // (observed: a 36 s max-task / ~0 s median scan stage in
+    // dedup_cc_kept's 100× audit). A real 100 TB corpus is many ~256 MB
+    // files; 2×cores output files model that at this scale.
+    val outParts = cpus.toInt * 2
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.select(col("*"), copies)
       .select(
@@ -87,6 +97,7 @@ object ScaleGen {
           .otherwise(rewritten(col("text"), col("copy").cast("string"))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
+      .repartition(outParts, col("doc_id"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -106,6 +117,7 @@ object ScaleGen {
                 lit(0.3) * sin(col("vec_id").cast("double") * col("copy") +
                   i.cast("double"))).cast("float"))).as("embedding"),
         col("label"))
+      .repartition(outParts, col("vec_id"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // the TPC-H + events tables pass through unchanged so the SAME sf dir

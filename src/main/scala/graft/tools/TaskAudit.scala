@@ -39,8 +39,15 @@ object TaskAudit {
           case None => Some(Vector(ms))
         }
       }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        stageName(s.stageInfo.stageId) = s.stageInfo.name.linesIterator.next()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        // the SQL node scopes of the stage's RDDs name the physical
+        // operators (Exchange/HashAggregate/Generate...) — far more useful
+        // than the callsite the stage name carries
+        val scopes = s.stageInfo.rddInfos.flatMap(_.scope)
+          .map(_.name).distinct.mkString(" | ")
+        stageName(s.stageInfo.stageId) =
+          if (scopes.nonEmpty) scopes else s.stageInfo.name.linesIterator.next()
+      }
     })
 
     val t0 = System.nanoTime()

@@ -241,6 +241,24 @@ class PlanSpec extends SparkSpec {
       s"$single SinglePartition exchanges — expected exactly the final sketch merge")
   }
 
+  test("cc keeper drop is a keyed anti-join over the materialized components") {
+    // official BENCH_r13 recorded 4.3 → 12.3 s at sf0.1 (flat reps,
+    // loadavg ~2.3); the r14 isolated repro decays 14.4 → 3.2 s over 5
+    // reps and the r14 in-board number is 2.4 s — elevated officials on
+    // this slot look like driver-machine conditions, not a plan change
+    // (the one REAL r13 finding here was the 100× fixture writing a
+    // single unsplittable row group — fixed in ScaleGen). Pin the shape:
+    // the CC interior is pre-materialized (localCheckpoint), so the final
+    // plan is docs LEFT ANTI dropped on doc_id — a couple of keyed
+    // exchanges, never a nested loop.
+    val p = plan("dedup_cc_kept")
+    assert(p.contains("LeftAnti"), "keeper drop must be a left anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = hashExchanges(p)
+    info(s"dedup_cc_kept shuffle exchanges: $exchanges")
+    assert(exchanges <= 3, s"$exchanges shuffle exchanges in dedup_cc_kept — plan regressed")
+  }
+
   test("time-series windows are all key-partitioned and share one exchange") {
     val p = plan("ts_moving_avg")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
