@@ -152,5 +152,10 @@ object SparkEntry {
     // round-13 batch 4: the incremental-curation replay number — the
     // fixed cost a delta run pays before touching anything new (batch
     // curation pass + fingerprint-index anti join; corpus text unread)
-    "lake_incr_curate")
+    "lake_incr_curate",
+    // round-14: incremental near-dup maintenance — three id-ordered
+    // batches deduped against (and appended to) a persisted signature
+    // index, index wiped per rep; the number is the full maintenance
+    // cycle a continuously-fed corpus pays, writes included
+    "dedup_incr_kept")
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, floor, least, lit, pmod}
+import org.apache.spark.sql.functions.{col, count, floor, least, lit, max, pmod}
 import graft.Tables
 import graft.ops.Dedup
 
@@ -111,6 +111,39 @@ object DedupQueries extends QueryModule {
         "text", "doc_id", minJaccard = 0.8)
         .select("doc_id")
     }),
+    // INCREMENTAL near-dup maintenance: the corpus arrives as three
+    // id-ordered batches; each batch is deduped against the persisted
+    // signature index of everything seen so far (ops/IncrementalDedup —
+    // the index is never re-signatured), then indexed. With id-ordered
+    // batches the kept set provably equals the one-pass batch policy, so
+    // the oracle is dedup_near_kept's corpus-wide SQL VERBATIM. The index
+    // is wiped per run (the query must be self-contained under
+    // Verify/Bench replays); each rep therefore times the FULL three-batch
+    // maintenance cycle including the index writes.
+    "dedup_incr_kept" -> ((s, d) => {
+      val dd = docs(s, d)
+      val indexDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incrdedup",
+        d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      val mRow = dd.agg(max(col("doc_id"))).head // 1-row model read
+      if (mRow.isNullAt(0)) dd.select("doc_id") // empty corpus: nothing kept
+      else {
+      val m = mRow.getLong(0)
+      val bounds = Seq(m / 3, 2 * m / 3)
+      val batches = Seq(
+        dd.filter(col("doc_id") <= bounds(0)),
+        dd.filter(col("doc_id") > bounds(0) && col("doc_id") <= bounds(1)),
+        dd.filter(col("doc_id") > bounds(1)))
+      batches.zipWithIndex.map { case (b, i) =>
+        graft.ops.IncrementalDedup.addBatch(s, indexDir, b, "text", "doc_id",
+          batchId = i, minJaccard = 0.8).select("doc_id")
+      }.reduce(_ unionByName _)
+      }
+    }),
+
     // FUZZY benchmark decontamination: where text_decontaminated_kept drops
     // exact winnow-fingerprint overlap, this drops NEAR-duplicates of the
     // benchmark set (every 50th doc) — the GPT-3/PaLM 13-gram-style fuzzy
@@ -320,6 +353,42 @@ object DedupQueries extends QueryModule {
       |    (max(pos) + 19)::BIGINT AS span_end
       |  FROM i2_ss GROUP BY doc_id, isl)""".stripMargin
 
+  /** The one-pass drop policy's kept set, corpus-wide — shared verbatim by
+    * `dedup_near_kept` (the batch form) and `dedup_incr_kept` (the
+    * persisted-index incremental form): under id-ordered batches the two
+    * engines' policies coincide pair-for-pair, so one independent DuckDB
+    * recomputation checks both.
+    */
+  private lazy val nearKeptSql =
+    s"""$basesCte,
+       |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+       |ok AS (SELECT band, band_key FROM bands
+       |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
+       |ss AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_transform(range(len(toks) - 2),
+       |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+       |dropped AS (
+       |  SELECT DISTINCT c.doc_b FROM cand c
+       |  JOIN ss sa ON sa.doc_id = c.doc_a
+       |  JOIN ss sb ON sb.doc_id = c.doc_b
+       |  WHERE (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
+       |              THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
+       |                   / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
+       |              ELSE 0 END) >= 0.8)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_substr_spans" ->
       s"""$substrSpansCte
@@ -405,35 +474,13 @@ object DedupQueries extends QueryModule {
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key""".stripMargin,
 
-    "dedup_near_kept" ->
-      s"""$basesCte,
-         |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
-         |ok AS (SELECT band, band_key FROM bands
-         |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM bands a JOIN bands b2
-         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
-         |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
-         |ss AS (SELECT doc_id, list_distinct(
-         |  CASE WHEN len(toks) >= 3
-         |       THEN list_transform(range(len(toks) - 2),
-         |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-         |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
-         |dropped AS (
-         |  SELECT DISTINCT c.doc_b FROM cand c
-         |  JOIN ss sa ON sa.doc_id = c.doc_a
-         |  JOIN ss sb ON sb.doc_id = c.doc_b
-         |  WHERE (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
-         |              THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
-         |                   / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
-         |              ELSE 0 END) >= 0.8)
-         |SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin,
+    "dedup_near_kept" -> nearKeptSql,
+
+    // incremental maintenance ≡ the one-pass batch policy under id-ordered
+    // batches (every (a,b) a<b pair examined exactly once: in b's batch,
+    // with a indexed or intra-batch) — so the corpus-wide SQL applies
+    // verbatim; IncrementalDedupSpec pins the engine-side equality too
+    "dedup_incr_kept" -> nearKeptSql,
 
     "dedup_verified_pairs" ->
       s"""$jcCte
