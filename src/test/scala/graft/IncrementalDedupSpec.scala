@@ -80,6 +80,36 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(stats.getAs[Long]("max_bucket") >= 2L, "shared buckets must exist")
   }
 
+  test("a changelog stream maintains the index via foreachBatch (the operational pattern)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val idx = freshIndex("stream")
+    val keptIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val kept = IncrementalDedup.addBatch(spark, idx, batch,
+          "text", "doc_id", batchId = id.toInt)
+        keptIds.synchronized {
+          keptIds ++= kept.select("doc_id").as[Long].collect()
+        }
+        ()
+      }.start()
+    try {
+      in.addData(doc(1, A), doc(2, A), doc(3, B)); q.processAllAvailable()
+      in.addData(doc(4, A), doc(5, C)); q.processAllAvailable()
+      in.addData(doc(6, C), doc(7, B)); q.processAllAvailable()
+    } finally q.stop()
+    // micro-batches arrived id-ordered, so the streamed kept set equals
+    // the one-pass batch policy over everything seen
+    val expected = Dedup.dropNearDuplicates(
+      df(Seq(doc(1, A), doc(2, A), doc(3, B), doc(4, A), doc(5, C),
+        doc(6, C), doc(7, B))), "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds.sorted.toSeq === expected)
+    assert(keptIds.sorted.toSeq === Seq(1L, 3L, 5L))
+  }
+
   test("empty and dup-free batches pass through; the index stays readable") {
     val idx = freshIndex("edges")
     val k0 = IncrementalDedup.addBatch(spark, idx,
