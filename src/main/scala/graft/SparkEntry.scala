@@ -156,6 +156,8 @@ object SparkEntry {
     // round-14: incremental near-dup maintenance — three id-ordered
     // batches deduped against (and appended to) a persisted signature
     // index, index wiped per rep; the number is the full maintenance
-    // cycle a continuously-fed corpus pays, writes included
-    "dedup_incr_kept")
+    // cycle a continuously-fed corpus pays, writes included — text
+    // (MinHash bands + shingle sets) and embedding (RP-LSH buckets +
+    // vectors) twins
+    "dedup_incr_kept", "dedup_incr_emb_kept")
 }

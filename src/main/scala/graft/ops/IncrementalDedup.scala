@@ -178,3 +178,108 @@ object IncrementalDedup {
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
 }
+
+/** The EMBEDDING twin of [[IncrementalDedup]]: a persisted RP-LSH bucket
+  * index plus the verification vectors, maintained batch by batch — dedup
+  * a new crawl's embeddings against everything seen without re-reading or
+  * re-projecting the corpus. Same contract, vector semantics: first-seen
+  * drop policy over floored-cosine ≥ `minCos` bucket candidates, which
+  * under id-ordered batches equals [[Similarity.dropEmbeddingNearDups]]'s
+  * one-pass policy exactly (both skip whole over-cap buckets — equality
+  * assumes no bucket crosses the cap, observable via
+  * [[IncrementalEmbeddingDedup.indexBucketStats]]).
+  *
+  * Index layout under `indexDir`:
+  *  - `buckets/batch=N` — (id, bucket): the RP-LSH probe index
+  *  - `vectors/batch=N` — (id, v, nrm): double vectors + norms for the
+  *    floored-cosine verification (at 100 TB store int8-quantized vectors
+  *    — the [[Ivf]] discipline — for an ~8× index cut; doubles here keep
+  *    the DuckDB oracle bit-exact)
+  */
+object IncrementalEmbeddingDedup {
+
+  private val BucketsT = "buckets"
+  private val VectorsT = "vectors"
+
+  private def readIndex(spark: SparkSession, indexDir: String, table: String,
+      batchId: Int, schemaDdl: String): DataFrame = {
+    val path = s"$indexDir/$table"
+    val exists = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+    if (!exists)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
+    else spark.read.schema(s"$schemaDdl, batch int").parquet(path)
+      .filter(col("batch") < batchId)
+  }
+
+  /** Process one embedding batch against the index at `indexDir`: returns
+    * the KEPT rows of `batch` and appends the batch's buckets + vectors.
+    * Replaying a `batchId` overwrites its own partitions (idempotent).
+    */
+  def addBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
+      vecCol: String, idCol: String, batchId: Int, dim: Int,
+      planes: Int = 8, minCos: Double = 0.6, maxBucket: Int = 1000): DataFrame = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val baseB = Lineage.materialize(
+      Similarity.bucketedBase(batch, idCol, vecCol, dim, planes)
+        .select(col(idCol).cast("long").as("id"), col("v"),
+          col("n").as("nrm"), col("bucket")))
+
+    val idxBuckets = readIndex(spark, indexDir, BucketsT, batchId,
+      "id bigint, bucket bigint")
+    val idxVecs = readIndex(spark, indexDir, VectorsT, batchId,
+      "id bigint, v array<double>, nrm double")
+
+    val touched = baseB.select("bucket").distinct()
+    val idxCnt = idxBuckets.join(touched, Seq("bucket"), "left_semi")
+      .groupBy("bucket").agg(count(lit(1)).as("n_idx"))
+    val okBuckets = baseB.groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      .join(idxCnt, Seq("bucket"), "left")
+      .filter(col("n_new") + coalesce(col("n_idx"), lit(0L)) <= maxBucket)
+      .select("bucket")
+
+    val okNew = baseB.join(okBuckets, Seq("bucket"), "left_semi")
+    val cross = okNew.select(col("bucket"), col("id"))
+      .join(idxBuckets.select(col("bucket"), col("id").as("partner_id")), Seq("bucket"))
+      .select(col("partner_id"), col("id"))
+    val intra = okNew.select(col("bucket"), col("id").as("partner_id"))
+      .join(okNew.select(col("bucket"), col("id")), Seq("bucket"))
+      .filter(col("partner_id") < col("id"))
+      .select(col("partner_id"), col("id"))
+    val cand = cross.union(intra).distinct()
+
+    // floored cosine, same column roles as the batch form: the NEW row is
+    // the query side (qv), the indexed/lower-id partner the neighbor (cv)
+    val partnerVecs = idxVecs.select(col("id"), col("v"), col("nrm"))
+      .union(baseB.select(col("id"), col("v"), col("nrm")))
+    val dropped = cand
+      .join(partnerVecs.select(col("id").as("partner_id"),
+        col("v").as("cv"), col("nrm").as("cn")), "partner_id")
+      .join(baseB.select(col("id"), col("v").as("qv"), col("nrm").as("qn")), "id")
+      .filter(Text.floor6(Similarity.candCos) >= lit(minCos))
+      .select(col("id")).distinct()
+
+    val kept = batch.join(dropped.select(col("id").cast("long").as(idCol)),
+      Seq(idCol), "left_anti")
+
+    baseB.select("id", "bucket").write.mode("overwrite")
+      .parquet(s"$indexDir/$BucketsT/batch=$batchId")
+    baseB.select("id", "v", "nrm").write.mode("overwrite")
+      .parquet(s"$indexDir/$VectorsT/batch=$batchId")
+    val out = Lineage.materialize(kept)
+    Lineage.release(baseB)
+    out
+  }
+
+  /** Occupancy audit of the persisted bucket index (all batches). */
+  def indexBucketStats(spark: SparkSession, indexDir: String,
+      maxBucket: Int = 1000): DataFrame =
+    spark.read.parquet(s"$indexDir/$BucketsT")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
+        max(col("n")).as("max_bucket"))
+}

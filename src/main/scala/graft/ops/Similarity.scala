@@ -156,14 +156,14 @@ object Similarity {
     * or probe neighboring buckets for higher recall.
     */
   /** (id, v, n, bucket) projection shared by the bucketed searches. */
-  private def bucketedBase(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def bucketedBase(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int): DataFrame =
     df.select(col(idCol), asDouble(col(vecCol)).as("v"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
 
   /** Cosine over the (qv, qn)/(cv, cn) candidate-pair columns. */
-  private val candCos: Column = when(col("qn") * col("cn") > 0,
+  private[graft] val candCos: Column = when(col("qn") * col("cn") > 0,
     dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).otherwise(lit(0.0))
 
   private def neighborSide(base: DataFrame, idCol: String): DataFrame =
@@ -433,6 +433,36 @@ object Similarity {
     require(k <= Int.MaxValue, s"derived k=$k overflows Int")
     semanticKept(df, idCol, vecCol, k.toInt, rounds, scale, simThreshold,
       maxCluster = targetClusterSize.toLong * maxClusterFactor)
+  }
+
+  /** WITHIN-corpus one-pass embedding near-dup removal — the vector twin
+    * of [[Dedup.dropNearDuplicates]]: a row is dropped iff a LOWER-ID
+    * vector in the same RP-LSH bucket has floored cosine ≥ `minCos`.
+    * Buckets over `maxBucket` are skipped WHOLE (the
+    * [[Dedup.minhashCandidatePairs]] cap style, not the stride-thinning
+    * the cross-corpus form uses) — deliberately, so
+    * [[IncrementalEmbeddingDedup]]'s combined-occupancy cap reproduces
+    * this form exactly while no bucket crosses the cap. The EXISTS runs
+    * as a LEFT SEMI with the similarity predicate in the join condition
+    * (first match short-circuits; no pair set materializes — the
+    * [[semanticKept]] discipline).
+    */
+  def dropEmbeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 8, minCos: Double = 0.6,
+      maxBucket: Int = 1000): DataFrame = {
+    val base = bucketedBase(df, idCol, vecCol, dim, planes)
+    val ok = base.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("bucket")
+    val okBase = base.join(ok, Seq("bucket"), "left_semi")
+    val a = okBase.select(col(idCol), col("v").as("qv"), col("n").as("qn"),
+      col("bucket"))
+    val b = okBase.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
+      col("n").as("cn"), col("bucket").as("bucket2"))
+    val dropped = a.join(b,
+        col("bucket") === col("bucket2") && col("neighbor_id") < col(idCol) &&
+          floor6(candCos) >= lit(minCos), "left_semi")
+      .select(col(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Cross-corpus EMBEDDING near-dup gate — the vector twin of

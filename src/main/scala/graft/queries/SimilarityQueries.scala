@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, flatten, lit, pmod, sequence, transform}
+import org.apache.spark.sql.functions.{col, flatten, lit, max, pmod, sequence, transform}
 import graft.Tables
 import graft.ops.Similarity
 
@@ -157,6 +157,42 @@ object SimilarityQueries extends QueryModule {
         e.filter(pmod(col("vec_id"), lit(2)) === 1),
         e.filter(pmod(col("vec_id"), lit(2)) === 0),
         "vec_id", "embedding", Dim, Planes, minCos = 0.3, maxBucket = 1)
+    }),
+
+    // WITHIN-corpus embedding near-dedup, one-pass batch form: lower-id
+    // RP-LSH bucket-mate with floored cosine ≥ 0.3 drops the row (whole
+    // over-cap buckets skipped — the minhash cap style, reproducible
+    // incrementally)
+    "dedup_emb_kept" -> ((s, d) =>
+      Similarity.dropEmbeddingNearDups(emb(s, d), "vec_id", "embedding",
+        Dim, Planes, minCos = 0.3).select("vec_id")),
+
+    // the INCREMENTAL twin: three id-ordered batches against a persisted
+    // RP-LSH index (ops/IncrementalEmbeddingDedup — the corpus is never
+    // re-projected); equals the one-pass policy under id-ordered batches,
+    // so the oracle is dedup_emb_kept's SQL verbatim. Index wiped per run.
+    "dedup_incr_emb_kept" -> ((s, d) => {
+      val e = emb(s, d)
+      val indexDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incrembdedup",
+        d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      val mRow = e.agg(max(col("vec_id"))).head // 1-row model read
+      if (mRow.isNullAt(0)) e.select("vec_id") // empty corpus: nothing kept
+      else {
+        val m = mRow.getLong(0)
+        val batches = Seq(
+          e.filter(col("vec_id") <= m / 3),
+          e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
+          e.filter(col("vec_id") > 2 * m / 3))
+        batches.zipWithIndex.map { case (b, i) =>
+          graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir, b,
+            "embedding", "vec_id", batchId = i, dim = Dim, planes = Planes,
+            minCos = 0.3).select("vec_id")
+        }.reduce(_ unionByName _)
+      }
     }),
 
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
@@ -363,6 +399,28 @@ object SimilarityQueries extends QueryModule {
        |SELECT vec_id, c AS cluster, d2 FROM a_final""".stripMargin
   }
 
+  /** Within-corpus embedding near-dedup kept set — same hyperplane
+    * literals and floored cosine as the cross-corpus oracles, lower-id
+    * drop rule, whole buckets over the 1000 cap excluded (the engine's
+    * skip-style cap, exercised never at this scale — occupancy is audited
+    * engine-side).
+    */
+  private lazy val embKeptSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+       |         ($bucketExpr)::BIGINT AS bucket
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+       |okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 1000),
+       |dropped AS (SELECT DISTINCT a.vec_id
+       |            FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+       |            JOIN okb ON okb.bucket = a.bucket
+       |            WHERE floor((CASE WHEN a.nrm * b.nrm > 0
+       |                   THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+       |                   ELSE 0 END) * 1000000) / 1000000.0 >= 0.3)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "emb_kmeans_assign" -> kmeansSql(k = 8, rounds = 2, scale = 1000),
 
@@ -437,6 +495,12 @@ object SimilarityQueries extends QueryModule {
     "dedup_cross_emb_pairs" -> crossEmbPairsSql(cap = 1000),
 
     "dedup_cross_emb_pairs_thinned" -> crossEmbPairsSql(cap = 1),
+
+    // one recomputation checks BOTH the one-pass batch form and the
+    // persisted-index incremental form (id-ordered batches ⇒ identical
+    // policies, IncrementalDedupSpec pins the engine-side equality)
+    "dedup_emb_kept" -> embKeptSql,
+    "dedup_incr_emb_kept" -> embKeptSql,
 
     "dedup_cross_emb_kept" ->
       s"""WITH e AS (

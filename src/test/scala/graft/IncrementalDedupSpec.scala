@@ -110,6 +110,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(keptIds.sorted.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("EMBEDDING twin: id-ordered incremental batches equal the one-pass batch policy") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val m = e.agg(max("vec_id")).head.getLong(0)
+    val idx = freshIndex("emb")
+    val kept = Seq(
+      e.filter(col("vec_id") <= m / 3),
+      e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
+      e.filter(col("vec_id") > 2 * m / 3)
+    ).zipWithIndex.map { case (b, i) =>
+      graft.ops.IncrementalEmbeddingDedup.addBatch(spark, idx, b,
+        "embedding", "vec_id", batchId = i, dim = 64, planes = 8, minCos = 0.3)
+        .select("vec_id")
+    }.reduce(_ unionByName _).as[Long].collect().sorted.toSeq
+    val batchKept = graft.ops.Similarity.dropEmbeddingNearDups(
+        e, "vec_id", "embedding", dim = 64, planes = 8, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === batchKept)
+    assert(kept.nonEmpty && kept.size < e.count(),
+      "fixture vacuous — the corpus must actually contain cosine near-dups at 0.3")
+    val stats = graft.ops.IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
+    assert(stats.getAs[Long]("hot_buckets") === 0L,
+      "cap fired — the equality contract would not apply")
+  }
+
   test("empty and dup-free batches pass through; the index stays readable") {
     val idx = freshIndex("edges")
     val k0 = IncrementalDedup.addBatch(spark, idx,
