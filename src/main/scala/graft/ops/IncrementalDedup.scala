@@ -177,6 +177,59 @@ object IncrementalDedup {
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
+
+  /** Fold all batch partitions below `uptoExclusive` into the single base
+    * partition `batch=-1` — the small-files maintenance a long-running
+    * index needs (daily batches = thousands of tiny partitions; every
+    * probe lists and opens all of them). Query-equivalent: `-1 < batchId`
+    * for every future batch, so reads see exactly the same rows through
+    * one compacted partition. OFFLINE op (no concurrent addBatch), and a
+    * compacted batch id must never be replayed — its rows now live in the
+    * base, so a replay would double them.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      uptoExclusive: Int): Unit = {
+    IndexCompaction.compact(spark, indexDir, BandsT,
+      "doc_id bigint, band int, band_key string", uptoExclusive)
+    IndexCompaction.compact(spark, indexDir, ShinglesT,
+      "doc_id bigint, shs array<string>, nsh int", uptoExclusive)
+  }
+}
+
+/** Shared batch-partition compaction for the incremental dedup indexes:
+  * rewrite every partition `batch < uptoExclusive` (including a previous
+  * `batch=-1` base) as ONE `batch=-1` partition, swapped in by rename.
+  * A crash between the partition deletes and the final rename leaves the
+  * full compacted copy in `<table>__compact_staging` for recovery —
+  * the [[Cdc.refreshGroupStatsAt]] staging discipline.
+  */
+private[graft] object IndexCompaction {
+  def compact(spark: SparkSession, indexDir: String, table: String,
+      schemaDdl: String, uptoExclusive: Int): Unit = {
+    val root = s"$indexDir/$table"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root))) return
+    val staging = new org.apache.hadoop.fs.Path(s"${root}__compact_staging")
+    fs.delete(staging, true)
+    val folded = spark.read.schema(s"$schemaDdl, batch int").parquet(root)
+      .filter(col("batch") < uptoExclusive).drop("batch")
+    // one partition-dir worth of files; coalesce to a handful so the
+    // compaction actually shrinks the file count (shuffle-free)
+    folded.coalesce(4).write.mode("overwrite").parquet(staging.toString)
+    // swap: drop every folded partition (batch=-1 base included), rename
+    // the staged base in. Offline op — the windows are metadata-only.
+    val olds = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toIntOption.exists(_ < uptoExclusive)
+      }
+    olds.foreach(p => fs.delete(p, true))
+    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(root, "batch=-1")))
+      throw new java.io.IOException(
+        s"could not publish compacted $staging — recover it manually")
+  }
 }
 
 /** The EMBEDDING twin of [[IncrementalDedup]]: a persisted RP-LSH bucket
@@ -282,4 +335,13 @@ object IncrementalEmbeddingDedup {
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
+
+  /** [[IncrementalDedup.compactIndex]] for the embedding index. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      uptoExclusive: Int): Unit = {
+    IndexCompaction.compact(spark, indexDir, BucketsT,
+      "id bigint, bucket bigint", uptoExclusive)
+    IndexCompaction.compact(spark, indexDir, VectorsT,
+      "id bigint, v array<double>, nrm double", uptoExclusive)
+  }
 }

@@ -110,6 +110,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(keptIds.sorted.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("compaction folds batch partitions into one base; answers are unchanged") {
+    val idx = freshIndex("compact")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A), doc(2, B))),
+      "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(3, A), doc(4, C))),
+      "text", "doc_id", 1)
+    IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 2)
+    val dirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("batch=-1"), s"expected one base partition, got $dirs")
+    // post-compaction batch answers exactly as it would have uncompacted:
+    // doc 5 dups A (seen in batches 0 AND 1), doc 6 dups C, doc 7 fresh
+    val k2 = IncrementalDedup.addBatch(spark, idx,
+      df(Seq(doc(5, A), doc(6, C), doc(7, B + " extra tail words here"))),
+      "text", "doc_id", 2)
+    assert(k2.select("doc_id").as[Long].collect().sorted === Array(7L))
+    // compaction is re-runnable (folds the previous base + new batches)
+    IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 3)
+    val k3 = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(8, C))),
+      "text", "doc_id", 3)
+    assert(k3.isEmpty)
+  }
+
   test("EMBEDDING twin: id-ordered incremental batches equal the one-pass batch policy") {
     val e = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding"))
