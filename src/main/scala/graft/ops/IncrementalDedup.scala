@@ -190,9 +190,11 @@ object IncrementalDedup {
   def compactIndex(spark: SparkSession, indexDir: String,
       uptoExclusive: Int): Unit = {
     IndexCompaction.compact(spark, indexDir, BandsT,
-      "doc_id bigint, band int, band_key string", uptoExclusive)
+      "doc_id bigint, band int, band_key string", uptoExclusive,
+      clusterBy = "band_key")
     IndexCompaction.compact(spark, indexDir, ShinglesT,
-      "doc_id bigint, shs array<string>, nsh int", uptoExclusive)
+      "doc_id bigint, shs array<string>, nsh int", uptoExclusive,
+      clusterBy = "doc_id")
   }
 }
 
@@ -205,7 +207,7 @@ object IncrementalDedup {
   */
 private[graft] object IndexCompaction {
   def compact(spark: SparkSession, indexDir: String, table: String,
-      schemaDdl: String, uptoExclusive: Int): Unit = {
+      schemaDdl: String, uptoExclusive: Int, clusterBy: String): Unit = {
     val root = s"$indexDir/$table"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -214,9 +216,13 @@ private[graft] object IndexCompaction {
     fs.delete(staging, true)
     val folded = spark.read.schema(s"$schemaDdl, batch int").parquet(root)
       .filter(col("batch") < uptoExclusive).drop("batch")
-    // one partition-dir worth of files; coalesce to a handful so the
-    // compaction actually shrinks the file count (shuffle-free)
-    folded.coalesce(4).write.mode("overwrite").parquet(staging.toString)
+    // cluster the base by its probe key: rows for one key land in one
+    // file, sorted — parquet min/max row-group stats (and Spark's runtime
+    // bloom filters on the probe join) can then skip most of the base,
+    // and same-key runs compress better. Also the file-count shrink that
+    // is compaction's whole point.
+    folded.repartition(4, col(clusterBy)).sortWithinPartitions(clusterBy)
+      .write.mode("overwrite").parquet(staging.toString)
     // swap: drop every folded partition (batch=-1 base included), rename
     // the staged base in. Offline op — the windows are metadata-only.
     val olds = fs.listStatus(new org.apache.hadoop.fs.Path(root))
@@ -340,8 +346,8 @@ object IncrementalEmbeddingDedup {
   def compactIndex(spark: SparkSession, indexDir: String,
       uptoExclusive: Int): Unit = {
     IndexCompaction.compact(spark, indexDir, BucketsT,
-      "id bigint, bucket bigint", uptoExclusive)
+      "id bigint, bucket bigint", uptoExclusive, clusterBy = "bucket")
     IndexCompaction.compact(spark, indexDir, VectorsT,
-      "id bigint, v array<double>, nrm double", uptoExclusive)
+      "id bigint, v array<double>, nrm double", uptoExclusive, clusterBy = "id")
   }
 }
