@@ -813,6 +813,45 @@ object Text {
         array_join(slice(col("toks"), col("start") + 1, lit(chunk)), " ").as("chunk_text"))
   }
 
+  /** FIM (fill-in-the-middle) transform — Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle": rearrange a
+    * deterministic `fimRate`% of documents as
+    * `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle` (PSM mode) so a
+    * plain next-token objective learns infilling; the rest pass through
+    * unchanged (`mode = 'plain'` — the paper trains on a mixture). Cut
+    * points and the apply/skip choice derive from the portable [[h32]] of
+    * (id, salt): reproducible across engines, runs, and partitionings —
+    * the same stable-sampling discipline as every sampler here, and what
+    * lets the DuckDB oracle replay every byte. Both cut points are uniform
+    * over [0, n] (empty prefix/middle/suffix are legal, as in the paper's
+    * character-level splitting); docs under 2 chars stay plain.
+    *
+    * Scale: a pure per-row projection — no shuffle, whole-stage codegen,
+    * nothing to tune at 100 TB. Sentinel collisions with document content
+    * are the caller's concern, exactly as in production FIM pipelines
+    * (reserved tokens exist for this).
+    */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+      fimRate: Int = 50, salt: String = "fim1"): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 100, s"fimRate in [0,100], got $fimRate")
+    val txt = col(textCol)
+    val n = length(txt)
+    val id = col(idCol).cast("string")
+    val pick = pmod(h32(concat(id, lit(s"_$salt"))), lit(100)) < fimRate
+    val u1 = pmod(h32(concat(id, lit(s"_${salt}_a"))), n + 1)
+    val u2 = pmod(h32(concat(id, lit(s"_${salt}_b"))), n + 1)
+    val a = least(u1, u2)
+    val b = greatest(u1, u2)
+    val fim = concat(
+      lit("<|fim_pre|>"), txt.substr(lit(1), a),
+      lit("<|fim_suf|>"), txt.substr(b + 1, n - b),
+      lit("<|fim_mid|>"), txt.substr(a + 1, b - a))
+    val applied = pick && n >= 2
+    df.select(col(idCol),
+      when(applied, fim).otherwise(txt).as("fim_text"),
+      when(applied, lit("fim")).otherwise(lit("plain")).as("mode"))
+  }
+
   /** Corpus-unigram language-model scoring: train a unigram LM on the corpus
     * itself (token frequencies), then score every doc by its mean token
     * log-probability — the cheap perplexity proxy used to rank documents

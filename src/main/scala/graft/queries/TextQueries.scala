@@ -87,6 +87,11 @@ object TextQueries extends QueryModule {
     // overlapping 50-token chunks, stride 40 (RAG/embedding prep)
     "text_chunks" -> ((s, d) => Text.chunkDocs(docs(s, d), "text", "doc_id",
       chunk = 50, overlap = 10)),
+    // FIM training-data transform (Bavarian et al.): 50% of docs
+    // rearranged PSM with h32-derived cut points, the rest pass through —
+    // the oracle replays every byte from the same portable hash
+    "text_fim_transform" -> ((s, d) =>
+      Text.fimTransform(docs(s, d), "text", "doc_id", fimRate = 50)),
     "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
     "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
     "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")),
@@ -782,6 +787,26 @@ object TextQueries extends QueryModule {
          |  len(toks[start+1 : start+50])::BIGINT AS n_toks,
          |  array_to_string(toks[start+1 : start+50], ' ') AS chunk_text
          |FROM s""".stripMargin,
+
+    // FIM: the same portable h32 → rate pick + two uniform cut points over
+    // [0, n], substr arithmetic replayed 1-based; % ≡ pmod on the
+    // nonnegative h32
+    "text_fim_transform" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_fim1'), 1, 8))::BIGINT % 100 AS pick,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_fim1_a'), 1, 8))::BIGINT % (length(text) + 1) AS u1,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_fim1_b'), 1, 8))::BIGINT % (length(text) + 1) AS u2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n, pick,
+        |    least(u1, u2) AS a, greatest(u1, u2) AS b FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN pick < 50 AND n >= 2
+        |       THEN '<|fim_pre|>' || substr(text, 1, a::INT)
+        |         || '<|fim_suf|>' || substr(text, (b + 1)::INT, (n - b)::INT)
+        |         || '<|fim_mid|>' || substr(text, (a + 1)::INT, (b - a)::INT)
+        |       ELSE text END AS fim_text,
+        |  CASE WHEN pick < 50 AND n >= 2 THEN 'fim' ELSE 'plain' END AS mode
+        |FROM c""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -1010,4 +1010,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out("y") === ((2L, 4L, 1600L, 800000L)))    // 16/10, 16e6/(2·10)
     assert(out("z") === ((1L, 5L, 1000L, 1000000L)))   // 0/null weights dropped
   }
+
+  test("fimTransform: PSM parts reconstruct every document; rate and edges hold") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val out = ops.Text.fimTransform(docs, "text", "doc_id", fimRate = 50)
+      .join(docs, "doc_id")
+      .collect()
+    assert(out.nonEmpty)
+    var fim = 0
+    out.foreach { r =>
+      val (t, mode, orig) = (r.getAs[String]("fim_text"),
+        r.getAs[String]("mode"), r.getAs[String]("text"))
+      if (mode == "plain") assert(t === orig)
+      else {
+        fim += 1
+        // <|fim_pre|>P<|fim_suf|>S<|fim_mid|>M reconstructs as P+M+S
+        val pre = t.stripPrefix("<|fim_pre|>")
+        val Array(p, rest) = pre.split(java.util.regex.Pattern.quote("<|fim_suf|>"), -1)
+        val Array(sfx, m) = rest.split(java.util.regex.Pattern.quote("<|fim_mid|>"), -1)
+        assert(t.startsWith("<|fim_pre|>"))
+        assert(p + m + sfx === orig, s"doc ${r.getLong(0)} does not reconstruct")
+      }
+    }
+    // h32 is uniform: the 50% rate lands in a broad band
+    assert(fim > out.length / 4 && fim < out.length * 3 / 4,
+      s"fim rate wildly off: $fim of ${out.length}")
+    // deterministic under re-evaluation and partitioning
+    val again = ops.Text.fimTransform(docs.repartition(7), "text", "doc_id", 50)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val first = ops.Text.fimTransform(docs, "text", "doc_id", 50)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again === first)
+    // 0- and 1-char docs and rate 100/0 edges
+    val tiny = Seq((1L, ""), (2L, "x"), (3L, "ab")).toDF("doc_id", "text")
+    val t100 = ops.Text.fimTransform(tiny, "text", "doc_id", fimRate = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(t100(1L) === "plain" && t100(2L) === "plain" && t100(3L) === "fim")
+    assert(ops.Text.fimTransform(tiny, "text", "doc_id", fimRate = 0)
+      .filter(col("mode") === "fim").isEmpty)
+  }
 }
