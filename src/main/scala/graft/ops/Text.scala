@@ -852,6 +852,66 @@ object Text {
       when(applied, lit("fim")).otherwise(lit("plain")).as("mode"))
   }
 
+  /** T5-style span corruption (Raffel et al., "Exploring the Limits of
+    * Transfer Learning..."): mask token spans with ordinal sentinels and
+    * emit the (inputs, targets) denoising pair —
+    * `inputs = ... <extra_id_0> ... <extra_id_1> ...`,
+    * `targets = <extra_id_0> span0 <extra_id_1> span1 ...`.
+    * Deterministic grid variant: tokens group into cells of `cellTokens`;
+    * a cell is masked iff the portable h32(id, cell, salt) lands on
+    * `1/maskDenom` (defaults ⇒ ~20% of tokens in ~3-token spans — the
+    * paper's 15% ballpark; grid alignment keeps spans non-overlapping so
+    * the whole transform is one per-row fold, and every byte replays in
+    * the DuckDB oracle).
+    *
+    * Scale: pure per-row work — a single O(cells) `aggregate` fold per
+    * document, no shuffle anywhere (the repetitionStats lesson: if the
+    * key is the row's own id it is a kernel, not an aggregation). The
+    * fold concatenates arrays, not strings, so per-step cost is the
+    * piece, not the running document. Docs longer than the training
+    * context should be [[chunkDocs]]-chunked first, as in production.
+    */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+      cellTokens: Int = 3, maskDenom: Int = 5,
+      salt: String = "sc1"): DataFrame = {
+    require(cellTokens >= 1 && maskDenom >= 1,
+      s"need cellTokens>=1, maskDenom>=1; got $cellTokens/$maskDenom")
+    val id = col(idCol).cast("string")
+    val zero = struct(lit(0).as("k"),
+      array().cast("array<string>").as("inp"),
+      array().cast("array<string>").as("tgt"))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      // empty/tokenless docs skip the fold (sequence(0, -1) would DESCEND
+      // in Spark — negative-step sequences are a real trap)
+      .withColumn("st", when(col("n") === 0, zero).otherwise(aggregate(
+        // int division (Column `/` is DOUBLE division; positive operands
+        // so the cast truncation IS the floor)
+        sequence(lit(0),
+          ((col("n") + (cellTokens - 1)) / cellTokens).cast("int") - 1),
+        zero,
+        (acc, c) => {
+          val piece = array_join(
+            slice(col("toks"), c * cellTokens + 1, lit(cellTokens)), " ")
+          val masked = pmod(
+            h32(concat(id, lit(s"_${salt}_"), c.cast("string"))),
+            lit(maskDenom)) === 0
+          val sentinel = concat(lit("<extra_id_"),
+            acc.getField("k").cast("string"), lit(">"))
+          struct(
+            when(masked, acc.getField("k") + 1)
+              .otherwise(acc.getField("k")).as("k"),
+            concat(acc.getField("inp"),
+              array(when(masked, sentinel).otherwise(piece))).as("inp"),
+            when(masked, concat(acc.getField("tgt"), array(sentinel, piece)))
+              .otherwise(acc.getField("tgt")).as("tgt"))
+        })))
+      .select(col(idCol),
+        array_join(col("st.inp"), " ").as("inputs_text"),
+        array_join(col("st.tgt"), " ").as("targets_text"),
+        col("st.k").cast("long").as("n_masked_cells"))
+  }
+
   /** Corpus-unigram language-model scoring: train a unigram LM on the corpus
     * itself (token frequencies), then score every doc by its mean token
     * log-probability — the cheap perplexity proxy used to rank documents

@@ -92,6 +92,11 @@ object TextQueries extends QueryModule {
     // the oracle replays every byte from the same portable hash
     "text_fim_transform" -> ((s, d) =>
       Text.fimTransform(docs(s, d), "text", "doc_id", fimRate = 50)),
+    // T5 span corruption (Raffel et al.): 3-token grid cells, 1-in-5
+    // masked with ordinal sentinels; (inputs, targets) denoising pair —
+    // a single per-row fold, byte-replayed by the oracle
+    "text_span_corrupt" -> ((s, d) =>
+      Text.spanCorrupt(docs(s, d), "text", "doc_id")),
     "text_lang_id" -> ((s, d) => Text.langId(docs(s, d), "text", "doc_id")),
     "text_quality_score" -> ((s, d) => Text.qualityScore(docs(s, d), "text", "doc_id")),
     "text_fingerprint" -> ((s, d) => Text.fingerprint(docs(s, d), "text", "doc_id")),
@@ -807,6 +812,38 @@ object TextQueries extends QueryModule {
         |       ELSE text END AS fim_text,
         |  CASE WHEN pick < 50 AND n >= 2 THEN 'fim' ELSE 'plain' END AS mode
         |FROM c""".stripMargin,
+
+    // span corruption: cells of 3 tokens with ordinality, masked iff the
+    // portable h32(id·'_sc1_'·cell) % 5 = 0; k = masked cells BEFORE this
+    // one (the sentinel ordinal); inputs/targets rebuilt by ordered
+    // string_agg — same bytes as the engine's per-row fold
+    "text_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |cells AS (
+         |  SELECT doc_id, c,
+         |    array_to_string(tk[c * 3 + 1 : c * 3 + 3], ' ') AS piece,
+         |    (('0x' || substr(md5(doc_id::VARCHAR || '_sc1_' || c::VARCHAR), 1, 8))::BIGINT
+         |       % 5 = 0) AS masked
+         |  FROM (SELECT doc_id, tk, unnest(range(((len(tk) + 2) // 3)::INT)) AS c
+         |        FROM t WHERE len(tk) > 0)),
+         |k AS (SELECT doc_id, c, piece, masked,
+         |    coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY c
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+         |  FROM cells),
+         |agg AS (SELECT doc_id,
+         |    string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>'
+         |                    ELSE piece END, ' ' ORDER BY c) AS inputs_text,
+         |    string_agg(CASE WHEN masked
+         |                    THEN '<extra_id_' || k || '> ' || piece END,
+         |               ' ' ORDER BY c) AS targets_text,
+         |    count(*) FILTER (masked)::BIGINT AS n_masked_cells
+         |  FROM k GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.inputs_text, '') AS inputs_text,
+         |  coalesce(a.targets_text, '') AS targets_text,
+         |  coalesce(a.n_masked_cells, 0)::BIGINT AS n_masked_cells
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -1011,6 +1011,44 @@ class TextOpsSpec extends SparkSpec {
     assert(out("z") === ((1L, 5L, 1000L, 1000000L)))   // 0/null weights dropped
   }
 
+  test("spanCorrupt: splicing targets into inputs reconstructs the token stream") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val out = ops.Text.spanCorrupt(docs, "text", "doc_id")
+      .join(docs, "doc_id").collect()
+    assert(out.nonEmpty)
+    var masked = 0L
+    out.foreach { r =>
+      val (inp, tgt, k) = (r.getAs[String]("inputs_text"),
+        r.getAs[String]("targets_text"), r.getAs[Long]("n_masked_cells"))
+      // the engine tokenizer (lower → \W+ split → drop empties) replayed
+      val origToks = r.getAs[String]("text").toLowerCase
+        .split("\\W+").filter(_.nonEmpty).mkString(" ")
+      masked += k
+      // parse targets into span map, splice into inputs
+      val spans = (0L until k).map { i =>
+        val s = s"<extra_id_$i>"
+        val start = tgt.indexOf(s) + s.length
+        val end = if (i + 1 < k) tgt.indexOf(s"<extra_id_${i + 1}>") else tgt.length
+        i -> tgt.substring(start, end).trim
+      }.toMap
+      val spliced = spans.foldLeft(inp) { case (acc, (i, span)) =>
+        acc.replace(s"<extra_id_$i>", span)
+      }
+      assert(spliced === origToks, s"doc ${r.getLong(0)} does not reconstruct")
+      // ordinals are dense 0..k-1 in both streams
+      (0L until k).foreach { i =>
+        assert(inp.contains(s"<extra_id_$i>") && tgt.contains(s"<extra_id_$i>"))
+      }
+    }
+    assert(masked > 0, "fixture vacuous — no cell masked anywhere")
+    // deterministic under partitioning
+    val a = ops.Text.spanCorrupt(docs.repartition(5), "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = ops.Text.spanCorrupt(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a === b)
+  }
+
   test("fimTransform: PSM parts reconstruct every document; rate and edges hold") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
     val out = ops.Text.fimTransform(docs, "text", "doc_id", fimRate = 50)
