@@ -308,19 +308,29 @@ object StreamRegistry {
 
   /** Split a KSQL script into statements at TOP-LEVEL semicolons —
     * semicolons inside `'...'` string literals (with KSQL's `''` escape),
-    * `"..."` quoted identifiers, or backtick identifiers do not split.
-    * Empty fragments (a trailing `;`, blank lines between statements) are
-    * dropped. A lexer walk, not a regex: option values like
-    * `WITH (fmt='a;b')` must survive intact.
+    * `"..."` quoted identifiers, backtick identifiers, `-- line` comments,
+    * or bracketed comments do not split. Empty fragments (a trailing `;`,
+    * blank lines between statements) are dropped. A lexer walk, not a
+    * regex: option values like `WITH (fmt='a;b')` must survive intact.
     */
   private[graft] def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var quote: Char = 0 // 0 = top level, else the active quote char
+    var quote: Char = 0     // 0 = top level, else the active quote char
+    var lineComment = false
+    var blockComment = false
     var i = 0
     while (i < script.length) {
       val c = script.charAt(i)
-      if (quote != 0) {
+      if (lineComment) {
+        cur.append(c)
+        if (c == '\n') lineComment = false
+      } else if (blockComment) {
+        cur.append(c)
+        if (c == '*' && i + 1 < script.length && script.charAt(i + 1) == '/') {
+          cur.append('/'); i += 1; blockComment = false
+        }
+      } else if (quote != 0) {
         cur.append(c)
         if (c == quote) {
           // KSQL escapes a quote by doubling it — '' inside '...' stays in
@@ -330,6 +340,10 @@ object StreamRegistry {
         }
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
+          lineComment = true; cur.append(c)
+        case '/' if i + 1 < script.length && script.charAt(i + 1) == '*' =>
+          blockComment = true; cur.append(c)
         case ';' => out += cur.result(); cur.clear()
         case _ => cur.append(c)
       }

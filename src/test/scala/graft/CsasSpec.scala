@@ -130,6 +130,11 @@ class CsasSpec extends SparkSpec {
     // a multi-statement CSAS script mixes with WITH options carrying ';'
     assert(splitStatements(
       "CREATE STREAM A WITH (note='x;y') AS SELECT 1; CREATE STREAM B AS SELECT 2").size === 2)
+    // ';' inside comments must not split either
+    assert(splitStatements(
+      "SELECT 1 -- trailing; note\n; SELECT /* a;b */ 2").size === 2)
+    assert(splitStatements("-- only a comment; nothing else") ===
+      Seq("-- only a comment; nothing else"))
   }
 
   test("CSAS tokenizer handles option values the old regex could not") {
