@@ -135,13 +135,20 @@ object Cdc {
       .asInstanceOf[org.apache.spark.sql.types.StructType](groupField).dataType
     val vType = diffImages.schema("__new").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType](valueField).dataType
-    // prior state: the live table; else — crash between the two swap
-    // renames below — the completed staging copy (the refresh that crashed
-    // re-applies, but refreshGroupStats over the SAME diff batch is the
-    // foreachBatch replay case the maintenance contract already covers)
+    // crash healing FIRST: no live table but a complete staging copy means
+    // the previous refresh died between its two swap renames — PUBLISH the
+    // staging copy (one rename) before anything else. Reading the staging
+    // lazily as the base would blow up when the staging dir is cleared for
+    // this refresh's own write below (lazy plans read files at job time).
+    // The healed refresh re-applies the crashed batch's diff, which is the
+    // foreachBatch replay case the maintenance contract already covers.
+    if (!complete(target) && complete(staging)) {
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(
+          s"could not recover staged stats $staging -> $target")
+    }
     val stats0 =
       if (complete(target)) spark.read.parquet(statsPath)
-      else if (complete(staging)) spark.read.parquet(staging.toString)
       else
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(

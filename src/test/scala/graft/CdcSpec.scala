@@ -95,6 +95,37 @@ class CdcSpec extends SparkSpec {
     assert(refreshed.exists(_._1 == "e"), "new group must appear")
   }
 
+  test("refreshGroupStatsAt recovers from a crash between the swap renames") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("graft_cdc_swap").toString + "/stats"
+    def images(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "change", "ng", "nv")
+        .select(col("k"), col("change"),
+          lit(null).cast("struct<g:string,v:bigint>").as("__old"),
+          struct(col("ng").as("g"), col("nv").as("v")).as("__new"))
+    Cdc.refreshGroupStatsAt(spark, statsPath,
+      images((1L, "added", "a", 10L), (2L, "added", "b", 20L)), "g", "v")
+    assert(spark.read.parquet(statsPath).count() === 2)
+    // simulate the crash window: the NEXT refresh staged its output and
+    // retired the live dir, then died before publishing — on disk that is
+    // "no live table, a complete staging copy". Rebuild that state by
+    // moving the live dir to _staging.
+    val fs = new org.apache.hadoop.fs.Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(statsPath + "_staging")
+    fs.delete(staging, true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(statsPath), staging))
+    // the next refresh must base itself on the staging copy, not on empty
+    Cdc.refreshGroupStatsAt(spark, statsPath,
+      images((3L, "added", "a", 5L)), "g", "v")
+    val got = spark.read.parquet(statsPath)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 15L), ("b", 1L, 20L)),
+      s"staging recovery lost the pre-crash state: $got")
+  }
+
   test("snapshotDiffImages carries old/new images; unchanged rows are inert") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
