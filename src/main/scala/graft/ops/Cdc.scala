@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Underscore-prefixed so Spark's parquet listing ignores it. */
+  private val BatchMarker = "_graft_batchid"
+
   /** Snapshot diff: classify every key across two dataset versions as
     * added / removed / changed / unchanged -- the audit step between
     * pipeline runs (and the input to an incremental downstream refresh:
@@ -109,9 +112,20 @@ object Cdc {
     * (initialize empty on first touch), refresh from the feed, publish by
     * RENAME swap — stage the new table, retire the old directory, rename
     * the staging in (each rename atomic on HDFS/local). A crash between
-    * the renames leaves no live table but a complete staging copy, which
-    * the next refresh recovers as its base — never a half-written or
-    * missing state after the change feed was consumed.
+    * the renames leaves no live table but complete `_old` (pre-batch) and
+    * `_staging` (post-batch) copies; the next refresh recovers the
+    * PRE-batch `_old` when present — so a caller retrying the same diff
+    * (the only way a crashed call's feed gets applied) applies it exactly
+    * once — falling back to `_staging` only when `_old` is absent.
+    *
+    * Replay idempotence across ALL crash windows (including a crash AFTER
+    * publish but before the stream checkpoint commits, where the live
+    * table already contains the batch) needs more than rename order: pass
+    * `batchId` and the id is recorded inside the published table; a
+    * refresh whose `batchId` equals the live table's recorded id is a
+    * replay and becomes a no-op. foreachBatch drivers MUST pass their
+    * batch id (CdcStreamSpec does); without it, replay-exactness only
+    * covers the between-renames window via the `_old` preference.
     * The stats table is O(groups) — tiny by construction — so
     * the full rewrite is the cheap part; the point is what is NOT read:
     * the base table the stats summarize. Drive from `foreachBatch` and a
@@ -120,7 +134,7 @@ object Cdc {
     */
   def refreshGroupStatsAt(spark: org.apache.spark.sql.SparkSession,
       statsPath: String, diffImages: DataFrame, groupField: String,
-      valueField: String): Unit = {
+      valueField: String, batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions._
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(statsPath)
@@ -131,22 +145,47 @@ object Cdc {
       statsPath.stripSuffix("/") + "_old")
     def complete(p: org.apache.hadoop.fs.Path): Boolean =
       fs.isFile(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    def recordedBatch(p: org.apache.hadoop.fs.Path): Option[Long] = {
+      val m = new org.apache.hadoop.fs.Path(p, BatchMarker)
+      if (!fs.isFile(m)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+        val in = fs.open(m)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }
+    }
     val gType = diffImages.schema("__new").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType](groupField).dataType
     val vType = diffImages.schema("__new").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType](valueField).dataType
-    // crash healing FIRST: no live table but a complete staging copy means
-    // the previous refresh died between its two swap renames — PUBLISH the
-    // staging copy (one rename) before anything else. Reading the staging
-    // lazily as the base would blow up when the staging dir is cleared for
-    // this refresh's own write below (lazy plans read files at job time).
-    // The healed refresh re-applies the crashed batch's diff, which is the
-    // foreachBatch replay case the maintenance contract already covers.
-    if (!complete(target) && complete(staging)) {
-      if (!fs.rename(staging, target))
-        throw new java.io.IOException(
-          s"could not recover staged stats $staging -> $target")
+    // crash healing FIRST: no live table means the previous refresh died
+    // between its swap renames. Two recoverable copies can exist — `_old`
+    // holds the PRE-batch table (retired just before the crash), `_staging`
+    // the POST-batch one. Prefer `_old`: the crashed call never returned,
+    // so its feed WILL be retried, and retrying against the pre-batch base
+    // applies it exactly once; recovering `_staging` would have the retry
+    // double-apply (retract/add arithmetic is not self-idempotent). Fall
+    // back to `_staging` only when `_old` is absent (crash in the very
+    // first refresh, or `_old` already dropped) — there the `batchId`
+    // marker below is what makes the replay a no-op.
+    if (!complete(target)) {
+      if (complete(retired)) {
+        fs.delete(staging, true) // stale post-batch copy of the retried feed
+        if (!fs.rename(retired, target))
+          throw new java.io.IOException(
+            s"could not recover retired stats $retired -> $target")
+      } else if (complete(staging)) {
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(
+            s"could not recover staged stats $staging -> $target")
+      }
     }
+    // replay detection: the live table already records this batch id — the
+    // previous attempt published but crashed before the caller/checkpoint
+    // committed. Applying again would double-count; skip.
+    if (batchId.isDefined && complete(target) &&
+        recordedBatch(target) == batchId) return
     val stats0 =
       if (complete(target)) spark.read.parquet(statsPath)
       else
@@ -161,6 +200,13 @@ object Cdc {
     val refreshed = refreshGroupStats(stats0, diffImages, groupField, valueField)
     fs.delete(staging, true)
     refreshed.write.mode("overwrite").parquet(staging.toString)
+    // the batch id travels INSIDE the staged dir so the swap publishes the
+    // table and its replay marker in the same atomic rename
+    batchId.foreach { id =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, BatchMarker), true)
+      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     // swap via renames (atomic on HDFS/local), NOT delete-then-rewrite: the
     // exposure window is between two metadata ops, not a parquet job. A
     // crash between them leaves no live table but a COMPLETE staging copy,

@@ -69,10 +69,12 @@ object IncrementalDedup {
 
   /** Read one index table restricted to batches BEFORE `batchId` (replay
     * safety: a re-run batch must not see its own previous write). Missing
-    * directory = empty index (first batch).
+    * directory = empty index (first batch). A crashed compaction swap is
+    * healed first — a half-deleted index must never serve a probe.
     */
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
       batchId: Int, schemaDdl: String): DataFrame = {
+    IndexCompaction.healIfNeeded(spark, indexDir, table)
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -188,32 +190,90 @@ object IncrementalDedup {
     * base, so a replay would double them.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
-      uptoExclusive: Int): Unit = {
+      uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
     IndexCompaction.compact(spark, indexDir, BandsT,
       "doc_id bigint, band int, band_key string", uptoExclusive,
-      clusterBy = "band_key")
+      clusterBy = "band_key", targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, ShinglesT,
       "doc_id bigint, shs array<string>, nsh int", uptoExclusive,
-      clusterBy = "doc_id")
+      clusterBy = "doc_id", targetFileBytes = targetFileBytes)
   }
 }
 
 /** Shared batch-partition compaction for the incremental dedup indexes:
   * rewrite every partition `batch < uptoExclusive` (including a previous
   * `batch=-1` base) as ONE `batch=-1` partition, swapped in by rename.
-  * A crash between the partition deletes and the final rename leaves the
-  * full compacted copy in `<table>__compact_staging` for recovery —
-  * the [[Cdc.refreshGroupStatsAt]] staging discipline.
+  *
+  * Crash safety: the staged base is written first, then a COMMIT MARKER
+  * (`<table>__compact_commit`, holding `uptoExclusive`) is created, and
+  * only then are the folded partitions deleted and the staging renamed
+  * in. The marker's presence means "the staged copy is complete and the
+  * swap began" — [[healIfNeeded]] (run by every index read and by the
+  * next compaction) FINISHES the swap deterministically instead of
+  * letting a half-deleted index serve under-counted probes silently.
+  * A crash before the marker leaves only ignorable staging garbage.
+  *
+  * Output sizing: the compacted base targets ~`targetFileBytes` per file
+  * (computed from the folded partitions' byte size), not a fixed file
+  * count — a TB-scale base as 4 parquet files is both a write bottleneck
+  * and a read-parallelism floor (the exact unsplittable-input failure
+  * mode the r14 ScaleGen root-cause found).
   */
 private[graft] object IndexCompaction {
-  def compact(spark: SparkSession, indexDir: String, table: String,
-      schemaDdl: String, uptoExclusive: Int, clusterBy: String): Unit = {
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def foldable(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      uptoExclusive: Int): Array[org.apache.hadoop.fs.Path] =
+    fs.listStatus(hp(root)).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("batch=") &&
+        n.stripPrefix("batch=").toIntOption.exists(_ < uptoExclusive)
+    }
+
+  /** Finish a crashed compaction swap: marker present ⇒ the staged base is
+    * complete — delete any remaining folded partitions, publish the
+    * staging, drop the marker. Marker present but staging absent ⇒ the
+    * final rename already happened; just drop the marker. Idempotent;
+    * no-op when no marker exists. Compaction is an OFFLINE op, so a
+    * surviving marker always denotes a dead compactor, never a live one.
+    */
+  def healIfNeeded(spark: SparkSession, indexDir: String, table: String): Unit = {
     val root = s"$indexDir/$table"
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root))) return
-    val staging = new org.apache.hadoop.fs.Path(s"${root}__compact_staging")
+    val fs = hp(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = hp(s"${root}__compact_commit")
+    if (!fs.exists(marker)) return
+    val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+    val in = fs.open(marker)
+    try in.readFully(0, buf) finally in.close()
+    val upto = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    val staging = hp(s"${root}__compact_staging")
+    if (fs.exists(staging)) {
+      foldable(fs, root, upto).foreach(p => fs.delete(p, true))
+      if (!fs.rename(staging, hp(s"$root/batch=-1")))
+        throw new java.io.IOException(
+          s"could not publish recovered compaction $staging")
+    }
+    fs.delete(marker, false)
+  }
+
+  def compact(spark: SparkSession, indexDir: String, table: String,
+      schemaDdl: String, uptoExclusive: Int, clusterBy: String,
+      targetFileBytes: Long = 256L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be > 0")
+    val root = s"$indexDir/$table"
+    val fs = hp(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp(root))) return
+    healIfNeeded(spark, indexDir, table) // finish any crashed predecessor
+    val staging = hp(s"${root}__compact_staging")
     fs.delete(staging, true)
+    val olds = foldable(fs, root, uptoExclusive)
+    if (olds.isEmpty) return
+    // size the output from the folded bytes: ~targetFileBytes per file
+    // (input bytes over-estimate the clustered+compressed output, which
+    // errs toward MORE files — the safe direction for read parallelism)
+    val bytes = olds.map(p => fs.getContentSummary(p).getLength).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val folded = spark.read.schema(s"$schemaDdl, batch int").parquet(root)
       .filter(col("batch") < uptoExclusive).drop("batch")
     // cluster the base by its probe key: rows for one key land in one
@@ -221,20 +281,19 @@ private[graft] object IndexCompaction {
     // bloom filters on the probe join) can then skip most of the base,
     // and same-key runs compress better. Also the file-count shrink that
     // is compaction's whole point.
-    folded.repartition(4, col(clusterBy)).sortWithinPartitions(clusterBy)
+    folded.repartition(nFiles, col(clusterBy)).sortWithinPartitions(clusterBy)
       .write.mode("overwrite").parquet(staging.toString)
-    // swap: drop every folded partition (batch=-1 base included), rename
-    // the staged base in. Offline op — the windows are metadata-only.
-    val olds = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath).filter { p =>
-        val n = p.getName
-        n.startsWith("batch=") &&
-          n.stripPrefix("batch=").toIntOption.exists(_ < uptoExclusive)
-      }
+    // commit point: marker after the staging write, before any delete —
+    // everything past this line is re-runnable from the marker alone
+    val out = fs.create(hp(s"${root}__compact_commit"), true)
+    try out.write(uptoExclusive.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     olds.foreach(p => fs.delete(p, true))
-    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(root, "batch=-1")))
+    if (!fs.rename(staging, hp(s"$root/batch=-1")))
       throw new java.io.IOException(
-        s"could not publish compacted $staging — recover it manually")
+        s"could not publish $staging — rerun compact() to recover")
+    fs.delete(hp(s"${root}__compact_commit"), false)
   }
 }
 
@@ -262,6 +321,7 @@ object IncrementalEmbeddingDedup {
 
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
       batchId: Int, schemaDdl: String): DataFrame = {
+    IndexCompaction.healIfNeeded(spark, indexDir, table)
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -344,10 +404,12 @@ object IncrementalEmbeddingDedup {
 
   /** [[IncrementalDedup.compactIndex]] for the embedding index. */
   def compactIndex(spark: SparkSession, indexDir: String,
-      uptoExclusive: Int): Unit = {
+      uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
     IndexCompaction.compact(spark, indexDir, BucketsT,
-      "id bigint, bucket bigint", uptoExclusive, clusterBy = "bucket")
+      "id bigint, bucket bigint", uptoExclusive, clusterBy = "bucket",
+      targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, VectorsT,
-      "id bigint, v array<double>, nrm double", uptoExclusive, clusterBy = "id")
+      "id bigint, v array<double>, nrm double", uptoExclusive, clusterBy = "id",
+      targetFileBytes = targetFileBytes)
   }
 }

@@ -881,7 +881,10 @@ object Text {
       array().cast("array<string>").as("inp"),
       array().cast("array<string>").as("tgt"))
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .withColumn("n", size(col("toks")))
+      // coalesce: a NULL text tokenizes to NULL, and size(NULL) is NULL —
+      // which would skip the n===0 guard and null out every output column
+      // while the oracle's LEFT JOIN coalesces the same doc to ''/''/0
+      .withColumn("n", coalesce(size(col("toks")), lit(0)))
       // empty/tokenless docs skip the fold (sequence(0, -1) would DESCEND
       // in Spark — negative-step sequences are a real trap)
       .withColumn("st", when(col("n") === 0, zero).otherwise(aggregate(

@@ -126,6 +126,67 @@ class CdcSpec extends SparkSpec {
       s"staging recovery lost the pre-crash state: $got")
   }
 
+  test("crash healing prefers the pre-batch _old copy so a retry is exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("graft_cdc_old").toString + "/stats"
+    def images(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "change", "ng", "nv")
+        .select(col("k"), col("change"),
+          lit(null).cast("struct<g:string,v:bigint>").as("__old"),
+          struct(col("ng").as("g"), col("nv").as("v")).as("__new"))
+    val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
+    val fs = hp(statsPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // assemble the mid-swap crash window from two scratch tables (calling
+    // refreshGroupStatsAt on the target in between would self-heal):
+    // _old = pre-batch (a,1,10), _staging = post-batch (a,2,15), no live
+    val pre = statsPath + "_prebuild"
+    Cdc.refreshGroupStatsAt(spark, pre, images((1L, "added", "a", 10L)), "g", "v")
+    val post = statsPath + "_postbuild"
+    Cdc.refreshGroupStatsAt(spark, post, images((1L, "added", "a", 10L)), "g", "v")
+    Cdc.refreshGroupStatsAt(spark, post, images((2L, "added", "a", 5L)), "g", "v")
+    assert(fs.rename(hp(pre), hp(statsPath + "_old")))
+    assert(fs.rename(hp(post), hp(statsPath + "_staging")))
+    // the caller's RETRY of batch 1 (its call never returned) must apply
+    // the diff exactly once — on the recovered _old base, not on _staging
+    // (which already contains it)
+    Cdc.refreshGroupStatsAt(spark, statsPath, images((2L, "added", "a", 5L)), "g", "v")
+    val got = spark.read.parquet(statsPath)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 15L)),
+      s"retry after mid-swap crash must not double-apply: $got")
+  }
+
+  test("a batchId replay against the published table is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("graft_cdc_replay").toString + "/stats"
+    def images(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "change", "ng", "nv")
+        .select(col("k"), col("change"),
+          lit(null).cast("struct<g:string,v:bigint>").as("__old"),
+          struct(col("ng").as("g"), col("nv").as("v")).as("__new"))
+    Cdc.refreshGroupStatsAt(spark, statsPath,
+      images((1L, "added", "a", 10L)), "g", "v", batchId = Some(0L))
+    // the post-publish-pre-checkpoint-commit crash: the table already
+    // carries batch 1, the stream replays batch 1 on restart
+    Cdc.refreshGroupStatsAt(spark, statsPath,
+      images((2L, "added", "a", 5L)), "g", "v", batchId = Some(1L))
+    Cdc.refreshGroupStatsAt(spark, statsPath,
+      images((2L, "added", "a", 5L)), "g", "v", batchId = Some(1L))
+    val got = spark.read.parquet(statsPath)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 15L)), s"replayed batch must be skipped: $got")
+    // a NEW batch id still applies
+    Cdc.refreshGroupStatsAt(spark, statsPath,
+      images((3L, "added", "b", 7L)), "g", "v", batchId = Some(2L))
+    val got2 = spark.read.parquet(statsPath)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(got2 === Seq(("a", 2L, 15L), ("b", 1L, 7L)))
+  }
+
   test("snapshotDiffImages carries old/new images; unchanged rows are inert") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -96,9 +96,11 @@ class CdcStreamSpec extends SparkSpec {
         when(col("change") =!= "removed",
           struct(col("ng").as("g"), col("nv").as("v"))).as("__new"))
     val q = in.toDF().writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        // the batch id makes a post-publish-pre-commit crash replay a
+        // no-op (Cdc records it inside the published table)
         graft.ops.Cdc.refreshGroupStatsAt(spark, statsPath,
-          toImages(batch), "g", "v"); ()
+          toImages(batch), "g", "v", batchId = Some(bid)); ()
       }.start()
     try {
       in.addData((1L, "added", null, 0L, "a", 10L),

@@ -133,6 +133,80 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k3.isEmpty)
   }
 
+  test("compaction output file count scales with the folded bytes") {
+    val idx = freshIndex("compactsize")
+    // enough rows that the bands table is a few tens of KB
+    val rows = (1L to 400L).map(i => doc(i, s"token$i " + A + s" tail$i"))
+    IncrementalDedup.addBatch(spark, idx, df(rows.take(200)), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(rows.drop(200)), "text", "doc_id", 1)
+    def parquetFiles(table: String) = {
+      val d = new java.io.File(s"$idx/$table/batch=-1")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val inputBytes = {
+      def sz(f: java.io.File): Long =
+        if (f.isFile) f.length() else f.listFiles().map(sz).sum
+      sz(new java.io.File(s"$idx/shingles"))
+    }
+    // tiny per-file target → many files; the count tracks ceil(bytes/target)
+    val target = math.max(1L, inputBytes / 6)
+    IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 2,
+      targetFileBytes = target)
+    val small = parquetFiles("shingles")
+    assert(small >= 3, s"expected the tiny target to yield several files, got $small")
+    // recompact at the default target: one file (the folded base is tiny)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(500L, C))), "text", "doc_id", 2)
+    IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 3)
+    assert(parquetFiles("shingles") === 1,
+      "default 256MB target must fold a KB-scale base into one file")
+  }
+
+  test("a crashed compaction swap heals on the next index read (commit marker)") {
+    val idx = freshIndex("compactcrash")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A), doc(2, B))),
+      "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(3, C))),
+      "text", "doc_id", 1)
+    // forge the crash window by hand for BOTH index tables: staged base
+    // complete, commit marker written, one folded partition already
+    // deleted, publish rename never ran
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((table, ddl) <- Seq(
+        "bands" -> "doc_id bigint, band int, band_key string",
+        "shingles" -> "doc_id bigint, shs array<string>, nsh int")) {
+      val root = s"$idx/$table"
+      spark.read.schema(s"$ddl, batch int").parquet(root)
+        .filter(col("batch") < 2).drop("batch")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"${root}__compact_staging")
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"${root}__compact_commit"), true)
+      try out.write("2".getBytes("UTF-8")) finally out.close()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=0"), true)
+    }
+    // the next batch's index read must heal first — the half-deleted index
+    // would otherwise silently forget docs 1 and 2 (under-dropping dups)
+    val k2 = IncrementalDedup.addBatch(spark, idx,
+      df(Seq(doc(10, A), doc(11, B + " and a genuinely new tail"))),
+      "text", "doc_id", 2)
+    assert(k2.select("doc_id").as[Long].collect().sorted === Array(11L),
+      "doc 10 duplicates indexed doc 1 and must drop after healing")
+    val dirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("batch=-1", "batch=2"), s"healed layout: ${dirs.toSeq}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands__compact_commit")),
+      "marker must be consumed by the heal")
+    // marker WITHOUT staging (crash after the publish rename): heal is a
+    // pure marker cleanup, the index keeps answering
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(s"$idx/bands__compact_commit"), true)
+    try out2.write("3".getBytes("UTF-8")) finally out2.close()
+    val k3 = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(20, C))),
+      "text", "doc_id", 3)
+    assert(k3.isEmpty, "doc 20 duplicates indexed doc 3")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands__compact_commit")))
+  }
+
   test("EMBEDDING twin: id-ordered incremental batches equal the one-pass batch policy") {
     val e = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -1047,6 +1047,17 @@ class TextOpsSpec extends SparkSpec {
     val b = ops.Text.spanCorrupt(docs, "text", "doc_id")
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(a === b)
+    // null and empty text both take the empty-struct branch (''/''/0) —
+    // the oracle's LEFT JOIN coalesces a null-text doc the same way;
+    // size(tokens(null)) is NULL in Spark, which unguarded skips the n===0
+    // branch and nulls every output
+    import spark.implicits._
+    val edge = ops.Text.spanCorrupt(
+      Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   ")).toDF("doc_id", "text"),
+      "text", "doc_id").orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(edge === Seq((1L, "", "", 0L), (2L, "", "", 0L), (3L, "", "", 0L)),
+      s"null/empty text must yield the empty struct, got $edge")
   }
 
   test("fimTransform: PSM parts reconstruct every document; rate and edges hold") {
