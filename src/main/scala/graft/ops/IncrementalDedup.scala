@@ -99,6 +99,11 @@ object IncrementalDedup {
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    IndexMeta.requireNoMigration(spark, indexDir)
+    // k and bands shape band_key — a mismatched probe silently matches
+    // nothing, so the index pins them on first write
+    IndexMeta.ensure(spark, indexDir,
+      Map("k" -> k.toString, "bands" -> bands.toString))
 
     // the batch's signatures are consumed by candidates, verification AND
     // the index append — materialize once, don't re-signature three times
@@ -198,6 +203,73 @@ object IncrementalDedup {
       "doc_id bigint, shs array<string>, nsh int", uptoExclusive,
       clusterBy = "doc_id", targetFileBytes = targetFileBytes)
   }
+}
+
+/** Signature parameters BAKE INTO a persisted index (shingle size and
+  * band count shape `band_key`; `dim`/`planes` shape `bucket`): probing
+  * with different parameters than the index was built with silently
+  * matches nothing. Every index records its parameters in a
+  * `_graft_meta` file on first write; later batches must present the
+  * same values or fail loudly. A parameter migration in flight leaves a
+  * `_graft_rebucket_inprogress` marker that blocks probes until the
+  * (idempotent) migration is rerun to completion.
+  */
+private[graft] object IndexMeta {
+  private val MetaFile = "_graft_meta"
+  private val Migrating = "_graft_rebucket_inprogress"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def read(spark: SparkSession, indexDir: String): Option[Map[String, String]] = {
+    val fs = fsOf(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
+    if (!fs.isFile(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap)
+    }
+  }
+
+  def write(spark: SparkSession, indexDir: String, meta: Map[String, String]): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(indexDir, MetaFile), true)
+    try out.write(meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** First writer records the parameters; later callers must match. */
+  def ensure(spark: SparkSession, indexDir: String,
+      expected: Map[String, String]): Unit = read(spark, indexDir) match {
+    case None => write(spark, indexDir, expected)
+    case Some(m) =>
+      val diff = expected.filter { case (k, v) => m.getOrElse(k, v) != v }
+      require(diff.isEmpty,
+        s"index at $indexDir was built with ${m.view.filterKeys(expected.contains).toMap}, " +
+          s"probe presented $expected — rebucket/rebuild the index first")
+  }
+
+  def requireNoMigration(spark: SparkSession, indexDir: String): Unit =
+    require(!fsOf(spark, indexDir)
+      .isFile(new org.apache.hadoop.fs.Path(indexDir, Migrating)),
+      s"index at $indexDir has an unfinished parameter migration — " +
+        "rerun rebucket() to completion before probing")
+
+  def setMigrating(spark: SparkSession, indexDir: String): Unit = {
+    val out = fsOf(spark, indexDir)
+      .create(new org.apache.hadoop.fs.Path(indexDir, Migrating), true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  def clearMigrating(spark: SparkSession, indexDir: String): Unit =
+    fsOf(spark, indexDir)
+      .delete(new org.apache.hadoop.fs.Path(indexDir, Migrating), false)
 }
 
 /** Shared batch-partition compaction for the incremental dedup indexes:
@@ -341,6 +413,12 @@ object IncrementalEmbeddingDedup {
       vecCol: String, idCol: String, batchId: Int, dim: Int,
       planes: Int = 8, minCos: Double = 0.6, maxBucket: Int = 1000): DataFrame = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    IndexMeta.requireNoMigration(spark, indexDir)
+    // dim and planes shape `bucket` — the index pins them on first write;
+    // size planes for the EXPECTED corpus via Similarity.planesFor and
+    // migrate with [[rebucket]] when the estimate was wrong
+    IndexMeta.ensure(spark, indexDir,
+      Map("dim" -> dim.toString, "planes" -> planes.toString))
     val baseB = Lineage.materialize(
       Similarity.bucketedBase(batch, idCol, vecCol, dim, planes)
         .select(col(idCol).cast("long").as("id"), col("v"),
@@ -401,6 +479,53 @@ object IncrementalEmbeddingDedup {
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
+
+  /** Re-bucket the persisted index to `newPlanes` WITHOUT re-reading the
+    * corpus: the vectors table already holds every embedding, so the
+    * migration recomputes `bucket` from stored doubles partition by
+    * partition — O(index), no text/embedding source touched. This is the
+    * escape hatch for an under-sized bucket space discovered after the
+    * fact ([[Similarity.planesFor]] is how to not need it): when
+    * [[indexBucketStats]] shows hot buckets, migrate UP and the cap stops
+    * thinning.
+    *
+    * Crash safety: a `_graft_rebucket_inprogress` marker blocks
+    * [[addBatch]] while partitions hold a mix of old and new buckets; the
+    * migration itself is idempotent — rerun it to completion and the
+    * marker clears. Offline op, same contract as [[compactIndex]].
+    */
+  def rebucket(spark: SparkSession, indexDir: String, newPlanes: Int): Unit = {
+    val meta = IndexMeta.read(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no index metadata at $indexDir — nothing to rebucket"))
+    val dim = meta("dim").toInt
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vroot = new org.apache.hadoop.fs.Path(s"$indexDir/$VectorsT")
+    if (meta("planes").toInt == newPlanes) {
+      // meta is written only after every partition is rewritten, so a
+      // matching value means the previous run finished the data phase —
+      // a leftover marker (crash before clear) is safe to drop here
+      IndexMeta.clearMigrating(spark, indexDir)
+      return
+    }
+    IndexMeta.setMigrating(spark, indexDir)
+    if (fs.exists(vroot)) {
+      val parts = fs.listStatus(vroot).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+      parts.foreach { p =>
+        spark.read.schema("id bigint, v array<double>, nrm double")
+          .parquet(p.toString)
+          .select(col("id"),
+            Similarity.lshBucket(col("v"), dim, newPlanes).as("bucket"))
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/$BucketsT/${p.getName}")
+      }
+    }
+    IndexMeta.write(spark, indexDir,
+      meta.updated("planes", newPlanes.toString))
+    IndexMeta.clearMigrating(spark, indexDir)
+  }
 
   /** [[IncrementalDedup.compactIndex]] for the embedding index. */
   def compactIndex(spark: SparkSession, indexDir: String,

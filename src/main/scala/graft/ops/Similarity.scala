@@ -447,6 +447,43 @@ object Similarity {
     * (first match short-circuits; no pair set materializes — the
     * [[semanticKept]] discipline).
     */
+  /** Corpus-scaled plane count: the 2^planes bucket space must GROW with
+    * the corpus or average occupancy grows linearly and every bucket goes
+    * hot — at which point the `maxBucket` skip-cap stops deduplicating
+    * entirely (a fixed `planes` is a scale constant pretending to be a
+    * parameter). `ceil(log2(n / targetBucket))` holds expected occupancy
+    * near `targetBucket`, clamped to [minPlanes, maxPlanes] so test-scale
+    * corpora keep the historical 2^8 space (every sf0.01/0.1 oracle
+    * replays 8-plane literals) and the bucket id stays well inside a
+    * long. Size from the EXPECTED corpus where known — the index bakes
+    * the choice in; [[IncrementalEmbeddingDedup.rebucket]] is the
+    * migration when the estimate was wrong.
+    */
+  def planesFor(n: Long, targetBucket: Int = 100, minPlanes: Int = 8,
+      maxPlanes: Int = 24): Int = {
+    require(targetBucket > 0, s"targetBucket must be > 0, got $targetBucket")
+    require(minPlanes >= 1 && maxPlanes >= minPlanes,
+      s"need 1 <= minPlanes <= maxPlanes, got $minPlanes/$maxPlanes")
+    if (n <= targetBucket) minPlanes
+    else {
+      val needed = math.ceil(
+        math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+      math.min(maxPlanes, math.max(minPlanes, needed))
+    }
+  }
+
+  /** [[dropEmbeddingNearDups]] with the plane count derived from the
+    * corpus via [[planesFor]] — one extra count() pass buys a bucket
+    * space that scales with the data. Identical to the fixed-planes form
+    * whenever planesFor lands on the same count (it does at every gate
+    * scale, which is what keeps the static 8-plane oracle valid).
+    */
+  def dropEmbeddingNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, targetBucket: Int = 100, minCos: Double = 0.6,
+      maxBucket: Int = 1000): DataFrame =
+    dropEmbeddingNearDups(df, idCol, vecCol, dim,
+      planesFor(df.count(), targetBucket), minCos, maxBucket)
+
   def dropEmbeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int = 8, minCos: Double = 0.6,
       maxBucket: Int = 1000): DataFrame = {

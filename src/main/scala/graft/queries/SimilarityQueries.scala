@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, flatten, lit, max, pmod, sequence, transform}
+import org.apache.spark.sql.functions.{col, count, flatten, lit, max, pmod, sequence, transform}
 import graft.Tables
 import graft.ops.Similarity
 
@@ -162,10 +162,13 @@ object SimilarityQueries extends QueryModule {
     // WITHIN-corpus embedding near-dedup, one-pass batch form: lower-id
     // RP-LSH bucket-mate with floored cosine ≥ 0.3 drops the row (whole
     // over-cap buckets skipped — the minhash cap style, reproducible
-    // incrementally)
+    // incrementally). AUTO bucket space: planesFor(n) keeps 2^planes
+    // tracking the corpus — 8 at every oracle scale (the static 8-plane
+    // bucketExpr stays valid), 11 at the 100× envelope where the fixed
+    // space used to saturate
     "dedup_emb_kept" -> ((s, d) =>
-      Similarity.dropEmbeddingNearDups(emb(s, d), "vec_id", "embedding",
-        Dim, Planes, minCos = 0.3).select("vec_id")),
+      Similarity.dropEmbeddingNearDupsAuto(emb(s, d), "vec_id", "embedding",
+        Dim, targetBucket = 100, minCos = 0.3).select("vec_id")),
 
     // the INCREMENTAL twin: three id-ordered batches against a persisted
     // RP-LSH index (ops/IncrementalEmbeddingDedup — the corpus is never
@@ -179,17 +182,23 @@ object SimilarityQueries extends QueryModule {
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
-      val mRow = e.agg(max(col("vec_id"))).head // 1-row model read
+      val mRow = e.agg(max(col("vec_id")), count(lit(1))).head // 1-row model read
       if (mRow.isNullAt(0)) e.select("vec_id") // empty corpus: nothing kept
       else {
         val m = mRow.getLong(0)
+        // the index bakes planes in, so size the bucket space ONCE from
+        // the FULL corpus (what a production pipeline does from its
+        // expected scale), not per-batch — per-batch sizing would give
+        // batch 0 a smaller space than the batch form and break the
+        // shared-oracle equality. 8 at every oracle scale, 11 at 100×.
+        val planes = Similarity.planesFor(mRow.getLong(1), targetBucket = 100)
         val batches = Seq(
           e.filter(col("vec_id") <= m / 3),
           e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
           e.filter(col("vec_id") > 2 * m / 3))
         batches.zipWithIndex.map { case (b, i) =>
           graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir, b,
-            "embedding", "vec_id", batchId = i, dim = Dim, planes = Planes,
+            "embedding", "vec_id", batchId = i, dim = Dim, planes = planes,
             minCos = 0.3).select("vec_id")
         }.reduce(_ unionByName _)
       }

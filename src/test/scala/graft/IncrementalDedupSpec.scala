@@ -232,6 +232,92 @@ class IncrementalDedupSpec extends SparkSpec {
       "cap fired — the equality contract would not apply")
   }
 
+  test("baked signature parameters are pinned: a mismatched probe fails loudly") {
+    val idx = freshIndex("meta")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    // k shapes band_key — a k=5 probe against a k=8 index would silently
+    // match nothing (under-dropping every dup), so it must throw instead
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))),
+        "text", "doc_id", 1, k = 5)
+    }
+    assert(ex.getMessage.contains("rebucket/rebuild"))
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))),
+        "text", "doc_id", 1, bands = 4)
+    }
+    // matching parameters still pass
+    val k1 = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))),
+      "text", "doc_id", 1)
+    assert(k1.isEmpty)
+  }
+
+  test("rebucket migrates the embedding index to a larger bucket space; probes stay exact") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val m = e.agg(max("vec_id")).head.getLong(0)
+    val b1 = e.filter(col("vec_id") <= m / 2)
+    val b2 = e.filter(col("vec_id") > m / 2)
+    val idx = freshIndex("rebucket")
+    import graft.ops.IncrementalEmbeddingDedup
+    IncrementalEmbeddingDedup.addBatch(spark, idx, b1, "embedding", "vec_id",
+      batchId = 0, dim = 64, planes = 8, minCos = 0.3)
+    // planes bakes into the stored buckets: a 10-plane probe must refuse
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.addBatch(spark, idx, b2, "embedding", "vec_id",
+        batchId = 1, dim = 64, planes = 10, minCos = 0.3)
+    }
+    // migrate from the stored vectors (no corpus re-read), then probe at 10
+    IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 10)
+    val k2 = IncrementalEmbeddingDedup.addBatch(spark, idx, b2, "embedding",
+      "vec_id", batchId = 1, dim = 64, planes = 10, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // the migrated buckets equal a fresh 10-plane bucketing of the corpus
+    val got = spark.read
+      .schema("id bigint, bucket bigint, batch int").parquet(s"$idx/buckets")
+      .filter(col("batch") === 0).select("id", "bucket")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val want = graft.ops.Similarity.lshBuckets(b1, "vec_id", "embedding",
+        dim = 64, planes = 10)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want, "migrated buckets must equal a fresh 10-plane bucketing")
+    // and the full cycle at the escalated plane count still equals the
+    // one-pass batch policy — the equality contract survives the migration
+    val idx2 = freshIndex("rebucket_fresh")
+    val k1f = IncrementalEmbeddingDedup.addBatch(spark, idx2, b1, "embedding",
+      "vec_id", batchId = 0, dim = 64, planes = 10, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val k2f = IncrementalEmbeddingDedup.addBatch(spark, idx2, b2, "embedding",
+      "vec_id", batchId = 1, dim = 64, planes = 10, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(k2 === k2f, "post-migration probe must equal the fresh-index probe")
+    val batchKept = graft.ops.Similarity.dropEmbeddingNearDups(
+        e, "vec_id", "embedding", dim = 64, planes = 10, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert((k1f ++ k2f).sorted === batchKept)
+  }
+
+  test("an in-flight rebucket marker blocks probes until the migration reruns") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    val idx = freshIndex("rebucket_crash")
+    import graft.ops.{IncrementalEmbeddingDedup, IndexMeta}
+    IncrementalEmbeddingDedup.addBatch(spark, idx, e, "embedding", "vec_id",
+      batchId = 0, dim = 64, planes = 8, minCos = 0.3)
+    // simulate a crashed migration: marker set, buckets possibly mixed
+    IndexMeta.setMigrating(spark, idx)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.addBatch(spark, idx, e, "embedding", "vec_id",
+        batchId = 1, dim = 64, planes = 8, minCos = 0.3)
+    }
+    assert(ex.getMessage.contains("unfinished parameter migration"))
+    // rerunning the migration to completion clears the marker
+    IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 9)
+    val k = IncrementalEmbeddingDedup.addBatch(spark, idx, e, "embedding",
+      "vec_id", batchId = 1, dim = 64, planes = 9, minCos = 0.3)
+    assert(k.isEmpty, "batch 1 replays batch 0's vectors — all dups")
+  }
+
   test("empty and dup-free batches pass through; the index stays readable") {
     val idx = freshIndex("edges")
     val k0 = IncrementalDedup.addBatch(spark, idx,

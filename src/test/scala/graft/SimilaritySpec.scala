@@ -18,6 +18,22 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
+  test("planesFor scales the bucket space with the corpus, pinned at the gate scales") {
+    // every oracle scale must stay on the historical 8-plane space (the
+    // static bucketExpr literals), the 100x envelope must escalate
+    assert(Similarity.planesFor(0, 100) === 8)
+    assert(Similarity.planesFor(500, 100) === 8)     // sf0.01 embeddings
+    assert(Similarity.planesFor(2000, 100) === 8)    // sf0.1 embeddings
+    assert(Similarity.planesFor(25600, 100) === 8)   // boundary: 100 * 2^8
+    assert(Similarity.planesFor(25601, 100) === 9)
+    assert(Similarity.planesFor(200000, 100) === 11) // the 100x envelope
+    assert(Similarity.planesFor(Long.MaxValue, 100) === 24, "clamped")
+    // monotone in n
+    val seq = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(Similarity.planesFor(_, 100))
+    assert(seq === seq.sorted)
+  }
+
   test("IVF probed search recalls most brute-force neighbors, scans a fraction") {
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
