@@ -42,9 +42,10 @@ import graft.ops.Text.tokens
   * Scale notes:
   *  - the probe is an equi-join on (band, band_key) SEMI-JOIN-PRUNED to
   *    the keys the batch actually touches — index buckets the batch never
-  *    lands in are never read past the join hash, and at rest the bands
-  *    table can be promoted to a band_key-bucketed layout (ops/Bucketing)
-  *    so the probe shuffles only the batch side.
+  *    lands in are never read past the join hash; [[promoteBase]] folds
+  *    the at-rest index into catalog tables bucketed by the probe keys,
+  *    after which the probe shuffles ONLY the batch side (zero Exchange
+  *    above the base scans — spec-pinned).
   *  - the hot-bucket cap is enforced on the COMBINED (index + batch)
   *    bucket size, same `maxBucket` default as the batch form; over-cap
   *    keys contribute no candidates (bounded fan-out unconditionally).
@@ -114,43 +115,62 @@ object IncrementalDedup {
       shingleSets(batch, textCol, idCol)
         .select(col(idCol).cast("long").as("doc_id"), col("shs"), col("nsh")))
 
-    val idxBands = readIndex(spark, indexDir, BandsT, batchId,
-      "doc_id bigint, band int, band_key string")
-    val idxShs = readIndex(spark, indexDir, ShinglesT, batchId,
-      "doc_id bigint, shs array<string>, nsh int")
+    // (base, delta) views: with a promoted base every index-side consumer
+    // below runs PER LEG and unions the (small) outputs — the base leg
+    // plans with zero Exchange above its bucketed scan (PlanSpec pins it)
+    val vBands = IndexBase.view(spark, indexDir, "bands_table", batchId,
+      readIndex(spark, indexDir, BandsT, batchId,
+        "doc_id bigint, band int, band_key string"))
+    val vShs = IndexBase.view(spark, indexDir, "shingles_table", batchId,
+      readIndex(spark, indexDir, ShinglesT, batchId,
+        "doc_id bigint, shs array<string>, nsh int"))
 
     // combined-occupancy cap over the keys this batch touches: index
     // members counted only inside touched buckets (semi-join prune), so
-    // the cap never scans the index
+    // the cap never scans the index; per-leg partial counts summed after
     val touched = bandsB.select("band", "band_key").distinct()
-    val idxCnt = idxBands.join(touched, Seq("band", "band_key"), "left_semi")
-      .groupBy("band", "band_key").agg(count(lit(1)).as("n_idx"))
+    val idxCnt = vBands.over(s =>
+        s.join(touched, Seq("band", "band_key"), "left_semi")
+          .groupBy("band", "band_key").agg(count(lit(1)).as("n_leg")))
+      .groupBy("band", "band_key").agg(sum("n_leg").as("n_idx"))
     val okKeys = bandsB.groupBy("band", "band_key").agg(count(lit(1)).as("n_new"))
       .join(idxCnt, Seq("band", "band_key"), "left")
       .filter(col("n_new") + coalesce(col("n_idx"), lit(0L)) <= maxBucket)
       .select("band", "band_key")
 
     // candidates: new doc × indexed doc sharing an under-cap bucket, plus
-    // lower-id-partner pairs within the batch itself
+    // lower-id-partner pairs within the batch itself. band_key leads the
+    // join keys: it is the base's bucket+sort column, so the bucketed leg
+    // needs neither Exchange nor Sort.
     val okNew = bandsB.join(okKeys, Seq("band", "band_key"), "left_semi")
-    val cross = okNew
-      .join(idxBands.select(col("band"), col("band_key"), col("doc_id").as("partner_id")),
-        Seq("band", "band_key"))
-      .select(col("partner_id"), col("doc_id"))
+    val cross = vBands.over(s => okNew
+      .join(s.select(col("band_key"), col("band"), col("doc_id").as("partner_id")),
+        Seq("band_key", "band"))
+      .select(col("partner_id"), col("doc_id")))
     val intra = okNew.select(col("band"), col("band_key"), col("doc_id").as("partner_id"))
       .join(okNew, Seq("band", "band_key"))
       .filter(col("partner_id") < col("doc_id"))
       .select(col("partner_id"), col("doc_id"))
-    val cand = cross.union(intra).distinct()
+    // promoted path: candidates feed per-leg partner joins below —
+    // materialize so the legs are probed once, not re-derived per
+    // consumer. Plain path: single partner join, no need to pay the
+    // checkpoint (release is a no-op on unmaterialized frames).
+    val cand0 = cross.union(intra).distinct()
+    val cand = if (vBands.base.isDefined) Lineage.materialize(cand0) else cand0
 
     // exact verification — the same |A∪B| = |A|+|B|−|A∩B| arithmetic as
     // the batch form, partner sets read from the index (earlier batches)
     // or the batch's own staged sets
-    val partnerShs = idxShs.select(col("doc_id"), col("shs"), col("nsh")).union(shsB)
+    val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
+      col("shs").as("sh_a"), col("nsh").as("n_a"))
+    val withPartner = vShs.base match {
+      case Some(_) => vShs.over(s => cand.join(shsSel(s), "partner_id"))
+        .unionByName(cand.join(shsSel(shsB), "partner_id"))
+      case None => cand.join(
+        shsSel(vShs.delta.drop("batch")).unionByName(shsSel(shsB)), "partner_id")
+    }
     val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
-    val dropped = cand
-      .join(partnerShs.select(col("doc_id").as("partner_id"),
-        col("shs").as("sh_a"), col("nsh").as("n_a")), "partner_id")
+    val dropped = withPartner
       .join(shsB.select(col("doc_id"), col("shs").as("sh_b"), col("nsh").as("n_b")),
         "doc_id")
       .select(col("doc_id"), col("n_a"), col("n_b"),
@@ -167,7 +187,7 @@ object IncrementalDedup {
     bandsB.write.mode("overwrite").parquet(s"$indexDir/$BandsT/batch=$batchId")
     shsB.write.mode("overwrite").parquet(s"$indexDir/$ShinglesT/batch=$batchId")
     val out = Lineage.materialize(kept)
-    Lineage.release(bandsB); Lineage.release(shsB)
+    Lineage.release(bandsB); Lineage.release(shsB); Lineage.release(cand)
     out
   }
 
@@ -178,12 +198,66 @@ object IncrementalDedup {
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
       maxBucket: Int = 1000): DataFrame =
-    spark.read.parquet(s"$indexDir/$BandsT")
+    IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
+        readIndex(spark, indexDir, BandsT, Int.MaxValue,
+          "doc_id bigint, band int, band_key string"))
+      .over(_.select("band", "band_key"))
       .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
       .agg(
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
+
+  /** Promote the index base to catalog-bucketed tables: fold every batch
+    * below `uptoExclusive` (plus any previous base) into versioned tables
+    * bucketed by the probe keys — bands by `band_key` (sorted
+    * band_key, band), shingles by `doc_id`. From then on [[addBatch]]
+    * probes the base with ZERO Exchange on the index side: the scan's
+    * HashPartitioning satisfies both the candidate equi-join and the
+    * occupancy aggregation, so each batch shuffles only ITSELF. This is
+    * the rest-layout the probe was designed for — at a TB-scale index the
+    * per-batch cost otherwise being re-shuffling index rows the batch
+    * never matches.
+    *
+    * Sizing: `buckets` is a layout-time choice — target ~256 MB/bucket at
+    * the expected base size (the [[Bucketing]] discipline). Re-promotion
+    * (a larger `uptoExclusive`) folds base + new deltas into a NEW
+    * version and retires the old one; the meta update is the commit
+    * point, a crash before cleanup leaves only excluded garbage.
+    * OFFLINE op. Batches below the boundary can never be replayed
+    * (enforced), same contract as compaction.
+    */
+  def promoteBase(spark: SparkSession, indexDir: String,
+      uptoExclusive: Int, buckets: Int = 32): Unit = {
+    IndexMeta.requireNoMigration(spark, indexDir)
+    val meta = IndexMeta.read(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no index at $indexDir to promote"))
+    val prev = meta.get("base_upto").map(_.toInt)
+    if (prev.contains(uptoExclusive)) return // idempotent
+    prev.foreach(p => require(uptoExclusive >= p,
+      s"cannot promote to $uptoExclusive below the existing base boundary $p"))
+    val prefix = IndexBase.tablePrefix(indexDir)
+    val bandsT = s"${prefix}_bands_$uptoExclusive"
+    val shsT = s"${prefix}_shingles_$uptoExclusive"
+    IndexBase.promoteOne(spark, indexDir, BandsT,
+      "doc_id bigint, band int, band_key string", bucketKey = "band_key",
+      sortCols = Seq("band_key", "band"), buckets = buckets,
+      prevTable = meta.get("bands_table"), lower = prev,
+      upto = uptoExclusive, tName = bandsT)
+    IndexBase.promoteOne(spark, indexDir, ShinglesT,
+      "doc_id bigint, shs array<string>, nsh int", bucketKey = "doc_id",
+      sortCols = Seq("doc_id"), buckets = buckets,
+      prevTable = meta.get("shingles_table"), lower = prev,
+      upto = uptoExclusive, tName = shsT)
+    // commit: views switch to the new base + boundary atomically via meta
+    IndexMeta.write(spark, indexDir, meta ++ Map(
+      "base_upto" -> uptoExclusive.toString,
+      "bands_table" -> bandsT, "shingles_table" -> shsT))
+    IndexBase.cleanupOne(spark, indexDir, BandsT, meta.get("bands_table"),
+      prev, uptoExclusive, bandsT)
+    IndexBase.cleanupOne(spark, indexDir, ShinglesT, meta.get("shingles_table"),
+      prev, uptoExclusive, shsT)
+  }
 
   /** Fold all batch partitions below `uptoExclusive` into the single base
     * partition `batch=-1` — the small-files maintenance a long-running
@@ -196,12 +270,119 @@ object IncrementalDedup {
     */
   def compactIndex(spark: SparkSession, indexDir: String,
       uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
+    // a promoted index folds through promoteBase (batch=-1 would land
+    // BELOW the base boundary and be silently excluded from every probe)
+    require(IndexMeta.read(spark, indexDir).forall(!_.contains("base_upto")),
+      s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")
     IndexCompaction.compact(spark, indexDir, BandsT,
       "doc_id bigint, band int, band_key string", uptoExclusive,
       clusterBy = "band_key", targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, ShinglesT,
       "doc_id bigint, shs array<string>, nsh int", uptoExclusive,
       clusterBy = "doc_id", targetFileBytes = targetFileBytes)
+  }
+}
+
+/** A promoted index splits into a catalog-bucketed BASE (every batch
+  * below `base_upto`, hash-bucketed by its probe key so scans report
+  * `HashPartitioning` and probe joins/aggregations insert NO Exchange
+  * above the base — the probe shuffles only the batch side) and plain
+  * parquet DELTA partitions (batches since promotion). Every index-side
+  * consumer distributes over the union, so each leg keeps its own
+  * layout: apply the transform per leg with [[over]] and union the
+  * (small) outputs — unioning the INPUTS would discard the base's
+  * partitioning and re-shuffle the whole index per probe.
+  */
+private[graft] case class IndexView(base: Option[DataFrame], delta: DataFrame) {
+  def over(f: DataFrame => DataFrame): DataFrame = base match {
+    case Some(b) => f(b).unionByName(f(delta.drop("batch")))
+    case None => f(delta.drop("batch"))
+  }
+}
+
+/** Shared machinery for promoted (catalog-bucketed) index bases. */
+private[graft] object IndexBase {
+
+  /** Catalog-safe, collision-resistant table-name prefix per index dir. */
+  def tablePrefix(indexDir: String): String =
+    ("graft_idx_" + indexDir.replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("_+", "_").toLowerCase).takeRight(80)
+
+  /** Assemble the (base, delta) view for one index table. `delta0` is the
+    * plain parquet read already bounded to `batch < batchId`; with a
+    * promoted base the delta additionally excludes folded batches
+    * (`batch >= base_upto`) — which also makes a promote crash before
+    * partition cleanup harmless, the folded rows are filtered out, never
+    * double-counted. Probing below the base boundary is refused: those
+    * batches live in the base, a replay would double them.
+    */
+  def view(spark: SparkSession, indexDir: String, metaTableKey: String,
+      batchId: Int, delta0: DataFrame): IndexView =
+    IndexMeta.read(spark, indexDir).getOrElse(Map.empty)
+      .get("base_upto").map(_.toInt) match {
+      case Some(u) =>
+        require(batchId >= u,
+          s"batchId $batchId is below the promoted base boundary $u — " +
+            "batches folded into the base must never be replayed")
+        val meta = IndexMeta.read(spark, indexDir).get
+        val t = meta.getOrElse(metaTableKey, throw new IllegalStateException(
+          s"index at $indexDir has base_upto but no $metaTableKey"))
+        require(spark.catalog.tableExists(t),
+          s"promoted base table $t missing from the catalog — rerun promoteBase")
+        IndexView(Some(spark.table(t)), delta0.filter(col("batch") >= u))
+      case None => IndexView(None, delta0)
+    }
+
+  /** Fold previous base (if any) + batch partitions in [lower, upto) into
+    * a NEW versioned catalog-bucketed table. One shuffle partition per
+    * bucket ⇒ one file per bucket ⇒ the scan trusts the per-bucket sort.
+    */
+  def promoteOne(spark: SparkSession, indexDir: String, table: String,
+      schemaDdl: String, bucketKey: String, sortCols: Seq[String],
+      buckets: Int, prevTable: Option[String], lower: Option[Int],
+      upto: Int, tName: String): Unit = {
+    IndexCompaction.healIfNeeded(spark, indexDir, table)
+    val root = s"$indexDir/$table"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaAll =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root)))
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
+      else spark.read.schema(s"$schemaDdl, batch int").parquet(root)
+    val delta = deltaAll
+      .filter(col("batch") >= lower.getOrElse(Int.MinValue) && col("batch") < upto)
+      .drop("batch")
+    val folded = prevTable.map(t => spark.table(t).unionByName(delta)).getOrElse(delta)
+    folded.repartition(buckets, col(bucketKey))
+      .write.format("parquet")
+      .bucketBy(buckets, bucketKey).sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", s"$indexDir/${table}_base_v$upto")
+      .mode("overwrite").saveAsTable(tName)
+  }
+
+  /** Post-commit space reclamation: drop the previous base version and
+    * the folded parquet partitions. A crash anywhere here only leaves
+    * garbage — the meta committed above already excludes all of it.
+    */
+  def cleanupOne(spark: SparkSession, indexDir: String, table: String,
+      oldTable: Option[String], lower: Option[Int], upto: Int,
+      newTable: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    oldTable.filter(_ != newTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t") // external table: data stays
+      lower.foreach { v => // previous version's path is the convention
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/${table}_base_v$v"), true)
+      }
+    }
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith("batch=") && n.stripPrefix("batch=").toIntOption
+          .exists(b => b >= lower.getOrElse(Int.MinValue) && b < upto)
+      }.foreach(p => fs.delete(p, true))
   }
 }
 
@@ -424,36 +605,46 @@ object IncrementalEmbeddingDedup {
         .select(col(idCol).cast("long").as("id"), col("v"),
           col("n").as("nrm"), col("bucket")))
 
-    val idxBuckets = readIndex(spark, indexDir, BucketsT, batchId,
-      "id bigint, bucket bigint")
-    val idxVecs = readIndex(spark, indexDir, VectorsT, batchId,
-      "id bigint, v array<double>, nrm double")
+    val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", batchId,
+      readIndex(spark, indexDir, BucketsT, batchId, "id bigint, bucket bigint"))
+    val vVecs = IndexBase.view(spark, indexDir, "vectors_table", batchId,
+      readIndex(spark, indexDir, VectorsT, batchId,
+        "id bigint, v array<double>, nrm double"))
 
     val touched = baseB.select("bucket").distinct()
-    val idxCnt = idxBuckets.join(touched, Seq("bucket"), "left_semi")
-      .groupBy("bucket").agg(count(lit(1)).as("n_idx"))
+    val idxCnt = vBuckets.over(s =>
+        s.join(touched, Seq("bucket"), "left_semi")
+          .groupBy("bucket").agg(count(lit(1)).as("n_leg")))
+      .groupBy("bucket").agg(sum("n_leg").as("n_idx"))
     val okBuckets = baseB.groupBy("bucket").agg(count(lit(1)).as("n_new"))
       .join(idxCnt, Seq("bucket"), "left")
       .filter(col("n_new") + coalesce(col("n_idx"), lit(0L)) <= maxBucket)
       .select("bucket")
 
     val okNew = baseB.join(okBuckets, Seq("bucket"), "left_semi")
-    val cross = okNew.select(col("bucket"), col("id"))
-      .join(idxBuckets.select(col("bucket"), col("id").as("partner_id")), Seq("bucket"))
-      .select(col("partner_id"), col("id"))
+    val cross = vBuckets.over(s => okNew.select(col("bucket"), col("id"))
+      .join(s.select(col("bucket"), col("id").as("partner_id")), Seq("bucket"))
+      .select(col("partner_id"), col("id")))
     val intra = okNew.select(col("bucket"), col("id").as("partner_id"))
       .join(okNew.select(col("bucket"), col("id")), Seq("bucket"))
       .filter(col("partner_id") < col("id"))
       .select(col("partner_id"), col("id"))
-    val cand = cross.union(intra).distinct()
+    val cand0 = cross.union(intra).distinct()
+    val cand = if (vBuckets.base.isDefined) Lineage.materialize(cand0) else cand0
 
     // floored cosine, same column roles as the batch form: the NEW row is
     // the query side (qv), the indexed/lower-id partner the neighbor (cv)
-    val partnerVecs = idxVecs.select(col("id"), col("v"), col("nrm"))
-      .union(baseB.select(col("id"), col("v"), col("nrm")))
-    val dropped = cand
-      .join(partnerVecs.select(col("id").as("partner_id"),
-        col("v").as("cv"), col("nrm").as("cn")), "partner_id")
+    val vecSel = (s: DataFrame) => s.select(col("id").as("partner_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val batchVecs = baseB.select(col("id"), col("v"), col("nrm"))
+    val withPartner = vVecs.base match {
+      case Some(_) => vVecs.over(s => cand.join(vecSel(s), "partner_id"))
+        .unionByName(cand.join(vecSel(batchVecs), "partner_id"))
+      case None => cand.join(
+        vecSel(vVecs.delta.drop("batch")).unionByName(vecSel(batchVecs)),
+        "partner_id")
+    }
+    val dropped = withPartner
       .join(baseB.select(col("id"), col("v").as("qv"), col("nrm").as("qn")), "id")
       .filter(Text.floor6(Similarity.candCos) >= lit(minCos))
       .select(col("id")).distinct()
@@ -466,19 +657,57 @@ object IncrementalEmbeddingDedup {
     baseB.select("id", "v", "nrm").write.mode("overwrite")
       .parquet(s"$indexDir/$VectorsT/batch=$batchId")
     val out = Lineage.materialize(kept)
-    Lineage.release(baseB)
+    Lineage.release(baseB); Lineage.release(cand)
     out
   }
 
   /** Occupancy audit of the persisted bucket index (all batches). */
   def indexBucketStats(spark: SparkSession, indexDir: String,
       maxBucket: Int = 1000): DataFrame =
-    spark.read.parquet(s"$indexDir/$BucketsT")
+    IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
+        readIndex(spark, indexDir, BucketsT, Int.MaxValue,
+          "id bigint, bucket bigint"))
+      .over(_.select("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .agg(
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
+
+  /** [[IncrementalDedup.promoteBase]] for the embedding index: buckets
+    * table bucketed+sorted by `bucket`, vectors by `id` — the candidate
+    * equi-join, occupancy count, and verification fetch all run with zero
+    * Exchange on the index side once promoted.
+    */
+  def promoteBase(spark: SparkSession, indexDir: String,
+      uptoExclusive: Int, buckets: Int = 32): Unit = {
+    IndexMeta.requireNoMigration(spark, indexDir)
+    val meta = IndexMeta.read(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no index at $indexDir to promote"))
+    val prev = meta.get("base_upto").map(_.toInt)
+    if (prev.contains(uptoExclusive)) return // idempotent
+    prev.foreach(p => require(uptoExclusive >= p,
+      s"cannot promote to $uptoExclusive below the existing base boundary $p"))
+    val prefix = IndexBase.tablePrefix(indexDir)
+    val bktT = s"${prefix}_buckets_$uptoExclusive"
+    val vecT = s"${prefix}_vectors_$uptoExclusive"
+    IndexBase.promoteOne(spark, indexDir, BucketsT, "id bigint, bucket bigint",
+      bucketKey = "bucket", sortCols = Seq("bucket"), buckets = buckets,
+      prevTable = meta.get("buckets_table"), lower = prev,
+      upto = uptoExclusive, tName = bktT)
+    IndexBase.promoteOne(spark, indexDir, VectorsT,
+      "id bigint, v array<double>, nrm double",
+      bucketKey = "id", sortCols = Seq("id"), buckets = buckets,
+      prevTable = meta.get("vectors_table"), lower = prev,
+      upto = uptoExclusive, tName = vecT)
+    IndexMeta.write(spark, indexDir, meta ++ Map(
+      "base_upto" -> uptoExclusive.toString,
+      "buckets_table" -> bktT, "vectors_table" -> vecT))
+    IndexBase.cleanupOne(spark, indexDir, BucketsT, meta.get("buckets_table"),
+      prev, uptoExclusive, bktT)
+    IndexBase.cleanupOne(spark, indexDir, VectorsT, meta.get("vectors_table"),
+      prev, uptoExclusive, vecT)
+  }
 
   /** Re-bucket the persisted index to `newPlanes` WITHOUT re-reading the
     * corpus: the vectors table already holds every embedding, so the
@@ -498,6 +727,9 @@ object IncrementalEmbeddingDedup {
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no index metadata at $indexDir — nothing to rebucket"))
+    require(!meta.contains("base_upto"),
+      s"index at $indexDir has a promoted base — rebucket before promoting, " +
+        "or rebuild the base tables (the migration rewrites path partitions only)")
     val dim = meta("dim").toInt
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -530,6 +762,8 @@ object IncrementalEmbeddingDedup {
   /** [[IncrementalDedup.compactIndex]] for the embedding index. */
   def compactIndex(spark: SparkSession, indexDir: String,
       uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
+    require(IndexMeta.read(spark, indexDir).forall(!_.contains("base_upto")),
+      s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")
     IndexCompaction.compact(spark, indexDir, BucketsT,
       "id bigint, bucket bigint", uptoExclusive, clusterBy = "bucket",
       targetFileBytes = targetFileBytes)

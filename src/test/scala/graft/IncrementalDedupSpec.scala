@@ -232,6 +232,161 @@ class IncrementalDedupSpec extends SparkSpec {
       "cap fired — the equality contract would not apply")
   }
 
+  // --- promoted (catalog-bucketed) base ---------------------------------
+
+  /** Walk a physical plan including AQE stages and reused exchanges. */
+  private def expand(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(expand)
+  }
+
+  private def bucketedScans(p: org.apache.spark.sql.execution.SparkPlan) =
+    expand(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.bucketSpec.isDefined => f
+    }
+
+  test("a promoted base answers identically and probes with zero index-side shuffle") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val m = docs.agg(max("doc_id")).head.getLong(0)
+    val b0 = docs.filter(col("doc_id") <= m / 3)
+    val b1 = docs.filter(col("doc_id") > m / 3 && col("doc_id") <= 2 * m / 3)
+    val b2 = docs.filter(col("doc_id") > 2 * m / 3)
+    // reference run on a plain (never-promoted) index
+    val idxPlain = freshIndex("plain3")
+    val keptPlain = Seq(b0, b1, b2).zipWithIndex.map { case (b, i) =>
+      IncrementalDedup.addBatch(spark, idxPlain, b, "text", "doc_id", i)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    // promoted run: fold batches 0+1 into the bucketed base, probe batch 2
+    val idx = freshIndex("promoted")
+    IncrementalDedup.addBatch(spark, idx, b0, "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, b1, "text", "doc_id", 1)
+    IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 2, buckets = 4)
+    // folded batches can never be replayed; compaction defers to promoteBase
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, b1, "text", "doc_id", 1)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.compactIndex(spark, idx, 2)
+    }
+    // capture every plan the promoted probe executes
+    val captured = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val k2 =
+      try {
+        val r = IncrementalDedup.addBatch(spark, idx, b2, "text", "doc_id", 2)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        // the listener bus is async — wait until the capture stops growing
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val now = captured.synchronized(captured.size)
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        r
+      } finally spark.listenerManager.unregister(listener)
+    assert(k2 === keptPlain(2),
+      "promoted probe must answer exactly like the plain index")
+    val plans = captured.synchronized(captured.toVector)
+    val withBase = plans.filter(p => bucketedScans(p).nonEmpty)
+    assert(withBase.nonEmpty, "no captured plan read the bucketed base — pin is vacuous")
+    // THE pin: no shuffle exchange moves RAW base rows — a bucketed scan
+    // must be consumed by a join/aggregate (which the bucketing satisfies
+    // without exchange) before anything shuffles. Exchanges above those
+    // consumers move batch-bounded candidates, which is the batch side's
+    // legitimate work.
+    def rawBase(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.bucketSpec.isDefined => Seq(f)
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => Seq.empty
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => Seq.empty
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => Seq.empty
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        rawBase(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => rawBase(q.plan)
+      case other => other.children.flatMap(rawBase)
+    }
+    withBase.foreach { p =>
+      val offenders = expand(p).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+              .children.flatMap(rawBase).nonEmpty => e
+      }
+      assert(offenders.isEmpty,
+        s"raw base rows shuffled above the bucketed scan:\n${offenders.mkString("\n")}")
+    }
+    // stats see base + delta
+    val stats = IncrementalDedup.indexBucketStats(spark, idx).head()
+    assert(stats.getAs[Long]("hot_buckets") === 0L)
+    // re-promotion folds base + new delta into the next version; every doc
+    // seen so far is in the base, so a re-probe of batch 0's content (new
+    // ids) drops everything
+    IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 3, buckets = 4)
+    val k3 = IncrementalDedup.addBatch(spark, idx,
+      b0.withColumn("doc_id", col("doc_id") + lit(10L) * lit(m)),
+      "text", "doc_id", 3)
+    assert(k3.isEmpty, "base content must survive re-promotion")
+    dropPromotedTables()
+  }
+
+  /** The promoted tests register per-tempdir catalog tables; drop them so
+    * the derby metastore doesn't accrete dead entries across runs.
+    */
+  private def dropPromotedTables(): Unit =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("EMBEDDING twin: promoted base answers identically") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val m = e.agg(max("vec_id")).head.getLong(0)
+    val b0 = e.filter(col("vec_id") <= m / 2)
+    val b1 = e.filter(col("vec_id") > m / 2)
+    import graft.ops.IncrementalEmbeddingDedup
+    val idxPlain = freshIndex("emb_plain")
+    IncrementalEmbeddingDedup.addBatch(spark, idxPlain, b0, "embedding",
+      "vec_id", 0, dim = 64, planes = 8, minCos = 0.3)
+    val keptPlain = IncrementalEmbeddingDedup.addBatch(spark, idxPlain, b1,
+      "embedding", "vec_id", 1, dim = 64, planes = 8, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val idx = freshIndex("emb_promoted")
+    IncrementalEmbeddingDedup.addBatch(spark, idx, b0, "embedding",
+      "vec_id", 0, dim = 64, planes = 8, minCos = 0.3)
+    IncrementalEmbeddingDedup.promoteBase(spark, idx, uptoExclusive = 1, buckets = 4)
+    val kept = IncrementalEmbeddingDedup.addBatch(spark, idx, b1, "embedding",
+      "vec_id", 1, dim = 64, planes = 8, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === keptPlain)
+    val stats = IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
+    assert(stats.getAs[Long]("max_bucket") >= 1L)
+    // rebucket refuses on a promoted index (buckets live in the base table)
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.rebucket(spark, idx, 10)
+    }
+    dropPromotedTables()
+  }
+
   test("baked signature parameters are pinned: a mismatched probe fails loudly") {
     val idx = freshIndex("meta")
     IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
