@@ -53,20 +53,37 @@ import graft.ops.Text.tokens
   *    the cap MID-STREAM (the batch form sees the final size); the
   *    equality contract assumes the cap does not fire, which
   *    [[indexBucketStats]] makes observable.
-  *  - shingle sets are stored as the oracle-portable shingle STRINGS here;
-  *    a production index at 100 TB would store 8-byte xxhash64 shingle
-  *    keys instead (the [[SubstrDedup]] `hashed` discipline — collisions
-  *    only ever ADD a drop) for a ~5× index-size cut.
+  *  - `hashedShingles = true` stores 8-byte xxhash64 shingle keys instead
+  *    of the oracle-portable strings (the [[SubstrDedup]] `hashed`
+  *    discipline — a collision merges shingles, which only RAISES
+  *    Jaccard, so collisions only ever ADD a drop) for a ~5× cut of the
+  *    verification index; the layout is pinned in the index meta.
   */
 object IncrementalDedup {
 
   private val BandsT = "bands"
   private val ShinglesT = "shingles"
 
-  private def shingleSets(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+  private def shingleSets(df: DataFrame, textCol: String, idCol: String,
+      hashed: Boolean): DataFrame = {
+    val strSets = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), array_distinct(Dedup.shinglesOfTokens(col("toks"))).as("shs"))
-      .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+    val sets =
+      if (!hashed) strSets
+      // 8-byte xxhash64 keys instead of the oracle-portable strings: ~5×
+      // smaller verification index and a long-keyed intersect at probe
+      // time. re-distinct AFTER hashing — a collision merges two
+      // shingles, which can only RAISE the Jaccard (|∩| gains at least
+      // as much as |∪| loses), i.e. collisions only ever ADD a drop (the
+      // SubstrDedup hashed discipline; spec pins kept ⊆ string-form kept)
+      else strSets.select(col(idCol),
+        array_distinct(transform(col("shs"), s => xxhash64(s))).as("shs"))
+    sets.select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+  }
+
+  private def shinglesDdl(hashed: Boolean): String =
+    if (hashed) "doc_id bigint, shs array<bigint>, nsh int"
+    else "doc_id bigint, shs array<string>, nsh int"
 
   /** Read one index table restricted to batches BEFORE `batchId` (replay
     * safety: a re-run batch must not see its own previous write). Missing
@@ -98,13 +115,14 @@ object IncrementalDedup {
   def addBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, batchId: Int,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, hashedShingles: Boolean = false): DataFrame = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     IndexMeta.requireNoMigration(spark, indexDir)
-    // k and bands shape band_key — a mismatched probe silently matches
-    // nothing, so the index pins them on first write
-    IndexMeta.ensure(spark, indexDir,
-      Map("k" -> k.toString, "bands" -> bands.toString))
+    // k and bands shape band_key, hashedShingles shapes the verification
+    // sets — a mismatched probe silently matches nothing (or fails on
+    // schema), so the index pins them on first write
+    IndexMeta.ensure(spark, indexDir, Map("k" -> k.toString,
+      "bands" -> bands.toString, "hashed" -> hashedShingles.toString))
 
     // the batch's signatures are consumed by candidates, verification AND
     // the index append — materialize once, don't re-signature three times
@@ -112,7 +130,7 @@ object IncrementalDedup {
       Dedup.lshBands(batch, textCol, idCol, k, bands)
         .select(col(idCol).cast("long").as("doc_id"), col("band"), col("band_key")))
     val shsB = Lineage.materialize(
-      shingleSets(batch, textCol, idCol)
+      shingleSets(batch, textCol, idCol, hashedShingles)
         .select(col(idCol).cast("long").as("doc_id"), col("shs"), col("nsh")))
 
     // (base, delta) views: with a promoted base every index-side consumer
@@ -122,8 +140,7 @@ object IncrementalDedup {
       readIndex(spark, indexDir, BandsT, batchId,
         "doc_id bigint, band int, band_key string"))
     val vShs = IndexBase.view(spark, indexDir, "shingles_table", batchId,
-      readIndex(spark, indexDir, ShinglesT, batchId,
-        "doc_id bigint, shs array<string>, nsh int"))
+      readIndex(spark, indexDir, ShinglesT, batchId, shinglesDdl(hashedShingles)))
 
     // combined-occupancy cap over the keys this batch touches: index
     // members counted only inside touched buckets (semi-join prune), so
@@ -245,7 +262,7 @@ object IncrementalDedup {
       prevTable = meta.get("bands_table"), lower = prev,
       upto = uptoExclusive, tName = bandsT)
     IndexBase.promoteOne(spark, indexDir, ShinglesT,
-      "doc_id bigint, shs array<string>, nsh int", bucketKey = "doc_id",
+      shinglesDdl(meta.get("hashed").contains("true")), bucketKey = "doc_id",
       sortCols = Seq("doc_id"), buckets = buckets,
       prevTable = meta.get("shingles_table"), lower = prev,
       upto = uptoExclusive, tName = shsT)
@@ -272,13 +289,15 @@ object IncrementalDedup {
       uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
     // a promoted index folds through promoteBase (batch=-1 would land
     // BELOW the base boundary and be silently excluded from every probe)
-    require(IndexMeta.read(spark, indexDir).forall(!_.contains("base_upto")),
+    val meta = IndexMeta.read(spark, indexDir)
+    require(meta.forall(!_.contains("base_upto")),
       s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")
+    val hashed = meta.exists(_.get("hashed").contains("true"))
     IndexCompaction.compact(spark, indexDir, BandsT,
       "doc_id bigint, band int, band_key string", uptoExclusive,
       clusterBy = "band_key", targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, ShinglesT,
-      "doc_id bigint, shs array<string>, nsh int", uptoExclusive,
+      shinglesDdl(hashed), uptoExclusive,
       clusterBy = "doc_id", targetFileBytes = targetFileBytes)
   }
 }

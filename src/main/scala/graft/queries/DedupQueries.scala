@@ -143,6 +143,36 @@ object DedupQueries extends QueryModule {
       }.reduce(_ unionByName _)
       }
     }),
+    // the SCALE-layout twin: verification sets stored as 8-byte xxhash64
+    // shingle keys (~5× smaller index). An xxhash64 collision can only
+    // RAISE a pair's Jaccard — collisions only ever ADD drops (the
+    // SubstrDedup hashed discipline) — and at gate scale none occur, so
+    // this declares the string form's oracle verbatim; the spec pins
+    // kept ⊆ string-form kept structurally.
+    "dedup_incr_kept_hashed" -> ((s, d) => {
+      val dd = docs(s, d)
+      val indexDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incrdeduph",
+        d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      val mRow = dd.agg(max(col("doc_id"))).head
+      if (mRow.isNullAt(0)) dd.select("doc_id")
+      else {
+        val m = mRow.getLong(0)
+        val bounds = Seq(m / 3, 2 * m / 3)
+        val batches = Seq(
+          dd.filter(col("doc_id") <= bounds(0)),
+          dd.filter(col("doc_id") > bounds(0) && col("doc_id") <= bounds(1)),
+          dd.filter(col("doc_id") > bounds(1)))
+        batches.zipWithIndex.map { case (b, i) =>
+          graft.ops.IncrementalDedup.addBatch(s, indexDir, b, "text", "doc_id",
+            batchId = i, minJaccard = 0.8, hashedShingles = true)
+            .select("doc_id")
+        }.reduce(_ unionByName _)
+      }
+    }),
 
     // FUZZY benchmark decontamination: where text_decontaminated_kept drops
     // exact winnow-fingerprint overlap, this drops NEAR-duplicates of the
@@ -481,6 +511,7 @@ object DedupQueries extends QueryModule {
     // with a indexed or intra-batch) — so the corpus-wide SQL applies
     // verbatim; IncrementalDedupSpec pins the engine-side equality too
     "dedup_incr_kept" -> nearKeptSql,
+    "dedup_incr_kept_hashed" -> nearKeptSql,
 
     "dedup_verified_pairs" ->
       s"""$jcCte

@@ -473,6 +473,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k.isEmpty, "batch 1 replays batch 0's vectors — all dups")
   }
 
+  test("hashed-shingle index: kept set equals the string form; layout is pinned") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val m = docs.agg(max("doc_id")).head.getLong(0)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= m / 2),
+      docs.filter(col("doc_id") > m / 2))
+    def run(hashed: Boolean): Seq[Long] = {
+      val idx = freshIndex(if (hashed) "hashed" else "strform")
+      batches.zipWithIndex.map { case (b, i) =>
+        IncrementalDedup.addBatch(spark, idx, b, "text", "doc_id", i,
+          hashedShingles = hashed).select("doc_id")
+      }.reduce(_ unionByName _).as[Long].collect().sorted.toSeq
+    }
+    val str = run(hashed = false)
+    val hsh = run(hashed = true)
+    // contract: hashed kept ⊆ string kept (collisions only add drops);
+    // on the real corpus xxhash64 collides on nothing, so they are equal
+    assert(hsh.forall(str.toSet), "hashed form may only drop MORE, never less")
+    assert(hsh === str, "no collisions at this scale — kept sets must be equal")
+    assert(str.nonEmpty && str.size < docs.count())
+    // the layout bakes in: a string probe against a hashed index refuses
+    val idx = freshIndex("hashedpin")
+    IncrementalDedup.addBatch(spark, idx, batches.head, "text", "doc_id", 0,
+      hashedShingles = true)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, batches(1), "text", "doc_id", 1)
+    }
+  }
+
   test("empty and dup-free batches pass through; the index stays readable") {
     val idx = freshIndex("edges")
     val k0 = IncrementalDedup.addBatch(spark, idx,
