@@ -435,18 +435,6 @@ object Similarity {
       maxCluster = targetClusterSize.toLong * maxClusterFactor)
   }
 
-  /** WITHIN-corpus one-pass embedding near-dup removal — the vector twin
-    * of [[Dedup.dropNearDuplicates]]: a row is dropped iff a LOWER-ID
-    * vector in the same RP-LSH bucket has floored cosine ≥ `minCos`.
-    * Buckets over `maxBucket` are skipped WHOLE (the
-    * [[Dedup.minhashCandidatePairs]] cap style, not the stride-thinning
-    * the cross-corpus form uses) — deliberately, so
-    * [[IncrementalEmbeddingDedup]]'s combined-occupancy cap reproduces
-    * this form exactly while no bucket crosses the cap. The EXISTS runs
-    * as a LEFT SEMI with the similarity predicate in the join condition
-    * (first match short-circuits; no pair set materializes — the
-    * [[semanticKept]] discipline).
-    */
   /** Corpus-scaled plane count: the 2^planes bucket space must GROW with
     * the corpus or average occupancy grows linearly and every bucket goes
     * hot — at which point the `maxBucket` skip-cap stops deduplicating
@@ -480,20 +468,47 @@ object Similarity {
     */
   def dropEmbeddingNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, targetBucket: Int = 100, minCos: Double = 0.6,
-      maxBucket: Int = 1000): DataFrame =
+      maxReps: Int = 1000): DataFrame =
     dropEmbeddingNearDups(df, idCol, vecCol, dim,
-      planesFor(df.count(), targetBucket), minCos, maxBucket)
+      planesFor(df.count(), targetBucket), minCos, maxReps)
 
+  /** WITHIN-corpus one-pass embedding near-dup removal — the vector twin
+    * of [[Dedup.dropNearDuplicates]]: a row is dropped iff a lower-id
+    * REPRESENTATIVE of its RP-LSH bucket — one of the bucket's `maxReps`
+    * earliest (lowest-id) members — has floored cosine ≥ `minCos` with
+    * it. For buckets of ≤ `maxReps` members every member represents, i.e.
+    * the plain "any lower-id bucket-mate" rule; denser buckets verify
+    * against the FIXED earliest-member panel, bounding fan-out to
+    * `maxReps` per row while still PROCESSING the bucket.
+    *
+    * Why rank panels replaced the pre-r15 whole-bucket skip-cap: skipping
+    * an over-cap bucket exempts exactly the densest DUPLICATE clusters
+    * from dedup, and a cluster of (near-)identical vectors projects the
+    * same sign on every extra hyperplane — no plane count can ever split
+    * it back under a cap (measured at the 100× envelope: max_bucket
+    * ~3500 at planes 11, 13 and 14 alike). A rank panel dedups such a
+    * cluster fully: every copy matches the cluster's earliest members.
+    * Representative sets are PREFIX-STABLE under id-ordered growth — a
+    * bucket's K earliest members never change as higher ids arrive —
+    * which is what lets [[IncrementalEmbeddingDedup]] store each row's
+    * bucket rank at append time and reproduce this form EXACTLY, with no
+    * occupancy precondition.
+    *
+    * The EXISTS runs as a LEFT SEMI with the similarity predicate in the
+    * join condition (first match short-circuits; no pair set materializes
+    * — the [[semanticKept]] discipline).
+    */
   def dropEmbeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int = 8, minCos: Double = 0.6,
-      maxBucket: Int = 1000): DataFrame = {
+      maxReps: Int = 1000): DataFrame = {
     val base = bucketedBase(df, idCol, vecCol, dim, planes)
-    val ok = base.groupBy("bucket").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket).select("bucket")
-    val okBase = base.join(ok, Seq("bucket"), "left_semi")
-    val a = okBase.select(col(idCol), col("v").as("qv"), col("n").as("qn"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(idCol)
+    val reps = base.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxReps)
+    val a = base.select(col(idCol), col("v").as("qv"), col("n").as("qn"),
       col("bucket"))
-    val b = okBase.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
+    val b = reps.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
       col("n").as("cn"), col("bucket").as("bucket2"))
     val dropped = a.join(b,
         col("bucket") === col("bucket2") && col("neighbor_id") < col(idCol) &&

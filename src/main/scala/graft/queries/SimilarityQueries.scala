@@ -409,10 +409,14 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** Within-corpus embedding near-dedup kept set — same hyperplane
-    * literals and floored cosine as the cross-corpus oracles, lower-id
-    * drop rule, whole buckets over the 1000 cap excluded (the engine's
-    * skip-style cap, exercised never at this scale — occupancy is audited
-    * engine-side).
+    * literals and floored cosine as the cross-corpus oracles; a row drops
+    * iff a lower-id RANK REPRESENTATIVE of its bucket (one of the 1000
+    * earliest members by id) is within the cosine threshold. For every
+    * bucket of ≤ 1000 members — i.e. every bucket at every oracle scale —
+    * the rank predicate is vacuous and this is the plain lower-id
+    * bucket-mate rule; at 100× the rank panel is what lets dense
+    * duplicate clusters dedup instead of being skip-capped (engine doc:
+    * Similarity.dropEmbeddingNearDups).
     */
   private lazy val embKeptSql =
     s"""WITH e AS (
@@ -420,10 +424,12 @@ object SimilarityQueries extends QueryModule {
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
        |         ($bucketExpr)::BIGINT AS bucket
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
-       |okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 1000),
+       |r AS (SELECT vec_id, v, nrm, bucket,
+       |             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+       |      FROM e),
        |dropped AS (SELECT DISTINCT a.vec_id
-       |            FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
-       |            JOIN okb ON okb.bucket = a.bucket
+       |            FROM e a JOIN r b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+       |                              AND b.rk <= 1000
        |            WHERE floor((CASE WHEN a.nrm * b.nrm > 0
        |                   THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
        |                   ELSE 0 END) * 1000000) / 1000000.0 >= 0.3)

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{IncrementalDedup, IncrementalEmbeddingDedup, Similarity}
+
+/** Scale-audit harness for the incremental-dedup maintenance pair: the
+  * measurements SCALE.md records at the 10×/100× envelopes that a board
+  * query can't express —
+  *
+  *  - `emb`: does the corpus-derived plane count keep the RP-LSH bucket
+  *    space under the cap (hot_buckets = 0), and does the incremental
+  *    kept set EQUAL the one-pass batch form at this scale? (r14's fixed
+  *    2^8 space failed both at 100×.)
+  *  - `text`: the promoted-base probe — build batches 0+1, promote, then
+  *    time batch 2's probe against the bucketed base vs a plain index,
+  *    with kept-set equality checked.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.IncrEnvelope <emb|text>
+  */
+object IncrEnvelope {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "mode: emb | text")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.configure(spark)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def fresh(tag: String): String = {
+      val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_envelope_$tag").toString
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      d
+    }
+
+    args.head match {
+      case "emb" =>
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val row = e.agg(max("vec_id"), count(lit(1))).head
+        val (m, n) = (row.getLong(0), row.getLong(1))
+        val planes =
+          if (args.length > 1) args(1).toInt
+          else Similarity.planesFor(n, targetBucket = 100)
+        val (batchKept, tBatch) = timed {
+          Similarity.dropEmbeddingNearDups(e, "vec_id", "embedding",
+            dim = 64, planes = planes, minCos = 0.3)
+            .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+            .collect().toSet
+        }
+        val idx = fresh("emb")
+        val (incrKept, tIncr) = timed {
+          Seq(
+            e.filter(col("vec_id") <= m / 3),
+            e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
+            e.filter(col("vec_id") > 2 * m / 3)
+          ).zipWithIndex.map { case (b, i) =>
+            IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding",
+              "vec_id", batchId = i, dim = 64, planes = planes, minCos = 0.3)
+              .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+              .collect()
+          }.flatten.toSet
+        }
+        val st = IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
+        println(s"""{"mode":"emb","n":$n,"planes":$planes,""" +
+          s""""batch_kept":${batchKept.size},"incr_kept":${incrKept.size},""" +
+          s""""equal":${batchKept == incrKept},""" +
+          s""""hot_buckets":${st.getAs[Long]("hot_buckets")},""" +
+          s""""max_bucket":${st.getAs[Long]("max_bucket")},""" +
+          s""""batch_sec":${f"$tBatch%.2f"},"incr_sec":${f"$tIncr%.2f"}}""")
+
+      case "text" =>
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val m = docs.agg(max("doc_id")).head.getLong(0)
+        val b0 = docs.filter(col("doc_id") <= m / 3)
+        val b1 = docs.filter(col("doc_id") > m / 3 && col("doc_id") <= 2 * m / 3)
+        val b2 = docs.filter(col("doc_id") > 2 * m / 3)
+        def keptOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+            .collect().toSet
+        // plain index: three batches, batch 2 timed separately
+        val plain = fresh("text_plain")
+        val (_, tP01) = timed {
+          IncrementalDedup.addBatch(spark, plain, b0, "text", "doc_id", 0).count()
+          IncrementalDedup.addBatch(spark, plain, b1, "text", "doc_id", 1).count()
+        }
+        val (plainKept2, tPlain2) = timed {
+          keptOf(IncrementalDedup.addBatch(spark, plain, b2, "text", "doc_id", 2))
+        }
+        // promoted index: fold 0+1 into the bucketed base, probe batch 2
+        val promo = fresh("text_promo")
+        val (_, tB01) = timed {
+          IncrementalDedup.addBatch(spark, promo, b0, "text", "doc_id", 0).count()
+          IncrementalDedup.addBatch(spark, promo, b1, "text", "doc_id", 1).count()
+        }
+        val (_, tPromote) = timed {
+          IncrementalDedup.promoteBase(spark, promo, uptoExclusive = 2,
+            buckets = 32)
+        }
+        val (promoKept2, tPromo2) = timed {
+          keptOf(IncrementalDedup.addBatch(spark, promo, b2, "text", "doc_id", 2))
+        }
+        println(s"""{"mode":"text","docs":${docs.count()},""" +
+          s""""equal":${plainKept2 == promoKept2},""" +
+          s""""batch01_sec":${f"$tP01%.2f"},""" +
+          s""""plain_probe2_sec":${f"$tPlain2%.2f"},""" +
+          s""""promote_sec":${f"$tPromote%.2f"},""" +
+          s""""promoted_probe2_sec":${f"$tPromo2%.2f"},""" +
+          s""""batch01_promo_sec":${f"$tB01%.2f"}}""")
+        // hygiene: the promoted tables are per-tempdir catalog entries
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith("graft_idx_"))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+      case other => sys.error(s"unknown mode $other — use emb | text")
+    }
+    spark.stop()
+  }
+}

@@ -229,7 +229,36 @@ class IncrementalDedupSpec extends SparkSpec {
       "fixture vacuous — the corpus must actually contain cosine near-dups at 0.3")
     val stats = graft.ops.IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
     assert(stats.getAs[Long]("hot_buckets") === 0L,
-      "cap fired — the equality contract would not apply")
+      "fixture note: no bucket near the rep-panel bound at this scale")
+  }
+
+  test("dense duplicate clusters dedup fully via rank representatives (no cap skip)") {
+    import spark.implicits._
+    // 2500 identical vectors = ONE bucket of 2500 members. More planes can
+    // never split an identical cluster (same sign on every hyperplane),
+    // and the pre-r15 skip-cap would have exempted it whole — keeping all
+    // 2500 copies. Rank panels verify every row against the bucket's 1000
+    // earliest members, so every copy drops against rep 1.
+    val dim = 8
+    val df = (1L to 2500L).map(i => (i, Array.fill(dim)(1.0f))).toDF("vec_id", "embedding")
+    val batchKept = graft.ops.Similarity.dropEmbeddingNearDups(
+        df, "vec_id", "embedding", dim, planes = 8, minCos = 0.6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(batchKept === Seq(1L), s"only the first copy survives: $batchKept")
+    // incremental equality on the same data, across a batch boundary
+    val idx = freshIndex("dense")
+    val kept = Seq(
+      df.filter(col("vec_id") <= 1200), df.filter(col("vec_id") > 1200)
+    ).zipWithIndex.map { case (b, i) =>
+      graft.ops.IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding",
+        "vec_id", batchId = i, dim = dim, planes = 8, minCos = 0.6)
+        .select("vec_id").as[Long].collect().toSeq
+    }.reduce(_ ++ _)
+    assert(kept === Seq(1L))
+    // the hot bucket is observable, but no longer a correctness caveat
+    val st = graft.ops.IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
+    assert(st.getAs[Long]("hot_buckets") === 1L)
+    assert(st.getAs[Long]("max_bucket") === 2500L)
   }
 
   // --- promoted (catalog-bucketed) base ---------------------------------
@@ -468,9 +497,10 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("unfinished parameter migration"))
     // rerunning the migration to completion clears the marker
     IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 9)
-    val k = IncrementalEmbeddingDedup.addBatch(spark, idx, e, "embedding",
+    val k = IncrementalEmbeddingDedup.addBatch(spark, idx,
+      e.withColumn("vec_id", col("vec_id") + 1000000L), "embedding",
       "vec_id", batchId = 1, dim = 64, planes = 9, minCos = 0.3)
-    assert(k.isEmpty, "batch 1 replays batch 0's vectors — all dups")
+    assert(k.isEmpty, "batch 1 re-sends batch 0's vectors under fresh ids — all dups")
   }
 
   test("hashed-shingle index: kept set equals the string form; layout is pinned") {
