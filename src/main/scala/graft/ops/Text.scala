@@ -803,10 +803,15 @@ object Text {
       s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
     val step = chunk - overlap
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") > 0)
       .select(col(idCol), col("toks"),
-        explode(sequence(lit(0), col("n") - 1, lit(step))).as("start"))
+        // explode(NULL) emits no rows — the tokenless-doc guard WITHOUT a
+        // Filter node: a filter on size(toks) pushes through the staging
+        // projection (PushDownPredicate has no cost check) and re-inlines
+        // the tokenizer into the predicate — every row tokenized TWICE
+        // (measured: 2 split(lower(...)) instances in the r14 plan;
+        // PlanSpec pins it back to 1)
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(step)))).as("start"))
       .select(col(idCol),
         (col("start") / step).cast("long").as("chunk_id"),
         size(slice(col("toks"), col("start") + 1, lit(chunk))).cast("long").as("n_toks"),

@@ -241,6 +241,20 @@ class PlanSpec extends SparkSpec {
       s"$single SinglePartition exchanges — expected exactly the final sketch merge")
   }
 
+  test("text_chunks is a narrow per-row explode: no shuffle, tokenizer staged once") {
+    // adjudication trail: official 0.27 s (r13) → 0.43 s (r14, flat reps)
+    // → 0.49-0.53 s (r15 isolated 5-rep, flat, loadavg > 7 during the
+    // run). Magnitude trivial and the plan is data-independent — pin the
+    // two properties that could actually regress: a shuffle appearing, or
+    // the tokenizer re-inlining per chunk (the trap chunkDocs explicitly
+    // stages against).
+    val p = plan("text_chunks")
+    assert(hashExchanges(p) === 0, s"text_chunks must stay narrow:\n${p.take(400)}")
+    val tokenizers = "split\\(lower\\(".r.findAllIn(p).size
+    assert(tokenizers === 1,
+      s"$tokenizers tokenizer instances — staging lost (re-inlined per chunk)")
+  }
+
   test("cc keeper drop is a keyed anti-join over the materialized components") {
     // official BENCH_r13 recorded 4.3 → 12.3 s at sf0.1 (flat reps,
     // loadavg ~2.3); the r14 isolated repro decays 14.4 → 3.2 s over 5
