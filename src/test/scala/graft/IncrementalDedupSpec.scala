@@ -110,6 +110,40 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(keptIds.sorted.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("EMBEDDING twin: a changelog stream maintains the index via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val idx = freshIndex("emb_stream")
+    val keptIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val kept = graft.ops.IncrementalEmbeddingDedup.addBatch(spark, idx,
+          batch, "embedding", "vec_id", batchId = id.toInt, dim = 4,
+          planes = 8, minCos = 0.6)
+        keptIds.synchronized {
+          keptIds ++= kept.select("vec_id").as[Long].collect()
+        }
+        ()
+      }.start()
+    def v(id: Long, xs: Float*): (Long, Seq[Float]) = (id, xs.toSeq)
+    val all = Seq(
+      v(1, 1f, 0f, 0f, 0f), v(2, 0f, 1f, 0f, 0f), // batch 0: two directions
+      v(3, 1f, 0f, 0f, 0f), v(4, 0f, 0f, 1f, 0f), // batch 1: copy of 1 + new
+      v(5, 0f, 0f, 1f, 0f), v(6, 0f, 0f, 0f, 1f)) // batch 2: copy of 4 + new
+    try {
+      in.addData(all(0), all(1)); q.processAllAvailable()
+      in.addData(all(2), all(3)); q.processAllAvailable()
+      in.addData(all(4), all(5)); q.processAllAvailable()
+    } finally q.stop()
+    val expected = graft.ops.Similarity.dropEmbeddingNearDups(
+        all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = 4, planes = 8, minCos = 0.6)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(keptIds.sorted.toSeq === expected)
+    assert(keptIds.sorted.toSeq === Seq(1L, 2L, 4L, 6L))
+  }
+
   test("compaction folds batch partitions into one base; answers are unchanged") {
     val idx = freshIndex("compact")
     IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A), doc(2, B))),
