@@ -200,8 +200,16 @@ object Dedup {
     */
   def verifiedNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
-    val pairs = minhashCandidatePairs(df, textCol, idCol, k, bands, maxBucket)
+      maxBucket: Int = 1000): DataFrame =
+    verifyPairs(df, textCol, idCol,
+      minhashCandidatePairs(df, textCol, idCol, k, bands, maxBucket), minJaccard)
+
+  /** Exact shingle-Jaccard verification of (doc_a, doc_b) candidate pairs
+    * — shared by the capped PAIR surface ([[verifiedNearDupPairs]]) and
+    * the rank-representative KEPT-SET path ([[dropNearDuplicates]]).
+    */
+  private def verifyPairs(df: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame, minJaccard: Double): DataFrame = {
     val shs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
       .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
@@ -221,11 +229,40 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Rank-representative candidate pairs for the KEPT-SET policy: doc_a
+    * must be one of its bucket's `maxReps` earliest (lowest-id) members;
+    * doc_b is ANY higher-id bucket-mate. Fan-out ≤ maxReps·|bucket| —
+    * linear in the bucket, never quadratic — so no bucket is ever
+    * skipped. For buckets of ≤ maxReps members this is exactly the
+    * all-lower-id pair set. The skip-cap [[minhashCandidatePairs]] uses
+    * is the wrong bound for a kept set: a doc duplicated thousands of
+    * times fills ONE band bucket past any cap — identical docs share
+    * identical band keys, so no banding change can split them — and
+    * skipping that bucket exempts the most-duplicated content from dedup
+    * (the r15 embedding post-mortem, SCALE.md Round-15; same hole here).
+    * Rank panels are prefix-stable under id-ordered growth, which is what
+    * [[graft.ops.IncrementalDedup]] relies on to reproduce this policy
+    * from a persisted index.
+    */
+  private[graft] def repCandidatePairs(df: DataFrame, textCol: String,
+      idCol: String, k: Int, bands: Int, maxReps: Int): DataFrame =
+    bucketedDocLists(df, textCol, idCol, k, bands)
+      .filter(size(col("docs")) > 1)
+      .withColumn("sorted", array_sort(col("docs")))
+      .select(explode(slice(col("sorted"), 1, maxReps)).as("doc_a"), col("sorted"))
+      .select(col("doc_a"), explode(col("sorted")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+
   /** End-to-end near-duplicate removal — the operator a pipeline actually
-    * calls: [[verifiedNearDupPairs]] → drop policy "a doc is dropped iff a
-    * lower-id doc is its near-duplicate" (one-pass keeper rule; cheap,
-    * deterministic, no iterative connected components) → anti-join.
-    * Returns the KEPT rows.
+    * calls: [[repCandidatePairs]] (rank-representative candidates) →
+    * exact-Jaccard verify → drop policy "a doc is dropped iff a lower-id
+    * RANK REPRESENTATIVE of one of its buckets is its near-duplicate"
+    * (one-pass keeper rule; cheap, deterministic, no iterative connected
+    * components; ≡ the plain any-lower-id rule wherever buckets hold
+    * ≤ maxReps members — i.e. everywhere but mass-duplicated content,
+    * which the old skip-cap silently EXEMPTED and this processes) →
+    * anti-join. Returns the KEPT rows.
     *
     * Scale: the final anti-join carries NO broadcast hint on purpose — at
     * web-scale dup rates (30-50% of a crawl) the drop set is O(corpus), so
@@ -234,8 +271,12 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
-    val verified = verifiedNearDupPairs(df, textCol, idCol, minJaccard, k, bands, maxBucket)
+      maxReps: Int = 1000): DataFrame = {
+    // rank-representative candidates, NOT the capped pair surface: a
+    // kept set must process dense buckets (they hold the most-duplicated
+    // content), bounding fan-out per ROW instead of skipping per BUCKET
+    val verified = verifyPairs(df, textCol, idCol,
+      repCandidatePairs(df, textCol, idCol, k, bands, maxReps), minJaccard)
     val dropped = verified.select(col("doc_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

@@ -31,13 +31,18 @@ import graft.ops.Text.tokens
   * own batch. ALL batch docs (kept and dropped) enter the index — a doc
   * dropped yesterday still represents its content, so today's copy of it
   * is dropped too (the same any-prior-doc rule as the one-pass batch
-  * policy). When batches arrive in increasing id order this is EXACTLY
-  * [[Dedup.dropNearDuplicates]]'s "dropped iff a lower-id near-dup
-  * exists": every (a, b) pair with a < b is examined exactly once — in
-  * b's batch, with a either indexed (earlier batch) or intra-batch —
-  * which is what lets the `dedup_incr_kept` query declare the batch
-  * form's oracle SQL verbatim (IncrementalDedupSpec pins the equality on
-  * the real corpus, plus restart-from-disk and empty/no-dup batches).
+  * policy). Partners are the bucket's RANK REPRESENTATIVES (its
+  * `maxReps` earliest members — [[Dedup.repCandidatePairs]] semantics):
+  * each row's final bucket rank is computed at append time (batch-local
+  * window + indexed-member offset) and STORED, which works because rank
+  * panels are prefix-stable under id-ordered batches. When batches
+  * arrive in increasing id order this is EXACTLY
+  * [[Dedup.dropNearDuplicates]]'s policy, UNCONDITIONALLY: every (rep,
+  * b) pair with rep < b is examined exactly once — in b's batch, with
+  * the rep either indexed (earlier batch) or intra-batch — which is what
+  * lets the `dedup_incr_kept` query declare the batch form's oracle SQL
+  * verbatim (IncrementalDedupSpec pins the equality on the real corpus,
+  * plus restart-from-disk and empty/no-dup batches).
   *
   * Scale notes:
   *  - the probe is an equi-join on (band, band_key) SEMI-JOIN-PRUNED to
@@ -46,13 +51,12 @@ import graft.ops.Text.tokens
   *    the at-rest index into catalog tables bucketed by the probe keys,
   *    after which the probe shuffles ONLY the batch side (zero Exchange
   *    above the base scans — spec-pinned).
-  *  - the hot-bucket cap is enforced on the COMBINED (index + batch)
-  *    bucket size, same `maxBucket` default as the batch form; over-cap
-  *    keys contribute no candidates (bounded fan-out unconditionally).
-  *    Cap semantics differ from the batch form only when a bucket crosses
-  *    the cap MID-STREAM (the batch form sees the final size); the
-  *    equality contract assumes the cap does not fire, which
-  *    [[indexBucketStats]] makes observable.
+  *  - fan-out is bounded per ROW (≤ `maxReps` representatives per bucket
+  *    a doc lands in), never per-bucket-skip: dense buckets — the
+  *    most-duplicated content — are processed, and the probe filters the
+  *    index on its STORED rank (pushed to the scan), so no window ever
+  *    runs over index rows at probe time. [[indexBucketStats]] stays as
+  *    occupancy observability.
   *  - `hashedShingles = true` stores 8-byte xxhash64 shingle keys instead
   *    of the oracle-portable strings (the [[SubstrDedup]] `hashed`
   *    discipline — a collision merges shingles, which only RAISES
@@ -115,7 +119,7 @@ object IncrementalDedup {
   def addBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, batchId: Int,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
-      maxBucket: Int = 1000, hashedShingles: Boolean = false): DataFrame = {
+      maxReps: Int = 1000, hashedShingles: Boolean = false): DataFrame = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     IndexMeta.requireNoMigration(spark, indexDir)
     // k and bands shape band_key, hashedShingles shapes the verification
@@ -138,34 +142,44 @@ object IncrementalDedup {
     // plans with zero Exchange above its bucketed scan (PlanSpec pins it)
     val vBands = IndexBase.view(spark, indexDir, "bands_table", batchId,
       readIndex(spark, indexDir, BandsT, batchId,
-        "doc_id bigint, band int, band_key string"))
+        "doc_id bigint, band int, band_key string, rank bigint"))
     val vShs = IndexBase.view(spark, indexDir, "shingles_table", batchId,
       readIndex(spark, indexDir, ShinglesT, batchId, shinglesDdl(hashedShingles)))
 
-    // combined-occupancy cap over the keys this batch touches: index
-    // members counted only inside touched buckets (semi-join prune), so
-    // the cap never scans the index; per-leg partial counts summed after
+    // prior member count per touched bucket (semi-join-pruned, per-leg —
+    // zero-exchange on a promoted base): the offset that turns a
+    // batch-local rank into the row's FINAL rank in its bucket
     val touched = bandsB.select("band", "band_key").distinct()
-    val idxCnt = vBands.over(s =>
+    val priorCnt = vBands.over(s =>
         s.join(touched, Seq("band", "band_key"), "left_semi")
           .groupBy("band", "band_key").agg(count(lit(1)).as("n_leg")))
-      .groupBy("band", "band_key").agg(sum("n_leg").as("n_idx"))
-    val okKeys = bandsB.groupBy("band", "band_key").agg(count(lit(1)).as("n_new"))
-      .join(idxCnt, Seq("band", "band_key"), "left")
-      .filter(col("n_new") + coalesce(col("n_idx"), lit(0L)) <= maxBucket)
-      .select("band", "band_key")
+      .groupBy("band", "band_key").agg(sum("n_leg").as("n_prior"))
 
-    // candidates: new doc × indexed doc sharing an under-cap bucket, plus
-    // lower-id-partner pairs within the batch itself. band_key leads the
-    // join keys: it is the base's bucket+sort column, so the bucketed leg
-    // needs neither Exchange nor Sort.
-    val okNew = bandsB.join(okKeys, Seq("band", "band_key"), "left_semi")
-    val cross = vBands.over(s => okNew
-      .join(s.select(col("band_key"), col("band"), col("doc_id").as("partner_id")),
+    // bucket ranks are PREFIX-STABLE under id-ordered batches — computed
+    // once here, stored, and filtered at probe time ([[Dedup
+    // .repCandidatePairs]] semantics: partner must be one of the bucket's
+    // maxReps earliest members; dense buckets are PROCESSED, not skipped)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key").orderBy("doc_id")
+    val ranked = Lineage.materialize(
+      bandsB.join(priorCnt, Seq("band", "band_key"), "left")
+        .withColumn("rank",
+          (row_number().over(wB) + coalesce(col("n_prior"), lit(0L))).cast("long"))
+        .select(col("doc_id"), col("band"), col("band_key"), col("rank")))
+
+    // candidates: batch doc × representative. band_key leads the join
+    // keys: it is the base's bucket+sort column, so the bucketed leg
+    // needs neither Exchange nor Sort; the rank filter pushes to the scan.
+    val cross = vBands.over(s => ranked
+      .select(col("band"), col("band_key"), col("doc_id"))
+      .join(s.filter(col("rank") <= maxReps)
+        .select(col("band_key"), col("band"), col("doc_id").as("partner_id")),
         Seq("band_key", "band"))
       .select(col("partner_id"), col("doc_id")))
-    val intra = okNew.select(col("band"), col("band_key"), col("doc_id").as("partner_id"))
-      .join(okNew, Seq("band", "band_key"))
+    val intra = ranked.filter(col("rank") <= maxReps)
+      .select(col("band"), col("band_key"), col("doc_id").as("partner_id"))
+      .join(ranked.select(col("band"), col("band_key"), col("doc_id")),
+        Seq("band", "band_key"))
       .filter(col("partner_id") < col("doc_id"))
       .select(col("partner_id"), col("doc_id"))
     // promoted path: candidates feed per-leg partner joins below —
@@ -201,23 +215,25 @@ object IncrementalDedup {
     // append AFTER the kept set is derived (the reads above already
     // excluded batch >= batchId, but a same-id replay must also not race
     // its own write); overwrite = replay idempotence
-    bandsB.write.mode("overwrite").parquet(s"$indexDir/$BandsT/batch=$batchId")
+    ranked.write.mode("overwrite").parquet(s"$indexDir/$BandsT/batch=$batchId")
     shsB.write.mode("overwrite").parquet(s"$indexDir/$ShinglesT/batch=$batchId")
     val out = Lineage.materialize(kept)
-    Lineage.release(bandsB); Lineage.release(shsB); Lineage.release(cand)
+    Lineage.release(bandsB); Lineage.release(ranked)
+    Lineage.release(shsB); Lineage.release(cand)
     out
   }
 
   /** Occupancy audit of the persisted band index (all batches): bucket
-    * counts split at `maxBucket`, plus the worst bucket — nonzero
-    * `hot_buckets` means [[addBatch]]'s cap is thinning candidates and the
-    * batch-equality contract no longer applies verbatim.
+    * counts split at `maxBucket`, plus the worst bucket. Observability
+    * only since the rank-representative semantics — a hot bucket means
+    * rows past `maxReps` are verified against the panel rather than every
+    * lower-id mate, never that the bucket was skipped.
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
       maxBucket: Int = 1000): DataFrame =
     IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
         readIndex(spark, indexDir, BandsT, Int.MaxValue,
-          "doc_id bigint, band int, band_key string"))
+          "doc_id bigint, band int, band_key string, rank bigint"))
       .over(_.select("band", "band_key"))
       .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
       .agg(
@@ -257,8 +273,9 @@ object IncrementalDedup {
     val bandsT = s"${prefix}_bands_$uptoExclusive"
     val shsT = s"${prefix}_shingles_$uptoExclusive"
     IndexBase.promoteOne(spark, indexDir, BandsT,
-      "doc_id bigint, band int, band_key string", bucketKey = "band_key",
-      sortCols = Seq("band_key", "band"), buckets = buckets,
+      "doc_id bigint, band int, band_key string, rank bigint",
+      bucketKey = "band_key",
+      sortCols = Seq("band_key", "band", "rank"), buckets = buckets,
       prevTable = meta.get("bands_table"), lower = prev,
       upto = uptoExclusive, tName = bandsT)
     IndexBase.promoteOne(spark, indexDir, ShinglesT,
@@ -294,7 +311,7 @@ object IncrementalDedup {
       s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")
     val hashed = meta.exists(_.get("hashed").contains("true"))
     IndexCompaction.compact(spark, indexDir, BandsT,
-      "doc_id bigint, band int, band_key string", uptoExclusive,
+      "doc_id bigint, band int, band_key string, rank bigint", uptoExclusive,
       clusterBy = "band_key", targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, ShinglesT,
       shinglesDdl(hashed), uptoExclusive,

@@ -384,10 +384,15 @@ object DedupQueries extends QueryModule {
       |  FROM i2_ss GROUP BY doc_id, isl)""".stripMargin
 
   /** The one-pass drop policy's kept set, corpus-wide — shared verbatim by
-    * `dedup_near_kept` (the batch form) and `dedup_incr_kept` (the
-    * persisted-index incremental form): under id-ordered batches the two
-    * engines' policies coincide pair-for-pair, so one independent DuckDB
-    * recomputation checks both.
+    * `dedup_near_kept` (the batch form) and `dedup_incr_kept` /
+    * `dedup_incr_kept_hashed` (the persisted-index incremental forms):
+    * under id-ordered batches the engines' policies coincide
+    * pair-for-pair, so one independent DuckDB recomputation checks all.
+    * Candidates are RANK-REPRESENTATIVE pairs (doc_a among its bucket's
+    * 1000 earliest members) — vacuous wherever buckets hold ≤ 1000
+    * members, i.e. at every oracle scale, where this is exactly the old
+    * any-lower-id bucket-mate rule; at 100× it is what lets
+    * mass-duplicated content dedup instead of being skip-capped.
     */
   private lazy val nearKeptSql =
     s"""$basesCte,
@@ -396,13 +401,14 @@ object DedupQueries extends QueryModule {
        |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
-       |ok AS (SELECT band, band_key FROM bands
-       |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |rb AS (SELECT doc_id, band, band_key,
+       |         row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+       |       FROM bands),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bands a JOIN bands b2
+       |  FROM rb a JOIN bands b2
        |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
-       |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
+       |  WHERE a.rk <= 1000),
        |ss AS (SELECT doc_id, list_distinct(
        |  CASE WHEN len(toks) >= 3
        |       THEN list_transform(range(len(toks) - 2),

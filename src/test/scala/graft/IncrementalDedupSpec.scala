@@ -208,7 +208,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for ((table, ddl) <- Seq(
-        "bands" -> "doc_id bigint, band int, band_key string",
+        "bands" -> "doc_id bigint, band int, band_key string, rank bigint",
         "shingles" -> "doc_id bigint, shs array<string>, nsh int")) {
       val root = s"$idx/$table"
       spark.read.schema(s"$ddl, batch int").parquet(root)
@@ -264,6 +264,26 @@ class IncrementalDedupSpec extends SparkSpec {
     val stats = graft.ops.IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
     assert(stats.getAs[Long]("hot_buckets") === 0L,
       "fixture note: no bucket near the rep-panel bound at this scale")
+  }
+
+  test("TEXT: a mass-duplicated doc dedups fully via rank representatives") {
+    // 2500 copies of one text share ONE band bucket (identical docs have
+    // identical band keys — no banding change can split them); the old
+    // skip-cap exempted the bucket whole, keeping every copy. Rank
+    // panels drop all but the first, and the incremental form agrees
+    // across a batch boundary.
+    val copies = (1L to 2500L).map(i => doc(i, A)) :+ doc(3000L, C)
+    val batchKept = Dedup.dropNearDuplicates(df(copies), "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batchKept === Seq(1L, 3000L), s"got ${batchKept.take(5)}... (${batchKept.size})")
+    val idx = freshIndex("densetext")
+    val kept = Seq(
+      df(copies.filter(_._1 <= 1200)), df(copies.filter(_._1 > 1200))
+    ).zipWithIndex.map { case (b, i) =>
+      IncrementalDedup.addBatch(spark, idx, b, "text", "doc_id", i)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }.reduce(_ ++ _)
+    assert(kept.sorted === Seq(1L, 3000L))
   }
 
   test("dense duplicate clusters dedup fully via rank representatives (no cap skip)") {
