@@ -159,5 +159,9 @@ object SparkEntry {
     // cycle a continuously-fed corpus pays, writes included — text
     // (MinHash bands + shingle sets) and embedding (RP-LSH buckets +
     // vectors) twins
-    "dedup_incr_kept", "dedup_incr_emb_kept")
+    "dedup_incr_kept", "dedup_incr_emb_kept",
+    // round-15: the hashed-shingle index layout twin (8-byte xxhash64
+    // verification keys — the at-scale index representation; same oracle
+    // as the string form)
+    "dedup_incr_kept_hashed")
 }
