@@ -160,8 +160,9 @@ object SparkEntry {
     // (MinHash bands + shingle sets) and embedding (RP-LSH buckets +
     // vectors) twins
     "dedup_incr_kept", "dedup_incr_emb_kept",
-    // round-15: the hashed-shingle index layout twin (8-byte xxhash64
-    // verification keys — the at-scale index representation; same oracle
-    // as the string form)
-    "dedup_incr_kept_hashed")
+    // round-15: the at-scale index layout twins — 8-byte xxhash64
+    // verification keys for the text index (same oracle as the string
+    // form) and int8-quantized vectors for the embedding index (own
+    // oracle replaying the quantization)
+    "dedup_incr_kept_hashed", "dedup_incr_emb_kept_q8")
 }

@@ -612,6 +612,14 @@ object IncrementalEmbeddingDedup {
   private val BucketsT = "buckets"
   private val VectorsT = "vectors"
 
+  /** Quantized indexes store int8 codes (`array<tinyint>`) — the ~5-8×
+    * representation cut; probe-time verification casts back to doubles
+    * (same integer values, so the arithmetic is unchanged).
+    */
+  private def vectorsDdl(quantized: Boolean): String =
+    if (quantized) "id bigint, v array<tinyint>, nrm double"
+    else "id bigint, v array<double>, nrm double"
+
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
       batchId: Int, schemaDdl: String): DataFrame = {
     IndexCompaction.healIfNeeded(spark, indexDir, table)
@@ -632,25 +640,44 @@ object IncrementalEmbeddingDedup {
     */
   def addBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
       vecCol: String, idCol: String, batchId: Int, dim: Int,
-      planes: Int = 8, minCos: Double = 0.6, maxReps: Int = 1000): DataFrame = {
+      planes: Int = 8, minCos: Double = 0.6, maxReps: Int = 1000,
+      quantized: Boolean = false): DataFrame = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     IndexMeta.requireNoMigration(spark, indexDir)
-    // dim and planes shape `bucket` — the index pins them on first write;
-    // size planes for the EXPECTED corpus via Similarity.planesFor and
-    // migrate with [[rebucket]] when the estimate was wrong
+    // dim, planes and the quantized layout all shape what the index
+    // stores — pinned on first write; size planes for the EXPECTED corpus
+    // via Similarity.planesFor and migrate with [[rebucket]] when the
+    // estimate was wrong
     IndexMeta.ensure(spark, indexDir,
-      Map("dim" -> dim.toString, "planes" -> planes.toString))
+      Map("dim" -> dim.toString, "planes" -> planes.toString,
+        "quantized" -> quantized.toString))
+    // quantized mode: bucket AND verify on the int8 codes (scales cancel
+    // in the cosine — Similarity.dropEmbeddingNearDupsQuantized), so the
+    // stored representation is self-consistent
+    val (batchV, vcol) =
+      if (!quantized) (batch, vecCol)
+      else {
+        val q = Similarity.quantizeInt8(batch, idCol, vecCol)
+          .select(col(idCol), col("qvec").cast("array<double>").as("__qv"))
+        (batch.select(col(idCol)).join(q, Seq(idCol)), "__qv")
+      }
     val baseB = Lineage.materialize(
-      Similarity.bucketedBase(batch, idCol, vecCol, dim, planes)
+      Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
         .select(col(idCol).cast("long").as("id"), col("v"),
           col("n").as("nrm"), col("bucket")))
 
     val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", batchId,
       readIndex(spark, indexDir, BucketsT, batchId,
         "id bigint, bucket bigint, rank bigint"))
-    val vVecs = IndexBase.view(spark, indexDir, "vectors_table", batchId,
-      readIndex(spark, indexDir, VectorsT, batchId,
-        "id bigint, v array<double>, nrm double"))
+    val vVecs0 = IndexBase.view(spark, indexDir, "vectors_table", batchId,
+      readIndex(spark, indexDir, VectorsT, batchId, vectorsDdl(quantized)))
+    // normalize stored codes back to doubles so the verification math is
+    // one shape (identical integer values either way)
+    val vVecs =
+      if (!quantized) vVecs0
+      else IndexView(
+        vVecs0.base.map(_.withColumn("v", col("v").cast("array<double>"))),
+        vVecs0.delta.withColumn("v", col("v").cast("array<double>")))
 
     // prior member count per touched bucket (per-leg, zero-exchange on a
     // promoted base) — the offset that turns a batch-local rank into the
@@ -713,7 +740,11 @@ object IncrementalEmbeddingDedup {
 
     ranked.select("id", "bucket", "rank").write.mode("overwrite")
       .parquet(s"$indexDir/$BucketsT/batch=$batchId")
-    baseB.select("id", "v", "nrm").write.mode("overwrite")
+    val vOut =
+      if (quantized) baseB.select(col("id"),
+        col("v").cast("array<tinyint>").as("v"), col("nrm"))
+      else baseB.select(col("id"), col("v"), col("nrm"))
+    vOut.write.mode("overwrite")
       .parquet(s"$indexDir/$VectorsT/batch=$batchId")
     val out = Lineage.materialize(kept)
     Lineage.release(baseB); Lineage.release(ranked)
@@ -756,7 +787,7 @@ object IncrementalEmbeddingDedup {
       prevTable = meta.get("buckets_table"), lower = prev,
       upto = uptoExclusive, tName = bktT)
     IndexBase.promoteOne(spark, indexDir, VectorsT,
-      "id bigint, v array<double>, nrm double",
+      vectorsDdl(meta.get("quantized").contains("true")),
       bucketKey = "id", sortCols = Seq("id"), buckets = buckets,
       prevTable = meta.get("vectors_table"), lower = prev,
       upto = uptoExclusive, tName = vecT)
@@ -809,10 +840,12 @@ object IncrementalEmbeddingDedup {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("bucket").orderBy("id")
       val ranked = Lineage.materialize(
-        spark.read.schema("id bigint, v array<double>, nrm double, batch int")
+        spark.read
+          .schema(s"${vectorsDdl(meta.get("quantized").contains("true"))}, batch int")
           .parquet(vroot.toString)
           .select(col("id"), col("batch"),
-            Similarity.lshBucket(col("v"), dim, newPlanes).as("bucket"))
+            Similarity.lshBucket(col("v").cast("array<double>"), dim, newPlanes)
+              .as("bucket"))
           .withColumn("rank", row_number().over(w).cast("bigint")))
       val parts = fs.listStatus(vroot).map(_.getPath)
         .filter(_.getName.startsWith("batch="))
@@ -832,13 +865,14 @@ object IncrementalEmbeddingDedup {
   /** [[IncrementalDedup.compactIndex]] for the embedding index. */
   def compactIndex(spark: SparkSession, indexDir: String,
       uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
-    require(IndexMeta.read(spark, indexDir).forall(!_.contains("base_upto")),
+    val meta = IndexMeta.read(spark, indexDir)
+    require(meta.forall(!_.contains("base_upto")),
       s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")
     IndexCompaction.compact(spark, indexDir, BucketsT,
       "id bigint, bucket bigint, rank bigint", uptoExclusive,
       clusterBy = "bucket", targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, VectorsT,
-      "id bigint, v array<double>, nrm double", uptoExclusive, clusterBy = "id",
-      targetFileBytes = targetFileBytes)
+      vectorsDdl(meta.exists(_.get("quantized").contains("true"))),
+      uptoExclusive, clusterBy = "id", targetFileBytes = targetFileBytes)
   }
 }

@@ -517,6 +517,26 @@ object Similarity {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** [[dropEmbeddingNearDups]] over int8-QUANTIZED vectors — the index
+    * representation a 100 TB corpus stores (~5-8× smaller than doubles
+    * on disk and on every verification fetch). Per-vector scales cancel
+    * in the cosine (the [[quantizedCosineTopK]] identity), so `minCos`
+    * compares against the same quantity, just computed from integer
+    * codes — bucketing AND verification both run on the codes, making
+    * the representation self-consistent (a persisted quantized index can
+    * re-derive its buckets from what it stores). Kept set differs from
+    * the exact form only by quantization error near the thresholds;
+    * IncrementalDedupSpec pins the divergence tiny on the corpus.
+    */
+  def dropEmbeddingNearDupsQuantized(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, planes: Int = 8, minCos: Double = 0.6,
+      maxReps: Int = 1000): DataFrame = {
+    val q = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol), col("qvec").cast("array<double>").as("__qv"))
+    dropEmbeddingNearDups(df.join(q, Seq(idCol)), idCol, "__qv",
+      dim, planes, minCos, maxReps).drop("__qv")
+  }
+
   /** Cross-corpus EMBEDDING near-dup gate — the vector twin of
     * [[Dedup.crossCorpusPairs]]: a new crawl's embeddings checked against
     * the retained training corpus WITHOUT |probe|×|ref| work. Both sides

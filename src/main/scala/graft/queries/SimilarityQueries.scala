@@ -204,6 +204,39 @@ object SimilarityQueries extends QueryModule {
       }
     }),
 
+    // the QUANTIZED layout twins: int8 codes are what a 100 TB index
+    // stores (~5-8× cut); scales cancel in the cosine so bucketing AND
+    // verification run on the codes — a self-consistent representation
+    // with its own oracle that replays the quantization expression-by-
+    // expression (the ann_quantized_topk discipline)
+    "dedup_emb_kept_q8" -> ((s, d) =>
+      Similarity.dropEmbeddingNearDupsQuantized(emb(s, d), "vec_id",
+        "embedding", Dim, Planes, minCos = 0.3).select("vec_id")),
+
+    "dedup_incr_emb_kept_q8" -> ((s, d) => {
+      val e = emb(s, d)
+      val indexDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incrembdedupq8",
+        d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      val mRow = e.agg(max(col("vec_id"))).head
+      if (mRow.isNullAt(0)) e.select("vec_id")
+      else {
+        val m = mRow.getLong(0)
+        val batches = Seq(
+          e.filter(col("vec_id") <= m / 3),
+          e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
+          e.filter(col("vec_id") > 2 * m / 3))
+        batches.zipWithIndex.map { case (b, i) =>
+          graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir, b,
+            "embedding", "vec_id", batchId = i, dim = Dim, planes = Planes,
+            minCos = 0.3, quantized = true).select("vec_id")
+        }.reduce(_ unionByName _)
+      }
+    }),
+
     // SemDeDup: k-means clusters → within-cluster lower-id cosine EXISTS →
     // kept ids (composes the oracle-exact k-means with pairwise cosine).
     // The AUTO form derives k = max(8, ceil(n/10^4)) — 8 for every corpus
@@ -436,7 +469,41 @@ object SimilarityQueries extends QueryModule {
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
+  /** The quantized twins' kept set: the int8 quantization replayed
+    * expression-by-expression (floor(x+0.5) round, ±127 clamp — the
+    * `ann_quantized_topk` discipline), then the SAME rank-form dedup
+    * block over the integer codes. Integer dots are exact in doubles, so
+    * the floored cosine is engine-stable by construction.
+    */
+  private lazy val embKeptQ8Sql =
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs > 0
+       |         THEN list_transform(v0, x -> greatest(-127, least(127,
+       |                floor(x * 127.0 / maxabs + 0.5)::BIGINT)))
+       |         ELSE list_transform(v0, x -> 0::BIGINT) END AS q
+       |  FROM (SELECT vec_id, v0, list_max(list_transform(v0, x -> abs(x))) AS maxabs
+       |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))),
+       |e AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |         ($bucketExpr)::BIGINT AS bucket
+       |  FROM (SELECT vec_id, q::DOUBLE[] AS v FROM qz)),
+       |r AS (SELECT vec_id, v, nrm, bucket,
+       |             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+       |      FROM e),
+       |dropped AS (SELECT DISTINCT a.vec_id
+       |            FROM e a JOIN r b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+       |                              AND b.rk <= 1000
+       |            WHERE floor((CASE WHEN a.nrm * b.nrm > 0
+       |                   THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+       |                   ELSE 0 END) * 1000000) / 1000000.0 >= 0.3)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_emb_kept_q8" -> embKeptQ8Sql,
+    "dedup_incr_emb_kept_q8" -> embKeptQ8Sql,
+
     "emb_kmeans_assign" -> kmeansSql(k = 8, rounds = 2, scale = 1000),
 
     // integer-exact: same micro quantization, same sums — no tolerance

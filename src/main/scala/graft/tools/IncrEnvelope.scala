@@ -49,21 +49,25 @@ object IncrEnvelope {
     }
 
     args.head match {
-      case "emb" =>
+      case mode @ ("emb" | "embq8") =>
+        val q8 = mode == "embq8"
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val row = e.agg(max("vec_id"), count(lit(1))).head
         val (m, n) = (row.getLong(0), row.getLong(1))
         val planes =
           if (args.length > 1) args(1).toInt
+          else if (q8) 8
           else Similarity.planesFor(n, targetBucket = 100)
         val (batchKept, tBatch) = timed {
-          Similarity.dropEmbeddingNearDups(e, "vec_id", "embedding",
-            dim = 64, planes = planes, minCos = 0.3)
+          (if (q8) Similarity.dropEmbeddingNearDupsQuantized(e, "vec_id",
+              "embedding", dim = 64, planes = planes, minCos = 0.3)
+           else Similarity.dropEmbeddingNearDups(e, "vec_id", "embedding",
+              dim = 64, planes = planes, minCos = 0.3))
             .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
             .collect().toSet
         }
-        val idx = fresh("emb")
+        val idx = fresh(mode)
         val (incrKept, tIncr) = timed {
           Seq(
             e.filter(col("vec_id") <= m / 3),
@@ -71,13 +75,14 @@ object IncrEnvelope {
             e.filter(col("vec_id") > 2 * m / 3)
           ).zipWithIndex.map { case (b, i) =>
             IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding",
-              "vec_id", batchId = i, dim = 64, planes = planes, minCos = 0.3)
+              "vec_id", batchId = i, dim = 64, planes = planes, minCos = 0.3,
+              quantized = q8)
               .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
               .collect()
           }.flatten.toSet
         }
         val st = IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
-        println(s"""{"mode":"emb","n":$n,"planes":$planes,""" +
+        println(s"""{"mode":"$mode","n":$n,"planes":$planes,""" +
           s""""batch_kept":${batchKept.size},"incr_kept":${incrKept.size},""" +
           s""""equal":${batchKept == incrKept},""" +
           s""""hot_buckets":${st.getAs[Long]("hot_buckets")},""" +

@@ -266,6 +266,47 @@ class IncrementalDedupSpec extends SparkSpec {
       "fixture note: no bucket near the rep-panel bound at this scale")
   }
 
+  test("QUANTIZED embedding index: incremental equals batch; layout pinned; near-exact") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val m = e.agg(max("vec_id")).head.getLong(0)
+    val batches = Seq(
+      e.filter(col("vec_id") <= m / 2), e.filter(col("vec_id") > m / 2))
+    import graft.ops.{IncrementalEmbeddingDedup, Similarity}
+    val idx = freshIndex("q8")
+    val kept = batches.zipWithIndex.map { case (b, i) =>
+      IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding", "vec_id",
+        batchId = i, dim = 64, planes = 8, minCos = 0.3, quantized = true)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    }.reduce(_ ++ _).sorted
+    val batchKept = Similarity.dropEmbeddingNearDupsQuantized(
+        e, "vec_id", "embedding", dim = 64, planes = 8, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === batchKept)
+    // at fixture scales the int8 codes change the kept set only by
+    // quantization error near the thresholds — pin that divergence tiny.
+    // (At 100× the divergence is larger AND desirable: the scaled
+    // corpus's perturbed copies SNAP to identical codes → more drops;
+    // SCALE.md Round-15 records it. The invariant that must hold at every
+    // scale is the q8-incremental ≡ q8-batch equality above.)
+    val exact = Similarity.dropEmbeddingNearDups(
+        e, "vec_id", "embedding", dim = 64, planes = 8, minCos = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val sym = (batchKept.toSet diff exact) ++ (exact diff batchKept.toSet)
+    assert(sym.size <= math.max(2, exact.size / 50),
+      s"quantization moved ${sym.size} of ${exact.size} kept decisions")
+    // the layout bakes in: a double probe against a quantized index refuses
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.addBatch(spark, idx, batches(1), "embedding",
+        "vec_id", batchId = 2, dim = 64, planes = 8, minCos = 0.3)
+    }
+    // and the stored codes really are int8 (tinyint column on disk)
+    val vecType = spark.read.parquet(s"$idx/vectors").schema("v").dataType
+    assert(vecType === org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, true),
+      s"quantized vectors must persist as array<tinyint>, got $vecType")
+  }
+
   test("TEXT: a mass-duplicated doc dedups fully via rank representatives") {
     // 2500 copies of one text share ONE band bucket (identical docs have
     // identical band keys — no banding change can split them); the old
