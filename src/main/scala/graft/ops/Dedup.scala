@@ -398,6 +398,16 @@ object Dedup {
     val cand = pBands.join(rBuckets, Seq("band", "band_key"))
       .select(col("probe_id"), explode(col("ref_docs")).as("ref_id"))
       .distinct()
+    verifyCrossPairs(probe, ref, textCol, idCol, cand, minJaccard)
+  }
+
+  /** Exact shingle-Jaccard verification of cross-corpus (probe_id, ref_id)
+    * candidates — shared by the capped PAIR surface and the
+    * rank-representative kept-set path ([[dropCrossCorpusDups]]).
+    */
+  private def verifyCrossPairs(probe: DataFrame, ref: DataFrame,
+      textCol: String, idCol: String, cand: DataFrame,
+      minJaccard: Double): DataFrame = {
     def shingleSets(df: DataFrame) = df
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
@@ -426,8 +436,23 @@ object Dedup {
     */
   def dropCrossCorpusDups(probe: DataFrame, ref: DataFrame, textCol: String,
       idCol: String, minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
-    val dropped = crossCorpusPairs(probe, ref, textCol, idCol, minJaccard, k, bands, maxBucket)
+      maxReps: Int = 1000): DataFrame = {
+    // candidates from the RANK REPRESENTATIVES of each ref bucket (its
+    // maxReps lowest-id members), NOT crossCorpusPairs's skip-cap: a kept
+    // set must process dense ref buckets — the training set's
+    // mass-duplicated boilerplate is exactly what a new crawl duplicates
+    // most, and skipping its bucket would wave every such probe doc
+    // through (the r15 within-corpus post-mortem, SCALE.md Round-15).
+    // Fan-out per probe row stays ≤ maxReps per band.
+    val pBands = lshBands(probe, textCol, idCol, k, bands)
+      .select(col(idCol).as("probe_id"), col("band"), col("band_key"))
+    val rReps = lshBands(ref, textCol, idCol, k, bands)
+      .groupBy("band", "band_key").agg(collect_list(col(idCol)).as("ref_docs"))
+      .select(col("band"), col("band_key"),
+        explode(slice(array_sort(col("ref_docs")), 1, maxReps)).as("ref_id"))
+    val cand = pBands.join(rReps, Seq("band", "band_key"))
+      .select("probe_id", "ref_id").distinct()
+    val dropped = verifyCrossPairs(probe, ref, textCol, idCol, cand, minJaccard)
       .select(col("probe_id").as(idCol)).distinct()
     probe.join(dropped, Seq(idCol), "left_anti")
   }

@@ -344,6 +344,45 @@ object DedupQueries extends QueryModule {
   /** The round-spanning split: probe = src5-src9, ref = src0-src4. */
   private val crossCte = crossCteFor("source >= 'src5'", "source < 'src5'")
 
+  /** The KEPT-SET variant of [[crossCteFor]]: candidates come from each
+    * ref bucket's 1000 lowest-id RANK REPRESENTATIVES instead of the
+    * pair surface's whole-bucket skip — vacuous at every oracle scale
+    * (no ref bucket exceeds 1000 members), load-bearing at 100× where
+    * mass-duplicated ref content must still drop its probe copies.
+    */
+  private def crossKeptCteFor(probePred: String, refPred: String): String =
+    s"""$basesCte,
+       |sig AS (SELECT doc_id, ${(0 until 8).map(sigExpr).mkString(",\n  ")} FROM b),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${bandKey(0)} AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, ${bandKey(1)} AS band_key FROM sig),
+       |pb AS (SELECT bands.doc_id, band, band_key
+       |       FROM bands JOIN documents USING (doc_id) WHERE $probePred),
+       |rb AS (SELECT bands.doc_id, band, band_key
+       |       FROM bands JOIN documents USING (doc_id) WHERE $refPred),
+       |rr AS (SELECT doc_id, band, band_key,
+       |         row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+       |       FROM rb),
+       |xcand AS (
+       |  SELECT DISTINCT p.doc_id AS probe_id, r.doc_id AS ref_id
+       |  FROM pb p JOIN rr r ON p.band = r.band AND p.band_key = r.band_key
+       |  WHERE r.rk <= 1000),
+       |ss AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_transform(range(len(toks) - 2),
+       |                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |       ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+       |xj AS (
+       |  SELECT c.probe_id, c.ref_id,
+       |    (CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) > 0
+       |          THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
+       |               / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE
+       |          ELSE 0 END) AS j
+       |  FROM xcand c
+       |  JOIN ss sa ON sa.doc_id = c.probe_id
+       |  JOIN ss sb ON sb.doc_id = c.ref_id)""".stripMargin
+
   /** Transitive closure over the verified pairs at threshold 0.5: recursive
     * reachability (`reach(nid, lbl)` = lbl reachable from nid), so
     * min(lbl) per nid is exactly the connected-component min-id label the
@@ -530,14 +569,14 @@ object DedupQueries extends QueryModule {
          |FROM xj WHERE j >= 0.5""".stripMargin,
 
     "dedup_cross_kept" ->
-      s"""$crossCte,
+      s"""${crossKeptCteFor("source >= 'src5'", "source < 'src5'")},
          |xdropped AS (SELECT DISTINCT probe_id FROM xj WHERE j >= 0.8)
          |SELECT doc_id FROM documents
          |WHERE source >= 'src5'
          |  AND doc_id NOT IN (SELECT probe_id FROM xdropped)""".stripMargin,
 
     "decontam_fuzzy_kept" ->
-      s"""${crossCteFor("doc_id % 50 <> 0", "doc_id % 50 = 0")},
+      s"""${crossKeptCteFor("doc_id % 50 <> 0", "doc_id % 50 = 0")},
          |xdropped AS (SELECT DISTINCT probe_id FROM xj WHERE j >= 0.5)
          |SELECT doc_id FROM documents
          |WHERE doc_id % 50 <> 0

@@ -63,6 +63,22 @@ class CrossDedupSpec extends SparkSpec {
     assert(open.count() == 20L)
   }
 
+  test("mass-duplicated ref content still drops its probe copies (rank reps)") {
+    // 2500 identical ref docs overflow any per-bucket cap; the pair
+    // surface's skip-cap would wave the probe copy through — the KEPT-SET
+    // path verifies against the ref bucket's 1000 lowest-id
+    // representatives instead, so the copy drops and novel content stays
+    val ref = corpus((1L to 2500L).map(i =>
+      (i, "same same same same same same")): _*)
+    val probe = corpus(
+      (100000L, "same same same same same same"),
+      (100001L, "novel words entirely different content written here"))
+    val kept = Dedup.dropCrossCorpusDups(probe, ref, "text", "doc_id",
+      minJaccard = 0.8).select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(100001L),
+      s"the duplicated probe doc must drop against a dense ref bucket: $kept")
+  }
+
   test("real corpus: every cross pair at 0.8 is a true high-Jaccard pair") {
     val dd = Tables.documents(spark, sf())
     val probe = dd.filter(col("source") >= "src5")
