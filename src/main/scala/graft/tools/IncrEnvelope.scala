@@ -89,6 +89,40 @@ object IncrEnvelope {
           s""""max_bucket":${st.getAs[Long]("max_bucket")},""" +
           s""""batch_sec":${f"$tBatch%.2f"},"incr_sec":${f"$tIncr%.2f"}}""")
 
+      case "rebucket" =>
+        // migration cost: an index built at planes=8 re-bucketed to 11
+        // from its stored vectors (no corpus re-read), then probed
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val m = e.agg(max("vec_id")).head.getLong(0)
+        val idx = fresh("rebucket")
+        val (_, tBuild) = timed {
+          Seq(
+            e.filter(col("vec_id") <= m / 3),
+            e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
+            e.filter(col("vec_id") > 2 * m / 3)
+          ).zipWithIndex.foreach { case (b, i) =>
+            IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding",
+              "vec_id", batchId = i, dim = 64, planes = 8, minCos = 0.3).count()
+          }
+        }
+        val (_, tMig) = timed {
+          IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 11)
+        }
+        val (kProbe, tProbe) = timed {
+          IncrementalEmbeddingDedup.addBatch(spark, idx,
+            e.filter(col("vec_id") <= m / 10)
+              .withColumn("vec_id", col("vec_id") + 10L * m),
+            "embedding", "vec_id", batchId = 3, dim = 64, planes = 11,
+            minCos = 0.3).count()
+        }
+        val st = IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
+        println(s"""{"mode":"rebucket","build8_sec":${f"$tBuild%.2f"},""" +
+          s""""migrate_to_11_sec":${f"$tMig%.2f"},""" +
+          s""""probe_sec":${f"$tProbe%.2f"},"probe_kept":$kProbe,""" +
+          s""""hot_buckets":${st.getAs[Long]("hot_buckets")},""" +
+          s""""max_bucket":${st.getAs[Long]("max_bucket")}}""")
+
       case "text" =>
         val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
         val m = docs.agg(max("doc_id")).head.getLong(0)
