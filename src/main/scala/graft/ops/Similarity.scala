@@ -240,6 +240,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "bucket", "rnk", "sim")
   }
 
+  /** HARD-negative mining for contrastive training: for each anchor, the
+    * k most-similar vectors carrying a DIFFERENT label — the negatives
+    * that actually move a contrastive/triplet loss
+    * ([[Sampling.negativeSamples]]'s random draws are trivially separable
+    * once training converges; hard negatives live at the decision
+    * boundary, which is exactly where cosine-similar different-label
+    * vectors sit). Candidates come from the RP-LSH bucket equi-join — the
+    * [[bucketedTopK]] scale shape, never |corpus|² — with the
+    * label-mismatch predicate INSIDE the join, so a same-label neighbor
+    * never becomes a candidate row; neighbor-side hot buckets thin at
+    * `maxBucket` by the md5 stride ([[thinHotBuckets]]). Null-label rows
+    * participate on neither side (a null label can't witness a mismatch),
+    * matching SQL's `<>` semantics so the oracle replays verbatim.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, dim: Int, planes: Int = 8, k: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    graft.functions.TopK.requireIntegralId(df.schema, idCol, "hardNegatives")
+    // bucketedBase with the label riding along (no second join back)
+    val base = df.select(col(idCol), col(labelCol).as("__lbl"),
+        asDouble(col(vecCol)).as("v"),
+        lshBucket(col(vecCol), dim, planes).as("bucket"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val a = base.select(col(idCol).as("query_id"), col("__lbl").as("label"),
+      col("v").as("qv"), col("n").as("qn"), col("bucket"))
+    val b = thinHotBuckets(base, idCol, maxBucket)
+      .select(col(idCol).as("neighbor_id"), col("__lbl").as("n_label"),
+        col("v").as("cv"), col("n").as("cn"), col("bucket").as("bucket2"))
+    val cands = a.join(b,
+        col("bucket") === col("bucket2") &&
+          col("query_id") =!= col("neighbor_id") &&
+          col("label") =!= col("n_label"))
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        candCos.as("cos"))
+    // label is functionally dependent on query_id; grouping by both keeps
+    // it in the output without a join back (the bucketedTopK trick)
+    rankTopK(cands, Seq("query_id", "label"), k)
+      .select("query_id", "label", "neighbor_id", "rnk", "sim")
+  }
+
   /** Multi-probe variant: each query also probes the `planes` buckets at
     * Hamming distance 1 (one sign bit flipped) — the standard recall
     * booster at a fixed plane count, scanning (planes+1)/2^planes of the

@@ -54,6 +54,13 @@ object SimilarityQueries extends QueryModule {
     "ann_multiprobe_topk" -> ((s, d) =>
       Similarity.bucketedTopKMultiProbe(emb(s, d), "vec_id", "embedding", Dim, Planes,
         k = 3, maxBucket = Int.MaxValue)),
+    // hard-negative mining: per anchor, the 3 most-similar DIFFERENT-label
+    // vectors — the contrastive-training feed (random negatives are
+    // trivially separable; these sit at the decision boundary). Guard
+    // explicitly OFF like every unthinned declared query.
+    "ann_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d), "vec_id", "label", "embedding",
+        Dim, Planes, k = 3, maxBucket = Int.MaxValue)),
     // deliberately tiny cap (sf0.01 buckets reach size 8): the md5 thinning
     // stride FIRES here, and the oracle reproduces it predicate-for-predicate
     // — proof the guard's results stay engine-exact, not just bounded
@@ -907,6 +914,29 @@ object SimilarityQueries extends QueryModule {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM p)
          |SELECT query_id, neighbor_id, bucket, rnk, floor(cos * 1000000) / 1000000.0 AS sim
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // same bucket equi-join with the label-mismatch predicate in the join
+    // — a same-label neighbor is never a candidate, rank over what's left
+    "ann_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, v,
+         |         sqrt(list_dot_product(v, v)) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, a.label, b.vec_id AS neighbor_id,
+         |         CASE WHEN a.nrm * b.nrm > 0
+         |              THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |              ELSE 0 END AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |                    AND a.label <> b.label),
+         |r AS (
+         |  SELECT query_id, label, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT query_id, label, neighbor_id, rnk,
+         |       floor(cos * 1000000) / 1000000.0 AS sim
          |FROM r WHERE rnk <= 3""".stripMargin,
 
     // the thinning stride mirrored predicate-for-predicate: neighbors in a

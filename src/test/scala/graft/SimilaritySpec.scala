@@ -34,6 +34,29 @@ class SimilaritySpec extends SparkSpec {
     assert(seq === seq.sorted)
   }
 
+  test("hardNegatives: different-label bucket-mates, ranked by cosine") {
+    val e = Tables.embeddings(spark, dir)
+    val hn = Similarity.hardNegatives(e, "vec_id", "label", "embedding",
+      dim = 64, planes = 8, k = 3, maxBucket = Int.MaxValue)
+    val rows = hn
+      .join(e.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .collect()
+    assert(rows.nonEmpty, "fixture vacuous — no cross-label bucket-mates")
+    rows.foreach { r =>
+      assert(r.getAs[Any]("ql") != r.getAs[Any]("nl"),
+        "a hard negative must carry a DIFFERENT label than its anchor")
+      assert(r.getAs[Any]("label") == r.getAs[Any]("ql"),
+        "the output label column is the anchor's")
+    }
+    // ranks order by similarity, best first, within each anchor
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sims = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim")).toSeq
+      assert(sims === sims.sorted.reverse, s"rnk must order by sim desc: $sims")
+      assert(g.map(_.getAs[Int]("rnk")).toSeq.sorted == (1 to g.size).toSeq)
+    }
+  }
+
   test("IVF probed search recalls most brute-force neighbors, scans a fraction") {
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
