@@ -126,6 +126,12 @@ object Cdc {
     * replay and becomes a no-op. foreachBatch drivers MUST pass their
     * batch id (CdcStreamSpec does); without it, replay-exactness only
     * covers the between-renames window via the `_old` preference.
+    * The replay window is ONE BATCH DEEP — exactly foreachBatch's
+    * contract (Structured Streaming re-delivers at most the single last
+    * uncommitted batch): only the most recent batch id is recorded, so a
+    * driver replaying SEVERAL uncommitted batches (a custom runner with a
+    * deeper redo log) would double-apply all but the newest. Such a
+    * driver must de-duplicate upstream or track its own high-water mark.
     * The stats table is O(groups) — tiny by construction — so
     * the full rewrite is the cheap part; the point is what is NOT read:
     * the base table the stats summarize. Drive from `foreachBatch` and a

@@ -243,16 +243,32 @@ object Dedup {
     * Rank panels are prefix-stable under id-ordered growth, which is what
     * [[graft.ops.IncrementalDedup]] relies on to reproduce this policy
     * from a persisted index.
+    *
+    * Shape: window-rank over the exploded bands + a rank-filtered
+    * equi-join back on (band, band_key) — the
+    * [[Similarity.dropEmbeddingNearDups]] / [[IncrementalDedup.addBatch]]
+    * discipline, NOT `collect_list` per bucket. A mass-duplicated doc
+    * (10⁷–10⁸ copies of boilerplate — exactly the content rank panels
+    * exist to process) would turn the bucket's collect_list into ONE
+    * multi-hundred-MB aggregation buffer and OOM the executor before any
+    * pair was emitted; the window's sort spills, and both sides of the
+    * self-join shuffle on the same (band, band_key) key, so the signature
+    * pipeline's exchange is planned once and reused.
     */
   private[graft] def repCandidatePairs(df: DataFrame, textCol: String,
-      idCol: String, k: Int, bands: Int, maxReps: Int): DataFrame =
-    bucketedDocLists(df, textCol, idCol, k, bands)
-      .filter(size(col("docs")) > 1)
-      .withColumn("sorted", array_sort(col("docs")))
-      .select(explode(slice(col("sorted"), 1, maxReps)).as("doc_a"), col("sorted"))
-      .select(col("doc_a"), explode(col("sorted")).as("doc_b"))
+      idCol: String, k: Int, bands: Int, maxReps: Int): DataFrame = {
+    val bnds = lshBands(df, textCol, idCol, k, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key").orderBy(idCol)
+    bnds.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxReps)
+      .select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+      .join(bnds.select(col("band"), col("band_key"), col(idCol).as("doc_b")),
+        Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
+  }
 
   /** End-to-end near-duplicate removal — the operator a pipeline actually
     * calls: [[repCandidatePairs]] (rank-representative candidates) →
@@ -443,13 +459,19 @@ object Dedup {
     // mass-duplicated boilerplate is exactly what a new crawl duplicates
     // most, and skipping its bucket would wave every such probe doc
     // through (the r15 within-corpus post-mortem, SCALE.md Round-15).
-    // Fan-out per probe row stays ≤ maxReps per band.
+    // Fan-out per probe row stays ≤ maxReps per band. The panel comes
+    // from a window rank over the exploded ref bands (spillable sort),
+    // never a per-bucket collect_list — a mass-duplicated ref bucket as
+    // ONE aggregation-buffer array is an executor OOM (the
+    // [[repCandidatePairs]] shape note).
     val pBands = lshBands(probe, textCol, idCol, k, bands)
       .select(col(idCol).as("probe_id"), col("band"), col("band_key"))
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key").orderBy(idCol)
     val rReps = lshBands(ref, textCol, idCol, k, bands)
-      .groupBy("band", "band_key").agg(collect_list(col(idCol)).as("ref_docs"))
-      .select(col("band"), col("band_key"),
-        explode(slice(array_sort(col("ref_docs")), 1, maxReps)).as("ref_id"))
+      .withColumn("__rk", row_number().over(wRef))
+      .filter(col("__rk") <= maxReps)
+      .select(col("band"), col("band_key"), col(idCol).as("ref_id"))
     val cand = pBands.join(rReps, Seq("band", "band_key"))
       .select("probe_id", "ref_id").distinct()
     val dropped = verifyCrossPairs(probe, ref, textCol, idCol, cand, minJaccard)

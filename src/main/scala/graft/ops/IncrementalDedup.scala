@@ -92,11 +92,14 @@ object IncrementalDedup {
   /** Read one index table restricted to batches BEFORE `batchId` (replay
     * safety: a re-run batch must not see its own previous write). Missing
     * directory = empty index (first batch). A crashed compaction swap is
-    * healed first — a half-deleted index must never serve a probe.
+    * healed first — a half-deleted index must never serve a probe — and
+    * partitions from a batch whose addBatch crashed between its two table
+    * appends (no commit marker) are refused loudly ([[BatchCommits]]).
     */
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
       batchId: Int, schemaDdl: String): DataFrame = {
     IndexCompaction.healIfNeeded(spark, indexDir, table)
+    BatchCommits.requireCommitted(spark, indexDir, table, batchId)
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -214,9 +217,14 @@ object IncrementalDedup {
 
     // append AFTER the kept set is derived (the reads above already
     // excluded batch >= batchId, but a same-id replay must also not race
-    // its own write); overwrite = replay idempotence
+    // its own write); overwrite = replay idempotence. The batch COMMITS
+    // only when the marker lands after BOTH appends — a crash in between
+    // leaves bands without shingles, and [[BatchCommits]] makes every
+    // later read refuse the orphaned half instead of silently generating
+    // partnerless candidates (= under-dropping).
     ranked.write.mode("overwrite").parquet(s"$indexDir/$BandsT/batch=$batchId")
     shsB.write.mode("overwrite").parquet(s"$indexDir/$ShinglesT/batch=$batchId")
+    BatchCommits.mark(spark, indexDir, batchId)
     val out = Lineage.materialize(kept)
     Lineage.release(bandsB); Lineage.release(ranked)
     Lineage.release(shsB); Lineage.release(cand)
@@ -263,6 +271,10 @@ object IncrementalDedup {
   def promoteBase(spark: SparkSession, indexDir: String,
       uptoExclusive: Int, buckets: Int = 32): Unit = {
     IndexMeta.requireNoMigration(spark, indexDir)
+    // folding an uncommitted (half-written) batch into the base would
+    // bake the under-drop in permanently — replay it first
+    BatchCommits.requireCommitted(spark, indexDir, BandsT, uptoExclusive)
+    BatchCommits.requireCommitted(spark, indexDir, ShinglesT, uptoExclusive)
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no index at $indexDir to promote"))
     val prev = meta.get("base_upto").map(_.toInt)
@@ -285,12 +297,15 @@ object IncrementalDedup {
       upto = uptoExclusive, tName = shsT)
     // commit: views switch to the new base + boundary atomically via meta
     IndexMeta.write(spark, indexDir, meta ++ Map(
-      "base_upto" -> uptoExclusive.toString,
+      "base_upto" -> uptoExclusive.toString, "base_buckets" -> buckets.toString,
       "bands_table" -> bandsT, "shingles_table" -> shsT))
     IndexBase.cleanupOne(spark, indexDir, BandsT, meta.get("bands_table"),
       prev, uptoExclusive, bandsT)
     IndexBase.cleanupOne(spark, indexDir, ShinglesT, meta.get("shingles_table"),
       prev, uptoExclusive, shsT)
+    // folded batches can never be replayed (view() enforces it) — their
+    // markers are dead bookkeeping
+    BatchCommits.clearBelow(spark, indexDir, uptoExclusive)
   }
 
   /** Fold all batch partitions below `uptoExclusive` into the single base
@@ -310,13 +325,28 @@ object IncrementalDedup {
     require(meta.forall(!_.contains("base_upto")),
       s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")
     val hashed = meta.exists(_.get("hashed").contains("true"))
+    // an uncommitted batch must be replayed, never folded into the base
+    BatchCommits.requireCommitted(spark, indexDir, BandsT, uptoExclusive)
+    BatchCommits.requireCommitted(spark, indexDir, ShinglesT, uptoExclusive)
     IndexCompaction.compact(spark, indexDir, BandsT,
       "doc_id bigint, band int, band_key string, rank bigint", uptoExclusive,
       clusterBy = "band_key", targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, ShinglesT,
       shinglesDdl(hashed), uptoExclusive,
       clusterBy = "doc_id", targetFileBytes = targetFileBytes)
+    // folded batches can never be replayed — drop their markers
+    BatchCommits.clearBelow(spark, indexDir, uptoExclusive)
   }
+
+  /** MIGRATION: stamp every existing batch partition of a PRE-MARKER
+    * index (either twin — all four table layouts are scanned) as
+    * committed. Call once, only after verifying the index is sound (both
+    * tables hold every batch — MIGRATION.md); from then on the
+    * [[BatchCommits]] protocol protects it like a fresh index.
+    */
+  def markLegacyCommitted(spark: SparkSession, indexDir: String): Unit =
+    BatchCommits.markAll(spark, indexDir,
+      Seq(BandsT, ShinglesT, "buckets", "vectors"))
 }
 
 /** A promoted index splits into a catalog-bucketed BASE (every batch
@@ -339,10 +369,21 @@ private[graft] case class IndexView(base: Option[DataFrame], delta: DataFrame) {
 /** Shared machinery for promoted (catalog-bucketed) index bases. */
 private[graft] object IndexBase {
 
-  /** Catalog-safe, collision-resistant table-name prefix per index dir. */
-  def tablePrefix(indexDir: String): String =
-    ("graft_idx_" + indexDir.replaceAll("[^A-Za-z0-9]", "_")
-      .replaceAll("_+", "_").toLowerCase).takeRight(80)
+  /** Catalog-safe, collision-resistant table-name prefix per index dir:
+    * the fixed `graft_idx_` prefix always survives (a right-truncation
+    * could chop it off for long dirs — leaking past IncrEnvelope's
+    * prefix-scoped cleanup, risking identifiers starting with `_`/digit,
+    * and colliding two indexes whose dirs share an 80-char tail), an
+    * 8-hex md5 of the FULL dir disambiguates, and a readable tail of the
+    * sanitized dir is kept up to the 80-char identifier budget.
+    */
+  def tablePrefix(indexDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    (s"graft_idx_${h}_" + indexDir.replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("_+", "_").toLowerCase).take(80)
+  }
 
   /** Assemble the (base, delta) view for one index table. `delta0` is the
     * plain parquet read already bounded to `batch < batchId`; with a
@@ -422,6 +463,91 @@ private[graft] object IndexBase {
   }
 }
 
+/** Per-batch COMMIT MARKERS for the incremental indexes: [[IncrementalDedup
+  * .addBatch]] (and the embedding twin) appends to TWO tables per batch —
+  * a crash between the writes leaves bands without shingles (or buckets
+  * without vectors), and a candidate generated from the orphaned half
+  * finds no verification partner, i.e. silent under-dropping. So a batch
+  * is not COMMITTED until an empty `_graft_commits/batch=N` marker exists
+  * (written after BOTH appends), and every index read refuses — loudly —
+  * to serve a prior batch's partition that lacks its marker: the heal is
+  * to replay that batch id (the documented foreachBatch replay contract;
+  * the overwrite + re-mark converges), not to silently probe half an
+  * index. `batch=-1` (the compacted base) is governed by
+  * [[IndexCompaction]]'s own marker protocol and is exempt.
+  */
+private[graft] object BatchCommits {
+  private def dir(indexDir: String) = s"$indexDir/_graft_commits"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Mark `batchId` committed — call ONLY after every table append. */
+  def mark(spark: SparkSession, indexDir: String, batchId: Int): Unit = {
+    val out = fsOf(spark, indexDir).create(
+      new org.apache.hadoop.fs.Path(dir(indexDir), s"batch=$batchId"), true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  private def committedSet(spark: SparkSession, indexDir: String): Set[Int] = {
+    val fs = fsOf(spark, indexDir)
+    val d = new org.apache.hadoop.fs.Path(dir(indexDir))
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toIntOption).toSet
+  }
+
+  /** Refuse partitions of `table` from batches BELOW `batchId` that were
+    * never committed: their addBatch crashed between the two table
+    * writes. The batch being probed itself (>= batchId) is exempt — a
+    * replay of the crashed id is exactly the heal.
+    */
+  def requireCommitted(spark: SparkSession, indexDir: String, table: String,
+      batchId: Int): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+    if (!fs.exists(root)) return
+    val committed = committedSet(spark, indexDir)
+    val orphans = fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toIntOption)
+      .filter(b => b >= 0 && b < batchId && !committed.contains(b))
+      .toSeq.sorted
+    require(orphans.isEmpty,
+      s"index at $indexDir/$table holds partitions from UNCOMMITTED " +
+        s"batch(es) ${orphans.mkString(", ")} — their addBatch crashed " +
+        "between the two table appends; replay those batch ids (same " +
+        "data, same id) to heal before probing, or the half-written " +
+        "signatures would silently under-drop")
+  }
+
+  /** Drop markers for batches folded away below `uptoExclusive`. */
+  def clearBelow(spark: SparkSession, indexDir: String, uptoExclusive: Int): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val d = new org.apache.hadoop.fs.Path(dir(indexDir))
+    if (!fs.exists(d)) return
+    fs.listStatus(d).map(_.getPath)
+      .filter(_.getName.stripPrefix("batch=").toIntOption.exists(_ < uptoExclusive))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** MIGRATION helper: stamp every existing partition of `tables`
+    * committed — for an index written before the marker protocol existed
+    * whose soundness the caller has verified (MIGRATION.md).
+    */
+  def markAll(spark: SparkSession, indexDir: String, tables: Seq[String]): Unit = {
+    val fs = fsOf(spark, indexDir)
+    tables.map(t => new org.apache.hadoop.fs.Path(s"$indexDir/$t"))
+      .filter(fs.exists)
+      .flatMap(r => fs.listStatus(r).map(_.getPath.getName))
+      .flatMap(_.stripPrefix("batch=").toIntOption)
+      .filter(_ >= 0).distinct
+      .foreach(b => mark(spark, indexDir, b))
+  }
+}
+
 /** Signature parameters BAKE INTO a persisted index (shingle size and
   * band count shape `band_key`; `dim`/`planes` shape `bucket`): probing
   * with different parameters than the index was built with silently
@@ -453,18 +579,52 @@ private[graft] object IndexMeta {
     }
   }
 
+  /** Atomic publish: the meta file is [[promoteBase]]'s COMMIT POINT, so
+    * it is written to a temp name and renamed over `_graft_meta` (rename
+    * with OVERWRITE — atomic on HDFS and posix) — an in-place truncating
+    * create would leave an empty/partial meta on a mid-write crash,
+    * silently un-pinning the parameters or orphaning `base_upto`.
+    */
   def write(spark: SparkSession, indexDir: String, meta: Map[String, String]): Unit = {
     val fs = fsOf(spark, indexDir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(indexDir, MetaFile), true)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, MetaFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(indexDir, MetaFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** First writer records the parameters; later callers must match. */
+  /** Index table dirs either twin may have written — used to tell "fresh
+    * index" from "legacy index that predates the meta file".
+    */
+  private val TableDirs = Seq("bands", "shingles", "buckets", "vectors")
+
+  /** First writer records the parameters; later callers must match.
+    *
+    * A no-meta dir that already HOLDS index data is refused, not adopted:
+    * it predates the meta file (and possibly the stored `rank` column —
+    * reading such an index with the declared schema yields NULL ranks, so
+    * the `rank <= maxReps` representative filter would silently exclude
+    * every previously-indexed doc and KEEP its duplicates). Stamping
+    * fresh meta over it would defeat the pin's whole purpose; rebuild the
+    * index from the corpus instead (MIGRATION.md).
+    */
   def ensure(spark: SparkSession, indexDir: String,
       expected: Map[String, String]): Unit = read(spark, indexDir) match {
-    case None => write(spark, indexDir, expected)
+    case None =>
+      val fs = fsOf(spark, indexDir)
+      val legacy = TableDirs.map(new org.apache.hadoop.fs.Path(indexDir, _))
+        .filter(p => fs.exists(p) && fs.listStatus(p).nonEmpty)
+      require(legacy.isEmpty,
+        s"index at $indexDir holds data (${legacy.map(_.getName).mkString(", ")}) " +
+          "but no _graft_meta — a pre-meta legacy index may lack the stored " +
+          "rank column and would silently match nothing; rebuild it " +
+          "(MIGRATION.md) instead of adopting it")
+      write(spark, indexDir, expected)
     case Some(m) =>
       val diff = expected.filter { case (k, v) => m.getOrElse(k, v) != v }
       require(diff.isEmpty,
@@ -623,6 +783,7 @@ object IncrementalEmbeddingDedup {
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
       batchId: Int, schemaDdl: String): DataFrame = {
     IndexCompaction.healIfNeeded(spark, indexDir, table)
+    BatchCommits.requireCommitted(spark, indexDir, table, batchId)
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -738,6 +899,10 @@ object IncrementalEmbeddingDedup {
     val kept = batch.join(dropped.select(col("id").cast("long").as(idCol)),
       Seq(idCol), "left_anti")
 
+    // two appends, then the commit marker — the [[BatchCommits]] contract:
+    // a crash in between leaves buckets without their verification
+    // vectors, which every later read refuses loudly until this batch id
+    // is replayed
     ranked.select("id", "bucket", "rank").write.mode("overwrite")
       .parquet(s"$indexDir/$BucketsT/batch=$batchId")
     val vOut =
@@ -746,6 +911,7 @@ object IncrementalEmbeddingDedup {
       else baseB.select(col("id"), col("v"), col("nrm"))
     vOut.write.mode("overwrite")
       .parquet(s"$indexDir/$VectorsT/batch=$batchId")
+    BatchCommits.mark(spark, indexDir, batchId)
     val out = Lineage.materialize(kept)
     Lineage.release(baseB); Lineage.release(ranked)
     out
@@ -772,6 +938,10 @@ object IncrementalEmbeddingDedup {
   def promoteBase(spark: SparkSession, indexDir: String,
       uptoExclusive: Int, buckets: Int = 32): Unit = {
     IndexMeta.requireNoMigration(spark, indexDir)
+    // folding an uncommitted (half-written) batch into the base would
+    // bake the under-drop in permanently — replay it first
+    BatchCommits.requireCommitted(spark, indexDir, BucketsT, uptoExclusive)
+    BatchCommits.requireCommitted(spark, indexDir, VectorsT, uptoExclusive)
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no index at $indexDir to promote"))
     val prev = meta.get("base_upto").map(_.toInt)
@@ -792,12 +962,14 @@ object IncrementalEmbeddingDedup {
       prevTable = meta.get("vectors_table"), lower = prev,
       upto = uptoExclusive, tName = vecT)
     IndexMeta.write(spark, indexDir, meta ++ Map(
-      "base_upto" -> uptoExclusive.toString,
+      "base_upto" -> uptoExclusive.toString, "base_buckets" -> buckets.toString,
       "buckets_table" -> bktT, "vectors_table" -> vecT))
     IndexBase.cleanupOne(spark, indexDir, BucketsT, meta.get("buckets_table"),
       prev, uptoExclusive, bktT)
     IndexBase.cleanupOne(spark, indexDir, VectorsT, meta.get("vectors_table"),
       prev, uptoExclusive, vecT)
+    // folded batches can never be replayed — drop their markers
+    BatchCommits.clearBelow(spark, indexDir, uptoExclusive)
   }
 
   /** Re-bucket the persisted index to `newPlanes` WITHOUT re-reading the
@@ -809,22 +981,31 @@ object IncrementalEmbeddingDedup {
     * [[indexBucketStats]] shows hot buckets, migrate UP and the cap stops
     * thinning.
     *
+    * A PROMOTED index migrates too: the buckets base table is rebuilt in
+    * place from the vectors base table (+ delta), at the recorded
+    * `base_buckets` layout — no demote/re-promote dance. Buckets
+    * partitions with no vectors twin (e.g. a crash between
+    * [[compactIndex]]'s two folds left the tables at different
+    * boundaries) are deleted: they hold only stale old-plane rows, and
+    * surviving the rewrite they would serve duplicate ids across mixed
+    * bucket spaces.
+    *
     * Crash safety: a `_graft_rebucket_inprogress` marker blocks
     * [[addBatch]] while partitions hold a mix of old and new buckets; the
     * migration itself is idempotent — rerun it to completion and the
-    * marker clears. Offline op, same contract as [[compactIndex]].
+    * marker clears (it reads ONLY the vectors table, never the buckets it
+    * rewrites). Offline op, same contract as [[compactIndex]].
     */
   def rebucket(spark: SparkSession, indexDir: String, newPlanes: Int): Unit = {
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no index metadata at $indexDir — nothing to rebucket"))
-    require(!meta.contains("base_upto"),
-      s"index at $indexDir has a promoted base — rebucket before promoting, " +
-        "or rebuild the base tables (the migration rewrites path partitions only)")
     val dim = meta("dim").toInt
+    val quantized = meta.get("quantized").contains("true")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vroot = new org.apache.hadoop.fs.Path(s"$indexDir/$VectorsT")
+    val broot = new org.apache.hadoop.fs.Path(s"$indexDir/$BucketsT")
     if (meta("planes").toInt == newPlanes) {
       // meta is written only after every partition is rewritten, so a
       // matching value means the previous run finished the data phase —
@@ -832,28 +1013,82 @@ object IncrementalEmbeddingDedup {
       IndexMeta.clearMigrating(spark, indexDir)
       return
     }
+    // a crashed compaction swap is finished first (the raw partition reads
+    // below must see a whole table), and a batch whose addBatch crashed
+    // between its two appends must be REPLAYED before migrating — the
+    // orphan cleanup below would otherwise erase its half-written buckets
+    // and with them the loud refusal to probe past it
+    IndexCompaction.healIfNeeded(spark, indexDir, BucketsT)
+    IndexCompaction.healIfNeeded(spark, indexDir, VectorsT)
+    BatchCommits.requireCommitted(spark, indexDir, BucketsT, Int.MaxValue)
+    BatchCommits.requireCommitted(spark, indexDir, VectorsT, Int.MaxValue)
     IndexMeta.setMigrating(spark, indexDir)
-    if (fs.exists(vroot)) {
+    // a PROMOTED index migrates too (a TB-scale index is promoted exactly
+    // when an under-estimate is likely to surface): the vectors base table
+    // already holds every embedding, so the buckets base table is rebuilt
+    // in place from it — re-runnable after any crash because the migration
+    // reads ONLY vectors, never the buckets being rewritten
+    val baseUpto = meta.get("base_upto").map(_.toInt)
+    val deltaLow = baseUpto.getOrElse(Int.MinValue)
+    // vectors partitions are the source of truth for which batch
+    // partitions exist; folded leftovers below a promoted boundary are
+    // excluded (view() never serves them)
+    val vParts =
+      if (!fs.exists(vroot)) Seq.empty[String]
+      else fs.listStatus(vroot).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toIntOption.exists(_ >= deltaLow))
+    if (vParts.nonEmpty || baseUpto.isDefined) {
       // ranks depend on bucket membership, so the migration recomputes
       // BOTH from the stored vectors: one global per-bucket id-order
-      // window (offline O(index)), then per-partition rewrites
+      // window (offline O(index)), then per-partition rewrites. Base rows
+      // ride with batch = NULL.
+      val delta =
+        if (vParts.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              s"${vectorsDdl(quantized)}, batch int"))
+        else spark.read.schema(s"${vectorsDdl(quantized)}, batch int")
+          .parquet(vroot.toString).filter(col("batch") >= deltaLow)
+      val all = baseUpto match {
+        case Some(_) => spark.table(meta("vectors_table"))
+          .withColumn("batch", lit(null).cast("int")).unionByName(delta)
+        case None => delta
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("bucket").orderBy("id")
       val ranked = Lineage.materialize(
-        spark.read
-          .schema(s"${vectorsDdl(meta.get("quantized").contains("true"))}, batch int")
-          .parquet(vroot.toString)
-          .select(col("id"), col("batch"),
+        all.select(col("id"), col("batch"),
             Similarity.lshBucket(col("v").cast("array<double>"), dim, newPlanes)
               .as("bucket"))
           .withColumn("rank", row_number().over(w).cast("bigint")))
-      val parts = fs.listStatus(vroot).map(_.getPath)
-        .filter(_.getName.startsWith("batch="))
-      parts.foreach { p =>
-        val b = p.getName.stripPrefix("batch=").toInt
+      vParts.foreach { name =>
+        val b = name.stripPrefix("batch=").toInt
         ranked.filter(col("batch") === b).select("id", "bucket", "rank")
           .write.mode("overwrite")
-          .parquet(s"$indexDir/$BucketsT/${p.getName}")
+          .parquet(s"$indexDir/$BucketsT/$name")
+      }
+      // orphan cleanup: a buckets partition with no vectors twin holds
+      // STALE old-plane rows the loop above never rewrote (e.g. a crash
+      // between compactIndex's two compact() calls left buckets folded at
+      // batch=-1 while vectors kept batch=0..N) — probes would see
+      // duplicate ids across mixed bucket spaces. The vectors partition
+      // set is the authority; everything else goes.
+      if (fs.exists(broot)) {
+        val keep = vParts.toSet
+        fs.listStatus(broot).map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") && !keep.contains(p.getName))
+          .foreach(p => fs.delete(p, true))
+      }
+      baseUpto.foreach { u =>
+        val bt = meta("buckets_table")
+        val nb = meta.get("base_buckets").map(_.toInt).getOrElse(32)
+        spark.sql(s"DROP TABLE IF EXISTS $bt")
+        ranked.filter(col("batch").isNull).select("id", "bucket", "rank")
+          .repartition(nb, col("bucket"))
+          .write.format("parquet").bucketBy(nb, "bucket").sortBy("bucket", "rank")
+          .option("path", s"$indexDir/${BucketsT}_base_v$u")
+          .mode("overwrite").saveAsTable(bt)
       }
       Lineage.release(ranked)
     }
@@ -868,11 +1103,20 @@ object IncrementalEmbeddingDedup {
     val meta = IndexMeta.read(spark, indexDir)
     require(meta.forall(!_.contains("base_upto")),
       s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")
+    // an uncommitted batch must be replayed, never folded into the base
+    BatchCommits.requireCommitted(spark, indexDir, BucketsT, uptoExclusive)
+    BatchCommits.requireCommitted(spark, indexDir, VectorsT, uptoExclusive)
     IndexCompaction.compact(spark, indexDir, BucketsT,
       "id bigint, bucket bigint, rank bigint", uptoExclusive,
       clusterBy = "bucket", targetFileBytes = targetFileBytes)
     IndexCompaction.compact(spark, indexDir, VectorsT,
       vectorsDdl(meta.exists(_.get("quantized").contains("true"))),
       uptoExclusive, clusterBy = "id", targetFileBytes = targetFileBytes)
+    // folded batches can never be replayed — drop their markers
+    BatchCommits.clearBelow(spark, indexDir, uptoExclusive)
   }
+
+  /** See [[IncrementalDedup.markLegacyCommitted]]. */
+  def markLegacyCommitted(spark: SparkSession, indexDir: String): Unit =
+    IncrementalDedup.markLegacyCommitted(spark, indexDir)
 }

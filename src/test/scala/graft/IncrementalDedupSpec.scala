@@ -327,6 +327,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept.sorted === Seq(1L, 3000L))
   }
 
+  test("BATCH kept set survives a 10^6-member bucket (window rank, no collect_list)") {
+    // pre-r16 the batch kept set built per-bucket collect_list arrays: a
+    // mass-duplicated doc turned its bucket into ONE aggregation buffer
+    // (multi-hundred-MB at web-scale dup counts) — an executor OOM before
+    // any pair was emitted. The window-rank + join port (the embedding
+    // twin's shape) sorts spillably instead; this drives a full million
+    // copies through one bucket. maxReps=2 keeps the verify fan-out
+    // test-sized; the drop policy is rank-identical for this fixture.
+    val copies = spark.range(1L, 1000001L)
+      .select(col("id").as("doc_id"), lit(A).as("text"))
+      .unionByName(Seq((2000000L, C)).toDF("doc_id", "text"))
+    val kept = Dedup.dropNearDuplicates(copies, "text", "doc_id", maxReps = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2000000L),
+      s"one survivor per content: got ${kept.size} rows, head=${kept.take(5)}")
+  }
+
   test("dense duplicate clusters dedup fully via rank representatives (no cap skip)") {
     import spark.implicits._
     // 2500 identical vectors = ONE bucket of 2500 members. More planes can
@@ -504,10 +521,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept === keptPlain)
     val stats = IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
     assert(stats.getAs[Long]("max_bucket") >= 1L)
-    // rebucket refuses on a promoted index (buckets live in the base table)
-    intercept[IllegalArgumentException] {
-      IncrementalEmbeddingDedup.rebucket(spark, idx, 10)
-    }
+    // rebucket migrates the PROMOTED index too (r16): the buckets base
+    // table is rebuilt in place from the vectors base table — a TB-scale
+    // index is promoted exactly when a planes under-estimate surfaces, so
+    // the escape hatch must not require never having promoted
+    IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 10)
+    // replay b1 at the new plane count (>= base boundary, allowed): the
+    // kept set must equal a fresh 10-plane index run batch-for-batch
+    val kept10 = IncrementalEmbeddingDedup.addBatch(spark, idx, b1,
+      "embedding", "vec_id", 1, dim = 64, planes = 10, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val idxFresh = freshIndex("emb_fresh10")
+    IncrementalEmbeddingDedup.addBatch(spark, idxFresh, b0, "embedding",
+      "vec_id", 0, dim = 64, planes = 10, minCos = 0.3)
+    val keptFresh = IncrementalEmbeddingDedup.addBatch(spark, idxFresh, b1,
+      "embedding", "vec_id", 1, dim = 64, planes = 10, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept10 === keptFresh,
+      "migrated promoted index must answer like a fresh index at the new planes")
     dropPromotedTables()
   }
 
@@ -625,6 +656,185 @@ class IncrementalDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDedup.addBatch(spark, idx, batches(1), "text", "doc_id", 1)
     }
+  }
+
+  test("a batch that crashed between its two table appends is refused until replayed") {
+    val idx = freshIndex("addbatchcrash")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A), doc(2, B))),
+      "text", "doc_id", 0)
+    // forge the crash window: batch 1 wrote its bands but died before the
+    // shingles append — so no commit marker either. (Run it whole, then
+    // remove the second write and the marker: exact on-disk crash state.)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(10, C))),
+      "text", "doc_id", 1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles/batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits/batch=1"), false)
+    // pre-r16 this read served the orphaned bands: doc 10's copy would
+    // generate candidates whose verification join finds no shingle partner
+    // — silent under-dropping. Now it refuses loudly.
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, df(Seq(doc(20, C))),
+        "text", "doc_id", 2)
+    }
+    assert(ex.getMessage.contains("UNCOMMITTED") && ex.getMessage.contains("1"))
+    // the maintenance ops refuse to bake the half-written batch in, too
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 2)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 2)
+    }
+    // replaying the crashed id heals (overwrite + re-mark), then the next
+    // batch drops doc 20 against the now-whole index
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(10, C))),
+      "text", "doc_id", 1)
+    val k2 = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(20, C))),
+      "text", "doc_id", 2)
+    assert(k2.isEmpty, "doc 20 duplicates healed doc 10 and must drop")
+  }
+
+  test("EMBEDDING twin: the two-append crash window is marker-guarded the same way") {
+    import graft.ops.IncrementalEmbeddingDedup
+    val idx = freshIndex("embaddcrash")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(1L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", 0, dim = 4)
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(10L -> Seq(0f, 1f, 0f, 0f)), "embedding", "vec_id", 1, dim = 4)
+    // crash state: buckets written, vectors missing, no marker
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/vectors/batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits/batch=1"), false)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.addBatch(spark, idx,
+        vecs(20L -> Seq(0f, 1f, 0f, 0f)), "embedding", "vec_id", 2, dim = 4)
+    }
+    assert(ex.getMessage.contains("UNCOMMITTED"))
+    // rebucket must also refuse: its orphan cleanup would otherwise erase
+    // the half-written buckets and with them the loud refusal
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 9)
+    }
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(10L -> Seq(0f, 1f, 0f, 0f)), "embedding", "vec_id", 1, dim = 4)
+    val k2 = IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(20L -> Seq(0f, 1f, 0f, 0f)), "embedding", "vec_id", 2, dim = 4)
+    assert(k2.isEmpty, "vec 20 duplicates healed vec 10 and must drop")
+  }
+
+  test("a pre-marker legacy index migrates via markLegacyCommitted") {
+    val idx = freshIndex("legacymark")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    // forge a pre-r16 index: data + meta present, marker dir absent
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits"), true)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    }
+    IncrementalDedup.markLegacyCommitted(spark, idx)
+    val k1 = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))),
+      "text", "doc_id", 1)
+    assert(k1.isEmpty, "doc 2 duplicates legacy doc 1 after the migration stamp")
+  }
+
+  test("a meta-less dir that already holds index data is refused, not adopted") {
+    import graft.ops.IndexMeta
+    val idx = freshIndex("legacymeta")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    // forge a pre-meta legacy index (may predate the stored rank column):
+    // stamping fresh meta over it would trust a schema the footers may not
+    // have — every rank reads NULL and duplicates are silently KEPT
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_graft_meta"), false)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))), "text", "doc_id", 1)
+    }
+    assert(ex.getMessage.contains("_graft_meta") &&
+      ex.getMessage.contains("rebuild"))
+    assert(IndexMeta.read(spark, idx).isEmpty,
+      "the refusal must not have stamped fresh meta")
+  }
+
+  test("IndexMeta.write publishes atomically: a crashed write leaves the old meta serving") {
+    import graft.ops.IndexMeta
+    val idx = freshIndex("metaatomic")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    val before = IndexMeta.read(spark, idx).get
+    // a completed write leaves no temp file behind
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "_graft_meta.tmp")))
+    // forge a crash mid-write: a truncated temp next to the live meta —
+    // the read path must keep serving the committed copy untouched
+    val out = fs.create(new org.apache.hadoop.fs.Path(idx, "_graft_meta.tmp"), true)
+    try out.write("k=".getBytes("UTF-8")) finally out.close()
+    assert(IndexMeta.read(spark, idx).get === before)
+    val k1 = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))),
+      "text", "doc_id", 1)
+    assert(k1.isEmpty, "probe must run against the intact committed meta")
+  }
+
+  test("tablePrefix keeps its fixed prefix and disambiguates by full-path hash") {
+    import graft.ops.IndexBase
+    // two dirs sharing an 80-char sanitized TAIL — the pre-r16 takeRight
+    // collapsed these to one catalog name (and could chop the graft_idx_
+    // prefix entirely, escaping IncrEnvelope's prefix-scoped cleanup)
+    val tail = "x" * 100 + "/idx1"
+    val p1 = IndexBase.tablePrefix(s"/a/$tail")
+    val p2 = IndexBase.tablePrefix(s"/b/$tail")
+    assert(p1.startsWith("graft_idx_") && p2.startsWith("graft_idx_"))
+    assert(p1 !== p2, "same-tail dirs must not collide")
+    assert(p1.length <= 80 && p2.length <= 80)
+    // stable: the prefix is a pure function of the dir
+    assert(p1 === IndexBase.tablePrefix(s"/a/$tail"))
+  }
+
+  test("rebucket heals a buckets/vectors partition-layout divergence (crashed compaction)") {
+    import graft.ops.{IncrementalEmbeddingDedup, IndexCompaction}
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val b0 = e.filter(col("vec_id") < 30)
+    val b1 = e.filter(col("vec_id") >= 30)
+    val nTotal = e.count()
+    val idx = freshIndex("divergence")
+    IncrementalEmbeddingDedup.addBatch(spark, idx, b0, "embedding",
+      "vec_id", 0, dim = 64, planes = 8, minCos = 0.3)
+    IncrementalEmbeddingDedup.addBatch(spark, idx, b1, "embedding",
+      "vec_id", 1, dim = 64, planes = 8, minCos = 0.3)
+    // forge compactIndex dying between its two folds: BUCKETS folded to
+    // batch=-1, VECTORS still at batch=0..1
+    IndexCompaction.compact(spark, idx, "buckets",
+      "id bigint, bucket bigint, rank bigint", uptoExclusive = 2,
+      clusterBy = "bucket")
+    val bdirs = new java.io.File(s"$idx/buckets").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(bdirs.toSeq === Seq("batch=-1"), s"forge failed: ${bdirs.toSeq}")
+    // pre-fix, rebucket rewrote only the partitions vectors enumerate —
+    // the stale old-plane batch=-1 rows survived and probes saw duplicate
+    // ids across mixed bucket spaces; now the orphan is deleted
+    IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 9)
+    val healed = new java.io.File(s"$idx/buckets").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(healed.toSeq === Seq("batch=0", "batch=1"),
+      s"orphaned batch=-1 must be deleted, got ${healed.toSeq}")
+    // no duplicate ids across mixed bucket spaces survive the heal
+    val buckets01 = spark.read
+      .schema("id bigint, bucket bigint, rank bigint, batch int")
+      .parquet(s"$idx/buckets").filter(col("batch") < 2)
+    assert(buckets01.groupBy("id").count().filter(col("count") > 1).isEmpty,
+      "an id must appear in exactly one partition after the heal")
+    assert(buckets01.select("id").distinct().count() === nTotal)
+    // and the healed index answers: identical re-sent vectors (fresh ids)
+    // all drop against their originals at the new plane count
+    val k2 = IncrementalEmbeddingDedup.addBatch(spark, idx,
+      b0.withColumn("vec_id", col("vec_id") + 2000L), "embedding",
+      "vec_id", 2, dim = 64, planes = 9, minCos = 0.99)
+    assert(k2.isEmpty, "exact copies of indexed vectors must all drop")
   }
 
   test("empty and dup-free batches pass through; the index stays readable") {

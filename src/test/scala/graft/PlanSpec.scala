@@ -98,6 +98,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "group-stats join should broadcast")
   }
 
+  test("kept-set dedup candidates come from window ranks, never per-bucket arrays") {
+    // a 10⁷–10⁸-member band bucket (mass-duplicated boilerplate — exactly
+    // the content rank panels exist to PROCESS) as one collect_list
+    // aggregation buffer is an executor OOM; the r16 port runs the panel
+    // as a window rank + equi-join (spillable sort), the embedding twin's
+    // shape. The capped PAIR surfaces (dedup_minhash_pairs et al.) keep
+    // collect_list by design — a pair OUTPUT needs an output-cost bound.
+    Seq("dedup_near_kept", "dedup_cross_kept", "decontam_fuzzy_kept").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("collect_list"),
+        s"$q materializes per-bucket doc lists — the OOM-cliff shape is back")
+      assert(p.contains("Window"), s"$q lost its rank window")
+    }
+  }
+
   test("bm25 broadcasts the term/corpus stats, never the doc-keyed sides") {
     val p = plan("text_bm25")
     // df_t (|query terms| rows) and the 1-row corpus stats must broadcast;
