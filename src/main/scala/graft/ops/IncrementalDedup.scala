@@ -917,6 +917,28 @@ object IncrementalEmbeddingDedup {
     out
   }
 
+  /** [[addBatch]] with the plane count sized automatically: the FIRST
+    * write derives it from `expectedCorpusRows` via
+    * [[Similarity.planesFor]] (and the meta pin makes it permanent);
+    * every later batch reads the pinned value back from the index meta,
+    * so callers never re-supply — or mis-supply — it. The expectation
+    * should be the corpus the index will EVENTUALLY hold, not the first
+    * batch: the meta pin makes a wrong default permanent until
+    * [[rebucket]], which is exactly the failure this entry point exists
+    * to prevent.
+    */
+  def addBatchAuto(spark: SparkSession, indexDir: String, batch: DataFrame,
+      vecCol: String, idCol: String, batchId: Int, dim: Int,
+      expectedCorpusRows: Long, targetBucket: Int = 100,
+      minCos: Double = 0.6, maxReps: Int = 1000,
+      quantized: Boolean = false): DataFrame = {
+    val planes = IndexMeta.read(spark, indexDir)
+      .flatMap(_.get("planes")).map(_.toInt)
+      .getOrElse(Similarity.planesFor(expectedCorpusRows, targetBucket))
+    addBatch(spark, indexDir, batch, vecCol, idCol, batchId, dim,
+      planes, minCos, maxReps, quantized)
+  }
+
   /** Occupancy audit of the persisted bucket index (all batches). */
   def indexBucketStats(spark: SparkSession, indexDir: String,
       maxBucket: Int = 1000): DataFrame =

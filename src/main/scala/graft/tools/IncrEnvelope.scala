@@ -89,13 +89,16 @@ object IncrEnvelope {
           s""""max_bucket":${st.getAs[Long]("max_bucket")},""" +
           s""""batch_sec":${f"$tBatch%.2f"},"incr_sec":${f"$tIncr%.2f"}}""")
 
-      case "rebucket" =>
+      case mode @ ("rebucket" | "rebucket_promoted") =>
         // migration cost: an index built at planes=8 re-bucketed to 11
-        // from its stored vectors (no corpus re-read), then probed
+        // from its stored vectors (no corpus re-read), then probed.
+        // rebucket_promoted folds the base first — it measures the r16
+        // in-place rebuild of the catalog-bucketed buckets base table.
+        val promoted = mode == "rebucket_promoted"
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val m = e.agg(max("vec_id")).head.getLong(0)
-        val idx = fresh("rebucket")
+        val idx = fresh(mode)
         val (_, tBuild) = timed {
           Seq(
             e.filter(col("vec_id") <= m / 3),
@@ -105,6 +108,10 @@ object IncrEnvelope {
             IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding",
               "vec_id", batchId = i, dim = 64, planes = 8, minCos = 0.3).count()
           }
+        }
+        val (_, tPromote) = timed {
+          if (promoted)
+            IncrementalEmbeddingDedup.promoteBase(spark, idx, uptoExclusive = 3)
         }
         val (_, tMig) = timed {
           IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 11)
@@ -117,11 +124,16 @@ object IncrEnvelope {
             minCos = 0.3).count()
         }
         val st = IncrementalEmbeddingDedup.indexBucketStats(spark, idx).head()
-        println(s"""{"mode":"rebucket","build8_sec":${f"$tBuild%.2f"},""" +
+        println(s"""{"mode":"$mode","build8_sec":${f"$tBuild%.2f"},""" +
+          (if (promoted) s""""promote_sec":${f"$tPromote%.2f"},""" else "") +
           s""""migrate_to_11_sec":${f"$tMig%.2f"},""" +
           s""""probe_sec":${f"$tProbe%.2f"},"probe_kept":$kProbe,""" +
           s""""hot_buckets":${st.getAs[Long]("hot_buckets")},""" +
           s""""max_bucket":${st.getAs[Long]("max_bucket")}}""")
+        if (promoted)
+          spark.catalog.listTables().collect().map(_.name)
+            .filter(_.startsWith("graft_idx_"))
+            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
       case "text" =>
         val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -154,13 +166,19 @@ object IncrEnvelope {
         val (promoKept2, tPromo2) = timed {
           keptOf(IncrementalDedup.addBatch(spark, promo, b2, "text", "doc_id", 2))
         }
+        // occupancy is a TRACKED number per envelope run, not a spot
+        // check: band-bucket drift past the rep-panel bound shows up here
+        // round over round (the emb modes already publish theirs)
+        val st = IncrementalDedup.indexBucketStats(spark, promo).head()
         println(s"""{"mode":"text","docs":${docs.count()},""" +
           s""""equal":${plainKept2 == promoKept2},""" +
           s""""batch01_sec":${f"$tP01%.2f"},""" +
           s""""plain_probe2_sec":${f"$tPlain2%.2f"},""" +
           s""""promote_sec":${f"$tPromote%.2f"},""" +
           s""""promoted_probe2_sec":${f"$tPromo2%.2f"},""" +
-          s""""batch01_promo_sec":${f"$tB01%.2f"}}""")
+          s""""batch01_promo_sec":${f"$tB01%.2f"},""" +
+          s""""hot_buckets":${st.getAs[Long]("hot_buckets")},""" +
+          s""""max_bucket":${st.getAs[Long]("max_bucket")}}""")
         // hygiene: the promoted tables are per-tempdir catalog entries
         spark.catalog.listTables().collect().map(_.name)
           .filter(_.startsWith("graft_idx_"))

@@ -837,6 +837,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k2.isEmpty, "exact copies of indexed vectors must all drop")
   }
 
+  test("addBatchAuto sizes planes from the expected corpus once, then reads the pin") {
+    import graft.ops.{IncrementalEmbeddingDedup, IndexMeta, Similarity}
+    val idx = freshIndex("autoplanes")
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    val want = Similarity.planesFor(1000000L, targetBucket = 100)
+    assert(want > 8, "fixture must exercise a non-default plane count")
+    IncrementalEmbeddingDedup.addBatchAuto(spark, idx,
+      vecs(1L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", 0, dim = 4,
+      expectedCorpusRows = 1000000L)
+    assert(IndexMeta.read(spark, idx).get("planes").toInt === want,
+      "first write must pin the corpus-derived plane count")
+    // later batches read the PIN, not the caller's (changed) estimate —
+    // no meta-mismatch throw, no silent re-derivation
+    val k1 = IncrementalEmbeddingDedup.addBatchAuto(spark, idx,
+      vecs(2L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", 1, dim = 4,
+      expectedCorpusRows = 10L)
+    assert(k1.isEmpty, "vec 2 duplicates vec 1 under the pinned plane count")
+  }
+
   test("empty and dup-free batches pass through; the index stays readable") {
     val idx = freshIndex("edges")
     val k0 = IncrementalDedup.addBatch(spark, idx,
