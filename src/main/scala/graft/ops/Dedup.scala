@@ -251,9 +251,14 @@ object Dedup {
     * (10⁷–10⁸ copies of boilerplate — exactly the content rank panels
     * exist to process) would turn the bucket's collect_list into ONE
     * multi-hundred-MB aggregation buffer and OOM the executor before any
-    * pair was emitted; the window's sort spills, and both sides of the
-    * self-join shuffle on the same (band, band_key) key, so the signature
-    * pipeline's exchange is planned once and reused.
+    * pair was emitted; the window's sort spills, and Spark's rank-limit
+    * pushdown (WindowGroupLimit) prunes rows past maxReps map-side before
+    * it. Deliberate trade: the self-join's two band legs don't
+    * stage-reuse (one side broadcasts at small scale), so the signature
+    * pipeline runs twice — measured +2.5% total at the 100× envelope
+    * (verification dominates), and caching O(corpus×bands) rows to avoid
+    * it would cost more at 100 TB than the recompute. The incremental
+    * form materializes signatures once and never pays it.
     */
   private[graft] def repCandidatePairs(df: DataFrame, textCol: String,
       idCol: String, k: Int, bands: Int, maxReps: Int): DataFrame = {

@@ -79,6 +79,22 @@ class CrossDedupSpec extends SparkSpec {
       s"the duplicated probe doc must drop against a dense ref bucket: $kept")
   }
 
+  test("a 10^6-member ref bucket processes via window rank (no collect_list buffer)") {
+    // the training set's mass-duplicated boilerplate is exactly what a new
+    // crawl duplicates most: pre-r16 the ref panel was built from a
+    // per-bucket collect_list — one million-member aggregation buffer.
+    // The window-rank shape spills; maxReps=2 keeps verify fan-out
+    // test-sized (policy is rank-identical for this fixture).
+    val ref = spark.range(1L, 1000001L).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val probe = corpus(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of the boilerplate
+      (2L, "a genuinely new document about distributed query engines"))
+    val kept = Dedup.dropCrossCorpusDups(probe, ref, "text", "doc_id",
+      minJaccard = 0.8, maxReps = 2).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L), "the boilerplate copy must drop, the novel doc survive")
+  }
+
   test("real corpus: every cross pair at 0.8 is a true high-Jaccard pair") {
     val dd = Tables.documents(spark, sf())
     val probe = dd.filter(col("source") >= "src5")
