@@ -164,5 +164,9 @@ object SparkEntry {
     // verification keys for the text index (same oracle as the string
     // form) and int8-quantized vectors for the embedding index (own
     // oracle replaying the quantization)
-    "dedup_incr_kept_hashed", "dedup_incr_emb_kept_q8")
+    "dedup_incr_kept_hashed", "dedup_incr_emb_kept_q8",
+    // round-16: the READ-ONLY probes — index the retained half once,
+    // filter the incoming half against it with no index mutation (each
+    // rep pays one index build + one probe, writes included)
+    "dedup_incr_probe_kept", "dedup_incr_emb_probe_kept")
 }

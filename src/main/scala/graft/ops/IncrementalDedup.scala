@@ -231,6 +231,80 @@ object IncrementalDedup {
     out
   }
 
+  /** READ-ONLY probe: the rows of `batch` with NO near-duplicate among
+    * the indexed corpus — nothing is written, no batch id is consumed,
+    * the index is not mutated. This is the decontamination / gating form
+    * of [[addBatch]]: hold a benchmark set (or the retained training
+    * corpus) as a persisted index and filter every incoming batch
+    * against it, batch after batch, without the batches themselves ever
+    * entering the index.
+    *
+    * POLICY ≡ [[Dedup.dropCrossCorpusDups]](batch, indexedCorpus):
+    * partners are each touched bucket's `maxReps` earliest indexed
+    * members (the STORED ranks — prefix-stable under id-ordered index
+    * builds, so they equal the batch form's `array_sort` panel), the
+    * verification is the same exact shingle Jaccard, and there is NO
+    * id-order condition — id spaces of the two corpora are independent
+    * (`dedup_incr_probe_kept` declares `dedup_cross_kept`'s oracle SQL
+    * verbatim on that equality). Unlike [[addBatch]] there are no
+    * intra-batch partners: batch-internal dedup is [[addBatch]]'s (or
+    * [[Dedup.dropNearDuplicates]]'s) job.
+    *
+    * The index must exist and its baked parameters must match — a probe
+    * against nothing is almost always a misconfigured dir, and a
+    * mismatched probe would silently match nothing.
+    */
+  def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
+      textCol: String, idCol: String, minJaccard: Double = 0.8,
+      k: Int = 8, bands: Int = 2, maxReps: Int = 1000,
+      hashedShingles: Boolean = false): DataFrame = {
+    IndexMeta.requireNoMigration(spark, indexDir)
+    val meta = IndexMeta.read(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no index at $indexDir to probe — build one with addBatch first"))
+    val expected = Map("k" -> k.toString, "bands" -> bands.toString,
+      "hashed" -> hashedShingles.toString)
+    val diff = expected.filter { case (kk, v) => meta.getOrElse(kk, v) != v }
+    require(diff.isEmpty,
+      s"index at $indexDir was built with ${meta.view.filterKeys(expected.contains).toMap}, " +
+        s"probe presented $expected — rebucket/rebuild the index first")
+
+    val bandsB = Dedup.lshBands(batch, textCol, idCol, k, bands)
+      .select(col(idCol).cast("long").as("doc_id"), col("band"), col("band_key"))
+    val shsB = shingleSets(batch, textCol, idCol, hashedShingles)
+      .select(col(idCol).cast("long").as("doc_id"), col("shs"), col("nsh"))
+    val vBands = IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
+      readIndex(spark, indexDir, BandsT, Int.MaxValue,
+        "doc_id bigint, band int, band_key string, rank bigint"))
+    val vShs = IndexBase.view(spark, indexDir, "shingles_table", Int.MaxValue,
+      readIndex(spark, indexDir, ShinglesT, Int.MaxValue,
+        shinglesDdl(hashedShingles)))
+
+    // candidates: batch doc × indexed representative (stored rank pushed
+    // to the scan; zero index-side Exchange on a promoted base)
+    val cand = vBands.over(s => bandsB
+      .select(col("band"), col("band_key"), col("doc_id"))
+      .join(s.filter(col("rank") <= maxReps)
+        .select(col("band_key"), col("band"), col("doc_id").as("partner_id")),
+        Seq("band_key", "band"))
+      .select(col("partner_id"), col("doc_id")))
+      .distinct()
+
+    val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
+      col("shs").as("sh_a"), col("nsh").as("n_a"))
+    val withPartner = vShs.over(s => cand.join(shsSel(s), "partner_id"))
+    val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
+    val dropped = withPartner
+      .join(shsB.select(col("doc_id"), col("shs").as("sh_b"), col("nsh").as("n_b")),
+        "doc_id")
+      .select(col("doc_id"), col("n_a"), col("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+      .filter(when(uni > 0, col("inter").cast("double") / uni)
+        .otherwise(lit(0.0)) >= minJaccard)
+      .select(col("doc_id").as(idCol)).distinct()
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Occupancy audit of the persisted band index (all batches): bucket
     * counts split at `maxBucket`, plus the worst bucket. Observability
     * only since the rank-representative semantics — a hot bucket means
@@ -937,6 +1011,74 @@ object IncrementalEmbeddingDedup {
       .getOrElse(Similarity.planesFor(expectedCorpusRows, targetBucket))
     addBatch(spark, indexDir, batch, vecCol, idCol, batchId, dim,
       planes, minCos, maxReps, quantized)
+  }
+
+  /** READ-ONLY probe — the embedding twin of [[IncrementalDedup.probe]]:
+    * the rows of `batch` whose floored cosine stays below `minCos`
+    * against every stored rank-representative of their RP-LSH bucket.
+    * Nothing is written; the index is not mutated; no id-order condition
+    * (cross-corpus semantics — id spaces independent). Partners come
+    * from the STORED `rank <= maxReps` filter, pushed to the scan; the
+    * drop test is the LEFT SEMI with the cosine in the join condition
+    * (first matching representative short-circuits). The index must
+    * exist and its baked parameters must match.
+    */
+  def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
+      vecCol: String, idCol: String, dim: Int, planes: Int = 8,
+      minCos: Double = 0.6, maxReps: Int = 1000,
+      quantized: Boolean = false): DataFrame = {
+    IndexMeta.requireNoMigration(spark, indexDir)
+    val meta = IndexMeta.read(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no index at $indexDir to probe — build one with addBatch first"))
+    val expected = Map("dim" -> dim.toString, "planes" -> planes.toString,
+      "quantized" -> quantized.toString)
+    val diff = expected.filter { case (kk, v) => meta.getOrElse(kk, v) != v }
+    require(diff.isEmpty,
+      s"index at $indexDir was built with ${meta.view.filterKeys(expected.contains).toMap}, " +
+        s"probe presented $expected — rebucket/rebuild the index first")
+    val (batchV, vcol) =
+      if (!quantized) (batch, vecCol)
+      else {
+        val q = Similarity.quantizeInt8(batch, idCol, vecCol)
+          .select(col(idCol), col("qvec").cast("array<double>").as("__qv"))
+        (batch.select(col(idCol)).join(q, Seq(idCol)), "__qv")
+      }
+    val baseB = Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
+      .select(col(idCol).cast("long").as("id"), col("v"),
+        col("n").as("nrm"), col("bucket"))
+    val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
+      readIndex(spark, indexDir, BucketsT, Int.MaxValue,
+        "id bigint, bucket bigint, rank bigint"))
+    val vVecs0 = IndexBase.view(spark, indexDir, "vectors_table", Int.MaxValue,
+      readIndex(spark, indexDir, VectorsT, Int.MaxValue, vectorsDdl(quantized)))
+    val vVecs =
+      if (!quantized) vVecs0
+      else IndexView(
+        vVecs0.base.map(_.withColumn("v", col("v").cast("array<double>"))),
+        vVecs0.delta.withColumn("v", col("v").cast("array<double>")))
+    val touched = baseB.select("bucket").distinct()
+    def legRepVecs(b: DataFrame, v: DataFrame): DataFrame =
+      b.filter(col("rank") <= maxReps)
+        .join(touched, Seq("bucket"), "left_semi")
+        .select(col("bucket"), col("id"))
+        .join(v.select(col("id"), col("v"), col("nrm")), Seq("id"))
+        .select(col("bucket").as("bucket2"), col("id").as("neighbor_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+    val repVecs = (vBuckets.base, vVecs.base) match {
+      case (Some(bb), Some(vb)) => legRepVecs(bb, vb).unionByName(
+        legRepVecs(vBuckets.delta.drop("batch"), vVecs.delta.drop("batch")))
+      case _ =>
+        legRepVecs(vBuckets.delta.drop("batch"), vVecs.delta.drop("batch"))
+    }
+    val dropped = baseB
+      .select(col("id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+      .join(repVecs,
+        col("bucket") === col("bucket2") &&
+          Text.floor6(Similarity.candCos) >= lit(minCos), "left_semi")
+      .select(col("id"))
+    batch.join(dropped.select(col("id").cast("long").as(idCol)),
+      Seq(idCol), "left_anti")
   }
 
   /** Occupancy audit of the persisted bucket index (all batches). */

@@ -174,6 +174,29 @@ object DedupQueries extends QueryModule {
       }
     }),
 
+    // READ-ONLY index probe (r16): the retained corpus (src0-4) is indexed
+    // ONCE via addBatch, then the "new crawl" (src5-9) is filtered with
+    // probe() — no write, no batch id consumed, the index untouched. The
+    // stored rank panels reproduce dropCrossCorpusDups' ref-bucket
+    // representatives exactly (prefix-stable ranks), so the oracle is
+    // dedup_cross_kept's SQL verbatim; IncrementalDedupSpec pins the
+    // engine-side equality and the no-mutation contract.
+    "dedup_incr_probe_kept" -> ((s, d) => {
+      val dd = docs(s, d)
+      val indexDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incrprobe",
+        d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      graft.ops.IncrementalDedup.addBatch(s, indexDir,
+        dd.filter(col("source") < "src5"), "text", "doc_id", 0)
+      graft.ops.IncrementalDedup.probe(s, indexDir,
+        dd.filter(col("source") >= "src5"), "text", "doc_id",
+        minJaccard = 0.8)
+        .select("doc_id")
+    }),
+
     // FUZZY benchmark decontamination: where text_decontaminated_kept drops
     // exact winnow-fingerprint overlap, this drops NEAR-duplicates of the
     // benchmark set (every 50th doc) — the GPT-3/PaLM 13-gram-style fuzzy
@@ -569,6 +592,16 @@ object DedupQueries extends QueryModule {
          |FROM xj WHERE j >= 0.5""".stripMargin,
 
     "dedup_cross_kept" ->
+      s"""${crossKeptCteFor("source >= 'src5'", "source < 'src5'")},
+         |xdropped AS (SELECT DISTINCT probe_id FROM xj WHERE j >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE source >= 'src5'
+         |  AND doc_id NOT IN (SELECT probe_id FROM xdropped)""".stripMargin,
+
+    // the read-only index probe reproduces the batch cross-corpus policy
+    // exactly (stored rank panels ≡ the array_sort representatives), so
+    // one recomputation checks both forms
+    "dedup_incr_probe_kept" ->
       s"""${crossKeptCteFor("source >= 'src5'", "source < 'src5'")},
          |xdropped AS (SELECT DISTINCT probe_id FROM xj WHERE j >= 0.8)
          |SELECT doc_id FROM documents

@@ -153,6 +153,27 @@ object SimilarityQueries extends QueryModule {
         "vec_id", "embedding", Dim, Planes, minCos = 0.3)
         .select("vec_id")
     }),
+    // READ-ONLY index probe (r16), embedding twin: the even half is
+    // indexed once, the odd half filtered with probe() — no write, no
+    // batch id, no id-order condition (cross-corpus semantics). Partners
+    // are the stored rank<=1000 panel per bucket; the oracle re-derives
+    // that panel in window SQL.
+    "dedup_incr_emb_probe_kept" -> ((s, d) => {
+      val e = emb(s, d)
+      val indexDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incrembprobe",
+        d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
+        batchId = 0, dim = Dim, planes = Planes, minCos = 0.3)
+      graft.ops.IncrementalEmbeddingDedup.probe(s, indexDir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding", "vec_id",
+        dim = Dim, planes = Planes, minCos = 0.3)
+        .select("vec_id")
+    }),
     // guard-FIRING fixture: maxBucket=1 makes every multi-occupant ref
     // bucket hot, so the md5-stride keep predicate (thinHotBuckets) is
     // exercised and oracle-pinned — the default-cap twins above never trip
@@ -590,6 +611,31 @@ object SimilarityQueries extends QueryModule {
     // policies, IncrementalDedupSpec pins the engine-side equality)
     "dedup_emb_kept" -> embKeptSql,
     "dedup_incr_emb_kept" -> embKeptSql,
+
+    // the read-only probe's partners are each bucket's 1000 earliest REF
+    // members — the stored rank panel, re-derived here as window SQL (no
+    // id-order condition: id spaces are independent). Differs from
+    // dedup_cross_emb_kept's thinHotBuckets STRIDE only past the bound,
+    // which nothing reaches at gate scale — both policies are encoded
+    // exactly, not approximated.
+    "dedup_incr_emb_probe_kept" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |         ($bucketExpr)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)),
+         |pb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |rb AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |rk AS (SELECT bucket, v, nrm FROM (
+         |         SELECT rb.*, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rnk
+         |         FROM rb) WHERE rnk <= 1000),
+         |dropped AS (SELECT DISTINCT p.vec_id
+         |            FROM pb p JOIN rk r ON p.bucket = r.bucket
+         |            WHERE floor((CASE WHEN p.nrm * r.nrm > 0
+         |                   THEN list_dot_product(p.v, r.v) / (p.nrm * r.nrm)
+         |                   ELSE 0 END) * 1000000) / 1000000.0 >= 0.3)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     "dedup_cross_emb_kept" ->
       s"""WITH e AS (

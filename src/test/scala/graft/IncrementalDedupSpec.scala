@@ -837,6 +837,81 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k2.isEmpty, "exact copies of indexed vectors must all drop")
   }
 
+  /** Relative path → size snapshot of everything under an index dir. */
+  private def indexState(idx: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(idx)
+    if (!java.nio.file.Files.exists(root)) Map.empty
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally s.close()
+    }
+  }
+
+  test("READ-ONLY probe equals dropCrossCorpusDups and mutates nothing") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val pr = docs.filter(col("doc_id") % 2 === 1)
+    val idx = freshIndex("probe")
+    IncrementalDedup.addBatch(spark, idx, ref, "text", "doc_id", 0)
+    val before = indexState(idx)
+    val kept = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id",
+      minJaccard = 0.8).select("doc_id").as[Long].collect().sorted.toSeq
+    val want = Dedup.dropCrossCorpusDups(pr, ref, "text", "doc_id",
+      minJaccard = 0.8).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === want,
+      "stored rank panels must reproduce the batch cross-corpus policy")
+    assert(kept.nonEmpty && kept.size < pr.count(),
+      "fixture vacuous — the halves must share near-dup content")
+    assert(indexState(idx) === before, "probe must not mutate the index")
+    // no id-order condition: a probe doc with a LOWER id than its indexed
+    // twin still drops (cross-corpus id spaces are independent)
+    val idx2 = freshIndex("probeorder")
+    IncrementalDedup.addBatch(spark, idx2, df(Seq(doc(10, A), doc(12, B))),
+      "text", "doc_id", 0)
+    val k2 = IncrementalDedup.probe(spark, idx2,
+      df(Seq(doc(1, A), doc(2, C))), "text", "doc_id")
+    assert(k2.select("doc_id").as[Long].collect().sorted === Array(2L),
+      "doc 1 duplicates indexed doc 10 despite the lower id")
+    // guards: a missing index and mismatched parameters refuse loudly
+    intercept[IllegalStateException] {
+      IncrementalDedup.probe(spark, freshIndex("probenone"), pr, "text", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.probe(spark, idx2, pr, "text", "doc_id", k = 5)
+    }
+  }
+
+  test("EMBEDDING probe: read-only, id-order-free, parameter-pinned") {
+    import graft.ops.IncrementalEmbeddingDedup
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    val idx = freshIndex("embprobe")
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(10L -> Seq(1f, 0f, 0f, 0f), 12L -> Seq(0f, 1f, 0f, 0f)),
+      "embedding", "vec_id", 0, dim = 4)
+    val before = indexState(idx)
+    val kept = IncrementalEmbeddingDedup.probe(spark, idx,
+      vecs(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 0f, 1f, 0f)),
+      "embedding", "vec_id", dim = 4)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L),
+      "vec 1 duplicates indexed vec 10 despite the lower id; vec 2 is novel")
+    assert(indexState(idx) === before, "probe must not mutate the index")
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.probe(spark, idx,
+        vecs(3L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id",
+        dim = 4, planes = 9)
+    }
+    intercept[IllegalStateException] {
+      IncrementalEmbeddingDedup.probe(spark, freshIndex("embprobenone"),
+        vecs(3L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", dim = 4)
+    }
+  }
+
   test("addBatchAuto sizes planes from the expected corpus once, then reads the pin") {
     import graft.ops.{IncrementalEmbeddingDedup, IndexMeta, Similarity}
     val idx = freshIndex("autoplanes")
