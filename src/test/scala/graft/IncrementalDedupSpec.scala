@@ -910,6 +910,21 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalEmbeddingDedup.probe(spark, freshIndex("embprobenone"),
         vecs(3L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", dim = 4)
     }
+    // QUANTIZED index: the probe quantizes its batch through the same
+    // int8 path, and a double probe against a q8 index refuses
+    val idxQ = freshIndex("embprobeq8")
+    IncrementalEmbeddingDedup.addBatch(spark, idxQ,
+      vecs(10L -> Seq(1f, 0f, 0f, 0f), 12L -> Seq(0f, 1f, 0f, 0f)),
+      "embedding", "vec_id", 0, dim = 4, quantized = true)
+    val keptQ = IncrementalEmbeddingDedup.probe(spark, idxQ,
+      vecs(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 0f, 1f, 0f)),
+      "embedding", "vec_id", dim = 4, quantized = true)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(keptQ === Seq(2L))
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.probe(spark, idxQ,
+        vecs(3L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", dim = 4)
+    }
   }
 
   test("addBatchAuto sizes planes from the expected corpus once, then reads the pin") {
