@@ -282,13 +282,18 @@ object IncrementalDedup {
 
     // candidates: batch doc × indexed representative (stored rank pushed
     // to the scan; zero index-side Exchange on a promoted base)
-    val cand = vBands.over(s => bandsB
+    val cand0 = vBands.over(s => bandsB
       .select(col("band"), col("band_key"), col("doc_id"))
       .join(s.filter(col("rank") <= maxReps)
         .select(col("band_key"), col("band"), col("doc_id").as("partner_id")),
         Seq("band_key", "band"))
       .select(col("partner_id"), col("doc_id")))
       .distinct()
+    // promoted path: the shingle fetch below probes the candidates once
+    // per leg — materialize so the batch's signature pipeline isn't
+    // re-derived per consumer (the addBatch discipline). Plain path:
+    // single consumer, stay lazy.
+    val cand = if (vShs.base.isDefined) Lineage.materialize(cand0) else cand0
 
     val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
       col("shs").as("sh_a"), col("nsh").as("n_a"))
@@ -302,7 +307,12 @@ object IncrementalDedup {
       .filter(when(uni > 0, col("inter").cast("double") / uni)
         .otherwise(lit(0.0)) >= minJaccard)
       .select(col("doc_id").as(idCol)).distinct()
-    batch.join(dropped, Seq(idCol), "left_anti")
+    val kept = batch.join(dropped, Seq(idCol), "left_anti")
+    if (vShs.base.isDefined) {
+      val out = Lineage.materialize(kept)
+      Lineage.release(cand)
+      out
+    } else kept
   }
 
   /** Occupancy audit of the persisted band index (all batches): bucket
@@ -1044,9 +1054,13 @@ object IncrementalEmbeddingDedup {
           .select(col(idCol), col("qvec").cast("array<double>").as("__qv"))
         (batch.select(col(idCol)).join(q, Seq(idCol)), "__qv")
       }
-    val baseB = Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
-      .select(col(idCol).cast("long").as("id"), col("v"),
-        col("n").as("nrm"), col("bucket"))
+    // the batch's buckets+vectors feed the touched-bucket prune (per leg)
+    // AND the drop join — materialize once, don't re-project per consumer
+    // (the addBatch discipline)
+    val baseB = Lineage.materialize(
+      Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
+        .select(col(idCol).cast("long").as("id"), col("v"),
+          col("n").as("nrm"), col("bucket")))
     val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
       readIndex(spark, indexDir, BucketsT, Int.MaxValue,
         "id bigint, bucket bigint, rank bigint"))
@@ -1077,8 +1091,11 @@ object IncrementalEmbeddingDedup {
         col("bucket") === col("bucket2") &&
           Text.floor6(Similarity.candCos) >= lit(minCos), "left_semi")
       .select(col("id"))
-    batch.join(dropped.select(col("id").cast("long").as(idCol)),
-      Seq(idCol), "left_anti")
+    val out = Lineage.materialize(
+      batch.join(dropped.select(col("id").cast("long").as(idCol)),
+        Seq(idCol), "left_anti"))
+    Lineage.release(baseB)
+    out
   }
 
   /** Occupancy audit of the persisted bucket index (all batches). */

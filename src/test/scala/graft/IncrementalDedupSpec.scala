@@ -886,6 +886,24 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("probe answers identically against a PROMOTED index, still read-only") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val pr = docs.filter(col("doc_id") % 2 === 1)
+    val idx = freshIndex("probepromo")
+    IncrementalDedup.addBatch(spark, idx, ref, "text", "doc_id", 0)
+    val plainKept = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id",
+      minJaccard = 0.8).select("doc_id").as[Long].collect().sorted.toSeq
+    IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 1, buckets = 4)
+    val before = indexState(idx)
+    val kept = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id",
+      minJaccard = 0.8).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === plainKept,
+      "the promoted layout must not change the probe's answer")
+    assert(indexState(idx) === before, "probe must not mutate the promoted index")
+    dropPromotedTables()
+  }
+
   test("EMBEDDING probe: read-only, id-order-free, parameter-pinned") {
     import graft.ops.IncrementalEmbeddingDedup
     def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
@@ -925,6 +943,35 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalEmbeddingDedup.probe(spark, idxQ,
         vecs(3L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", dim = 4)
     }
+  }
+
+  test("a stream decontaminates via probe in foreachBatch (static index, no mutation)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val idx = freshIndex("probestream")
+    // the benchmark set is indexed ONCE, offline
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A), doc(2, B))),
+      "text", "doc_id", 0)
+    val before = indexState(idx)
+    val keptIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = IncrementalDedup.probe(spark, idx, batch, "text", "doc_id")
+        keptIds.synchronized {
+          keptIds ++= kept.select("doc_id").as[Long].collect()
+        }
+        ()
+      }.start()
+    try {
+      in.addData(doc(10, A), doc(11, C)); q.processAllAvailable()
+      in.addData(doc(12, B), doc(13, C)); q.processAllAvailable()
+    } finally q.stop()
+    // contaminated docs (10 dups A, 12 dups B) are gated out; the NOVEL
+    // doc C passes in BOTH batches — unlike addBatch, the stream's own
+    // content never enters the index (13 is not deduped against 11)
+    assert(keptIds.sorted.toSeq === Seq(11L, 13L))
+    assert(indexState(idx) === before, "streamed probes must not mutate the index")
   }
 
   test("addBatchAuto sizes planes from the expected corpus once, then reads the pin") {
