@@ -549,4 +549,36 @@ object GraftProperties extends Properties("graft") {
       nDocs == ls.length && total == ls.sum && keptPlusCut == ls.sum
     }
   }
+
+  /** r16 window-rank port: the KEPT-SET candidate panel (row_number over
+    * the bucket + rank-filtered equi-join) emits EXACTLY the pair set of
+    * the collect_list reference form it replaced (kept here as a
+    * test-only twin — in the engine that shape is an OOM cliff at
+    * mass-dup bucket sizes), on arbitrary dup-heavy corpora and panel
+    * widths including maxReps=1 truncation.
+    */
+  property("dedup.rank-panel-shape-equivalence") = {
+    val docGen = for {
+      id <- Gen.choose(1L, 60L)
+      n <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(n, word)
+    } yield (id, ws.mkString(" "))
+    Prop.forAll(Gen.listOfN(12, docGen), Gen.choose(1, 3)) { (rows0, maxReps) =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "text")
+      val got = Dedup.repCandidatePairs(df, "text", "doc_id",
+        k = 8, bands = 2, maxReps = maxReps)
+        .as[(Long, Long)].collect().toSet
+      val want = Dedup.lshBands(df, "text", "doc_id", 8, 2)
+        .groupBy("band", "band_key").agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) > 1)
+        .withColumn("sorted", array_sort(col("docs")))
+        .select(explode(slice(col("sorted"), 1, maxReps)).as("doc_a"), col("sorted"))
+        .select(col("doc_a"), explode(col("sorted")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+        .as[(Long, Long)].collect().toSet
+      got == want
+    }
+  }
 }
