@@ -68,6 +68,15 @@ object IncrementalDedup {
   private val BandsT = "bands"
   private val ShinglesT = "shingles"
 
+  // k/bands shape the stored band keys and the shingles derive from text
+  // the index does NOT store — so a text-index parameter change is
+  // rebuild-only (there is no in-place migration like the embedding
+  // twin's rebucket; MIGRATION.md)
+  private val TextMigrateHint =
+    "rebuild the index from the corpus (shingles derive from the text, " +
+      "which the index does not store, so k/bands/hashed cannot migrate " +
+      "in place — MIGRATION.md)"
+
   private def shingleSets(df: DataFrame, textCol: String, idCol: String,
       hashed: Boolean): DataFrame = {
     val strSets = df.select(col(idCol), tokens(col(textCol)).as("toks"))
@@ -91,15 +100,35 @@ object IncrementalDedup {
 
   /** Read one index table restricted to batches BEFORE `batchId` (replay
     * safety: a re-run batch must not see its own previous write). Missing
-    * directory = empty index (first batch). A crashed compaction swap is
-    * healed first — a half-deleted index must never serve a probe — and
-    * partitions from a batch whose addBatch crashed between its two table
-    * appends (no commit marker) are refused loudly ([[BatchCommits]]).
+    * directory = empty index (first batch).
+    *
+    * Two modes, split on `committed`:
+    *  - `None` (writing reads — [[addBatch]]): a crashed compaction swap
+    *    is healed first, and partitions from a batch whose addBatch
+    *    crashed between its two table appends (no commit marker) are
+    *    refused loudly ([[BatchCommits]]) — the single writer must replay
+    *    the crashed id before appending past it.
+    *  - `Some(set)` (READ-ONLY probes): serve exactly the COMMITTED
+    *    prefix — batch partitions outside the snapshot are FILTERED OUT
+    *    (partition-pruned, the compacted `batch=-1` base is marker-exempt
+    *    as always), so a decontamination gate stays available while a
+    *    single writer is mid-append; the in-flight batch is simply not
+    *    visible yet. The caller must take ONE [[BatchCommits.snapshot]]
+    *    and pass it to every table read (see there for why per-table
+    *    listings would race). Nothing is healed in this mode — a pending
+    *    compaction swap refuses instead ([[IndexCompaction
+    *    .requireNoPending]]): probes never mutate.
     */
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
-      batchId: Int, schemaDdl: String): DataFrame = {
-    IndexCompaction.healIfNeeded(spark, indexDir, table)
-    BatchCommits.requireCommitted(spark, indexDir, table, batchId)
+      batchId: Int, schemaDdl: String,
+      committed: Option[Set[Int]] = None): DataFrame = {
+    committed match {
+      case None =>
+        IndexCompaction.healIfNeeded(spark, indexDir, table)
+        BatchCommits.requireCommitted(spark, indexDir, table, batchId)
+      case Some(_) =>
+        IndexCompaction.requireNoPending(spark, indexDir, table)
+    }
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -110,8 +139,18 @@ object IncrementalDedup {
     // explicit schema: an all-empty index (e.g. only empty-batch
     // partitions) has no footer to infer from, and the partition column
     // rides the declared schema either way
-    else spark.read.schema(s"$schemaDdl, batch int").parquet(path)
-      .filter(col("batch") < batchId)
+    else {
+      val all = spark.read.schema(s"$schemaDdl, batch int").parquet(path)
+        .filter(col("batch") < batchId)
+      committed match {
+        case None => all
+        // batch is a partition column, so the In prunes at planning; the
+        // committed list stays bounded because compaction/promotion folds
+        // old batches into the marker-exempt base (batch < 0 / catalog)
+        case Some(set) => all.filter(col("batch") < 0 ||
+          col("batch").isin(set.toSeq.sorted.map(Int.box): _*))
+      }
+    }
   }
 
   /** Process one batch against the index at `indexDir`: returns the KEPT
@@ -129,7 +168,8 @@ object IncrementalDedup {
     // sets — a mismatched probe silently matches nothing (or fails on
     // schema), so the index pins them on first write
     IndexMeta.ensure(spark, indexDir, Map("k" -> k.toString,
-      "bands" -> bands.toString, "hashed" -> hashedShingles.toString))
+      "bands" -> bands.toString, "hashed" -> hashedShingles.toString),
+      TextMigrateHint)
 
     // the batch's signatures are consumed by candidates, verification AND
     // the index append — materialize once, don't re-signature three times
@@ -252,7 +292,19 @@ object IncrementalDedup {
     *
     * The index must exist and its baked parameters must match — a probe
     * against nothing is almost always a misconfigured dir, and a
-    * mismatched probe would silently match nothing.
+    * mismatched probe would silently match nothing. The match requires
+    * the keys to be PRESENT in the index meta, not merely non-conflicting:
+    * pointing a text probe at (say) an embedding index's meta would
+    * otherwise pass vacuously and the gate would silently keep everything.
+    *
+    * AVAILABILITY while the index grows: the probe serves the last
+    * COMMITTED batch prefix — one [[BatchCommits.snapshot]] taken up
+    * front bounds every table read, so a single writer mid-[[addBatch]]
+    * never makes the gate refuse; the in-flight batch is just not
+    * visible yet (the pre-batch answer). Maintenance ops (compact /
+    * promote / rebucket) still refuse on uncommitted partitions — they
+    * need the whole table. Being READ-ONLY, the probe also refuses —
+    * rather than heals — a crashed compaction swap.
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, minJaccard: Double = 0.8,
@@ -264,21 +316,19 @@ object IncrementalDedup {
         s"no index at $indexDir to probe — build one with addBatch first"))
     val expected = Map("k" -> k.toString, "bands" -> bands.toString,
       "hashed" -> hashedShingles.toString)
-    val diff = expected.filter { case (kk, v) => meta.getOrElse(kk, v) != v }
-    require(diff.isEmpty,
-      s"index at $indexDir was built with ${meta.view.filterKeys(expected.contains).toMap}, " +
-        s"probe presented $expected — rebucket/rebuild the index first")
+    IndexMeta.requireMatch(indexDir, meta, expected, TextMigrateHint)
 
+    val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val bandsB = Dedup.lshBands(batch, textCol, idCol, k, bands)
       .select(col(idCol).cast("long").as("doc_id"), col("band"), col("band_key"))
     val shsB = shingleSets(batch, textCol, idCol, hashedShingles)
       .select(col(idCol).cast("long").as("doc_id"), col("shs"), col("nsh"))
     val vBands = IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
       readIndex(spark, indexDir, BandsT, Int.MaxValue,
-        "doc_id bigint, band int, band_key string, rank bigint"))
+        "doc_id bigint, band int, band_key string, rank bigint", committed))
     val vShs = IndexBase.view(spark, indexDir, "shingles_table", Int.MaxValue,
       readIndex(spark, indexDir, ShinglesT, Int.MaxValue,
-        shinglesDdl(hashedShingles)))
+        shinglesDdl(hashedShingles), committed))
 
     // candidates: batch doc × indexed representative (stored rank pushed
     // to the scan; zero index-side Exchange on a promoted base)
@@ -315,17 +365,21 @@ object IncrementalDedup {
     } else kept
   }
 
-  /** Occupancy audit of the persisted band index (all batches): bucket
-    * counts split at `maxBucket`, plus the worst bucket. Observability
-    * only since the rank-representative semantics — a hot bucket means
-    * rows past `maxReps` are verified against the panel rather than every
-    * lower-id mate, never that the bucket was skipped.
+  /** Occupancy audit of the persisted band index — READ-ONLY, so it
+    * serves the COMMITTED prefix (an uncommitted half-written batch must
+    * not inflate occupancy numbers, and the audit must stay available
+    * while a writer appends). Bucket counts split at `maxBucket`, plus
+    * the worst bucket. Observability only since the rank-representative
+    * semantics — a hot bucket means rows past `maxReps` are verified
+    * against the panel rather than every lower-id mate, never that the
+    * bucket was skipped.
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
       maxBucket: Int = 1000): DataFrame =
     IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
         readIndex(spark, indexDir, BandsT, Int.MaxValue,
-          "doc_id bigint, band int, band_key string, rank bigint"))
+          "doc_id bigint, band int, band_key string, rank bigint",
+          Some(BatchCommits.snapshot(spark, indexDir))))
       .over(_.select("band", "band_key"))
       .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
       .agg(
@@ -424,13 +478,15 @@ object IncrementalDedup {
 
   /** MIGRATION: stamp every existing batch partition of a PRE-MARKER
     * index (either twin — all four table layouts are scanned) as
-    * committed. Call once, only after verifying the index is sound (both
-    * tables hold every batch — MIGRATION.md); from then on the
-    * [[BatchCommits]] protocol protects it like a fresh index.
+    * committed. Soundness is VERIFIED per twin, not assumed: a batch is
+    * stamped only when BOTH tables of its twin hold it (bands∩shingles,
+    * buckets∩vectors); a one-sided batch — an orphaned half-write — fails
+    * the migration loudly (replay that batch id, then rerun). From then
+    * on the [[BatchCommits]] protocol protects the index like a fresh one.
     */
   def markLegacyCommitted(spark: SparkSession, indexDir: String): Unit =
     BatchCommits.markAll(spark, indexDir,
-      Seq(BandsT, ShinglesT, "buckets", "vectors"))
+      Seq(BandsT -> ShinglesT, "buckets" -> "vectors"))
 }
 
 /** A promoted index splits into a catalog-bucketed BASE (every batch
@@ -583,6 +639,20 @@ private[graft] object BatchCommits {
       .flatMap(_.stripPrefix("batch=").toIntOption).toSet
   }
 
+  /** SNAPSHOT of the committed batch ids, taken ONCE per read-only probe
+    * and passed to EVERY table read of that probe. This is what lets a
+    * probe serve while a single writer is mid-[[IncrementalDedup.addBatch]]:
+    * restricting both tables to one snapshot taken BEFORE either read is
+    * race-free — a batch committed after the snapshot is excluded from
+    * BOTH tables (a consistent, slightly stale prefix), and a batch
+    * committed before it has BOTH appends on disk (the marker is written
+    * last). Filtering each table by its own freshly-listed state instead
+    * would admit the in-flight batch's bands without its shingles — the
+    * silent under-drop the marker protocol exists to prevent.
+    */
+  def snapshot(spark: SparkSession, indexDir: String): Set[Int] =
+    committedSet(spark, indexDir)
+
   /** Refuse partitions of `table` from batches BELOW `batchId` that were
     * never committed: their addBatch crashed between the two table
     * writes. The batch being probed itself (>= batchId) is exempt — a
@@ -617,18 +687,44 @@ private[graft] object BatchCommits {
       .foreach(p => fs.delete(p, false))
   }
 
-  /** MIGRATION helper: stamp every existing partition of `tables`
-    * committed — for an index written before the marker protocol existed
-    * whose soundness the caller has verified (MIGRATION.md).
+  /** MIGRATION helper: stamp the existing batch partitions of a
+    * pre-marker legacy index committed — but only after VERIFYING, in
+    * code, the soundness the marker protocol guards: a batch counts only
+    * if it is present in BOTH tables of its twin (bands∩shingles,
+    * buckets∩vectors). A batch present in only one table is exactly the
+    * orphaned half-written state the markers exist to refuse — stamping
+    * it committed would bake the under-drop in permanently, so this
+    * fails loudly listing the one-sided batches (heal: replay those
+    * batch ids, then rerun).
     */
-  def markAll(spark: SparkSession, indexDir: String, tables: Seq[String]): Unit = {
+  def markAll(spark: SparkSession, indexDir: String,
+      twins: Seq[(String, String)]): Unit = {
     val fs = fsOf(spark, indexDir)
-    tables.map(t => new org.apache.hadoop.fs.Path(s"$indexDir/$t"))
-      .filter(fs.exists)
-      .flatMap(r => fs.listStatus(r).map(_.getPath.getName))
-      .flatMap(_.stripPrefix("batch=").toIntOption)
-      .filter(_ >= 0).distinct
-      .foreach(b => mark(spark, indexDir, b))
+    def batchesOf(t: String): Option[Set[Int]] = {
+      val r = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      if (!fs.exists(r)) None
+      else Some(fs.listStatus(r).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(_.stripPrefix("batch=").toIntOption)
+        .filter(_ >= 0).toSet)
+    }
+    twins.foreach { case (a, b) =>
+      (batchesOf(a), batchesOf(b)) match {
+        case (None, None) => () // this twin never wrote here
+        case (oa, ob) =>
+          val sa = oa.getOrElse(Set.empty[Int])
+          val sb = ob.getOrElse(Set.empty[Int])
+          val oneSided = (sa diff sb) ++ (sb diff sa)
+          require(oneSided.isEmpty,
+            s"legacy index at $indexDir is NOT sound: batch(es) " +
+              s"${oneSided.toSeq.sorted.mkString(", ")} present in only one " +
+              s"of $a/$b — their original write crashed between the two " +
+              "table appends; replay those batch ids first, then rerun " +
+              "markLegacyCommitted (stamping them now would bake in the " +
+              "silent under-drop the markers exist to prevent)")
+          sa.intersect(sb).foreach(bt => mark(spark, indexDir, bt))
+      }
+    }
   }
 }
 
@@ -698,22 +794,40 @@ private[graft] object IndexMeta {
     * index from the corpus instead (MIGRATION.md).
     */
   def ensure(spark: SparkSession, indexDir: String,
-      expected: Map[String, String]): Unit = read(spark, indexDir) match {
-    case None =>
-      val fs = fsOf(spark, indexDir)
-      val legacy = TableDirs.map(new org.apache.hadoop.fs.Path(indexDir, _))
-        .filter(p => fs.exists(p) && fs.listStatus(p).nonEmpty)
-      require(legacy.isEmpty,
-        s"index at $indexDir holds data (${legacy.map(_.getName).mkString(", ")}) " +
-          "but no _graft_meta — a pre-meta legacy index may lack the stored " +
-          "rank column and would silently match nothing; rebuild it " +
-          "(MIGRATION.md) instead of adopting it")
-      write(spark, indexDir, expected)
-    case Some(m) =>
-      val diff = expected.filter { case (k, v) => m.getOrElse(k, v) != v }
-      require(diff.isEmpty,
-        s"index at $indexDir was built with ${m.view.filterKeys(expected.contains).toMap}, " +
-          s"probe presented $expected — rebucket/rebuild the index first")
+      expected: Map[String, String], hint: String): Unit =
+    read(spark, indexDir) match {
+      case None =>
+        val fs = fsOf(spark, indexDir)
+        val legacy = TableDirs.map(new org.apache.hadoop.fs.Path(indexDir, _))
+          .filter(p => fs.exists(p) && fs.listStatus(p).nonEmpty)
+        require(legacy.isEmpty,
+          s"index at $indexDir holds data (${legacy.map(_.getName).mkString(", ")}) " +
+            "but no _graft_meta — a pre-meta legacy index may lack the stored " +
+            "rank column and would silently match nothing; rebuild it " +
+            "(MIGRATION.md) instead of adopting it")
+        write(spark, indexDir, expected)
+      case Some(m) => requireMatch(indexDir, m, expected, hint)
+    }
+
+  /** The parameter pin itself, shared by [[ensure]] and the READ-ONLY
+    * probes. Every expected key must be PRESENT in the stored meta, not
+    * merely non-conflicting: a meta written by the OTHER index twin (or a
+    * pre-parameter layout) holds none of this caller's keys, and a
+    * get-or-default comparison would pass vacuously — the probe would
+    * then read empty tables and silently keep the entire batch, the exact
+    * silent-match-nothing failure this pin exists to refuse.
+    */
+  def requireMatch(indexDir: String, meta: Map[String, String],
+      expected: Map[String, String], hint: String): Unit = {
+    val missing = expected.keys.filterNot(meta.contains).toSeq.sorted
+    require(missing.isEmpty,
+      s"index meta at $indexDir lacks ${missing.mkString(", ")} — the dir " +
+        "was built by a different index type (or a pre-parameter layout); " +
+        hint)
+    val diff = expected.filter { case (k, v) => !meta.get(k).contains(v) }
+    require(diff.isEmpty,
+      s"index at $indexDir was built with ${meta.view.filterKeys(expected.contains).toMap}, " +
+        s"this call presented $expected — $hint")
   }
 
   def requireNoMigration(spark: SparkSession, indexDir: String): Unit =
@@ -763,6 +877,22 @@ private[graft] object IndexCompaction {
       n.startsWith("batch=") &&
         n.stripPrefix("batch=").toIntOption.exists(_ < uptoExclusive)
     }
+
+  /** READ-ONLY guard: a probe must never mutate the index it reads — not
+    * even to finish a crashed compaction swap (it may be running against
+    * a read-only mount, and "READ-ONLY" is its documented contract). A
+    * pending compaction marker therefore makes the probe refuse loudly;
+    * any WRITING index read ([[IncrementalDedup.addBatch]], compaction,
+    * promotion) heals the swap as before.
+    */
+  def requireNoPending(spark: SparkSession, indexDir: String, table: String): Unit = {
+    val marker = hp(s"$indexDir/${table}__compact_commit")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(marker),
+      s"index table $indexDir/$table has an unfinished compaction swap — " +
+        "a READ-ONLY probe will not heal it; rerun compactIndex (or any " +
+        "writing index op, e.g. addBatch) to finish the swap, then probe")
+  }
 
   /** Finish a crashed compaction swap: marker present ⇒ the staged base is
     * complete — delete any remaining folded partitions, publish the
@@ -856,6 +986,13 @@ object IncrementalEmbeddingDedup {
   private val BucketsT = "buckets"
   private val VectorsT = "vectors"
 
+  // planes CAN migrate in place (rebucket recomputes buckets from the
+  // stored vectors); dim/quantized shape the stored vectors themselves,
+  // so changing those is rebuild-only
+  private val EmbMigrateHint =
+    "rebucket() migrates planes in place from the stored vectors; " +
+      "dim/quantized changes need a rebuild (MIGRATION.md)"
+
   /** Quantized indexes store int8 codes (`array<tinyint>`) — the ~5-8×
     * representation cut; probe-time verification casts back to doubles
     * (same integer values, so the arithmetic is unchanged).
@@ -864,10 +1001,20 @@ object IncrementalEmbeddingDedup {
     if (quantized) "id bigint, v array<tinyint>, nrm double"
     else "id bigint, v array<double>, nrm double"
 
+  /** Same two-mode read as [[IncrementalDedup]]'s: writing reads heal +
+    * refuse uncommitted; READ-ONLY reads (`committed = Some(snapshot)`)
+    * serve exactly the committed prefix and refuse to heal.
+    */
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
-      batchId: Int, schemaDdl: String): DataFrame = {
-    IndexCompaction.healIfNeeded(spark, indexDir, table)
-    BatchCommits.requireCommitted(spark, indexDir, table, batchId)
+      batchId: Int, schemaDdl: String,
+      committed: Option[Set[Int]] = None): DataFrame = {
+    committed match {
+      case None =>
+        IndexCompaction.healIfNeeded(spark, indexDir, table)
+        BatchCommits.requireCommitted(spark, indexDir, table, batchId)
+      case Some(_) =>
+        IndexCompaction.requireNoPending(spark, indexDir, table)
+    }
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -875,8 +1022,15 @@ object IncrementalEmbeddingDedup {
     if (!exists)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
-    else spark.read.schema(s"$schemaDdl, batch int").parquet(path)
-      .filter(col("batch") < batchId)
+    else {
+      val all = spark.read.schema(s"$schemaDdl, batch int").parquet(path)
+        .filter(col("batch") < batchId)
+      committed match {
+        case None => all
+        case Some(set) => all.filter(col("batch") < 0 ||
+          col("batch").isin(set.toSeq.sorted.map(Int.box): _*))
+      }
+    }
   }
 
   /** Process one embedding batch against the index at `indexDir`: returns
@@ -895,7 +1049,7 @@ object IncrementalEmbeddingDedup {
     // estimate was wrong
     IndexMeta.ensure(spark, indexDir,
       Map("dim" -> dim.toString, "planes" -> planes.toString,
-        "quantized" -> quantized.toString))
+        "quantized" -> quantized.toString), EmbMigrateHint)
     // quantized mode: bucket AND verify on the int8 codes (scales cancel
     // in the cosine — Similarity.dropEmbeddingNearDupsQuantized), so the
     // stored representation is self-consistent
@@ -1031,7 +1185,13 @@ object IncrementalEmbeddingDedup {
     * from the STORED `rank <= maxReps` filter, pushed to the scan; the
     * drop test is the LEFT SEMI with the cosine in the join condition
     * (first matching representative short-circuits). The index must
-    * exist and its baked parameters must match.
+    * exist and its baked parameters must match — and be PRESENT in the
+    * meta (a vacuous pass against the other twin's meta would silently
+    * keep everything). Like the text probe, it serves the last COMMITTED
+    * batch prefix (one [[BatchCommits.snapshot]] bounds both table
+    * reads), so the gate stays available while a single writer is
+    * mid-[[addBatch]]; a pending compaction swap refuses rather than
+    * heals.
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       vecCol: String, idCol: String, dim: Int, planes: Int = 8,
@@ -1043,10 +1203,8 @@ object IncrementalEmbeddingDedup {
         s"no index at $indexDir to probe — build one with addBatch first"))
     val expected = Map("dim" -> dim.toString, "planes" -> planes.toString,
       "quantized" -> quantized.toString)
-    val diff = expected.filter { case (kk, v) => meta.getOrElse(kk, v) != v }
-    require(diff.isEmpty,
-      s"index at $indexDir was built with ${meta.view.filterKeys(expected.contains).toMap}, " +
-        s"probe presented $expected — rebucket/rebuild the index first")
+    IndexMeta.requireMatch(indexDir, meta, expected, EmbMigrateHint)
+    val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val (batchV, vcol) =
       if (!quantized) (batch, vecCol)
       else {
@@ -1063,9 +1221,10 @@ object IncrementalEmbeddingDedup {
           col("n").as("nrm"), col("bucket")))
     val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
       readIndex(spark, indexDir, BucketsT, Int.MaxValue,
-        "id bigint, bucket bigint, rank bigint"))
+        "id bigint, bucket bigint, rank bigint", committed))
     val vVecs0 = IndexBase.view(spark, indexDir, "vectors_table", Int.MaxValue,
-      readIndex(spark, indexDir, VectorsT, Int.MaxValue, vectorsDdl(quantized)))
+      readIndex(spark, indexDir, VectorsT, Int.MaxValue, vectorsDdl(quantized),
+        committed))
     val vVecs =
       if (!quantized) vVecs0
       else IndexView(
@@ -1098,12 +1257,16 @@ object IncrementalEmbeddingDedup {
     out
   }
 
-  /** Occupancy audit of the persisted bucket index (all batches). */
+  /** Occupancy audit of the persisted bucket index — READ-ONLY, so it
+    * serves the COMMITTED prefix (uncommitted half-written batches never
+    * inflate occupancy; stays available while a writer appends).
+    */
   def indexBucketStats(spark: SparkSession, indexDir: String,
       maxBucket: Int = 1000): DataFrame =
     IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
         readIndex(spark, indexDir, BucketsT, Int.MaxValue,
-          "id bigint, bucket bigint"))
+          "id bigint, bucket bigint",
+          Some(BatchCommits.snapshot(spark, indexDir))))
       .over(_.select("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .agg(

@@ -551,7 +551,10 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))),
         "text", "doc_id", 1, k = 5)
     }
-    assert(ex.getMessage.contains("rebucket/rebuild"))
+    // the text twin's hint is rebuild-only: shingles derive from text the
+    // index does not store, so there is no in-place k/bands migration
+    assert(ex.getMessage.contains("rebuild") &&
+      !ex.getMessage.contains("rebucket"))
     intercept[IllegalArgumentException] {
       IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, A))),
         "text", "doc_id", 1, bands = 4)
@@ -1004,5 +1007,277 @@ class IncrementalDedupSpec extends SparkSpec {
     val k2 = IncrementalDedup.addBatch(spark, idx,
       df(Seq(doc(4, C))), "text", "doc_id", 2)
     assert(k2.isEmpty, "exact copy of an indexed doc must drop")
+  }
+
+  test("plain addBatch executes a bounded shuffle count (dedup_incr_kept leg pin)") {
+    // exchange-count pin for the board's dedup_incr_kept: its per-batch
+    // cost is the index write + a FIXED set of shuffles (batch signature
+    // aggregation, touched-bucket count, rank window, candidate/verify
+    // joins, kept anti-join). A magnitude move on the board with this pin
+    // green is machine conditions (r16 watch item: 3.86→5.1 s flat, 100×
+    // envelope flat); a pin failure is a real plan regression — some
+    // rewrite added a shuffle to the probe path.
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val m = docs.agg(max("doc_id")).head.getLong(0)
+    val idx = freshIndex("exchpin")
+    IncrementalDedup.addBatch(spark, idx,
+      docs.filter(col("doc_id") <= m / 3), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx,
+      docs.filter(col("doc_id") > m / 3 && col("doc_id") <= 2 * m / 3),
+      "text", "doc_id", 1)
+    val captured = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      IncrementalDedup.addBatch(spark, idx,
+        docs.filter(col("doc_id") > 2 * m / 3), "text", "doc_id", 2).count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = captured.synchronized(captured.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val plans = captured.synchronized(captured.toVector)
+    // DISTINCT exchanges by identity: expand() follows ReusedExchange into
+    // its child, so the same node can be visited twice
+    val shuffles = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeLike, java.lang.Boolean]())
+    plans.foreach(p => expand(p).foreach {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        shuffles.add(e)
+      case _ => ()
+    })
+    info(s"dedup_incr_kept final-leg distinct shuffles = ${shuffles.size} " +
+      s"across ${plans.size} actions")
+    assert(plans.nonEmpty, "no plans captured — pin is vacuous")
+    assert(shuffles.size <= 8,
+      s"the plain addBatch leg now executes ${shuffles.size} distinct " +
+        "shuffles (round-17 measurement: 8 across 7 actions) — a rewrite " +
+        "added exchanges to the probe path")
+  }
+
+  test("probe serves the last COMMITTED prefix while a batch is mid-append") {
+    val idx = freshIndex("probemidappend")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    val pr = df(Seq(doc(100, A), doc(101, B), doc(102, C)))
+    def probeKept() = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(probeKept() === Seq(102L))
+    // forge a single writer mid-addBatch: batch 2 (doc 10 = C) has written
+    // its bands but not its shingles — and so no commit marker. (Run it
+    // whole, then remove the second write and the marker: the exact
+    // in-flight on-disk state a concurrent probe can observe.)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(10, C))), "text", "doc_id", 2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles/batch=2"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits/batch=2"), false)
+    // pre-r17 every probe here threw (requireCommitted) — the gate went
+    // DOWN for the whole append. Now it serves the pre-batch answer:
+    // batch 2's orphaned bands are simply not visible yet.
+    assert(probeKept() === Seq(102L),
+      "mid-append probe must serve the committed prefix, not refuse (and " +
+        "not see the in-flight bands without their shingles)")
+    // occupancy observability follows the same committed prefix: 4 band
+    // buckets (2 per doc), not 6 — the in-flight bands don't inflate it
+    val occ = IncrementalDedup.indexBucketStats(spark, idx).head()
+    assert(occ.getAs[Long]("ok_buckets") === 4L,
+      "indexBucketStats must count only committed partitions")
+    // the WRITER's refusal is retained: appending past the crashed/in-
+    // flight batch (and every maintenance op) still fails loudly
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(spark, idx, df(Seq(doc(20, C))),
+        "text", "doc_id", 3)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 3)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 3)
+    }
+    // the append completes (replay = the heal); the same probe now drops C
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(10, C))), "text", "doc_id", 2)
+    assert(probeKept() === Seq.empty,
+      "once batch 2 commits, its content gates the probe")
+    // edge: an index whose ONLY batch is in-flight serves the empty prefix
+    val idx2 = freshIndex("probemidfirst")
+    IncrementalDedup.addBatch(spark, idx2, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/shingles/batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/_graft_commits/batch=0"), false)
+    val k2 = IncrementalDedup.probe(spark, idx2, df(Seq(doc(100, A))),
+      "text", "doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(k2 === Seq(100L), "empty committed prefix keeps everything")
+  }
+
+  test("EMBEDDING probe serves the committed prefix mid-append the same way") {
+    import graft.ops.IncrementalEmbeddingDedup
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    val idx = freshIndex("embprobemid")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(10L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", 0, dim = 4)
+    val pr = vecs(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f))
+    def probeKept() = IncrementalEmbeddingDedup.probe(spark, idx, pr,
+      "embedding", "vec_id", dim = 4)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(probeKept() === Seq(2L))
+    // in-flight batch 1 indexes vec 2's direction: buckets written,
+    // vectors missing, no marker
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(20L -> Seq(0f, 1f, 0f, 0f)), "embedding", "vec_id", 1, dim = 4)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/vectors/batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits/batch=1"), false)
+    assert(probeKept() === Seq(2L),
+      "mid-append probe must serve the pre-batch answer, not refuse")
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.addBatch(spark, idx,
+        vecs(30L -> Seq(0f, 0f, 1f, 0f)), "embedding", "vec_id", 2, dim = 4)
+    }
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      vecs(20L -> Seq(0f, 1f, 0f, 0f)), "embedding", "vec_id", 1, dim = 4)
+    assert(probeKept() === Seq.empty,
+      "once batch 1 commits, vec 2's direction gates out")
+  }
+
+  test("a probe with the OTHER twin's parameters refuses — the pin is not vacuous") {
+    import graft.ops.IncrementalEmbeddingDedup
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    // an embedding index's meta holds dim/planes/quantized — none of the
+    // text probe's keys. Pre-r17 the get-or-default comparison passed
+    // VACUOUSLY, the bands dir read as empty, and the decontamination
+    // gate silently kept the entire batch.
+    val embIdx = freshIndex("crossmetaemb")
+    IncrementalEmbeddingDedup.addBatch(spark, embIdx,
+      vecs(10L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", 0, dim = 4)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.probe(spark, embIdx, df(Seq(doc(1, A))), "text", "doc_id")
+    }
+    assert(ex.getMessage.contains("lacks") && ex.getMessage.contains("bands"),
+      s"must name the missing keys, got: ${ex.getMessage}")
+    // the reverse direction, and the writing path (addBatch), refuse too
+    val txtIdx = freshIndex("crossmetatxt")
+    IncrementalDedup.addBatch(spark, txtIdx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.probe(spark, txtIdx,
+        vecs(1L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", dim = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.addBatch(spark, txtIdx,
+        vecs(1L -> Seq(1f, 0f, 0f, 0f)), "embedding", "vec_id", 0, dim = 4)
+    }
+    // the text twin's message is rebuild-only (no in-place migration:
+    // shingles derive from text the index does not store)
+    val exT = intercept[IllegalArgumentException] {
+      IncrementalDedup.probe(spark, txtIdx, df(Seq(doc(2, B))),
+        "text", "doc_id", k = 5)
+    }
+    assert(exT.getMessage.contains("rebuild") &&
+      !exT.getMessage.contains("rebucket"),
+      s"text migration hint must say rebuild, got: ${exT.getMessage}")
+  }
+
+  test("markLegacyCommitted verifies twin-pairwise presence, not any-table union") {
+    val idx = freshIndex("legacypairwise")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    // forge a legacy index with a REAL orphaned half-write: no marker dir
+    // at all (pre-marker era) and batch 1's shingles missing
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles/batch=1"), true)
+    // pre-r17 this stamped batch 1 committed (present in bands = enough),
+    // silently baking in the under-drop. Now it fails loudly, naming it.
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.markLegacyCommitted(spark, idx)
+    }
+    assert(ex.getMessage.contains("only one") && ex.getMessage.contains("1"),
+      s"must name the one-sided batch, got: ${ex.getMessage}")
+    // heal: drop the orphaned half too, stamp the sound prefix, replay
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands/batch=1"), true)
+    IncrementalDedup.markLegacyCommitted(spark, idx)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    val k = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(3, B))),
+      "text", "doc_id", 2)
+    assert(k.isEmpty, "doc 3 duplicates replayed doc 2 after the migration")
+  }
+
+  test("READ-ONLY probe refuses — and does not heal — a pending compaction swap") {
+    val idx = freshIndex("probecompactpend")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    // forge a compaction that crashed AFTER its commit marker: staging
+    // complete (batch 0's rows re-written base-shaped), folded partition
+    // not yet deleted, marker holding uptoExclusive=1
+    spark.read.parquet(s"$idx/bands/batch=0")
+      .write.parquet(s"$idx/bands__compact_staging")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$idx/bands__compact_commit"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    val before = indexState(idx)
+    // a writing read would FINISH this swap (delete + rename). The probe
+    // is documented read-only — it must refuse loudly and touch nothing
+    // (it may be running against a read-only mount).
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.probe(spark, idx, df(Seq(doc(100, A))), "text", "doc_id")
+    }
+    assert(ex.getMessage.contains("compaction"),
+      s"must name the pending swap, got: ${ex.getMessage}")
+    assert(indexState(idx) === before,
+      "a refused probe must leave the index byte-identical — no healing")
+    // the next WRITING read heals deterministically; then the probe serves
+    val k = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(10, C))),
+      "text", "doc_id", 2)
+    assert(k.count() === 1)
+    val kept = IncrementalDedup.probe(spark, idx,
+      df(Seq(doc(100, A), doc(101, C))), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept.isEmpty, "healed index gates both the folded and fresh content")
+  }
+
+  test("hashed-shingle probe: copies drop, novel content survives, layout pinned") {
+    val idx = freshIndex("probehashed")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A), doc(2, B))),
+      "text", "doc_id", 0, hashedShingles = true)
+    val kept = IncrementalDedup.probe(spark, idx,
+      df(Seq(doc(100, A), doc(101, C))), "text", "doc_id",
+      hashedShingles = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(101L),
+      "hashed probe must drop the indexed copy and keep the novel doc")
+    // and on the real corpus: hashed probe ≡ string probe (no collisions
+    // at this scale — the hashed form may only ever drop MORE)
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val pr = docs.filter(col("doc_id") % 2 === 1)
+    val idxH = freshIndex("probehashedcorpus")
+    IncrementalDedup.addBatch(spark, idxH, ref, "text", "doc_id", 0,
+      hashedShingles = true)
+    val keptH = IncrementalDedup.probe(spark, idxH, pr, "text", "doc_id",
+      hashedShingles = true).select("doc_id").as[Long].collect().sorted.toSeq
+    val idxS = freshIndex("probestrcorpus")
+    IncrementalDedup.addBatch(spark, idxS, ref, "text", "doc_id", 0)
+    val keptS = IncrementalDedup.probe(spark, idxS, pr, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptH === keptS, "hashed probe must equal the string form here")
+    assert(keptH.nonEmpty && keptH.size < pr.count(), "fixture vacuous otherwise")
+    // the string-layout probe against the hashed index refuses
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.probe(spark, idxH, pr, "text", "doc_id")
+    }
   }
 }
