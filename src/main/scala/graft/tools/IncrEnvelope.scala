@@ -18,11 +18,16 @@ import graft.ops.{IncrementalDedup, IncrementalEmbeddingDedup, Similarity}
   *    time batch 2's probe against the bucketed base vs a plain index,
   *    with kept-set equality checked.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.IncrEnvelope <emb|text>
+  *  - `probe_curve`: the gate's serving-latency curve — probe wall-time
+  *    at a fixed batch size as the index grows 1×→10×→100×, plain vs
+  *    promoted (the crossover SCALE.md names).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.IncrEnvelope
+  *   <emb|embq8|rebucket|rebucket_promoted|text|probe_curve>
   */
 object IncrEnvelope {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "mode: emb | text")
+    require(args.nonEmpty, "mode: emb | text | probe_curve | ...")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -130,10 +135,71 @@ object IncrEnvelope {
           s""""probe_sec":${f"$tProbe%.2f"},"probe_kept":$kProbe,""" +
           s""""hot_buckets":${st.getAs[Long]("hot_buckets")},""" +
           s""""max_bucket":${st.getAs[Long]("max_bucket")}}""")
+        // hygiene: drop ONLY this run's promoted tables — the prefix is
+        // per-index-dir, so other live indexes' catalog entries (whose
+        // meta still references them) survive a shared session
         if (promoted)
           spark.catalog.listTables().collect().map(_.name)
-            .filter(_.startsWith("graft_idx_"))
+            .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(idx)))
             .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+      case "probe_curve" =>
+        // serving-latency curve for the decontamination gate: probe
+        // wall-time as the INDEX grows 1×→10×→100× at a FIXED batch size,
+        // plain vs promoted layout. The product metric for a gate is how
+        // long one incoming batch waits as the retained corpus grows —
+        // and the promoted (bucketed, zero-index-side-exchange) layout
+        // should separate from the plain one as the index side dominates.
+        // Growth content is NOVEL per copy (ids shifted, tokens remapped
+        // through xxhash64 — compiled exprs only), so bucket occupancy
+        // stays corpus-like instead of stacking 100 copies into the same
+        // band buckets. 3 probe reps per point, all reported (rep 1
+        // carries cold JIT; read rep 2+).
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val m = docs.agg(max("doc_id")).head.getLong(0)
+        val factors = (if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+          else Seq(1, 10, 100)).sorted
+        def copy(g: Int): org.apache.spark.sql.DataFrame =
+          if (g == 0) docs
+          else docs.select((col("doc_id") + g.toLong * (m + 1)).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => hex(xxhash64(t, lit(g)))), " ").as("text"))
+        def copies(from: Int, until: Int): org.apache.spark.sql.DataFrame =
+          (from until until).map(copy).reduce(_ unionByName _)
+        val plain = fresh("curve_plain")
+        val promo = fresh("curve_promo")
+        var built = 0
+        var batchId = 0
+        val pts = factors.map { f =>
+          // grow both indexes to f corpus-copies with ONE append each
+          // (batch sizes are the operator's business, not the curve's)
+          val (_, tGrow) = timed {
+            if (built < f) {
+              IncrementalDedup.addBatch(spark, plain, copies(built, f),
+                "text", "doc_id", batchId).count()
+              IncrementalDedup.addBatch(spark, promo, copies(built, f),
+                "text", "doc_id", batchId).count()
+              batchId += 1; built = f
+            }
+          }
+          val (_, tPromote) = timed {
+            IncrementalDedup.promoteBase(spark, promo, uptoExclusive = batchId)
+          }
+          def probeOnce(idx: String): Double =
+            timed(IncrementalDedup.probe(spark, idx, docs, "text", "doc_id")
+              .count())._2
+          val plainT = (1 to 3).map(_ => probeOnce(plain))
+          val promoT = (1 to 3).map(_ => probeOnce(promo))
+          s"""{"copies":$f,"grow_sec":${f"$tGrow%.2f"},""" +
+            s""""promote_sec":${f"$tPromote%.2f"},""" +
+            s""""plain_sec":[${plainT.map(t => f"$t%.2f").mkString(",")}],""" +
+            s""""promoted_sec":[${promoT.map(t => f"$t%.2f").mkString(",")}]}"""
+        }
+        println(s"""{"mode":"probe_curve","batch_docs":${docs.count()},""" +
+          s""""points":[${pts.mkString(",")}]}""")
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(promo)))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
       case "text" =>
         val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -179,12 +245,13 @@ object IncrEnvelope {
           s""""batch01_promo_sec":${f"$tB01%.2f"},""" +
           s""""hot_buckets":${st.getAs[Long]("hot_buckets")},""" +
           s""""max_bucket":${st.getAs[Long]("max_bucket")}}""")
-        // hygiene: the promoted tables are per-tempdir catalog entries
+        // hygiene: drop ONLY this run's promoted tables (prefix is
+        // per-index-dir — a shared session's other indexes survive)
         spark.catalog.listTables().collect().map(_.name)
-          .filter(_.startsWith("graft_idx_"))
+          .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(promo)))
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
-      case other => sys.error(s"unknown mode $other — use emb | text")
+      case other => sys.error(s"unknown mode $other — use emb | text | probe_curve")
     }
     spark.stop()
   }
