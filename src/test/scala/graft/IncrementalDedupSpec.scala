@@ -1152,6 +1152,72 @@ class IncrementalDedupSpec extends SparkSpec {
       "once batch 1 commits, vec 2's direction gates out")
   }
 
+  test("a gating stream keeps serving while the index grows between micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val idx = freshIndex("probegrow")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    val keptPerBatch = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = IncrementalDedup.probe(spark, idx, batch, "text", "doc_id")
+        keptPerBatch.synchronized {
+          keptPerBatch += kept.select("doc_id").as[Long].collect().sorted.toSeq
+        }
+        ()
+      }.start()
+    try {
+      // the pre-r17 contract only allowed a STATIC index under a running
+      // gate; now the index grows between micro-batches and each batch
+      // sees the prefix committed so far
+      in.addData(doc(10, A), doc(11, C)); q.processAllAvailable()
+      IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, C))),
+        "text", "doc_id", 1) // the retained corpus grows mid-stream
+      in.addData(doc(12, A), doc(13, C)); q.processAllAvailable()
+    } finally q.stop()
+    assert(keptPerBatch.toSeq === Seq(Seq(11L), Seq.empty),
+      "batch 1 keeps novel C; after the index grows, batch 2's C-copy gates out")
+  }
+
+  test("probes answer a committed prefix — never throw — under a CONCURRENT writer") {
+    // the true-concurrency form of the mid-append contract: a writer
+    // thread appends batch 1 while the main thread probes in a loop.
+    // Under a single writer every probe must return one of the two
+    // committed-prefix answers (pre- or post-batch-1) — no exception, no
+    // torn state (bands without shingles would keep a batch-1 duplicate
+    // while dropping nothing, which is NEITHER valid answer).
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val idx = freshIndex("proberace")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    val pr = df(Seq(doc(100, A), doc(101, B), doc(102, C)))
+    val pre = Seq(101L, 102L) // B and C not yet indexed
+    val post = Seq(102L) // batch 1 indexes B (and the corpus docs)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try IncrementalDedup.addBatch(spark, idx,
+        docs.unionByName(df(Seq(doc(900000L, B)))), "text", "doc_id", 1).count()
+      catch { case t: Throwable => writerErr.set(t) }
+    })
+    writer.start()
+    val answers = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    try {
+      while (writer.isAlive && answers.size < 50) {
+        answers += IncrementalDedup.probe(spark, idx, pr, "text", "doc_id")
+          .select("doc_id").as[Long].collect().sorted.toSeq
+      }
+    } finally writer.join()
+    assert(writerErr.get() === null, s"writer failed: ${writerErr.get()}")
+    assert(answers.nonEmpty)
+    answers.foreach(a => assert(a === pre || a === post,
+      s"probe under a concurrent writer returned $a — neither the pre- " +
+        s"nor the post-commit prefix"))
+    // and once the writer is done, the post answer is the only answer
+    val fin = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fin === post)
+  }
+
   test("a probe with the OTHER twin's parameters refuses — the pin is not vacuous") {
     import graft.ops.IncrementalEmbeddingDedup
     def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
