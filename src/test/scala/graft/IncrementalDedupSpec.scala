@@ -1152,6 +1152,36 @@ class IncrementalDedupSpec extends SparkSpec {
       "once batch 1 commits, vec 2's direction gates out")
   }
 
+  test("mid-append probe over a PROMOTED index serves base + committed delta") {
+    val idx = freshIndex("probemidpromo")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 2, buckets = 4)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(3, C))), "text", "doc_id", 2)
+    val pr = df(Seq(doc(100, A), doc(101, B), doc(102, C)))
+    def probeKept() = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(probeKept() === Seq.empty,
+      "base (A, B) and committed delta (C) must all gate")
+    // in-flight delta batch 3: bands written, shingles missing, no marker
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(4, C))), "text", "doc_id", 3)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles/batch=3"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits/batch=3"), false)
+    assert(probeKept() === Seq.empty,
+      "the promoted probe must serve base + committed delta mid-append")
+    // the committed prefix excludes ONLY the in-flight batch — drop the
+    // committed delta too and C's copy must pass (proves batch 2 was
+    // genuinely served from the delta, not the base)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands/batch=2"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles/batch=2"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits/batch=2"), false)
+    assert(probeKept() === Seq(102L),
+      "with the delta gone, only the base's A and B still gate")
+    dropPromotedTables()
+  }
+
   test("a gating stream keeps serving while the index grows between micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
