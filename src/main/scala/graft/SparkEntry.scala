@@ -168,5 +168,10 @@ object SparkEntry {
     // round-16: the READ-ONLY probes — index the retained half once,
     // filter the incoming half against it with no index mutation (each
     // rep pays one index build + one probe, writes included)
-    "dedup_incr_probe_kept", "dedup_incr_emb_probe_kept")
+    "dedup_incr_probe_kept", "dedup_incr_emb_probe_kept",
+    // round-17: DSIR importance resampling — hashed-n-gram target/raw
+    // models (B-row broadcast λ table), exact-integer doc weights, and
+    // the bounded Gumbel-top-k draw; the full select-like-the-target
+    // pass a pre-training data run pays over the raw corpus
+    "sample_dsir_kept")
 }

@@ -181,6 +181,23 @@ object TextQueries extends QueryModule {
       graft.ops.Sampling.weightedPerClass(docs(s, d), "lang", "doc_id",
         "n_chars", k = 20, salt = "aes1")),
 
+    // DSIR (Xie et al. 2023) importance weights: raw corpus scored under
+    // hashed-n-gram unigram models of target (lang='en') vs raw — the
+    // "make web text look like the target domain" selection signal
+    "sample_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.ops.Dsir.weights(all, all.filter(col("lang") === "en"),
+        "text", "doc_id")
+    }),
+
+    // DSIR Gumbel-top-k resampling: keep 25% of the corpus, drawn without
+    // replacement ∝ exp(importance weight), hash-derived noise
+    "sample_dsir_kept" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.ops.Dsir.resample(all, all.filter(col("lang") === "en"),
+        "text", "doc_id", frac = 0.25)
+    }),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -504,6 +521,38 @@ object TextQueries extends QueryModule {
 
   /** BPE rounds for the text_bpe_* queries (engine and oracle agree). */
   private val BpeRounds = 3
+
+  /** Shared DSIR CTE chain mirroring [[graft.ops.Dsir.weights]]
+    * op-for-op (same operand order everywhere; ln's engine-ulp is
+    * absorbed by the 1e-6 floor): hashed uni+bigram bucket counts per
+    * doc, raw vs target (lang='en') smoothed models, the micro-floored
+    * per-bucket log-ratio, and exact-integer per-doc weights.
+    */
+  private val dsirCtes =
+    s"""WITH tok_dsir AS (SELECT doc_id, $toks AS ts FROM documents),
+       |feat_dsir AS (SELECT doc_id, unnest(ts) AS f FROM tok_dsir
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(len(ts) - 1),
+       |           i -> ts[i + 1] || ' ' || ts[i + 2])) AS f
+       |  FROM tok_dsir WHERE len(ts) >= 2),
+       |dc_dsir AS (SELECT doc_id,
+       |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b,
+       |    count(*)::BIGINT AS cnt
+       |  FROM feat_dsir GROUP BY 1, 2),
+       |rawc_dsir AS (SELECT b, sum(cnt)::BIGINT AS cr FROM dc_dsir GROUP BY b),
+       |rawn_dsir AS (SELECT coalesce(sum(cr), 0)::BIGINT AS nr FROM rawc_dsir),
+       |tgtc_dsir AS (SELECT b, sum(cnt)::BIGINT AS ct
+       |  FROM dc_dsir JOIN documents USING (doc_id)
+       |  WHERE lang = 'en' GROUP BY b),
+       |tgtn_dsir AS (SELECT coalesce(sum(ct), 0)::BIGINT AS nt FROM tgtc_dsir),
+       |lam_dsir AS (SELECT r.b,
+       |    floor((ln((coalesce(t.ct, 0) + 0.5) / (nt + 0.5 * 4096)) -
+       |           ln((r.cr + 0.5) / (nr + 0.5 * 4096))) * 1000000.0)::BIGINT AS lam
+       |  FROM rawc_dsir r LEFT JOIN tgtc_dsir t USING (b)
+       |  CROSS JOIN rawn_dsir CROSS JOIN tgtn_dsir),
+       |w_dsir AS (SELECT dc.doc_id, sum(dc.cnt)::BIGINT AS n_feats,
+       |    sum(dc.cnt * lam.lam)::BIGINT AS weight_micro
+       |  FROM dc_dsir dc JOIN lam_dsir lam USING (b) GROUP BY dc.doc_id)""".stripMargin
 
   /** The oracle's one-round BPE merge over a token-list column: a
     * sentinel-prepended list_reduce fold building a chr(31)-delimited
@@ -890,6 +939,33 @@ object TextQueries extends QueryModule {
         |        row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rnk
         |      FROM p)
         |SELECT lang, doc_id, prio::BIGINT AS prio_micro FROM r WHERE rnk <= 20""".stripMargin,
+
+    // DSIR weights: same CTE chain as the engine op — hashed uni+bigram
+    // bucket counts, add-0.5-smoothed target/raw models, per-bucket
+    // log-ratio floored to micro units, exact-integer per-doc dot product
+    "sample_dsir_weights" ->
+      s"""$dsirCtes
+         |SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+         |  coalesce(w.weight_micro, 0) AS weight_micro
+         |FROM documents d LEFT JOIN w_dsir w USING (doc_id)""".stripMargin,
+
+    // Gumbel-max top-k ∝ exp(weight): key = weight_micro + floored Gumbel
+    // from the portable md5 uniform; TopK (key desc, id asc) == row_number
+    "sample_dsir_kept" ->
+      s"""$dsirCtes,
+         |u_dsir AS (SELECT doc_id,
+         |    ((('0x' || substr(md5(doc_id::VARCHAR || '_dsir1'), 1, 8))::BIGINT % 1000000) + 0.5)
+         |      / 1000000.0 AS u
+         |  FROM documents),
+         |key_dsir AS (SELECT w.doc_id,
+         |    w.weight_micro + floor(-ln(-ln(u.u)) * 1000000.0)::BIGINT AS key_micro
+         |  FROM w_dsir w JOIN u_dsir u USING (doc_id) WHERE w.n_feats > 0),
+         |n_dsir AS (SELECT count(*)::BIGINT AS n FROM key_dsir),
+         |r_dsir AS (SELECT doc_id, key_micro,
+         |    row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rnk
+         |  FROM key_dsir)
+         |SELECT doc_id, key_micro FROM r_dsir CROSS JOIN n_dsir
+         |WHERE rnk <= ceil(0.25 * n)""".stripMargin,
 
     // TopK keeps (score desc, id asc) with score = -hash ⇒ hash asc, id asc
     "sample_capped" ->

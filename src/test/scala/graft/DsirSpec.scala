@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dsir
+
+/** DSIR importance weighting + Gumbel-top-k resampling: the selection
+  * signal must point toward the target domain, the weights must be exactly
+  * partitioning-independent (the micro-floor discipline), and the resample
+  * must be a reproducible without-replacement draw of the right size.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+  private lazy val target = docs.filter(col("lang") === "en")
+
+  test("weights: every doc scored, en docs average higher than non-en") {
+    val rows = Dsir.weights(docs, target, "text", "doc_id").count()
+    assert(rows === docs.count())
+    val byLang = Dsir.weights(docs, target, "text", "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(($"lang" === "en").as("is_en"))
+      .agg(avg($"weight_micro".cast("double")).as("avg_w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"target-domain docs must score higher: $byLang")
+  }
+
+  test("weights are exactly partitioning-independent (micro-floor discipline)") {
+    val a = Dsir.weights(docs, target, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dsir.weights(docs.repartition(7), target.repartition(3),
+      "text", "doc_id").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("empty / null text gets n_feats = 0, weight_micro = 0") {
+    val df = Seq((1L, "spark scan join"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w = Dsir.weights(df, df.filter($"doc_id" === 1L), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(w.length === 3)
+    assert(w(1).getLong(1) === 0L && w(1).getLong(2) === 0L)
+    assert(w(2).getLong(1) === 0L && w(2).getLong(2) === 0L)
+  }
+
+  test("resample keeps ceil(frac·N) docs without replacement, target-shifted") {
+    val n = docs.count()
+    val kept = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
+    val ids = kept.select("doc_id").as[Long].collect().toSeq
+    assert(ids.length === math.ceil(0.25 * n).toInt)
+    assert(ids.distinct.length === ids.length, "without replacement")
+    // the kept set must be en-enriched vs the corpus share
+    val keptEn = kept.join(docs.select("doc_id", "lang"), "doc_id")
+      .filter($"lang" === "en").count().toDouble / ids.length
+    val corpusEn = target.count().toDouble / n
+    assert(keptEn > corpusEn,
+      f"resample must shift toward the target: kept $keptEn%.3f vs corpus $corpusEn%.3f")
+  }
+
+  test("resample is reproducible and frac = 1 keeps every featured doc") {
+    val a = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    val all = Dsir.resample(docs, target, "text", "doc_id", frac = 1.0)
+    assert(all.count() === Dsir.weights(docs, target, "text", "doc_id")
+      .filter($"n_feats" > 0).count())
+  }
+}
