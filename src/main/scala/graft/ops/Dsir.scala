@@ -20,7 +20,7 @@ import graft.ops.Text.h32
   *
   * Determinism at cluster scale (the same discipline as
   * [[Sampling.temperatureMixture]]): the per-bucket log-ratio is floored
-  * to 1e-6 units ONCE (a B-row table), and every per-document weight is
+  * to 1e-6 units ONCE (a ≤B-row table), and every per-document weight is
   * then an exact integer dot product — long addition commutes, so the
   * weight is identical under any partitioning / aggregation order, and the
   * DuckDB oracle reproduces it bit-for-bit (the only engine-sensitive op
@@ -29,34 +29,41 @@ import graft.ops.Text.h32
   * engine-exact.
   *
   * Scale shape (100 TB raw corpus, small target):
-  *  - feature explode is narrow, O(tokens);
+  *  - features ride ONE Generate per scan (unigram and bigram arrays are
+  *    concatenated before the explode — not a self-union, which would
+  *    read the corpus twice);
   *  - per-doc bucket counts: one shuffle keyed (id, bucket), map-side
   *    partially aggregated;
-  *  - bucket totals: B-row aggregates (B ~ 10⁴), map-side combined;
-  *  - the λ log-ratio table is ≤ B rows → broadcast joined back;
+  *  - the model fit is B-BOUNDED: bucket totals aggregate to ≤B rows
+  *    (B ~ 10³-10⁴), are collected, and the λ log-ratio table is computed
+  *    driver-side (same JVM ln as the in-plan expression would use) and
+  *    broadcast back — the [[Ivf]]-centroid precedent for model-sized
+  *    driver state. This keeps the whole op at the classic two-scan
+  *    normalizer shape (one stats pass, one apply pass) instead of the
+  *    five recomputed aggregation legs a fully-declarative λ costs
+  *    (Catalyst does not reuse the feature subtree across them);
   *  - per-doc weights: one groupBy(id) long sum;
-  *  - resampling: Gumbel-max top-k through the bounded
-  *    [[graft.functions.TopK]] aggregator — each partition ships ≤ k
-  *    candidates, never the corpus (no global sort). Selecting k itself
-  *    costs one count action (two passes total; documented trade, the
-  *    count is a metadata-cheap scan of the weights it must read anyway).
+  *  - resampling: Gumbel-max selection by a mergeable-histogram
+  *    (1−frac) threshold over the perturbed keys (the
+  *    [[Sampling.topFracByClass]] rule — frac·N of a corpus is a
+  *    corpus-sized k, so an exact top-k would bottleneck one reducer;
+  *    the histogram stays mergeable at any N), computed over a
+  *    once-materialized ~16 B/doc (id, key) table.
   */
 object Dsir {
 
   /** Exploded hashed features of one text column: unigrams + space-joined
     * bigrams, each hashed to a bucket in [0, buckets). One row per feature
-    * OCCURRENCE (counts matter in the multinomial).
+    * OCCURRENCE (counts matter in the multinomial); one Generate total.
     */
   private def features(df: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame = {
-    val ts = Text.tokens(col(textCol))
-    val unis = df.select(col(idCol), explode(ts).as("f"))
-    val bis = df.select(col(idCol), ts.as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col(idCol), explode(expr(
+    val withToks = df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
+    val bigrams = when(size(col("ts")) >= 2, expr(
         "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
-        .as("f"))
-    unis.unionByName(bis)
+      .otherwise(expr("cast(array() as array<string>)"))
+    withToks
+      .select(col(idCol), explode(concat(col("ts"), bigrams)).as("f"))
       .select(col(idCol), pmod(h32(col("f")), lit(buckets)).as("b"))
   }
 
@@ -67,26 +74,41 @@ object Dsir {
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
 
   /** The per-bucket floored log importance ratio λ(b) =
-    * floor(1e6 · [ln p_target(b) − ln p_raw(b)]) as a ≤B-row table
-    * (b, lam). Only buckets PRESENT in raw are emitted — documents being
-    * scored are raw documents, so absent buckets can't contribute.
-    * Smoothing keeps target-absent buckets finite (add-α over B cells).
+    * floor(1e6 · [ln p_target(b) − ln p_raw(b)]) as a ≤B-row broadcast
+    * table (b, lam), computed driver-side from the two collected B-row
+    * bucket-total tables (exact long totals; the ln/floor double ops are
+    * the identical JVM sequence an in-plan Column would run). Only buckets
+    * PRESENT in raw are emitted — documents being scored are raw
+    * documents, so absent buckets can't contribute. Smoothing keeps
+    * target-absent buckets finite (add-α over B cells).
     */
   private def lambdaTable(rawCounts: DataFrame, target: DataFrame,
       textCol: String, idCol: String, buckets: Int, alpha: Double): DataFrame = {
-    val rawB = rawCounts.groupBy("b").agg(sum("cnt").as("cr"))
-    val tgtB = docBucketCounts(target, textCol, idCol, buckets)
-      .groupBy("b").agg(sum("cnt").as("ct"))
-    val nr = rawB.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
-    val nt = tgtB.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
-    val denom = lit(alpha) * lit(buckets)
-    rawB.join(tgtB, Seq("b"), "left")
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
-      .select(col("b"),
-        floor((log((coalesce(col("ct"), lit(0L)) + lit(alpha)) /
-                   (col("nt") + denom)) -
-               log((col("cr") + lit(alpha)) /
-                   (col("nr") + denom))) * lit(1000000.0)).as("lam"))
+    val spark = rawCounts.sparkSession
+    // one action fetches BOTH stats tables (≤2B rows): the raw and target
+    // aggregation legs ride a single union plan, so their stages run in
+    // parallel instead of as two serialized driver jobs
+    val both = rawCounts.groupBy("b").agg(sum("cnt").as("c"))
+      .select(col("b"), col("c"), lit(0).as("side"))
+      .unionByName(docBucketCounts(target, textCol, idCol, buckets)
+        .groupBy("b").agg(sum("cnt").as("c"))
+        .select(col("b"), col("c"), lit(1).as("side")))
+      .collect()
+    val rawB: Map[Long, Long] =
+      both.filter(_.getInt(2) == 0).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tgtB: Map[Long, Long] =
+      both.filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nr = rawB.valuesIterator.sum
+    val nt = tgtB.valuesIterator.sum
+    val denom = alpha * buckets
+    val rows = rawB.toSeq.sortBy(_._1).map { case (b, cr) =>
+      val ct = tgtB.getOrElse(b, 0L)
+      val lam = math.floor((math.log((ct + alpha) / (nt + denom)) -
+        math.log((cr + alpha) / (nr + denom))) * 1000000.0).toLong
+      (b, lam)
+    }
+    import spark.implicits._
+    rows.toDF("b", "lam")
   }
 
   /** Per-document DSIR importance weights against a target corpus:
@@ -108,36 +130,46 @@ object Dsir {
         coalesce(col("weight_micro"), lit(0L)).as("weight_micro"))
   }
 
-  /** Gumbel-top-k importance resampling: keep ceil(frac · N) of the N
-    * documents that have ≥1 feature, drawn WITHOUT replacement with
-    * probability ∝ exp(weight) — the Gumbel-max trick makes that exactly
-    * "top-k of weight + Gumbel noise". The noise is hash-derived (same
+  /** Gumbel-top-frac importance resampling: keep ~`frac` of the documents
+    * that have ≥1 feature, drawn WITHOUT replacement with probability
+    * ∝ exp(weight) — the Gumbel-max trick makes that exactly "the largest
+    * keys of weight + Gumbel noise". The noise is hash-derived (same
     * portable md5 uniform as [[Sampling.hashSample]]) and floored to micro
     * units, so the draw is reproducible across runs, engines, and cluster
     * layouts. Returns (idCol, key_micro), the kept documents with their
     * perturbed keys.
+    *
+    * The cut is the [[Stats.histogramPercentiles]] (1−frac) threshold over
+    * the key column — the same mergeable-histogram selection rule as
+    * [[Sampling.topFracByClass]], approximate within one bucket width of
+    * the exact order statistic. NOT a top-k aggregator: frac·N of a corpus
+    * is a corpus-sized k, and any exact top-k (bounded-buffer agg or
+    * global sort) concentrates O(frac·corpus) work on one reducer — the
+    * histogram keeps every stage mergeable at any N. The (id, key) table
+    * the histogram reads is ~16 bytes/doc and is materialized ONCE
+    * (localCheckpoint) so the cutoff's stats/hist/filter passes never
+    * re-run the feature/λ weight pipeline behind it.
     */
   def resample(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, frac: Double, buckets: Int = 4096, alpha: Double = 0.5,
-      salt: String = "dsir1"): DataFrame = {
+      salt: String = "dsir1", histBuckets: Int = 256): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
-    graft.functions.TopK.requireIntegralId(raw.schema, idCol, "Dsir.resample")
     val w = weights(raw, target, textCol, idCol, buckets, alpha)
       .filter(col("n_feats") > 0)
     val u = (pmod(h32(concat(col(idCol).cast("string"), lit("_" + salt))),
       lit(1000000)).cast("double") + lit(0.5)) / lit(1000000.0)
-    val keyed = w.select(col(idCol).cast("long").as("__id"),
-      (col("weight_micro") +
-        floor(-log(-log(u)) * lit(1000000.0))).cast("double").as("__key"))
-    // k from one count action: bounded-TopK needs a concrete k at plan
-    // time. "Has ≥1 feature" ≡ "has ≥1 token" (every token is a unigram
-    // feature), so the count is ONE cheap corpus scan — it never runs the
-    // hash/λ-join weight pipeline, which therefore executes exactly once.
-    val n = raw.filter(size(Text.tokens(col(textCol))) > 0).count()
-    val k = math.ceil(frac * n).toLong.max(1L).toInt
-    keyed.groupBy()
-      .agg(graft.functions.TopK.topK(k)(col("__key"), col("__id")).as("topk"))
-      .select(explode(col("topk")).as("item"))
-      .select(col("item._2").as(idCol), col("item._1").cast("long").as("key_micro"))
+    val keyed = w.select(col(idCol),
+        (col("weight_micro") +
+          floor(-log(-log(u)) * lit(1000000.0))).as("key_micro"))
+      .localCheckpoint()
+    if (frac == 1.0) return keyed // degenerate cut (w=0 edge) keeps all anyway
+    val thr = Stats.histogramPercentiles(
+      keyed.select(col(idCol), col("key_micro").cast("double").as("__v"))
+        .withColumn("__all", lit(0)),
+      "__all", "__v", Seq(("cut", 1.0 - frac)), histBuckets)
+    keyed.withColumn("__all", lit(0))
+      .join(broadcast(thr), "__all")
+      .filter(col("key_micro").cast("double") >= col("p_cut"))
+      .select(col(idCol), col("key_micro"))
   }
 }

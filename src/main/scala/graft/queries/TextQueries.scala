@@ -949,8 +949,12 @@ object TextQueries extends QueryModule {
          |  coalesce(w.weight_micro, 0) AS weight_micro
          |FROM documents d LEFT JOIN w_dsir w USING (doc_id)""".stripMargin,
 
-    // Gumbel-max top-k ∝ exp(weight): key = weight_micro + floored Gumbel
-    // from the portable md5 uniform; TopK (key desc, id asc) == row_number
+    // Gumbel-max selection ∝ exp(weight): key = weight_micro + floored
+    // Gumbel from the portable md5 uniform; the keep cut replays
+    // ops.Stats.histogramPercentiles' (1−frac)=0.75 estimator over the
+    // keys (identical arithmetic to the sample_top_frac oracle,
+    // constant group): w=(mx-mn)/256, b=least(floor((v-mn)/w),255),
+    // est = mn + w*(b + (t-below)/cnt) in the first bucket with cum >= t
     "sample_dsir_kept" ->
       s"""$dsirCtes,
          |u_dsir AS (SELECT doc_id,
@@ -960,12 +964,27 @@ object TextQueries extends QueryModule {
          |key_dsir AS (SELECT w.doc_id,
          |    w.weight_micro + floor(-ln(-ln(u.u)) * 1000000.0)::BIGINT AS key_micro
          |  FROM w_dsir w JOIN u_dsir u USING (doc_id) WHERE w.n_feats > 0),
-         |n_dsir AS (SELECT count(*)::BIGINT AS n FROM key_dsir),
-         |r_dsir AS (SELECT doc_id, key_micro,
-         |    row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rnk
-         |  FROM key_dsir)
-         |SELECT doc_id, key_micro FROM r_dsir CROSS JOIN n_dsir
-         |WHERE rnk <= ceil(0.25 * n)""".stripMargin,
+         |kv_dsir AS (SELECT doc_id, key_micro, key_micro::DOUBLE AS v FROM key_dsir),
+         |s_dsir AS (SELECT count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
+         |    (max(v) - min(v)) / 256.0 AS w
+         |  FROM kv_dsir),
+         |h_dsir AS (SELECT CASE WHEN s.w = 0 THEN 0
+         |      ELSE least(floor((k.v - s.mn) / s.w)::BIGINT, 255) END AS b,
+         |    count(*)::BIGINT AS cnt
+         |  FROM kv_dsir k CROSS JOIN s_dsir s GROUP BY 1),
+         |c_dsir AS (SELECT h.*, sum(h.cnt) OVER (ORDER BY h.b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM h_dsir h),
+         |sel_dsir AS (SELECT
+         |    floor((CASE WHEN s.w = 0 THEN s.mn
+         |           ELSE s.mn + s.w * (c.b::DOUBLE +
+         |                (0.75 * s.n::DOUBLE - (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE)
+         |           END) * 1000000) / 1000000.0 AS p_cut
+         |  FROM c_dsir c CROSS JOIN s_dsir s
+         |  WHERE c.cum::DOUBLE >= 0.75 * s.n::DOUBLE
+         |  QUALIFY row_number() OVER (ORDER BY c.b) = 1)
+         |SELECT k.doc_id, k.key_micro FROM kv_dsir k CROSS JOIN sel_dsir
+         |WHERE k.v >= p_cut""".stripMargin,
 
     // TopK keeps (score desc, id asc) with score = -hash ⇒ hash asc, id asc
     "sample_capped" ->

