@@ -170,8 +170,10 @@ object SparkEntry {
     // rep pays one index build + one probe, writes included)
     "dedup_incr_probe_kept", "dedup_incr_emb_probe_kept",
     // round-17: DSIR importance resampling — hashed-n-gram target/raw
-    // models (B-row broadcast λ table), exact-integer doc weights, and
-    // the bounded Gumbel-top-k draw; the full select-like-the-target
-    // pass a pre-training data run pays over the raw corpus
-    "sample_dsir_kept")
+    // models fit from B-row collected totals, exact-integer doc weights,
+    // histogram-cut Gumbel draw; the full select-like-the-target pass a
+    // pre-training data run pays over the raw corpus. The model twin is
+    // the fit→persist→reload→serve lifecycle (serving itself is a
+    // zero-shuffle projection, PlanSpec-pinned)
+    "sample_dsir_kept", "dsir_model_score")
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Text.h32
 
@@ -52,20 +52,25 @@ import graft.ops.Text.h32
   */
 object Dsir {
 
+  /** The uni+bigram feature array of a tokens-array column named `ts` —
+    * null iff the text was null; one array op, no self-union.
+    */
+  private def featArrayOfTs: Column = {
+    val bigrams = when(size(col("ts")) >= 2, expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+      .otherwise(expr("cast(array() as array<string>)"))
+    concat(col("ts"), bigrams)
+  }
+
   /** Exploded hashed features of one text column: unigrams + space-joined
     * bigrams, each hashed to a bucket in [0, buckets). One row per feature
     * OCCURRENCE (counts matter in the multinomial); one Generate total.
     */
   private def features(df: DataFrame, textCol: String, idCol: String,
-      buckets: Int): DataFrame = {
-    val withToks = df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
-    val bigrams = when(size(col("ts")) >= 2, expr(
-        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
-      .otherwise(expr("cast(array() as array<string>)"))
-    withToks
-      .select(col(idCol), explode(concat(col("ts"), bigrams)).as("f"))
+      buckets: Int): DataFrame =
+    df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), explode(featArrayOfTs).as("f"))
       .select(col(idCol), pmod(h32(col("f")), lit(buckets)).as("b"))
-  }
 
   /** Per-document hashed-feature bucket counts: (idCol, b, cnt). */
   private def docBucketCounts(df: DataFrame, textCol: String, idCol: String,
@@ -73,18 +78,10 @@ object Dsir {
     features(df, textCol, idCol, buckets)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
 
-  /** The per-bucket floored log importance ratio λ(b) =
-    * floor(1e6 · [ln p_target(b) − ln p_raw(b)]) as a ≤B-row broadcast
-    * table (b, lam), computed driver-side from the two collected B-row
-    * bucket-total tables (exact long totals; the ln/floor double ops are
-    * the identical JVM sequence an in-plan Column would run). Only buckets
-    * PRESENT in raw are emitted — documents being scored are raw
-    * documents, so absent buckets can't contribute. Smoothing keeps
-    * target-absent buckets finite (add-α over B cells).
-    */
-  private def lambdaTable(rawCounts: DataFrame, target: DataFrame,
-      textCol: String, idCol: String, buckets: Int, alpha: Double): DataFrame = {
-    val spark = rawCounts.sparkSession
+  /** Raw-side and target-side bucket totals, collected (≤B rows each). */
+  private def collectedTotals(rawCounts: DataFrame, target: DataFrame,
+      textCol: String, idCol: String,
+      buckets: Int): (Map[Long, Long], Map[Long, Long]) = {
     // one action fetches BOTH stats tables (≤2B rows): the raw and target
     // aggregation legs ride a single union plan, so their stages run in
     // parallel instead of as two serialized driver jobs
@@ -94,19 +91,37 @@ object Dsir {
         .groupBy("b").agg(sum("cnt").as("c"))
         .select(col("b"), col("c"), lit(1).as("side")))
       .collect()
-    val rawB: Map[Long, Long] =
-      both.filter(_.getInt(2) == 0).map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tgtB: Map[Long, Long] =
-      both.filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (both.filter(_.getInt(2) == 0).map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      both.filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  /** λ(b) = floor(1e6 · [ln p_target(b) − ln p_raw(b)]) for EVERY bucket
+    * in [0, buckets), computed driver-side from the collected totals
+    * (exact long sums; the ln/floor double ops are the identical JVM
+    * sequence an in-plan Column would run). Smoothing keeps buckets
+    * absent from either side finite (add-α over B cells).
+    */
+  private def lamArray(rawB: Map[Long, Long], tgtB: Map[Long, Long],
+      buckets: Int, alpha: Double): Array[Long] = {
     val nr = rawB.valuesIterator.sum
     val nt = tgtB.valuesIterator.sum
     val denom = alpha * buckets
-    val rows = rawB.toSeq.sortBy(_._1).map { case (b, cr) =>
-      val ct = tgtB.getOrElse(b, 0L)
-      val lam = math.floor((math.log((ct + alpha) / (nt + denom)) -
+    Array.tabulate(buckets) { b =>
+      val cr = rawB.getOrElse(b.toLong, 0L)
+      val ct = tgtB.getOrElse(b.toLong, 0L)
+      math.floor((math.log((ct + alpha) / (nt + denom)) -
         math.log((cr + alpha) / (nr + denom))) * 1000000.0).toLong
-      (b, lam)
     }
+  }
+
+  private def lambdaTable(rawCounts: DataFrame, target: DataFrame,
+      textCol: String, idCol: String, buckets: Int, alpha: Double): DataFrame = {
+    val spark = rawCounts.sparkSession
+    val (rawB, tgtB) = collectedTotals(rawCounts, target, textCol, idCol, buckets)
+    val lam = lamArray(rawB, tgtB, buckets, alpha)
+    // only raw-present buckets ride the broadcast join: scored documents
+    // ARE raw documents, so absent buckets can't contribute
+    val rows = rawB.keysIterator.toSeq.sorted.map(b => (b, lam(b.toInt)))
     import spark.implicits._
     rows.toDF("b", "lam")
   }
@@ -171,5 +186,88 @@ object Dsir {
       .join(broadcast(thr), "__all")
       .filter(col("key_micro").cast("double") >= col("p_cut"))
       .select(col(idCol), col("key_micro"))
+  }
+
+  /** A fitted, servable DSIR model: the full B-entry λ array (so a doc
+    * that hashes into ANY bucket — including one the fitting raw corpus
+    * never produced — scores finitely via the smoothing) plus the
+    * deterministic keep cutoff in weight space.
+    */
+  case class DsirModel(buckets: Int, alpha: Double, lam: Array[Long],
+      cutMicro: Double)
+
+  /** Fit a servable DSIR gate: λ over every bucket, and the keep cutoff =
+    * the [[Stats.histogramPercentiles]] (1−gateFrac) threshold over the
+    * RAW corpus's weights (no Gumbel noise — a serving gate is a
+    * deterministic quality bar, the noisy draw is [[resample]]'s job).
+    * One extra corpus pass over fit's stats pass — fit is the offline
+    * step; serving ([[scoreWith]]) is per-row and shuffle-free.
+    */
+  def fit(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+      gateFrac: Double = 0.25, buckets: Int = 4096, alpha: Double = 0.5,
+      histBuckets: Int = 256): DsirModel = {
+    require(gateFrac > 0 && gateFrac <= 1, s"gateFrac must be in (0,1], got $gateFrac")
+    val dc = docBucketCounts(raw, textCol, idCol, buckets)
+    val (rawB, tgtB) = collectedTotals(dc, target, textCol, idCol, buckets)
+    val lam = lamArray(rawB, tgtB, buckets, alpha)
+    val pre = DsirModel(buckets, alpha, lam, cutMicro = 0.0)
+    val scored = scoreWith(raw, textCol, idCol, pre)
+      .filter(col("n_feats") > 0)
+      .select(col(idCol), col("weight_micro").cast("double").as("__v"))
+      .withColumn("__all", lit(0))
+    val cut = Stats.histogramPercentiles(scored, "__all", "__v",
+      Seq(("cut", 1.0 - gateFrac)), histBuckets)
+      .head().getDouble(1)
+    DsirModel(buckets, alpha, lam, cut)
+  }
+
+  /** Persist a model: `lambda/` (b, lam — all B rows) + `meta/`
+    * (buckets, alpha, cut_micro), both parquet so any engine (and the
+    * DuckDB oracle) replays scoring from the exact stored values.
+    */
+  def save(model: DsirModel, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.lam.zipWithIndex.map { case (l, b) => (b.toLong, l) }.toSeq
+      .toDF("b", "lam")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lambda")
+    Seq((model.buckets, model.alpha, model.cutMicro))
+      .toDF("buckets", "alpha", "cut_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): DsirModel = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val buckets = m.getInt(0)
+    val lam = new Array[Long](buckets)
+    spark.read.parquet(s"$path/lambda").collect()
+      .foreach(r => lam(r.getLong(0).toInt) = r.getLong(1))
+    DsirModel(buckets, m.getDouble(1), lam, m.getDouble(2))
+  }
+
+  /** Serve the gate: per-document (idCol, n_feats, weight_micro, keep)
+    * where weight_micro = Σ_features λ(bucket(feature)) — a pure per-row
+    * fold over the B-entry λ literal. ZERO shuffles, no joins, no state:
+    * the scoring plan is a projection, so it runs at scan speed on a
+    * 100 TB corpus and applies unchanged to a streaming Dataset
+    * (stateless — the decontamination/quality gate shape for a
+    * continuously-arriving corpus). keep = has features AND
+    * weight ≥ the fitted cutoff.
+    */
+  def scoreWith(df: DataFrame, textCol: String, idCol: String,
+      model: DsirModel): DataFrame = {
+    val lamLit = typedLit(model.lam.toSeq)
+    val feats = featArrayOfTs
+    val weight = aggregate(feats, lit(0L), (acc, f) =>
+      acc + element_at(lamLit, (pmod(h32(f), lit(model.buckets)) + lit(1L)).cast("int")))
+    df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
+      .select(col(idCol),
+        coalesce(size(col("ts")).cast("long") * lit(2L) - lit(1L), lit(0L))
+          .as("__nf_raw"),
+        coalesce(weight, lit(0L)).as("weight_micro"))
+      .select(col(idCol),
+        greatest(col("__nf_raw"), lit(0L)).as("n_feats"),
+        col("weight_micro"),
+        (greatest(col("__nf_raw"), lit(0L)) > 0 &&
+          col("weight_micro").cast("double") >= lit(model.cutMicro)).as("keep"))
   }
 }

@@ -198,6 +198,20 @@ object TextQueries extends QueryModule {
         "text", "doc_id", frac = 0.25)
     }),
 
+    // DSIR model lifecycle end-to-end: fit (λ + weight-space gate cutoff)
+    // → persist → reload → serve. Serving is a pure per-row fold over the
+    // stored λ (zero shuffles); the oracle replays scoring from the SAME
+    // persisted lambda/meta parquet (the Pca-fixture pattern), so the
+    // stored values — not the fit — are what's pinned
+    "dsir_model_score" -> ((s, d) => {
+      val all = docs(s, d)
+      val model = graft.ops.Dsir.fit(all, all.filter(col("lang") === "en"),
+        "text", "doc_id", gateFrac = 0.25)
+      graft.ops.Dsir.save(model, s, dsirFixture(d))
+      graft.ops.Dsir.scoreWith(all, "text", "doc_id",
+        graft.ops.Dsir.load(s, dsirFixture(d)))
+    }),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -521,6 +535,13 @@ object TextQueries extends QueryModule {
 
   /** BPE rounds for the text_bpe_* queries (engine and oracle agree). */
   private val BpeRounds = 3
+
+  /** Persisted-DSIR-model fixture dir (the Pca-fixture pattern: the
+    * declared query writes it, the oracle reads the same parquet).
+    */
+  private def dsirFixture(d: String): String =
+    "/tmp/graft_dsir_fixture_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  private val DsirFixture = dsirFixture("/root/testdata/sf0.01")
 
   /** Shared DSIR CTE chain mirroring [[graft.ops.Dsir.weights]]
     * op-for-op (same operand order everywhere; ln's engine-ulp is
@@ -985,6 +1006,30 @@ object TextQueries extends QueryModule {
          |  QUALIFY row_number() OVER (ORDER BY c.b) = 1)
          |SELECT k.doc_id, k.key_micro FROM kv_dsir k CROSS JOIN sel_dsir
          |WHERE k.v >= p_cut""".stripMargin,
+
+    // serving replayed from the persisted model: per-doc weight = group
+    // sum of the STORED λ over hashed features (the engine's per-row fold
+    // is the same exact-long sum), keep vs the STORED cut_micro
+    "dsir_model_score" ->
+      s"""WITH lam_m AS (SELECT b, lam FROM read_parquet('$DsirFixture/lambda/*.parquet')),
+         |meta_m AS (SELECT cut_micro FROM read_parquet('$DsirFixture/meta/*.parquet')),
+         |tok_m AS (SELECT doc_id, $toks AS ts FROM documents),
+         |feat_m AS (SELECT doc_id, unnest(ts) AS f FROM tok_m
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(len(ts) - 1),
+         |           i -> ts[i + 1] || ' ' || ts[i + 2])) AS f
+         |  FROM tok_m WHERE len(ts) >= 2),
+         |w_m AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+         |    sum(l.lam)::BIGINT AS weight_micro
+         |  FROM (SELECT doc_id,
+         |          ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b
+         |        FROM feat_m) fb
+         |  JOIN lam_m l USING (b) GROUP BY fb.doc_id)
+         |SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+         |  coalesce(w.weight_micro, 0) AS weight_micro,
+         |  coalesce(w.n_feats, 0) > 0 AND
+         |    coalesce(w.weight_micro, 0)::DOUBLE >= m.cut_micro AS keep
+         |FROM documents d LEFT JOIN w_m w USING (doc_id) CROSS JOIN meta_m m""".stripMargin,
 
     // TopK keeps (score desc, id asc) with score = -hash ⇒ hash asc, id asc
     "sample_capped" ->

@@ -61,6 +61,55 @@ class DsirSpec extends SparkSpec {
       f"resample must shift toward the target: kept $keptEn%.3f vs corpus $corpusEn%.3f")
   }
 
+  test("scoreWith ≡ batch weights on the fitting corpus (per-row fold == groupBy sum)") {
+    val model = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    val served = Dsir.scoreWith(docs, "text", "doc_id", model)
+      .select("doc_id", "n_feats", "weight_micro").orderBy("doc_id").collect().toSeq
+    val batch = Dsir.weights(docs, target, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(served === batch)
+  }
+
+  test("model save/load round-trip serves identically; gate keeps ~gateFrac") {
+    val dir = "/tmp/graft_dsir_spec_model"
+    val model = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(model, spark, dir)
+    val loaded = Dsir.load(spark, dir)
+    assert(loaded.buckets === model.buckets && loaded.alpha === model.alpha)
+    assert(loaded.cutMicro === model.cutMicro)
+    assert(loaded.lam.toSeq === model.lam.toSeq)
+    val scored = Dsir.scoreWith(docs, "text", "doc_id", loaded)
+    val n = scored.filter($"n_feats" > 0).count()
+    val kept = scored.filter($"keep").count()
+    assert(kept >= (0.15 * n).toInt && kept <= (0.35 * n).toInt,
+      s"gate kept $kept of $n")
+    // the gate points at the target: kept set is en-enriched
+    val keptEn = scored.filter($"keep")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .filter($"lang" === "en").count().toDouble / kept
+    assert(keptEn > target.count().toDouble / docs.count())
+  }
+
+  test("scoreWith is stateless: applies unchanged to a stream, batch-equal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.take(200)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val streamed = Dsir.scoreWith(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", model)
+    val q = streamed.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsir_stream").orderBy("doc_id").collect().toSeq
+    val want = Dsir.scoreWith(
+      rows.toDF("doc_id", "text"), "text", "doc_id", model)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("resample is reproducible and frac = 1 keeps every featured doc") {
     val a = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
       .orderBy("doc_id").collect().toSeq

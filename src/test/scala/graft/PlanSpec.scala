@@ -617,4 +617,19 @@ class PlanSpec extends SparkSpec {
     info(s"lake_incr_stats shuffle exchanges: $exchanges")
     assert(exchanges <= 6, s"$exchanges exchanges in lake_incr_stats")
   }
+
+  test("DSIR serving is a pure projection: zero exchanges, zero joins, pruned scan") {
+    // scoreWith's whole claim (SCALE.md): the gate is a per-row fold over
+    // the broadcast-literal λ — it must run at scan speed and apply
+    // unchanged to a stream. Any Exchange/Join here means the model
+    // stopped being a literal and the serving path regressed to a plan
+    // with state.
+    val p = plan("dsir_model_score")
+    assert(hashExchanges(p) === 0, "serving plan grew a shuffle")
+    assert(!p.contains("Join"), "serving plan grew a join")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source"),
+      s"scan not pruned to (doc_id, text): $readSchema")
+  }
 }
