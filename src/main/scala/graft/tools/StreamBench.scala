@@ -95,6 +95,20 @@ object StreamBench {
         graft.ops.Classifier.scoreWithModel(docs, "text", "doc_id", w, buckets = 32,
             portableHash = portable)
           .writeStream.format("noop").outputMode("append").start()
+      case "dsirgate" =>
+        // DSIR gate serving throughput: a model fit on the sf0.01 corpus
+        // (target lang='en') gates a synthetic ~12-token doc stream
+        // per-row (stateless append — the scoreWith fold over the λ
+        // literal; zero state, zero shuffles)
+        val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        val model = graft.ops.Dsir.fit(d, d.filter(col("lang") === "en"),
+          "text", "doc_id", gateFrac = 0.25)
+        val docs = src.select(col("value").as("doc_id"), concat(
+          lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
+          (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
+          (col("value") % 7919).cast("string")).as("text"))
+        graft.ops.Dsir.scoreWith(docs, "text", "doc_id", model)
+          .writeStream.format("noop").outputMode("append").start()
       case "crosscorpus" =>
         // stream-vs-static cross-corpus dedup throughput: synthetic docs
         // (content repeats every 500 ids) verified against the PERSISTED
