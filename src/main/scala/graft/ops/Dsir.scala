@@ -215,9 +215,15 @@ object Dsir {
       .filter(col("n_feats") > 0)
       .select(col(idCol), col("weight_micro").cast("double").as("__v"))
       .withColumn("__all", lit(0))
-    val cut = Stats.histogramPercentiles(scored, "__all", "__v",
-      Seq(("cut", 1.0 - gateFrac)), histBuckets)
-      .head().getDouble(1)
+    val cutRows = Stats.histogramPercentiles(scored, "__all", "__v",
+      Seq(("cut", 1.0 - gateFrac)), histBuckets).collect()
+    // tokenless fit corpus (fresh ingest, empty slice): a quality bar
+    // derived from zero observed weights is undefined, so the model
+    // ADMITS NOTHING (cut = +∞) — conservative-by-default rather than a
+    // throw (empty slices must not take a 100 TB job down) or a
+    // pass-everything gate (silently wrong on later non-empty batches)
+    val cut = if (cutRows.isEmpty) Double.PositiveInfinity
+      else cutRows.head.getDouble(1)
     DsirModel(buckets, alpha, lam, cut)
   }
 

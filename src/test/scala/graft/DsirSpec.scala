@@ -110,6 +110,19 @@ class DsirSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("fit on a tokenless corpus yields an admit-nothing gate, not a throw") {
+    val empty = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val model = Dsir.fit(empty, empty, "text", "doc_id")
+    assert(model.cutMicro.isPosInfinity)
+    // round-trips through parquet, and gates a later NON-empty batch shut
+    Dsir.save(model, spark, "/tmp/graft_dsir_spec_empty_model")
+    val loaded = Dsir.load(spark, "/tmp/graft_dsir_spec_empty_model")
+    assert(loaded.cutMicro.isPosInfinity)
+    val scored = Dsir.scoreWith(docs.limit(50), "text", "doc_id", loaded)
+    assert(scored.count() === 50 && scored.filter($"keep").count() === 0)
+  }
+
   test("resample is reproducible and frac = 1 keeps every featured doc") {
     val a = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
       .orderBy("doc_id").collect().toSeq

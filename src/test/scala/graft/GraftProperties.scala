@@ -581,4 +581,31 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
   }
+
+  /** The DSIR serving fold equals the batch weights op on ANY corpus the
+    * model was fit on — per-row long fold over the λ array ≡ distributed
+    * groupBy sum over the λ broadcast join, including empty docs and
+    * single-token docs (no bigrams).
+    */
+  property("dsir.serve-equals-batch-weights") = {
+    val docGen = for {
+      id <- Gen.choose(1L, 80L)
+      n <- Gen.choose(0, 5)
+      ws <- Gen.listOfN(n, word)
+    } yield (id, ws.mkString(" "))
+    Prop.forAll(Gen.listOfN(10, docGen), Gen.choose(1L, 80L)) { (rows0, tgtMod) =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "text")
+      val target = df.filter(col("doc_id") % 3 === tgtMod % 3)
+      val model = graft.ops.Dsir.fit(df, target, "text", "doc_id",
+        gateFrac = 0.5, buckets = 64)
+      val served = graft.ops.Dsir.scoreWith(df, "text", "doc_id", model)
+        .select("doc_id", "n_feats", "weight_micro")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.ops.Dsir.weights(df, target, "text", "doc_id",
+        buckets = 64)
+        .as[(Long, Long, Long)].collect().toSet
+      served == batch
+    }
+  }
 }
