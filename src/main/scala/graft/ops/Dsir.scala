@@ -160,10 +160,14 @@ object Dsir {
     * the exact order statistic. NOT a top-k aggregator: frac·N of a corpus
     * is a corpus-sized k, and any exact top-k (bounded-buffer agg or
     * global sort) concentrates O(frac·corpus) work on one reducer — the
-    * histogram keeps every stage mergeable at any N. The (id, key) table
-    * the histogram reads is ~16 bytes/doc and is materialized ONCE
-    * (localCheckpoint) so the cutoff's stats/hist/filter passes never
-    * re-run the feature/λ weight pipeline behind it.
+    * histogram keeps every stage mergeable at any N. The selection rule
+    * IS [[Sampling.topFracByClass]] (one constant class), not a copy of
+    * it. The (id, key) table it reads is ~16 bytes/doc and is cached
+    * (`persist`, not a checkpoint: evictable blocks RECOMPUTE — an
+    * unreleasable localCheckpoint would accumulate non-recomputable
+    * storage across calls and fail the job if the LRU ever evicted it)
+    * so the cutoff's stats/hist/filter passes share one execution of the
+    * feature/λ weight pipeline behind it.
     */
   def resample(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, frac: Double, buckets: Int = 4096, alpha: Double = 0.5,
@@ -176,15 +180,17 @@ object Dsir {
     val keyed = w.select(col(idCol),
         (col("weight_micro") +
           floor(-log(-log(u)) * lit(1000000.0))).as("key_micro"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate the cache EAGERLY: the cutoff's legs run as concurrent
+    // broadcast subqueries, and against a lazy cold cache they race —
+    // each leg misses and re-runs the weight pipeline (measured 1.5× at
+    // 100×). One count fills the cache once; every leg then reads it.
+    keyed.count()
     if (frac == 1.0) return keyed // degenerate cut (w=0 edge) keeps all anyway
-    val thr = Stats.histogramPercentiles(
-      keyed.select(col(idCol), col("key_micro").cast("double").as("__v"))
-        .withColumn("__all", lit(0)),
-      "__all", "__v", Seq(("cut", 1.0 - frac)), histBuckets)
-    keyed.withColumn("__all", lit(0))
-      .join(broadcast(thr), "__all")
-      .filter(col("key_micro").cast("double") >= col("p_cut"))
+    Sampling.topFracByClass(
+      keyed.withColumn("__all", lit(0))
+        .withColumn("__v", col("key_micro").cast("double")),
+      "__all", "__v", frac, histBuckets)
       .select(col(idCol), col("key_micro"))
   }
 

@@ -128,6 +128,7 @@ object IncrementalDedup {
         BatchCommits.requireCommitted(spark, indexDir, table, batchId)
       case Some(_) =>
         IndexCompaction.requireNoPending(spark, indexDir, table)
+        BatchCommits.requireCommittedPrefix(spark, indexDir, table)
     }
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)
@@ -677,6 +678,46 @@ private[graft] object BatchCommits {
         "signatures would silently under-drop")
   }
 
+  /** Snapshot-mode validity guard: the uncommitted on-disk batch ids of
+    * `table` must be AT MOST ONE id, and it must be the newest partition —
+    * the single writer's in-flight tail. Anything else is a protocol
+    * violation the committed-prefix filter would otherwise turn into a
+    * SILENT under-serve (the gate keeping everything):
+    *  - two or more uncommitted ids ⇒ a pre-marker (r15) index that was
+    *    never [[markLegacyCommitted]]-migrated, or lost markers;
+    *  - an uncommitted id below a newer on-disk id ⇒ a crashed batch the
+    *    writer then WROTE PAST (requireCommitted stops a live writer from
+    *    doing this, so seeing it means markers were deleted out of band).
+    * Ordering makes the check race-free under the single-writer contract:
+    * partitions are listed BEFORE markers, so a batch committing between
+    * the two listings only shrinks the uncommitted set — a concurrent
+    * append can never fabricate a spurious refusal.
+    *
+    * Residual: a legacy index holding EXACTLY ONE batch partition is
+    * indistinguishable from a first-append-in-flight and serves the empty
+    * committed prefix; multi-batch legacy indexes (the practical case)
+    * refuse loudly with the migration pointer.
+    */
+  def requireCommittedPrefix(spark: SparkSession, indexDir: String,
+      table: String): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+    if (!fs.exists(root)) return
+    val onDisk = fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toIntOption)
+      .filter(_ >= 0).toSeq.sorted
+    if (onDisk.isEmpty) return
+    val committed = committedSet(spark, indexDir) // listed AFTER partitions
+    val un = onDisk.filterNot(committed)
+    require(un.isEmpty || (un.size == 1 && un.head == onDisk.last),
+      s"index at $indexDir/$table holds partitions from UNCOMMITTED " +
+        s"batch(es) ${un.mkString(", ")} that are not a single in-flight " +
+        "tail — a pre-marker index (run markLegacyCommitted to migrate) " +
+        "or lost/deleted commit markers; a committed-prefix probe would " +
+        "silently serve without them and keep every duplicate")
+  }
+
   /** Drop markers for batches folded away below `uptoExclusive`. */
   def clearBelow(spark: SparkSession, indexDir: String, uptoExclusive: Int): Unit = {
     val fs = fsOf(spark, indexDir)
@@ -1014,6 +1055,7 @@ object IncrementalEmbeddingDedup {
         BatchCommits.requireCommitted(spark, indexDir, table, batchId)
       case Some(_) =>
         IndexCompaction.requireNoPending(spark, indexDir, table)
+        BatchCommits.requireCommittedPrefix(spark, indexDir, table)
     }
     val path = s"$indexDir/$table"
     val exists = new org.apache.hadoop.fs.Path(path)

@@ -11,3 +11,18 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
 }
+
+/** Shared persisted-model fixture naming: the declared query WRITES the
+  * fixture at this path and the oracle SQL READS the same parquet, so the
+  * recipe must be one definition — a drift between the engine-written and
+  * oracle-read path silently breaks the model-lifecycle rows.
+  */
+object Fixtures {
+  def path(base: String, d: String): String =
+    base + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The dataset dir the driver's DuckDB gate runs at — oracle SQL pins
+    * its fixture paths to this one.
+    */
+  val OracleSf = "/root/testdata/sf0.01"
+}

@@ -370,12 +370,11 @@ object SimilarityQueries extends QueryModule {
     * ordering. The oracle SQL pins the sf0.01 key, the scale the driver
     * verifies at (TESTDATA.md contract; tools/check_oracle.py likewise).
     */
-  private def fixturePath(base: String, d: String): String =
-    base + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  private def fixturePath(base: String, d: String): String = Fixtures.path(base, d)
   private def ivfFixture(d: String): String = fixturePath("/tmp/graft_ivf_fixture", d)
   private def pcaFixture(d: String): String = fixturePath("/tmp/graft_pca_fixture", d)
   private def pcaWideFixture(d: String): String = fixturePath("/tmp/graft_pca_wide_fixture", d)
-  private val OracleSf = "/root/testdata/sf0.01"
+  private val OracleSf = Fixtures.OracleSf
   private val IvfFixture = ivfFixture(OracleSf)
   private val PcaFixture = pcaFixture(OracleSf)
   private val PcaWideFixture = pcaWideFixture(OracleSf)

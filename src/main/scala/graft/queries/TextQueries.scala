@@ -540,8 +540,8 @@ object TextQueries extends QueryModule {
     * declared query writes it, the oracle reads the same parquet).
     */
   private def dsirFixture(d: String): String =
-    "/tmp/graft_dsir_fixture_" + d.replaceAll("[^A-Za-z0-9]", "_")
-  private val DsirFixture = dsirFixture("/root/testdata/sf0.01")
+    Fixtures.path("/tmp/graft_dsir_fixture", d)
+  private val DsirFixture = dsirFixture(Fixtures.OracleSf)
 
   /** Shared DSIR CTE chain mirroring [[graft.ops.Dsir.weights]]
     * op-for-op (same operand order everywhere; ln's engine-ulp is

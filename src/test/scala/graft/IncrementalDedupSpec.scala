@@ -1121,6 +1121,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k2 === Seq(100L), "empty committed prefix keeps everything")
   }
 
+  test("probe refuses uncommitted batches that are not a single in-flight tail") {
+    // (a) a multi-batch PRE-MARKER index (r15-era, or lost markers): the
+    // committed-prefix filter would silently serve an EMPTY index and the
+    // gate would keep every duplicate — it must refuse with the migration
+    // pointer instead
+    val idx = freshIndex("probelegacy")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits"), true)
+    val pr = df(Seq(doc(100, A), doc(102, C)))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.probe(spark, idx, pr, "text", "doc_id").collect()
+    }
+    assert(e.getMessage.contains("markLegacyCommitted"),
+      s"refusal must point at the migration: ${e.getMessage}")
+    // the documented migration heals it and the probe then gates for real
+    IncrementalDedup.markLegacyCommitted(spark, idx)
+    val kept = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(102L))
+    // (b) a GAP below the tail: batch 0's marker gone while batch 1 is
+    // committed — markers were deleted out of band (a live writer can't
+    // produce this; requireCommitted stops it from appending past a
+    // crash). Serving would under-drop batch 0's content silently.
+    val idx2 = freshIndex("probegap")
+    IncrementalDedup.addBatch(spark, idx2, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx2, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/_graft_commits/batch=0"), false)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.probe(spark, idx2, pr, "text", "doc_id").collect()
+    }
+    // (c) the same guard covers occupancy observability
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.indexBucketStats(spark, idx2).collect()
+    }
+  }
+
   test("EMBEDDING probe serves the committed prefix mid-append the same way") {
     import graft.ops.IncrementalEmbeddingDedup
     def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
