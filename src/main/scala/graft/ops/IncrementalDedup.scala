@@ -117,7 +117,11 @@ object IncrementalDedup {
     *    and pass it to every table read (see there for why per-table
     *    listings would race). Nothing is healed in this mode — a pending
     *    compaction swap refuses instead ([[IndexCompaction
-    *    .requireNoPending]]): probes never mutate.
+    *    .requireNoPending]]): probes never mutate. The prefix must also
+    *    be VALID ([[BatchCommits.requireCommittedPrefix]]): uncommitted
+    *    on-disk batches beyond a single in-flight tail mean a pre-marker
+    *    legacy index or lost markers, where "serve the committed prefix"
+    *    would silently serve an empty index and keep every duplicate.
     */
   private def readIndex(spark: SparkSession, indexDir: String, table: String,
       batchId: Int, schemaDdl: String,
