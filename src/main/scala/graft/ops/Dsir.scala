@@ -32,17 +32,19 @@ import graft.ops.Text.h32
   *  - features ride ONE Generate per scan (unigram and bigram arrays are
   *    concatenated before the explode — not a self-union, which would
   *    read the corpus twice);
-  *  - per-doc bucket counts: one shuffle keyed (id, bucket), map-side
-  *    partially aggregated;
-  *  - the model fit is B-BOUNDED: bucket totals aggregate to ≤B rows
-  *    (B ~ 10³-10⁴), are collected, and the λ log-ratio table is computed
-  *    driver-side (same JVM ln as the in-plan expression would use) and
-  *    broadcast back — the [[Ivf]]-centroid precedent for model-sized
-  *    driver state. This keeps the whole op at the classic two-scan
-  *    normalizer shape (one stats pass, one apply pass) instead of the
-  *    five recomputed aggregation legs a fully-declarative λ costs
-  *    (Catalyst does not reuse the feature subtree across them);
-  *  - per-doc weights: one groupBy(id) long sum;
+  *  - the model fit is B-BOUNDED: features aggregate STRAIGHT to
+  *    groupBy(bucket) totals (≤B rows, B ~ 10³-10⁴, map-side combined —
+  *    no per-document (id, bucket) stage exists anywhere), are
+  *    collected, and the λ log-ratio array is computed driver-side
+  *    (same JVM ln as the in-plan expression would use) — the
+  *    [[Ivf]]-centroid precedent for model-sized driver state. This
+  *    keeps the op at the classic two-scan normalizer shape (one stats
+  *    pass, one apply pass) instead of the five recomputed aggregation
+  *    legs a fully-declarative λ costs (Catalyst does not reuse the
+  *    feature subtree across them);
+  *  - per-doc weights: the zero-shuffle [[scoredCols]] per-row fold over
+  *    the λ literal — ONLY the B-row bucket totals ever shuffle, so the
+  *    op's shuffled bytes are independent of corpus size;
   *  - resampling: Gumbel-max selection by a mergeable-histogram
   *    (1−frac) threshold over the perturbed keys (the
   *    [[Sampling.topFracByClass]] rule — frac·N of a corpus is a
@@ -72,25 +74,22 @@ object Dsir {
       .select(col(idCol), explode(featArrayOfTs).as("f"))
       .select(col(idCol), pmod(h32(col("f")), lit(buckets)).as("b"))
 
-  /** Per-document hashed-feature bucket counts: (idCol, b, cnt). */
-  private def docBucketCounts(df: DataFrame, textCol: String, idCol: String,
-      buckets: Int): DataFrame =
-    features(df, textCol, idCol, buckets)
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
-
-  /** Raw-side and target-side bucket totals, collected (≤B rows each). */
-  private def collectedTotals(rawCounts: DataFrame, target: DataFrame,
+  /** Raw-side and target-side bucket totals, collected (≤B rows each).
+    * The totals aggregate `features` STRAIGHT to groupBy(b) — only B rows
+    * ever shuffle (map-side combined), independent of corpus size; no
+    * per-document (id, bucket) stage exists anywhere in the op. One
+    * action fetches BOTH tables: the raw and target aggregation legs ride
+    * a single union plan, so their stages run in parallel instead of as
+    * two serialized driver jobs.
+    */
+  private def collectedTotals(raw: DataFrame, target: DataFrame,
       textCol: String, idCol: String,
       buckets: Int): (Map[Long, Long], Map[Long, Long]) = {
-    // one action fetches BOTH stats tables (≤2B rows): the raw and target
-    // aggregation legs ride a single union plan, so their stages run in
-    // parallel instead of as two serialized driver jobs
-    val both = rawCounts.groupBy("b").agg(sum("cnt").as("c"))
-      .select(col("b"), col("c"), lit(0).as("side"))
-      .unionByName(docBucketCounts(target, textCol, idCol, buckets)
-        .groupBy("b").agg(sum("cnt").as("c"))
-        .select(col("b"), col("c"), lit(1).as("side")))
-      .collect()
+    def totals(df: DataFrame, side: Int) =
+      features(df, textCol, idCol, buckets)
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .select(col("b"), col("c"), lit(side).as("side"))
+    val both = totals(raw, 0).unionByName(totals(target, 1)).collect()
     (both.filter(_.getInt(2) == 0).map(r => r.getLong(0) -> r.getLong(1)).toMap,
       both.filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
@@ -114,35 +113,38 @@ object Dsir {
     }
   }
 
-  private def lambdaTable(rawCounts: DataFrame, target: DataFrame,
-      textCol: String, idCol: String, buckets: Int, alpha: Double): DataFrame = {
-    val spark = rawCounts.sparkSession
-    val (rawB, tgtB) = collectedTotals(rawCounts, target, textCol, idCol, buckets)
-    val lam = lamArray(rawB, tgtB, buckets, alpha)
-    // only raw-present buckets ride the broadcast join: scored documents
-    // ARE raw documents, so absent buckets can't contribute
-    val rows = rawB.keysIterator.toSeq.sorted.map(b => (b, lam(b.toInt)))
-    import spark.implicits._
-    rows.toDF("b", "lam")
+  /** The shared apply pass: (idCol, n_feats, weight_micro) as a pure
+    * per-row fold over the B-entry λ literal — zero shuffles, no joins.
+    * n_feats = 2·|tokens|−1 (every token is a unigram feature, every
+    * adjacent pair a bigram), clamped to 0 for empty/null text, which
+    * equals the summed occurrence count the exploded form would produce
+    * (pinned by the dsir.serve-equals-batch-weights property).
+    */
+  private def scoredCols(df: DataFrame, textCol: String, idCol: String,
+      lam: Array[Long], buckets: Int): DataFrame = {
+    val lamLit = typedLit(lam.toSeq)
+    val weight = aggregate(featArrayOfTs, lit(0L), (acc, f) =>
+      acc + element_at(lamLit, (pmod(h32(f), lit(buckets)) + lit(1L)).cast("int")))
+    df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
+      .select(col(idCol),
+        coalesce(size(col("ts")).cast("long") * lit(2L) - lit(1L), lit(0L))
+          .as("__nf_raw"),
+        coalesce(weight, lit(0L)).as("weight_micro"))
+      .select(col(idCol),
+        greatest(col("__nf_raw"), lit(0L)).as("n_feats"),
+        col("weight_micro"))
   }
 
   /** Per-document DSIR importance weights against a target corpus:
     * (idCol, n_feats, weight_micro). Documents with no features (empty
-    * text) get n_feats = 0, weight_micro = 0.
+    * text) get n_feats = 0, weight_micro = 0. Two B-row stats legs (one
+    * union action) fit λ; the apply pass is the zero-shuffle
+    * [[scoredCols]] fold — NOTHING in this op shuffles more than B rows.
     */
   def weights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
-    val dc = docBucketCounts(raw, textCol, idCol, buckets)
-    val lam = lambdaTable(dc, target, textCol, idCol, buckets, alpha)
-    val w = dc.join(broadcast(lam), Seq("b"))
-      .groupBy(idCol)
-      .agg(sum("cnt").as("n_feats"),
-        sum(col("cnt") * col("lam")).as("weight_micro"))
-    raw.select(col(idCol))
-      .join(w, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("weight_micro"), lit(0L)).as("weight_micro"))
+    val (rawB, tgtB) = collectedTotals(raw, target, textCol, idCol, buckets)
+    scoredCols(raw, textCol, idCol, lamArray(rawB, tgtB, buckets, alpha), buckets)
   }
 
   /** Gumbel-top-frac importance resampling: keep ~`frac` of the documents
@@ -213,11 +215,9 @@ object Dsir {
       gateFrac: Double = 0.25, buckets: Int = 4096, alpha: Double = 0.5,
       histBuckets: Int = 256): DsirModel = {
     require(gateFrac > 0 && gateFrac <= 1, s"gateFrac must be in (0,1], got $gateFrac")
-    val dc = docBucketCounts(raw, textCol, idCol, buckets)
-    val (rawB, tgtB) = collectedTotals(dc, target, textCol, idCol, buckets)
+    val (rawB, tgtB) = collectedTotals(raw, target, textCol, idCol, buckets)
     val lam = lamArray(rawB, tgtB, buckets, alpha)
-    val pre = DsirModel(buckets, alpha, lam, cutMicro = 0.0)
-    val scored = scoreWith(raw, textCol, idCol, pre)
+    val scored = scoredCols(raw, textCol, idCol, lam, buckets)
       .filter(col("n_feats") > 0)
       .select(col(idCol), col("weight_micro").cast("double").as("__v"))
       .withColumn("__all", lit(0))
@@ -266,20 +266,9 @@ object Dsir {
     * weight ≥ the fitted cutoff.
     */
   def scoreWith(df: DataFrame, textCol: String, idCol: String,
-      model: DsirModel): DataFrame = {
-    val lamLit = typedLit(model.lam.toSeq)
-    val feats = featArrayOfTs
-    val weight = aggregate(feats, lit(0L), (acc, f) =>
-      acc + element_at(lamLit, (pmod(h32(f), lit(model.buckets)) + lit(1L)).cast("int")))
-    df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
-      .select(col(idCol),
-        coalesce(size(col("ts")).cast("long") * lit(2L) - lit(1L), lit(0L))
-          .as("__nf_raw"),
-        coalesce(weight, lit(0L)).as("weight_micro"))
-      .select(col(idCol),
-        greatest(col("__nf_raw"), lit(0L)).as("n_feats"),
-        col("weight_micro"),
-        (greatest(col("__nf_raw"), lit(0L)) > 0 &&
+      model: DsirModel): DataFrame =
+    scoredCols(df, textCol, idCol, model.lam, model.buckets)
+      .select(col(idCol), col("n_feats"), col("weight_micro"),
+        (col("n_feats") > 0 &&
           col("weight_micro").cast("double") >= lit(model.cutMicro)).as("keep"))
-  }
 }

@@ -582,12 +582,28 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
-  /** The DSIR serving fold equals the batch weights op on ANY corpus the
-    * model was fit on — per-row long fold over the λ array ≡ distributed
-    * groupBy sum over the λ broadcast join, including empty docs and
-    * single-token docs (no bigrams).
+  /** The distributed DSIR op (B-row stats collect + per-row λ fold)
+    * equals a FULLY LOCAL pure-Scala re-derivation — tokenization,
+    * uni+bigram features, md5 bucket hashing, smoothed totals, and the
+    * exact-long dot product all recomputed without Spark — on ANY corpus,
+    * including empty docs, null text, and single-token docs (no bigrams).
+    * This is the cross-implementation twin of the DuckDB oracle rows.
     */
-  property("dsir.serve-equals-batch-weights") = {
+  property("dsir.weights-equal-local-rederivation") = {
+    val B = 64
+    def toksOf(s: String): Seq[String] =
+      if (s == null) Seq.empty
+      else s.toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)
+    def featsOf(s: String): Seq[String] = {
+      val t = toksOf(s)
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def h32Local(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
     val docGen = for {
       id <- Gen.choose(1L, 80L)
       n <- Gen.choose(0, 5)
@@ -597,15 +613,26 @@ object GraftProperties extends Properties("graft") {
       val rows = rows0.distinctBy(_._1)
       val df = rows.toDF("doc_id", "text")
       val target = df.filter(col("doc_id") % 3 === tgtMod % 3)
-      val model = graft.ops.Dsir.fit(df, target, "text", "doc_id",
-        gateFrac = 0.5, buckets = 64)
-      val served = graft.ops.Dsir.scoreWith(df, "text", "doc_id", model)
-        .select("doc_id", "n_feats", "weight_micro")
+      val got = graft.ops.Dsir.weights(df, target, "text", "doc_id",
+        buckets = B)
         .as[(Long, Long, Long)].collect().toSet
-      val batch = graft.ops.Dsir.weights(df, target, "text", "doc_id",
-        buckets = 64)
-        .as[(Long, Long, Long)].collect().toSet
-      served == batch
+      // local re-derivation
+      val tgtRows = rows.filter { case (id, _) => id % 3 == tgtMod % 3 }
+      def totals(rs: Seq[(Long, String)]): Map[Long, Long] =
+        rs.flatMap(r => featsOf(r._2)).groupBy(f => h32Local(f) % B)
+          .view.mapValues(_.size.toLong).toMap
+      val (rawB, tgtB) = (totals(rows), totals(tgtRows))
+      val (nr, nt) = (rawB.values.sum, tgtB.values.sum)
+      val lam = (0 until B).map { b =>
+        math.floor((math.log((tgtB.getOrElse(b.toLong, 0L) + 0.5) / (nt + 0.5 * B)) -
+          math.log((rawB.getOrElse(b.toLong, 0L) + 0.5) / (nr + 0.5 * B))) *
+          1000000.0).toLong
+      }
+      val want = rows.map { case (id, text) =>
+        val fs = featsOf(text)
+        (id, fs.size.toLong, fs.map(f => lam((h32Local(f) % B).toInt)).sum)
+      }.toSet
+      got == want
     }
   }
 }

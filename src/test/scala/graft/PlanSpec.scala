@@ -631,5 +631,11 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
       !readSchema.contains("source"),
       s"scan not pruned to (doc_id, text): $readSchema")
+    // the batch weights op shares the fold: its RETURNED plan (the apply
+    // pass — the B-row stats legs collect at construction) must also be
+    // a pure projection; only B rows ever shuffle anywhere in the op
+    val pw = plan("sample_dsir_weights")
+    assert(hashExchanges(pw) === 0, "weights apply pass grew a shuffle")
+    assert(!pw.contains("Join"), "weights apply pass grew a join")
   }
 }
