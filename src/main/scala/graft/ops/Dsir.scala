@@ -217,12 +217,20 @@ object Dsir {
     require(gateFrac > 0 && gateFrac <= 1, s"gateFrac must be in (0,1], got $gateFrac")
     val (rawB, tgtB) = collectedTotals(raw, target, textCol, idCol, buckets)
     val lam = lamArray(rawB, tgtB, buckets, alpha)
+    // cache the ~8 B/doc weight table eagerly (the resample discipline):
+    // the histogram's stats and hist legs would otherwise each re-scan
+    // the corpus through the fold. Unlike resample, fit CAN release the
+    // cache before returning — the cutoff is collected below and nothing
+    // lazy reads the frame afterwards.
     val scored = scoredCols(raw, textCol, idCol, lam, buckets)
       .filter(col("n_feats") > 0)
       .select(col(idCol), col("weight_micro").cast("double").as("__v"))
       .withColumn("__all", lit(0))
-    val cutRows = Stats.histogramPercentiles(scored, "__all", "__v",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    val cutRows = try Stats.histogramPercentiles(scored, "__all", "__v",
       Seq(("cut", 1.0 - gateFrac)), histBuckets).collect()
+    finally scored.unpersist(blocking = false)
     // tokenless fit corpus (fresh ingest, empty slice): a quality bar
     // derived from zero observed weights is undefined, so the model
     // ADMITS NOTHING (cut = +∞) — conservative-by-default rather than a
