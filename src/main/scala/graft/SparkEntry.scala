@@ -175,5 +175,9 @@ object SparkEntry {
     // pre-training data run pays over the raw corpus. The model twin is
     // the fit→persist→reload→serve lifecycle (serving itself is a
     // zero-shuffle projection, PlanSpec-pinned)
-    "sample_dsir_kept", "dsir_model_score")
+    "sample_dsir_kept", "dsir_model_score",
+    // round-18: the weights leg alone — the zero-shuffle apply pass
+    // (PlanSpec-pinned Scan→Project, shuffled bytes independent of
+    // corpus size) gets its own cross-round official number
+    "sample_dsir_weights")
 }

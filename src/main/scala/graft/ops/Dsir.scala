@@ -173,7 +173,8 @@ object Dsir {
     */
   def resample(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, frac: Double, buckets: Int = 4096, alpha: Double = 0.5,
-      salt: String = "dsir1", histBuckets: Int = 256): DataFrame = {
+      salt: String = "dsir1", histBuckets: Int = 256,
+      checkpointDir: Lineage.CheckpointDir = None): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
     val w = weights(raw, target, textCol, idCol, buckets, alpha)
       .filter(col("n_feats") > 0)
@@ -188,12 +189,25 @@ object Dsir {
     // each leg misses and re-runs the weight pipeline (measured 1.5× at
     // 100×). One count fills the cache once; every leg then reads it.
     keyed.count()
-    if (frac == 1.0) return keyed // degenerate cut (w=0 edge) keeps all anyway
-    Sampling.topFracByClass(
-      keyed.withColumn("__all", lit(0))
-        .withColumn("__v", col("key_micro").cast("double")),
-      "__all", "__v", frac, histBuckets)
-      .select(col(idCol), col("key_micro"))
+    val selected =
+      if (frac == 1.0) keyed // degenerate cut (w=0 edge) keeps all anyway
+      else Sampling.topFracByClass(
+        keyed.withColumn("__all", lit(0))
+          .withColumn("__v", col("key_micro").cast("double")),
+        "__all", "__v", frac, histBuckets)
+        .select(col(idCol), col("key_micro"))
+    // hand back a MATERIALIZED kept set (~frac of the 16 B/doc key table;
+    // `checkpointDir` = reliable storage for multi-hour drivers) and
+    // release the full (id, key) cache BEFORE returning — the addBatch
+    // lifecycle discipline. Returning the lazy selection instead would
+    // pin the cache to the returned plan: a long-running driver calling
+    // resample repeatedly would accumulate ~16 B/doc of unreleasable
+    // (disk-spilled, so never LRU-evicted) storage per call until GC
+    // happened to drop the frame. Callers that are done with the result
+    // can reclaim its blocks immediately with [[Lineage.release]].
+    val out = Lineage.materialize(selected, checkpointDir)
+    keyed.unpersist(blocking = false)
+    out
   }
 
   /** A fitted, servable DSIR model: the full B-entry λ array (so a doc
@@ -241,26 +255,126 @@ object Dsir {
     DsirModel(buckets, alpha, lam, cut)
   }
 
-  /** Persist a model: `lambda/` (b, lam — all B rows) + `meta/`
-    * (buckets, alpha, cut_micro), both parquet so any engine (and the
-    * DuckDB oracle) replays scoring from the exact stored values.
+  private val CurrentDir = "current"
+  private val StagingPrefix = "_graft_staging_"
+  private val PrevPrefix = "_graft_prev_"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist a model ATOMICALLY: `current/lambda` (b, lam — all B rows)
+    * + `current/meta` (buckets, alpha, cut_micro), both parquet so any
+    * engine (and the DuckDB oracle) replays scoring from the exact
+    * stored values.
+    *
+    * λ and the cutoff are one model — serving a new λ table against a
+    * stale cutoff (or vice versa) is a SILENTLY wrong gate, so the two
+    * tables must never be observable in mixed state. Publishing them as
+    * two in-place overwrites would open exactly that window on a crash
+    * between the writes; instead both are staged under one temp dir and
+    * committed by a SINGLE directory rename (atomic on HDFS and posix —
+    * the `_graft_meta` rename-as-commit discipline, one level up):
+    *
+    *   1. stage `_graft_staging_<nonce>/{lambda,meta}` — invisible;
+    *   2. move any existing `current/` aside (to `_graft_prev_<nonce>`);
+    *   3. rename the staging to `current/` — THE commit point;
+    *   4. delete the moved-aside previous model.
+    *
+    * A crash before 3 leaves the previous `current/` (or, between 2 and
+    * 3, no `current/` at all — [[load]] refuses LOUDLY, never serves a
+    * mixed model, and names the intact `_graft_prev_` copy). save is the
+    * WRITE path, so it heals: any staging/prev debris from a crashed
+    * predecessor is superseded by the model being published and is
+    * cleared up front; a pre-r18 unversioned `lambda/`+`meta/` pair is
+    * cleared after the commit.
     */
   def save(model: DsirModel, spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(root)
+    // heal: debris of a crashed publish is superseded by this one
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(StagingPrefix) ||
+        p.getName.startsWith(PrevPrefix))
+      .foreach(p => fs.delete(p, true))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(root, StagingPrefix + nonce)
     model.lam.zipWithIndex.map { case (l, b) => (b.toLong, l) }.toSeq
       .toDF("b", "lam")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/lambda")
+      .coalesce(1).write.parquet(s"$staging/lambda")
     Seq((model.buckets, model.alpha, model.cutMicro))
       .toDF("buckets", "alpha", "cut_micro")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.parquet(s"$staging/meta")
+    val current = new org.apache.hadoop.fs.Path(root, CurrentDir)
+    val prev = new org.apache.hadoop.fs.Path(root, PrevPrefix + nonce)
+    if (fs.exists(current) && !fs.rename(current, prev))
+      throw new java.io.IOException(
+        s"could not move aside the previous model at $current")
+    if (!fs.rename(staging, current))
+      throw new java.io.IOException(
+        s"could not publish $staging as $current — the previous model " +
+          s"is intact at $prev; rerun save")
+    fs.delete(prev, true)
+    // post-commit: clear a pre-r18 unversioned layout so a reader can
+    // never confuse the superseded flat tables for the model
+    fs.delete(new org.apache.hadoop.fs.Path(root, "lambda"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "meta"), true)
   }
 
+  /** Load the committed model. Refuses — loudly, with the heal spelled
+    * out — anything other than a complete committed `current/`: a
+    * crashed publish caught between its two renames (the intact
+    * moved-aside copy is named), or a pre-r18 unversioned layout. The λ
+    * table must hold EXACTLY one row per bucket in [0, buckets): the λ
+    * array is zero-filled before being populated from the table, so a
+    * partial or foreign read would otherwise serve silently wrong
+    * (under-)scores rather than fail.
+    */
   def load(spark: SparkSession, path: String): DsirModel = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val current = new org.apache.hadoop.fs.Path(root, CurrentDir)
+    if (!fs.exists(current)) {
+      val names =
+        if (fs.exists(root)) fs.listStatus(root).map(_.getPath.getName).toSeq
+        else Seq.empty
+      val prevs = names.filter(_.startsWith(PrevPrefix))
+      if (prevs.nonEmpty) throw new IllegalStateException(
+        s"no committed DSIR model at $path — a save crashed mid-publish; " +
+          s"the previous model is intact under ${prevs.mkString(", ")}: " +
+          "rerun save (which heals the debris) or rename it to 'current'")
+      else if (names.contains("lambda") && names.contains("meta"))
+        throw new IllegalStateException(
+          s"DSIR model at $path uses the pre-r18 unversioned layout " +
+            "(flat lambda/ + meta/, a non-atomic two-overwrite publish " +
+            "that can serve a new-lambda/old-cutoff mix after a crash) — " +
+            "re-save the model to adopt the atomic current/ layout")
+      else throw new IllegalStateException(
+        s"no DSIR model at $path — save one first" +
+          (if (names.isEmpty) "" else s" (found: ${names.mkString(", ")})"))
+    }
+    val m = spark.read.parquet(s"$current/meta").head()
     val buckets = m.getInt(0)
     val lam = new Array[Long](buckets)
-    spark.read.parquet(s"$path/lambda").collect()
-      .foreach(r => lam(r.getLong(0).toInt) = r.getLong(1))
+    val rows = spark.read.parquet(s"$current/lambda").collect()
+    val seen = new java.util.BitSet(buckets)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      require(b >= 0 && b < buckets,
+        s"lambda table at $current holds bucket $b outside [0, $buckets) — " +
+          "not this model's table")
+      require(!seen.get(b.toInt),
+        s"lambda table at $current holds bucket $b twice — corrupt table")
+      seen.set(b.toInt)
+      lam(b.toInt) = r.getLong(1)
+    }
+    require(rows.length == buckets,
+      s"lambda table at $current holds ${rows.length} of $buckets buckets — " +
+        "a partial read would silently under-score every document that " +
+        "hashes into a missing bucket; the publish is atomic, so rebuild " +
+        "the model (fit + save) rather than serving this one")
     DsirModel(buckets, m.getDouble(1), lam, m.getDouble(2))
   }
 

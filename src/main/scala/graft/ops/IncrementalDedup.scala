@@ -130,31 +130,29 @@ object IncrementalDedup {
       case None =>
         IndexCompaction.healIfNeeded(spark, indexDir, table)
         BatchCommits.requireCommitted(spark, indexDir, table, batchId)
-      case Some(_) =>
-        IndexCompaction.requireNoPending(spark, indexDir, table)
+        val path = s"$indexDir/$table"
+        val exists = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(path))
+        if (!exists)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
+        // explicit schema: an all-empty index (e.g. only empty-batch
+        // partitions) has no footer to infer from, and the partition
+        // column rides the declared schema either way
+        else spark.read.schema(s"$schemaDdl, batch int").parquet(path)
+          .filter(col("batch") < batchId)
+      case Some(set) =>
         BatchCommits.requireCommittedPrefix(spark, indexDir, table)
-    }
-    val path = s"$indexDir/$table"
-    val exists = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
-    if (!exists)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
-    // explicit schema: an all-empty index (e.g. only empty-batch
-    // partitions) has no footer to infer from, and the partition column
-    // rides the declared schema either way
-    else {
-      val all = spark.read.schema(s"$schemaDdl, batch int").parquet(path)
-        .filter(col("batch") < batchId)
-      committed match {
-        case None => all
-        // batch is a partition column, so the In prunes at planning; the
-        // committed list stays bounded because compaction/promotion folds
-        // old batches into the marker-exempt base (batch < 0 / catalog)
-        case Some(set) => all.filter(col("batch") < 0 ||
-          col("batch").isin(set.toSeq.sorted.map(Int.box): _*))
-      }
+        // serves THROUGH a pending compaction swap (never healing it) —
+        // see [[IndexCompaction.servableParquet]]. batch is a partition
+        // column, so the In prunes at planning; the committed list stays
+        // bounded because compaction/promotion folds old batches into
+        // the marker-exempt base (batch < 0 / catalog)
+        IndexCompaction.servableParquet(spark, indexDir, table, schemaDdl)
+          .filter(col("batch") < batchId)
+          .filter(col("batch") < 0 ||
+            col("batch").isin(set.toSeq.sorted.map(Int.box): _*))
     }
   }
 
@@ -308,8 +306,20 @@ object IncrementalDedup {
     * never makes the gate refuse; the in-flight batch is just not
     * visible yet (the pre-batch answer). Maintenance ops (compact /
     * promote / rebucket) still refuse on uncommitted partitions — they
-    * need the whole table. Being READ-ONLY, the probe also refuses —
-    * rather than heals — a crashed compaction swap.
+    * need the whole table.
+    *
+    * AVAILABILITY during maintenance: the probe serves THROUGH a live
+    * (or crashed) compaction swap — the staged copy plus the untouched
+    * tail partitions are exactly the pre-swap committed content
+    * ([[IndexCompaction.servableParquet]]) — and through a live
+    * [[promoteBase]] (the meta write is promotion's commit point; until
+    * it lands, probes read the old base/delta state, after it the new —
+    * both complete). Being READ-ONLY, the probe never HEALS anything.
+    * The one remaining dark window is a parameter migration
+    * ([[IncrementalEmbeddingDedup.rebucket]]): it rewrites bucket
+    * partitions IN PLACE, so mid-migration there is no complete
+    * pre-swap state on disk to serve — probes refuse loudly until it
+    * completes (loud, never wrong).
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, minJaccard: Double = 0.8,
@@ -456,9 +466,12 @@ object IncrementalDedup {
     * index needs (daily batches = thousands of tiny partitions; every
     * probe lists and opens all of them). Query-equivalent: `-1 < batchId`
     * for every future batch, so reads see exactly the same rows through
-    * one compacted partition. OFFLINE op (no concurrent addBatch), and a
-    * compacted batch id must never be replayed — its rows now live in the
-    * base, so a replay would double them.
+    * one compacted partition. OFFLINE op w.r.t. WRITERS (no concurrent
+    * addBatch); READ-ONLY probes keep serving throughout — the swap's
+    * staged copy plus the untouched tail is the complete pre-swap
+    * content ([[IndexCompaction.servableParquet]]). A compacted batch id
+    * must never be replayed — its rows now live in the base, so a replay
+    * would double them.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
       uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
@@ -923,20 +936,66 @@ private[graft] object IndexCompaction {
         n.stripPrefix("batch=").toIntOption.exists(_ < uptoExclusive)
     }
 
-  /** READ-ONLY guard: a probe must never mutate the index it reads — not
-    * even to finish a crashed compaction swap (it may be running against
-    * a read-only mount, and "READ-ONLY" is its documented contract). A
-    * pending compaction marker therefore makes the probe refuse loudly;
-    * any WRITING index read ([[IncrementalDedup.addBatch]], compaction,
-    * promotion) heals the swap as before.
+  /** Snapshot-mode (READ-ONLY) raw read of one index table that serves
+    * THROUGH a pending compaction swap instead of refusing it — a
+    * continuously-serving gate must not go dark for the duration of its
+    * index's maintenance. A probe must still never MUTATE the index (it
+    * may run against a read-only mount), so nothing is healed here; the
+    * swap state is simply read around:
+    *
+    *  - commit marker + staging present (swap in flight, or crashed
+    *    mid-swap): the marker's contract is "the staged copy is
+    *    COMPLETE", so the staged base IS the folded content — read it as
+    *    `batch = -1`, and read the untouched tail partitions
+    *    (`batch >= uptoExclusive`) by EXPLICIT path so the folded
+    *    partitions the compactor is concurrently deleting are never
+    *    listed or planned. The served rows equal the pre-swap committed
+    *    content exactly (compaction is content-preserving).
+    *  - marker without staging: the publish rename already happened and
+    *    only the marker delete is pending — the table is whole, read it
+    *    normally.
+    *  - no marker: the normal partitioned read.
+    *
+    * This is the committed-prefix availability move one level up: state-
+    * level race-free (every served state is a complete committed copy —
+    * never a mixed or half-deleted one) under a single live compactor.
+    * Residual: a probe PLANNED in the instant the commit rename lands
+    * can hit a transient FileNotFound on the staging path — loud and
+    * retryable, never silently wrong (which is also why
+    * `spark.sql.files.ignoreMissingFiles` must stay off: it would turn
+    * that transient into silently dropped index rows, i.e. an
+    * under-dropping gate). Returns the raw frame including the `batch`
+    * column; the caller applies its replay/committed filters.
     */
-  def requireNoPending(spark: SparkSession, indexDir: String, table: String): Unit = {
-    val marker = hp(s"$indexDir/${table}__compact_commit")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(marker),
-      s"index table $indexDir/$table has an unfinished compaction swap — " +
-        "a READ-ONLY probe will not heal it; rerun compactIndex (or any " +
-        "writing index op, e.g. addBatch) to finish the swap, then probe")
+  def servableParquet(spark: SparkSession, indexDir: String, table: String,
+      schemaDdl: String): DataFrame = {
+    val root = s"$indexDir/$table"
+    val fs = hp(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
+    val marker = hp(s"${root}__compact_commit")
+    val staging = hp(s"${root}__compact_staging")
+    if (fs.exists(marker) && fs.exists(staging)) {
+      val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+      val in = fs.open(marker)
+      try in.readFully(0, buf) finally in.close()
+      val upto = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      val keep =
+        if (!fs.exists(hp(root))) Array.empty[String]
+        else fs.listStatus(hp(root)).map(_.getPath).filter { p =>
+          val n = p.getName
+          n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toIntOption.exists(_ >= upto)
+        }.map(_.toString)
+      val tail =
+        if (keep.isEmpty) empty
+        else spark.read.schema(s"$schemaDdl, batch int")
+          .option("basePath", root).parquet(keep.toIndexedSeq: _*)
+      spark.read.schema(schemaDdl).parquet(staging.toString)
+        .withColumn("batch", lit(-1)).unionByName(tail)
+    } else if (!fs.exists(hp(root))) empty
+    else spark.read.schema(s"$schemaDdl, batch int").parquet(root)
   }
 
   /** Finish a crashed compaction swap: marker present ⇒ the staged base is
@@ -1057,25 +1116,21 @@ object IncrementalEmbeddingDedup {
       case None =>
         IndexCompaction.healIfNeeded(spark, indexDir, table)
         BatchCommits.requireCommitted(spark, indexDir, table, batchId)
-      case Some(_) =>
-        IndexCompaction.requireNoPending(spark, indexDir, table)
+        val path = s"$indexDir/$table"
+        val exists = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(path))
+        if (!exists)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
+        else spark.read.schema(s"$schemaDdl, batch int").parquet(path)
+          .filter(col("batch") < batchId)
+      case Some(set) =>
         BatchCommits.requireCommittedPrefix(spark, indexDir, table)
-    }
-    val path = s"$indexDir/$table"
-    val exists = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
-    if (!exists)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch int"))
-    else {
-      val all = spark.read.schema(s"$schemaDdl, batch int").parquet(path)
-        .filter(col("batch") < batchId)
-      committed match {
-        case None => all
-        case Some(set) => all.filter(col("batch") < 0 ||
-          col("batch").isin(set.toSeq.sorted.map(Int.box): _*))
-      }
+        IndexCompaction.servableParquet(spark, indexDir, table, schemaDdl)
+          .filter(col("batch") < batchId)
+          .filter(col("batch") < 0 ||
+            col("batch").isin(set.toSeq.sorted.map(Int.box): _*))
     }
   }
 

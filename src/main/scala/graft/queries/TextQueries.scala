@@ -1011,8 +1011,8 @@ object TextQueries extends QueryModule {
     // sum of the STORED λ over hashed features (the engine's per-row fold
     // is the same exact-long sum), keep vs the STORED cut_micro
     "dsir_model_score" ->
-      s"""WITH lam_m AS (SELECT b, lam FROM read_parquet('$DsirFixture/lambda/*.parquet')),
-         |meta_m AS (SELECT cut_micro FROM read_parquet('$DsirFixture/meta/*.parquet')),
+      s"""WITH lam_m AS (SELECT b, lam FROM read_parquet('$DsirFixture/current/lambda/*.parquet')),
+         |meta_m AS (SELECT cut_micro FROM read_parquet('$DsirFixture/current/meta/*.parquet')),
          |tok_m AS (SELECT doc_id, $toks AS ts FROM documents),
          |feat_m AS (SELECT doc_id, unnest(ts) AS f FROM tok_m
          |  UNION ALL

@@ -123,6 +123,95 @@ class DsirSpec extends SparkSpec {
     assert(scored.count() === 50 && scored.filter($"keep").count() === 0)
   }
 
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  test("save publishes atomically: a crash between the two renames refuses loudly, " +
+      "never serves a mixed model; the next save heals") {
+    val dir = "/tmp/graft_dsir_spec_atomic"
+    fs.delete(hp(dir), true)
+    val modelA = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(modelA, spark, dir)
+    // forge the crash window between rename-away and rename-in: current/
+    // moved aside, staging never published (the OLD silent window was
+    // new-lambda/old-cutoff; here the reader must refuse instead)
+    assert(fs.rename(hp(s"$dir/current"), hp(s"$dir/_graft_prev_forged")))
+    val e = intercept[IllegalStateException](Dsir.load(spark, dir))
+    assert(e.getMessage.contains("crashed mid-publish"))
+    assert(e.getMessage.contains("_graft_prev_forged"))
+    // save is the write path: it heals the debris and publishes cleanly
+    val modelB = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.5)
+    Dsir.save(modelB, spark, dir)
+    val loaded = Dsir.load(spark, dir)
+    assert(loaded.cutMicro === modelB.cutMicro)
+    assert(loaded.lam.toSeq === modelB.lam.toSeq)
+    // no debris survives a successful publish
+    val names = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
+    assert(names === Set("current"), s"leftover debris: $names")
+  }
+
+  test("load ignores staging debris and serves the intact committed model") {
+    val dir = "/tmp/graft_dsir_spec_staging_debris"
+    fs.delete(hp(dir), true)
+    val modelA = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(modelA, spark, dir)
+    // forge a publisher that crashed BEFORE its commit rename: a complete
+    // staged model (different content) next to the committed one
+    val modelB = modelA.copy(cutMicro = modelA.cutMicro + 42.0)
+    val other = "/tmp/graft_dsir_spec_staging_debris_other"
+    fs.delete(hp(other), true)
+    Dsir.save(modelB, spark, other)
+    assert(fs.rename(hp(s"$other/current"), hp(s"$dir/_graft_staging_forged")))
+    assert(Dsir.load(spark, dir).cutMicro === modelA.cutMicro)
+  }
+
+  test("load refuses a truncated lambda table instead of silently under-scoring") {
+    val dir = "/tmp/graft_dsir_spec_truncated"
+    fs.delete(hp(dir), true)
+    val model = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(model, spark, dir)
+    // forge a partial lambda: rewrite it with half the rows (meta intact)
+    val half = spark.read.parquet(s"$dir/current/lambda")
+      .filter($"b" < model.buckets / 2)
+    val tmp = "/tmp/graft_dsir_spec_truncated_half"
+    half.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(hp(s"$dir/current/lambda"), true)
+    assert(fs.rename(hp(tmp), hp(s"$dir/current/lambda")))
+    val e = intercept[IllegalArgumentException](Dsir.load(spark, dir))
+    assert(e.getMessage.contains(s"of ${model.buckets} buckets"))
+  }
+
+  test("load refuses the pre-r18 unversioned layout with a re-save pointer") {
+    val dir = "/tmp/graft_dsir_spec_legacy"
+    fs.delete(hp(dir), true)
+    val model = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(model, spark, dir)
+    // forge the old layout: flat lambda/ + meta/ at the top level
+    assert(fs.rename(hp(s"$dir/current/lambda"), hp(s"$dir/lambda")))
+    assert(fs.rename(hp(s"$dir/current/meta"), hp(s"$dir/meta")))
+    fs.delete(hp(s"$dir/current"), true)
+    val e = intercept[IllegalStateException](Dsir.load(spark, dir))
+    assert(e.getMessage.contains("pre-r18 unversioned layout"))
+    // re-save adopts the atomic layout AND clears the flat tables
+    Dsir.save(model, spark, dir)
+    assert(Dsir.load(spark, dir).lam.toSeq === model.lam.toSeq)
+    val names = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
+    assert(names === Set("current"), s"legacy tables not cleared: $names")
+  }
+
+  test("resample leaves no cached blocks behind once the result is released") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val kept = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
+    kept.count() // consume
+    // the (id, key) weight cache is released before resample returns; the
+    // only surviving storage is the materialized RESULT, which the caller
+    // owns and can reclaim immediately
+    graft.ops.Lineage.release(kept)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"resample leaked cached RDDs: $leaked")
+  }
+
   test("resample is reproducible and frac = 1 keeps every featured doc") {
     val a = Dsir.resample(docs, target, "text", "doc_id", frac = 0.25)
       .orderBy("doc_id").collect().toSeq

@@ -608,7 +608,9 @@ object GraftProperties extends Properties("graft") {
       id <- Gen.choose(1L, 80L)
       n <- Gen.choose(0, 5)
       ws <- Gen.listOfN(n, word)
-    } yield (id, ws.mkString(" "))
+      text <- Gen.frequency(7 -> Gen.const(ws.mkString(" ")),
+        1 -> Gen.const(null: String))
+    } yield (id, text)
     Prop.forAll(Gen.listOfN(10, docGen), Gen.choose(1L, 80L)) { (rows0, tgtMod) =>
       val rows = rows0.distinctBy(_._1)
       val df = rows.toDF("doc_id", "text")

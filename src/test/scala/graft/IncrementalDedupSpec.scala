@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, IncrementalDedup}
+import graft.ops.{Dedup, IncrementalDedup, IncrementalEmbeddingDedup}
 
 /** ops/IncrementalDedup: persisted-index near-dup maintenance. Pins the
   * contract the oracle relies on — id-ordered incremental batches produce
@@ -1350,31 +1350,47 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k.isEmpty, "doc 3 duplicates replayed doc 2 after the migration")
   }
 
-  test("READ-ONLY probe refuses — and does not heal — a pending compaction swap") {
+  test("READ-ONLY probe serves THROUGH a pending compaction swap — the pre-swap " +
+      "answer, without healing") {
     val idx = freshIndex("probecompactpend")
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
     IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
-    // forge a compaction that crashed AFTER its commit marker: staging
-    // complete (batch 0's rows re-written base-shaped), folded partition
-    // not yet deleted, marker holding uptoExclusive=1
-    spark.read.parquet(s"$idx/bands/batch=0")
-      .write.parquet(s"$idx/bands__compact_staging")
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$idx/bands__compact_commit"), true)
-    try out.write("1".getBytes("UTF-8")) finally out.close()
-    val before = indexState(idx)
-    // a writing read would FINISH this swap (delete + rename). The probe
-    // is documented read-only — it must refuse loudly and touch nothing
-    // (it may be running against a read-only mount).
-    val ex = intercept[IllegalArgumentException] {
-      IncrementalDedup.probe(spark, idx, df(Seq(doc(100, A))), "text", "doc_id")
+    val gate = df(Seq(doc(100, A), doc(101, B), doc(102, C)))
+    val preSwap = IncrementalDedup.probe(spark, idx, gate, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(preSwap === Seq(102L), "fixture: A and B indexed, C novel")
+    // forge a compaction swap caught mid-flight for BOTH tables: staging
+    // complete (batch 0's rows base-shaped), folded partition not yet
+    // deleted, marker holding uptoExclusive=1
+    for (table <- Seq("bands", "shingles")) {
+      spark.read.parquet(s"$idx/$table/batch=0")
+        .write.parquet(s"$idx/${table}__compact_staging")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$idx/${table}__compact_commit"), true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
     }
-    assert(ex.getMessage.contains("compaction"),
-      s"must name the pending swap, got: ${ex.getMessage}")
+    val before = indexState(idx)
+    // mid-swap, folded partitions still on disk: the gate keeps answering
+    // with the pre-swap answer — maintenance is no longer probe downtime
+    assert(IncrementalDedup.probe(spark, idx, gate, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq === preSwap,
+      "probe mid-swap (staged copy complete, deletes pending) must serve " +
+        "the pre-swap answer")
     assert(indexState(idx) === before,
-      "a refused probe must leave the index byte-identical — no healing")
-    // the next WRITING read heals deterministically; then the probe serves
+      "a serving probe must leave the index byte-identical — no healing")
+    // deeper into the swap: folded partitions deleted, publish rename
+    // still pending — the staged copy alone carries the folded content
+    for (table <- Seq("bands", "shingles"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/$table/batch=0"), true)
+    assert(IncrementalDedup.probe(spark, idx, gate, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq === preSwap,
+      "probe mid-delete must serve the staged copy")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands__compact_commit")),
+      "the probe must not have consumed the marker")
+    // the next WRITING read heals deterministically; the probe answer is
+    // unchanged across the whole maintenance cycle
     val k = IncrementalDedup.addBatch(spark, idx, df(Seq(doc(10, C))),
       "text", "doc_id", 2)
     assert(k.count() === 1)
@@ -1382,6 +1398,73 @@ class IncrementalDedupSpec extends SparkSpec {
       df(Seq(doc(100, A), doc(101, C))), "text", "doc_id")
       .select("doc_id").as[Long].collect().toSeq
     assert(kept.isEmpty, "healed index gates both the folded and fresh content")
+  }
+
+  test("probe serves through a live promoteBase: staged base tables are " +
+      "invisible until the meta commit, the answer never changes") {
+    val idx = freshIndex("probepromotemid")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    val gate = df(Seq(doc(100, A), doc(101, B), doc(102, C)))
+    def answer() = IncrementalDedup.probe(spark, idx, gate, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val preSwap = answer()
+    assert(preSwap === Seq(102L))
+    // forge a promoteBase caught AFTER both staged bucketed-table writes
+    // but BEFORE its commit (the meta write): exactly promoteBase's own
+    // sequence, stopped one step short
+    import graft.ops.IndexBase
+    val prefix = IndexBase.tablePrefix(idx)
+    IndexBase.promoteOne(spark, idx, "bands",
+      "doc_id bigint, band int, band_key string, rank bigint",
+      bucketKey = "band_key", sortCols = Seq("band_key", "band", "rank"),
+      buckets = 4, prevTable = None, lower = None, upto = 2,
+      tName = s"${prefix}_bands_2")
+    IndexBase.promoteOne(spark, idx, "shingles",
+      "doc_id bigint, shs array<string>, nsh int", bucketKey = "doc_id",
+      sortCols = Seq("doc_id"), buckets = 4, prevTable = None, lower = None,
+      upto = 2, tName = s"${prefix}_shingles_2")
+    assert(answer() === preSwap,
+      "mid-promotion (staged tables written, meta not committed) the probe " +
+        "must serve the pre-swap delta state")
+    // the real promoteBase commits (idempotently re-staging) — same answer
+    IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 2, buckets = 4)
+    assert(answer() === preSwap,
+      "post-promotion the probe serves the same content from the base")
+  }
+
+  test("EMBEDDING twin: probe serves through a pending compaction swap") {
+    val idx = freshIndex("embprobecompactpend")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val m = e.agg(max("vec_id")).head.getLong(0)
+    val dim = e.head.getSeq[Double](1).size
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      e.filter(col("vec_id") <= m / 2), "embedding", "vec_id", 0, dim)
+    IncrementalEmbeddingDedup.addBatch(spark, idx,
+      e.filter(col("vec_id") > m / 2 && col("vec_id") <= m * 3 / 4),
+      "embedding", "vec_id", 1, dim)
+    val gate = e.filter(col("vec_id") > m * 3 / 4)
+    val preSwap = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+      "embedding", "vec_id", dim)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // forge the mid-swap state for both tables (fold batch 0, upto=1)
+    for (table <- Seq("buckets", "vectors")) {
+      spark.read.parquet(s"$idx/$table/batch=0")
+        .write.parquet(s"$idx/${table}__compact_staging")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$idx/${table}__compact_commit"), true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/$table/batch=0"), true)
+    }
+    val before = indexState(idx)
+    assert(IncrementalEmbeddingDedup.probe(spark, idx, gate,
+      "embedding", "vec_id", dim)
+      .select("vec_id").as[Long].collect().sorted.toSeq === preSwap,
+      "embedding probe mid-swap must serve the pre-swap answer")
+    assert(indexState(idx) === before, "no healing from a read-only probe")
   }
 
   test("hashed-shingle probe: copies drop, novel content survives, layout pinned") {
