@@ -178,6 +178,8 @@ object SparkEntry {
     "sample_dsir_kept", "dsir_model_score",
     // round-18: the weights leg alone — the zero-shuffle apply pass
     // (PlanSpec-pinned Scan→Project, shuffled bytes independent of
-    // corpus size) gets its own cross-round official number
-    "sample_dsir_weights")
+    // corpus size) gets its own cross-round official number — and the
+    // multi-target form (three domains' λ folded over one shared
+    // hashed-bucket array, one scan, zero exchanges)
+    "sample_dsir_weights", "sample_dsir_multi")
 }

@@ -147,6 +147,113 @@ object Dsir {
     scoredCols(raw, textCol, idCol, lamArray(rawB, tgtB, buckets, alpha), buckets)
   }
 
+  /** Multi-target DSIR: per-document importance weights against SEVERAL
+    * target domains at once — (idCol, n_feats, w_<domain>…) — the "one
+    * raw corpus, many target mixtures" selection step (weight the same
+    * web crawl toward code, math, and dialogue simultaneously, then
+    * hand the per-domain weight columns to [[Sampling]]'s mixture rules
+    * for the allocation). All D model fits ride ONE feature pass over
+    * each corpus: the raw totals and every domain's target totals
+    * aggregate through a single union plan, so one action collects
+    * ≤(D+1)·B rows — per-domain λ costs no extra corpus scan. The apply
+    * pass is ONE zero-shuffle projection: the feature array is hashed
+    * to its bucket array ONCE (the md5 is the expensive part), then
+    * each domain's weight is a cheap per-row fold of its own λ literal
+    * over that shared array — the corpus is read once and the op's
+    * shuffled bytes stay corpus-size-independent regardless of D.
+    */
+  /** Per-domain λ arrays from ONE union collect: raw totals plus every
+    * domain's target totals ride a single plan, so one action fetches
+    * ≤(D+1)·B rows and D model fits cost one feature pass per corpus.
+    */
+  private def lamsPerDomain(raw: DataFrame, targets: Seq[(String, DataFrame)],
+      textCol: String, idCol: String, buckets: Int,
+      alpha: Double): Seq[(String, Array[Long])] = {
+    require(targets.nonEmpty, "need at least one target domain")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"domain names must be unique, got ${targets.map(_._1)}")
+    targets.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"domain name '$n' must be a plain identifier (it names the w_ column)")
+    }
+    def totals(df: DataFrame, side: Int) =
+      features(df, textCol, idCol, buckets)
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .select(col("b"), col("c"), lit(side).as("side"))
+    val both = targets.zipWithIndex
+      .map { case ((_, t), i) => totals(t, i) }
+      .foldLeft(totals(raw, -1))(_ unionByName _)
+      .collect()
+    def sideMap(side: Int): Map[Long, Long] = both.filter(_.getInt(2) == side)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawB = sideMap(-1)
+    targets.zipWithIndex.map { case ((name, _), i) =>
+      name -> lamArray(rawB, sideMap(i), buckets, alpha)
+    }
+  }
+
+  /** The multi-domain apply pass: hash each document's features to the
+    * shared bucket array ONCE (the md5 is the expensive part), then fold
+    * every domain's λ literal over it — one scan, one projection, zero
+    * shuffles regardless of D.
+    */
+  private def multiScoredCols(df: DataFrame, textCol: String, idCol: String,
+      lams: Seq[(String, Array[Long])], buckets: Int): DataFrame = {
+    val wCols = lams.map { case (name, lam) =>
+      val lamLit = typedLit(lam.toSeq)
+      coalesce(aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + element_at(lamLit, b)), lit(0L)).as(s"w_$name")
+    }
+    df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
+      .select(col(idCol),
+        greatest(coalesce(size(col("ts")).cast("long") * lit(2L) - lit(1L),
+          lit(0L)), lit(0L)).as("n_feats"),
+        transform(featArrayOfTs,
+          f => (pmod(h32(f), lit(buckets)) + lit(1L)).cast("int")).as("bs"))
+      .select((col(idCol) +: col("n_feats") +: wCols): _*)
+  }
+
+  def weightsPerDomain(raw: DataFrame, targets: Seq[(String, DataFrame)],
+      textCol: String, idCol: String, buckets: Int = 4096,
+      alpha: Double = 0.5): DataFrame =
+    multiScoredCols(raw, textCol, idCol,
+      lamsPerDomain(raw, targets, textCol, idCol, buckets, alpha), buckets)
+
+  /** Fit D servable gates in ONE corpus scan: per-domain λ from the
+    * shared union collect ([[lamsPerDomain]]), per-domain weight-space
+    * cutoffs from ONE cached multi-weight table — the D histogram
+    * estimators ride a single [[Stats.histogramPercentiles]] call over
+    * the stacked (domain, weight) form, so the whole fit costs one
+    * feature scan + one cached ~(8·D) B/doc table + one histogram
+    * action regardless of D. Per domain the result is EXACTLY [[fit]]
+    * (same λ, same estimator — spec-pinned); use this when the same raw
+    * corpus serves several domain gates. The cache is released before
+    * returning (the [[fit]] lifecycle discipline); a domain whose gate
+    * sees zero weights (tokenless corpus) admits nothing (cut = +∞).
+    */
+  def fitPerDomain(raw: DataFrame, targets: Seq[(String, DataFrame)],
+      textCol: String, idCol: String, gateFrac: Double = 0.25,
+      buckets: Int = 4096, alpha: Double = 0.5,
+      histBuckets: Int = 256): Map[String, DsirModel] = {
+    require(gateFrac > 0 && gateFrac <= 1, s"gateFrac must be in (0,1], got $gateFrac")
+    val lams = lamsPerDomain(raw, targets, textCol, idCol, buckets, alpha)
+    val scored = multiScoredCols(raw, textCol, idCol, lams, buckets)
+      .filter(col("n_feats") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    val stacked = scored.select(expr(
+      s"stack(${lams.size}, " + lams.map { case (n, _) =>
+        s"'$n', cast(w_$n as double)" }.mkString(", ") + ") as (__dom, __v)"))
+    val cutRows = try Stats.histogramPercentiles(stacked, "__dom", "__v",
+      Seq(("cut", 1.0 - gateFrac)), histBuckets).collect()
+    finally scored.unpersist(blocking = false)
+    val cuts = cutRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    lams.map { case (name, lam) =>
+      name -> DsirModel(buckets, alpha, lam,
+        cuts.getOrElse(name, Double.PositiveInfinity))
+    }.toMap
+  }
+
   /** Gumbel-top-frac importance resampling: keep ~`frac` of the documents
     * that have ≥1 feature, drawn WITHOUT replacement with probability
     * ∝ exp(weight) — the Gumbel-max trick makes that exactly "the largest

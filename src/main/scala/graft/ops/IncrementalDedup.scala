@@ -755,6 +755,17 @@ private[graft] object BatchCommits {
     * fails loudly listing the one-sided batches (heal: replay those
     * batch ids, then rerun).
     */
+  /** The PROBE table of each twin must physically store its rank column:
+    * a pre-rank layout read through the declared schema yields NULL
+    * ranks, the `rank <= maxReps` representative filter then excludes
+    * every indexed doc, and the probe silently keeps all duplicates —
+    * the exact adopt-a-legacy-index hazard [[IndexMeta.ensure]] refuses
+    * for data-holding no-meta dirs. markAll is the one path that
+    * DELIBERATELY adopts old partitions, so it must verify the column
+    * in the files, not the DDL.
+    */
+  private val ProbeRankTables = Set("bands", "buckets")
+
   def markAll(spark: SparkSession, indexDir: String,
       twins: Seq[(String, String)]): Unit = {
     val fs = fsOf(spark, indexDir)
@@ -780,7 +791,21 @@ private[graft] object BatchCommits {
               "table appends; replay those batch ids first, then rerun " +
               "markLegacyCommitted (stamping them now would bake in the " +
               "silent under-drop the markers exist to prevent)")
-          sa.intersect(sb).foreach(bt => mark(spark, indexDir, bt))
+          val sound = sa.intersect(sb)
+          if (ProbeRankTables(a) && sound.nonEmpty) {
+            val rankless = sound.toSeq.sorted.filterNot { bt =>
+              spark.read.parquet(s"$indexDir/$a/batch=$bt")
+                .schema.fieldNames.contains("rank")
+            }
+            require(rankless.isEmpty,
+              s"legacy index at $indexDir predates the stored rank column: " +
+                s"$a batch(es) ${rankless.mkString(", ")} hold no 'rank' " +
+                "field — read through the declared schema they rank NULL, " +
+                "the representative filter excludes every indexed doc, and " +
+                "probes silently keep all duplicates; rebuild those batches " +
+                "(replay their ids), then rerun markLegacyCommitted")
+          }
+          sound.foreach(bt => mark(spark, indexDir, bt))
       }
     }
   }

@@ -198,6 +198,19 @@ object TextQueries extends QueryModule {
         "text", "doc_id", frac = 0.25)
     }),
 
+    // multi-target DSIR: one raw corpus weighted toward SEVERAL target
+    // domains in one pass — per-domain λ fits ride one feature scan +
+    // one union collect, the apply pass hashes each doc's features once
+    // and folds every domain's λ over the shared bucket array
+    "sample_dsir_multi" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.ops.Dsir.weightsPerDomain(all,
+        Seq("en" -> all.filter(col("lang") === "en"),
+          "de" -> all.filter(col("lang") === "de"),
+          "fr" -> all.filter(col("lang") === "fr")),
+        "text", "doc_id")
+    }),
+
     // DSIR model lifecycle end-to-end: fit (λ + weight-space gate cutoff)
     // → persist → reload → serve. Serving is a pure per-row fold over the
     // stored λ (zero shuffles); the oracle replays scoring from the SAME
@@ -574,6 +587,38 @@ object TextQueries extends QueryModule {
        |w_dsir AS (SELECT dc.doc_id, sum(dc.cnt)::BIGINT AS n_feats,
        |    sum(dc.cnt * lam.lam)::BIGINT AS weight_micro
        |  FROM dc_dsir dc JOIN lam_dsir lam USING (b) GROUP BY dc.doc_id)""".stripMargin
+
+  /** Per-domain extension of [[dsirCtes]]: one smoothed-model/λ/weight
+    * CTE chain per target lang, all sharing the single `dc_dsir`
+    * feature-count table — the oracle twin of
+    * [[graft.ops.Dsir.weightsPerDomain]]'s one-feature-pass design
+    * (re-derived independently in DuckDB, same operand order).
+    */
+  private def dsirMultiSql(langs: Seq[String]): String = {
+    val per = langs.map { l =>
+      s"""tgtc_$l AS (SELECT b, sum(cnt)::BIGINT AS ct
+         |  FROM dc_dsir JOIN documents USING (doc_id)
+         |  WHERE lang = '$l' GROUP BY b),
+         |tgtn_$l AS (SELECT coalesce(sum(ct), 0)::BIGINT AS nt FROM tgtc_$l),
+         |lam_$l AS (SELECT r.b,
+         |    floor((ln((coalesce(t.ct, 0) + 0.5) / (nt + 0.5 * 4096)) -
+         |           ln((r.cr + 0.5) / (nr + 0.5 * 4096))) * 1000000.0)::BIGINT AS lam
+         |  FROM rawc_dsir r LEFT JOIN tgtc_$l t USING (b)
+         |  CROSS JOIN rawn_dsir CROSS JOIN tgtn_$l),
+         |wd_$l AS (SELECT dc.doc_id, sum(dc.cnt * lam.lam)::BIGINT AS w
+         |  FROM dc_dsir dc JOIN lam_$l lam USING (b) GROUP BY dc.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = langs.map(l => s"coalesce(wd_$l.w, 0) AS w_$l").mkString(", ")
+    val joins = langs.map(l => s"LEFT JOIN wd_$l ON wd_$l.doc_id = d.doc_id")
+      .mkString("\n")
+    s"""$dsirCtes,
+       |$per,
+       |nf_multi AS (SELECT doc_id, sum(cnt)::BIGINT AS n_feats
+       |  FROM dc_dsir GROUP BY 1)
+       |SELECT d.doc_id, coalesce(nf_multi.n_feats, 0) AS n_feats, $selects
+       |FROM documents d LEFT JOIN nf_multi ON nf_multi.doc_id = d.doc_id
+       |$joins""".stripMargin
+  }
 
   /** The oracle's one-round BPE merge over a token-list column: a
     * sentinel-prepended list_reduce fold building a chr(31)-delimited
@@ -1006,6 +1051,8 @@ object TextQueries extends QueryModule {
          |  QUALIFY row_number() OVER (ORDER BY c.b) = 1)
          |SELECT k.doc_id, k.key_micro FROM kv_dsir k CROSS JOIN sel_dsir
          |WHERE k.v >= p_cut""".stripMargin,
+
+    "sample_dsir_multi" -> dsirMultiSql(Seq("en", "de", "fr")),
 
     // serving replayed from the persisted model: per-doc weight = group
     // sum of the STORED λ over hashed features (the engine's per-row fold

@@ -23,7 +23,7 @@ import graft.ops.{IncrementalDedup, IncrementalEmbeddingDedup, Similarity}
   *    promoted (the crossover SCALE.md names).
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.IncrEnvelope
-  *   <emb|embq8|rebucket|rebucket_promoted|text|probe_curve>
+  *   <emb|embq8|rebucket|rebucket_promoted|text|probe_curve|probe_curve_writer>
   */
 object IncrEnvelope {
   def main(args: Array[String]): Unit = {
@@ -200,6 +200,72 @@ object IncrEnvelope {
         spark.catalog.listTables().collect().map(_.name)
           .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(promo)))
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+      case "probe_curve_writer" =>
+        // r18: the serving-latency curve under CONCURRENT WRITER LOAD —
+        // the production shape the r17 snapshot protocol enables (a
+        // decontamination gate answering while the retained corpus is
+        // continuously appended). At each growth point the same fixed
+        // batch is probed 3× on a QUIET index, then 3× while a single
+        // writer thread appends small novel batches (~10% of the probe
+        // batch each) to the same index; the writer is then joined and
+        // its completed-append count reported. The snapshot protocol
+        // means a probe never waits on (or sees) the in-flight batch —
+        // any quiet→active delta is pure scheduler/IO contention, not
+        // protocol serialization. Writer batches are deliberately small
+        // so the index the active reps see is ~the nominal size.
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val m = docs.agg(max("doc_id")).head.getLong(0)
+        val factors = (if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+          else Seq(1, 10, 100)).sorted
+        def copyW(g: Int): org.apache.spark.sql.DataFrame =
+          if (g == 0) docs
+          else docs.select((col("doc_id") + g.toLong * (m + 1)).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => hex(xxhash64(t, lit(g)))), " ").as("text"))
+        def copiesW(from: Int, until: Int): org.apache.spark.sql.DataFrame =
+          (from until until).map(copyW).reduce(_ unionByName _)
+        val idx = fresh("curve_writer")
+        var built = 0
+        var batchId = 0
+        val pts = factors.map { f =>
+          if (built < f) {
+            IncrementalDedup.addBatch(spark, idx, copiesW(built, f),
+              "text", "doc_id", batchId).count()
+            batchId += 1; built = f
+          }
+          def probeOnce(): Double =
+            timed(IncrementalDedup.probe(spark, idx, docs, "text", "doc_id")
+              .count())._2
+          val quietT = (1 to 3).map(_ => probeOnce())
+          // single writer: novel ~10%-sized batches, ids far above any
+          // growth copy's range (copies use g < 1000)
+          val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+          val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+          val nextId = new java.util.concurrent.atomic.AtomicInteger(batchId)
+          val writer = new Thread(() => {
+            try {
+              while (!stop.get()) {
+                val wb = nextId.getAndIncrement()
+                IncrementalDedup.addBatch(spark, idx,
+                  copyW(1000 + wb).limit((m / 10).toInt.max(50)),
+                  "text", "doc_id", wb).count()
+                appended.incrementAndGet()
+              }
+            } catch { case t: Throwable => writerErr.set(t) }
+          }, "curve-writer")
+          writer.start()
+          val activeT = (1 to 3).map(_ => probeOnce())
+          stop.set(true); writer.join()
+          if (writerErr.get() != null) throw writerErr.get()
+          batchId = nextId.get()
+          s"""{"copies":$f,"quiet_sec":[${quietT.map(t => f"$t%.2f").mkString(",")}],""" +
+            s""""writer_active_sec":[${activeT.map(t => f"$t%.2f").mkString(",")}],""" +
+            s""""writer_appends":${appended.get()}}"""
+        }
+        println(s"""{"mode":"probe_curve_writer","batch_docs":${docs.count()},""" +
+          s""""points":[${pts.mkString(",")}]}""")
 
       case "text" =>
         val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

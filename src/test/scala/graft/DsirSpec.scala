@@ -123,6 +123,36 @@ class DsirSpec extends SparkSpec {
     assert(scored.count() === 50 && scored.filter($"keep").count() === 0)
   }
 
+  test("weightsPerDomain: every domain column equals its single-target weights run") {
+    val targets = Seq("en", "de").map(l => l -> docs.filter($"lang" === l))
+    val multi = Dsir.weightsPerDomain(docs, targets, "text", "doc_id")
+    assert(multi.columns.toSeq === Seq("doc_id", "n_feats", "w_en", "w_de"))
+    for ((l, t) <- targets) {
+      val fromMulti = multi
+        .select($"doc_id", $"n_feats", col(s"w_$l").as("weight_micro"))
+        .orderBy("doc_id").collect().toSeq
+      val single = Dsir.weights(docs, t, "text", "doc_id")
+        .orderBy("doc_id").collect().toSeq
+      assert(fromMulti === single, s"domain $l diverges from the single-target op")
+    }
+  }
+
+  test("fitPerDomain: every domain's model is EXACTLY the single-target fit") {
+    val targets = Seq("en", "de").map(l => l -> docs.filter($"lang" === l))
+    val many = Dsir.fitPerDomain(docs, targets, "text", "doc_id", gateFrac = 0.25)
+    assert(many.keySet === Set("en", "de"))
+    for ((l, t) <- targets) {
+      val single = Dsir.fit(docs, t, "text", "doc_id", gateFrac = 0.25)
+      assert(many(l).lam.toSeq === single.lam.toSeq, s"λ diverges for $l")
+      assert(many(l).cutMicro === single.cutMicro, s"cutoff diverges for $l")
+      assert(many(l).buckets === single.buckets && many(l).alpha === single.alpha)
+    }
+    // the fit lifecycle discipline: nothing cached survives the call
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dsir.fitPerDomain(docs, targets, "text", "doc_id")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   private def fs = new org.apache.hadoop.fs.Path("/tmp")
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)

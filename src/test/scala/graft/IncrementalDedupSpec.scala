@@ -1350,6 +1350,40 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k.isEmpty, "doc 3 duplicates replayed doc 2 after the migration")
   }
 
+  test("markLegacyCommitted refuses a pre-rank bands layout, naming the batches") {
+    val idx = freshIndex("legacyrankless")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits"), true)
+    // forge a pre-rank-era batch: rewrite batch 0's bands WITHOUT the
+    // stored rank column (reading it through the declared schema would
+    // yield NULL ranks — the representative filter then excludes every
+    // indexed doc and the probe silently keeps all duplicates)
+    val b0 = spark.read.parquet(s"$idx/bands/batch=0").drop("rank")
+    val tmpDir = s"$idx/bands_batch0_rankless"
+    b0.write.parquet(tmpDir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands/batch=0"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmpDir),
+      new org.apache.hadoop.fs.Path(s"$idx/bands/batch=0")))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.markLegacyCommitted(spark, idx)
+    }
+    assert(ex.getMessage.contains("rank") && ex.getMessage.contains("0"),
+      s"must name the rank-less batch, got: ${ex.getMessage}")
+    // heal: replay batch 0 (same data, same id) writes the modern layout
+    // — but markers are still absent for batch 1, so replay refuses until
+    // the migration runs; delete the stale half and migrate the rest
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands/batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles/batch=0"), true)
+    IncrementalDedup.markLegacyCommitted(spark, idx)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    val k = IncrementalDedup.probe(spark, idx, df(Seq(doc(100, A), doc(101, C))),
+      "text", "doc_id").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k === Seq(101L), "healed index gates the replayed content")
+  }
+
   test("READ-ONLY probe serves THROUGH a pending compaction swap — the pre-swap " +
       "answer, without healing") {
     val idx = freshIndex("probecompactpend")

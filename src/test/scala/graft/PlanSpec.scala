@@ -637,5 +637,13 @@ class PlanSpec extends SparkSpec {
     val pw = plan("sample_dsir_weights")
     assert(hashExchanges(pw) === 0, "weights apply pass grew a shuffle")
     assert(!pw.contains("Join"), "weights apply pass grew a join")
+    // the multi-target form must keep the same shape regardless of D:
+    // one scan, one Generate-free projection folding every domain's λ
+    // literal — D must never multiply scans or introduce a join
+    val pm = plan("sample_dsir_multi")
+    assert(hashExchanges(pm) === 0, "multi-domain apply pass grew a shuffle")
+    assert(!pm.contains("Join"), "multi-domain apply pass grew a join")
+    assert(pm.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*""")) <= 1,
+      "multi-domain apply pass must read the corpus once")
   }
 }
