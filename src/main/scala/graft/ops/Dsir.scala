@@ -485,6 +485,36 @@ object Dsir {
     DsirModel(buckets, m.getDouble(1), lam, m.getDouble(2))
   }
 
+  /** Serve D domain gates in one projection: per-document
+    * (idCol, n_feats, w_<domain>…, keep_<domain>…) — the multi-gate
+    * router shape (tag each incoming document with which domain
+    * corpora it qualifies for). Features are hashed to buckets ONCE
+    * and every model's λ folds over the shared array, so the plan
+    * stays Scan → Project (zero shuffles, stateless — applies
+    * unchanged to a streaming Dataset) no matter how many gates are
+    * mounted. All models must share (buckets, alpha) — i.e. come from
+    * one [[fitPerDomain]] (or same-parameter [[fit]]s); mixed bucket
+    * counts would need a hash pass per model, at which point separate
+    * [[scoreWith]] calls are the honest plan.
+    */
+  def scoreWithMany(df: DataFrame, textCol: String, idCol: String,
+      models: Seq[(String, DsirModel)]): DataFrame = {
+    require(models.nonEmpty, "need at least one model")
+    require(models.map(_._2.buckets).distinct.size == 1 &&
+      models.map(_._2.alpha).distinct.size == 1,
+      "scoreWithMany needs models sharing (buckets, alpha) — fit them " +
+        "together with fitPerDomain, or serve mixed models via scoreWith")
+    val buckets = models.head._2.buckets
+    val scored = multiScoredCols(df, textCol, idCol,
+      models.map { case (n, m) => n -> m.lam }, buckets)
+    val keepCols = models.map { case (n, m) =>
+      (col("n_feats") > 0 &&
+        col(s"w_$n").cast("double") >= lit(m.cutMicro)).as(s"keep_$n")
+    }
+    scored.select(col(idCol) +: col("n_feats") +:
+      (models.map { case (n, _) => col(s"w_$n") } ++ keepCols): _*)
+  }
+
   /** Serve the gate: per-document (idCol, n_feats, weight_micro, keep)
     * where weight_micro = Σ_features λ(bucket(feature)) — a pure per-row
     * fold over the B-entry λ literal. ZERO shuffles, no joins, no state:

@@ -314,12 +314,12 @@ object IncrementalDedup {
     * ([[IndexCompaction.servableParquet]]) — and through a live
     * [[promoteBase]] (the meta write is promotion's commit point; until
     * it lands, probes read the old base/delta state, after it the new —
-    * both complete). Being READ-ONLY, the probe never HEALS anything.
-    * The one remaining dark window is a parameter migration
-    * ([[IncrementalEmbeddingDedup.rebucket]]): it rewrites bucket
-    * partitions IN PLACE, so mid-migration there is no complete
-    * pre-swap state on disk to serve — probes refuse loudly until it
-    * completes (loud, never wrong).
+    * both complete). A parameter migration
+    * ([[IncrementalEmbeddingDedup.rebucket]]) is staged the same way:
+    * probes serve the pre-migration state through its whole data
+    * phase, refusing only the sub-second metadata swap at the end
+    * ([[IndexMeta.requireServableMigration]]). Being READ-ONLY, the
+    * probe never HEALS anything.
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, minJaccard: Double = 0.8,
@@ -919,10 +919,52 @@ private[graft] object IndexMeta {
       s"index at $indexDir has an unfinished parameter migration — " +
         "rerun rebucket() to completion before probing")
 
+  /** Probe-side migration gate: the r18 STAGED rebucket never touches a
+    * live partition during its data phase (its marker carries
+    * `staged=1`), so a READ-ONLY probe keeps serving the pre-migration
+    * state while the migration runs. It refuses only:
+    *  - the short SWAP phase — the `<table>__rebucket_commit` marker is
+    *    up exactly while live partitions are being replaced (metadata
+    *    ops; sub-second, vs minutes-to-hours for the data rewrite the
+    *    probe now serves through), or after a crash there; and
+    *  - a LEGACY migration's EMPTY marker — the pre-r18 rebucket
+    *    rewrote partitions in place, so a crash under that protocol
+    *    leaves mixed bucket spaces that must never be served.
+    * Writers keep refusing on ANY marker ([[requireNoMigration]]): an
+    * append mid-migration would land old-plane rows the staged rewrite
+    * never sees.
+    */
+  def requireServableMigration(spark: SparkSession, indexDir: String,
+      table: String): Unit = {
+    val fs = fsOf(spark, indexDir)
+    require(!fs.isFile(new org.apache.hadoop.fs.Path(indexDir,
+        s"${table}__rebucket_commit")),
+      s"index at $indexDir is mid-SWAP in a parameter migration (live " +
+        "partitions being replaced) — rerun rebucket() to finish the " +
+        "swap, then probe")
+    val m = new org.apache.hadoop.fs.Path(indexDir, Migrating)
+    if (fs.isFile(m)) {
+      val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+      val in = fs.open(m)
+      try in.readFully(0, buf) finally in.close()
+      require(new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .contains("staged=1"),
+        s"index at $indexDir has an unfinished PRE-r18 in-place " +
+          "migration — its partitions may mix bucket spaces; rerun " +
+          "rebucket() to completion before probing")
+    }
+  }
+
+  /** `staged=1` marks the r18 protocol: the data phase writes ONLY to a
+    * staging tree, so probes may keep serving ([[requireServableMigration]]).
+    * A legacy empty marker (pre-r18 in-place rewrite) refuses probes.
+    */
   def setMigrating(spark: SparkSession, indexDir: String): Unit = {
     val out = fsOf(spark, indexDir)
       .create(new org.apache.hadoop.fs.Path(indexDir, Migrating), true)
-    try out.write(Array.emptyByteArray) finally out.close()
+    try out.write("staged=1"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def clearMigrating(spark: SparkSession, indexDir: String): Unit =
@@ -1323,7 +1365,10 @@ object IncrementalEmbeddingDedup {
       vecCol: String, idCol: String, dim: Int, planes: Int = 8,
       minCos: Double = 0.6, maxReps: Int = 1000,
       quantized: Boolean = false): DataFrame = {
-    IndexMeta.requireNoMigration(spark, indexDir)
+    // READ-ONLY: serves the pre-migration state through a staged
+    // rebucket's data phase; refuses only its short swap window (or a
+    // legacy in-place migration's debris)
+    IndexMeta.requireServableMigration(spark, indexDir, BucketsT)
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no index at $indexDir to probe — build one with addBatch first"))
@@ -1451,22 +1496,38 @@ object IncrementalEmbeddingDedup {
     * [[indexBucketStats]] shows hot buckets, migrate UP and the cap stops
     * thinning.
     *
-    * A PROMOTED index migrates too: the buckets base table is rebuilt in
-    * place from the vectors base table (+ delta), at the recorded
+    * A PROMOTED index migrates too: a NEW buckets base table is built
+    * from the vectors base table (+ delta), at the recorded
     * `base_buckets` layout — no demote/re-promote dance. Buckets
     * partitions with no vectors twin (e.g. a crash between
     * [[compactIndex]]'s two folds left the tables at different
-    * boundaries) are deleted: they hold only stale old-plane rows, and
-    * surviving the rewrite they would serve duplicate ids across mixed
-    * bucket spaces.
+    * boundaries) are deleted at the swap: they hold only stale
+    * old-plane rows, and surviving the rewrite they would serve
+    * duplicate ids across mixed bucket spaces.
     *
-    * Crash safety: a `_graft_rebucket_inprogress` marker blocks
-    * [[addBatch]] while partitions hold a mix of old and new buckets; the
-    * migration itself is idempotent — rerun it to completion and the
-    * marker clears (it reads ONLY the vectors table, never the buckets it
-    * rewrites). Offline op, same contract as [[compactIndex]].
+    * STAGED, serve-through (r18): the data phase — the expensive part,
+    * O(index) — writes ONLY to `buckets__rebucket_staging/` (and, when
+    * promoted, a NEW versioned base table the meta does not yet
+    * reference), so READ-ONLY probes keep serving the pre-migration
+    * state throughout it ([[IndexMeta.requireServableMigration]]; the
+    * `_graft_rebucket_inprogress` marker still blocks WRITERS — an
+    * append mid-migration would land old-plane rows the staged rewrite
+    * never sees). Once everything is staged, a
+    * `buckets__rebucket_commit` marker (the staged-complete commit
+    * point, recording the target planes and base-table names) opens
+    * the SWAP phase — pure metadata ops: orphan cleanup, staged
+    * partitions renamed in, meta updated (the serve cutover), old base
+    * retired, markers cleared. Probes refuse only during that
+    * sub-second window (or after a crash inside it, until the next
+    * rebucket/heal finishes the swap — [[finishRebucketSwap]] is
+    * idempotent and runs first on every rebucket call). A crash in the
+    * data phase leaves the live index untouched and still serving.
     */
   def rebucket(spark: SparkSession, indexDir: String, newPlanes: Int): Unit = {
+    // a crashed SWAP completes before anything else (idempotent no-op
+    // when no commit marker exists); meta is read after, since a
+    // finished swap updates it
+    finishRebucketSwap(spark, indexDir)
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no index metadata at $indexDir — nothing to rebucket"))
@@ -1475,29 +1536,26 @@ object IncrementalEmbeddingDedup {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vroot = new org.apache.hadoop.fs.Path(s"$indexDir/$VectorsT")
-    val broot = new org.apache.hadoop.fs.Path(s"$indexDir/$BucketsT")
     if (meta("planes").toInt == newPlanes) {
-      // meta is written only after every partition is rewritten, so a
-      // matching value means the previous run finished the data phase —
-      // a leftover marker (crash before clear) is safe to drop here
+      // meta is the swap's last data step, so a matching value means the
+      // previous migration completed — a leftover marker (crash before
+      // clear) is safe to drop here
       IndexMeta.clearMigrating(spark, indexDir)
       return
     }
     // a crashed compaction swap is finished first (the raw partition reads
     // below must see a whole table), and a batch whose addBatch crashed
     // between its two appends must be REPLAYED before migrating — the
-    // orphan cleanup below would otherwise erase its half-written buckets
+    // swap's orphan cleanup would otherwise erase its half-written buckets
     // and with them the loud refusal to probe past it
     IndexCompaction.healIfNeeded(spark, indexDir, BucketsT)
     IndexCompaction.healIfNeeded(spark, indexDir, VectorsT)
     BatchCommits.requireCommitted(spark, indexDir, BucketsT, Int.MaxValue)
     BatchCommits.requireCommitted(spark, indexDir, VectorsT, Int.MaxValue)
     IndexMeta.setMigrating(spark, indexDir)
-    // a PROMOTED index migrates too (a TB-scale index is promoted exactly
-    // when an under-estimate is likely to surface): the vectors base table
-    // already holds every embedding, so the buckets base table is rebuilt
-    // in place from it — re-runnable after any crash because the migration
-    // reads ONLY vectors, never the buckets being rewritten
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${BucketsT}__rebucket_staging")
+    fs.delete(staging, true) // stale debris from a crashed data phase
     val baseUpto = meta.get("base_upto").map(_.toInt)
     val deltaLow = baseUpto.getOrElse(Int.MinValue)
     // vectors partitions are the source of truth for which batch
@@ -1508,68 +1566,149 @@ object IncrementalEmbeddingDedup {
       else fs.listStatus(vroot).toSeq.map(_.getPath.getName)
         .filter(n => n.startsWith("batch=") &&
           n.stripPrefix("batch=").toIntOption.exists(_ >= deltaLow))
-    if (vParts.nonEmpty || baseUpto.isDefined) {
-      // ranks depend on bucket membership, so the migration recomputes
-      // BOTH from the stored vectors: one global per-bucket id-order
-      // window (offline O(index)), then per-partition rewrites. Base rows
-      // ride with batch = NULL.
-      val delta =
-        if (vParts.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              s"${vectorsDdl(quantized)}, batch int"))
-        else spark.read.schema(s"${vectorsDdl(quantized)}, batch int")
-          .parquet(vroot.toString).filter(col("batch") >= deltaLow)
-      val all = baseUpto match {
-        case Some(_) => spark.table(meta("vectors_table"))
-          .withColumn("batch", lit(null).cast("int")).unionByName(delta)
-        case None => delta
-      }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("bucket").orderBy("id")
-      val ranked = Lineage.materialize(
-        all.select(col("id"), col("batch"),
-            Similarity.lshBucket(col("v").cast("array<double>"), dim, newPlanes)
-              .as("bucket"))
-          .withColumn("rank", row_number().over(w).cast("bigint")))
-      vParts.foreach { name =>
-        val b = name.stripPrefix("batch=").toInt
-        ranked.filter(col("batch") === b).select("id", "bucket", "rank")
-          .write.mode("overwrite")
-          .parquet(s"$indexDir/$BucketsT/$name")
-      }
-      // orphan cleanup: a buckets partition with no vectors twin holds
-      // STALE old-plane rows the loop above never rewrote (e.g. a crash
-      // between compactIndex's two compact() calls left buckets folded at
-      // batch=-1 while vectors kept batch=0..N) — probes would see
-      // duplicate ids across mixed bucket spaces. The vectors partition
-      // set is the authority; everything else goes.
-      if (fs.exists(broot)) {
-        val keep = vParts.toSet
-        fs.listStatus(broot).map(_.getPath)
-          .filter(p => p.getName.startsWith("batch=") && !keep.contains(p.getName))
-          .foreach(p => fs.delete(p, true))
-      }
-      baseUpto.foreach { u =>
-        val bt = meta("buckets_table")
-        val nb = meta.get("base_buckets").map(_.toInt).getOrElse(32)
-        spark.sql(s"DROP TABLE IF EXISTS $bt")
-        ranked.filter(col("batch").isNull).select("id", "bucket", "rank")
-          .repartition(nb, col("bucket"))
-          .write.format("parquet").bucketBy(nb, "bucket").sortBy("bucket", "rank")
-          .option("path", s"$indexDir/${BucketsT}_base_v$u")
-          .mode("overwrite").saveAsTable(bt)
-      }
-      Lineage.release(ranked)
+    if (vParts.isEmpty && baseUpto.isEmpty) {
+      // empty index: nothing to stage — the meta write IS the migration
+      IndexMeta.write(spark, indexDir,
+        meta.updated("planes", newPlanes.toString))
+      IndexMeta.clearMigrating(spark, indexDir)
+      return
     }
+    // DATA PHASE — staging only, live index untouched and serving.
+    // Ranks depend on bucket membership, so the migration recomputes
+    // BOTH from the stored vectors: one global per-bucket id-order
+    // window (offline O(index)), then per-partition staged writes. Base
+    // rows ride with batch = NULL.
+    val delta =
+      if (vParts.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            s"${vectorsDdl(quantized)}, batch int"))
+      else spark.read.schema(s"${vectorsDdl(quantized)}, batch int")
+        .parquet(vroot.toString).filter(col("batch") >= deltaLow)
+    val all = baseUpto match {
+      case Some(_) => spark.table(meta("vectors_table"))
+        .withColumn("batch", lit(null).cast("int")).unionByName(delta)
+      case None => delta
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("id")
+    val ranked = Lineage.materialize(
+      all.select(col("id"), col("batch"),
+          Similarity.lshBucket(col("v").cast("array<double>"), dim, newPlanes)
+            .as("bucket"))
+        .withColumn("rank", row_number().over(w).cast("bigint")))
+    vParts.foreach { name =>
+      val b = name.stripPrefix("batch=").toInt
+      ranked.filter(col("batch") === b).select("id", "bucket", "rank")
+        .write.mode("overwrite").parquet(s"$staging/$name")
+    }
+    val newBase = baseUpto.map { u =>
+      val oldBt = meta("buckets_table")
+      val newBt = (oldBt.replaceAll("_p\\d+$", "") + s"_p$newPlanes").take(100)
+      val nb = meta.get("base_buckets").map(_.toInt).getOrElse(32)
+      val oldPath = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(oldBt))
+        .location.toString
+      val newPath = s"$indexDir/${BucketsT}_base_v${u}_p$newPlanes"
+      ranked.filter(col("batch").isNull).select("id", "bucket", "rank")
+        .repartition(nb, col("bucket"))
+        .write.format("parquet").bucketBy(nb, "bucket").sortBy("bucket", "rank")
+        .option("path", newPath)
+        .mode("overwrite").saveAsTable(newBt)
+      (newBt, newPath, oldBt, oldPath)
+    }
+    Lineage.release(ranked)
+    // STAGED-COMPLETE COMMIT POINT: everything after this line is the
+    // re-runnable swap; everything before it never touched live state
+    val kv = Map("planes" -> newPlanes.toString) ++
+      newBase.map { case (nbT, nbP, obT, obP) =>
+        Map("base_table" -> nbT, "base_path" -> nbP,
+          "old_base_table" -> obT, "old_base_path" -> obP)
+      }.getOrElse(Map.empty)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$indexDir/${BucketsT}__rebucket_commit"), true)
+    try out.write(kv.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    finishRebucketSwap(spark, indexDir)
+  }
+
+  /** The SWAP phase of [[rebucket]], driven entirely by the
+    * `buckets__rebucket_commit` marker — idempotent, re-runnable after
+    * a crash at any point inside it (every step is delete-if-exists /
+    * rename-remaining / rewrite-same-values). No-op without the marker.
+    * Probes refuse while the marker exists (live partitions are being
+    * replaced); writers were already excluded by the migration marker.
+    */
+  private def finishRebucketSwap(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val marker = hp(s"$indexDir/${BucketsT}__rebucket_commit")
+    if (!fs.exists(marker)) return
+    val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+    val in = fs.open(marker)
+    try in.readFully(0, buf) finally in.close()
+    val kv = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    val meta = IndexMeta.read(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"rebucket commit marker at $indexDir but no index meta"))
+    val broot = hp(s"$indexDir/$BucketsT")
+    val vroot = hp(s"$indexDir/$VectorsT")
+    val staging = hp(s"$indexDir/${BucketsT}__rebucket_staging")
+    val deltaLow = meta.get("base_upto").map(_.toInt).getOrElse(Int.MinValue)
+    val keep =
+      if (!fs.exists(vroot)) Set.empty[String]
+      else fs.listStatus(vroot).map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toIntOption.exists(_ >= deltaLow)).toSet
+    // orphan cleanup: live buckets partitions with no vectors twin hold
+    // only stale old-plane rows — the vectors partition set is the
+    // authority, everything else goes
+    if (fs.exists(broot))
+      fs.listStatus(broot).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") && !keep.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    // publish staged partitions (delete-then-rename; a partition already
+    // renamed by a crashed predecessor is simply absent from staging)
+    if (fs.exists(staging)) {
+      fs.mkdirs(broot)
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("batch=")).foreach { p =>
+          val dst = hp(s"$broot/${p.getName}")
+          fs.delete(dst, true)
+          if (!fs.rename(p, dst))
+            throw new java.io.IOException(
+              s"could not publish staged rebucket partition $p")
+        }
+      fs.delete(staging, true)
+    }
+    // serve cutover: the meta write flips probes to the new bucket space
     IndexMeta.write(spark, indexDir,
-      meta.updated("planes", newPlanes.toString))
+      meta.updated("planes", kv("planes")) ++
+        kv.get("base_table").map("buckets_table" -> _))
+    // retire the old base (post-cutover cleanup; idempotent)
+    for (obt <- kv.get("old_base_table")
+         if !kv.get("base_table").contains(obt))
+      spark.sql(s"DROP TABLE IF EXISTS $obt")
+    for (obp <- kv.get("old_base_path")
+         // paths can disagree on the file: scheme — compare canonically
+         if !kv.get("base_path").exists(nbp =>
+           hp(obp).toUri.getPath == hp(nbp).toUri.getPath))
+      fs.delete(hp(obp), true)
+    fs.delete(marker, false)
     IndexMeta.clearMigrating(spark, indexDir)
   }
 
   /** [[IncrementalDedup.compactIndex]] for the embedding index. */
   def compactIndex(spark: SparkSession, indexDir: String,
       uptoExclusive: Int, targetFileBytes: Long = 256L << 20): Unit = {
+    // folding mid-migration would compact a bucket table the staged
+    // rewrite no longer matches partition-for-partition (and a crashed
+    // SWAP's half-replaced table must be finished, not folded)
+    IndexMeta.requireNoMigration(spark, indexDir)
     val meta = IndexMeta.read(spark, indexDir)
     require(meta.forall(!_.contains("base_upto")),
       s"index at $indexDir has a promoted base — fold with promoteBase, not compactIndex")

@@ -153,6 +153,45 @@ class DsirSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("scoreWithMany: one projection serves every gate, equal to per-model scoreWith, " +
+      "stream-safe") {
+    val targets = Seq("en", "de").map(l => l -> docs.filter($"lang" === l))
+    val models = Dsir.fitPerDomain(docs, targets, "text", "doc_id", gateFrac = 0.25)
+    val ordered = Seq("en", "de").map(l => l -> models(l))
+    val many = Dsir.scoreWithMany(docs, "text", "doc_id", ordered)
+    assert(many.columns.toSeq ===
+      Seq("doc_id", "n_feats", "w_en", "w_de", "keep_en", "keep_de"))
+    for ((l, m) <- ordered) {
+      val fromMany = many.select($"doc_id", $"n_feats",
+        col(s"w_$l").as("weight_micro"), col(s"keep_$l").as("keep"))
+        .orderBy("doc_id").collect().toSeq
+      val single = Dsir.scoreWith(docs, "text", "doc_id", m)
+        .orderBy("doc_id").collect().toSeq
+      assert(fromMany === single, s"gate $l diverges from scoreWith")
+    }
+    // mixed-parameter models refuse (the shared-hash contract)
+    val odd = Dsir.fit(docs, targets.head._2, "text", "doc_id", buckets = 512)
+    intercept[IllegalArgumentException] {
+      Dsir.scoreWithMany(docs, "text", "doc_id", Seq("en" -> models("en"), "odd" -> odd))
+    }
+    // stateless: the multi-gate applies unchanged to a stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.take(100)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = Dsir.scoreWithMany(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", ordered)
+      .writeStream.format("memory").queryName("dsir_multi_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsir_multi_stream").orderBy("doc_id").collect().toSeq
+    val want = Dsir.scoreWithMany(rows.toDF("doc_id", "text"),
+      "text", "doc_id", ordered).orderBy("doc_id").collect().toSeq
+    assert(got === want)
+  }
+
   private def fs = new org.apache.hadoop.fs.Path("/tmp")
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)

@@ -582,6 +582,37 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  /** [[graft.ops.Dsir.weightsPerDomain]] over ANY generated corpus —
+    * including null text and a domain whose target slice comes up EMPTY
+    * (the smoothing keeps its λ finite) — equals running single-target
+    * weights once per domain: the shared-hash multi fold introduces no
+    * cross-domain coupling, and D never changes any domain's numbers.
+    */
+  property("dsir.multi-domain-equals-single-domain") = {
+    val docGen = for {
+      id <- Gen.choose(1L, 80L)
+      n <- Gen.choose(0, 5)
+      ws <- Gen.listOfN(n, word)
+      text <- Gen.frequency(7 -> Gen.const(ws.mkString(" ")),
+        1 -> Gen.const(null: String))
+    } yield (id, text)
+    Prop.forAll(Gen.listOfN(10, docGen), Gen.choose(0L, 80L)) { (rows0, seed) =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "text")
+      val t1 = df.filter(col("doc_id") % 3 === seed % 3)
+      val t2 = df.filter(col("doc_id") % 7 === seed % 7) // often empty
+      val multi = graft.ops.Dsir.weightsPerDomain(df,
+        Seq("a" -> t1, "b" -> t2), "text", "doc_id", buckets = 64)
+        .orderBy("doc_id").collect().toSeq
+      def single(t: org.apache.spark.sql.DataFrame) =
+        graft.ops.Dsir.weights(df, t, "text", "doc_id", buckets = 64)
+          .orderBy("doc_id").collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      multi.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) == single(t1) &&
+        multi.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) == single(t2)
+    }
+  }
+
   /** The distributed DSIR op (B-row stats collect + per-row λ fold)
     * equals a FULLY LOCAL pure-Scala re-derivation — tokenization,
     * uni+bigram features, md5 bucket hashing, smoothed totals, and the

@@ -632,6 +632,106 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(k.isEmpty, "batch 1 re-sends batch 0's vectors under fresh ids — all dups")
   }
 
+  test("probe serves the pre-migration state through a staged rebucket data phase; " +
+      "refuses only the swap window and legacy debris") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(80)
+    val idx = freshIndex("rebucket_serve")
+    import graft.ops.{IncrementalEmbeddingDedup, IndexMeta}
+    IncrementalEmbeddingDedup.addBatch(spark, idx, e, "embedding", "vec_id",
+      batchId = 0, dim = 64, planes = 8, minCos = 0.3)
+    val gate = e.withColumn("vec_id", col("vec_id") + 1000000L)
+    def answer() = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+      "embedding", "vec_id", dim = 64, planes = 8, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val pre = answer()
+    assert(pre.isEmpty, "fixture: the gate re-sends indexed vectors — all dups")
+    // DATA PHASE (staged marker up, live partitions untouched): the gate
+    // keeps answering with the pre-migration state
+    IndexMeta.setMigrating(spark, idx)
+    val before = indexState(idx)
+    assert(answer() === pre, "probe must serve through the staged data phase")
+    assert(indexState(idx) === before, "read-only: no healing, no mutation")
+    // SWAP WINDOW (commit marker up): refuse loudly
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit = new org.apache.hadoop.fs.Path(s"$idx/buckets__rebucket_commit")
+    val out = fs.create(commit, true)
+    try out.write("planes=9".getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalArgumentException](answer())
+    assert(ex.getMessage.contains("mid-SWAP"), ex.getMessage)
+    fs.delete(commit, false)
+    // LEGACY in-place migration debris (empty marker): refuse — those
+    // partitions may mix bucket spaces
+    val mig = new org.apache.hadoop.fs.Path(idx, "_graft_rebucket_inprogress")
+    val out2 = fs.create(mig, true)
+    try out2.write(Array.emptyByteArray) finally out2.close()
+    val ex2 = intercept[IllegalArgumentException](answer())
+    assert(ex2.getMessage.contains("PRE-r18"), ex2.getMessage)
+    // writers refuse under any marker; rerunning the migration heals all
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.addBatch(spark, idx, gate, "embedding",
+        "vec_id", batchId = 1, dim = 64, planes = 8, minCos = 0.3)
+    }
+    IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 9)
+    assert(IncrementalEmbeddingDedup.probe(spark, idx, gate,
+      "embedding", "vec_id", dim = 64, planes = 9, minCos = 0.3)
+      .select("vec_id").as[Long].collect().isEmpty)
+  }
+
+  test("a rebucket crashed between staging-complete and the swap finishes on the " +
+      "next rebucket call and serves the new bucket space") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(80)
+    val idx = freshIndex("rebucket_swapcrash")
+    val clone = freshIndex("rebucket_swapcrash_clone")
+    import graft.ops.{IncrementalEmbeddingDedup, IndexMeta}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    IncrementalEmbeddingDedup.addBatch(spark, idx, e, "embedding", "vec_id",
+      batchId = 0, dim = 64, planes = 8, minCos = 0.3)
+    // clone the index, migrate the CLONE to 11 planes for a byte-true
+    // staged payload, then forge the crash state on the original:
+    // staging holds the complete new-plane partitions, both markers up,
+    // live buckets still at 8 planes, meta still says planes=8
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(idx),
+      fs, new org.apache.hadoop.fs.Path(clone), false, conf)
+    IncrementalEmbeddingDedup.rebucket(spark, clone, newPlanes = 11)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/buckets__rebucket_staging"))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$clone/buckets/batch=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$idx/buckets__rebucket_staging/batch=0"),
+      false, conf)
+    IndexMeta.setMigrating(spark, idx)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$idx/buckets__rebucket_commit"), true)
+    try out.write("planes=11".getBytes("UTF-8")) finally out.close()
+    // mid-swap: probes refuse (loud, never a mixed answer)
+    intercept[IllegalArgumentException] {
+      IncrementalEmbeddingDedup.probe(spark, idx, e, "embedding", "vec_id",
+        dim = 64, planes = 8, minCos = 0.3)
+    }
+    // the next rebucket call finishes the swap deterministically
+    IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 11)
+    assert(IndexMeta.read(spark, idx).get.apply("planes") === "11")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/buckets__rebucket_commit")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/buckets__rebucket_staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "_graft_rebucket_inprogress")))
+    // the finished index answers exactly like the cleanly-migrated clone
+    val gate = e.withColumn("vec_id", col("vec_id") + 1000000L)
+    def ans(d: String) = IncrementalEmbeddingDedup.probe(spark, d, gate,
+      "embedding", "vec_id", dim = 64, planes = 11, minCos = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ans(idx) === ans(clone))
+    // and the stored buckets are byte-equal to the clone's
+    val bi = spark.read.schema("id bigint, bucket bigint, rank bigint, batch int")
+      .parquet(s"$idx/buckets").orderBy("id")
+      .collect().toSeq
+    val bc = spark.read.schema("id bigint, bucket bigint, rank bigint, batch int")
+      .parquet(s"$clone/buckets").orderBy("id").collect().toSeq
+    assert(bi === bc)
+  }
+
   test("hashed-shingle index: kept set equals the string form; layout is pinned") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
     val m = docs.agg(max("doc_id")).head.getLong(0)
