@@ -333,6 +333,7 @@ object IncrementalDedup {
       "hashed" -> hashedShingles.toString)
     IndexMeta.requireMatch(indexDir, meta, expected, TextMigrateHint)
 
+    val gen0 = SwapGen.read(spark, indexDir)
     val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val bandsB = Dedup.lshBands(batch, textCol, idCol, k, bands)
       .select(col(idCol).cast("long").as("doc_id"), col("band"), col("band_key"))
@@ -344,6 +345,10 @@ object IncrementalDedup {
     val vShs = IndexBase.view(spark, indexDir, "shingles_table", Int.MaxValue,
       readIndex(spark, indexDir, ShinglesT, Int.MaxValue,
         shinglesDdl(hashedShingles), committed))
+    // the frames above froze their file listings; a swap that began
+    // while they were being built could have mixed pre/post state —
+    // refuse-and-retry instead of serving it ([[SwapGen]])
+    SwapGen.requireUnchanged(spark, indexDir, gen0)
 
     // candidates: batch doc × indexed representative (stored rank pushed
     // to the scan; zero index-side Exchange on a promoted base)
@@ -390,17 +395,20 @@ object IncrementalDedup {
     * bucket was skipped.
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
-      maxBucket: Int = 1000): DataFrame =
-    IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
-        readIndex(spark, indexDir, BandsT, Int.MaxValue,
-          "doc_id bigint, band int, band_key string, rank bigint",
-          Some(BatchCommits.snapshot(spark, indexDir))))
-      .over(_.select("band", "band_key"))
+      maxBucket: Int = 1000): DataFrame = {
+    val gen0 = SwapGen.read(spark, indexDir)
+    val v = IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
+      readIndex(spark, indexDir, BandsT, Int.MaxValue,
+        "doc_id bigint, band int, band_key string, rank bigint",
+        Some(BatchCommits.snapshot(spark, indexDir))))
+    SwapGen.requireUnchanged(spark, indexDir, gen0)
+    v.over(_.select("band", "band_key"))
       .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
       .agg(
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
+  }
 
   /** Promote the index base to catalog-bucketed tables: fold every batch
     * below `uptoExclusive` (plus any previous base) into versioned tables
@@ -452,6 +460,9 @@ object IncrementalDedup {
     IndexMeta.write(spark, indexDir, meta ++ Map(
       "base_upto" -> uptoExclusive.toString, "base_buckets" -> buckets.toString,
       "bands_table" -> bandsT, "shingles_table" -> shsT))
+    // cleanup deletes partitions an in-flight probe may just have listed
+    // under the OLD meta — bump so its post-listing check catches it
+    SwapGen.bump(spark, indexDir)
     IndexBase.cleanupOne(spark, indexDir, BandsT, meta.get("bands_table"),
       prev, uptoExclusive, bandsT)
     IndexBase.cleanupOne(spark, indexDir, ShinglesT, meta.get("shingles_table"),
@@ -972,6 +983,74 @@ private[graft] object IndexMeta {
       .delete(new org.apache.hadoop.fs.Path(indexDir, Migrating), false)
 }
 
+/** The SWAP-GENERATION token that closes the probe-vs-maintenance
+  * planning race. A read-only probe builds its table frames (each
+  * `spark.read.parquet` / `spark.table` freezes a file listing) between
+  * two checks of the index's swap state; a maintenance swap bumps the
+  * generation BEFORE its first live mutation. The invariant this buys:
+  * every probe either serves a CONSISTENT snapshot or fails LOUDLY —
+  *
+  *  - probe entirely before the bump: listings untouched at listing
+  *    time; files a later swap deletes fail the read loudly
+  *    (FileNotFound — why `ignoreMissingFiles` must stay off);
+  *  - probe straddling the bump: the post-listing re-check sees the
+  *    generation (or a marker) changed and refuses with a RETRY
+  *    message — this is the window that could otherwise list half-old/
+  *    half-new partitions and silently serve mixed state (measured
+  *    once as a wrong answer by `IncrEnvelope rebucket_serving` before
+  *    this guard existed);
+  *  - probe entirely after the bump: the swap markers are up, so it
+  *    takes the marker-aware path (compaction: the immutable staged
+  *    copy; rebucket: refuse until the sub-second swap ends) — immune.
+  *
+  * The token is monotonic (a nonce rewritten via the atomic-rename
+  * discipline), so a COMPLETE swap landing inside one probe's window is
+  * also caught — marker presence alone would look unchanged.
+  */
+private[graft] object SwapGen {
+  private val GenFile = "_graft_swapgen"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def read(spark: SparkSession, indexDir: String): String = {
+    val fs = fsOf(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(indexDir, GenFile)
+    if (!fs.isFile(p)) ""
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Called by every maintenance op BEFORE its first live mutation. */
+  def bump(spark: SparkSession, indexDir: String): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, GenFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(indexDir, GenFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Post-listing re-check: the probe's frames are consistent iff no
+    * swap bumped the generation while they were being built.
+    */
+  def requireUnchanged(spark: SparkSession, indexDir: String,
+      before: String): Unit =
+    require(read(spark, indexDir) == before,
+      s"a maintenance swap at $indexDir raced this probe's planning — " +
+        "the file listings may mix pre- and post-swap state; RETRY the " +
+        "probe (the new state is complete and will serve)")
+}
+
 /** Shared batch-partition compaction for the incremental dedup indexes:
   * rewrite every partition `batch < uptoExclusive` (including a previous
   * `batch=-1` base) as ONE `batch=-1` partition, swapped in by rename.
@@ -1082,6 +1161,7 @@ private[graft] object IndexCompaction {
     try in.readFully(0, buf) finally in.close()
     val upto = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
     val staging = hp(s"${root}__compact_staging")
+    SwapGen.bump(spark, indexDir) // before the first live mutation
     if (fs.exists(staging)) {
       foldable(fs, root, upto).foreach(p => fs.delete(p, true))
       if (!fs.rename(staging, hp(s"$root/batch=-1")))
@@ -1118,7 +1198,11 @@ private[graft] object IndexCompaction {
     folded.repartition(nFiles, col(clusterBy)).sortWithinPartitions(clusterBy)
       .write.mode("overwrite").parquet(staging.toString)
     // commit point: marker after the staging write, before any delete —
-    // everything past this line is re-runnable from the marker alone
+    // everything past this line is re-runnable from the marker alone.
+    // The generation bump (BEFORE the first live mutation) makes any
+    // probe whose planning straddles this instant refuse-and-retry
+    // instead of serving a half-swapped listing ([[SwapGen]]).
+    SwapGen.bump(spark, indexDir)
     val out = fs.create(hp(s"${root}__compact_commit"), true)
     try out.write(uptoExclusive.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1375,6 +1459,7 @@ object IncrementalEmbeddingDedup {
     val expected = Map("dim" -> dim.toString, "planes" -> planes.toString,
       "quantized" -> quantized.toString)
     IndexMeta.requireMatch(indexDir, meta, expected, EmbMigrateHint)
+    val gen0 = SwapGen.read(spark, indexDir)
     val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val (batchV, vcol) =
       if (!quantized) (batch, vecCol)
@@ -1396,6 +1481,8 @@ object IncrementalEmbeddingDedup {
     val vVecs0 = IndexBase.view(spark, indexDir, "vectors_table", Int.MaxValue,
       readIndex(spark, indexDir, VectorsT, Int.MaxValue, vectorsDdl(quantized),
         committed))
+    // post-listing consistency check — see the text twin's probe
+    SwapGen.requireUnchanged(spark, indexDir, gen0)
     val vVecs =
       if (!quantized) vVecs0
       else IndexView(
@@ -1433,17 +1520,20 @@ object IncrementalEmbeddingDedup {
     * inflate occupancy; stays available while a writer appends).
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
-      maxBucket: Int = 1000): DataFrame =
-    IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
-        readIndex(spark, indexDir, BucketsT, Int.MaxValue,
-          "id bigint, bucket bigint",
-          Some(BatchCommits.snapshot(spark, indexDir))))
-      .over(_.select("bucket"))
+      maxBucket: Int = 1000): DataFrame = {
+    val gen0 = SwapGen.read(spark, indexDir)
+    val v = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
+      readIndex(spark, indexDir, BucketsT, Int.MaxValue,
+        "id bigint, bucket bigint",
+        Some(BatchCommits.snapshot(spark, indexDir))))
+    SwapGen.requireUnchanged(spark, indexDir, gen0)
+    v.over(_.select("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .agg(
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).as("ok_buckets"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("hot_buckets"),
         max(col("n")).as("max_bucket"))
+  }
 
   /** [[IncrementalDedup.promoteBase]] for the embedding index: buckets
     * table bucketed+sorted by `bucket`, vectors by `id` — the candidate
@@ -1479,6 +1569,7 @@ object IncrementalEmbeddingDedup {
     IndexMeta.write(spark, indexDir, meta ++ Map(
       "base_upto" -> uptoExclusive.toString, "base_buckets" -> buckets.toString,
       "buckets_table" -> bktT, "vectors_table" -> vecT))
+    SwapGen.bump(spark, indexDir) // see the text twin's promoteBase
     IndexBase.cleanupOne(spark, indexDir, BucketsT, meta.get("buckets_table"),
       prev, uptoExclusive, bktT)
     IndexBase.cleanupOne(spark, indexDir, VectorsT, meta.get("vectors_table"),
@@ -1655,6 +1746,7 @@ object IncrementalEmbeddingDedup {
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"rebucket commit marker at $indexDir but no index meta"))
+    SwapGen.bump(spark, indexDir) // before the first live mutation
     val broot = hp(s"$indexDir/$BucketsT")
     val vroot = hp(s"$indexDir/$VectorsT")
     val staging = hp(s"$indexDir/${BucketsT}__rebucket_staging")

@@ -201,6 +201,94 @@ object IncrEnvelope {
           .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(promo)))
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
+      case "rebucket_serving" =>
+        // r18: availability DURING a parameter migration — the staged
+        // rebucket's whole claim is that probes keep serving through the
+        // O(index) data phase and go dark only for the sub-second
+        // metadata swap. Measure it directly: a prober thread loops
+        // probe() against the index while rebucket(8→11) runs, recording
+        // each attempt's outcome; report the migration wall-time vs the
+        // observed refusal window (first-refused → last-refused span) and
+        // any probe that FAILED for a non-protocol reason (must be 0).
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val m = e.agg(max("vec_id")).head.getLong(0)
+        val idx = fresh("rebucket_serving")
+        Seq(
+          e.filter(col("vec_id") <= m / 2),
+          e.filter(col("vec_id") > m / 2)
+        ).zipWithIndex.foreach { case (b, i) =>
+          IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding",
+            "vec_id", batchId = i, dim = 64, planes = 8, minCos = 0.3).count()
+        }
+        val gate = e.filter(col("vec_id") <= m / 10)
+        // converge the probe plan before measuring
+        val expect = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+          "embedding", "vec_id", dim = 64, planes = 8, minCos = 0.3).count()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val served = new java.util.concurrent.atomic.AtomicInteger(0)
+        val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+        val loudFnf = new java.util.concurrent.atomic.AtomicInteger(0)
+        val wrong = new java.util.concurrent.atomic.AtomicInteger(0)
+        val firstRefuse = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val lastRefuse = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val t0 = System.nanoTime()
+        def isFnf(t: Throwable): Boolean =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+              Option(c.getMessage).exists(m =>
+                m.contains("FileNotFound") || m.contains("does not exist"))
+          }
+        val prober = new Thread(() => {
+          while (!stop.get()) {
+            try {
+              val n = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+                "embedding", "vec_id", dim = 64, planes = 8, minCos = 0.3).count()
+              if (n == expect) served.incrementAndGet()
+              else { wrong.incrementAndGet(); stop.set(true) }
+            } catch {
+              case ex: IllegalArgumentException
+                  if ex.getMessage.contains("mid-SWAP") ||
+                    ex.getMessage.contains("migration") ||
+                    ex.getMessage.contains("raced this probe") =>
+                val t = System.nanoTime() - t0
+                firstRefuse.compareAndSet(-1L, t)
+                lastRefuse.set(t)
+                refused.incrementAndGet()
+              case ex: IllegalArgumentException
+                  // the swap replaces the stored planes: once meta flips,
+                  // an 8-plane probe refuses on the parameter pin — that
+                  // IS the cutover, not an availability failure
+                  if ex.getMessage.contains("planes") =>
+                stop.set(true)
+              // LOUD execution-time failure: the probe's frozen listing
+              // outlived the swap and a deleted file failed the read —
+              // retryable, never a wrong answer (the serve-through
+              // contract's documented residual)
+              case ex: Throwable if isFnf(ex) => loudFnf.incrementAndGet()
+              case ex: Throwable =>
+                System.err.println(s"[rebucket_serving] UNEXPECTED: $ex")
+                wrong.incrementAndGet(); stop.set(true)
+            }
+          }
+        }, "rebucket-prober")
+        prober.start()
+        val (_, tMig) = timed {
+          IncrementalEmbeddingDedup.rebucket(spark, idx, newPlanes = 11)
+        }
+        stop.set(true); prober.join()
+        val windowSec =
+          if (firstRefuse.get() < 0) 0.0
+          else (lastRefuse.get() - firstRefuse.get()) / 1e9
+        val post = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+          "embedding", "vec_id", dim = 64, planes = 11, minCos = 0.3).count()
+        println(s"""{"mode":"rebucket_serving","vectors":${e.count()},""" +
+          s""""migrate_sec":${f"$tMig%.2f"},"served":${served.get()},""" +
+          s""""refused":${refused.get()},""" +
+          s""""refusal_window_sec":${f"$windowSec%.2f"},""" +
+          s""""loud_fnf":${loudFnf.get()},""" +
+          s""""wrong":${wrong.get()},"post_migration_kept":$post}""")
+
       case "probe_curve_writer" =>
         // r18: the serving-latency curve under CONCURRENT WRITER LOAD —
         // the production shape the r17 snapshot protocol enables (a

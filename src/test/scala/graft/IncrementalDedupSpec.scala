@@ -732,6 +732,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(bi === bc)
   }
 
+  test("SwapGen: a maintenance swap bumping the generation mid-planning refuses " +
+      "with a retry pointer; an unchanged generation passes") {
+    val idx = freshIndex("swapgen")
+    import graft.ops.SwapGen
+    val g0 = SwapGen.read(spark, idx) // fresh index: empty token
+    SwapGen.bump(spark, idx)          // a swap's first-mutation bump
+    val ex = intercept[IllegalArgumentException] {
+      SwapGen.requireUnchanged(spark, idx, g0)
+    }
+    assert(ex.getMessage.contains("RETRY"), ex.getMessage)
+    val g1 = SwapGen.read(spark, idx)
+    SwapGen.requireUnchanged(spark, idx, g1) // unchanged: serves
+    SwapGen.bump(spark, idx) // bumps are monotonic nonces, never reused
+    assert(SwapGen.read(spark, idx) !== g1)
+    // end-to-end: a probe planned across a forged bump refuses — forge by
+    // bumping between the probe's entry read and its re-check is a timing
+    // we can't inject here; instead pin that compaction's real heal path
+    // (which bumps) leaves later probes serving normally
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 2)
+    val kept = IncrementalDedup.probe(spark, idx, df(Seq(doc(100, A), doc(102, C))),
+      "text", "doc_id").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(102L))
+  }
+
   test("hashed-shingle index: kept set equals the string form; layout is pinned") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
     val m = docs.agg(max("doc_id")).head.getLong(0)
