@@ -109,6 +109,23 @@ object StreamBench {
           (col("value") % 7919).cast("string")).as("text"))
         graft.ops.Dsir.scoreWith(docs, "text", "doc_id", model)
           .writeStream.format("noop").outputMode("append").start()
+      case "dsirmulti" =>
+        // r18 multi-gate router throughput: THREE domain gates fit
+        // together (one corpus scan, fitPerDomain) serve the same
+        // synthetic stream as ONE Scan→Project — the per-row cost over
+        // the single gate is D−1 extra λ folds on a shared hashed
+        // bucket array, not D hash passes
+        val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        val models = graft.ops.Dsir.fitPerDomain(d,
+          Seq("en", "de", "fr").map(l => l -> d.filter(col("lang") === l)),
+          "text", "doc_id", gateFrac = 0.25)
+        val docs = src.select(col("value").as("doc_id"), concat(
+          lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
+          (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
+          (col("value") % 7919).cast("string")).as("text"))
+        graft.ops.Dsir.scoreWithMany(docs, "text", "doc_id",
+          Seq("en", "de", "fr").map(l => l -> models(l)))
+          .writeStream.format("noop").outputMode("append").start()
       case "crosscorpus" =>
         // stream-vs-static cross-corpus dedup throughput: synthetic docs
         // (content repeats every 500 ids) verified against the PERSISTED
