@@ -225,6 +225,23 @@ object TextQueries extends QueryModule {
         graft.ops.Dsir.load(s, dsirFixture(d)))
     }),
 
+    // multi-gate model lifecycle end-to-end: fitPerDomain (three λ +
+    // cutoff pairs from ONE corpus scan) → three ATOMIC persists →
+    // reload → scoreWithMany (one Scan→Project serving all three
+    // gates). The oracle replays every gate from ITS OWN persisted
+    // current/lambda+meta parquet, so the stored artifacts — not the
+    // fits — are what's pinned
+    "dsir_multi_model_score" -> ((s, d) => {
+      val all = docs(s, d)
+      val langs = Seq("en", "de", "fr")
+      val models = graft.ops.Dsir.fitPerDomain(all,
+        langs.map(l => l -> all.filter(col("lang") === l)),
+        "text", "doc_id", gateFrac = 0.25)
+      langs.foreach(l => graft.ops.Dsir.save(models(l), s, dsirMultiFixture(d, l)))
+      graft.ops.Dsir.scoreWithMany(all, "text", "doc_id",
+        langs.map(l => l -> graft.ops.Dsir.load(s, dsirMultiFixture(d, l))))
+    }),
+
     // composite quality filter: the keep/drop decision a corpus-cleaning
     // pipeline applies before training
     "text_quality_filter" -> ((s, d) =>
@@ -556,6 +573,9 @@ object TextQueries extends QueryModule {
     Fixtures.path("/tmp/graft_dsir_fixture", d)
   private val DsirFixture = dsirFixture(Fixtures.OracleSf)
 
+  private def dsirMultiFixture(d: String, lang: String): String =
+    Fixtures.path(s"/tmp/graft_dsir_multi_${lang}_fixture", d)
+
   /** Shared DSIR CTE chain mirroring [[graft.ops.Dsir.weights]]
     * op-for-op (same operand order everywhere; ln's engine-ulp is
     * absorbed by the 1e-6 floor): hashed uni+bigram bucket counts per
@@ -617,6 +637,47 @@ object TextQueries extends QueryModule {
        |  FROM dc_dsir GROUP BY 1)
        |SELECT d.doc_id, coalesce(nf_multi.n_feats, 0) AS n_feats, $selects
        |FROM documents d LEFT JOIN nf_multi ON nf_multi.doc_id = d.doc_id
+       |$joins""".stripMargin
+  }
+
+  /** Multi-gate lifecycle oracle: every gate replayed from ITS OWN
+    * persisted `current/lambda` + `current/meta` parquet (the
+    * [[dsirMultiFixture]] paths the declared query just published
+    * atomically) over ONE shared hashed-feature CTE — the DuckDB twin
+    * of [[graft.ops.Dsir.scoreWithMany]].
+    */
+  private def dsirMultiModelSql(langs: Seq[String]): String = {
+    val per = langs.map { l =>
+      val fx = dsirMultiFixture(Fixtures.OracleSf, l)
+      s"""lam_mm_$l AS (SELECT b, lam
+         |  FROM read_parquet('$fx/current/lambda/*.parquet')),
+         |meta_mm_$l AS (SELECT cut_micro
+         |  FROM read_parquet('$fx/current/meta/*.parquet')),
+         |w_mm_$l AS (SELECT fb.doc_id, sum(l.lam)::BIGINT AS w
+         |  FROM fb_mm fb JOIN lam_mm_$l l USING (b) GROUP BY fb.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = langs.map(l => s"coalesce(w_mm_$l.w, 0) AS w_$l").mkString(", ")
+    val keeps = langs.map(l =>
+      s"""coalesce(nf_mm.n_feats, 0) > 0 AND
+         |    coalesce(w_mm_$l.w, 0)::DOUBLE >= m_$l.cut_micro AS keep_$l""".stripMargin)
+      .mkString(",\n  ")
+    val joins = langs.map(l =>
+      s"LEFT JOIN w_mm_$l ON w_mm_$l.doc_id = d.doc_id CROSS JOIN meta_mm_$l m_$l")
+      .mkString("\n")
+    s"""WITH tok_mm AS (SELECT doc_id, $toks AS ts FROM documents),
+       |feat_mm AS (SELECT doc_id, unnest(ts) AS f FROM tok_mm
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(len(ts) - 1),
+       |           i -> ts[i + 1] || ' ' || ts[i + 2])) AS f
+       |  FROM tok_mm WHERE len(ts) >= 2),
+       |fb_mm AS (SELECT doc_id,
+       |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b FROM feat_mm),
+       |nf_mm AS (SELECT doc_id, count(*)::BIGINT AS n_feats
+       |  FROM fb_mm GROUP BY 1),
+       |$per
+       |SELECT d.doc_id, coalesce(nf_mm.n_feats, 0) AS n_feats, $selects,
+       |  $keeps
+       |FROM documents d LEFT JOIN nf_mm ON nf_mm.doc_id = d.doc_id
        |$joins""".stripMargin
   }
 
@@ -1053,6 +1114,8 @@ object TextQueries extends QueryModule {
          |WHERE k.v >= p_cut""".stripMargin,
 
     "sample_dsir_multi" -> dsirMultiSql(Seq("en", "de", "fr")),
+
+    "dsir_multi_model_score" -> dsirMultiModelSql(Seq("en", "de", "fr")),
 
     // serving replayed from the persisted model: per-doc weight = group
     // sum of the STORED λ over hashed features (the engine's per-row fold
