@@ -645,5 +645,12 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("Join"), "multi-domain apply pass grew a join")
     assert(pm.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*""")) <= 1,
       "multi-domain apply pass must read the corpus once")
+    // the multi-gate LIFECYCLE's serving plan (three reloaded models
+    // folded by scoreWithMany) must keep the same shape
+    val pl = plan("dsir_multi_model_score")
+    assert(hashExchanges(pl) === 0, "multi-gate serving plan grew a shuffle")
+    assert(!pl.contains("Join"), "multi-gate serving plan grew a join")
+    assert(pl.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*""")) <= 1,
+      "multi-gate serving must read the corpus once")
   }
 }
