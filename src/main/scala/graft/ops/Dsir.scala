@@ -395,6 +395,12 @@ object Dsir {
     * predecessor is superseded by the model being published and is
     * cleared up front; a pre-r18 unversioned `lambda/`+`meta/` pair is
     * cleared after the commit.
+    *
+    * SINGLE PUBLISHER per model path (the index family's single-writer
+    * contract): two concurrent saves race the debris-clean and the
+    * rename sequence — each published state is still a complete model
+    * (the commit is one rename), but which model wins is undefined and
+    * one publisher may fail loudly. Concurrent [[load]]s are safe.
     */
   def save(model: DsirModel, spark: SparkSession, path: String): Unit = {
     import spark.implicits._
