@@ -365,6 +365,45 @@ object Dsir {
   private val CurrentDir = "current"
   private val StagingPrefix = "_graft_staging_"
   private val PrevPrefix = "_graft_prev_"
+  /** Single-publisher claim token: [[save]] writes its nonce here up
+    * front and re-checks it just before the commit rename — a concurrent
+    * publisher's claim moves the token and the loser refuses LOUDLY
+    * instead of racing the rename sequence (the index family's
+    * `SwapGen` pattern; the residual window is the re-check→rename gap,
+    * not the whole staging write).
+    */
+  private val PubClaimFile = "_graft_pubclaim"
+  /** Commit-generation token: bumped by [[save]] immediately BEFORE its
+    * commit renames, so a [[load]] whose two table reads straddle the
+    * swap sees the generation moved and retries instead of serving a
+    * new-λ/stale-cutoff mix.
+    */
+  private val PubGenFile = "_graft_pubgen"
+
+  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    if (!fs.isFile(p)) ""
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** Atomic token write: temp file + rename-with-OVERWRITE (atomic on
+    * HDFS and posix) — an in-place truncating create could be read
+    * half-written.
+    */
+  private def writeToken(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, v: String): Unit = {
+    val tmp = p.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -391,28 +430,49 @@ object Dsir {
     * A crash before 3 leaves the previous `current/` (or, between 2 and
     * 3, no `current/` at all — [[load]] refuses LOUDLY, never serves a
     * mixed model, and names the intact `_graft_prev_` copy). save is the
-    * WRITE path, so it heals: any staging/prev debris from a crashed
-    * predecessor is superseded by the model being published and is
-    * cleared up front; a pre-r18 unversioned `lambda/`+`meta/` pair is
-    * cleared after the commit.
+    * WRITE path, so it heals: STAGING debris from a crashed predecessor
+    * is superseded by the model being published and is cleared up front;
+    * `_graft_prev_` debris is cleared only AFTER this publish commits —
+    * when a predecessor crashed between its two renames that prev copy
+    * is the ONLY intact model anywhere, and deleting it before this
+    * save's own staging+commit succeed would leave no model at all if
+    * this save then fails. A pre-r18 unversioned `lambda/`+`meta/` pair
+    * is cleared after the commit.
     *
-    * SINGLE PUBLISHER per model path (the index family's single-writer
-    * contract): two concurrent saves race the debris-clean and the
-    * rename sequence — each published state is still a complete model
-    * (the commit is one rename), but which model wins is undefined and
-    * one publisher may fail loudly. Concurrent [[load]]s are safe.
+    * SINGLE PUBLISHER per model path — ENFORCED (r19): save claims the
+    * publish by writing its nonce to `_graft_pubclaim` before staging
+    * and re-checks the claim immediately before the commit rename; a
+    * concurrent publisher's claim moves the token and the loser refuses
+    * LOUDLY (`ConcurrentModificationException`, its staging cleaned up)
+    * instead of racing the rename sequence. The surviving publisher's
+    * model is complete — the commit is still one rename. The unguarded
+    * residual is the tiny re-check→rename gap (the `SwapGen` caveat).
+    * Concurrent [[load]]s are safe: the commit-generation token is
+    * bumped right before the commit renames and load retries on
+    * movement.
     */
-  def save(model: DsirModel, spark: SparkSession, path: String): Unit = {
+  def save(model: DsirModel, spark: SparkSession, path: String): Unit =
+    save(model, spark, path, () => ())
+
+  /** [[save]] with a forged-race seam: `beforeCommit` runs after the
+    * staging writes and BEFORE the claim re-check — specs use it to
+    * interleave a competing publisher deterministically. Production
+    * callers use the public overload (no-op seam).
+    */
+  private[graft] def save(model: DsirModel, spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Unit = {
     import spark.implicits._
     val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     fs.mkdirs(root)
-    // heal: debris of a crashed publish is superseded by this one
+    // heal: staging debris of a crashed publish is superseded by this
+    // one; prev debris is kept until after OUR commit (see scaladoc)
     fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith(StagingPrefix) ||
-        p.getName.startsWith(PrevPrefix))
+      .filter(_.getName.startsWith(StagingPrefix))
       .foreach(p => fs.delete(p, true))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val claim = new org.apache.hadoop.fs.Path(root, PubClaimFile)
+    writeToken(spark, fs, claim, nonce)
     val staging = new org.apache.hadoop.fs.Path(root, StagingPrefix + nonce)
     model.lam.zipWithIndex.map { case (l, b) => (b.toLong, l) }.toSeq
       .toDF("b", "lam")
@@ -420,8 +480,26 @@ object Dsir {
     Seq((model.buckets, model.alpha, model.cutMicro))
       .toDF("buckets", "alpha", "cut_micro")
       .coalesce(1).write.parquet(s"$staging/meta")
+    beforeCommit()
+    // single-publisher re-check: a competing save moved the claim while
+    // we were staging — refuse loudly, never race the rename sequence
+    val claimNow = readToken(fs, claim)
+    if (claimNow != nonce) {
+      fs.delete(staging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent DSIR publish at $path: this save claimed '$nonce' but " +
+          s"the claim now reads '$claimNow' — another publisher is mid-save " +
+          "(single-publisher contract); this save's staging was discarded, " +
+          "the competing model will be complete; coordinate publishers or " +
+          "rerun after the other save finishes")
+    }
     val current = new org.apache.hadoop.fs.Path(root, CurrentDir)
     val prev = new org.apache.hadoop.fs.Path(root, PrevPrefix + nonce)
+    // bump the commit generation BEFORE any live mutation: a load whose
+    // reads straddle the swap (or catch the brief no-current window
+    // between the two renames) sees the moved token and retries
+    writeToken(spark, fs, new org.apache.hadoop.fs.Path(root, PubGenFile),
+      java.util.UUID.randomUUID().toString)
     if (fs.exists(current) && !fs.rename(current, prev))
       throw new java.io.IOException(
         s"could not move aside the previous model at $current")
@@ -430,8 +508,12 @@ object Dsir {
         s"could not publish $staging as $current — the previous model " +
           s"is intact at $prev; rerun save")
     fs.delete(prev, true)
-    // post-commit: clear a pre-r18 unversioned layout so a reader can
-    // never confuse the superseded flat tables for the model
+    // post-commit cleanup (the new current supersedes everything):
+    // prev debris from crashed predecessors, and a pre-r18 unversioned
+    // layout a reader could otherwise confuse for the model
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(PrevPrefix))
+      .foreach(p => fs.delete(p, true))
     fs.delete(new org.apache.hadoop.fs.Path(root, "lambda"), true)
     fs.delete(new org.apache.hadoop.fs.Path(root, "meta"), true)
   }
@@ -444,8 +526,63 @@ object Dsir {
     * array is zero-filled before being populated from the table, so a
     * partial or foreign read would otherwise serve silently wrong
     * (under-)scores rather than fail.
+    *
+    * CONCURRENT with a [[save]] (r19): the meta and λ reads are two
+    * filesystem reads, so a commit rename landing between them would
+    * serve a new-λ/stale-cutoff mix — load therefore reads the
+    * commit-generation token first, re-checks it after BOTH reads, and
+    * retries (bounded) on movement; the brief no-`current/` window
+    * between save's two renames is retried the same way. A refusal that
+    * persists across the retry budget surfaces loudly — only genuinely
+    * crashed or corrupt states reach the caller.
     */
-  def load(spark: SparkSession, path: String): DsirModel = {
+  def load(spark: SparkSession, path: String): DsirModel =
+    load(spark, path, () => ())
+
+  /** [[load]] with a forged-race seam: `afterMetaRead` runs between the
+    * meta read and the λ read — specs use it to land a full competing
+    * publish deterministically inside the window and pin that load never
+    * serves a mixed model. Production callers use the public overload.
+    */
+  private[graft] def load(spark: SparkSession, path: String,
+      afterMetaRead: () => Unit): DsirModel = {
+    val fs = fsOf(spark, path)
+    val genPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), PubGenFile)
+    val MaxAttempts = 4
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val gen0 = readToken(fs, genPath)
+      try return loadOnce(spark, path, gen0, afterMetaRead)
+      catch {
+        // retry ONLY when a publish verifiably raced this load (the
+        // generation moved) or the read caught the mid-commit window;
+        // stable states — truly absent/corrupt models — rethrow loudly
+        case t: Throwable if attempt < MaxAttempts &&
+            (readToken(fs, genPath) != gen0 || isMidCommit(t)) =>
+          Thread.sleep(50L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** A failure shape the mid-commit window produces: the `current/` dir
+    * (or a file under it) absent between save's two renames. Message- and
+    * type-based because Spark wraps the FileNotFound in AnalysisException
+    * ("Path does not exist") at read-planning time.
+    */
+  private def isMidCommit(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        (c.isInstanceOf[IllegalStateException] &&
+          Option(c.getMessage).exists(_.contains("crashed mid-publish"))) ||
+        Option(c.getMessage).exists(m =>
+          m.contains("Path does not exist") || m.contains("PATH_NOT_FOUND"))
+    }
+
+  private def loadOnce(spark: SparkSession, path: String, gen0: String,
+      afterMetaRead: () => Unit): DsirModel = {
     val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val current = new org.apache.hadoop.fs.Path(root, CurrentDir)
@@ -469,9 +606,16 @@ object Dsir {
           (if (names.isEmpty) "" else s" (found: ${names.mkString(", ")})"))
     }
     val m = spark.read.parquet(s"$current/meta").head()
+    afterMetaRead()
     val buckets = m.getInt(0)
-    val lam = new Array[Long](buckets)
     val rows = spark.read.parquet(s"$current/lambda").collect()
+    // consistency gate BEFORE validation: a commit that landed between
+    // the two reads above could pair new λ with a stale cutoff — both
+    // tables individually complete, so no row-level check catches it
+    require(readToken(fs, new org.apache.hadoop.fs.Path(root, PubGenFile)) == gen0,
+      s"a DSIR publish at $path raced this load — the meta and lambda " +
+        "reads may mix models; RETRY the load (the new model is complete)")
+    val lam = new Array[Long](buckets)
     val seen = new java.util.BitSet(buckets)
     rows.foreach { r =>
       val b = r.getLong(0)

@@ -215,9 +215,11 @@ class DsirSpec extends SparkSpec {
     val loaded = Dsir.load(spark, dir)
     assert(loaded.cutMicro === modelB.cutMicro)
     assert(loaded.lam.toSeq === modelB.lam.toSeq)
-    // no debris survives a successful publish
+    // no debris survives a successful publish (the claim/generation
+    // tokens are part of the protocol, not debris)
     val names = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
-    assert(names === Set("current"), s"leftover debris: $names")
+    assert(names === Set("current", "_graft_pubclaim", "_graft_pubgen"),
+      s"leftover debris: $names")
   }
 
   test("load ignores staging debris and serves the intact committed model") {
@@ -266,7 +268,79 @@ class DsirSpec extends SparkSpec {
     Dsir.save(model, spark, dir)
     assert(Dsir.load(spark, dir).lam.toSeq === model.lam.toSeq)
     val names = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
-    assert(names === Set("current"), s"legacy tables not cleared: $names")
+    assert(names === Set("current", "_graft_pubclaim", "_graft_pubgen"),
+      s"legacy tables not cleared: $names")
+  }
+
+  test("single-publisher contract is ENFORCED: a competing publish that lands " +
+      "mid-save makes the slower save refuse loudly; the winner is complete") {
+    val dir = "/tmp/graft_dsir_spec_concurrent_pub"
+    fs.delete(hp(dir), true)
+    val modelA = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(modelA, spark, dir)
+    val modelB = Dsir.fit(docs, docs.filter($"lang" === "de"), "text", "doc_id",
+      gateFrac = 0.5)
+    val modelC = modelA.copy(cutMicro = modelA.cutMicro + 99.0)
+    // forge the interleaving: while C's save is between its staging writes
+    // and its commit, B claims AND fully publishes
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Dsir.save(modelC, spark, dir, beforeCommit =
+        () => Dsir.save(modelB, spark, dir))
+    }
+    assert(e.getMessage.contains("concurrent DSIR publish"))
+    // the surviving publisher's model is COMPLETE — never a C/B mix
+    val loaded = Dsir.load(spark, dir)
+    assert(loaded.lam.toSeq === modelB.lam.toSeq)
+    assert(loaded.cutMicro === modelB.cutMicro)
+    // the loser's staging never leaks
+    val names = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
+    assert(!names.exists(_.startsWith("_graft_staging_")), s"staging leaked: $names")
+  }
+
+  test("a load whose reads straddle a concurrent publish retries and serves a " +
+      "COMPLETE model — never new-lambda/stale-cutoff") {
+    val dir = "/tmp/graft_dsir_spec_load_race"
+    fs.delete(hp(dir), true)
+    val modelA = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    val modelB = Dsir.fit(docs, docs.filter($"lang" === "de"), "text", "doc_id",
+      gateFrac = 0.5)
+    assert(modelA.lam.toSeq !== modelB.lam.toSeq)
+    assert(modelA.cutMicro !== modelB.cutMicro)
+    Dsir.save(modelA, spark, dir)
+    // forge the race: a full publish of B lands EXACTLY between load's
+    // meta read and its lambda read (single-shot — retries read cleanly)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val loaded = Dsir.load(spark, dir, afterMetaRead = () =>
+      if (fired.compareAndSet(false, true)) Dsir.save(modelB, spark, dir))
+    // the pre-fix behavior was modelA's cutoff with modelB's lambda; the
+    // generation re-check forces a clean retry, which serves B entirely
+    assert(loaded.lam.toSeq === modelB.lam.toSeq)
+    assert(loaded.cutMicro === modelB.cutMicro)
+  }
+
+  test("save keeps a crashed predecessor's prev copy until its own commit succeeds") {
+    val dir = "/tmp/graft_dsir_spec_prev_kept"
+    fs.delete(hp(dir), true)
+    val modelA = Dsir.fit(docs, target, "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(modelA, spark, dir)
+    // forge a predecessor that crashed between its two renames: the prev
+    // copy is the ONLY intact model anywhere
+    assert(fs.rename(hp(s"$dir/current"), hp(s"$dir/_graft_prev_crashed")))
+    // a save that dies BEFORE its commit (forged via the seam) must leave
+    // that prev copy on disk — deleting it up front would strand the path
+    // with no model at all
+    intercept[RuntimeException] {
+      Dsir.save(modelA, spark, dir, beforeCommit =
+        () => throw new RuntimeException("forged staging-phase death"))
+    }
+    val names = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
+    assert(names.contains("_graft_prev_crashed"),
+      s"the only intact model copy was deleted before commit: $names")
+    // and a save that SUCCEEDS clears it (superseded)
+    Dsir.save(modelA, spark, dir)
+    val after = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
+    assert(!after.exists(_.startsWith("_graft_prev_")), s"prev not cleared: $after")
+    assert(Dsir.load(spark, dir).lam.toSeq === modelA.lam.toSeq)
   }
 
   test("resample leaves no cached blocks behind once the result is released") {
