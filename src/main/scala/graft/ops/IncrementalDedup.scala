@@ -320,11 +320,29 @@ object IncrementalDedup {
     * phase, refusing only the sub-second metadata swap at the end
     * ([[IndexMeta.requireServableMigration]]). Being READ-ONLY, the
     * probe never HEALS anything.
+    *
+    * The two loud swap transients (planning-race refusal, post-commit
+    * FileNotFound) are retried INTERNALLY ([[ProbeRetry]]) — callers of
+    * a continuously-serving gate see zero failed probes across a
+    * healthy maintenance swap. To make the execution-time transient
+    * fire inside that bounded retry rather than at the caller's first
+    * action, the result is eagerly materialized on EVERY path (batch-
+    * sized — O(incoming crawl), never O(index)); callers may reclaim
+    * its storage with [[Lineage.release]] once consumed.
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, minJaccard: Double = 0.8,
       k: Int = 8, bands: Int = 2, maxReps: Int = 1000,
-      hashedShingles: Boolean = false): DataFrame = {
+      hashedShingles: Boolean = false): DataFrame =
+    ProbeRetry.retry("text-index probe") {
+      probeOnce(spark, indexDir, batch, textCol, idCol, minJaccard, k,
+        bands, maxReps, hashedShingles)
+    }
+
+  private def probeOnce(spark: SparkSession, indexDir: String, batch: DataFrame,
+      textCol: String, idCol: String, minJaccard: Double,
+      k: Int, bands: Int, maxReps: Int,
+      hashedShingles: Boolean): DataFrame = {
     IndexMeta.requireNoMigration(spark, indexDir)
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(
@@ -364,25 +382,23 @@ object IncrementalDedup {
     // re-derived per consumer (the addBatch discipline). Plain path:
     // single consumer, stay lazy.
     val cand = if (vShs.base.isDefined) Lineage.materialize(cand0) else cand0
-
-    val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
-      col("shs").as("sh_a"), col("nsh").as("n_a"))
-    val withPartner = vShs.over(s => cand.join(shsSel(s), "partner_id"))
-    val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
-    val dropped = withPartner
-      .join(shsB.select(col("doc_id"), col("shs").as("sh_b"), col("nsh").as("n_b")),
-        "doc_id")
-      .select(col("doc_id"), col("n_a"), col("n_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
-      .filter(when(uni > 0, col("inter").cast("double") / uni)
-        .otherwise(lit(0.0)) >= minJaccard)
-      .select(col("doc_id").as(idCol)).distinct()
-    val kept = batch.join(dropped, Seq(idCol), "left_anti")
-    if (vShs.base.isDefined) {
-      val out = Lineage.materialize(kept)
-      Lineage.release(cand)
-      out
-    } else kept
+    try {
+      val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
+        col("shs").as("sh_a"), col("nsh").as("n_a"))
+      val withPartner = vShs.over(s => cand.join(shsSel(s), "partner_id"))
+      val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
+      val dropped = withPartner
+        .join(shsB.select(col("doc_id"), col("shs").as("sh_b"), col("nsh").as("n_b")),
+          "doc_id")
+        .select(col("doc_id"), col("n_a"), col("n_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+        .filter(when(uni > 0, col("inter").cast("double") / uni)
+          .otherwise(lit(0.0)) >= minJaccard)
+        .select(col("doc_id").as(idCol)).distinct()
+      // eager on EVERY path: a frozen-listing FileNotFound must fire
+      // here, inside the bounded retry, not at the caller's action
+      Lineage.materialize(batch.join(dropped, Seq(idCol), "left_anti"))
+    } finally Lineage.release(cand) // no-op on the plain (lazy) path
   }
 
   /** Occupancy audit of the persisted band index — READ-ONLY, so it
@@ -395,7 +411,7 @@ object IncrementalDedup {
     * bucket was skipped.
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = ProbeRetry.retry("band-bucket stats") {
     val gen0 = SwapGen.read(spark, indexDir)
     val v = IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
       readIndex(spark, indexDir, BandsT, Int.MaxValue,
@@ -805,7 +821,17 @@ private[graft] object BatchCommits {
           val sound = sa.intersect(sb)
           if (ProbeRankTables(a) && sound.nonEmpty) {
             val rankless = sound.toSeq.sorted.filterNot { bt =>
-              spark.read.parquet(s"$indexDir/$a/batch=$bt")
+              // a footerless (empty) batch partition holds no rows to
+              // mis-rank — rank-verified vacuously; reading it through
+              // spark.read would throw an unrelated schema-inference
+              // error instead of the rank diagnostic below
+              val part = new org.apache.hadoop.fs.Path(s"$indexDir/$a/batch=$bt")
+              val hasData = fs.listStatus(part).exists(f =>
+                f.isFile && f.getLen > 0 && {
+                  val n = f.getPath.getName
+                  !n.startsWith("_") && !n.startsWith(".")
+                })
+              !hasData || spark.read.parquet(s"$indexDir/$a/batch=$bt")
                 .schema.fieldNames.contains("rank")
             }
             require(rankless.isEmpty,
@@ -1051,6 +1077,53 @@ private[graft] object SwapGen {
         "probe (the new state is complete and will serve)")
 }
 
+/** Bounded INTERNAL retry for the READ-ONLY probes (r19). The
+  * serve-through protocol has exactly two loud retryable transients —
+  *
+  *  - a swap refusal at planning time: a maintenance swap raced the
+  *    probe's listings ([[SwapGen.requireUnchanged]]) or the probe
+  *    landed inside a rebucket's sub-second metadata window
+  *    ([[IndexMeta.requireServableMigration]]'s mid-SWAP branch);
+  *  - a FileNotFound at execution time: the probe's frozen file listing
+  *    outlived a swap's post-commit rename (why `ignoreMissingFiles`
+  *    stays OFF — silently dropping those rows would under-drop).
+  *
+  * Both mean "the post-swap state is complete — re-plan and it serves",
+  * so the probe retries internally with fresh token reads and fresh
+  * listings instead of making every caller know the protocol exists.
+  * Bounded and loud-on-exhaustion: the swap windows measure 0.05–0.07 s
+  * ([[graft.tools.IncrEnvelope]] `rebucket_serving`), so a few short
+  * sleeps cover a healthy swap, while a PERSISTENT refusal — a crashed
+  * swap awaiting its heal, legacy migration debris — still surfaces
+  * after the budget. Non-protocol failures are never retried.
+  */
+private[graft] object ProbeRetry {
+  private val MaxAttempts = 4
+
+  def isTransient(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
+      val m = Option(c.getMessage).getOrElse("")
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        m.contains("raced this probe") ||
+        m.contains("mid-SWAP") ||
+        m.contains("FileNotFoundException") ||
+        m.contains("does not exist")
+    }
+
+  def retry[T](what: String)(attempt: => T): T = {
+    var n = 0
+    while (true) {
+      n += 1
+      try return attempt
+      catch {
+        case t: Throwable if n < MaxAttempts && isTransient(t) =>
+          Thread.sleep(60L * n)
+      }
+    }
+    sys.error("unreachable")
+  }
+}
+
 /** Shared batch-partition compaction for the incremental dedup indexes:
   * rewrite every partition `batch < uptoExclusive` (including a previous
   * `batch=-1` base) as ONE `batch=-1` partition, swapped in by rename.
@@ -1199,14 +1272,20 @@ private[graft] object IndexCompaction {
       .write.mode("overwrite").parquet(staging.toString)
     // commit point: marker after the staging write, before any delete —
     // everything past this line is re-runnable from the marker alone.
-    // The generation bump (BEFORE the first live mutation) makes any
-    // probe whose planning straddles this instant refuse-and-retry
-    // instead of serving a half-swapped listing ([[SwapGen]]).
-    SwapGen.bump(spark, indexDir)
+    // ORDER (r19): the marker is created BEFORE the generation bump.
+    // A probe that reads the token post-bump is then GUARANTEED to see
+    // the marker and take the staged (complete-copy) path; the old
+    // bump-first order left a (bump, marker-create) gap where a probe
+    // could read the post-bump token, miss the marker, freeze a listing
+    // mid-delete, and still pass its re-check — silently serving
+    // missing folded rows. The bump still precedes the first live
+    // mutation (the deletes below), so a probe that read the token
+    // earlier refuses-and-retries ([[SwapGen]]).
     val out = fs.create(hp(s"${root}__compact_commit"), true)
     try out.write(uptoExclusive.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    SwapGen.bump(spark, indexDir)
     olds.foreach(p => fs.delete(p, true))
     if (!fs.rename(staging, hp(s"$root/batch=-1")))
       throw new java.io.IOException(
@@ -1448,7 +1527,17 @@ object IncrementalEmbeddingDedup {
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       vecCol: String, idCol: String, dim: Int, planes: Int = 8,
       minCos: Double = 0.6, maxReps: Int = 1000,
-      quantized: Boolean = false): DataFrame = {
+      quantized: Boolean = false): DataFrame =
+    // the two loud swap transients retry INTERNALLY ([[ProbeRetry]]) —
+    // a healthy maintenance swap costs callers zero failed probes
+    ProbeRetry.retry("embedding-index probe") {
+      probeOnce(spark, indexDir, batch, vecCol, idCol, dim, planes,
+        minCos, maxReps, quantized)
+    }
+
+  private def probeOnce(spark: SparkSession, indexDir: String, batch: DataFrame,
+      vecCol: String, idCol: String, dim: Int, planes: Int,
+      minCos: Double, maxReps: Int, quantized: Boolean): DataFrame = {
     // READ-ONLY: serves the pre-migration state through a staged
     // rebucket's data phase; refuses only its short swap window (or a
     // legacy in-place migration's debris)
@@ -1459,8 +1548,6 @@ object IncrementalEmbeddingDedup {
     val expected = Map("dim" -> dim.toString, "planes" -> planes.toString,
       "quantized" -> quantized.toString)
     IndexMeta.requireMatch(indexDir, meta, expected, EmbMigrateHint)
-    val gen0 = SwapGen.read(spark, indexDir)
-    val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val (batchV, vcol) =
       if (!quantized) (batch, vecCol)
       else {
@@ -1475,6 +1562,24 @@ object IncrementalEmbeddingDedup {
       Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
         .select(col(idCol).cast("long").as("id"), col("v"),
           col("n").as("nrm"), col("bucket")))
+    try probeBody(spark, indexDir, batch, idCol, minCos, maxReps, quantized,
+      baseB)
+    finally Lineage.release(baseB)
+  }
+
+  /** The index-side half of [[probeOnce]], split out so the batch-side
+    * cache (`baseB`) releases on EVERY exit — including the swap
+    * transients [[ProbeRetry]] retries (the pre-r19 shape leaked it on
+    * the throw path).
+    */
+  private def probeBody(spark: SparkSession, indexDir: String, batch: DataFrame,
+      idCol: String, minCos: Double, maxReps: Int, quantized: Boolean,
+      baseB: DataFrame): DataFrame = {
+    // the swap token is read BEFORE the index listings below freeze
+    // (committed snapshot included — it is a listing too); re-checked
+    // after all of them
+    val gen0 = SwapGen.read(spark, indexDir)
+    val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
       readIndex(spark, indexDir, BucketsT, Int.MaxValue,
         "id bigint, bucket bigint, rank bigint", committed))
@@ -1508,11 +1613,12 @@ object IncrementalEmbeddingDedup {
         col("bucket") === col("bucket2") &&
           Text.floor6(Similarity.candCos) >= lit(minCos), "left_semi")
       .select(col("id"))
-    val out = Lineage.materialize(
+    // eager: an execution-time frozen-listing FileNotFound must fire
+    // inside [[ProbeRetry]]'s budget, not at the caller's first action
+    // (baseB's release rides probeOnce's finally)
+    Lineage.materialize(
       batch.join(dropped.select(col("id").cast("long").as(idCol)),
         Seq(idCol), "left_anti"))
-    Lineage.release(baseB)
-    out
   }
 
   /** Occupancy audit of the persisted bucket index — READ-ONLY, so it
@@ -1520,7 +1626,7 @@ object IncrementalEmbeddingDedup {
     * inflate occupancy; stays available while a writer appends).
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = ProbeRetry.retry("vec-bucket stats") {
     val gen0 = SwapGen.read(spark, indexDir)
     val v = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
       readIndex(spark, indexDir, BucketsT, Int.MaxValue,

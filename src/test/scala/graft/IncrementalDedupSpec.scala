@@ -758,6 +758,134 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept === Seq(102L))
   }
 
+  test("ProbeRetry: swap transients re-plan internally; non-protocol failures and " +
+      "exhausted budgets stay loud") {
+    import graft.ops.ProbeRetry
+    // a SwapGen planning race on attempt 1 is retried and the settled
+    // attempt 2 serves — the forged token-bumped-between-listing-and-
+    // re-check shape, deterministic at the seam the retry wraps
+    var calls = 0
+    val got = ProbeRetry.retry("spec") {
+      calls += 1
+      if (calls == 1) throw new IllegalArgumentException(
+        "requirement failed: a maintenance swap at /x raced this probe's " +
+          "planning — RETRY the probe")
+      42
+    }
+    assert(got === 42 && calls === 2)
+    // a frozen-listing FileNotFound (nested, as Spark wraps it) retries too
+    var fnf = 0
+    val got2 = ProbeRetry.retry("spec") {
+      fnf += 1
+      if (fnf == 1) throw new RuntimeException("job aborted",
+        new java.io.FileNotFoundException("/idx/bands__compact_staging/part-0"))
+      7
+    }
+    assert(got2 === 7 && fnf === 2)
+    // the mid-SWAP window refusal is a transient (the swap is sub-second)
+    var sw = 0
+    ProbeRetry.retry("spec") {
+      sw += 1
+      if (sw == 1) throw new IllegalArgumentException(
+        "requirement failed: index at /x is mid-SWAP in a parameter migration")
+    }
+    assert(sw === 2)
+    // non-protocol failures pass through on the FIRST attempt
+    var np = 0
+    val ex = intercept[IllegalStateException](ProbeRetry.retry("spec") {
+      np += 1
+      throw new IllegalStateException("no index at /x to probe")
+    })
+    assert(np === 1 && ex.getMessage.contains("no index"))
+    // a PERSISTENT transient (crashed swap awaiting heal) exhausts the
+    // budget and surfaces loudly — the loud path is kept
+    var pers = 0
+    intercept[IllegalArgumentException](ProbeRetry.retry("spec") {
+      pers += 1
+      throw new IllegalArgumentException("mid-SWAP forever")
+    })
+    assert(pers === 4, s"bounded budget, got $pers attempts")
+  }
+
+  test("a probe landing inside a live rebucket swap window retries INTERNALLY and " +
+      "serves once the swap ends — zero client-visible failures") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(60)
+    val idx = freshIndex("swapretryserve")
+    import graft.ops.IncrementalEmbeddingDedup
+    IncrementalEmbeddingDedup.addBatch(spark, idx, e, "embedding", "vec_id",
+      batchId = 0, dim = 64, planes = 8, minCos = 0.3)
+    val gate = e.withColumn("vec_id", col("vec_id") + 1000000L)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge a swap window that OUTLASTS the first probe attempt but ends
+    // inside the retry budget: the commit marker goes up now and a timer
+    // thread clears it 150 ms in (a real swap measures 0.05-0.07 s)
+    val commit = new org.apache.hadoop.fs.Path(s"$idx/buckets__rebucket_commit")
+    val out = fs.create(commit, true)
+    try out.write("planes=9".getBytes("UTF-8")) finally out.close()
+    val sweeper = new Thread(() => {
+      Thread.sleep(150)
+      fs.delete(commit, false)
+    })
+    sweeper.start()
+    // the probe call itself must succeed — the window is the protocol's
+    // business, not the caller's
+    val kept = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+      "embedding", "vec_id", dim = 64, planes = 8, minCos = 0.3)
+      .select("vec_id").as[Long].collect().toSeq
+    sweeper.join()
+    assert(kept.isEmpty, "the gate re-sends indexed vectors — all dups")
+  }
+
+  test("probes keep answering correctly while a LIVE compaction runs (marker " +
+      "precedes the generation bump; retry absorbs the swap)") {
+    val idx = freshIndex("compactserve")
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(2, B))), "text", "doc_id", 1)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(3, C))), "text", "doc_id", 2)
+    val gate = df(Seq(doc(100, A), doc(101, B), doc(103, "novel words only here")))
+    def answer() = IncrementalDedup.probe(spark, idx, gate, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expect = answer()
+    assert(expect === Seq(103L))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val wrong = new java.util.concurrent.atomic.AtomicInteger(0)
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prober = new Thread(() => {
+      try while (!stop.get()) {
+        if (answer() == expect) served.incrementAndGet()
+        else wrong.incrementAndGet()
+      } catch { case t: Throwable => err.set(t) }
+    })
+    prober.start()
+    try IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 3)
+    finally { stop.set(true); prober.join() }
+    assert(err.get() == null, s"probe failed during compaction: ${err.get()}")
+    assert(wrong.get() === 0, s"${wrong.get()} wrong answers during compaction")
+    assert(served.get() > 0, "the prober never completed a probe")
+    assert(answer() === expect, "post-compaction answer unchanged")
+  }
+
+  test("markLegacyCommitted treats an EMPTY (footerless) batch partition as " +
+      "rank-verified vacuously instead of a schema-inference crash") {
+    val idx = freshIndex("legacyemptybatch")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.addBatch(spark, idx, df(Seq(doc(1, A))), "text", "doc_id", 0)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_graft_commits"), true)
+    // forge a legacy EMPTY batch: dirs exist in BOTH tables (so the twin
+    // soundness check passes) but hold no parquet footers
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/bands/batch=1"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/shingles/batch=1"))
+    IncrementalDedup.markLegacyCommitted(spark, idx) // must not throw
+    // the adopted index still gates batch-0 content
+    val k = IncrementalDedup.probe(spark, idx, df(Seq(doc(100, A), doc(101, C))),
+      "text", "doc_id").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k === Seq(101L))
+  }
+
   test("hashed-shingle index: kept set equals the string form; layout is pinned") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
     val m = docs.agg(max("doc_id")).head.getLong(0)
