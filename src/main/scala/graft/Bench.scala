@@ -148,24 +148,46 @@ object Bench {
         rs.max / rs.min >= 2.0 => k
     }
     val suspectJson = suspects.map(jstr).mkString("[", ",", "]")
+    // UNTOUCHED-CANARY drift telemetry (r19): cross-round board moves have
+    // repeatedly been machine-side (r18's official 67.7→83.3 s was pinned
+    // as host drift only by manually comparing a code-untouched query) —
+    // the artifact now carries that comparison itself. graph_pagerank's
+    // code has been frozen since r17; REF is its r17 official steady
+    // state. drift = this board's converged time / REF; a mover whose
+    // ratio matches `drift` is machine, not code.
+    val CanaryQuery = "graph_pagerank"
+    val CanaryRefSec = 1.70
+    val canaryJson = results.find(r => r._1 == CanaryQuery && r._3.isEmpty)
+      .map { case (_, t, _, _, _) =>
+        s"""{"query":${jstr(CanaryQuery)},"sec":${n3(t)},"ref_sec":$CanaryRefSec,"drift":${n3(t / CanaryRefSec)}}"""
+      }.getOrElse("null")
     def line(value: String, queries: String, errors: String, extra: String): String =
-      s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"warmup":$warmup,"suspect_n":${suspects.size},"load_start":${n3(loadStart)},"load_end":${n3(loadEnd)},"jvm_uptime_sec":${n3(uptimeSec)},"queries":$queries$extra,"errors":$errors,"sf":${jstr(sfDir)}}"""
-    // full record (per-query + per-run times + untruncated error list) at a
-    // stable path: stdout is interleaved with Spark/sbt noise and
-    // tail-limited
+      s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"warmup":$warmup,"suspect_n":${suspects.size},"load_start":${n3(loadStart)},"load_end":${n3(loadEnd)},"jvm_uptime_sec":${n3(uptimeSec)},"canary":$canaryJson,"queries":$queries$extra,"errors":$errors,"sf":${jstr(sfDir)}}"""
+    // full record (per-query + per-run times + untruncated error list +
+    // suspect list + canary) at TWO stable paths: target/bench.json (the
+    // historical location) and bench_full.json at the repo root — target/
+    // is wiped by clean, which cost the r18 adjudication its per-query
+    // evidence; the root copy is committed per round so drift-corrected
+    // cross-round ratios can be computed from artifacts alone
+    val full = line(total.toString, qsFull, errsFull,
+      s""","runs":$runsJson,"loadavg":$loadJson,"suspect":$suspectJson""") + "\n"
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      (line(total.toString, qsFull, errsFull,
-        s""","runs":$runsJson,"loadavg":$loadJson,"suspect":$suspectJson""") + "\n").getBytes("UTF-8"))
-    // the one-line stdout record prints LAST, after the file write, AND
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes("UTF-8"))
+    // the one-line stdout record prints LAST, after the file writes, AND
     // carries NO per-query map: 88 queries × ~28 chars ≈ 2.6 KB overflowed
     // the driver's ~2 KB tail window THREE rounds running (parsed:null in
-    // r10/r11/r13) even at 3-decimal floats. stdout is total+errors+sf
-    // (~250 B); per-query numbers live in target/bench.json.
+    // r10/r11/r13) even at 3-decimal floats. stdout is total+canary+
+    // suspect(capped)+errors+sf (~400 B); per-query numbers live in
+    // bench_full.json / target/bench.json.
+    val suspectCapped = (suspects.take(8).map(jstr) ++
+      (if (suspects.size > 8) Seq(jstr(s"+${suspects.size - 8} more")) else Nil))
+      .mkString("[", ",", "]")
     println(line(n3(total),
-      s"""{"_see":${jstr("target/bench.json")},"_n":${results.size}}""",
-      errsCapped, ""))
+      s"""{"_see":${jstr("bench_full.json")},"_n":${results.size}}""",
+      errsCapped, s""","suspect":$suspectCapped"""))
     spark.stop()
   }
 }

@@ -181,5 +181,9 @@ object SparkEntry {
     // corpus size) gets its own cross-round official number — and the
     // multi-target form (three domains' λ folded over one shared
     // hashed-bucket array, one scan, zero exchanges)
-    "sample_dsir_weights", "sample_dsir_multi")
+    "sample_dsir_weights", "sample_dsir_multi",
+    // round-19: the 3-gate model lifecycle (fitPerDomain → three atomic
+    // publishes → reload → one shared-scan multi-gate serve) — green
+    // oracle row since r18, now with an official board slot
+    "dsir_multi_model_score")
 }
