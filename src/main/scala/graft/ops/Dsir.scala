@@ -518,6 +518,18 @@ object Dsir {
     fs.delete(new org.apache.hadoop.fs.Path(root, "meta"), true)
   }
 
+  /** The committed model's publish generation — moves on every [[save]]
+    * (one atomic token rewrite immediately before the commit rename).
+    * Streaming servers poll this per micro-batch (one tiny token read,
+    * no parquet touched) to hot-reload a serving gate without a query
+    * restart ([[graft.streaming.DsirServing]]). Empty string for a
+    * model dir last published by a pre-r19 save — the first r19
+    * republish moves it, so change detection still works.
+    */
+  def publishGeneration(spark: SparkSession, path: String): String =
+    readToken(fsOf(spark, path), new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), PubGenFile))
+
   /** Load the committed model. Refuses — loudly, with the heal spelled
     * out — anything other than a complete committed `current/`: a
     * crashed publish caught between its two renames (the intact

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+import graft.ops.Dsir
+import graft.ops.Dsir.DsirModel
+
+/** HOT-RELOADING DSIR gate for a live stream (r19) — the serve-through
+  * story one level up from the index family: [[Dsir.save]]'s atomic
+  * publish and [[Dsir.scoreWith]]'s stateless serving projection exist,
+  * but a plain `scoreWith` stream pins the model's λ/cutoff LITERALS at
+  * plan time, so republishing the model required a query restart
+  * (downtime) to take effect.
+  *
+  * The reload rides `foreachBatch`: each micro-batch re-reads the
+  * published model's commit generation ([[Dsir.publishGeneration]] — one
+  * tiny token read, no parquet touched) and reloads the model ONLY when
+  * the generation moved, then scores the WHOLE batch with that one
+  * model. The guarantees this buys:
+  *
+  *  - batches are cleanly pre- or post-republish — a batch is scored by
+  *    exactly one model, never a λ/cutoff mix ([[Dsir.load]] is
+  *    publish-atomic and internally retries a racing save);
+  *  - zero refusals and zero downtime at the republish: the old model
+  *    keeps serving until the batch AFTER the commit, which picks up the
+  *    new one;
+  *  - steady-state cost is one token read per micro-batch — the model
+  *    reload (a B-row parquet read) happens only on an actual republish.
+  *
+  * Ordering note: the generation is read BEFORE the load. If a publish
+  * lands between the two, the load (race-safe) returns the NEWER model
+  * stored under the OLDER generation — the next batch re-detects the
+  * move and reloads once more. The reverse order could cache the NEW
+  * generation against the OLD model and never reload. Double-load is
+  * harmless; stale-forever is not.
+  *
+  * Scale shape: the per-batch scoring plan is the same zero-shuffle
+  * Scan→Project as batch `scoreWith` — state lives only on the driver
+  * (one B-entry λ array), nothing accumulates, and the gate applies
+  * unchanged at any rate the sink keeps up with.
+  */
+object DsirServing {
+
+  /** Driver-side model cache keyed by publish generation. Thread-safe;
+    * shared across however many streams serve the same model path (they
+    * swap independently but read one token). `onSwap(generation, model)`
+    * fires on every reload — observability for "which model scored
+    * batch N" (specs count swaps; production can log/metric them).
+    */
+  final class HotModel(modelPath: String,
+      onSwap: (String, DsirModel) => Unit = (_, _) => ()) extends Serializable {
+    @transient private lazy val cached =
+      new AtomicReference[(String, DsirModel)](null)
+
+    /** The model to score THIS batch with — reloaded iff the published
+      * generation moved since the last batch.
+      */
+    def currentFor(spark: SparkSession): DsirModel = {
+      val gen = Dsir.publishGeneration(spark, modelPath)
+      val c = cached.get()
+      if (c != null && c._1 == gen) c._2
+      else {
+        val m = Dsir.load(spark, modelPath)
+        cached.set((gen, m))
+        onSwap(gen, m)
+        m
+      }
+    }
+  }
+
+  /** A `foreachBatch` function serving the gate with hot reload: score
+    * the batch with the currently-published model at `modelPath`
+    * (reloading on republish), then hand the scored frame —
+    * (idCol, n_feats, weight_micro, keep), the [[Dsir.scoreWith]]
+    * shape — to `sink` with the batch id. Usage:
+    *
+    * {{{
+    * val gate = DsirServing.gatedForeachBatch(path, "text", "doc_id") {
+    *   (scored, batchId) => scored.filter(col("keep")).write...
+    * }
+    * stream.writeStream.foreachBatch(gate).start()
+    * }}}
+    */
+  def gatedForeachBatch(modelPath: String, textCol: String, idCol: String,
+      onSwap: (String, DsirModel) => Unit = (_, _) => ())
+      (sink: (DataFrame, Long) => Unit): (Dataset[Row], Long) => Unit = {
+    val hot = new HotModel(modelPath, onSwap)
+    (batch: Dataset[Row], batchId: Long) => {
+      val model = hot.currentFor(batch.sparkSession)
+      sink(Dsir.scoreWith(batch.toDF(), textCol, idCol, model), batchId)
+    }
+  }
+}

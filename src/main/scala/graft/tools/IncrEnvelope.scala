@@ -22,8 +22,14 @@ import graft.ops.{IncrementalDedup, IncrementalEmbeddingDedup, Similarity}
   *    at a fixed batch size as the index grows 1×→10×→100×, plain vs
   *    promoted (the crossover SCALE.md names).
   *
+  *  - `rebucket_serving` / `compact_serving` / `promote_serving`:
+  *    availability DURING maintenance — a prober thread loops the
+  *    (internally-retrying) probe while the maintenance op runs,
+  *    classifying every outcome; client_failures and wrong must be 0.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.IncrEnvelope
-  *   <emb|embq8|rebucket|rebucket_promoted|text|probe_curve|probe_curve_writer>
+  *   <emb|embq8|rebucket|rebucket_promoted|text|probe_curve|
+  *    probe_curve_writer|rebucket_serving|compact_serving|promote_serving>
   */
 object IncrEnvelope {
   def main(args: Array[String]): Unit = {
@@ -185,9 +191,12 @@ object IncrEnvelope {
           val (_, tPromote) = timed {
             IncrementalDedup.promoteBase(spark, promo, uptoExclusive = batchId)
           }
-          def probeOnce(idx: String): Double =
-            timed(IncrementalDedup.probe(spark, idx, docs, "text", "doc_id")
-              .count())._2
+          def probeOnce(idx: String): Double = {
+            val (out, t) = timed(
+              IncrementalDedup.probe(spark, idx, docs, "text", "doc_id"))
+            graft.ops.Lineage.release(out) // probe returns materialized (r19)
+            t
+          }
           val plainT = (1 to 3).map(_ => probeOnce(plain))
           val promoT = (1 to 3).map(_ => probeOnce(promo))
           s"""{"copies":$f,"grow_sec":${f"$tGrow%.2f"},""" +
@@ -222,9 +231,15 @@ object IncrEnvelope {
             "vec_id", batchId = i, dim = 64, planes = 8, minCos = 0.3).count()
         }
         val gate = e.filter(col("vec_id") <= m / 10)
+        def probeKept(planes: Int): Long = {
+          val out = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+            "embedding", "vec_id", dim = 64, planes = planes, minCos = 0.3)
+          val n = out.count()
+          graft.ops.Lineage.release(out) // probe returns materialized (r19)
+          n
+        }
         // converge the probe plan before measuring
-        val expect = IncrementalEmbeddingDedup.probe(spark, idx, gate,
-          "embedding", "vec_id", dim = 64, planes = 8, minCos = 0.3).count()
+        val expect = probeKept(8)
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
         val served = new java.util.concurrent.atomic.AtomicInteger(0)
         val refused = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -242,11 +257,13 @@ object IncrEnvelope {
         val prober = new Thread(() => {
           while (!stop.get()) {
             try {
-              val n = IncrementalEmbeddingDedup.probe(spark, idx, gate,
-                "embedding", "vec_id", dim = 64, planes = 8, minCos = 0.3).count()
+              val n = probeKept(8)
               if (n == expect) served.incrementAndGet()
               else { wrong.incrementAndGet(); stop.set(true) }
             } catch {
+              // r19: probe() retries swap transients INTERNALLY, so any
+              // refusal reaching this catch means the bounded budget was
+              // exhausted — a genuinely client-visible failure (target 0)
               case ex: IllegalArgumentException
                   if ex.getMessage.contains("mid-SWAP") ||
                     ex.getMessage.contains("migration") ||
@@ -280,14 +297,91 @@ object IncrEnvelope {
         val windowSec =
           if (firstRefuse.get() < 0) 0.0
           else (lastRefuse.get() - firstRefuse.get()) / 1e9
-        val post = IncrementalEmbeddingDedup.probe(spark, idx, gate,
-          "embedding", "vec_id", dim = 64, planes = 11, minCos = 0.3).count()
+        val post = probeKept(11)
         println(s"""{"mode":"rebucket_serving","vectors":${e.count()},""" +
           s""""migrate_sec":${f"$tMig%.2f"},"served":${served.get()},""" +
           s""""refused":${refused.get()},""" +
           s""""refusal_window_sec":${f"$windowSec%.2f"},""" +
           s""""loud_fnf":${loudFnf.get()},""" +
+          s""""client_failures":${refused.get() + loudFnf.get()},""" +
           s""""wrong":${wrong.get()},"post_migration_kept":$post}""")
+
+      case mode @ ("compact_serving" | "promote_serving") =>
+        // r19: the TEXT twin of rebucket_serving — measured availability
+        // during the two folding maintenance ops. A prober thread loops
+        // the (internally-retrying) probe against the index while
+        // compactIndex / promoteBase runs, classifying every outcome;
+        // with the r19 in-probe retry the target is CLIENT failures = 0
+        // and wrong = 0 (a wrong answer here would be the missing-folded-
+        // rows race the compact marker/bump reorder closed). The gate
+        // re-sends indexed content, so any silently-missing index rows
+        // surface as kept > expect — an under-drop is detectable, not
+        // invisible.
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val m = docs.agg(max("doc_id")).head.getLong(0)
+        val idx = fresh(mode)
+        Seq(
+          docs.filter(col("doc_id") <= m / 3),
+          docs.filter(col("doc_id") > m / 3 && col("doc_id") <= 2 * m / 3),
+          docs.filter(col("doc_id") > 2 * m / 3)
+        ).zipWithIndex.foreach { case (b, i) =>
+          IncrementalDedup.addBatch(spark, idx, b, "text", "doc_id", i).count()
+        }
+        val gate = docs.filter(col("doc_id") <= m / 10)
+        def probeKept(): Long = {
+          val out = IncrementalDedup.probe(spark, idx, gate, "text", "doc_id")
+          val n = out.count()
+          graft.ops.Lineage.release(out)
+          n
+        }
+        val expect = probeKept() // converge the plan before measuring
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val served = new java.util.concurrent.atomic.AtomicInteger(0)
+        val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+        val loudFnf = new java.util.concurrent.atomic.AtomicInteger(0)
+        val wrong = new java.util.concurrent.atomic.AtomicInteger(0)
+        def isFnfT(t: Throwable): Boolean =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+              Option(c.getMessage).exists(m =>
+                m.contains("FileNotFound") || m.contains("does not exist"))
+          }
+        val prober = new Thread(() => {
+          while (!stop.get()) {
+            try {
+              val n = probeKept()
+              if (n == expect) served.incrementAndGet()
+              else { wrong.incrementAndGet(); stop.set(true) }
+            } catch {
+              case ex: IllegalArgumentException
+                  if ex.getMessage.contains("raced this probe") =>
+                refused.incrementAndGet()
+              case ex: Throwable if isFnfT(ex) => loudFnf.incrementAndGet()
+              case ex: Throwable =>
+                System.err.println(s"[$mode] UNEXPECTED: $ex")
+                wrong.incrementAndGet(); stop.set(true)
+            }
+          }
+        }, s"$mode-prober")
+        prober.start()
+        val (_, tMaint) = timed {
+          if (mode == "compact_serving")
+            IncrementalDedup.compactIndex(spark, idx, uptoExclusive = 3)
+          else
+            IncrementalDedup.promoteBase(spark, idx, uptoExclusive = 3)
+        }
+        stop.set(true); prober.join()
+        val post = probeKept()
+        println(s"""{"mode":"$mode","docs":${docs.count()},""" +
+          s""""maintenance_sec":${f"$tMaint%.2f"},"served":${served.get()},""" +
+          s""""refused":${refused.get()},"loud_fnf":${loudFnf.get()},""" +
+          s""""client_failures":${refused.get() + loudFnf.get()},""" +
+          s""""wrong":${wrong.get()},""" +
+          s""""post_kept":$post,"post_equal":${post == expect}}""")
+        if (mode == "promote_serving")
+          spark.catalog.listTables().collect().map(_.name)
+            .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(idx)))
+            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
       case "probe_curve_writer" =>
         // r18: the serving-latency curve under CONCURRENT WRITER LOAD —
@@ -322,9 +416,12 @@ object IncrEnvelope {
               "text", "doc_id", batchId).count()
             batchId += 1; built = f
           }
-          def probeOnce(): Double =
-            timed(IncrementalDedup.probe(spark, idx, docs, "text", "doc_id")
-              .count())._2
+          def probeOnce(): Double = {
+            val (out, t) = timed(
+              IncrementalDedup.probe(spark, idx, docs, "text", "doc_id"))
+            graft.ops.Lineage.release(out) // probe returns materialized (r19)
+            t
+          }
           val quietT = (1 to 3).map(_ => probeOnce())
           // single writer: novel ~10%-sized batches, ids far above any
           // growth copy's range (copies use g < 1000)

@@ -21,6 +21,11 @@ object StreamBench {
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "wordcount")
     val src = spark.readStream.format("rate")
       .option("rowsPerSecond", rate).option("numPartitions", 8).load()
+    // a mode may report one extra mode-specific JSON line after the run
+    // (evaluated and printed post-stop, so it reads final counters and
+    // never interleaves with progress noise)
+    val extraLine =
+      new java.util.concurrent.atomic.AtomicReference[() => String](() => "")
     val q = mode match {
       case "join" =>
         // windowed self-join throughput: evens vs odds on a shared key
@@ -126,6 +131,52 @@ object StreamBench {
         graft.ops.Dsir.scoreWithMany(docs, "text", "doc_id",
           Seq("en", "de", "fr").map(l => l -> models(l)))
           .writeStream.format("noop").outputMode("append").start()
+      case "dsirhot" =>
+        // r19 hot-reload receipt: the same synthetic stream as dsirgate,
+        // served through the foreachBatch HOT-RELOAD gate; a publisher
+        // thread republishes the model (different target domain) halfway
+        // through the run. The query must keep running — zero refusals,
+        // no restart — and the extra line reports the observed swaps
+        // (expect 2: initial load + republish pickup) plus which batch
+        // first served the new model.
+        val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_streambench_dsirhot").toString
+        val hfs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        val modelA = graft.ops.Dsir.fit(d, d.filter(col("lang") === "en"),
+          "text", "doc_id", gateFrac = 0.25)
+        val modelB = graft.ops.Dsir.fit(d, d.filter(col("lang") === "de"),
+          "text", "doc_id", gateFrac = 0.25)
+        graft.ops.Dsir.save(modelA, spark, dir)
+        val swaps = new java.util.concurrent.atomic.AtomicInteger(0)
+        val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val firstNewBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val gens = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val docs = src.select(col("value").as("doc_id"), concat(
+          lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
+          (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
+          (col("value") % 7919).cast("string")).as("text"))
+        val gate = graft.streaming.DsirServing.gatedForeachBatch(
+          dir, "text", "doc_id",
+          onSwap = (g, _) => { swaps.incrementAndGet(); gens.set(g) }) {
+          (scored, batchId) =>
+            lastBatch.set(batchId)
+            if (swaps.get() >= 2) firstNewBatch.compareAndSet(-1L, batchId)
+            scored.write.format("noop").mode("overwrite").save()
+        }
+        extraLine.set(() =>
+          s"""{"metric":"stream_dsirhot_swap","republished_at_sec":${seconds / 2},""" +
+            s""""swaps":${swaps.get()},"first_new_model_batch":${firstNewBatch.get()},""" +
+            s""""last_batch":${lastBatch.get()}}""")
+        val publisher = new Thread(() => {
+          Thread.sleep(seconds * 500L) // halfway
+          graft.ops.Dsir.save(modelB, spark, dir)
+        }, "dsirhot-publisher")
+        publisher.setDaemon(true)
+        publisher.start()
+        docs.writeStream.foreachBatch(gate).start()
       case "crosscorpus" =>
         // stream-vs-static cross-corpus dedup throughput: synthetic docs
         // (content repeats every 500 ids) verified against the PERSISTED
@@ -240,6 +291,8 @@ object StreamBench {
     val procRate = progress.map(_.processedRowsPerSecond).filter(!_.isNaN)
     val avg = if (procRate.nonEmpty) procRate.sum / procRate.length else 0.0
     println(f"""{"metric":"stream_$mode%s_rows_per_sec","value":$avg%.0f,"rows":$rows,"batches":${progress.length},"offered_rate":$rate}""")
+    val extra = extraLine.get()()
+    if (extra.nonEmpty) println(extra)
     spark.stop()
   }
 }
