@@ -92,4 +92,29 @@ object DsirServing {
       sink(Dsir.scoreWith(batch.toDF(), textCol, idCol, model), batchId)
     }
   }
+
+  /** The MULTI-GATE router with hot reload: D domain gates
+    * ([[Dsir.scoreWithMany]] — features hashed once, D λ folds, one
+    * Scan→Project) each backed by its own model path, each reloading
+    * independently when ITS publish generation moves. Republishing one
+    * domain's gate swaps only that domain — the other D−1 keep serving
+    * their cached models, and the batch is still scored by exactly one
+    * model per domain (per-batch resolution happens before scoring).
+    * `scoreWithMany`'s shared-hash contract ((buckets, alpha) equal
+    * across models) is re-checked on every swap, so a republish that
+    * breaks it fails LOUDLY at the reload, never as silent mis-bucketed
+    * scores.
+    */
+  def multiGatedForeachBatch(models: Seq[(String, String)], textCol: String,
+      idCol: String, onSwap: (String, String, DsirModel) => Unit = (_, _, _) => ())
+      (sink: (DataFrame, Long) => Unit): (Dataset[Row], Long) => Unit = {
+    require(models.nonEmpty, "need at least one (domain, modelPath) gate")
+    val hots = models.map { case (domain, path) =>
+      domain -> new HotModel(path, (g, m) => onSwap(domain, g, m))
+    }
+    (batch: Dataset[Row], batchId: Long) => {
+      val resolved = hots.map { case (d, h) => d -> h.currentFor(batch.sparkSession) }
+      sink(Dsir.scoreWithMany(batch.toDF(), textCol, idCol, resolved), batchId)
+    }
+  }
 }

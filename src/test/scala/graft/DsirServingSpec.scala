@@ -72,6 +72,62 @@ class DsirServingSpec extends SparkSpec {
     assert(swaps.get() === 2, s"expected 2 model swaps, saw ${swaps.get()}")
   }
 
+  test("multi-gate router hot-reloads ONE domain independently: the republished " +
+      "gate swaps at the next batch, the others keep their cached models") {
+    val dirEn = "/tmp/graft_dsir_serving_multi_en"
+    val dirDe = "/tmp/graft_dsir_serving_multi_de"
+    Seq(dirEn, dirDe).foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val fits = Dsir.fitPerDomain(docs,
+      Seq("en" -> target, "de" -> docs.filter($"lang" === "de")),
+      "text", "doc_id", gateFrac = 0.25)
+    Dsir.save(fits("en"), spark, dirEn)
+    Dsir.save(fits("de"), spark, dirDe)
+    // the republished de-gate: same (buckets, alpha) — a different cutoff
+    val deV2 = fits("de").copy(cutMicro = fits("de").cutMicro + 1e9)
+
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.take(100)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val swapsByDomain = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean, Boolean)]()
+    val gate = DsirServing.multiGatedForeachBatch(
+      Seq("en" -> dirEn, "de" -> dirDe), "text", "doc_id",
+      onSwap = (d, _, _) => swapsByDomain.merge(d, 1, (a, b) => a + b)) {
+      (scored, batchId) =>
+        got.synchronized {
+          got ++= scored.select(col("doc_id"), col("keep_en"), col("keep_de"))
+            .collect().map(r => (batchId, r.getLong(0),
+              r.getBoolean(1), r.getBoolean(2)))
+        }
+    }
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(gate).start()
+    try {
+      mem.addData(rows.take(50): _*)
+      q.processAllAvailable()
+      Dsir.save(deV2, spark, dirDe) // republish ONLY the de gate
+      mem.addData(rows.drop(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def expect(ms: Seq[(String, Dsir.DsirModel)], slice: Seq[(Long, String)]) =
+      Dsir.scoreWithMany(slice.toDF("doc_id", "text"), "text", "doc_id", ms)
+        .select(col("doc_id"), col("keep_en"), col("keep_de")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    val pre = got.filter(_._1 == 0).map(t => (t._2, t._3, t._4)).toSet
+    val post = got.filter(_._1 == 1).map(t => (t._2, t._3, t._4)).toSet
+    assert(pre === expect(Seq("en" -> fits("en"), "de" -> fits("de")),
+      rows.take(50)), "pre-republish batch must use both original models")
+    assert(post === expect(Seq("en" -> fits("en"), "de" -> deV2),
+      rows.drop(50)), "post-republish batch must swap ONLY the de gate")
+    // the +1e9 cutoff shuts the de gate post-republish: visible evidence
+    // the swap landed (and that en was untouched)
+    assert(got.filter(_._1 == 1).forall(!_._4), "deV2 admits nothing")
+    assert(swapsByDomain.get("en") === 1, "en must load once, never reload")
+    assert(swapsByDomain.get("de") === 2, "de must reload exactly once")
+  }
+
   test("steady state reloads nothing: the generation token gates the parquet read") {
     val dir = "/tmp/graft_dsir_serving_spec_steady"
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
