@@ -290,10 +290,35 @@ object Classifier {
     * the [[Ivf]]/[[Pca]] pattern: train once, parquet the model, serve
     * forever from [[scoreWithModel]]. ClassifierSpec pins
     * load∘save ≡ identity through a scoring replay.
+    *
+    * ATOMIC (r19, [[ModelStore.publish]]): `mode("overwrite")` is
+    * delete-then-write — a crash mid-write used to leave a PARTIAL
+    * weights table a later scoring pass serves as silently wrong scores
+    * (missing buckets read as weight 0). The table now stages and
+    * commits with one rename to `current/weights`.
     */
   def save(weights: DataFrame, path: String): Unit =
-    weights.write.mode("overwrite").parquet(path)
+    ModelStore.publish(weights.sparkSession, path, "classifier model",
+        legacyNames = Seq("weights")) { staging =>
+      weights.write.parquet(s"$staging/weights")
+    }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    ModelStore.read(spark, path, "classifier model",
+        // the pre-r19 layout wrote the parquet files AT the path itself
+        isLegacy = ns => ns.exists(n => n.startsWith("part-") || n == "_SUCCESS")) {
+      cur =>
+        // ≤ buckets+1 rows: bind to load-time files so a later republish
+        // fails loudly instead of silently re-listing the new table
+        val wDir = s"$cur/weights"
+        val fs = new org.apache.hadoop.fs.Path(wDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fs.listStatus(new org.apache.hadoop.fs.Path(wDir))
+          .filter(f => f.isFile && f.getLen > 0 && {
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }).map(_.getPath.toString).toIndexedSeq
+        if (files.isEmpty) spark.read.parquet(wDir)
+        else spark.read.option("basePath", wDir).parquet(files: _*)
+    }
 }

@@ -362,48 +362,11 @@ object Dsir {
     DsirModel(buckets, alpha, lam, cut)
   }
 
-  private val CurrentDir = "current"
-  private val StagingPrefix = "_graft_staging_"
-  private val PrevPrefix = "_graft_prev_"
-  /** Single-publisher claim token: [[save]] writes its nonce here up
-    * front and re-checks it just before the commit rename — a concurrent
-    * publisher's claim moves the token and the loser refuses LOUDLY
-    * instead of racing the rename sequence (the index family's
-    * `SwapGen` pattern; the residual window is the re-check→rename gap,
-    * not the whole staging write).
+  /** The publish/read protocol itself lives in [[ModelStore]] (r19 —
+    * shared with [[Ivf]], [[Pca]], [[Classifier]]); DSIR keeps only its
+    * table shapes and the λ-table validation.
     */
-  private val PubClaimFile = "_graft_pubclaim"
-  /** Commit-generation token: bumped by [[save]] immediately BEFORE its
-    * commit renames, so a [[load]] whose two table reads straddle the
-    * swap sees the generation moved and retries instead of serving a
-    * new-λ/stale-cutoff mix.
-    */
-  private val PubGenFile = "_graft_pubgen"
-
-  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String =
-    if (!fs.isFile(p)) ""
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-    }
-
-  /** Atomic token write: temp file + rename-with-OVERWRITE (atomic on
-    * HDFS and posix) — an in-place truncating create could be read
-    * half-written.
-    */
-  private def writeToken(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, v: String): Unit = {
-    val tmp = p.suffix(".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private val LegacyTables = Seq("lambda", "meta")
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -462,60 +425,15 @@ object Dsir {
   private[graft] def save(model: DsirModel, spark: SparkSession, path: String,
       beforeCommit: () => Unit): Unit = {
     import spark.implicits._
-    val fs = fsOf(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    fs.mkdirs(root)
-    // heal: staging debris of a crashed publish is superseded by this
-    // one; prev debris is kept until after OUR commit (see scaladoc)
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(StagingPrefix))
-      .foreach(p => fs.delete(p, true))
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val claim = new org.apache.hadoop.fs.Path(root, PubClaimFile)
-    writeToken(spark, fs, claim, nonce)
-    val staging = new org.apache.hadoop.fs.Path(root, StagingPrefix + nonce)
-    model.lam.zipWithIndex.map { case (l, b) => (b.toLong, l) }.toSeq
-      .toDF("b", "lam")
-      .coalesce(1).write.parquet(s"$staging/lambda")
-    Seq((model.buckets, model.alpha, model.cutMicro))
-      .toDF("buckets", "alpha", "cut_micro")
-      .coalesce(1).write.parquet(s"$staging/meta")
-    beforeCommit()
-    // single-publisher re-check: a competing save moved the claim while
-    // we were staging — refuse loudly, never race the rename sequence
-    val claimNow = readToken(fs, claim)
-    if (claimNow != nonce) {
-      fs.delete(staging, true)
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent DSIR publish at $path: this save claimed '$nonce' but " +
-          s"the claim now reads '$claimNow' — another publisher is mid-save " +
-          "(single-publisher contract); this save's staging was discarded, " +
-          "the competing model will be complete; coordinate publishers or " +
-          "rerun after the other save finishes")
+    ModelStore.publish(spark, path, "DSIR", legacyNames = LegacyTables,
+        beforeCommit = beforeCommit) { staging =>
+      model.lam.zipWithIndex.map { case (l, b) => (b.toLong, l) }.toSeq
+        .toDF("b", "lam")
+        .coalesce(1).write.parquet(s"$staging/lambda")
+      Seq((model.buckets, model.alpha, model.cutMicro))
+        .toDF("buckets", "alpha", "cut_micro")
+        .coalesce(1).write.parquet(s"$staging/meta")
     }
-    val current = new org.apache.hadoop.fs.Path(root, CurrentDir)
-    val prev = new org.apache.hadoop.fs.Path(root, PrevPrefix + nonce)
-    // bump the commit generation BEFORE any live mutation: a load whose
-    // reads straddle the swap (or catch the brief no-current window
-    // between the two renames) sees the moved token and retries
-    writeToken(spark, fs, new org.apache.hadoop.fs.Path(root, PubGenFile),
-      java.util.UUID.randomUUID().toString)
-    if (fs.exists(current) && !fs.rename(current, prev))
-      throw new java.io.IOException(
-        s"could not move aside the previous model at $current")
-    if (!fs.rename(staging, current))
-      throw new java.io.IOException(
-        s"could not publish $staging as $current — the previous model " +
-          s"is intact at $prev; rerun save")
-    fs.delete(prev, true)
-    // post-commit cleanup (the new current supersedes everything):
-    // prev debris from crashed predecessors, and a pre-r18 unversioned
-    // layout a reader could otherwise confuse for the model
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(PrevPrefix))
-      .foreach(p => fs.delete(p, true))
-    fs.delete(new org.apache.hadoop.fs.Path(root, "lambda"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(root, "meta"), true)
   }
 
   /** The committed model's publish generation — moves on every [[save]]
@@ -527,26 +445,25 @@ object Dsir {
     * republish moves it, so change detection still works.
     */
   def publishGeneration(spark: SparkSession, path: String): String =
-    readToken(fsOf(spark, path), new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(path), PubGenFile))
+    ModelStore.generation(spark, path)
 
   /** Load the committed model. Refuses — loudly, with the heal spelled
     * out — anything other than a complete committed `current/`: a
     * crashed publish caught between its two renames (the intact
-    * moved-aside copy is named), or a pre-r18 unversioned layout. The λ
-    * table must hold EXACTLY one row per bucket in [0, buckets): the λ
-    * array is zero-filled before being populated from the table, so a
-    * partial or foreign read would otherwise serve silently wrong
-    * (under-)scores rather than fail.
+    * moved-aside copy is named), or a pre-atomic flat layout
+    * ([[ModelStore.read]]). The λ table must hold EXACTLY one row per
+    * bucket in [0, buckets): the λ array is zero-filled before being
+    * populated from the table, so a partial or foreign read would
+    * otherwise serve silently wrong (under-)scores rather than fail.
     *
     * CONCURRENT with a [[save]] (r19): the meta and λ reads are two
     * filesystem reads, so a commit rename landing between them would
-    * serve a new-λ/stale-cutoff mix — load therefore reads the
-    * commit-generation token first, re-checks it after BOTH reads, and
-    * retries (bounded) on movement; the brief no-`current/` window
-    * between save's two renames is retried the same way. A refusal that
-    * persists across the retry budget surfaces loudly — only genuinely
-    * crashed or corrupt states reach the caller.
+    * serve a new-λ/stale-cutoff mix — [[ModelStore.read]] re-checks the
+    * commit generation around the pair and retries (bounded) when a
+    * publish raced; the brief no-`current/` window between save's two
+    * renames is retried the same way. A refusal that persists across
+    * the retry budget surfaces loudly — only genuinely crashed or
+    * corrupt states reach the caller.
     */
   def load(spark: SparkSession, path: String): DsirModel =
     load(spark, path, () => ())
@@ -557,95 +474,32 @@ object Dsir {
     * serves a mixed model. Production callers use the public overload.
     */
   private[graft] def load(spark: SparkSession, path: String,
-      afterMetaRead: () => Unit): DsirModel = {
-    val fs = fsOf(spark, path)
-    val genPath = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(path), PubGenFile)
-    val MaxAttempts = 4
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val gen0 = readToken(fs, genPath)
-      try return loadOnce(spark, path, gen0, afterMetaRead)
-      catch {
-        // retry ONLY when a publish verifiably raced this load (the
-        // generation moved) or the read caught the mid-commit window;
-        // stable states — truly absent/corrupt models — rethrow loudly
-        case t: Throwable if attempt < MaxAttempts &&
-            (readToken(fs, genPath) != gen0 || isMidCommit(t)) =>
-          Thread.sleep(50L * attempt)
+      afterMetaRead: () => Unit): DsirModel =
+    ModelStore.read(spark, path, "DSIR model",
+        isLegacy = ns => LegacyTables.forall(ns.contains)) { current =>
+      val m = spark.read.parquet(s"$current/meta").head()
+      afterMetaRead()
+      val buckets = m.getInt(0)
+      val rows = spark.read.parquet(s"$current/lambda").collect()
+      val lam = new Array[Long](buckets)
+      val seen = new java.util.BitSet(buckets)
+      rows.foreach { r =>
+        val b = r.getLong(0)
+        require(b >= 0 && b < buckets,
+          s"lambda table at $current holds bucket $b outside [0, $buckets) — " +
+            "not this model's table")
+        require(!seen.get(b.toInt),
+          s"lambda table at $current holds bucket $b twice — corrupt table")
+        seen.set(b.toInt)
+        lam(b.toInt) = r.getLong(1)
       }
+      require(rows.length == buckets,
+        s"lambda table at $current holds ${rows.length} of $buckets buckets — " +
+          "a partial read would silently under-score every document that " +
+          "hashes into a missing bucket; the publish is atomic, so rebuild " +
+          "the model (fit + save) rather than serving this one")
+      DsirModel(buckets, m.getDouble(1), lam, m.getDouble(2))
     }
-    sys.error("unreachable")
-  }
-
-  /** A failure shape the mid-commit window produces: the `current/` dir
-    * (or a file under it) absent between save's two renames. Message- and
-    * type-based because Spark wraps the FileNotFound in AnalysisException
-    * ("Path does not exist") at read-planning time.
-    */
-  private def isMidCommit(t: Throwable): Boolean =
-    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
-      c.isInstanceOf[java.io.FileNotFoundException] ||
-        (c.isInstanceOf[IllegalStateException] &&
-          Option(c.getMessage).exists(_.contains("crashed mid-publish"))) ||
-        Option(c.getMessage).exists(m =>
-          m.contains("Path does not exist") || m.contains("PATH_NOT_FOUND"))
-    }
-
-  private def loadOnce(spark: SparkSession, path: String, gen0: String,
-      afterMetaRead: () => Unit): DsirModel = {
-    val fs = fsOf(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val current = new org.apache.hadoop.fs.Path(root, CurrentDir)
-    if (!fs.exists(current)) {
-      val names =
-        if (fs.exists(root)) fs.listStatus(root).map(_.getPath.getName).toSeq
-        else Seq.empty
-      val prevs = names.filter(_.startsWith(PrevPrefix))
-      if (prevs.nonEmpty) throw new IllegalStateException(
-        s"no committed DSIR model at $path — a save crashed mid-publish; " +
-          s"the previous model is intact under ${prevs.mkString(", ")}: " +
-          "rerun save (which heals the debris) or rename it to 'current'")
-      else if (names.contains("lambda") && names.contains("meta"))
-        throw new IllegalStateException(
-          s"DSIR model at $path uses the pre-r18 unversioned layout " +
-            "(flat lambda/ + meta/, a non-atomic two-overwrite publish " +
-            "that can serve a new-lambda/old-cutoff mix after a crash) — " +
-            "re-save the model to adopt the atomic current/ layout")
-      else throw new IllegalStateException(
-        s"no DSIR model at $path — save one first" +
-          (if (names.isEmpty) "" else s" (found: ${names.mkString(", ")})"))
-    }
-    val m = spark.read.parquet(s"$current/meta").head()
-    afterMetaRead()
-    val buckets = m.getInt(0)
-    val rows = spark.read.parquet(s"$current/lambda").collect()
-    // consistency gate BEFORE validation: a commit that landed between
-    // the two reads above could pair new λ with a stale cutoff — both
-    // tables individually complete, so no row-level check catches it
-    require(readToken(fs, new org.apache.hadoop.fs.Path(root, PubGenFile)) == gen0,
-      s"a DSIR publish at $path raced this load — the meta and lambda " +
-        "reads may mix models; RETRY the load (the new model is complete)")
-    val lam = new Array[Long](buckets)
-    val seen = new java.util.BitSet(buckets)
-    rows.foreach { r =>
-      val b = r.getLong(0)
-      require(b >= 0 && b < buckets,
-        s"lambda table at $current holds bucket $b outside [0, $buckets) — " +
-          "not this model's table")
-      require(!seen.get(b.toInt),
-        s"lambda table at $current holds bucket $b twice — corrupt table")
-      seen.set(b.toInt)
-      lam(b.toInt) = r.getLong(1)
-    }
-    require(rows.length == buckets,
-      s"lambda table at $current holds ${rows.length} of $buckets buckets — " +
-        "a partial read would silently under-score every document that " +
-        "hashes into a missing bucket; the publish is atomic, so rebuild " +
-        "the model (fit + save) rather than serving this one")
-    DsirModel(buckets, m.getDouble(1), lam, m.getDouble(2))
-  }
 
   /** Serve D domain gates in one projection: per-document
     * (idCol, n_feats, w_<domain>…, keep_<domain>…) — the multi-gate

@@ -55,25 +55,52 @@ object Ivf {
   /** Persist the index: assignments as parquet (distributed, partitioned by
     * nothing — readers equi-join on list_id), centroids as a tiny parquet
     * side table. Build once, search many — the production ANN lifecycle.
+    *
+    * ATOMIC (r19, [[ModelStore.publish]]): assignments reference centroid
+    * ids from THIS k-means run — a crash between two in-place overwrites
+    * used to leave new assignments against old centroids, a silently
+    * mis-ranked index no row-level check catches. Both tables stage
+    * under one temp dir and commit with a single directory rename to
+    * `current/`; concurrent publishers refuse loudly (single-publisher
+    * claim) and readers retry around a racing commit.
     */
-  def save(index: IvfIndex, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    index.assignments.write.mode("overwrite").parquet(s"$path/assignments")
-    import spark.implicits._
-    // c2 = Σcᵢ² precomputed driver-side: probe ranking needs it per
-    // (query, centroid), and persisting the exact double lets external
-    // readers (the DuckDB oracle) rank probes bit-identically instead of
-    // re-summing in their own order
-    index.centroids.zipWithIndex.map { case (c, i) => (i, c, c.map(x => x * x).sum) }
-      .toDF("list_id", "centroid", "c2")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-  }
+  def save(index: IvfIndex, spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    ModelStore.publish(spark, path, "IVF index",
+        legacyNames = Seq("assignments", "centroids")) { staging =>
+      index.assignments.write.parquet(s"$staging/assignments")
+      import spark.implicits._
+      // c2 = Σcᵢ² precomputed driver-side: probe ranking needs it per
+      // (query, centroid), and persisting the exact double lets external
+      // readers (the DuckDB oracle) rank probes bit-identically instead of
+      // re-summing in their own order
+      index.centroids.zipWithIndex.map { case (c, i) => (i, c, c.map(x => x * x).sum) }
+        .toDF("list_id", "centroid", "c2")
+        .repartition(1).write.parquet(s"$staging/centroids")
+    }
 
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
-      .sortBy(_._1).map(_._2.toSeq).toSeq
-    IvfIndex(centroids, spark.read.parquet(s"$path/assignments"))
-  }
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    ModelStore.read(spark, path, "IVF index",
+        isLegacy = ns => ns.contains("assignments") && ns.contains("centroids")) { cur =>
+      val centroids = spark.read.parquet(s"$cur/centroids")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).map(_._2.toSeq).toSeq
+      // the assignments frame stays LAZY (corpus-sized), so it is bound
+      // to the load-time FILES, not the directory: a republish after this
+      // load replaces current/ and an explicit-path read then fails
+      // LOUDLY (FileNotFound) instead of silently pairing the new
+      // assignments with these collected centroids
+      val aDir = s"$cur/assignments"
+      val fs = new org.apache.hadoop.fs.Path(aDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(aDir))
+        .filter(f => f.isFile && f.getLen > 0 && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(_.getPath.toString).toIndexedSeq
+      IvfIndex(centroids,
+        if (files.isEmpty) spark.read.parquet(aDir) // footerless edge: dir read
+        else spark.read.option("basePath", aDir).parquet(files: _*))
+    }
 
   /** Assign NEW vectors to the EXISTING coarse quantizer — no retrain:
     * per-row argmin over the broadcast centroid literals (the same
@@ -99,15 +126,21 @@ object Ivf {
   }
 
   /** Append new vectors to a PERSISTED index in place (parquet append on
-    * the assignments table; centroids untouched). Readers see the new rows
-    * on their next load — the lifecycle is build → save → append* →
-    * (listStats says rebuild) → build.
+    * `current/assignments`; centroids untouched). Readers see the new
+    * rows on their next load — the lifecycle is build → save → append* →
+    * (listStats says rebuild) → build. Unlike [[save]] this is an
+    * ADD-FILES mutation of the committed copy, not a republish: parquet's
+    * output committer makes each appended file appear whole (never torn
+    * rows), but a load racing the append may see a PREFIX of the new
+    * files — the pre-append rows are always all there, which is the
+    * committed-prefix semantics the incremental indexes serve. A [[save]]
+    * supersedes all appends atomically.
     */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String): Unit = {
-    val index = load(spark, path)
+    val index = load(spark, path) // refuses a legacy/crashed layout loudly
     assignToIndex(index, df, idCol, vecCol)
-      .write.mode("append").parquet(s"$path/assignments")
+      .write.mode("append").parquet(s"$path/${ModelStore.CurrentDir}/assignments")
   }
 
   /** Per-list occupancy audit — the REBUILD signal: append-only

@@ -364,23 +364,33 @@ object Pca {
 
   /** Persist mean + components as parquet (same externalized-model contract
     * as [[Ivf.save]] — the oracle replays the projection from these files).
+    *
+    * ATOMIC (r19, [[ModelStore.publish]]): a projection against a new
+    * mean with old components (or vice versa) is silently wrong — the
+    * two tables stage together and commit with one directory rename to
+    * `current/`; concurrent publishers refuse loudly and [[load]]
+    * retries around a racing commit.
     */
-  def save(model: PcaModel, spark: SparkSession, path: String): Unit = {
-    import spark.implicits._
-    Seq(Tuple1(model.mean)).toDF("mean")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/mean")
-    model.components.zipWithIndex.map { case (c, i) => (i, model.eigenvalues(i), c) }
-      .toDF("comp_id", "eigenvalue", "vec")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/components")
-  }
+  def save(model: PcaModel, spark: SparkSession, path: String): Unit =
+    ModelStore.publish(spark, path, "PCA model",
+        legacyNames = Seq("mean", "components")) { staging =>
+      import spark.implicits._
+      Seq(Tuple1(model.mean)).toDF("mean")
+        .repartition(1).write.parquet(s"$staging/mean")
+      model.components.zipWithIndex.map { case (c, i) => (i, model.eigenvalues(i), c) }
+        .toDF("comp_id", "eigenvalue", "vec")
+        .repartition(1).write.parquet(s"$staging/components")
+    }
 
-  def load(spark: SparkSession, path: String): PcaModel = {
-    val mean = spark.read.parquet(s"$path/mean").collect()(0).getSeq[Double](0)
-    val comps = spark.read.parquet(s"$path/components")
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2)))
-      .sortBy(_._1)
-    PcaModel(mean, comps.map(_._2).toSeq, comps.map(_._3).toSeq)
-  }
+  def load(spark: SparkSession, path: String): PcaModel =
+    ModelStore.read(spark, path, "PCA model",
+        isLegacy = ns => ns.contains("mean") && ns.contains("components")) { cur =>
+      val mean = spark.read.parquet(s"$cur/mean").collect()(0).getSeq[Double](0)
+      val comps = spark.read.parquet(s"$cur/components")
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2)))
+        .sortBy(_._1)
+      PcaModel(mean, comps.map(_._2).toSeq, comps.map(_._3).toSeq)
+    }
 
   /** Project every vector onto the model's components: one row per
     * (id, comp_id) with proj = (x − mean)·v_c, floor6-stabilized. The

@@ -552,9 +552,9 @@ object SimilarityQueries extends QueryModule {
 
     // same replay with the persisted eigenvalue's sqrt in the divisor
     "emb_pca_whiten" ->
-      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaFixture/mean/*.parquet')),
+      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaFixture/current/mean/*.parquet')),
          |c AS (SELECT comp_id, eigenvalue, vec
-         |      FROM read_parquet('$PcaFixture/components/*.parquet')),
+         |      FROM read_parquet('$PcaFixture/current/components/*.parquet')),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT e.vec_id, c.comp_id,
          |  CASE WHEN c.eigenvalue > 1e-12 THEN
@@ -567,8 +567,8 @@ object SimilarityQueries extends QueryModule {
     // projection replayed from the persisted model: centering uses the
     // exact parquet doubles, the dot is the same left-to-right fold
     "emb_pca_project" ->
-      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaFixture/mean/*.parquet')),
-         |c AS (SELECT comp_id, vec FROM read_parquet('$PcaFixture/components/*.parquet')),
+      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaFixture/current/mean/*.parquet')),
+         |c AS (SELECT comp_id, vec FROM read_parquet('$PcaFixture/current/components/*.parquet')),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT e.vec_id, c.comp_id,
          |  floor(list_dot_product(
@@ -580,8 +580,8 @@ object SimilarityQueries extends QueryModule {
     // deterministic widening on both sides, projection from the persisted
     // wide-model parquet doubles
     "emb_pca_project_wide" ->
-      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaWideFixture/mean/*.parquet')),
-         |c AS (SELECT comp_id, vec FROM read_parquet('$PcaWideFixture/components/*.parquet')),
+      s"""WITH m AS (SELECT mean FROM read_parquet('$PcaWideFixture/current/mean/*.parquet')),
+         |c AS (SELECT comp_id, vec FROM read_parquet('$PcaWideFixture/current/components/*.parquet')),
          |e AS (SELECT vec_id,
          |        flatten(list_transform(range($WideTiles), t ->
          |          list_transform(embedding, x -> x::DOUBLE * (1 + t / 10.0)))) AS v
@@ -752,9 +752,9 @@ object SimilarityQueries extends QueryModule {
          |                c.vec) / sqrt(c.eigenvalue) * 1000000) / 1000000.0
          |              ORDER BY c.comp_id) AS wvec
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
-         |  CROSS JOIN (SELECT mean FROM read_parquet('$PcaFixture/mean/*.parquet')) m
+         |  CROSS JOIN (SELECT mean FROM read_parquet('$PcaFixture/current/mean/*.parquet')) m
          |  CROSS JOIN (SELECT comp_id, eigenvalue, vec
-         |              FROM read_parquet('$PcaFixture/components/*.parquet')) c
+         |              FROM read_parquet('$PcaFixture/current/components/*.parquet')) c
          |  WHERE c.eigenvalue > 1e-12
          |  GROUP BY e.vec_id),
          |a AS (SELECT vec_id, cluster FROM (
@@ -918,9 +918,9 @@ object SimilarityQueries extends QueryModule {
     // list_id construction order); cosine/top-k identical to the LSH oracles
     "ivf_topk" ->
       s"""WITH a AS (SELECT vec_id, v, list_id
-         |           FROM read_parquet('$IvfFixture/assignments/*.parquet')),
+         |           FROM read_parquet('$IvfFixture/current/assignments/*.parquet')),
          |c AS (SELECT list_id, centroid, c2
-         |      FROM read_parquet('$IvfFixture/centroids/*.parquet')),
+         |      FROM read_parquet('$IvfFixture/current/centroids/*.parquet')),
          |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
          |      FROM a WHERE vec_id % 10 = 0),
          |pr AS (SELECT q.query_id, q.qv, q.qn, c.list_id,

@@ -263,7 +263,7 @@ class DsirSpec extends SparkSpec {
     assert(fs.rename(hp(s"$dir/current/meta"), hp(s"$dir/meta")))
     fs.delete(hp(s"$dir/current"), true)
     val e = intercept[IllegalStateException](Dsir.load(spark, dir))
-    assert(e.getMessage.contains("pre-r18 unversioned layout"))
+    assert(e.getMessage.contains("pre-atomic unversioned layout"))
     // re-save adopts the atomic layout AND clears the flat tables
     Dsir.save(model, spark, dir)
     assert(Dsir.load(spark, dir).lam.toSeq === model.lam.toSeq)
