@@ -168,9 +168,23 @@ object Classifier {
   def scoreWithModel(df: DataFrame, textCol: String, idCol: String,
       weights: DataFrame, buckets: Int = 32,
       portableHash: Boolean = true, keepCols: Seq[String] = Seq.empty): DataFrame = {
+    val wm = weights.collect() // model-bounded: ≤ buckets+1 rows
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scoreWithLocalModel(df, textCol, idCol, wm, buckets, portableHash, keepCols)
+  }
+
+  /** [[scoreWithModel]] over an already-collected weight map — the form a
+    * long-lived server caches between micro-batches
+    * ([[graft.streaming.ModelServing.classifierForeachBatch]]) so serving
+    * costs zero collect jobs per batch. The (buckets, portableHash)
+    * parameters are NOT persisted with the weights — callers own keeping
+    * them consistent with the training run, exactly as with the frame
+    * overload.
+    */
+  def scoreWithLocalModel(df: DataFrame, textCol: String, idCol: String,
+      wm: Map[Long, Long], buckets: Int = 32,
+      portableHash: Boolean = true, keepCols: Seq[String] = Seq.empty): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
-    val rows = weights.collect() // model-bounded: ≤ buckets+1 rows
-    val wm = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val biasMicro = wm.getOrElse(-1L, 0L)
     val wb = wm.removed(-1L).toSeq.sortBy(_._1)
     val wmap = map_from_arrays(

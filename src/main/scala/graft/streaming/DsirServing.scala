@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicReference
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
 import graft.ops.Dsir
@@ -43,31 +41,22 @@ import graft.ops.Dsir.DsirModel
   */
 object DsirServing {
 
-  /** Driver-side model cache keyed by publish generation. Thread-safe;
-    * shared across however many streams serve the same model path (they
-    * swap independently but read one token). `onSwap(generation, model)`
-    * fires on every reload — observability for "which model scored
-    * batch N" (specs count swaps; production can log/metric them).
+  /** Driver-side model cache keyed by publish generation — a
+    * [[ModelServing.Hot]] over [[Dsir.load]] (the generic mechanism was
+    * factored out of this class; semantics unchanged). Thread-safe;
+    * shared across however many streams serve the same model path.
+    * `onSwap(generation, model)` fires on every reload — observability
+    * for "which model scored batch N".
     */
   final class HotModel(modelPath: String,
       onSwap: (String, DsirModel) => Unit = (_, _) => ()) extends Serializable {
-    @transient private lazy val cached =
-      new AtomicReference[(String, DsirModel)](null)
+    private val hot = new ModelServing.Hot[DsirModel](modelPath,
+      (s, p) => Dsir.load(s, p), onSwap)
 
     /** The model to score THIS batch with — reloaded iff the published
       * generation moved since the last batch.
       */
-    def currentFor(spark: SparkSession): DsirModel = {
-      val gen = Dsir.publishGeneration(spark, modelPath)
-      val c = cached.get()
-      if (c != null && c._1 == gen) c._2
-      else {
-        val m = Dsir.load(spark, modelPath)
-        cached.set((gen, m))
-        onSwap(gen, m)
-        m
-      }
-    }
+    def currentFor(spark: SparkSession): DsirModel = hot.currentFor(spark)
   }
 
   /** A `foreachBatch` function serving the gate with hot reload: score

@@ -131,6 +131,48 @@ object StreamBench {
         graft.ops.Dsir.scoreWithMany(docs, "text", "doc_id",
           Seq("en", "de", "fr").map(l => l -> models(l)))
           .writeStream.format("noop").outputMode("append").start()
+      case "clfhot" =>
+        // r19: the quality-classifier twin of dsirhot — the same stream
+        // served through ModelServing.classifierForeachBatch; a retrain
+        // (different target label) publishes halfway through the run and
+        // must take effect at the next batch, zero restarts.
+        val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_streambench_clfhot").toString
+        val hfs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        val wA = graft.ops.Classifier.train(d, "text", "doc_id",
+          col("lang") === "en", buckets = 32, rounds = 2, lr = 0.5)
+        val wB = graft.ops.Classifier.train(d, "text", "doc_id",
+          col("lang") === "de", buckets = 32, rounds = 2, lr = 0.5)
+        graft.ops.Classifier.save(wA, dir)
+        val swaps = new java.util.concurrent.atomic.AtomicInteger(0)
+        val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val firstNewBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val docs = src.select(col("value").as("doc_id"), concat(
+          lit("alpha"), (col("value") % 100).cast("string"), lit(" beta"),
+          (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
+          (col("value") % 7919).cast("string")).as("text"))
+        val gate = graft.streaming.ModelServing.classifierForeachBatch(
+          dir, "text", "doc_id", buckets = 32,
+          onSwap = (_, _) => swaps.incrementAndGet()) {
+          (scored, batchId) =>
+            lastBatch.set(batchId)
+            if (swaps.get() >= 2) firstNewBatch.compareAndSet(-1L, batchId)
+            scored.write.format("noop").mode("overwrite").save()
+        }
+        extraLine.set(() =>
+          s"""{"metric":"stream_clfhot_swap","republished_at_sec":${seconds / 2},""" +
+            s""""swaps":${swaps.get()},"first_new_model_batch":${firstNewBatch.get()},""" +
+            s""""last_batch":${lastBatch.get()}}""")
+        val publisher = new Thread(() => {
+          Thread.sleep(seconds * 500L) // halfway
+          graft.ops.Classifier.save(wB, dir)
+        }, "clfhot-publisher")
+        publisher.setDaemon(true)
+        publisher.start()
+        docs.writeStream.foreachBatch(gate).start()
       case "dsirhot" =>
         // r19 hot-reload receipt: the same synthetic stream as dsirgate,
         // served through the foreachBatch HOT-RELOAD gate; a publisher
