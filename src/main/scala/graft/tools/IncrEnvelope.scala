@@ -383,6 +383,80 @@ object IncrEnvelope {
             .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(idx)))
             .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
+      case mode @ ("emb_compact_serving" | "emb_promote_serving") =>
+        // the EMBEDDING twin of compact_serving / promote_serving —
+        // completes the measured-availability matrix (text: compact,
+        // promote; embedding: rebucket, compact, promote)
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val m = e.agg(max("vec_id")).head.getLong(0)
+        val idx = fresh(mode)
+        Seq(
+          e.filter(col("vec_id") <= m / 3),
+          e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
+          e.filter(col("vec_id") > 2 * m / 3)
+        ).zipWithIndex.foreach { case (b, i) =>
+          IncrementalEmbeddingDedup.addBatch(spark, idx, b, "embedding",
+            "vec_id", batchId = i, dim = 64, planes = 8, minCos = 0.3).count()
+        }
+        val gate = e.filter(col("vec_id") <= m / 10)
+        def probeKept(): Long = {
+          val out = IncrementalEmbeddingDedup.probe(spark, idx, gate,
+            "embedding", "vec_id", dim = 64, planes = 8, minCos = 0.3)
+          val n = out.count()
+          graft.ops.Lineage.release(out)
+          n
+        }
+        val expect = probeKept()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val served = new java.util.concurrent.atomic.AtomicInteger(0)
+        val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+        val loudFnf = new java.util.concurrent.atomic.AtomicInteger(0)
+        val wrong = new java.util.concurrent.atomic.AtomicInteger(0)
+        def isFnfE(t: Throwable): Boolean =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+              Option(c.getMessage).exists(m =>
+                m.contains("FileNotFound") || m.contains("does not exist"))
+          }
+        val prober = new Thread(() => {
+          while (!stop.get()) {
+            try {
+              val n = probeKept()
+              if (n == expect) served.incrementAndGet()
+              else { wrong.incrementAndGet(); stop.set(true) }
+            } catch {
+              case ex: IllegalArgumentException
+                  if ex.getMessage.contains("raced this probe") ||
+                    ex.getMessage.contains("mid-SWAP") =>
+                refused.incrementAndGet()
+              case ex: Throwable if isFnfE(ex) => loudFnf.incrementAndGet()
+              case ex: Throwable =>
+                System.err.println(s"[$mode] UNEXPECTED: $ex")
+                wrong.incrementAndGet(); stop.set(true)
+            }
+          }
+        }, s"$mode-prober")
+        prober.start()
+        val (_, tMaint) = timed {
+          if (mode == "emb_compact_serving")
+            IncrementalEmbeddingDedup.compactIndex(spark, idx, uptoExclusive = 3)
+          else
+            IncrementalEmbeddingDedup.promoteBase(spark, idx, uptoExclusive = 3)
+        }
+        stop.set(true); prober.join()
+        val post = probeKept()
+        println(s"""{"mode":"$mode","vectors":${e.count()},""" +
+          s""""maintenance_sec":${f"$tMaint%.2f"},"served":${served.get()},""" +
+          s""""refused":${refused.get()},"loud_fnf":${loudFnf.get()},""" +
+          s""""client_failures":${refused.get() + loudFnf.get()},""" +
+          s""""wrong":${wrong.get()},""" +
+          s""""post_kept":$post,"post_equal":${post == expect}}""")
+        if (mode == "emb_promote_serving")
+          spark.catalog.listTables().collect().map(_.name)
+            .filter(_.startsWith(graft.ops.IndexBase.tablePrefix(idx)))
+            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
       case "probe_curve_writer" =>
         // r18: the serving-latency curve under CONCURRENT WRITER LOAD —
         // the production shape the r17 snapshot protocol enables (a
