@@ -368,10 +368,6 @@ object Dsir {
     */
   private val LegacyTables = Seq("lambda", "meta")
 
-  private def fsOf(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Persist a model ATOMICALLY: `current/lambda` (b, lam — all B rows)
     * + `current/meta` (buckets, alpha, cut_micro), both parquet so any
     * engine (and the DuckDB oracle) replays scoring from the exact
