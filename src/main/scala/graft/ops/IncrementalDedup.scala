@@ -343,6 +343,13 @@ object IncrementalDedup {
       textCol: String, idCol: String, minJaccard: Double,
       k: Int, bands: Int, maxReps: Int,
       hashedShingles: Boolean): DataFrame = {
+    // the swap token is read BEFORE the migration/meta checks (r19): a
+    // maintenance swap that starts and COMPLETES between those checks
+    // and a later token read would serve post-swap tables under
+    // pre-swap parameters with the re-check passing vacuously — the
+    // exact silent-wrongness shape rebucket_serving caught in the
+    // embedding twin (wrong=1) when the token was read late
+    val gen0 = SwapGen.read(spark, indexDir)
     IndexMeta.requireNoMigration(spark, indexDir)
     val meta = IndexMeta.read(spark, indexDir).getOrElse(
       throw new IllegalStateException(
@@ -351,7 +358,6 @@ object IncrementalDedup {
       "hashed" -> hashedShingles.toString)
     IndexMeta.requireMatch(indexDir, meta, expected, TextMigrateHint)
 
-    val gen0 = SwapGen.read(spark, indexDir)
     val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val bandsB = Dedup.lshBands(batch, textCol, idCol, k, bands)
       .select(col(idCol).cast("long").as("doc_id"), col("band"), col("band_key"))
@@ -1100,6 +1106,15 @@ private[graft] object SwapGen {
 private[graft] object ProbeRetry {
   private val MaxAttempts = 4
 
+  /** Process-wide count of transients absorbed (retried) so far —
+    * observability for the serving measurements: "client failures 0"
+    * can mean the retry absorbed the swap windows OR that no probe
+    * ever landed in one; the delta of this counter across a run tells
+    * which. Monotonic; read it before/after and subtract.
+    */
+  private val absorbedCount = new java.util.concurrent.atomic.AtomicLong(0)
+  def absorbed: Long = absorbedCount.get()
+
   def isTransient(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
       val m = Option(c.getMessage).getOrElse("")
@@ -1117,6 +1132,7 @@ private[graft] object ProbeRetry {
       try return attempt
       catch {
         case t: Throwable if n < MaxAttempts && isTransient(t) =>
+          absorbedCount.incrementAndGet()
           Thread.sleep(60L * n)
       }
     }
@@ -1538,6 +1554,18 @@ object IncrementalEmbeddingDedup {
   private def probeOnce(spark: SparkSession, indexDir: String, batch: DataFrame,
       vecCol: String, idCol: String, dim: Int, planes: Int,
       minCos: Double, maxReps: Int, quantized: Boolean): DataFrame = {
+    // the swap token is read FIRST (r19) — before the migration check,
+    // the parameter pin, and the batch-side materialize. A rebucket
+    // swap that started and completed entirely inside that span used
+    // to serve the NEW bucket table against this probe's OLD-plane
+    // batch hashing (bucket keys disagree → nothing matches → every
+    // duplicate kept) with the late-read token passing the re-check
+    // vacuously — caught as wrong=1 by `IncrEnvelope rebucket_serving`
+    // at sf0.1, where the swap is fast relative to probe planning.
+    // Token-first, any swap after this line fails requireUnchanged →
+    // RETRY; a swap entirely before it is the served cutover (the
+    // parameter pin then refuses loudly with the migrate hint).
+    val gen0 = SwapGen.read(spark, indexDir)
     // READ-ONLY: serves the pre-migration state through a staged
     // rebucket's data phase; refuses only its short swap window (or a
     // legacy in-place migration's debris)
@@ -1563,7 +1591,7 @@ object IncrementalEmbeddingDedup {
         .select(col(idCol).cast("long").as("id"), col("v"),
           col("n").as("nrm"), col("bucket")))
     try probeBody(spark, indexDir, batch, idCol, minCos, maxReps, quantized,
-      baseB)
+      baseB, gen0)
     finally Lineage.release(baseB)
   }
 
@@ -1574,11 +1602,10 @@ object IncrementalEmbeddingDedup {
     */
   private def probeBody(spark: SparkSession, indexDir: String, batch: DataFrame,
       idCol: String, minCos: Double, maxReps: Int, quantized: Boolean,
-      baseB: DataFrame): DataFrame = {
-    // the swap token is read BEFORE the index listings below freeze
-    // (committed snapshot included — it is a listing too); re-checked
-    // after all of them
-    val gen0 = SwapGen.read(spark, indexDir)
+      baseB: DataFrame, gen0: String): DataFrame = {
+    // gen0 was read at probeOnce's FIRST line — before the parameter
+    // pin and every listing below (the committed snapshot included);
+    // re-checked after all of them
     val committed = Some(BatchCommits.snapshot(spark, indexDir))
     val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
       readIndex(spark, indexDir, BucketsT, Int.MaxValue,

@@ -254,6 +254,7 @@ object IncrEnvelope {
               Option(c.getMessage).exists(m =>
                 m.contains("FileNotFound") || m.contains("does not exist"))
           }
+        val absorbed0 = graft.ops.ProbeRetry.absorbed
         val prober = new Thread(() => {
           while (!stop.get()) {
             try {
@@ -304,6 +305,7 @@ object IncrEnvelope {
           s""""refusal_window_sec":${f"$windowSec%.2f"},""" +
           s""""loud_fnf":${loudFnf.get()},""" +
           s""""client_failures":${refused.get() + loudFnf.get()},""" +
+          s""""absorbed_retries":${graft.ops.ProbeRetry.absorbed - absorbed0},""" +
           s""""wrong":${wrong.get()},"post_migration_kept":$post}""")
 
       case mode @ ("compact_serving" | "promote_serving") =>
@@ -335,6 +337,7 @@ object IncrEnvelope {
           n
         }
         val expect = probeKept() // converge the plan before measuring
+        val absorbed0 = graft.ops.ProbeRetry.absorbed
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
         val served = new java.util.concurrent.atomic.AtomicInteger(0)
         val refused = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -376,6 +379,7 @@ object IncrEnvelope {
           s""""maintenance_sec":${f"$tMaint%.2f"},"served":${served.get()},""" +
           s""""refused":${refused.get()},"loud_fnf":${loudFnf.get()},""" +
           s""""client_failures":${refused.get() + loudFnf.get()},""" +
+          s""""absorbed_retries":${graft.ops.ProbeRetry.absorbed - absorbed0},""" +
           s""""wrong":${wrong.get()},""" +
           s""""post_kept":$post,"post_equal":${post == expect}}""")
         if (mode == "promote_serving")
@@ -408,6 +412,7 @@ object IncrEnvelope {
           n
         }
         val expect = probeKept()
+        val absorbed0 = graft.ops.ProbeRetry.absorbed
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
         val served = new java.util.concurrent.atomic.AtomicInteger(0)
         val refused = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -450,6 +455,7 @@ object IncrEnvelope {
           s""""maintenance_sec":${f"$tMaint%.2f"},"served":${served.get()},""" +
           s""""refused":${refused.get()},"loud_fnf":${loudFnf.get()},""" +
           s""""client_failures":${refused.get() + loudFnf.get()},""" +
+          s""""absorbed_retries":${graft.ops.ProbeRetry.absorbed - absorbed0},""" +
           s""""wrong":${wrong.get()},""" +
           s""""post_kept":$post,"post_equal":${post == expect}}""")
         if (mode == "emb_promote_serving")

@@ -764,6 +764,7 @@ class IncrementalDedupSpec extends SparkSpec {
     // a SwapGen planning race on attempt 1 is retried and the settled
     // attempt 2 serves — the forged token-bumped-between-listing-and-
     // re-check shape, deterministic at the seam the retry wraps
+    val absorbed0 = ProbeRetry.absorbed
     var calls = 0
     val got = ProbeRetry.retry("spec") {
       calls += 1
@@ -773,6 +774,8 @@ class IncrementalDedupSpec extends SparkSpec {
       42
     }
     assert(got === 42 && calls === 2)
+    assert(ProbeRetry.absorbed - absorbed0 === 1,
+      "each absorbed transient must count (the serving measurements' receipt)")
     // a frozen-listing FileNotFound (nested, as Spark wraps it) retries too
     var fnf = 0
     val got2 = ProbeRetry.retry("spec") {
