@@ -176,10 +176,10 @@ object Classifier {
   /** [[scoreWithModel]] over an already-collected weight map — the form a
     * long-lived server caches between micro-batches
     * ([[graft.streaming.ModelServing.classifierForeachBatch]]) so serving
-    * costs zero collect jobs per batch. The (buckets, portableHash)
-    * parameters are NOT persisted with the weights — callers own keeping
-    * them consistent with the training run, exactly as with the frame
-    * overload.
+    * costs zero collect jobs per batch. When the map came from a
+    * persisted model, take (buckets, portableHash) from
+    * [[loadLocal]]'s [[LocalModel]] — they are stored with the weights
+    * precisely so no caller has to keep them consistent by convention.
     */
   def scoreWithLocalModel(df: DataFrame, textCol: String, idCol: String,
       wm: Map[Long, Long], buckets: Int = 32,
@@ -310,11 +310,62 @@ object Classifier {
     * weights table a later scoring pass serves as silently wrong scores
     * (missing buckets read as weight 0). The table now stages and
     * commits with one rename to `current/weights`.
+    *
+    * The hashing hyperparameters `(buckets, portableHash)` are persisted
+    * WITH the weights (r20, `current/meta` — one row): a weight table is
+    * meaningless without the feature hashing that produced it, and a
+    * hot-serving gate that kept its own configured values would score
+    * with silently mis-bucketed features after a retrain that changed
+    * them. [[loadLocal]] returns the full self-describing model;
+    * `legacyFiles` clears the pre-r19 flat part files the old layout
+    * left at the path root.
     */
-  def save(weights: DataFrame, path: String): Unit =
-    ModelStore.publish(weights.sparkSession, path, "classifier model",
-        legacyNames = Seq("weights")) { staging =>
+  def save(weights: DataFrame, path: String, buckets: Int = 32,
+      portableHash: Boolean = true): Unit = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    ModelStore.publish(spark, path, "classifier model",
+        legacyNames = Seq("weights"),
+        legacyFiles = n => n.startsWith("part-") || n == "_SUCCESS" ||
+          n.startsWith("_committed") || n.startsWith("_started")) { staging =>
       weights.write.parquet(s"$staging/weights")
+      Seq((buckets, portableHash)).toDF("buckets", "portable")
+        .repartition(1).write.parquet(s"$staging/meta")
+    }
+  }
+
+  /** The trained model a long-lived server caches between micro-batches:
+    * collected weight map (≤ buckets+1 entries) PLUS the hashing
+    * hyperparameters it was trained with — feed all three to
+    * [[scoreWithLocalModel]].
+    */
+  final case class LocalModel(wm: Map[Long, Long], buckets: Int,
+      portableHash: Boolean)
+
+  /** Load weights AND hyperparameters in one consistent
+    * ([[ModelStore.read]]-gated) read — both tables from the same
+    * publish, never a new weight table under an old hash config. A model
+    * saved before the meta table existed refuses with a re-save pointer
+    * (serving it under guessed hyperparameters is the silent
+    * mis-bucketing this table exists to prevent).
+    */
+  def loadLocal(spark: org.apache.spark.sql.SparkSession,
+      path: String): LocalModel =
+    ModelStore.read(spark, path, "classifier model",
+        isLegacy = ns => ns.exists(n => n.startsWith("part-") || n == "_SUCCESS")) {
+      cur =>
+        val fs = new org.apache.hadoop.fs.Path(cur)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/meta")))
+          throw new IllegalStateException(
+            s"classifier model at $path has no hyperparameter meta (saved " +
+              "before r20) — re-save with Classifier.save(weights, path, " +
+              "buckets, portableHash); serving under guessed hashing would " +
+              "silently mis-bucket every feature")
+        val meta = spark.read.parquet(s"$cur/meta").head()
+        val wm = spark.read.parquet(s"$cur/weights").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        LocalModel(wm, meta.getAs[Int]("buckets"), meta.getAs[Boolean]("portable"))
     }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

@@ -329,20 +329,29 @@ object IncrementalDedup {
     * action, the result is eagerly materialized on EVERY path (batch-
     * sized — O(incoming crawl), never O(index)); callers may reclaim
     * its storage with [[Lineage.release]] once consumed.
+    *
+    * `eagerResult = false` opts out of that materialization for
+    * SINGLE-SHOT callers with no concurrent maintenance (the oracle /
+    * bench registry, where the harness consumes the frame once and a
+    * non-releasable checkpoint would leak one batch-sized RDD per run):
+    * the result is a plain lazy plan — nothing to release — at the cost
+    * of the execution-time swap transient firing at the caller's action
+    * instead of inside the bounded retry. A continuously-serving gate
+    * under live maintenance keeps the eager default.
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, minJaccard: Double = 0.8,
       k: Int = 8, bands: Int = 2, maxReps: Int = 1000,
-      hashedShingles: Boolean = false): DataFrame =
-    ProbeRetry.retry("text-index probe") {
+      hashedShingles: Boolean = false, eagerResult: Boolean = true): DataFrame =
+    ProbeRetry.retry(spark, indexDir, "text-index probe") {
       probeOnce(spark, indexDir, batch, textCol, idCol, minJaccard, k,
-        bands, maxReps, hashedShingles)
+        bands, maxReps, hashedShingles, eagerResult)
     }
 
   private def probeOnce(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, minJaccard: Double,
       k: Int, bands: Int, maxReps: Int,
-      hashedShingles: Boolean): DataFrame = {
+      hashedShingles: Boolean, eagerResult: Boolean): DataFrame = {
     // the swap token is read BEFORE the migration/meta checks (r19): a
     // maintenance swap that starts and COMPLETES between those checks
     // and a later token read would serve post-swap tables under
@@ -386,8 +395,12 @@ object IncrementalDedup {
     // promoted path: the shingle fetch below probes the candidates once
     // per leg — materialize so the batch's signature pipeline isn't
     // re-derived per consumer (the addBatch discipline). Plain path:
-    // single consumer, stay lazy.
-    val cand = if (vShs.base.isDefined) Lineage.materialize(cand0) else cand0
+    // single consumer, stay lazy. Lazy-result mode: everything stays
+    // lazy — the finally below must not release blocks a lazy result
+    // still reads.
+    val cand =
+      if (eagerResult && vShs.base.isDefined) Lineage.materialize(cand0)
+      else cand0
     try {
       val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
         col("shs").as("sh_a"), col("nsh").as("n_a"))
@@ -403,7 +416,9 @@ object IncrementalDedup {
         .select(col("doc_id").as(idCol)).distinct()
       // eager on EVERY path: a frozen-listing FileNotFound must fire
       // here, inside the bounded retry, not at the caller's action
-      Lineage.materialize(batch.join(dropped, Seq(idCol), "left_anti"))
+      // (lazy-result mode skips it — single-shot, nothing concurrent)
+      val kept = batch.join(dropped, Seq(idCol), "left_anti")
+      if (eagerResult) Lineage.materialize(kept) else kept
     } finally Lineage.release(cand) // no-op on the plain (lazy) path
   }
 
@@ -417,7 +432,8 @@ object IncrementalDedup {
     * bucket was skipped.
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
-      maxBucket: Int = 1000): DataFrame = ProbeRetry.retry("band-bucket stats") {
+      maxBucket: Int = 1000): DataFrame =
+    ProbeRetry.retry(spark, indexDir, "band-bucket stats") {
     val gen0 = SwapGen.read(spark, indexDir)
     val v = IndexBase.view(spark, indexDir, "bands_table", Int.MaxValue,
       readIndex(spark, indexDir, BandsT, Int.MaxValue,
@@ -1115,23 +1131,49 @@ private[graft] object ProbeRetry {
   private val absorbedCount = new java.util.concurrent.atomic.AtomicLong(0)
   def absorbed: Long = absorbedCount.get()
 
-  def isTransient(t: Throwable): Boolean =
+  /** The protocol's OWN refusal diagnostics — always a swap transient. */
+  private def isProtocolRefusal(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
+      val m = Option(c.getMessage).getOrElse("")
+      m.contains("raced this probe") || m.contains("mid-SWAP")
+    }
+
+  /** A missing-file shape (FNF class, or Spark's planning-time wrap of
+    * one). On its own this is AMBIGUOUS: a frozen listing outliving a
+    * swap's rename produces it, but so does probing a never-built or
+    * mistyped indexDir — a STABLE state that must refuse on the first
+    * attempt, not after four sleeps that also inflate the absorbed
+    * counter the serving measurements report. [[retry]] disambiguates
+    * with a live root-existence check.
+    */
+  private def isMissingFileShape(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
       val m = Option(c.getMessage).getOrElse("")
       c.isInstanceOf[java.io.FileNotFoundException] ||
-        m.contains("raced this probe") ||
-        m.contains("mid-SWAP") ||
         m.contains("FileNotFoundException") ||
-        m.contains("does not exist")
+        m.contains("does not exist") ||
+        m.contains("PATH_NOT_FOUND")
     }
 
-  def retry[T](what: String)(attempt: => T): T = {
+  def isTransient(t: Throwable): Boolean =
+    isProtocolRefusal(t) || isMissingFileShape(t)
+
+  def retry[T](spark: SparkSession, indexDir: String, what: String)
+      (attempt: => T): T = {
+    def transient(t: Throwable): Boolean =
+      isProtocolRefusal(t) || (isMissingFileShape(t) && {
+        // a swap transient's missing file lives UNDER a real index; if
+        // the index root itself is absent the failure is stable (never
+        // built, mistyped path) — surface it loudly now
+        val p = new org.apache.hadoop.fs.Path(indexDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      })
     var n = 0
     while (true) {
       n += 1
       try return attempt
       catch {
-        case t: Throwable if n < MaxAttempts && isTransient(t) =>
+        case t: Throwable if n < MaxAttempts && transient(t) =>
           absorbedCount.incrementAndGet()
           Thread.sleep(60L * n)
       }
@@ -1543,17 +1585,21 @@ object IncrementalEmbeddingDedup {
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       vecCol: String, idCol: String, dim: Int, planes: Int = 8,
       minCos: Double = 0.6, maxReps: Int = 1000,
-      quantized: Boolean = false): DataFrame =
+      quantized: Boolean = false, eagerResult: Boolean = true): DataFrame =
     // the two loud swap transients retry INTERNALLY ([[ProbeRetry]]) —
-    // a healthy maintenance swap costs callers zero failed probes
-    ProbeRetry.retry("embedding-index probe") {
+    // a healthy maintenance swap costs callers zero failed probes.
+    // `eagerResult = false` is the single-shot lazy variant (see the
+    // text twin's doc): no materialization, nothing for the caller to
+    // release — for the oracle/bench path with no concurrent swaps.
+    ProbeRetry.retry(spark, indexDir, "embedding-index probe") {
       probeOnce(spark, indexDir, batch, vecCol, idCol, dim, planes,
-        minCos, maxReps, quantized)
+        minCos, maxReps, quantized, eagerResult)
     }
 
   private def probeOnce(spark: SparkSession, indexDir: String, batch: DataFrame,
       vecCol: String, idCol: String, dim: Int, planes: Int,
-      minCos: Double, maxReps: Int, quantized: Boolean): DataFrame = {
+      minCos: Double, maxReps: Int, quantized: Boolean,
+      eagerResult: Boolean): DataFrame = {
     // the swap token is read FIRST (r19) — before the migration check,
     // the parameter pin, and the batch-side materialize. A rebucket
     // swap that started and completed entirely inside that span used
@@ -1585,13 +1631,14 @@ object IncrementalEmbeddingDedup {
       }
     // the batch's buckets+vectors feed the touched-bucket prune (per leg)
     // AND the drop join — materialize once, don't re-project per consumer
-    // (the addBatch discipline)
-    val baseB = Lineage.materialize(
-      Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
-        .select(col(idCol).cast("long").as("id"), col("v"),
-          col("n").as("nrm"), col("bucket")))
+    // (the addBatch discipline). Lazy-result mode keeps it lazy: the
+    // finally below must not release blocks the lazy result still reads.
+    val baseB0 = Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
+      .select(col(idCol).cast("long").as("id"), col("v"),
+        col("n").as("nrm"), col("bucket"))
+    val baseB = if (eagerResult) Lineage.materialize(baseB0) else baseB0
     try probeBody(spark, indexDir, batch, idCol, minCos, maxReps, quantized,
-      baseB, gen0)
+      baseB, gen0, eagerResult)
     finally Lineage.release(baseB)
   }
 
@@ -1602,7 +1649,7 @@ object IncrementalEmbeddingDedup {
     */
   private def probeBody(spark: SparkSession, indexDir: String, batch: DataFrame,
       idCol: String, minCos: Double, maxReps: Int, quantized: Boolean,
-      baseB: DataFrame, gen0: String): DataFrame = {
+      baseB: DataFrame, gen0: String, eagerResult: Boolean): DataFrame = {
     // gen0 was read at probeOnce's FIRST line — before the parameter
     // pin and every listing below (the committed snapshot included);
     // re-checked after all of them
@@ -1642,10 +1689,11 @@ object IncrementalEmbeddingDedup {
       .select(col("id"))
     // eager: an execution-time frozen-listing FileNotFound must fire
     // inside [[ProbeRetry]]'s budget, not at the caller's first action
-    // (baseB's release rides probeOnce's finally)
-    Lineage.materialize(
-      batch.join(dropped.select(col("id").cast("long").as(idCol)),
-        Seq(idCol), "left_anti"))
+    // (baseB's release rides probeOnce's finally); lazy-result mode
+    // skips it — single-shot, nothing concurrent, nothing to release
+    val kept = batch.join(dropped.select(col("id").cast("long").as(idCol)),
+      Seq(idCol), "left_anti")
+    if (eagerResult) Lineage.materialize(kept) else kept
   }
 
   /** Occupancy audit of the persisted bucket index — READ-ONLY, so it
@@ -1653,7 +1701,8 @@ object IncrementalEmbeddingDedup {
     * inflate occupancy; stays available while a writer appends).
     */
   def indexBucketStats(spark: SparkSession, indexDir: String,
-      maxBucket: Int = 1000): DataFrame = ProbeRetry.retry("vec-bucket stats") {
+      maxBucket: Int = 1000): DataFrame =
+    ProbeRetry.retry(spark, indexDir, "vec-bucket stats") {
     val gen0 = SwapGen.read(spark, indexDir)
     val v = IndexBase.view(spark, indexDir, "buckets_table", Int.MaxValue,
       readIndex(spark, indexDir, BucketsT, Int.MaxValue,

@@ -125,7 +125,7 @@ object Ivf {
           1).getField("list_id"))
   }
 
-  /** Append new vectors to a PERSISTED index in place (parquet append on
+  /** Append new vectors to a PERSISTED index (add files to
     * `current/assignments`; centroids untouched). Readers see the new
     * rows on their next load — the lifecycle is build → save → append* →
     * (listStats says rebuild) → build. Unlike [[save]] this is an
@@ -135,12 +135,63 @@ object Ivf {
     * files — the pre-append rows are always all there, which is the
     * committed-prefix semantics the incremental indexes serve. A [[save]]
     * supersedes all appends atomically.
+    *
+    * GUARDED against a concurrent save (r20): a direct `mode("append")`
+    * into `current/` racing a publish could land its files in the
+    * moved-aside copy (deleted post-commit — silent row loss) or, worse,
+    * into the NEW current — rows assigned against the SUPERSEDED
+    * centroids mixed into a rebuilt index, silently mis-listed. The new
+    * assignments are therefore STAGED outside `current/`, the publish
+    * generation is re-checked against its pre-load read, and only then
+    * are the files renamed in (metadata-only; a publish completing
+    * inside that final rename loop is the same accepted residual as
+    * [[ModelStore.publish]]'s re-check→rename gap). On movement the
+    * staging is discarded and the append refuses LOUDLY — nothing was
+    * adopted; re-run against the new index.
     */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
-      df: DataFrame, idCol: String, vecCol: String): Unit = {
+      df: DataFrame, idCol: String, vecCol: String): Unit =
+    append(spark, path, df, idCol, vecCol, () => ())
+
+  /** [[append]] with a forged-race seam (`beforeRecheck` runs after the
+    * staging write, before the generation re-check) — specs only.
+    */
+  private[graft] def append(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, vecCol: String,
+      beforeRecheck: () => Unit): Unit = {
+    val gen0 = ModelStore.generation(spark, path)
     val index = load(spark, path) // refuses a legacy/crashed layout loudly
-    assignToIndex(index, df, idCol, vecCol)
-      .write.mode("append").parquet(s"$path/${ModelStore.CurrentDir}/assignments")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // NOT ModelStore.StagingPrefix: a concurrent publish heals (deletes)
+    // those; this staging is the append's own, adopted or discarded here
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_graft_appendstage_$nonce")
+    try {
+      assignToIndex(index, df, idCol, vecCol).write.parquet(stage.toString)
+      beforeRecheck()
+      if (ModelStore.generation(spark, path) != gen0)
+        throw new java.util.ConcurrentModificationException(
+          s"an IVF publish at $path raced this append — the staged rows " +
+            "were assigned against the superseded centroids and were " +
+            "DISCARDED (nothing adopted); re-run append against the new index")
+      val dest = new org.apache.hadoop.fs.Path(
+        s"$path/${ModelStore.CurrentDir}/assignments")
+      fs.listStatus(stage)
+        .filter(st => st.isFile && st.getLen > 0 && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .foreach { st =>
+          // parquet part names carry a UUID — no collision with the
+          // committed files or other appends
+          if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dest,
+              st.getPath.getName)))
+            throw new java.io.IOException(
+              s"could not adopt appended file ${st.getPath} into $dest — " +
+                "a publish may have raced the adoption; re-run append")
+        }
+    } finally fs.delete(stage, true)
   }
 
   /** Per-list occupancy audit — the REBUILD signal: append-only

@@ -20,20 +20,29 @@ import org.apache.spark.sql.SparkSession
   * The protocol (identical to the index family's `_graft_meta` /
   * `SwapGen` discipline, one level up):
   *
-  *  1. stage every table under `_graft_staging_<nonce>/` — invisible;
-  *  2. claim the publish (`_graft_pubclaim` := nonce) and RE-CHECK the
-  *     claim just before committing — a concurrent publisher's claim
-  *     moves the token and the loser refuses LOUDLY with its staging
-  *     discarded (single-publisher, enforced; the residual is the tiny
-  *     re-check→rename gap);
-  *  3. bump `_graft_pubgen` (the commit generation) — readers whose
+  *  1. claim the publish (`_graft_pubclaim` := nonce) FIRST, and only
+  *     then heal staging debris of crashed publishes — a LIVE competitor
+  *     whose staging the heal deletes refuses at its own claim re-check
+  *     (the token already moved), so the heal can never turn a racing
+  *     save into a committed partial model;
+  *  2. stage every table under `_graft_staging_<nonce>/` — invisible;
+  *  3. RE-CHECK the claim just before committing — a concurrent
+  *     publisher's claim moves the token and the loser refuses LOUDLY
+  *     with its staging discarded (single-publisher, enforced; the
+  *     residual is the tiny re-check→rename gap);
+  *  4. bump `_graft_pubgen` (the commit generation) — readers whose
   *     table reads straddle the swap see the moved token and retry;
-  *  4. move any `current/` aside, rename the staging to `current/` —
+  *  5. move any `current/` aside, rename the staging to `current/` —
   *     THE commit, one atomic directory rename;
-  *  5. clean up: the moved-aside copy, older `_graft_prev_` debris
-  *     (kept until now — after a crash between 4's two renames the prev
+  *  6. bump `_graft_pubgen` AGAIN — the settled token must differ from
+  *     any value observable mid-swap, or a generation-keyed serving
+  *     cache that loaded entirely inside the window caches the old
+  *     model under the final token and never reloads;
+  *  7. clean up: the moved-aside copy, older `_graft_prev_` debris
+  *     (kept until now — after a crash between 5's two renames the prev
   *     copy is the ONLY intact model anywhere), and the caller's legacy
-  *     flat tables.
+  *     flat tables (dirs via `legacyNames`, root files via
+  *     `legacyFiles`).
   *
   * [[read]] is the matching consistent reader: generation before,
   * caller's reads, generation re-check after, bounded retry when a
@@ -92,25 +101,42 @@ object ModelStore {
     * directory rename to `current/`. `what` names the model family in
     * refusal messages ("DSIR", "IVF index", ...); `legacyNames` are the
     * caller's pre-atomic flat table dirs, cleared AFTER the commit so a
-    * reader can never confuse them for the model. `beforeCommit` is a
+    * reader can never confuse them for the model; `legacyFiles` extends
+    * that to loose FILES a pre-atomic layout left at the path root
+    * (matched by name; protocol tokens are exempt). `beforeCommit` is a
     * forged-race seam for specs (runs after staging, before the claim
     * re-check); production callers leave it defaulted.
     */
+  /** `afterGenBump` is the second forged-race seam (specs only): it runs
+    * inside the bump→rename window — after the pre-commit generation
+    * bump, before the renames — the exact span where a hot-serving load
+    * observes the moved token against the OLD `current/`.
+    */
   def publish(spark: SparkSession, path: String, what: String,
-      legacyNames: Seq[String] = Nil, beforeCommit: () => Unit = () => ())
+      legacyNames: Seq[String] = Nil, beforeCommit: () => Unit = () => (),
+      legacyFiles: String => Boolean = _ => false,
+      afterGenBump: () => Unit = () => ())
       (writeStaging: String => Unit): Unit = {
     val fs = fsOf(spark, path)
     val root = hp(path)
     fs.mkdirs(root)
-    // heal: staging debris of a crashed publish is superseded by this
-    // one; prev debris is kept until after OUR commit — after a crash
-    // between the two commit renames it is the only intact model
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(StagingPrefix))
-      .foreach(p => fs.delete(p, true))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val claim = hp(s"$path/$PubClaimFile")
+    // claim FIRST, heal staging debris second (r20): deleting staging
+    // before claiming could destroy a LIVE concurrent publisher's
+    // in-progress staging — its parquet job recreates the dir, its claim
+    // re-check passes (we hadn't claimed yet), and it commits a
+    // partially-deleted staging as current/. With the claim already
+    // written, any publisher whose staging we delete refuses at its own
+    // re-check (the token moved) — debris of a CRASHED publish is still
+    // healed, a live loser refuses loudly, never commits a partial model.
     writeToken(spark, fs, claim, nonce)
+    fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(StagingPrefix) && n != s"$StagingPrefix$nonce"
+      }
+      .foreach(p => fs.delete(p, true))
     val staging = hp(s"$path/$StagingPrefix$nonce")
     writeStaging(staging.toString)
     beforeCommit()
@@ -133,6 +159,7 @@ object ModelStore {
     // window between the two renames) sees the moved token and retries
     writeToken(spark, fs, hp(s"$path/$PubGenFile"),
       java.util.UUID.randomUUID().toString)
+    afterGenBump()
     if (fs.exists(current) && !fs.rename(current, prev))
       throw new java.io.IOException(
         s"could not move aside the previous model at $current")
@@ -141,11 +168,28 @@ object ModelStore {
         s"could not publish $staging as $current — the previous model " +
           s"is intact at $prev; rerun save")
     fs.delete(prev, true)
+    // second generation bump AFTER the renames (r20): the pre-commit bump
+    // wrote the FINAL token value, so a hot-serving cache whose load ran
+    // entirely inside the bump→rename window cached the OLD model under a
+    // token indistinguishable from steady state — stale FOREVER. With a
+    // fresh post-commit value, any token observed during the window
+    // differs from the settled one, so generation-keyed caches re-detect
+    // the move at their next read (staleness bounded by one batch, the
+    // same bound as the benign pre-publish read).
+    writeToken(spark, fs, hp(s"$path/$PubGenFile"),
+      java.util.UUID.randomUUID().toString)
     // post-commit cleanup (the new current supersedes everything)
     fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith(PrevPrefix))
       .foreach(p => fs.delete(p, true))
     legacyNames.foreach(n => fs.delete(hp(s"$path/$n"), true))
+    // pre-atomic layouts that wrote FILES at the path root (the r19
+    // classifier) — protocol tokens are never eligible regardless of the
+    // caller's predicate
+    fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_graft_") &&
+        legacyFiles(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** A failure shape the mid-commit window produces: `current/` (or a

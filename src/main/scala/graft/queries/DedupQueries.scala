@@ -191,9 +191,13 @@ object DedupQueries extends QueryModule {
       fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
       graft.ops.IncrementalDedup.addBatch(s, indexDir,
         dd.filter(col("source") < "src5"), "text", "doc_id", 0)
+      // lazy-result variant (r20): the harness consumes this frame once
+      // per run with no concurrent maintenance — the eager default's
+      // checkpoint would hide behind this .select and leak one
+      // batch-sized RDD per warmup+rep (unreleasable downstream)
       graft.ops.IncrementalDedup.probe(s, indexDir,
         dd.filter(col("source") >= "src5"), "text", "doc_id",
-        minJaccard = 0.8)
+        minJaccard = 0.8, eagerResult = false)
         .select("doc_id")
     }),
 

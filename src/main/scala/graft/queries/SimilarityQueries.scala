@@ -169,9 +169,11 @@ object SimilarityQueries extends QueryModule {
       graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir,
         e.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
         batchId = 0, dim = Dim, planes = Planes, minCos = 0.3)
+      // lazy-result variant (r20): single-shot oracle/bench path — the
+      // eager default's checkpoint would leak behind this .select
       graft.ops.IncrementalEmbeddingDedup.probe(s, indexDir,
         e.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding", "vec_id",
-        dim = Dim, planes = Planes, minCos = 0.3)
+        dim = Dim, planes = Planes, minCos = 0.3, eagerResult = false)
         .select("vec_id")
     }),
     // guard-FIRING fixture: maxBucket=1 makes every multi-occupant ref

@@ -27,12 +27,12 @@ import graft.ops.Dsir.DsirModel
   *  - steady-state cost is one token read per micro-batch — the model
   *    reload (a B-row parquet read) happens only on an actual republish.
   *
-  * Ordering note: the generation is read BEFORE the load. If a publish
-  * lands between the two, the load (race-safe) returns the NEWER model
-  * stored under the OLDER generation — the next batch re-detects the
-  * move and reloads once more. The reverse order could cache the NEW
-  * generation against the OLD model and never reload. Double-load is
-  * harmless; stale-forever is not.
+  * Ordering note: the generation is read BEFORE the load and RE-READ
+  * after it ([[ModelServing.Hot]], r20) — a publish landing anywhere
+  * around the load costs at most one extra load or one stale batch
+  * (the publisher's post-commit second generation bump makes any
+  * mid-swap token observation distinguishable from steady state), never
+  * a cache that serves a superseded model until the NEXT republish.
   *
   * Scale shape: the per-batch scoring plan is the same zero-shuffle
   * Scan→Project as batch `scoreWith` — state lives only on the driver

@@ -11,12 +11,17 @@ import graft.ops.{Classifier, ModelStore}
   * every persisted-model family gets the same zero-downtime republish
   * story: each micro-batch reads the model's publish generation (one
   * tiny token read) and reloads through the caller's loader ONLY when
-  * it moved. The ordering argument (generation BEFORE the load — a
-  * racing publish costs at most one harmless double-load, never a
-  * stale-forever cache) and the batch-boundary guarantee (a batch is
+  * it moved. The ordering argument — generation read BEFORE the load,
+  * RE-READ after it, cached only when it held still (r20: the pre-load
+  * read alone missed a load running entirely inside the publisher's
+  * bump→rename window, which paired the OLD model with the NEW token;
+  * with [[ModelStore.publish]]'s post-commit second bump the settled
+  * token always differs from any mid-window value, so a racing publish
+  * costs at most one extra load or one stale batch, never a
+  * stale-forever cache) — and the batch-boundary guarantee (a batch is
   * scored by exactly one model; [[ModelStore.read]]-backed loaders are
   * publish-atomic and retry a racing save) are [[DsirServing]]'s,
-  * inherited unchanged.
+  * hardened here for both.
   */
 object ModelServing {
 
@@ -32,17 +37,35 @@ object ModelServing {
 
     /** The model to score THIS batch with — reloaded iff the published
       * generation moved since the last batch.
+      *
+      * The generation is RE-READ after the loader returns and the result
+      * is cached only when it did not move (r20): a publish bumps the
+      * token before its commit renames, so a load that ran entirely
+      * inside that window returns the OLD model under the NEW token —
+      * caching that pair would serve it until the next republish.
+      * Combined with the publisher's post-commit second bump
+      * ([[ModelStore.publish]] step 6), a moved re-read means "reload
+      * and the committed model is there"; after the bounded attempts the
+      * freshly loaded (complete) model serves this batch UNCACHED and
+      * the next batch re-detects.
       */
     def currentFor(spark: SparkSession): T = {
-      val gen = ModelStore.generation(spark, modelPath)
-      val c = cached.get()
-      if (c != null && c._1 == gen) c._2
-      else {
+      var attempt = 0
+      while (attempt < 4) {
+        attempt += 1
+        val gen = ModelStore.generation(spark, modelPath)
+        val c = cached.get()
+        if (c != null && c._1 == gen) return c._2
         val m = loader(spark, modelPath)
-        cached.set((gen, m))
-        onSwap(gen, m)
-        m
+        if (ModelStore.generation(spark, modelPath) == gen) {
+          cached.set((gen, m))
+          onSwap(gen, m)
+          return m
+        }
+        // a publish raced the load: loop — fresh token, fresh load
+        if (attempt == 4) return m // serve it uncached; next batch reloads
       }
+      sys.error("unreachable")
     }
   }
 
@@ -53,23 +76,22 @@ object ModelServing {
     * entries) is cached driver-side between batches, so steady state
     * costs one token read per batch and ZERO collect jobs. The scored
     * frame handed to `sink` is [[Classifier.scoreWithLocalModel]]'s
-    * (idCol, keepCols…, score) shape. (buckets, portableHash) are not
-    * persisted with the weights — keep them consistent with training,
-    * as with the batch API.
+    * (idCol, keepCols…, score) shape. The model is SELF-DESCRIBING
+    * (r20): (buckets, portableHash) ride [[Classifier.loadLocal]]'s
+    * consistent read, so a retrain that changed the hashing serves
+    * correctly at its hot swap — there is no configured copy to drift
+    * out of sync and mis-bucket silently.
     */
   def classifierForeachBatch(modelPath: String, textCol: String, idCol: String,
-      buckets: Int = 32, portableHash: Boolean = true,
       keepCols: Seq[String] = Seq.empty,
-      onSwap: (String, Map[Long, Long]) => Unit = (_, _) => ())
+      onSwap: (String, Classifier.LocalModel) => Unit = (_, _) => ())
       (sink: (DataFrame, Long) => Unit): (Dataset[Row], Long) => Unit = {
-    val hot = new Hot[Map[Long, Long]](modelPath,
-      (s, p) => Classifier.load(s, p).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
-      onSwap)
+    val hot = new Hot[Classifier.LocalModel](modelPath,
+      (s, p) => Classifier.loadLocal(s, p), onSwap)
     (batch: Dataset[Row], batchId: Long) => {
-      val wm = hot.currentFor(batch.sparkSession)
-      sink(Classifier.scoreWithLocalModel(batch.toDF(), textCol, idCol, wm,
-        buckets, portableHash, keepCols), batchId)
+      val m = hot.currentFor(batch.sparkSession)
+      sink(Classifier.scoreWithLocalModel(batch.toDF(), textCol, idCol, m.wm,
+        m.buckets, m.portableHash, keepCols), batchId)
     }
   }
 }

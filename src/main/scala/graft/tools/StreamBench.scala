@@ -155,7 +155,7 @@ object StreamBench {
           (col("value") % 971).cast("string"), lit(" gamma the and of to is word"),
           (col("value") % 7919).cast("string")).as("text"))
         val gate = graft.streaming.ModelServing.classifierForeachBatch(
-          dir, "text", "doc_id", buckets = 32,
+          dir, "text", "doc_id",
           onSwap = (_, _) => swaps.incrementAndGet()) {
           (scored, batchId) =>
             lastBatch.set(batchId)

@@ -758,15 +758,21 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept === Seq(102L))
   }
 
-  test("ProbeRetry: swap transients re-plan internally; non-protocol failures and " +
-      "exhausted budgets stay loud") {
+  test("ProbeRetry: swap transients re-plan internally; non-protocol failures, " +
+      "stable missing roots, and exhausted budgets stay loud") {
     import graft.ops.ProbeRetry
+    // a real root for the FNF-disambiguation check (the classifier of a
+    // missing-file shape requires the probed index root to EXIST)
+    val idx = "/tmp/graft_proberetry_spec_root"
+    val rfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rfs.mkdirs(new org.apache.hadoop.fs.Path(idx))
     // a SwapGen planning race on attempt 1 is retried and the settled
     // attempt 2 serves — the forged token-bumped-between-listing-and-
     // re-check shape, deterministic at the seam the retry wraps
     val absorbed0 = ProbeRetry.absorbed
     var calls = 0
-    val got = ProbeRetry.retry("spec") {
+    val got = ProbeRetry.retry(spark, idx, "spec") {
       calls += 1
       if (calls == 1) throw new IllegalArgumentException(
         "requirement failed: a maintenance swap at /x raced this probe's " +
@@ -778,24 +784,40 @@ class IncrementalDedupSpec extends SparkSpec {
       "each absorbed transient must count (the serving measurements' receipt)")
     // a frozen-listing FileNotFound (nested, as Spark wraps it) retries too
     var fnf = 0
-    val got2 = ProbeRetry.retry("spec") {
+    val got2 = ProbeRetry.retry(spark, idx, "spec") {
       fnf += 1
       if (fnf == 1) throw new RuntimeException("job aborted",
-        new java.io.FileNotFoundException("/idx/bands__compact_staging/part-0"))
+        new java.io.FileNotFoundException(s"$idx/bands__compact_staging/part-0"))
       7
     }
     assert(got2 === 7 && fnf === 2)
     // the mid-SWAP window refusal is a transient (the swap is sub-second)
     var sw = 0
-    ProbeRetry.retry("spec") {
+    ProbeRetry.retry(spark, idx, "spec") {
       sw += 1
       if (sw == 1) throw new IllegalArgumentException(
         "requirement failed: index at /x is mid-SWAP in a parameter migration")
     }
     assert(sw === 2)
+    // a missing-file shape against an ABSENT index root is a STABLE state
+    // (never built, mistyped path) — it must surface on the FIRST attempt
+    // with zero sleeps and zero absorbed-counter inflation (r20)
+    val absent = "/tmp/graft_proberetry_spec_never_built"
+    rfs.delete(new org.apache.hadoop.fs.Path(absent), true)
+    val absorbed1 = ProbeRetry.absorbed
+    var stable = 0
+    val ex0 = intercept[RuntimeException](ProbeRetry.retry(spark, absent, "spec") {
+      stable += 1
+      throw new RuntimeException("planning failed",
+        new java.io.FileNotFoundException(s"$absent/bands"))
+    })
+    assert(stable === 1, s"stable missing root retried: $stable attempts")
+    assert(ex0.getCause.isInstanceOf[java.io.FileNotFoundException])
+    assert(ProbeRetry.absorbed === absorbed1,
+      "a stable refusal must not inflate the absorbed counter")
     // non-protocol failures pass through on the FIRST attempt
     var np = 0
-    val ex = intercept[IllegalStateException](ProbeRetry.retry("spec") {
+    val ex = intercept[IllegalStateException](ProbeRetry.retry(spark, idx, "spec") {
       np += 1
       throw new IllegalStateException("no index at /x to probe")
     })
@@ -803,7 +825,7 @@ class IncrementalDedupSpec extends SparkSpec {
     // a PERSISTENT transient (crashed swap awaiting heal) exhausts the
     // budget and surfaces loudly — the loud path is kept
     var pers = 0
-    intercept[IllegalArgumentException](ProbeRetry.retry("spec") {
+    intercept[IllegalArgumentException](ProbeRetry.retry(spark, idx, "spec") {
       pers += 1
       throw new IllegalArgumentException("mid-SWAP forever")
     })

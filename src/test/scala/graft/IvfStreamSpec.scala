@@ -88,6 +88,38 @@ class IvfStreamSpec extends SparkSpec {
     assert(st._1 === 4L && st._2 === 120L && st._5 >= 1.0)
   }
 
+  test("append racing a save refuses LOUDLY and adopts nothing — never silent " +
+      "loss or old-centroid rows mixed into the rebuilt index") {
+    val all = corpus.toDF("vec_id", "embedding")
+    val first = all.filter($"vec_id" <= 60L)
+    val rest = all.filter($"vec_id" > 60L)
+    val path = java.nio.file.Files.createTempDirectory("ivf_append_race").toString
+    Ivf.save(Ivf.build(first, "vec_id", "embedding", nlist = 4), spark, path)
+    // a rebuild publishes between the append's staging write and its
+    // generation re-check (the forged-race seam) — the staged rows were
+    // assigned against the superseded centroids
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Ivf.append(spark, path, rest, "vec_id", "embedding",
+        beforeRecheck = () =>
+          Ivf.save(Ivf.build(first, "vec_id", "embedding", nlist = 2), spark, path))
+    }
+    assert(e.getMessage.contains("raced this append"))
+    // the published rebuild is exactly what its save wrote — no adopted
+    // stale-assignment files, no staging debris
+    val after = Ivf.load(spark, path)
+    assert(after.centroids.size === 2)
+    assert(after.assignments.count() === 60L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).toSet
+    assert(!names.exists(_.startsWith("_graft_appendstage_")),
+      s"append staging leaked: $names")
+    // and a clean re-run against the new index adopts normally
+    Ivf.append(spark, path, rest, "vec_id", "embedding")
+    assert(Ivf.load(spark, path).assignments.count() === 120L)
+  }
+
   test("empty index on a STREAM yields an empty stream, not an AnalysisException") {
     implicit val ctx = spark.sqlContext
     // build over an empty corpus → no centroids; the empty branch must be

@@ -75,6 +75,20 @@ class ModelStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("save one first"))
   }
 
+  test("crashed-publish staging debris is healed by the next publish — which " +
+      "claims FIRST, so a heal can never race a live publisher into a partial " +
+      "commit (the loser refuses at its re-check)") {
+    val dir = "/tmp/graft_modelstore_spec_debris"
+    fs.delete(hp(dir), true)
+    publishOne(dir, 1)
+    fs.mkdirs(hp(s"$dir/_graft_staging_deadcafe"))
+    publishOne(dir, 2)
+    assert(readOne(dir) === 2)
+    val names = fs.listStatus(hp(dir)).map(_.getPath.getName).toSet
+    assert(!names.exists(_.startsWith("_graft_staging_")),
+      s"debris survived the heal: $names")
+  }
+
   test("single-publisher: a competing publish mid-save makes the loser refuse " +
       "loudly; the winner is complete; no staging leaks") {
     val dir = "/tmp/graft_modelstore_spec_concurrent"
