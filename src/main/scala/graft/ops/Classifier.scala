@@ -131,6 +131,11 @@ object Classifier {
       pinned = Some(next)
       w = next
     }
+    // the feature table is corpus-sized and non-recomputable; the
+    // returned weights are themselves checkpointed (≤ buckets+1 rows), so
+    // nothing lazy still reads feats — release it here instead of pinning
+    // a doc×bucket copy of the corpus per training run (r20)
+    Lineage.release(feats)
     w
   }
 

@@ -140,7 +140,12 @@ object KMeans {
     // assignment + the final assignment below would otherwise re-scan the
     // source and re-run the per-row quantize transform rounds+2 times —
     // at 100 TB the repeated scan IS the cost, and the checkpointed form
-    // is the 2-column projection, not the full row
+    // is the 2-column projection, not the full row. OWNERSHIP: the
+    // returned (lazy) assignment reads these blocks, so they cannot be
+    // released here — they live until the result frame is GC'd
+    // (ContextCleaner). A long-lived driver fitting in a loop should
+    // consume each result promptly and drop the reference; the per-fit
+    // footprint is the 2-column projection, never the full corpus row.
     val q = quantize(df, vecCol, idCol, scale).localCheckpoint(true)
     val cents = lloyd(q, idCol, k, rounds, checkpointInterval)
     assign(q, cents, idCol).select(col(idCol), col("cluster"), col("d2"))

@@ -258,13 +258,20 @@ object Text {
         // the fold is an interpreted HOF over every token — gate it behind
         // a codegen'd containment check so docs without the winner pair
         // (the overwhelming majority once pairs get specific) skip it
-        cur = cur.select(when(
+        val next = cur.select(when(
             array_contains(col("toks"), w1) && array_contains(col("toks"), w2),
             fold).otherwise(col("toks")).as("toks"))
           .localCheckpoint(true)
+        // superseded-checkpoint release (the Lloyd/pageRank discipline,
+        // r20): each round's token table is corpus-sized and
+        // non-recomputable — without the release a training run pins
+        // nMerges copies of the corpus in executor storage
+        Lineage.release(cur)
+        cur = next
         r += 1
       }
     }
+    Lineage.release(cur) // the merge table is driver-side; nothing lazy reads cur
     out.toSeq
   }
 
