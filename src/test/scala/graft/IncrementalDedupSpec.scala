@@ -1186,6 +1186,39 @@ class IncrementalDedupSpec extends SparkSpec {
     dropPromotedTables()
   }
 
+  test("lazy-result probe (oracle path): same answer, NOTHING materialized — " +
+      "no non-recomputable checkpoint hides behind a caller's projection") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import graft.ops.{IncrementalEmbeddingDedup, Lineage}
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val pr = docs.filter(col("doc_id") % 2 === 1)
+    val idx = freshIndex("probelazy")
+    IncrementalDedup.addBatch(spark, idx, ref, "text", "doc_id", 0)
+    val eager = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id")
+    assert(eager.queryExecution.logical.isInstanceOf[LogicalRDD],
+      "the serving default stays eager (transients fire inside the retry)")
+    val lazyOut = IncrementalDedup.probe(spark, idx, pr, "text", "doc_id",
+      eagerResult = false)
+    assert(!lazyOut.queryExecution.optimizedPlan.exists(_.isInstanceOf[LogicalRDD]),
+      "lazy-result mode must checkpoint nothing anywhere in its plan — a " +
+        "checkpoint under the oracle queries' .select leaks per bench rep")
+    assert(lazyOut.select("doc_id").as[Long].collect().sorted.toSeq ===
+      eager.select("doc_id").as[Long].collect().sorted.toSeq)
+    Lineage.release(eager)
+    // embedding twin: same contract
+    val eidx = freshIndex("probelazyemb")
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    IncrementalEmbeddingDedup.addBatch(spark, eidx,
+      vecs(10L -> Seq(1f, 0f, 0f, 0f), 12L -> Seq(0f, 1f, 0f, 0f)),
+      "embedding", "vec_id", 0, dim = 4)
+    val elazy = IncrementalEmbeddingDedup.probe(spark, eidx,
+      vecs(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 0f, 1f, 0f)),
+      "embedding", "vec_id", dim = 4, eagerResult = false)
+    assert(!elazy.queryExecution.optimizedPlan.exists(_.isInstanceOf[LogicalRDD]))
+    assert(elazy.select("vec_id").as[Long].collect().sorted.toSeq === Seq(2L))
+  }
+
   test("EMBEDDING probe: read-only, id-order-free, parameter-pinned") {
     import graft.ops.IncrementalEmbeddingDedup
     def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
