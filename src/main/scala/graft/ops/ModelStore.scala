@@ -29,7 +29,12 @@ import org.apache.spark.sql.SparkSession
   *  3. RE-CHECK the claim just before committing — a concurrent
   *     publisher's claim moves the token and the loser refuses LOUDLY
   *     with its staging discarded (single-publisher, enforced; the
-  *     residual is the tiny re-check→rename gap);
+  *     residual is the tiny re-check→rename gap, and since r20 even a
+  *     publish racing INSIDE that gap cannot commit silently: the later
+  *     claimant's heal deletes the earlier publisher's staging, so the
+  *     earlier rename fails loudly and the later model — complete —
+  *     wins; every interleaving ends in one complete committed model
+  *     plus at most one loud refusal);
   *  4. bump `_graft_pubgen` (the commit generation) — readers whose
   *     table reads straddle the swap see the moved token and retry;
   *  5. move any `current/` aside, rename the staging to `current/` —
