@@ -201,15 +201,27 @@ object ModelStore {
     * file under it) absent between publish's two renames. Message- and
     * type-based because Spark wraps the FileNotFound in AnalysisException
     * ("Path does not exist") at read-planning time.
+    *
+    * The missing-file shapes are AMBIGUOUS (the ProbeRetry lesson, r20):
+    * a STABLE corrupt model — a table missing inside a committed
+    * `current/` — produces the same FileNotFound, and retrying it only
+    * delays the loud refusal. [[read]] disambiguates with a live check:
+    * the window's defining symptom is `current/` itself being absent
+    * (between the renames) — if `current/` exists and the generation
+    * holds still, the failure is stable and surfaces on the first
+    * attempt. (A rename landing after the FNF but before the check is
+    * caught by the generation clause: the post-commit second bump moves
+    * the token.)
     */
-  private def isMidCommit(t: Throwable): Boolean =
+  private def isMidCommit(spark: SparkSession, path: String,
+      t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists { c =>
       c.isInstanceOf[java.io.FileNotFoundException] ||
         (c.isInstanceOf[IllegalStateException] &&
           Option(c.getMessage).exists(_.contains("crashed mid-publish"))) ||
         Option(c.getMessage).exists(m =>
           m.contains("Path does not exist") || m.contains("PATH_NOT_FOUND"))
-    }
+    } && !fsOf(spark, path).exists(hp(s"$path/$CurrentDir"))
 
   /** Consistent read of the committed model: `readCurrent(currentDir)`
     * performs every table read; the publish generation is checked around
@@ -239,7 +251,7 @@ object ModelStore {
         // generation moved) or the read caught the mid-commit window;
         // stable states — truly absent/corrupt models — rethrow loudly
         case t: Throwable if attempt < MaxAttempts &&
-            (readToken(fs, genPath) != gen0 || isMidCommit(t)) =>
+            (readToken(fs, genPath) != gen0 || isMidCommit(spark, path, t)) =>
           Thread.sleep(50L * attempt)
       }
     }

@@ -103,6 +103,28 @@ class ModelStoreSpec extends SparkSpec {
     assert(!names.exists(_.startsWith("_graft_staging_")), s"staging leaked: $names")
   }
 
+  test("a STABLE corrupt model (table missing inside a committed current/) " +
+      "refuses on the FIRST attempt — missing-file retries are reserved for " +
+      "the mid-commit window (r20, the ProbeRetry narrowing one level up)") {
+    val dir = "/tmp/graft_modelstore_spec_corrupt"
+    fs.delete(hp(dir), true)
+    publishOne(dir, 1)
+    // forge the corruption: the committed table vanishes, current/ stays
+    fs.delete(hp(s"$dir/current/t"), true)
+    var attempts = 0
+    val e = intercept[Exception] {
+      ModelStore.read(spark, dir, "spec model") { cur =>
+        attempts += 1
+        spark.read.parquet(s"$cur/t").head().getInt(0)
+      }
+    }
+    assert(attempts === 1, s"stable corruption was retried: $attempts attempts")
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(m =>
+        m.contains("Path does not exist") || m.contains("PATH_NOT_FOUND"))),
+      s"unexpected failure shape: $e")
+  }
+
   test("a read whose table fetches straddle a publish retries and serves ONE " +
       "model — the generation re-check, not luck") {
     val dir = "/tmp/graft_modelstore_spec_readrace"
