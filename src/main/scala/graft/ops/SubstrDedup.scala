@@ -52,8 +52,28 @@ object SubstrDedup {
     * contain no duplicated span of length ≥ k). The gram array is built
     * per row THEN posexploded, so the document text is not replicated
     * into every output row.
+    *
+    * Native one-pass kernel ([[org.apache.spark.sql.graft.GramStrings]]):
+    * the column form below ([[windowsRef]]) pays an interpreted
+    * higher-order `transform` PLUS an O(position) byte-walk inside every
+    * `substr` call — measured 1.7 s per derivation at sf0.1 (and
+    * [[dupPositions]] derives windows twice by design) for what is one
+    * linear pass over 1.5 MB of text. Byte-identical output
+    * (`SubstrDedupSpec` pins kernel ≡ reference on the real corpus).
     */
   def windows(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window length k=$k must be >= 2")
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.GramStrings
+          .gramStrings(col(textCol), k)).as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("gram"))
+  }
+
+  /** REFERENCE FORM (spec-pinned twin of [[windows]]'s native kernel):
+    * the direct `substr` transliteration of the window definition.
+    */
+  private[graft] def windowsRef(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
     require(k >= 2, s"window length k=$k must be >= 2")
     val n = length(col(textCol))
     val grams = when(n >= k,

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.SubstrDedup
+
+/** Round-21 optimization scratch probe: stage-by-stage noop timings for
+  * the expensive bench queries, so a regression localizes to ONE stage
+  * instead of a whole composed query. Dev tool, not library code.
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.configure(spark)
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.write.format("noop").mode("overwrite").save() // warm scan
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String, reps: Int = 3)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"OPTPROBE $name%-36s min=${ts.min}%6.2f  runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+
+    val which = if (args.isEmpty) Set("substr") else args.toSet
+
+    if (which("substr")) {
+      val k = 20
+      time("substr: windows()") {
+        noop(SubstrDedup.windows(docs, "text", "doc_id", k))
+      }
+      time("substr: windows+count>=2") {
+        noop(SubstrDedup.windows(docs, "text", "doc_id", k)
+          .groupBy("gram").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 2).select("gram"))
+      }
+      time("substr: dupPositions(semi)") {
+        val w = SubstrDedup.windows(docs, "text", "doc_id", k)
+          .withColumnRenamed("gram", "gk")
+        val dup = w.groupBy("gk").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 2).select("gk")
+        noop(w.join(dup, Seq("gk"), "left_semi").select(col("doc_id"), col("pos")))
+      }
+      time("substr: dupSpans") {
+        noop(SubstrDedup.dupSpans(docs, "text", "doc_id", k, hashed = false))
+      }
+      time("substr: removeDupSpans") {
+        noop(SubstrDedup.removeDupSpans(docs, "text", "doc_id", k, hashed = false))
+      }
+    }
+    spark.stop()
+  }
+}

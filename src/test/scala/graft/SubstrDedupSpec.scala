@@ -20,6 +20,23 @@ class SubstrDedupSpec extends SparkSpec {
     assert(w.toSeq == Seq((1L, 1, "abcd"), (1L, 2, "bcde"), (1L, 3, "cdef")))
   }
 
+  test("native gram kernel ≡ substr reference form (corpus + edge cases)") {
+    // the r21 native kernel (GramStrings) must be byte-identical to the
+    // substr transliteration — positions AND gram content, including
+    // non-BMP code points (substr counts code points, not UTF-16 units),
+    // short docs (no rows) and null text (no rows)
+    val edge = Seq[(Long, String)](
+      1L -> "abcdef", 2L -> "abc", 3L -> null, 4L -> "",
+      5L -> "a😀bcd😁ef", 6L -> "ααββγγδδ")
+      .toDF("doc_id", "text")
+    for (d <- Seq(edge, Tables.documents(spark, sf())); k <- Seq(2, 4, 20)) {
+      val kern = SubstrDedup.windows(d, "text", "doc_id", k)
+      val ref = SubstrDedup.windowsRef(d, "text", "doc_id", k)
+      assert(kern.exceptAll(ref).isEmpty && ref.exceptAll(kern).isEmpty,
+        s"kernel/reference window divergence at k=$k")
+    }
+  }
+
   test("duplicated spans merge overlapping windows into one maximal span") {
     // "0123456789" shared prefix of length 6 in docs 1 and 2 → with k=4,
     // windows at pos 1,2,3 are duplicated → one merged span [1, 6]
