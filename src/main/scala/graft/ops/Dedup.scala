@@ -104,15 +104,39 @@ object Dedup {
   /** MinHash signatures: per seed s, min over shingle hashes of the
     * universal hash (a_s·base + b_s) mod 2^32.
     *
-    * Shape: explode shingle hashes → groupBy(doc) with k partial-aggregated
-    * mins. The flat explode+agg beats the tempting all-in-one nested
-    * `array_min(transform(...))` projection two ways: (1) Catalyst inlines
-    * the nested variant into every downstream band key, duplicating the
-    * whole tree k×bands times until janino compilation dominates runtime;
-    * (2) at 100 TB the explode distributes hashing across the cluster and
-    * map-side combine reduces the shuffle to k longs per doc.
+    * Shape (r21): ONE per-row native pass — shingle bases from the
+    * [[org.apache.spark.sql.graft.ShingleBases]] kernel, all k seed-mins
+    * from the [[org.apache.spark.sql.graft.SeedMins]] kernel — zero
+    * shuffles. The r20 explode → groupBy(doc) form ([[minhashSignaturesRef]],
+    * spec-pinned equal) paid an Exchange of k longs per document on EVERY
+    * LSH pipeline purely to reassemble a per-row quantity; its historical
+    * justification (the nested `array_min(transform(...))` column form
+    * inlined the base expression k×bands times and paid interpreted HOF
+    * dispatch per element) is void with the native kernels — the sig
+    * array is computed once per row and band keys read it by index.
+    * Requires unique `idCol` per row (every caller's standing contract —
+    * keepers/anti-joins key on it); the aggregation form would instead
+    * have merged duplicate-id rows into one signature.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    require(k <= seedConsts.size, s"k <= ${seedConsts.size}")
+    // null text keeps the old tree's array(NULL) base → all-null sigs
+    val bases = when(col(textCol).isNull, array(lit(null).cast("long")))
+      .otherwise(org.apache.spark.sql.graft.ShingleFns.shingleBases(col(textCol)))
+    df.select(col(idCol),
+        org.apache.spark.sql.graft.SeedMins
+          .seedMins(bases, seedConsts.take(k)).as("__sigs"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
+  }
+
+  /** REFERENCE FORM (spec-pinned twin of [[minhashSignatures]]'s per-row
+    * kernel): explode shingle hashes → groupBy(doc) with k
+    * partial-aggregated mins — the r20 shape, kept as the oracle-auditable
+    * transliteration of the signature definition.
+    */
+  private[graft] def minhashSignaturesRef(df: DataFrame, textCol: String,
+      idCol: String, k: Int = 8): DataFrame = {
     require(k <= seedConsts.size, s"k <= ${seedConsts.size}")
     val exploded = explodedShingleHashes(df, textCol, idCol)
     val aggs = (0 until k).map { s =>
@@ -121,6 +145,28 @@ object Dedup {
     }
     exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** (idCol, shs, nsh) distinct 3-gram shingle sets — the shared
+    * verification-set producer (r21: native
+    * [[org.apache.spark.sql.graft.DistinctShingles]] kernel; the column
+    * form is [[distinctShingleSetsRef]], spec-pinned equal). Null text
+    * keeps the old tree's [NULL] set (nsh = 1).
+    */
+  private[graft] def distinctShingleSets(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val shs = when(col(textCol).isNull, array(lit(null).cast("string")))
+      .otherwise(org.apache.spark.sql.graft.DistinctShingles
+        .distinctShingles(col(textCol)))
+    df.select(col(idCol), shs.as("shs"))
+      .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+  }
+
+  /** REFERENCE FORM of [[distinctShingleSets]] (the column HOF chain). */
+  private[graft] def distinctShingleSetsRef(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
+      .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
 
   /** LSH banding: split the k-sig MinHash into `bands` bands of `k/bands`
     * rows each; docs sharing any (band, band-key) are candidate pairs.
@@ -210,9 +256,7 @@ object Dedup {
     */
   private def verifyPairs(df: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, minJaccard: Double): DataFrame = {
-    val shs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
-      .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+    val shs = distinctShingleSets(df, textCol, idCol)
     // |A∪B| = |A| + |B| − |A∩B| for the distinct shingle SETS: one hashed
     // array_intersect per pair plus integer arithmetic, instead of also
     // materializing the union array per pair — identical value (same
@@ -429,10 +473,7 @@ object Dedup {
   private def verifyCrossPairs(probe: DataFrame, ref: DataFrame,
       textCol: String, idCol: String, cand: DataFrame,
       minJaccard: Double): DataFrame = {
-    def shingleSets(df: DataFrame) = df
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
-      .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+    def shingleSets(df: DataFrame) = distinctShingleSets(df, textCol, idCol)
     // same |A∪B| = |A|+|B|−|A∩B| identity as [[verifiedNearDupPairs]]
     val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
     cand
@@ -507,8 +548,7 @@ object Dedup {
     * [[minhashCandidatePairs]]). Set semantics via distinct shingles.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
+    val sh = distinctShingleSets(df, textCol, idCol).drop("nsh")
     val a = sh.select(col(idCol).as("doc_a"), col("shs").as("sh_a"))
     val b = sh.select((col(idCol) - 1).as("join_id"), col(idCol).as("doc_b"), col("shs").as("sh_b"))
     // same |A∪B| = |A|+|B|−|A∩B| identity as [[verifiedNearDupPairs]]

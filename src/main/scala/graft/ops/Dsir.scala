@@ -67,12 +67,17 @@ object Dsir {
   /** Exploded hashed features of one text column: unigrams + space-joined
     * bigrams, each hashed to a bucket in [0, buckets). One row per feature
     * OCCURRENCE (counts matter in the multinomial); one Generate total.
+    * r21: bucket ids come from the native
+    * [[org.apache.spark.sql.graft.DsirFeatBuckets]] kernel (one tokenize
+    * + md5 pass per doc) instead of the interpreted tokenize/transform/
+    * h32-per-feature column chain; values are bit-identical
+    * (DsirSpec pins kernel ≡ reference).
     */
-  private def features(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def features(df: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
-    df.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
-      .select(col(idCol), explode(featArrayOfTs).as("f"))
-      .select(col(idCol), pmod(h32(col("f")), lit(buckets)).as("b"))
+    df.select(col(idCol), explode(org.apache.spark.sql.graft.DsirFeatBuckets
+        .featBuckets(col(textCol), buckets)).as("f1"))
+      .select(col(idCol), (col("f1") - 1).cast("long").as("b"))
 
   /** Raw-side and target-side bucket totals, collected (≤B rows each).
     * The totals aggregate `features` STRAIGHT to groupBy(b) — only B rows
@@ -120,7 +125,22 @@ object Dsir {
     * equals the summed occurrence count the exploded form would produce
     * (pinned by the dsir.serve-equals-batch-weights property).
     */
-  private def scoredCols(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def scoredCols(df: DataFrame, textCol: String, idCol: String,
+      lam: Array[Long], buckets: Int): DataFrame = {
+    // r21 native pair: one DsirFeatBuckets pass builds the bucket array
+    // (its SIZE is n_feats — 2·|tokens|−1 for ≥1 token, 0 otherwise —
+    // so no separate tokenize), one SumLam loop folds λ over it; the
+    // interpreted aggregate/element_at fold is kept as [[scoredColsRef]]
+    df.select(col(idCol), org.apache.spark.sql.graft.DsirFeatBuckets
+        .featBuckets(col(textCol), buckets).as("__bs"))
+      .select(col(idCol),
+        coalesce(size(col("__bs")).cast("long"), lit(0L)).as("n_feats"),
+        coalesce(org.apache.spark.sql.graft.SumLam.sumLam(col("__bs"), lam.toSeq),
+          lit(0L)).as("weight_micro"))
+  }
+
+  /** REFERENCE FORM of [[scoredCols]] (spec-pinned interpreted fold). */
+  private[graft] def scoredColsRef(df: DataFrame, textCol: String, idCol: String,
       lam: Array[Long], buckets: Int): DataFrame = {
     val lamLit = typedLit(lam.toSeq)
     val weight = aggregate(featArrayOfTs, lit(0L), (acc, f) =>
@@ -197,7 +217,25 @@ object Dsir {
     * every domain's λ literal over it — one scan, one projection, zero
     * shuffles regardless of D.
     */
-  private def multiScoredCols(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def multiScoredCols(df: DataFrame, textCol: String, idCol: String,
+      lams: Seq[(String, Array[Long])], buckets: Int): DataFrame = {
+    // r21: ONE native DsirFeatBuckets pass (the md5 work) shared by every
+    // domain's native SumLam fold — same one-hash-many-folds shape as
+    // before, minus the interpreted lambdas ([[multiScoredColsRef]] is
+    // the spec-pinned r20 form)
+    val wCols = lams.map { case (name, lam) =>
+      coalesce(org.apache.spark.sql.graft.SumLam.sumLam(col("bs"), lam.toSeq),
+        lit(0L)).as(s"w_$name")
+    }
+    df.select(col(idCol), org.apache.spark.sql.graft.DsirFeatBuckets
+        .featBuckets(col(textCol), buckets).as("bs"))
+      .select(col(idCol),
+        coalesce(size(col("bs")).cast("long"), lit(0L)).as("n_feats"), col("bs"))
+      .select((col(idCol) +: col("n_feats") +: wCols): _*)
+  }
+
+  /** REFERENCE FORM of [[multiScoredCols]] (spec-pinned r20 shape). */
+  private[graft] def multiScoredColsRef(df: DataFrame, textCol: String, idCol: String,
       lams: Seq[(String, Array[Long])], buckets: Int): DataFrame = {
     val wCols = lams.map { case (name, lam) =>
       val lamLit = typedLit(lam.toSeq)

@@ -79,8 +79,9 @@ object IncrementalDedup {
 
   private def shingleSets(df: DataFrame, textCol: String, idCol: String,
       hashed: Boolean): DataFrame = {
-    val strSets = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), array_distinct(Dedup.shinglesOfTokens(col("toks"))).as("shs"))
+    // r21: native distinct-shingle kernel (Dedup.distinctShingleSets'
+    // producer) instead of the interpreted tokens/transform HOF chain
+    val strSets = Dedup.distinctShingleSets(df, textCol, idCol).drop("nsh")
     val sets =
       if (!hashed) strSets
       // 8-byte xxhash64 keys instead of the oracle-portable strings: ~5×

@@ -43,9 +43,23 @@ object KMeans {
     df.select(col(idCol),
       transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("q"))
 
-  /** Integer squared L2 distance between two equal-length long arrays. */
+  /** Integer squared L2 distance between two equal-length long arrays —
+    * native kernel ([[org.apache.spark.sql.graft.Dist2L]]; r21). This is
+    * the hottest expression in the fit (once per row per centroid per
+    * round, and it runs INSIDE the `transform` lambda of [[assign]] where
+    * the old `aggregate(zip_with(...))` composition paid two interpreted
+    * lambdas and a zipped-array allocation per centroid). `KMeansSpec`
+    * pins kernel ≡ composition, including null/length-mismatch edges.
+    */
   private def dist2(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Dist2L.dist2l(a, b)
+
+  /** REFERENCE FORM of [[dist2]] (spec-pinned builtin composition). */
+  private[graft] def dist2Ref(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  private[graft] def dist2Kernel(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Dist2L.dist2l(a, b)
 
   /** Initial centroids: the quantized vectors of the k smallest ids,
     * cluster index = id rank. The k-row sort/window is bounded by k, not
@@ -78,11 +92,80 @@ object KMeans {
         best.getField("d2").as("d2"))
   }
 
+  /** Per-cluster element-wise vector sums + per-dim contributing-row
+    * counts — ONE mergeable buffer of (d longs, d longs) per cluster per
+    * partition, the r21 replacement for the posexplode shuffle in
+    * [[update]]: the exploded form generated n·d rows into the partial
+    * aggregation (64× row inflation at embedding width) and needed a
+    * SECOND shuffle to reassemble the centroid arrays; this folds both
+    * into one groupBy. Shuffled bytes drop from ~3 rows-worth of overhead
+    * per (cluster, dim) to two packed long arrays per cluster per map
+    * partition. Null ELEMENTS add 0 to the sum and still count the row —
+    * exactly the exploded form's `sum(v)` (null-skipping) over
+    * `count(lit(1))` (row-counting) per dim; rows with NULL or empty q are
+    * filtered by the caller, matching posexplode's emit-nothing behavior.
+    */
+  private class VecSum extends org.apache.spark.sql.expressions.Aggregator[
+      Array[java.lang.Long], (Array[Long], Array[Long]), (Seq[Long], Seq[Long])] {
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    private def grow(a: Array[Long], n: Int): Array[Long] =
+      if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
+    override def zero: (Array[Long], Array[Long]) =
+      (Array.empty[Long], Array.empty[Long])
+    override def reduce(b: (Array[Long], Array[Long]), q: Array[java.lang.Long])
+        : (Array[Long], Array[Long]) = {
+      val s = grow(b._1, q.length)
+      val n = grow(b._2, q.length)
+      var i = 0
+      while (i < q.length) {
+        if (q(i) != null) s(i) += q(i)
+        n(i) += 1
+        i += 1
+      }
+      (s, n)
+    }
+    override def merge(a: (Array[Long], Array[Long]), b: (Array[Long], Array[Long]))
+        : (Array[Long], Array[Long]) = {
+      val s = grow(a._1, b._1.length)
+      val n = grow(a._2, b._2.length)
+      var i = 0
+      while (i < b._1.length) { s(i) += b._1(i); n(i) += b._2(i); i += 1 }
+      (s, n)
+    }
+    override def finish(r: (Array[Long], Array[Long])): (Seq[Long], Seq[Long]) =
+      (r._1.toSeq, r._2.toSeq)
+    override def bufferEncoder: Encoder[(Array[Long], Array[Long])] =
+      ExpressionEncoder[(Array[Long], Array[Long])]()
+    override def outputEncoder: Encoder[(Seq[Long], Seq[Long])] =
+      ExpressionEncoder[(Seq[Long], Seq[Long])]()
+  }
+
   /** One Lloyd update: per-(cluster, dim) integer sums → floored integer
     * division → re-assembled centroid arrays; empty clusters inherit the
-    * previous centroid.
+    * previous centroid. One shuffle of two d-long arrays per cluster per
+    * map partition ([[VecSum]]); [[updateRef]] is the spec-pinned
+    * exploded twin this replaced (2 Exchanges and n·d generated rows per
+    * round → 1 Exchange, no Generate).
     */
   private def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val fn = udaf(new VecSum,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[java.lang.Long]]())
+    // posexplode emitted nothing for NULL/empty q — filter to match, so a
+    // cluster whose every row is degenerate still inherits prev_cent
+    val rebuilt = assigned
+      .filter(col("q").isNotNull && size(col("q")) > 0)
+      .groupBy("cluster").agg(fn(col("q")).as("sn"))
+      .select(col("cluster").as("c"),
+        zip_with(col("sn._1"), col("sn._2"), (s, n) =>
+          floor(s.cast("double") / n.cast("double")).cast("long")).as("cent"))
+    prev.select(col("c"), col("cent").as("prev_cent"))
+      .join(rebuilt, Seq("c"), "left")
+      .select(col("c"), coalesce(col("cent"), col("prev_cent")).as("cent"))
+  }
+
+  /** REFERENCE FORM of [[update]] (spec-pinned exploded twin). */
+  private[graft] def updateRef(assigned: DataFrame, prev: DataFrame): DataFrame = {
     val sums = assigned
       .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy("cluster", "dim")
@@ -97,6 +180,10 @@ object KMeans {
       .join(rebuilt, Seq("c"), "left")
       .select(col("c"), coalesce(col("cent"), col("prev_cent")).as("cent"))
   }
+
+  /** [[update]] wired for the spec (private otherwise). */
+  private[graft] def updateKernel(assigned: DataFrame, prev: DataFrame): DataFrame =
+    update(assigned, prev)
 
   /** Lineage discipline for the Lloyd loop: the centroid frame (k rows —
     * tiny) accretes one assign+update plan layer per round, so past

@@ -42,8 +42,17 @@ object Text {
     * `KafkaWordCount.java:61-62` (`lower(s).split("\\W+")`), but intentionally
     * diverges on leading non-word chars: Java's split yields a leading ""
     * token that the reference counts; we drop all empties (better behavior).
+    *
+    * Native kernel (r21, [[org.apache.spark.sql.graft.Tokens]]): the
+    * split+filter column form ([[tokensRef]], spec-pinned equal) paid an
+    * interpreted `filter` HOF — dropping nearly every text-operator
+    * projection out of whole-stage codegen — plus a regex pass per call.
     */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.Tokens.tokens(text)
+
+  /** REFERENCE FORM of [[tokens]] (the split+filter transliteration). */
+  private[graft] def tokensRef(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => length(t) > 0)
 
   /** Word frequency over a corpus — the reference's flagship query
@@ -71,11 +80,15 @@ object Text {
     * — deterministic across engines and layouts.
     */
   def bigramCounts(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    // arrays_zip of the two shifted slices, NOT transform+element_at: the
+    // zip/slice chain stays inside whole-stage codegen where the
+    // transform lambda is interpreted per element (the learnBpeMerges
+    // pair shape; r21 — same rows, same field names)
     val pairs = df.select(tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(explode(transform(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        (x, i) => struct(x.as("w1"), element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
     pairs.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
@@ -963,11 +976,12 @@ object Text {
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.7): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    // codegen'd zip-of-shifted-slices pair shape (see [[bigramCounts]])
     val pairs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col(idCol), explode(transform(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        (x, i) => struct(x.as("w1"), element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val uni = df.select(explode(tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("ucnt"))

@@ -61,21 +61,24 @@ object StreamingLsh {
     require(k % bands == 0 && k <= Dedup.seedConsts.size, "k must split into equal bands")
     val r = k / bands
     val carryCols = carry.map { case (n, c) => c.as(n) }
+    // r21: the same native base/seed-min/distinct-shingle kernels as the
+    // batch path (Dedup.minhashSignatures / distinctShingleSets) — the
+    // old interpreted HOF chain (transform h32 per token, transform
+    // combine3 per shingle, array_min(transform) per seed) was this
+    // stream's dominant per-row cost; values are bit-identical
+    // (spec-pinned batch ≡ stream agreement is unchanged)
+    val bases = when(col(textCol).isNull, array(lit(null).cast("long")))
+      .otherwise(org.apache.spark.sql.graft.ShingleFns.shingleBases(col(textCol)))
+    val shsCol = when(col(textCol).isNull, array(lit(null).cast("string")))
+      .otherwise(org.apache.spark.sql.graft.DistinctShingles
+        .distinctShingles(col(textCol)))
     val staged = df
-      .select(col(idCol).cast("long").as("doc_id") +:
-        Text.tokens(col(textCol)).as("toks") +: carryCols: _*)
-      .withColumn("hs", transform(col("toks"), t => Text.h32(t)))
-      .withColumn("bases",
-        when(size(col("hs")) >= 3,
-          transform(sequence(lit(0), size(col("hs")) - 3),
-            i => Dedup.combine3(element_at(col("hs"), i + 1),
-              element_at(col("hs"), i + 2), element_at(col("hs"), i + 3))))
-          .otherwise(array(Text.h32(array_join(col("toks"), " ")))))
-      .withColumn("shs", array_distinct(Dedup.shinglesOfTokens(col("toks"))))
+      .select(col(idCol).cast("long").as("doc_id") +: col(textCol) +: carryCols: _*)
+      .withColumn("__sigs", org.apache.spark.sql.graft.SeedMins
+        .seedMins(bases, Dedup.seedConsts.take(k)))
+      .withColumn("shs", shsCol)
     val sigCols: Seq[Column] = (0 until k).map { s =>
-      val (a, b) = Dedup.seedConsts(s)
-      array_min(transform(col("bases"),
-        x => (x * lit(a) + lit(b)).bitwiseAND(lit(Dedup.Mask)))).as(s"sig_$s")
+      element_at(col("__sigs"), s + 1).as(s"sig_$s")
     }
     val carried = carry.map { case (n, _) => col(n) }
     val sigs = staged.select(col("doc_id") +: col("shs") +: (carried ++ sigCols): _*)
@@ -194,11 +197,10 @@ object StreamingLsh {
     val allRefs = array_distinct(concat(
       (0 until bands).map(b =>
         coalesce(col(s"ref_docs_$b"), typedLit(Array.empty[Long]))): _*))
-    val rShs = ref
-      .select(col(idCol).cast("long").as("ref_id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("ref_id"),
-        array_distinct(Dedup.shinglesOfTokens(col("toks"))).as("sh_b"))
-      .select(col("ref_id"), col("sh_b"), size(col("sh_b")).as("n_b"))
+    val rShs = Dedup.distinctShingleSets(
+        ref.select(col(idCol).cast("long").as("ref_id"), col(textCol)),
+        textCol, "ref_id")
+      .select(col("ref_id"), col("shs").as("sh_b"), col("nsh").as("n_b"))
     val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
     joined
       .select(col("doc_id"), col("sh_a"), col("n_a"), explode(allRefs).as("ref_id"))

@@ -32,6 +32,37 @@ object OptProbe {
 
     val which = if (args.isEmpty) Set("substr") else args.toSet
 
+    if (which("jobs")) {
+      // per-job wall time for one query execution: shows whether a
+      // lifecycle query is compute-bound or job-count-bound
+      val qname = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERY", "dedup_incr_kept")
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, (js.time,
+            Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobs.get(je.jobId)
+          if (st != null) done.add((je.jobId, (je.time - st._1) / 1e3, st._2))
+        }
+      }
+      // warm once, then listen on the second run
+      noop(graft.SparkEntry.queries(qname)(spark, sfDir))
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      noop(graft.SparkEntry.queries(qname)(spark, sfDir))
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(l)
+      Thread.sleep(500)
+      val ds = done.toArray(Array.empty[(Int, Double, String)]).sortBy(_._1)
+      println(f"OPTPROBE jobs($qname): wall=$wall%.2f n_jobs=${ds.length} " +
+        f"job_sum=${ds.map(_._2).sum}%.2f")
+      ds.foreach { case (id, sec, desc) =>
+        println(f"OPTPROBE   job $id%3d ${sec}%6.3f s  ${desc.take(80)}")
+      }
+    }
+
     if (which("substr")) {
       val k = 20
       time("substr: windows()") {

@@ -26,6 +26,39 @@ class DsirSpec extends SparkSpec {
       s"target-domain docs must score higher: $byLang")
   }
 
+  test("native feature/fold kernels ≡ interpreted column reference forms") {
+    // r21 kernels (DsirFeatBuckets + SumLam) vs the r20 column chain:
+    // identical (id, n_feats, weight_micro) and identical multi-domain
+    // weight columns — on the real corpus AND the degenerate edges the
+    // coalesce/greatest wrappers exist for
+    val edge = Seq[(Long, String)](1L -> null, 2L -> "", 3L -> "one",
+      4L -> "one two", 5L -> "repeat repeat repeat", 6L -> "Thé QUICK brown-fox.")
+      .toDF("doc_id", "text")
+    val lamA = Array.tabulate(64)(i => (i * 37 - 1000).toLong)
+    val lamB = Array.tabulate(64)(i => (5000 - i * 91).toLong)
+    for (d <- Seq(edge, docs.toDF())) {
+      val k1 = Dsir.scoredCols(d, "text", "doc_id", lamA, 64)
+      val r1 = Dsir.scoredColsRef(d, "text", "doc_id", lamA, 64)
+      assert(k1.exceptAll(r1).isEmpty && r1.exceptAll(k1).isEmpty,
+        "scoredCols kernel/reference divergence")
+      val lams = Seq("a" -> lamA, "b" -> lamB)
+      val k2 = Dsir.multiScoredCols(d, "text", "doc_id", lams, 64)
+      val r2 = Dsir.multiScoredColsRef(d, "text", "doc_id", lams, 64)
+      assert(k2.exceptAll(r2).isEmpty && r2.exceptAll(k2).isEmpty,
+        "multiScoredCols kernel/reference divergence")
+    }
+    // the exploded fit-side features: same (id, bucket) multiset
+    val kf = Dsir.features(docs.toDF(), "text", "doc_id", 64)
+      .groupBy("doc_id", "b").count()
+    val rf = docs.select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "concat(ts, case when size(ts) >= 2 then transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1])) else cast(array() as array<string>) end)")).as("f"))
+      .select(col("doc_id"), pmod(graft.ops.Text.h32(col("f")), lit(64)).as("b"))
+      .groupBy("doc_id", "b").count()
+    assert(kf.exceptAll(rf).isEmpty && rf.exceptAll(kf).isEmpty,
+      "features kernel/reference divergence")
+  }
+
   test("weights are exactly partitioning-independent (micro-floor discipline)") {
     val a = Dsir.weights(docs, target, "text", "doc_id")
       .orderBy("doc_id").collect().toSeq

@@ -34,6 +34,65 @@ class KMeansSpec extends SparkSpec {
     assert(cents.values.toSeq.distinct.size === 1)
   }
 
+  test("native dist2 kernel ≡ builtin composition (nulls, mismatch, overflow)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (Array[java.lang.Long](1L, 2L, 3L), Array[java.lang.Long](4L, 6L, 3L)),
+      (Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, 3L)),
+      (Array[java.lang.Long](1L, 2L), Array[java.lang.Long](1L, 2L, 3L)),
+      (null, Array[java.lang.Long](1L)),
+      (Array[java.lang.Long](), Array[java.lang.Long]())
+    ).toDF("a", "b")
+    val got = rows.select(
+      KMeans.dist2Kernel(col("a"), col("b")).as("k"),
+      KMeans.dist2Ref(col("a"), col("b")).as("r")).collect()
+    got.foreach { r =>
+      assert((r.isNullAt(0) && r.isNullAt(1)) ||
+        (!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1)),
+        s"kernel=${if (r.isNullAt(0)) null else r.getLong(0)} " +
+          s"ref=${if (r.isNullAt(1)) null else r.getLong(1)}")
+    }
+    // overflow stays LOUD, like the ANSI-mode builtin arithmetic: a wrap
+    // would be a silently wrong argmin
+    val over = Seq((Array[java.lang.Long](Long.MaxValue, 0L),
+      Array[java.lang.Long](-2L, 0L))).toDF("a", "b")
+    intercept[Exception] {
+      over.select(KMeans.dist2Kernel(col("a"), col("b"))).collect()
+    }
+    intercept[Exception] {
+      over.select(KMeans.dist2Ref(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("vector-sum update ≡ exploded reference update (real corpus + starved clusters)") {
+    import org.apache.spark.sql.functions.col
+    // real corpus: quantize + one assignment round, then both update forms
+    val e = Tables.embeddings(spark, sf())
+    val q = KMeans.quantize(e, "embedding", "vec_id")
+    // k=4 init from the smallest ids, same as lloyd's round 1 input
+    val init = q.orderBy(col("vec_id")).limit(4)
+      .withColumn("c", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+        .cast("long") - 1)
+      .select(col("c"), col("q").as("cent"))
+    // starved cluster: k=4 over a corpus that collapses to ≤2 real clusters
+    // still must keep all 4 centroid rows (prev inherited)
+    val assigned = q.crossJoin(org.apache.spark.sql.functions.broadcast(
+        init.groupBy().agg(org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(col("c"), col("cent")))).as("cs"))))
+      .select(col("vec_id"), col("q"),
+        org.apache.spark.sql.functions.array_min(
+          org.apache.spark.sql.functions.transform(col("cs"), cc =>
+            org.apache.spark.sql.functions.struct(
+              KMeans.dist2Kernel(col("q"), cc.getField("cent")).as("d2"),
+              cc.getField("c").as("c")))).getField("c").as("cluster"))
+    val kern = KMeans.updateKernel(assigned, init)
+    val ref = KMeans.updateRef(assigned, init)
+    assert(kern.exceptAll(ref).isEmpty && ref.exceptAll(kern).isEmpty,
+      "update kernel/reference divergence on the real corpus")
+  }
+
   test("d2 is the exact integer micro-unit squared distance") {
     // point (0.001, 0) vs centroid at itself → 0; vs (0.002, 0) → 1 milli² = 1
     val pts = Seq((0L, Array(0.001f, 0.0f)), (1L, Array(0.002f, 0.0f)))

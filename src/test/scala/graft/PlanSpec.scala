@@ -265,7 +265,9 @@ class PlanSpec extends SparkSpec {
     // stages against).
     val p = plan("text_chunks")
     assert(hashExchanges(p) === 0, s"text_chunks must stay narrow:\n${p.take(400)}")
-    val tokenizers = "split\\(lower\\(".r.findAllIn(p).size
+    // r21: the tokenizer is the native graft_tokens_arr kernel (was
+    // split(lower(...)) — same staging property, new plan marker
+    val tokenizers = "graft_tokens_arr\\(".r.findAllIn(p).size
     assert(tokenizers === 1,
       s"$tokenizers tokenizer instances — staging lost (re-inlined per chunk)")
   }

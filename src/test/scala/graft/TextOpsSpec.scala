@@ -192,6 +192,54 @@ class TextOpsSpec extends SparkSpec {
     assert(kc.exceptAll(rc).count() === 0 && rc.exceptAll(kc).count() === 0)
   }
 
+  test("native tokenizer ≡ split+filter reference, token for token") {
+    val cases = Seq(null, "", "one", "  leading", "trailing  ", "a--b__c",
+      "Thé QUICK brown-fox.", "ΑΒΓ δεζ", "123 x_9", "a\tb\nc", "!!!", "_")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (d <- Seq(df, Tables.documents(spark, sf()).toDF())) {
+      val idc = if (d.columns.contains("doc_id")) "doc_id" else "id"
+      val kern = d.select(col(idc), graft.ops.Text.tokens(col("text")).as("t"))
+      val ref = d.select(col(idc), graft.ops.Text.tokensRef(col("text")).as("t"))
+      assert(kern.exceptAll(ref).isEmpty && ref.exceptAll(kern).isEmpty,
+        "tokenizer kernel/reference divergence")
+    }
+  }
+
+  test("per-row minhash signatures ≡ explode/groupBy reference, sig for sig") {
+    // the r21 per-row SeedMins kernel must reproduce the aggregation
+    // form's signatures exactly — including the all-null signature row
+    // for null text and the whole-doc fallback for short docs
+    val cases = Seq(null, "", "one", "one two", "one two three",
+      "a b c d e f g", "dup dup dup dup", " x  y  z ", "Thé QUICK brown-fox.",
+      "a_b c-d e.f", "123 456 789 0")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(2, 8, 16); d <- Seq(df, Tables.documents(spark, sf()).toDF())) {
+      val idc = if (d.columns.contains("doc_id")) "doc_id" else "id"
+      val kern = Dedup.minhashSignatures(d, "text", idc, k)
+      val ref = Dedup.minhashSignaturesRef(d, "text", idc, k)
+        .select(kern.columns.map(org.apache.spark.sql.functions.col): _*)
+      assert(kern.exceptAll(ref).isEmpty && ref.exceptAll(kern).isEmpty,
+        s"signature kernel/reference divergence at k=$k")
+    }
+  }
+
+  test("native distinct-shingle kernel ≡ the HOF column reference, set for set") {
+    val cases = Seq(null, "", "one", "one two", "one two three",
+      "a b a b a b", "dup dup dup dup", " x  y  z ", "Thé QUICK brown-fox.",
+      "a_b c-d e.f", "123 456 789 0")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (d <- Seq(df, Tables.documents(spark, sf()).toDF())) {
+      val idc = if (d.columns.contains("doc_id")) "doc_id" else "id"
+      val kern = Dedup.distinctShingleSets(d, "text", idc)
+      val ref = Dedup.distinctShingleSetsRef(d, "text", idc)
+      // exact arrays INCLUDING element order (array_distinct keeps first
+      // occurrence; the stored index sets must not reorder across the
+      // kernel swap)
+      assert(kern.exceptAll(ref).isEmpty && ref.exceptAll(kern).isEmpty,
+        "distinct-shingle kernel/reference divergence")
+    }
+  }
+
   test("minhash candidate pairs surface planted near-duplicates, not random docs") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
