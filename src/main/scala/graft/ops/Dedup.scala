@@ -168,19 +168,41 @@ object Dedup {
       .select(col(idCol), array_distinct(shinglesOfTokens(col("toks"))).as("shs"))
       .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
 
+  /** The k-seed MinHash signature ARRAY of a text column — the per-row
+    * native form behind [[minhashSignatures]]/[[lshBands]], exposed so
+    * multi-consumer callers ([[IncrementalDedup.addBatch]]) can stage ONE
+    * column and derive bands/signatures from it without re-hashing.
+    */
+  private[graft] def sigArray(text: Column, k: Int): Column = {
+    require(k <= seedConsts.size, s"k <= ${seedConsts.size}")
+    val bases = when(text.isNull, array(lit(null).cast("long")))
+      .otherwise(org.apache.spark.sql.graft.ShingleFns.shingleBases(text))
+    org.apache.spark.sql.graft.SeedMins.seedMins(bases, seedConsts.take(k))
+  }
+
+  /** Band structs (band, band_key) from a signature ARRAY column — the
+    * exact md5(concat_ws) band keys of [[lshBands]], factored over
+    * [[sigArray]] output.
+    */
+  private[graft] def bandArrayOfSigs(sigs: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_",
+          (b * r until (b + 1) * r).map(i => element_at(sigs, i + 1)): _*)).as("band_key"))
+    }: _*)
+  }
+
   /** LSH banding: split the k-sig MinHash into `bands` bands of `k/bands`
     * rows each; docs sharing any (band, band-key) are candidate pairs.
     * Returns (idCol, band, band_key) — the exploded band index.
     */
   def lshBands(df: DataFrame, textCol: String, idCol: String, k: Int = 8, bands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val r = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, k)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*)).as("band_key"))
-    }
-    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+    df.select(col(idCol), sigArray(col(textCol), k).as("__sigs"))
+      .select(col(idCol),
+        explode(bandArrayOfSigs(col("__sigs"), k, bands)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 

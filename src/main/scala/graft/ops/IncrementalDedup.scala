@@ -176,13 +176,29 @@ object IncrementalDedup {
       TextMigrateHint)
 
     // the batch's signatures are consumed by candidates, verification AND
-    // the index append — materialize once, don't re-signature three times
-    val bandsB = Lineage.materialize(
-      Dedup.lshBands(batch, textCol, idCol, k, bands)
-        .select(col(idCol).cast("long").as("doc_id"), col("band"), col("band_key")))
-    val shsB = Lineage.materialize(
-      shingleSets(batch, textCol, idCol, hashedShingles)
-        .select(col(idCol).cast("long").as("doc_id"), col("shs"), col("nsh")))
+    // the index append — materialize once, don't re-signature three times.
+    // r21: ONE wide checkpoint carries the sig array AND the verification
+    // set (was two separate materializations, each scanning the batch and
+    // paying its own tokenize) — one batch scan, one checkpoint job; the
+    // band md5s are re-derived per consumer from the stored 8-long sigs
+    // (two tiny hashes per row, nothing next to the saved scan)
+    val shsStr = when(col(textCol).isNull, array(lit(null).cast("string")))
+      .otherwise(org.apache.spark.sql.graft.DistinctShingles
+        .distinctShingles(col(textCol)))
+    val shsCol =
+      if (!hashedShingles) shsStr
+      // same collision discipline as [[shingleSets]]: re-distinct AFTER
+      // hashing — a collision merges two shingles, only ever ADDING drops
+      else array_distinct(transform(shsStr, s => xxhash64(s)))
+    val wide = Lineage.materialize(batch.select(
+      col(idCol).cast("long").as("doc_id"),
+      Dedup.sigArray(col(textCol), k).as("__sigs"),
+      shsCol.as("shs")))
+    val bandsB = wide
+      .select(col("doc_id"),
+        explode(Dedup.bandArrayOfSigs(col("__sigs"), k, bands)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val shsB = wide.select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"))
 
     // (base, delta) views: with a promoted base every index-side consumer
     // below runs PER LEG and unions the (small) outputs — the base leg
@@ -270,8 +286,8 @@ object IncrementalDedup {
     shsB.write.mode("overwrite").parquet(s"$indexDir/$ShinglesT/batch=$batchId")
     BatchCommits.mark(spark, indexDir, batchId)
     val out = Lineage.materialize(kept)
-    Lineage.release(bandsB); Lineage.release(ranked)
-    Lineage.release(shsB); Lineage.release(cand)
+    Lineage.release(wide); Lineage.release(ranked)
+    Lineage.release(cand)
     out
   }
 

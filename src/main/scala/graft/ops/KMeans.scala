@@ -37,9 +37,19 @@ object KMeans {
 
   /** (idCol, q: array<long>) — coordinates floored to integer micro-units.
     * Cast to double BEFORE scaling: float→double promotion is exact, so
-    * both engines floor the same double product.
+    * both engines floor the same double product. r21: native
+    * [[org.apache.spark.sql.graft.FloorScale]] kernel (the column
+    * `transform` was an interpreted lambda per element); same doubles,
+    * same floors — KMeansSpec pins it.
     */
   def quantize(df: DataFrame, vecCol: String, idCol: String, scale: Int = 1000): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.VecFns
+        .floorScale(col(vecCol).cast("array<double>"), scale).as("q"))
+
+  /** REFERENCE FORM of [[quantize]]'s kernel (spec-pinned). */
+  private[graft] def quantizeRef(df: DataFrame, vecCol: String, idCol: String,
+      scale: Int = 1000): DataFrame =
     df.select(col(idCol),
       transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("q"))
 

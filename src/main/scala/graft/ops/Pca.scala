@@ -126,8 +126,9 @@ object Pca {
     val fn = udaf(new CovSums(dim), ExpressionEncoder[Array[Long]]())
     // null vectors are dropped, not NPE'd: transform(null) is null, which
     // would dereference inside the executor as an opaque task failure
-    val q = df.filter(col(vecCol).isNotNull).select(transform(col(vecCol),
-      x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val q = df.filter(col(vecCol).isNotNull).select(
+      org.apache.spark.sql.graft.VecFns
+        .floorScale(col(vecCol).cast("array<double>"), scale).as("q"))
     val row = q.agg(fn(col("q")).as("c"))
       .select(col("c._1").as("n"), col("c._2").as("s"), col("c._3").as("p"))
     val pairs = array((0 until dim).flatMap(i => (i until dim).map(j =>
@@ -334,8 +335,9 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     val fn = udaf(new CovSums(dim), ExpressionEncoder[Array[Long]]())
-    val q = df.filter(col(vecCol).isNotNull).select(transform(col(vecCol),
-      x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val q = df.filter(col(vecCol).isNotNull).select(
+      org.apache.spark.sql.graft.VecFns
+        .floorScale(col(vecCol).cast("array<double>"), scale).as("q"))
     val (n, s, p) = q.agg(fn(col("q")).as("c"))
       .select(col("c._1"), col("c._2"), col("c._3"))
       .as[(Long, Array[Long], Array[Long])].collect()(0)
@@ -398,6 +400,27 @@ object Pca {
     * k-row join; the dot is the codegen'd native expression.
     */
   def project(df: DataFrame, idCol: String, vecCol: String, model: PcaModel): DataFrame = {
+    // r21: per-row array of native centered dots + posexplode, instead of
+    // a broadcast crossJoin against a k-row component frame and an
+    // interpreted zip_with centering — no join at all, and the (x − mean)
+    // subtraction fuses into each dot (same IEEE sequence; PcaSpec pins
+    // kernel ≡ reference). comp_id = position, exactly the old join key.
+    // Empty model (fit on an empty corpus) → empty result with the right
+    // schema, the same contract as the old empty broadcast join.
+    if (model.components.isEmpty)
+      return df.select(col(idCol), lit(0).as("comp_id"), lit(0.0).as("proj"))
+        .filter(lit(false))
+    val pcols = model.components.map { c =>
+      floor6(org.apache.spark.sql.graft.CenteredDot
+        .centeredDot(col("__x"), model.mean, c))
+    }
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__x"))
+      .select(col(idCol), posexplode(array(pcols: _*)).as(Seq("comp_id", "proj")))
+  }
+
+  /** REFERENCE FORM of [[project]]'s kernel shape (spec-pinned). */
+  private[graft] def projectRef(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val meanLit: Column = array(model.mean.map(lit): _*)
@@ -419,6 +442,24 @@ object Pca {
     */
   def whiten(df: DataFrame, idCol: String, vecCol: String, model: PcaModel,
       eps: Double = 1e-12): DataFrame = {
+    // same kernel shape as [[project]] (PcaSpec pins ≡ [[whitenRef]]);
+    // dead components (λ ≤ eps) keep their NULL coordinate row
+    if (model.components.isEmpty)
+      return df.select(col(idCol), lit(0).as("comp_id"), lit(0.0).as("white"))
+        .filter(lit(false))
+    val wcols = model.components.zipWithIndex.map { case (c, i) =>
+      if (model.eigenvalues(i) > eps)
+        floor6(org.apache.spark.sql.graft.CenteredDot
+          .centeredDot(col("__x"), model.mean, c) / math.sqrt(model.eigenvalues(i)))
+      else lit(null).cast("double")
+    }
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__x"))
+      .select(col(idCol), posexplode(array(wcols: _*)).as(Seq("comp_id", "white")))
+  }
+
+  /** REFERENCE FORM of [[whiten]]'s kernel shape (spec-pinned). */
+  private[graft] def whitenRef(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel, eps: Double = 1e-12): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val meanLit: Column = array(model.mean.map(lit): _*)
@@ -451,12 +492,13 @@ object Pca {
     if (model.components.isEmpty)
       return df.select(col(idCol), array().cast("array<double>").as("pvec"))
         .filter(lit(false))
-    val meanLit: Column = array(model.mean.map(lit): _*)
+    // r21: fused native centered dots (see [[project]]); PcaStreamSpec's
+    // batch ≡ stream ≡ exploded-project agreement pins the values
     val pcols = model.components.map { c =>
-      floor6(graft.functions.Native.dot(col("xc"), array(c.map(lit): _*)))
+      floor6(org.apache.spark.sql.graft.CenteredDot
+        .centeredDot(col("__x"), model.mean, c))
     }
-    df.select(col(idCol),
-        zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m).as("xc"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__x"))
       .select(col(idCol), array(pcols: _*).as("pvec"))
   }
 
@@ -484,13 +526,12 @@ object Pca {
       .filter { case (_, i) => model.eigenvalues(i) > eps }
     require(live.nonEmpty,
       "whitenVector: every component is numerically dead (all eigenvalues <= eps)")
-    val meanLit: Column = array(model.mean.map(lit): _*)
+    // r21: fused native centered dots (see [[project]])
     val wcols = live.map { case (c, i) =>
-      floor6(graft.functions.Native.dot(col("xc"), array(c.map(lit): _*)) /
-        math.sqrt(model.eigenvalues(i)))
+      floor6(org.apache.spark.sql.graft.CenteredDot
+        .centeredDot(col("__x"), model.mean, c) / math.sqrt(model.eigenvalues(i)))
     }
-    df.select(col(idCol),
-        zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m).as("xc"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__x"))
       .select(col(idCol), array(wcols: _*).as("wvec"))
   }
 }

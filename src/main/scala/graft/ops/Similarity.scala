@@ -108,6 +108,31 @@ object Similarity {
     * 6dp-floored so downstream consumers and the oracle share one value.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // r21: one native pass per row ([[org.apache.spark.sql.graft
+    // .QuantizeInt8]]) — the column form paid three interpreted
+    // `transform` lambdas (abs for the max, the code map, the zero
+    // fallback); codes and scale are bit-identical
+    // ([[quantizeInt8Ref]], SimilaritySpec pin). __m staged in its own
+    // projection: referenced twice by the scale expression, and
+    // CollapseProject keeps a non-cheap multi-referenced alias
+    // materialized once per row (the old __maxabs discipline).
+    val m = col("__m")
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), col("__v"),
+        org.apache.spark.sql.graft.VecFns.maxAbs(col("__v")).as("__m"))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.VecFns.quantizeInt8(col("__v")).as("qvec"),
+        floor6(when(m > 0, m / lit(127.0)).otherwise(lit(0.0))).as("scale"))
+  }
+
+  /** REFERENCE FORM of [[quantizeInt8]]'s kernel (spec-pinned on the
+    * corpus and non-null edges). Deliberate divergence on null vector
+    * ELEMENTS only — no engine table has one: this form's
+    * least/greatest-skip-nulls chain mapped a null element to code 127
+    * (m > 0) or 0 (all-null vector); the kernel keeps null elements
+    * null, the saner contract.
+    */
+  private[graft] def quantizeInt8Ref(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     // __maxabs in its own projection: referenced 4× downstream (incl.
     // inside the transform lambda), so a single-select form would inline
     // the array_max into the per-element body — O(d²)/row. As a separate
@@ -349,7 +374,8 @@ object Similarity {
     require(scale > 0 && kNum > 0 && kDen > 0,
       s"scale and kNum/kDen must be positive, got $scale, $kNum/$kDen")
     val q = df.select(col(idCol),
-      transform(asDouble(col(vecCol)), x => floor(x * lit(scale)).cast("long")).as("__qv"))
+      org.apache.spark.sql.graft.VecFns
+        .floorScale(asDouble(col(vecCol)), scale).as("__qv"))
     // d rows: per-dimension long sums + the count — model-bounded collect
     val mom = q.select(posexplode(col("__qv")).as(Seq("dim", "v")))
       .groupBy("dim").agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -643,7 +669,8 @@ object Similarity {
     require(scale > 0, s"scale must be positive, got $scale")
     val dec = "decimal(38,0)"
     val q = df.filter(col(vecCol).isNotNull).select(col(labelCol),
-      transform(asDouble(col(vecCol)), x => floor(x * lit(scale)).cast("long")).as("__qv"))
+      org.apache.spark.sql.graft.VecFns
+        .floorScale(asDouble(col(vecCol)), scale).as("__qv"))
     val dimSums = q.select(col(labelCol), posexplode(col("__qv")).as(Seq("__d", "__v")))
       .groupBy(labelCol, "__d").agg(sum("__v").as("__s"))
       .groupBy(labelCol)

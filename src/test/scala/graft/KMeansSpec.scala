@@ -64,6 +64,24 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("native floor-scale quantize ≡ the transform reference") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf())
+    for (scale <- Seq(1000, 7)) {
+      val k = KMeans.quantize(e, "embedding", "vec_id", scale)
+      val r = KMeans.quantizeRef(e, "embedding", "vec_id", scale)
+      assert(k.exceptAll(r).isEmpty && r.exceptAll(k).isEmpty,
+        s"quantize kernel/reference divergence at scale=$scale")
+    }
+    // null vector propagates as a null q array in both forms
+    val withNull = Seq((1L, Array(0.5f, -0.25f)), (2L, null))
+      .toDF("vec_id", "embedding")
+    val kn = KMeans.quantize(withNull, "embedding", "vec_id")
+    val rn = KMeans.quantizeRef(withNull, "embedding", "vec_id")
+    assert(kn.exceptAll(rn).isEmpty && rn.exceptAll(kn).isEmpty)
+    assert(kn.where(col("vec_id") === 2 && col("q").isNull).count() === 1)
+  }
+
   test("vector-sum update ≡ exploded reference update (real corpus + starved clusters)") {
     import org.apache.spark.sql.functions.col
     // real corpus: quantize + one assignment round, then both update forms

@@ -204,6 +204,28 @@ class PcaSpec extends SparkSpec {
     assert(model.components.nonEmpty)
   }
 
+  test("native centered-dot project/whiten ≡ the broadcast-join reference forms") {
+    // r21: project/whiten compute per-row arrays of native CenteredDots
+    // + posexplode instead of a broadcast crossJoin over a component
+    // frame with an interpreted zip_with centering — same rows, same
+    // floor6 doubles, including the NULL coordinate rows of dead (λ ≤ ε)
+    // components
+    val e = Tables.embeddings(spark, sf())
+    val model = Pca.fit(e, "embedding", 64, k = 4)
+    val deadModel = model.copy(eigenvalues = Seq(model.eigenvalues.head, 0.0,
+      model.eigenvalues(2), model.eigenvalues(3)))
+    val pk = Pca.project(e, "vec_id", "embedding", model)
+    val pr = Pca.projectRef(e, "vec_id", "embedding", model)
+    assert(pk.exceptAll(pr).isEmpty && pr.exceptAll(pk).isEmpty,
+      "project kernel/reference divergence")
+    for (m <- Seq(model, deadModel)) {
+      val wk = Pca.whiten(e, "vec_id", "embedding", m)
+      val wr = Pca.whitenRef(e, "vec_id", "embedding", m)
+      assert(wk.exceptAll(wr).isEmpty && wr.exceptAll(wk).isEmpty,
+        "whiten kernel/reference divergence")
+    }
+  }
+
   test("vector forms agree with the exploded project/whiten value-for-value") {
     val df = (1L to 30L).map(i =>
         (i, Seq.tabulate(4)(j => (math.sin(i * 0.9 + j) * (j + 1)).toFloat)))

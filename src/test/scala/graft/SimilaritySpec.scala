@@ -113,11 +113,29 @@ class SimilaritySpec extends SparkSpec {
         assert(math.abs(c * scale - x) <= scale * 0.51 + 1e-4, s"vec ${r.getLong(0)}")
       }
     }
-    // the maxabs subexpression stays materialized ONCE per row — a
-    // single-select form would inline it into the per-element lambda (d²)
+    // r21: codes and maxabs are one-pass native kernels — the old
+    // O(d²)-inlining trap (array_max re-derived inside the per-element
+    // lambda) is structurally gone; pin that the plan carries exactly one
+    // code kernel and one maxabs kernel per row
     val plan = Similarity.quantizeInt8(e, "vec_id", "embedding")
       .queryExecution.optimizedPlan.toString
-    assert("array_max".r.findAllIn(plan).size === 1, "maxabs re-inlined into the lambda")
+    assert("graft_quantize_int8".r.findAllIn(plan).size === 1,
+      "expected exactly one native quantize kernel in the plan")
+    assert("graft_max_abs".r.findAllIn(plan).size === 1,
+      "expected exactly one native maxabs kernel in the plan")
+  }
+
+  test("native int8 quantize kernel ≡ the transform reference, code for code") {
+    // r21 kernel vs the column chain — identical codes AND scale on the
+    // real corpus plus the zero-vector edge the fallback branch covers
+    val e = Tables.embeddings(spark, dir)
+    val zero = Seq((9000001L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    for (d <- Seq(e.toDF(), zero)) {
+      val k = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      val r = Similarity.quantizeInt8Ref(d, "vec_id", "embedding")
+      assert(k.exceptAll(r).isEmpty && r.exceptAll(k).isEmpty,
+        "quantizeInt8 kernel/reference divergence")
+    }
   }
 
   test("quantized cosine top-k keeps most exact top-1 neighbors in its top-5") {
