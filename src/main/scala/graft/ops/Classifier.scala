@@ -194,7 +194,10 @@ object Classifier {
     val wb = wm.removed(-1L).toSeq.sortBy(_._1)
     val wmap = map_from_arrays(
       lit(wb.map(_._1).toArray), lit(wb.map(_._2).toArray))
-    val toksC = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+    // r21: native tokenizer kernel (spec-pinned ≡ the split+filter form)
+    // — this per-row serving path ran the interpreted filter HOF per
+    // batch row on every streaming micro-batch
+    val toksC = Text.tokens(col(textCol))
     val bksC = transform(toksC, t => bucketOf(t, buckets, portableHash))
     val dl = size(bksC).cast("double")
     val term = (b: Column) =>
