@@ -161,11 +161,24 @@ object IncrementalDedup {
     * rows of `batch` (full rows, like [[Dedup.dropNearDuplicates]]) and
     * appends the batch's signatures to the index. `batchId` must be fresh
     * (or a replay of the same data under the same id — idempotent).
+    *
+    * `eagerResult = false` returns the kept frame LAZY (the index appends
+    * still happen eagerly, and the batch still commits, before this
+    * returns): for single-shot callers that consume the frame exactly once
+    * — the bench/oracle registry, or a caller that discards it — the
+    * checkpoint job (plus one unreleasable batch-sized RDD per call, since
+    * the result's blocks cannot be released by addBatch) is pure overhead,
+    * and consecutive batches' kept pipelines can then evaluate TOGETHER in
+    * the caller's one action (independent AQE stages overlap — guide
+    * §2.6). With a promoted base, lazy mode also leaves the candidate
+    * frame lazy (its legs are probed once per shingle-leg consumer), so a
+    * promoted continuously-serving writer should keep the eager default.
     */
   def addBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
       textCol: String, idCol: String, batchId: Int,
       minJaccard: Double = 0.8, k: Int = 8, bands: Int = 2,
-      maxReps: Int = 1000, hashedShingles: Boolean = false): DataFrame = {
+      maxReps: Int = 1000, hashedShingles: Boolean = false,
+      eagerResult: Boolean = true): DataFrame = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     IndexMeta.requireNoMigration(spark, indexDir)
     // k and bands shape band_key, hashedShingles shapes the verification
@@ -175,13 +188,29 @@ object IncrementalDedup {
       "bands" -> bands.toString, "hashed" -> hashedShingles.toString),
       TextMigrateHint)
 
+    // (base, delta) views: with a promoted base every index-side consumer
+    // below runs PER LEG and unions the (small) outputs — the base leg
+    // plans with zero Exchange above its bucketed scan (PlanSpec pins it).
+    // Built BEFORE this batch's own appends: the reads exclude
+    // batch >= batchId either way, but requireCommitted must refuse a
+    // crashed earlier batch before we append past it.
+    val vBands = IndexBase.view(spark, indexDir, "bands_table", batchId,
+      readIndex(spark, indexDir, BandsT, batchId,
+        "doc_id bigint, band int, band_key string, rank bigint"))
+    val vShs = IndexBase.view(spark, indexDir, "shingles_table", batchId,
+      readIndex(spark, indexDir, ShinglesT, batchId, shinglesDdl(hashedShingles)))
+
     // the batch's signatures are consumed by candidates, verification AND
-    // the index append — materialize once, don't re-signature three times.
-    // r21: ONE wide checkpoint carries the sig array AND the verification
-    // set (was two separate materializations, each scanning the batch and
-    // paying its own tokenize) — one batch scan, one checkpoint job; the
-    // band md5s are re-derived per consumer from the stored 8-long sigs
-    // (two tiny hashes per row, nothing next to the saved scan)
+    // the index append — derive once, don't re-signature three times.
+    // r22: write-then-read-back staging (guide §1.2 fewer passes / §2.6):
+    // the ONE batch scan lands DIRECTLY in the shingles partition, with
+    // the 8-long sig array riding as a staged extra column `__sigs`;
+    // every consumer then reads the written parquet back. The r21 shape
+    // paid a localCheckpoint job for the same bytes and then a second job
+    // re-reading the checkpoint to append it. Readers of the shingles
+    // table declare (doc_id, shs, nsh) and prune the staged column;
+    // compaction/promotion rewrite through the declared schema and drop
+    // it, so the at-rest layout is unchanged past the delta partitions.
     val shsStr = when(col(textCol).isNull, array(lit(null).cast("string")))
       .otherwise(org.apache.spark.sql.graft.DistinctShingles
         .distinctShingles(col(textCol)))
@@ -190,45 +219,72 @@ object IncrementalDedup {
       // same collision discipline as [[shingleSets]]: re-distinct AFTER
       // hashing — a collision merges two shingles, only ever ADDING drops
       else array_distinct(transform(shsStr, s => xxhash64(s)))
-    val wide = Lineage.materialize(batch.select(
-      col(idCol).cast("long").as("doc_id"),
-      Dedup.sigArray(col(textCol), k).as("__sigs"),
-      shsCol.as("shs")))
+    val sc = spark.sparkContext
+    val wideDdl = shinglesDdl(hashedShingles) + ", __sigs array<bigint>"
+    sc.setJobDescription(s"incr-text b=$batchId: stage+append shingles")
+    batch.select(
+        col(idCol).cast("long").as("doc_id"),
+        shsCol.as("shs"),
+        Dedup.sigArray(col(textCol), k).as("__sigs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"),
+        col("__sigs"))
+      .write.mode("overwrite").parquet(s"$indexDir/$ShinglesT/batch=$batchId")
+    // read-back with the explicit wide schema: an empty batch may write a
+    // footerless partition, which schema inference would refuse
+    val wide = spark.read.schema(wideDdl)
+      .parquet(s"$indexDir/$ShinglesT/batch=$batchId")
     val bandsB = wide
       .select(col("doc_id"),
         explode(Dedup.bandArrayOfSigs(col("__sigs"), k, bands)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val shsB = wide.select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"))
-
-    // (base, delta) views: with a promoted base every index-side consumer
-    // below runs PER LEG and unions the (small) outputs — the base leg
-    // plans with zero Exchange above its bucketed scan (PlanSpec pins it)
-    val vBands = IndexBase.view(spark, indexDir, "bands_table", batchId,
-      readIndex(spark, indexDir, BandsT, batchId,
-        "doc_id bigint, band int, band_key string, rank bigint"))
-    val vShs = IndexBase.view(spark, indexDir, "shingles_table", batchId,
-      readIndex(spark, indexDir, ShinglesT, batchId, shinglesDdl(hashedShingles)))
+    val shsB = wide.select(col("doc_id"), col("shs"), col("nsh"))
 
     // prior member count per touched bucket (semi-join-pruned, per-leg —
     // zero-exchange on a promoted base): the offset that turns a
-    // batch-local rank into the row's FINAL rank in its bucket
-    val touched = bandsB.select("band", "band_key").distinct()
-    val priorCnt = vBands.over(s =>
-        s.join(touched, Seq("band", "band_key"), "left_semi")
-          .groupBy("band", "band_key").agg(count(lit(1)).as("n_leg")))
-      .groupBy("band", "band_key").agg(sum("n_leg").as("n_prior"))
+    // batch-local rank into the row's FINAL rank in its bucket.
+    // left_semi ignores right-side duplicates, so the raw batch band keys
+    // serve as the prune set (r21's .distinct() here cost one whole
+    // exchange + AQE stage per batch for nothing); and on the PLAIN path
+    // (no promoted base) there is exactly one leg, so the per-leg count IS
+    // the prior count — the outer re-aggregation over the same keys was a
+    // second identity exchange.
+    val touched = bandsB.select("band", "band_key")
+    val legCnt = (s: DataFrame) =>
+      s.join(touched, Seq("band", "band_key"), "left_semi")
+        .groupBy("band", "band_key").agg(count(lit(1)).as("n_prior"))
+    val priorCnt = vBands.base match {
+      case Some(_) => vBands.over(s =>
+          legCnt(s).withColumnRenamed("n_prior", "n_leg"))
+        .groupBy("band", "band_key").agg(sum("n_leg").as("n_prior"))
+      case None => legCnt(vBands.delta.drop("batch"))
+    }
 
     // bucket ranks are PREFIX-STABLE under id-ordered batches — computed
     // once here, stored, and filtered at probe time ([[Dedup
     // .repCandidatePairs]] semantics: partner must be one of the bucket's
-    // maxReps earliest members; dense buckets are PROCESSED, not skipped)
+    // maxReps earliest members; dense buckets are PROCESSED, not skipped).
+    // r22: the ranks are written STRAIGHT to the bands partition (one job)
+    // and read back for the candidate joins below — the r21 shape
+    // checkpointed them first and re-read the checkpoint to append.
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "band_key").orderBy("doc_id")
-    val ranked = Lineage.materialize(
-      bandsB.join(priorCnt, Seq("band", "band_key"), "left")
-        .withColumn("rank",
-          (row_number().over(wB) + coalesce(col("n_prior"), lit(0L))).cast("long"))
-        .select(col("doc_id"), col("band"), col("band_key"), col("rank")))
+    sc.setJobDescription(s"incr-text b=$batchId: rank+append bands")
+    bandsB.join(priorCnt, Seq("band", "band_key"), "left")
+      .withColumn("rank",
+        (row_number().over(wB) + coalesce(col("n_prior"), lit(0L))).cast("long"))
+      .select(col("doc_id"), col("band"), col("band_key"), col("rank"))
+      .write.mode("overwrite").parquet(s"$indexDir/$BandsT/batch=$batchId")
+    // both appends are on disk — the batch COMMITS here; the kept
+    // computation below reads the just-written partitions back. Same
+    // crash contract as before: a crash between the two appends leaves an
+    // uncommitted half-write that every later read refuses until this
+    // batch id is replayed ([[BatchCommits]]); a crash during the kept
+    // computation leaves a committed batch whose kept frame the caller
+    // re-derives by replaying the same id (idempotent overwrite).
+    BatchCommits.mark(spark, indexDir, batchId)
+    val ranked = spark.read.schema(
+        "doc_id bigint, band int, band_key string, rank bigint")
+      .parquet(s"$indexDir/$BandsT/batch=$batchId")
 
     // candidates: batch doc × representative. band_key leads the join
     // keys: it is the base's bucket+sort column, so the bucketed leg
@@ -247,48 +303,41 @@ object IncrementalDedup {
       .select(col("partner_id"), col("doc_id"))
     // promoted path: candidates feed per-leg partner joins below —
     // materialize so the legs are probed once, not re-derived per
-    // consumer. Plain path: single partner join, no need to pay the
-    // checkpoint (release is a no-op on unmaterialized frames).
+    // consumer (eager mode only: a lazy result must not read released
+    // blocks, the probe() discipline). Plain path: single partner join,
+    // no need to pay the checkpoint.
     val cand0 = cross.union(intra).distinct()
-    val cand = if (vBands.base.isDefined) Lineage.materialize(cand0) else cand0
+    sc.setJobDescription(s"incr-text b=$batchId: stage candidates")
+    val cand = if (eagerResult && vBands.base.isDefined)
+      Lineage.materialize(cand0) else cand0
+    try {
+      // exact verification — the same |A∪B| = |A|+|B|−|A∩B| arithmetic as
+      // the batch form, partner sets read from the index (earlier batches)
+      // or the batch's own staged sets
+      val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
+        col("shs").as("sh_a"), col("nsh").as("n_a"))
+      val withPartner = vShs.base match {
+        case Some(_) => vShs.over(s => cand.join(shsSel(s), "partner_id"))
+          .unionByName(cand.join(shsSel(shsB), "partner_id"))
+        case None => cand.join(
+          shsSel(vShs.delta.drop("batch")).unionByName(shsSel(shsB)), "partner_id")
+      }
+      val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
+      val dropped = withPartner
+        .join(shsB.select(col("doc_id"), col("shs").as("sh_b"), col("nsh").as("n_b")),
+          "doc_id")
+        .select(col("doc_id"), col("n_a"), col("n_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+        .filter(when(uni > 0, col("inter").cast("double") / uni)
+          .otherwise(lit(0.0)) >= minJaccard)
+        .select(col("doc_id").as(idCol)).distinct()
 
-    // exact verification — the same |A∪B| = |A|+|B|−|A∩B| arithmetic as
-    // the batch form, partner sets read from the index (earlier batches)
-    // or the batch's own staged sets
-    val shsSel = (s: DataFrame) => s.select(col("doc_id").as("partner_id"),
-      col("shs").as("sh_a"), col("nsh").as("n_a"))
-    val withPartner = vShs.base match {
-      case Some(_) => vShs.over(s => cand.join(shsSel(s), "partner_id"))
-        .unionByName(cand.join(shsSel(shsB), "partner_id"))
-      case None => cand.join(
-        shsSel(vShs.delta.drop("batch")).unionByName(shsSel(shsB)), "partner_id")
-    }
-    val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
-    val dropped = withPartner
-      .join(shsB.select(col("doc_id"), col("shs").as("sh_b"), col("nsh").as("n_b")),
-        "doc_id")
-      .select(col("doc_id"), col("n_a"), col("n_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
-      .filter(when(uni > 0, col("inter").cast("double") / uni)
-        .otherwise(lit(0.0)) >= minJaccard)
-      .select(col("doc_id").as(idCol)).distinct()
-
-    val kept = batch.join(dropped, Seq(idCol), "left_anti")
-
-    // append AFTER the kept set is derived (the reads above already
-    // excluded batch >= batchId, but a same-id replay must also not race
-    // its own write); overwrite = replay idempotence. The batch COMMITS
-    // only when the marker lands after BOTH appends — a crash in between
-    // leaves bands without shingles, and [[BatchCommits]] makes every
-    // later read refuse the orphaned half instead of silently generating
-    // partnerless candidates (= under-dropping).
-    ranked.write.mode("overwrite").parquet(s"$indexDir/$BandsT/batch=$batchId")
-    shsB.write.mode("overwrite").parquet(s"$indexDir/$ShinglesT/batch=$batchId")
-    BatchCommits.mark(spark, indexDir, batchId)
-    val out = Lineage.materialize(kept)
-    Lineage.release(wide); Lineage.release(ranked)
-    Lineage.release(cand)
-    out
+      val kept = batch.join(dropped, Seq(idCol), "left_anti")
+      sc.setJobDescription(s"incr-text b=$batchId: kept")
+      val out = if (eagerResult) Lineage.materialize(kept) else kept
+      sc.setJobDescription(null)
+      out
+    } finally Lineage.release(cand) // no-op unless the promoted eager path
   }
 
   /** READ-ONLY probe: the rows of `batch` with NO near-duplicate among
@@ -1442,11 +1491,15 @@ object IncrementalEmbeddingDedup {
   /** Process one embedding batch against the index at `indexDir`: returns
     * the KEPT rows of `batch` and appends the batch's buckets + vectors.
     * Replaying a `batchId` overwrites its own partitions (idempotent).
+    *
+    * `eagerResult = false` returns the kept frame LAZY (appends + commit
+    * still happen eagerly before returning) — the single-shot-consumer
+    * form, same contract as the text twin's [[IncrementalDedup.addBatch]].
     */
   def addBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
       vecCol: String, idCol: String, batchId: Int, dim: Int,
       planes: Int = 8, minCos: Double = 0.6, maxReps: Int = 1000,
-      quantized: Boolean = false): DataFrame = {
+      quantized: Boolean = false, eagerResult: Boolean = true): DataFrame = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     IndexMeta.requireNoMigration(spark, indexDir)
     // dim, planes and the quantized layout all shape what the index
@@ -1456,21 +1509,9 @@ object IncrementalEmbeddingDedup {
     IndexMeta.ensure(spark, indexDir,
       Map("dim" -> dim.toString, "planes" -> planes.toString,
         "quantized" -> quantized.toString), EmbMigrateHint)
-    // quantized mode: bucket AND verify on the int8 codes (scales cancel
-    // in the cosine — Similarity.dropEmbeddingNearDupsQuantized), so the
-    // stored representation is self-consistent
-    val (batchV, vcol) =
-      if (!quantized) (batch, vecCol)
-      else {
-        val q = Similarity.quantizeInt8(batch, idCol, vecCol)
-          .select(col(idCol), col("qvec").cast("array<double>").as("__qv"))
-        (batch.select(col(idCol)).join(q, Seq(idCol)), "__qv")
-      }
-    val baseB = Lineage.materialize(
-      Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
-        .select(col(idCol).cast("long").as("id"), col("v"),
-          col("n").as("nrm"), col("bucket")))
 
+    // views BEFORE this batch's own appends (requireCommitted must refuse
+    // a crashed earlier batch before we append past it)
     val vBuckets = IndexBase.view(spark, indexDir, "buckets_table", batchId,
       readIndex(spark, indexDir, BucketsT, batchId,
         "id bigint, bucket bigint, rank bigint"))
@@ -1484,32 +1525,85 @@ object IncrementalEmbeddingDedup {
         vVecs0.base.map(_.withColumn("v", col("v").cast("array<double>"))),
         vVecs0.delta.withColumn("v", col("v").cast("array<double>")))
 
+    // quantized mode: bucket AND verify on the int8 codes (scales cancel
+    // in the cosine — Similarity.dropEmbeddingNearDupsQuantized), so the
+    // stored representation is self-consistent
+    val (batchV, vcol) =
+      if (!quantized) (batch, vecCol)
+      else {
+        val q = Similarity.quantizeInt8(batch, idCol, vecCol)
+          .select(col(idCol), col("qvec").cast("array<double>").as("__qv"))
+        (batch.select(col(idCol)).join(q, Seq(idCol)), "__qv")
+      }
+    // r22: write-then-read-back staging (guide §1.2 fewer passes): the ONE
+    // batch scan (quantize + norm + bucket) lands DIRECTLY in the vectors
+    // partition, with the bucket riding as a staged extra column `bucket`
+    // (8 bytes/row; readers declare (id, v, nrm) and prune it, and
+    // compaction/promotion rewrite through the declared schema and drop
+    // it — note it is the bucket under the planes in force at append
+    // time, stale after a [[rebucket]], which is fine because only this
+    // call's own read-back ever reads it). The r21 shape checkpointed the
+    // same bytes and then re-read the checkpoint to append them.
+    val sc = spark.sparkContext
+    val storedV =
+      if (quantized) col("v").cast("array<tinyint>").as("v") else col("v")
+    sc.setJobDescription(s"incr-emb b=$batchId: stage+append vectors")
+    Similarity.bucketedBase(batchV, idCol, vcol, dim, planes)
+      .select(col(idCol).cast("long").as("id"), storedV,
+        col("n").as("nrm"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$indexDir/$VectorsT/batch=$batchId")
+    // read-back with the explicit staged schema (an empty batch may write
+    // a footerless partition, which schema inference would refuse); codes
+    // cast back to doubles — same integer values
+    val baseB0 = spark.read.schema(vectorsDdl(quantized) + ", bucket bigint")
+      .parquet(s"$indexDir/$VectorsT/batch=$batchId")
+    val baseB =
+      if (!quantized) baseB0
+      else baseB0.withColumn("v", col("v").cast("array<double>"))
+
     // prior member count per touched bucket (per-leg, zero-exchange on a
     // promoted base) — the offset that turns a batch-local rank into the
-    // row's FINAL rank in its bucket
-    val touched = baseB.select("bucket").distinct()
-    val priorCnt = vBuckets.over(s =>
-        s.join(touched, Seq("bucket"), "left_semi")
-          .groupBy("bucket").agg(count(lit(1)).as("n_leg")))
-      .groupBy("bucket").agg(sum("n_leg").as("n_prior"))
+    // row's FINAL rank in its bucket. left_semi ignores right-side
+    // duplicates (no .distinct() exchange on the prune set), and the
+    // plain path has exactly one leg, so its per-leg count IS the prior
+    // count (the outer re-aggregation was an identity exchange).
+    val touched = baseB.select("bucket")
+    val legCnt = (s: DataFrame) =>
+      s.join(touched, Seq("bucket"), "left_semi")
+        .groupBy("bucket").agg(count(lit(1)).as("n_prior"))
+    val priorCnt = vBuckets.base match {
+      case Some(_) => vBuckets.over(s =>
+          legCnt(s).withColumnRenamed("n_prior", "n_leg"))
+        .groupBy("bucket").agg(sum("n_leg").as("n_prior"))
+      case None => legCnt(vBuckets.delta.drop("batch"))
+    }
 
     // bucket ranks are PREFIX-STABLE under id-ordered batches: the K
     // earliest members of a bucket never change as higher ids arrive, so
     // each row's rank is computed ONCE (batch window + prior offset) and
-    // stored; probes filter the index on it instead of re-ranking
+    // written STRAIGHT to the buckets partition (r22: one job; the r21
+    // shape checkpointed the ranked frame first and re-read it to append)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("id")
-    val ranked = Lineage.materialize(baseB.join(priorCnt, Seq("bucket"), "left")
+    sc.setJobDescription(s"incr-emb b=$batchId: rank+append buckets")
+    baseB.join(priorCnt, Seq("bucket"), "left")
       .withColumn("rank",
         (row_number().over(wB) + coalesce(col("n_prior"), lit(0L))).cast("long"))
-      .select(col("id"), col("v"), col("nrm"), col("bucket"), col("rank")))
+      .select(col("id"), col("bucket"), col("rank"))
+      .write.mode("overwrite").parquet(s"$indexDir/$BucketsT/batch=$batchId")
+    // both appends are on disk — the batch COMMITS here (same crash
+    // contract as before: a half-write refuses loudly until replayed)
+    BatchCommits.mark(spark, indexDir, batchId)
+    val rankedB = spark.read.schema("id bigint, bucket bigint, rank bigint")
+      .parquet(s"$indexDir/$BucketsT/batch=$batchId")
 
     // REPRESENTATIVE panel with vectors: index reps come from a pushed
     // `rank <= maxReps` filter semi-pruned to touched buckets (≤ maxReps
     // rows per touched bucket — never the raw bucket), their vectors
     // fetched leg-aligned (a batch partition writes both tables, and
     // promoteBase folds both at one boundary, so a rep's vector is always
-    // in the SAME leg); intra reps ride the ranked batch itself
+    // in the SAME leg); intra reps are the just-written batch partition
+    // read back through the SAME leg shape — the batch IS a leg now
     def legRepVecs(b: DataFrame, v: DataFrame): DataFrame =
       b.filter(col("rank") <= maxReps)
         .join(touched, Seq("bucket"), "left_semi")
@@ -1523,17 +1617,15 @@ object IncrementalEmbeddingDedup {
       case _ =>
         legRepVecs(vBuckets.delta.drop("batch"), vVecs.delta.drop("batch"))
     }
-    val repVecs = idxRepVecs.unionByName(
-      ranked.filter(col("rank") <= maxReps)
-        .select(col("bucket").as("bucket2"), col("id").as("neighbor_id"),
-          col("v").as("cv"), col("nrm").as("cn")))
+    val repVecs = idxRepVecs.unionByName(legRepVecs(rankedB, baseB))
 
     // the drop test is a LEFT SEMI with the cosine in the join condition —
     // a duplicate short-circuits at its first matching representative
     // (usually rep 1 of a dense cluster) instead of materializing the
     // candidate pair set (the [[Similarity.dropEmbeddingNearDups]] shape;
-    // materializing pairs measured 3.3× slower at the 100× envelope)
-    val dropped = ranked
+    // materializing pairs measured 3.3× slower at the 100× envelope).
+    // The probe side needs no rank — only the panel filters on it.
+    val dropped = baseB
       .select(col("id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
       .join(repVecs,
         col("bucket") === col("bucket2") && col("neighbor_id") < col("id") &&
@@ -1542,22 +1634,9 @@ object IncrementalEmbeddingDedup {
 
     val kept = batch.join(dropped.select(col("id").cast("long").as(idCol)),
       Seq(idCol), "left_anti")
-
-    // two appends, then the commit marker — the [[BatchCommits]] contract:
-    // a crash in between leaves buckets without their verification
-    // vectors, which every later read refuses loudly until this batch id
-    // is replayed
-    ranked.select("id", "bucket", "rank").write.mode("overwrite")
-      .parquet(s"$indexDir/$BucketsT/batch=$batchId")
-    val vOut =
-      if (quantized) baseB.select(col("id"),
-        col("v").cast("array<tinyint>").as("v"), col("nrm"))
-      else baseB.select(col("id"), col("v"), col("nrm"))
-    vOut.write.mode("overwrite")
-      .parquet(s"$indexDir/$VectorsT/batch=$batchId")
-    BatchCommits.mark(spark, indexDir, batchId)
-    val out = Lineage.materialize(kept)
-    Lineage.release(baseB); Lineage.release(ranked)
+    sc.setJobDescription(s"incr-emb b=$batchId: kept")
+    val out = if (eagerResult) Lineage.materialize(kept) else kept
+    sc.setJobDescription(null)
     out
   }
 

@@ -138,8 +138,12 @@ object DedupQueries extends QueryModule {
         dd.filter(col("doc_id") > bounds(0) && col("doc_id") <= bounds(1)),
         dd.filter(col("doc_id") > bounds(1)))
       batches.zipWithIndex.map { case (b, i) =>
+        // eagerResult=false (r22): single-shot bench/oracle consumer — the
+        // three batches' kept pipelines evaluate together in the harness's
+        // one action instead of three checkpoint jobs
         graft.ops.IncrementalDedup.addBatch(s, indexDir, b, "text", "doc_id",
-          batchId = i, minJaccard = 0.8).select("doc_id")
+          batchId = i, minJaccard = 0.8, eagerResult = false)
+          .select("doc_id")
       }.reduce(_ unionByName _)
       }
     }),
@@ -168,8 +172,8 @@ object DedupQueries extends QueryModule {
           dd.filter(col("doc_id") > bounds(1)))
         batches.zipWithIndex.map { case (b, i) =>
           graft.ops.IncrementalDedup.addBatch(s, indexDir, b, "text", "doc_id",
-            batchId = i, minJaccard = 0.8, hashedShingles = true)
-            .select("doc_id")
+            batchId = i, minJaccard = 0.8, hashedShingles = true,
+            eagerResult = false).select("doc_id")
         }.reduce(_ unionByName _)
       }
     }),
@@ -189,8 +193,11 @@ object DedupQueries extends QueryModule {
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      // eagerResult=false (r22): the kept frame of the index-build step is
+      // DISCARDED here — lazy mode skips its checkpoint job entirely
       graft.ops.IncrementalDedup.addBatch(s, indexDir,
-        dd.filter(col("source") < "src5"), "text", "doc_id", 0)
+        dd.filter(col("source") < "src5"), "text", "doc_id", 0,
+        eagerResult = false)
       // lazy-result variant (r20): the harness consumes this frame once
       // per run with no concurrent maintenance — the eager default's
       // checkpoint would hide behind this .select and leak one

@@ -166,9 +166,13 @@ object SimilarityQueries extends QueryModule {
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      // eagerResult=false (r22): the kept frame of the index-build step is
+      // DISCARDED here — lazy mode skips its checkpoint job entirely (the
+      // index appends still run eagerly)
       graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir,
         e.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
-        batchId = 0, dim = Dim, planes = Planes, minCos = 0.3)
+        batchId = 0, dim = Dim, planes = Planes, minCos = 0.3,
+        eagerResult = false)
       // lazy-result variant (r20): single-shot oracle/bench path — the
       // eager default's checkpoint would leak behind this .select
       graft.ops.IncrementalEmbeddingDedup.probe(s, indexDir,
@@ -227,9 +231,12 @@ object SimilarityQueries extends QueryModule {
           e.filter(col("vec_id") > m / 3 && col("vec_id") <= 2 * m / 3),
           e.filter(col("vec_id") > 2 * m / 3))
         batches.zipWithIndex.map { case (b, i) =>
+          // eagerResult=false (r22): single-shot bench/oracle consumer —
+          // the three batches' kept pipelines evaluate together in the
+          // harness's one action instead of three checkpoint jobs
           graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir, b,
             "embedding", "vec_id", batchId = i, dim = Dim, planes = planes,
-            minCos = 0.3).select("vec_id")
+            minCos = 0.3, eagerResult = false).select("vec_id")
         }.reduce(_ unionByName _)
       }
     }),
@@ -262,7 +269,8 @@ object SimilarityQueries extends QueryModule {
         batches.zipWithIndex.map { case (b, i) =>
           graft.ops.IncrementalEmbeddingDedup.addBatch(s, indexDir, b,
             "embedding", "vec_id", batchId = i, dim = Dim, planes = Planes,
-            minCos = 0.3, quantized = true).select("vec_id")
+            minCos = 0.3, quantized = true, eagerResult = false)
+            .select("vec_id")
         }.reduce(_ unionByName _)
       }
     }),
