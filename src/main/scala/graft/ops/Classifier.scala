@@ -191,22 +191,44 @@ object Classifier {
       portableHash: Boolean = true, keepCols: Seq[String] = Seq.empty): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val biasMicro = wm.getOrElse(-1L, 0L)
+    // r22: ONE native pass per serving row (tokenize → bucket → sorted-run
+    // fold; the weight table rides the plan as a dense model-bounded
+    // long[]) — the r21 shape still ran an interpreted `aggregate` whose
+    // per-distinct-bucket term interpreted a `filter` over the whole
+    // bucket array (O(distinct × doc_len) lambda dispatches per streaming
+    // row). [[zMicroRef]] keeps the column form; ClassifierSpec pins
+    // kernel ≡ reference on the real corpus + null/tokenless/both-hash
+    // edges. Long addition is order-insensitive, so the kernel's
+    // sorted-run term order ≡ the reference's first-occurrence order.
+    val dense = Array.fill(buckets)(0L)
+    // keys outside [0, buckets) were unreachable in the map form (tokens
+    // only ever bucket into the range) — skipped here the same way
+    wm.removed(-1L).foreach { case (b, w) =>
+      if (b >= 0 && b < buckets) dense(b.toInt) = w
+    }
+    val zMicro = org.apache.spark.sql.graft.ClfZSum.clfZSum(
+      col(textCol), dense.toSeq, portableHash) + lit(biasMicro)
+    df.select(col(idCol) +: keepCols.map(col) :+
+      Text.floor6(sigmoidFast(zMicro.cast("double") / lit(1000000.0))).as("score"): _*)
+  }
+
+  /** REFERENCE FORM of [[scoreWithLocalModel]]'s z_micro (bias included) —
+    * the column expression the kernel replaced, kept for the spec pin.
+    */
+  private[graft] def zMicroRef(textCol: String, wm: Map[Long, Long],
+      buckets: Int, portableHash: Boolean): Column = {
+    val biasMicro = wm.getOrElse(-1L, 0L)
     val wb = wm.removed(-1L).toSeq.sortBy(_._1)
     val wmap = map_from_arrays(
       lit(wb.map(_._1).toArray), lit(wb.map(_._2).toArray))
-    // r21: native tokenizer kernel (spec-pinned ≡ the split+filter form)
-    // — this per-row serving path ran the interpreted filter HOF per
-    // batch row on every streaming micro-batch
     val toksC = Text.tokens(col(textCol))
     val bksC = transform(toksC, t => bucketOf(t, buckets, portableHash))
     val dl = size(bksC).cast("double")
     val term = (b: Column) =>
       floor(coalesce(element_at(wmap, b), lit(0L)).cast("double") *
         (size(filter(bksC, e => e === b)).cast("double") / dl))
-    val zMicro = aggregate(array_distinct(bksC), lit(0L),
+    aggregate(array_distinct(bksC), lit(0L),
       (acc, b) => acc + term(b)) + lit(biasMicro)
-    df.select(col(idCol) +: keepCols.map(col) :+
-      Text.floor6(sigmoidFast(zMicro.cast("double") / lit(1000000.0))).as("score"): _*)
   }
 
   /** Exact ROC AUC of a scored frame — the Mann-Whitney form with the

@@ -276,4 +276,36 @@ class ClassifierSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")
   }
+
+  // r22 kernel ≡ reference pin (the GramHashes/SumLam discipline): the
+  // native serving fold must equal the interpreted column form it
+  // replaced, value for value, on the real corpus and on the edges —
+  // null text, tokenless text, both hash layouts, empty/bias-only model
+  test("serving z_micro kernel equals the column reference form") {
+    import org.apache.spark.sql.graft.ClfZSum
+    val d = Tables.documents(spark, sf()).toDF()
+      .unionByName(Seq(
+        (900001L, null.asInstanceOf[String]),
+        (900002L, ""),
+        (900003L, "  .,;!  "),
+        (900004L, "café naïve 😀 café"),
+        (900005L, "x")
+      ).toDF("doc_id", "text"), allowMissingColumns = true)
+    val w = Classifier.train(Tables.documents(spark, sf()), "text", "doc_id",
+      col("lang") === "en", buckets = 32, rounds = 2)
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (portable <- Seq(true, false);
+         m <- Seq(wm, Map(-1L -> 123456L), Map.empty[Long, Long])) {
+      val dense = Array.fill(32)(0L)
+      m.removed(-1L).foreach { case (b, v) =>
+        if (b >= 0 && b < 32) dense(b.toInt) = v }
+      val bias = m.getOrElse(-1L, 0L)
+      val got = d.select(col("doc_id"),
+        (ClfZSum.clfZSum(col("text"), dense.toSeq, portable) + lit(bias)).as("z"))
+      val ref = d.select(col("doc_id"),
+        Classifier.zMicroRef("text", m, 32, portable).as("z"))
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"kernel diverges from reference (portable=$portable, model=$m)")
+    }
+  }
 }
