@@ -46,11 +46,21 @@ object Retrieval {
     val terms = queryTerms.select(col("term")).distinct()
     val tok = df.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("t"))
       .filter(length(col("t")) > 0)
-    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    // tf only for terms some query asks about — broadcast semi join, so the
-    // (doc, term) aggregate is bounded by matching tokens, not the corpus
-    val tf = tok.join(broadcast(terms), col("t") === col("term"), "left_semi")
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    // ONE corpus tokenize feeds BOTH dl and tf (r22, guide §1.2/§6 — the
+    // r21 plan scanned and exploded the corpus twice, once per branch):
+    // tag each token with its matching query term (broadcast LEFT join —
+    // terms is distinct so a token matches at most one row; non-matching
+    // tokens keep term NULL), aggregate once per (doc, term) with the
+    // NULL group absorbing every non-matching token, then dl is the
+    // per-doc sum of group counts — a second aggregation over the
+    // (doc, matched-terms+1)-sized group table, not the token stream.
+    // Values are identical: sum of group counts = token count, and the
+    // non-null groups are exactly the old semi-join's (doc, term) tfs.
+    val g = tok.join(broadcast(terms), col("t") === col("term"), "left")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+    val dl = g.groupBy(idCol).agg(sum("cnt").as("dl"))
+    val tf = g.filter(col("term").isNotNull)
+      .select(col(idCol), col("term").as("t"), col("cnt").as("tf"))
     val dft = tf.groupBy("t").agg(count(lit(1)).as("df_t"))
     val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
