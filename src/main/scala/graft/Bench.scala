@@ -176,18 +176,33 @@ object Bench {
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
-    // the one-line stdout record prints LAST, after the file writes, AND
-    // carries NO per-query map: 88 queries × ~28 chars ≈ 2.6 KB overflowed
-    // the driver's ~2 KB tail window THREE rounds running (parsed:null in
-    // r10/r11/r13) even at 3-decimal floats. stdout is total+canary+
-    // suspect(capped)+errors+sf (~400 B); per-query numbers live in
-    // bench_full.json / target/bench.json.
+    // the one-line stdout record prints LAST, after the file writes. The
+    // FULL per-query map cannot ride it: the driver's tail-capture window
+    // is 2000 bytes (BENCH_r10/r11/r13 store the truncated line — r10's
+    // tail opens MID-LINE and parsed:null; r14+ with the map removed parse
+    // fine) and the 99 query NAMES alone are ~1.66 KB, so any full
+    // inlining cuts the line's opening brace out of the window no matter
+    // the value precision. r22 compromise: inline the HEAVIEST queries
+    // first — the ones whose cross-round movement matters — under a byte
+    // budget that keeps the whole line plus sbt's trailing success line
+    // (~80 B) inside the window; "_see"/"_n" still point at the complete
+    // record in bench_full.json / target/bench.json.
     val suspectCapped = (suspects.take(8).map(jstr) ++
       (if (suspects.size > 8) Seq(jstr(s"+${suspects.size - 8} more")) else Nil))
       .mkString("[", ",", "]")
-    println(line(n3(total),
-      s"""{"_see":${jstr("bench_full.json")},"_n":${results.size}}""",
-      errsCapped, s""","suspect":$suspectCapped"""))
+    val byTime = results.collect { case (k, v, None, _, _) => (k, v) }
+      .sortBy { case (k, v) => (-v, k) }
+    def qmapInline(n: Int): String =
+      (Seq(s"${jstr("_see")}:${jstr("bench_full.json")}",
+        s"${jstr("_n")}:${results.size}") ++
+        byTime.take(n).map { case (k, v) => s"${jstr(k)}:${n3(v)}" })
+        .mkString("{", ",", "}")
+    def stdoutLine(n: Int): String =
+      line(n3(total), qmapInline(n), errsCapped, s""","suspect":$suspectCapped""")
+    val lineBudget = 1840
+    var take = byTime.size
+    while (take > 0 && stdoutLine(take).length > lineBudget) take -= 1
+    println(stdoutLine(take))
     spark.stop()
   }
 }
