@@ -46,23 +46,30 @@ object Retrieval {
     val terms = queryTerms.select(col("term")).distinct()
     val tok = df.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("t"))
       .filter(length(col("t")) > 0)
-    // ONE corpus tokenize feeds BOTH dl and tf (r22, guide §1.2/§6 — the
-    // r21 plan scanned and exploded the corpus twice, once per branch):
-    // tag each token with its matching query term (broadcast LEFT join —
-    // terms is distinct so a token matches at most one row; non-matching
-    // tokens keep term NULL), aggregate once per (doc, term) with the
-    // NULL group absorbing every non-matching token, then dl is the
-    // per-doc sum of group counts — a second aggregation over the
-    // (doc, matched-terms+1)-sized group table, not the token stream.
-    // Values are identical: sum of group counts = token count, and the
-    // non-null groups are exactly the old semi-join's (doc, term) tfs.
+    // r22 (guide §1.2/§6 read once): the r21 plan tokenized the corpus
+    // in FOUR independent subtrees (dl under stats, dl under the contrib
+    // join, tf under dft, tf under contrib — Spark duplicates unshared
+    // subtrees). Now every consumer derives from ONE (doc, term) group
+    // table: tag each token with its matching query term (broadcast LEFT
+    // join — terms is distinct so a token matches at most one row;
+    // non-matching tokens keep term NULL), aggregate once per (doc, term)
+    // with the NULL group absorbing every non-matching token. dl rides
+    // each row via a doc-partitioned window over the GROUP table
+    // (doc-bounded partitions — matched terms + 1 rows per doc), which
+    // deletes both the token-level dl aggregation and the dl join from
+    // contrib; stats aggregates the group table directly (sum of group
+    // counts = token count; distinct ids = docs with ≥ 1 token). Three
+    // tokenize subtrees remain (contrib, dft, stats) and each aggregates
+    // the group table, not the token stream. Values are identical.
     val g = tok.join(broadcast(terms), col("t") === col("term"), "left")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
-    val dl = g.groupBy(idCol).agg(sum("cnt").as("dl"))
-    val tf = g.filter(col("term").isNotNull)
-      .select(col(idCol), col("term").as("t"), col("cnt").as("tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val tf = g.withColumn("dl", sum("cnt").over(wDoc))
+      .filter(col("term").isNotNull)
+      .select(col(idCol), col("term").as("t"), col("cnt").as("tf"), col("dl"))
     val dft = tf.groupBy("t").agg(count(lit(1)).as("df_t"))
-    val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+    val stats = g.agg(sum("cnt").as("sum_dl"),
+      count_distinct(col(idCol)).as("n_docs"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df_t").cast("double") + lit(0.5)) /
@@ -73,7 +80,6 @@ object Retrieval {
     val contrib = tf
       .join(broadcast(queryTerms.select(col("query_id"), col("term"))),
         col("t") === col("term"))
-      .join(dl, Seq(idCol))
       .join(broadcast(dft), Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),

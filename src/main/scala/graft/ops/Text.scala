@@ -237,11 +237,27 @@ object Text {
     * `localCheckpoint` truncates the lineage — without it round N replans
     * N nested aggregate() lambdas.
     */
-  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
+  /** @param checkpointEvery how many merge rounds ride on ONE
+    *        checkpointed token table before the accumulated (gated,
+    *        interpreted) merge folds are materialized and the lineage
+    *        truncated. r22 (guide §5 / §2.6): checkpointing EVERY round
+    *        paid a corpus-sized block write + re-read per merge purely to
+    *        keep plan depth at 1; letting k folds stack re-computes at
+    *        most k−1 gated folds inside each pair-count job — each fold
+    *        skips every doc not containing its winner pair — in exchange
+    *        for k−1 fewer corpus checkpoints per k merges. The default 4
+    *        bounds both plan depth and the fold stack; results are
+    *        identical for any value (the fold order is unchanged).
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 4): Seq[(Int, String, String, Long)] = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // checkpoint the tokenized corpus up front: round 1 otherwise
-    // re-tokenizes it twice (once for the pair count, once under the merge)
-    var cur = df.select(tokens(col(textCol)).as("toks"))
+    // re-tokenizes it per pair-count pass (and under the fold stack)
+    var anchor = df.select(tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2).localCheckpoint(true)
+    var cur = anchor
+    var sinceCkpt = 0
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var done = false
@@ -271,20 +287,25 @@ object Text {
         // the fold is an interpreted HOF over every token — gate it behind
         // a codegen'd containment check so docs without the winner pair
         // (the overwhelming majority once pairs get specific) skip it
-        val next = cur.select(when(
+        cur = cur.select(when(
             array_contains(col("toks"), w1) && array_contains(col("toks"), w2),
             fold).otherwise(col("toks")).as("toks"))
-          .localCheckpoint(true)
-        // superseded-checkpoint release (the Lloyd/pageRank discipline,
-        // r20): each round's token table is corpus-sized and
-        // non-recomputable — without the release a training run pins
-        // nMerges copies of the corpus in executor storage
-        Lineage.release(cur)
-        cur = next
+        sinceCkpt += 1
+        // truncate lineage every k rounds (not every round): superseded-
+        // checkpoint release as before (the Lloyd/pageRank discipline) —
+        // each round's token table is corpus-sized and non-recomputable,
+        // so exactly ONE anchor is ever pinned
+        if (sinceCkpt == checkpointEvery && r < nMerges) {
+          val next = cur.localCheckpoint(true)
+          Lineage.release(anchor)
+          anchor = next
+          cur = next
+          sinceCkpt = 0
+        }
         r += 1
       }
     }
-    Lineage.release(cur) // the merge table is driver-side; nothing lazy reads cur
+    Lineage.release(anchor) // the merge table is driver-side; nothing lazy reads it
     out.toSeq
   }
 

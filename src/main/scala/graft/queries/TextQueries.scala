@@ -237,9 +237,21 @@ object TextQueries extends QueryModule {
       val models = graft.ops.Dsir.fitPerDomain(all,
         langs.map(l => l -> all.filter(col("lang") === l)),
         "text", "doc_id", gateFrac = 0.25)
-      langs.foreach(l => graft.ops.Dsir.save(models(l), s, dsirMultiFixture(d, l)))
-      graft.ops.Dsir.scoreWithMany(all, "text", "doc_id",
-        langs.map(l => l -> graft.ops.Dsir.load(s, dsirMultiFixture(d, l))))
+      // r22 (guide §2.6 overlap independent jobs): the three publishes —
+      // and then the three loads — target DISTINCT model dirs and are
+      // independent; submitted from a thread pool their tiny staging
+      // writes / table reads overlap instead of paying serial per-action
+      // driver gaps. Results unchanged: same three atomic publishes,
+      // loads returned in langs order.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(langs)(l =>
+        Future(graft.ops.Dsir.save(models(l), s, dsirMultiFixture(d, l)))),
+        scala.concurrent.duration.Duration(10, "min"))
+      val loaded = Await.result(Future.traverse(langs)(l =>
+        Future(l -> graft.ops.Dsir.load(s, dsirMultiFixture(d, l)))),
+        scala.concurrent.duration.Duration(10, "min"))
+      graft.ops.Dsir.scoreWithMany(all, "text", "doc_id", loaded)
     }),
 
     // composite quality filter: the keep/drop decision a corpus-cleaning
@@ -371,13 +383,24 @@ object TextQueries extends QueryModule {
     "search_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d)
-      val qterms = dd.filter(col("doc_id") % 100 === 0 && col("doc_id") < 50000)
+      val qterms0 = dd.filter(col("doc_id") % 100 === 0 && col("doc_id") < 50000)
         .select(col("doc_id").as("query_id"),
           explode(split(lower(col("text")), "\\W+")).as("term"))
         .filter(length(col("term")) >= 4).distinct()
         .withColumn("r", row_number().over(
           Window.partitionBy("query_id").orderBy("term")))
         .where(col("r") <= 3).drop("r")
+      // r22: the term table is query-batch-bounded (≤ 500 queries × 3
+      // terms — CAPPED above, independent of corpus size), but as a lazy
+      // frame its derivation subtree — a corpus scan — was duplicated
+      // under every broadcast consumer in bm25TopKPerQuery (4 corpus
+      // scans). Collect it once and rebuild as a local table (the
+      // max(doc_id) model-read precedent): same rows, zero corpus scans
+      // on the query-term side.
+      import s.implicits._
+      val qterms = s.createDataset(qterms0
+        .select(col("query_id").cast("long"), col("term"))
+        .as[(Long, String)].collect().toSeq).toDF("query_id", "term")
       val lex = graft.ops.Retrieval.bm25TopKPerQuery(dd, "text", "doc_id", qterms, k = 10)
         .select("query_id", "doc_id", "rnk")
       val e = Tables.load(s, d, "embeddings")

@@ -74,13 +74,15 @@ class RetrievalSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), "hybrid plans a cartesian product")
     // ranking must ride the bounded TopK aggregator, not a corpus window:
-    // the only windows allowed in the plan are replicas of the query-term
-    // picker (row_number over the |queries|-sized term candidates — it
-    // sorts on `term`, and only there). A window sorting on a score or
-    // rank column would mean a per-query rank stage regressed to the
+    // the windows allowed in the plan are the query-term picker (sorts on
+    // `term` — r22: usually gone entirely, the term table is collected to
+    // a local table) and bm25's per-DOC length window (partitioned by the
+    // doc id — doc-bounded groups, the keywords-style legitimate per-doc
+    // window). A window keyed on the query side sorting a score or rank
+    // column would mean a per-query rank stage regressed to the
     // one-reducer-per-query shape.
     val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(wins.forall(_.contains("term#")),
-      s"non-term-picker window in hybrid plan:\n${wins.mkString("\n")}")
+    assert(wins.forall(w => w.contains("term#") || w.contains("doc_id#")),
+      s"non-term-picker, non-per-doc window in hybrid plan:\n${wins.mkString("\n")}")
   }
 }
