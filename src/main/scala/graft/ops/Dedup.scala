@@ -116,7 +116,11 @@ object Dedup {
     * array is computed once per row and band keys read it by index.
     * Requires unique `idCol` per row (every caller's standing contract —
     * keepers/anti-joins key on it); the aggregation form would instead
-    * have merged duplicate-id rows into one signature.
+    * have merged duplicate-id rows into one signature. EXTERNAL callers
+    * with possibly-duplicated ids must `dropDuplicates(idCol)` first
+    * (ADVICE r21): nothing here enforces uniqueness — an enforcement
+    * pass would cost a corpus-sized exchange on every LSH pipeline to
+    * guard a precondition every internal caller already holds.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
     require(k <= seedConsts.size, s"k <= ${seedConsts.size}")
@@ -361,10 +365,40 @@ object Dedup {
       maxReps: Int = 1000): DataFrame = {
     // rank-representative candidates, NOT the capped pair surface: a
     // kept set must process dense buckets (they hold the most-duplicated
-    // content), bounding fan-out per ROW instead of skipping per BUCKET
-    val verified = verifyPairs(df, textCol, idCol,
-      repCandidatePairs(df, textCol, idCol, k, bands, maxReps), minJaccard)
-    val dropped = verified.select(col("doc_b").as(idCol)).distinct()
+    // content), bounding fan-out per ROW instead of skipping per BUCKET.
+    //
+    // r22 (VERDICT #4 — the r15 trade re-evaluated at the 100× envelope
+    // with the native kernels): the candidate PAIR set and the
+    // verification sets are now STAGED once — both CANDIDATE-bounded
+    // (the pair set by maxReps·|bucket| fan-out; the set table
+    // semi-pruned to docs that appear in a pair), never corpus-sized, so
+    // the r15 objection to caching O(corpus×bands) rows does not apply.
+    // The re-derive shape paid the signature pipeline twice (the two
+    // band legs) and the shingle-set pipeline twice (verifyPairs' two
+    // join sides): measured at the ScaleGen 100× envelope, staged 3.98 s
+    // vs re-derive 4.99 s (sf0.1: a wash, 0.91 vs 0.89 — job overhead
+    // offsets; see OptProbe `envelope`). The drop-id set materializes
+    // eagerly so both staged frames are RELEASED before returning; the
+    // returned frame reads only the drop-set-sized checkpoint (bounded
+    // by the duplicate count — the one storage cost the caller keeps).
+    val pairs = Lineage.materialize(
+      repCandidatePairs(df, textCol, idCol, k, bands, maxReps))
+    val ids = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol))).distinct()
+    val need = Lineage.materialize(distinctShingleSets(
+      df.join(ids, Seq(idCol), "left_semi"), textCol, idCol))
+    val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
+    val dropped = Lineage.materialize(pairs
+      .join(need.select(col(idCol).as("doc_a"), col("shs").as("sh_a"),
+        col("nsh").as("n_a")), "doc_a")
+      .join(need.select(col(idCol).as("doc_b"), col("shs").as("sh_b"),
+        col("nsh").as("n_b")), "doc_b")
+      .select(col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+      .filter(when(uni > 0, col("inter").cast("double") / uni)
+        .otherwise(lit(0.0)) >= minJaccard)
+      .select(col("doc_b").as(idCol)).distinct())
+    Lineage.release(pairs); Lineage.release(need)
     df.join(dropped, Seq(idCol), "left_anti")
   }
 

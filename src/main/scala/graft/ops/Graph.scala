@@ -52,8 +52,13 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30, checkpointDir: Lineage.CheckpointDir = None): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    // r22: stage the caller's edge plan once before the symmetrize union
+    // (both legs read it — see connectedComponentsStar); kept pinned until
+    // sym.unpersist() at the end (see the NOTE below)
+    val e = Lineage.materialize(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst")),
+      checkpointDir)
     // symmetric closure: propagation must flow both ways along an edge.
     // Pre-partitioned on dst — the per-round join key — so each round
     // shuffles only the NODE-sized label table to meet it plus the
@@ -64,6 +69,10 @@ object Graph {
       .distinct().repartition(col("dst")).persist()
     var labels = Lineage.materialize(sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")), checkpointDir)
+    // NOTE: the staged edge checkpoint stays pinned until sym.unpersist()
+    // below — sym is a RECOMPUTABLE persist whose recompute path reads the
+    // checkpoint, so an early release would turn a benign cache eviction
+    // into a job failure (checkpoint block lost ≠ cache miss).
     // the materialized frame `labels` derives from (labels itself wraps it
     // in a Project after round 1) — released when its successor lands
     var pinned = labels
@@ -106,6 +115,7 @@ object Graph {
     }
     labels.sparkSession.sparkContext.setJobDescription(null)
     sym.unpersist()
+    Lineage.release(e) // safe now: nothing can recompute sym from it
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — graph diameter " +
@@ -276,11 +286,20 @@ object Graph {
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 40, checkpointDir: Lineage.CheckpointDir = None): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    val e0 = edges
+    // r22: stage the caller's edge plan ONCE before the symmetrize union —
+    // `e0` appears under BOTH union legs, so the whole upstream pipeline
+    // (for the dedup CC queries: signatures → window panel → verify
+    // joins) re-derived per leg; only its internal exchanges could be
+    // AQE-reused, the post-exchange stages ran twice. The staged frame is
+    // edge-set-sized (the same bound as round 0's own checkpoint) and is
+    // released as soon as the symmetrized round-0 set materializes.
+    val e0 = Lineage.materialize(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v")),
+      checkpointDir)
     var cur = Lineage.materialize(e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u")).dropDuplicates("u", "v"), checkpointDir)
+    Lineage.release(e0)
     var curCnt = cur.count()
     var iter = 0
     var converged = false

@@ -81,18 +81,27 @@ object IncrementalDedup {
       hashed: Boolean): DataFrame = {
     // r21: native distinct-shingle kernel (Dedup.distinctShingleSets'
     // producer) instead of the interpreted tokens/transform HOF chain
-    val strSets = Dedup.distinctShingleSets(df, textCol, idCol).drop("nsh")
-    val sets =
-      if (!hashed) strSets
+    if (!hashed) Dedup.distinctShingleSets(df, textCol, idCol)
+    else {
       // 8-byte xxhash64 keys instead of the oracle-portable strings: ~5×
       // smaller verification index and a long-keyed intersect at probe
-      // time. re-distinct AFTER hashing — a collision merges two
-      // shingles, which can only RAISE the Jaccard (|∩| gains at least
-      // as much as |∪| loses), i.e. collisions only ever ADD a drop (the
-      // SubstrDedup hashed discipline; spec pins kept ⊆ string-form kept)
-      else strSets.select(col(idCol),
-        array_distinct(transform(col("shs"), s => xxhash64(s))).as("shs"))
-    sets.select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+      // time; a collision merges two shingles, which can only RAISE the
+      // Jaccard (|∩| gains at least as much as |∪| loses), i.e.
+      // collisions only ever ADD a drop (the SubstrDedup hashed
+      // discipline; spec pins kept ⊆ string-form kept). r22: ONE native
+      // pass (HashedDistinctShingles — hash + first-occurrence
+      // re-distinct inside the kernel); the r21 shape still ran an
+      // interpreted per-shingle `transform(…, xxhash64)` here. The null-
+      // text branch keeps the old tree's value — xxhash64 of the [NULL]
+      // set = [seed] — via the same literal expression, constant-folded.
+      val shs = when(col(textCol).isNull,
+          array_distinct(transform(array(lit(null).cast("string")),
+            s => xxhash64(s))))
+        .otherwise(org.apache.spark.sql.graft.HashedDistinctShingles
+          .hashedDistinctShingles(col(textCol)))
+      df.select(col(idCol), shs.as("shs"))
+        .select(col(idCol), col("shs"), size(col("shs")).as("nsh"))
+    }
   }
 
   private def shinglesDdl(hashed: Boolean): String =
@@ -216,9 +225,15 @@ object IncrementalDedup {
         .distinctShingles(col(textCol)))
     val shsCol =
       if (!hashedShingles) shsStr
-      // same collision discipline as [[shingleSets]]: re-distinct AFTER
-      // hashing — a collision merges two shingles, only ever ADDING drops
-      else array_distinct(transform(shsStr, s => xxhash64(s)))
+      // same collision discipline as [[shingleSets]], same r22 native
+      // kernel (the r21 shape interpreted a per-shingle transform here,
+      // on every staged batch row); null text keeps the old tree's
+      // [xxhash64(NULL)] = [seed] via the folded literal branch
+      else when(col(textCol).isNull,
+          array_distinct(transform(array(lit(null).cast("string")),
+            s => xxhash64(s))))
+        .otherwise(org.apache.spark.sql.graft.HashedDistinctShingles
+          .hashedDistinctShingles(col(textCol)))
     val sc = spark.sparkContext
     val wideDdl = shinglesDdl(hashedShingles) + ", __sigs array<bigint>"
     sc.setJobDescription(s"incr-text b=$batchId: stage+append shingles")

@@ -123,6 +123,12 @@ object KMeans {
       if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
     override def zero: (Array[Long], Array[Long]) =
       (Array.empty[Long], Array.empty[Long])
+    // DOCUMENTED edge divergence (ADVICE r21): a dimension whose values
+    // are null in EVERY member of a cluster sums to 0 here, where the
+    // exploded reference's sum(v) yields NULL for that (cluster, dim) —
+    // reachable only if every vector in a cluster holds a null at the
+    // same position (no table stores null vector elements; the
+    // quantizeInt8Ref discipline: divergence documented, not padded)
     override def reduce(b: (Array[Long], Array[Long]), q: Array[java.lang.Long])
         : (Array[Long], Array[Long]) = {
       val s = grow(b._1, q.length)

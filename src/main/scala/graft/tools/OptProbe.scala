@@ -87,6 +87,75 @@ object OptProbe {
         noop(SubstrDedup.removeDupSpans(docs, "text", "doc_id", k, hashed = false))
       }
     }
+
+    if (which("envelope")) {
+      // r22 / VERDICT #8: kernel-vs-reference FORM timings at whatever
+      // scale SPARK_GRAFT_SF_DIR points at (run at sf0.1 AND the ScaleGen
+      // 100× corpus) — confirms the r21 native-kernel wins hold where
+      // compute dominates, not just on the job-overhead-bound sf0.1 board
+      import graft.ops.{Dedup, Pca}
+      time("minhash sigs: kernel") {
+        noop(Dedup.minhashSignatures(docs, "text", "doc_id"))
+      }
+      time("minhash sigs: ref (explode+groupBy)") {
+        noop(Dedup.minhashSignaturesRef(docs, "text", "doc_id"))
+      }
+      time("shingle sets: kernel") {
+        noop(Dedup.distinctShingleSets(docs, "text", "doc_id"))
+      }
+      time("shingle sets: ref (HOF chain)") {
+        noop(Dedup.distinctShingleSetsRef(docs, "text", "doc_id"))
+      }
+      time("hashed shingle sets: kernel") {
+        noop(docs.select(col("doc_id"),
+          org.apache.spark.sql.graft.HashedDistinctShingles
+            .hashedDistinctShingles(col("text")).as("shs")))
+      }
+      time("hashed shingle sets: ref (transform+xxhash64)") {
+        noop(docs.select(col("doc_id"), array_distinct(transform(
+          org.apache.spark.sql.graft.DistinctShingles
+            .distinctShingles(col("text")), s => xxhash64(s))).as("shs")))
+      }
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      val model = Pca.fit(emb, "embedding", 64, k = 4, scale = 1000)
+      // VERDICT #4 re-evaluation: dropNearDuplicates' two band legs
+      // re-derive the signature pipeline and verifyPairs re-derives the
+      // shingle sets per join side. The candidate-bounded STAGED variant
+      // checkpoints the pair set and the semi-pruned verification sets
+      // (both bounded by the candidate set, never the corpus). A/B here
+      // at sf0.1 AND 100× decides whether to restructure the operator.
+      time("dropNearDups: current (re-derive)") {
+        noop(Dedup.dropNearDuplicates(docs, "text", "doc_id", 0.8))
+      }
+      time("dropNearDups: staged candidate-bounded") {
+        val p = Dedup.repCandidatePairs(docs, "text", "doc_id", 8, 2, 1000)
+          .localCheckpoint(true)
+        val ids = p.select(col("doc_a").as("doc_id"))
+          .union(p.select(col("doc_b").as("doc_id"))).distinct()
+        val need = Dedup.distinctShingleSets(
+          docs.join(ids, Seq("doc_id"), "left_semi"), "text", "doc_id")
+          .localCheckpoint(true)
+        val uni = (col("n_a") + col("n_b") - col("inter")).cast("double")
+        val dropped = p
+          .join(need.select(col("doc_id").as("doc_a"), col("shs").as("sh_a"),
+            col("nsh").as("n_a")), "doc_a")
+          .join(need.select(col("doc_id").as("doc_b"), col("shs").as("sh_b"),
+            col("nsh").as("n_b")), "doc_b")
+          .select(col("doc_b").as("dropped_id"), col("n_a"), col("n_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+          .filter(when(uni > 0, col("inter").cast("double") / uni)
+            .otherwise(lit(0.0)) >= 0.8)
+          .select(col("dropped_id").as("doc_id")).distinct()
+        noop(docs.join(dropped, Seq("doc_id"), "left_anti"))
+        graft.ops.Lineage.release(p); graft.ops.Lineage.release(need)
+      }
+      time("pca project: kernel (no join)") {
+        noop(Pca.project(emb, "vec_id", "embedding", model))
+      }
+      time("pca project: ref (broadcast crossJoin + zip_with)") {
+        noop(Pca.projectRef(emb, "vec_id", "embedding", model))
+      }
+    }
     spark.stop()
   }
 }

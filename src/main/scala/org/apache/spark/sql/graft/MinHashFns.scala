@@ -187,3 +187,60 @@ object DistinctShingles {
   def distinctShingles(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(DistinctShingles(ExpressionUtils.expression(text), n))
 }
+
+/** The HASHED verification-set kernel (r22):
+  * `array_distinct(transform(graft_distinct_shingles(text), xxhash64))`
+  * in one native pass — the incremental text index's hashedShingles
+  * layout still paid an interpreted per-shingle `transform` on every
+  * batch staging and probe row after r21 nativized the string form.
+  * Hashes are Spark's `xxhash64` exactly (XXH64 over the shingle's
+  * UTF-8 bytes, seed 42), and the re-distinct after hashing keeps FIRST
+  * occurrence — a collision merges two shingles, which only ever RAISES
+  * a pair's Jaccard (the SubstrDedup hashed discipline). Null text stays
+  * the caller's branch, like [[DistinctShinglesKernel]].
+  */
+object HashedDistinctShinglesKernel {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val strs = DistinctShinglesKernel.compute(s, n)
+    val m = strs.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      val u = strs.getUTF8String(i)
+      seen.add(java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class HashedDistinctShingles(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"shingle width n=$n must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_distinct_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedDistinctShinglesKernel.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashedDistinctShinglesKernel.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedDistinctShingles {
+  def hashedDistinctShingles(text: Column, n: Int = 3): Column =
+    ExpressionUtils.column(HashedDistinctShingles(ExpressionUtils.expression(text), n))
+}

@@ -98,6 +98,12 @@ object CenteredDot {
   * maxabs and emitted as null codes.
   */
 object QuantizeInt8Kernel {
+  // DOCUMENTED edge divergence (ADVICE r21): the max-abs scan uses
+  // `a > m`, which ignores NaN unless it is the first non-null element;
+  // the reference's array_max treats NaN as greater than everything (and
+  // would then throw on the ANSI NaN→long cast). NaN vector elements are
+  // out of contract — no table stores them and the spec corpus pins the
+  // finite domain — so the kernel keeps the branch-free comparison.
   def codes(x: ArrayData): ArrayData = {
     val n = x.numElements()
     var m = 0.0
@@ -203,6 +209,14 @@ case class MaxAbs(child: Expression)
   * did; null elements stay null.
   */
 object FloorScaleKernel {
+  // DOCUMENTED edge divergence (ADVICE r21): `.toLong` saturates on a
+  // non-finite or out-of-long-range double where the reference
+  // `floor(x*scale).cast("long")` throws under the session's ANSI mode.
+  // Micro-quantization inputs are embedding coordinates in [-1, 1] and
+  // d² distances bounded by the int8 code range — the saturating branch
+  // is unreachable on contract inputs; kept (rather than Math.*Exact)
+  // because floor's double result has no exact long check cheaper than
+  // the range compare this comment replaces.
   def compute(x: ArrayData, scale: Int): ArrayData = {
     val n = x.numElements()
     val out = new Array[Any](n)

@@ -1844,4 +1844,24 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.probe(spark, idxH, pr, "text", "doc_id")
     }
   }
+
+  // r22 kernel ≡ reference pin (the GramHashes/SumLam discipline): the
+  // native hashed verification-set kernel must equal the column form it
+  // replaced — array_distinct(transform(graft_distinct_shingles, xxhash64))
+  // — element for element (order included), on the real corpus + edges
+  test("hashed distinct-shingle kernel equals the transform+xxhash64 form") {
+    import org.apache.spark.sql.graft.{DistinctShingles, HashedDistinctShingles}
+    val d = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "  .,;!  "), (900003L, "one two"),
+        (900004L, "a b c a b c a b c"), (900005L, "café naïve 😀 café x y")
+      ).toDF("doc_id", "text"))
+    val got = d.select(col("doc_id"),
+      HashedDistinctShingles.hashedDistinctShingles(col("text")).as("shs"))
+    val ref = d.select(col("doc_id"),
+      array_distinct(transform(
+        DistinctShingles.distinctShingles(col("text")), s => xxhash64(s))).as("shs"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "hashed shingle kernel diverges from the transform+xxhash64 reference")
+  }
 }

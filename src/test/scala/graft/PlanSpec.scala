@@ -105,12 +105,26 @@ class PlanSpec extends SparkSpec {
     // as a window rank + equi-join (spillable sort), the embedding twin's
     // shape. The capped PAIR surfaces (dedup_minhash_pairs et al.) keep
     // collect_list by design — a pair OUTPUT needs an output-cost bound.
-    Seq("dedup_near_kept", "dedup_cross_kept", "decontam_fuzzy_kept").foreach { q =>
+    Seq("dedup_cross_kept", "decontam_fuzzy_kept").foreach { q =>
       val p = plan(q)
       assert(!p.contains("collect_list"),
         s"$q materializes per-bucket doc lists — the OOM-cliff shape is back")
       assert(p.contains("Window"), s"$q lost its rank window")
     }
+    // dedup_near_kept (r22): dropNearDuplicates STAGES its candidate
+    // pipeline (the returned frame is the anti join over the materialized
+    // drop set), so the rank-window pin moves to the operator's candidate
+    // builder — the OOM-cliff guard is about HOW the panel is built, not
+    // which job runs it
+    val nk = plan("dedup_near_kept")
+    assert(!nk.contains("collect_list"),
+      "dedup_near_kept materializes per-bucket doc lists")
+    val cand = graft.ops.Dedup.repCandidatePairs(
+      Tables.documents(spark, sf()).toDF(), "text", "doc_id", 8, 2, 1000)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!cand.contains("collect_list") && cand.contains("Window"),
+      "dropNearDuplicates' candidate builder lost its rank-window shape")
   }
 
   test("bm25 broadcasts the term/corpus stats, never the doc-keyed sides") {
